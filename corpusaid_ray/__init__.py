@@ -1,0 +1,19 @@
+"""corpusaid_ray — a Ray-Data-native corpus quality-filter / scrub engine.
+
+A from-scratch re-expression of the data-processing capabilities of the
+reference desktop app ``jhlopesalves/CorpusAid`` (see SURVEY.md) as a lazy,
+streaming ``ray.data.Dataset`` pipeline:
+
+    read_parquet -> map_batches(fused clean chain)
+                 -> map_batches(LangId actor pool)
+                 -> map_batches(Perplexity actor pool)
+                 -> map_batches(vectorized heuristics)
+                 -> map_batches(PII/toxicity scrub + sha256)
+                 -> groupby(repo) aggregates / dedup
+                 -> write_parquet + per-partition lineage manifests
+
+Nothing in this package calls ``ray.init()`` / ``ray.shutdown()``; session
+ownership belongs to the caller (driver, bench.py, or the pytest fixture).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,193 @@
+"""Pipeline configuration — the reference's 19-key parameter dict plus the
+target-spec extensions (langid / perplexity / heuristics / scrub rulesets).
+
+Mirrors ``/root/reference/src/CorpusAid.py:570-590`` (defaults) and
+``:596-619`` (validation). The config is frozen after construction and
+hashes to a deterministic ``rule_version`` recorded in lineage manifests
+(north-rule requirement): sha256 of the canonical JSON encoding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from dataclasses import dataclass, field, asdict
+from typing import Any
+
+# The reference's 19 parameter keys, defaults all falsy
+# (/root/reference/src/CorpusAid.py:570-590).
+REFERENCE_PARAM_DEFAULTS: dict[str, Any] = {
+    "remove_break_lines": False,
+    "lowercase": False,
+    "chars_to_remove": [],
+    "word_tokenization": False,
+    "remove_stop_words": False,
+    "regex_pattern": "",
+    "strip_html": False,
+    "remove_diacritics": False,
+    "remove_greek": False,
+    "remove_cyrillic": False,
+    "remove_super_sub_script": False,
+    "remove_roman_page_numbers": False,
+    "remove_page_indicators": False,
+    "remove_page_numbers": False,
+    "remove_page_delimiters": False,
+    "remove_bibliographical_references": False,
+    "normalize_spacing": False,
+    "normalize_unicode": False,
+    "normalize_line_breaks": False,
+}
+
+
+class ConfigError(ValueError):
+    """Raised on invalid pipeline parameters (reference shows a GUI error
+    dialog, ``src/CorpusAid.py:610-619``; we fail fast instead)."""
+
+
+@dataclass(frozen=True)
+class ScrubRule:
+    """One ordered PII/toxicity scrub rule. ``pattern`` must be RE2-safe
+    (no lookarounds) so the DuckDB oracle can mirror it exactly."""
+
+    name: str
+    pattern: str
+    replacement: str = ""
+
+
+# Default PII / toxicity scrub ruleset (north-rule stage; generalizes the
+# reference's single user regex, src/CorpusAid.py:343-366, to an ordered
+# ruleset). All patterns RE2-safe AND Python-re-identical.
+DEFAULT_SCRUB_RULES: tuple[ScrubRule, ...] = (
+    ScrubRule("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ScrubRule("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ScrubRule("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWSKEY>"),
+    ScrubRule("hex_secret", r"\b[0-9a-f]{40}\b", "<SECRET>"),
+    ScrubRule("phone", r"\b\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}\b", "<PHONE>"),
+    ScrubRule("toxic", r"\b(?:frak|gorram|smeghead)\b", "<TOX>"),
+)
+
+
+@dataclass(frozen=True)
+class QualityThresholds:
+    """Heuristic keep/drop thresholds (north-rule vectorized rules)."""
+
+    max_line_len: int = 2000          # drop if any line longer (minified blobs)
+    min_alnum_ratio: float = 0.25     # drop if mostly punctuation/art
+    max_dup_line_frac: float = 0.60   # drop if >60% of lines are repeats
+    min_chars: int = 8                # drop near-empty docs
+    max_log_ppl: float = 12.0         # drop high-perplexity (garbage) docs
+    min_lang_conf: float = 0.05       # drop if langid confidence below
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Frozen engine config: reference params + target-spec stages."""
+
+    # --- reference 19 params (src/CorpusAid.py:570-590) ---
+    remove_break_lines: bool = False
+    lowercase: bool = False
+    chars_to_remove: tuple[str, ...] = ()
+    word_tokenization: bool = False
+    remove_stop_words: bool = False
+    regex_pattern: str = ""
+    strip_html: bool = False
+    remove_diacritics: bool = False
+    remove_greek: bool = False
+    remove_cyrillic: bool = False
+    remove_super_sub_script: bool = False
+    remove_roman_page_numbers: bool = False
+    remove_page_indicators: bool = False
+    remove_page_numbers: bool = False
+    remove_page_delimiters: bool = False
+    remove_bibliographical_references: bool = False
+    normalize_spacing: bool = False
+    normalize_unicode: bool = False
+    normalize_line_breaks: bool = False
+
+    # --- target-spec extensions (north rule) ---
+    scrub_rules: tuple[ScrubRule, ...] = ()
+    enable_langid: bool = False
+    enable_perplexity: bool = False
+    enable_heuristics: bool = False
+    dedup_exact: bool = False
+    thresholds: QualityThresholds = field(default_factory=QualityThresholds)
+
+    def __post_init__(self) -> None:
+        # Reference validation semantics (src/CorpusAid.py:596-605): regex
+        # must compile; chars_to_remove must be a sequence of strings.
+        if self.regex_pattern:
+            try:
+                re.compile(self.regex_pattern)
+            except re.error as e:
+                raise ConfigError(f"invalid regex_pattern: {e}") from e
+        if not isinstance(self.chars_to_remove, tuple):
+            object.__setattr__(self, "chars_to_remove", tuple(self.chars_to_remove))
+        for item in self.chars_to_remove:
+            if not isinstance(item, str):
+                raise ConfigError("all items in chars_to_remove must be strings")
+
+    @property
+    def reference_params(self) -> dict[str, Any]:
+        """The 19-key dict in reference shape (lists, not tuples)."""
+        d = {k: getattr(self, k) for k in REFERENCE_PARAM_DEFAULTS}
+        d["chars_to_remove"] = list(d["chars_to_remove"])
+        return d
+
+    @property
+    def is_reference_noop(self) -> bool:
+        """All 19 reference params falsy → bypass, return text unmodified —
+        not even stripped (src/CorpusAid.py:689-691)."""
+        return not any(self.reference_params.values())
+
+    def canonical_json(self) -> str:
+        d = asdict(self)
+        d["scrub_rules"] = [asdict(r) for r in self.scrub_rules]
+        d["thresholds"] = asdict(self.thresholds)
+        d["chars_to_remove"] = list(self.chars_to_remove)
+        return json.dumps(d, sort_keys=True, separators=(",", ":"))
+
+    @property
+    def rule_version(self) -> str:
+        """sha256 of canonical config JSON — the lineage rule-version hash."""
+        return hashlib.sha256(self.canonical_json().encode()).hexdigest()
+
+    @classmethod
+    def from_params(cls, params: dict[str, Any], **extensions: Any) -> "PipelineConfig":
+        """Build from a reference-style parameter dict (unknown keys rejected,
+        matching the strictness the engine needs; the reference silently
+        merged, src/CorpusAid.py:606-607)."""
+        bad = set(params) - set(REFERENCE_PARAM_DEFAULTS)
+        if bad:
+            raise ConfigError(f"unknown parameters: {sorted(bad)}")
+        merged = {**REFERENCE_PARAM_DEFAULTS, **params}
+        merged["chars_to_remove"] = tuple(merged["chars_to_remove"])
+        return cls(**merged, **extensions)
+
+
+# The kitchen-sink config used by the flagship pipeline: every stateless
+# reference operator on + the target-spec stages. (Tokenization/stop-words
+# use the engine's pinned tokenizer — see functions/tokenize.py.)
+def flagship_config() -> PipelineConfig:
+    return PipelineConfig(
+        normalize_unicode=True,
+        remove_diacritics=True,
+        normalize_spacing=True,
+        normalize_line_breaks=True,
+        remove_break_lines=True,
+        remove_page_numbers=True,
+        remove_roman_page_numbers=True,
+        remove_page_indicators=True,
+        remove_page_delimiters=True,
+        remove_bibliographical_references=True,
+        lowercase=True,
+        strip_html=True,
+        remove_greek=True,
+        remove_cyrillic=True,
+        remove_super_sub_script=True,
+        scrub_rules=DEFAULT_SCRUB_RULES,
+        enable_langid=True,
+        enable_perplexity=True,
+        enable_heuristics=True,
+        dedup_exact=False,
+    )

@@ -1,0 +1,5 @@
+"""Pure (non-Ray) operator functions: text transforms, tokenization,
+quality heuristics, scrubbing, hashing. Stages in ``corpusaid_ray.stages``
+wrap these in ``map_batches`` bodies; keeping the kernels Ray-free makes
+them unit-testable without a cluster.
+"""

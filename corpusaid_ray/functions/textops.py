@@ -1,0 +1,304 @@
+"""The reference's per-record text transforms as pure ``str -> str`` kernels
+plus a chain compiler that fuses the enabled operators in the reference's
+FIXED order (``/root/reference/src/CorpusAid.py:625-684``), ending with the
+pipeline's final ``.strip()`` (``:444``, ``:694``).
+
+Every function cites the reference class it re-expresses. Quirks are part of
+the contract and reproduced deliberately:
+
+- whitespace normalizer inserts a space inside numbers ("3.14" → "3. 14")
+  because of ``([.,?!;:])(\\S)`` → ``\\1 \\2`` (``:290-292``);
+- the roman-page-number remover eats any line made of chars from
+  ``[IiVvXxLlCcDdMm]{1,7}`` — including words like "mid", "dim", "MIX"
+  (``:253-263``);
+- ``chars_to_remove`` word-sequences get ``\\b`` wrapping and IGNORECASE
+  (``:197-216``);
+- all-parameters-off bypasses the pipeline entirely, returning the text
+  unmodified — not even stripped (``:689-691``).
+
+The HTML stripper uses the stdlib ``html.parser`` (the same parser bs4's
+"html.parser" backend drives) — script/style text is KEPT and entities are
+decoded, matching ``BeautifulSoup(text, "html.parser").get_text()``
+(``:385-387``) on well-formed input; bs4's broken-markup recovery is out of
+scope (bs4 is not available here) and pinned by our own golden tests.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from html.parser import HTMLParser
+from typing import Callable
+
+from corpusaid_ray.unicode_tables import (
+    category_delete_table,
+    mn_delete_table,
+    name_prefix_delete_table,
+)
+from corpusaid_ray.functions.tokenize import remove_stop_words, tokenize_join
+
+# ---------------------------------------------------------------------------
+# 1. Normalization ops
+# ---------------------------------------------------------------------------
+
+
+def normalize_unicode(text: str) -> str:
+    """NFKC normalize (UnicodeNormalizationModule, src/CorpusAid.py:415-417)."""
+    return unicodedata.normalize("NFKC", text)
+
+
+def remove_diacritics(text: str) -> str:
+    """NFD-decompose then drop combining marks (category Mn)
+    (DiacriticRemovalModule, src/CorpusAid.py:390-396)."""
+    return unicodedata.normalize("NFD", text).translate(mn_delete_table())
+
+
+_WS_SUBS: list[tuple[re.Pattern[str], str]] = [
+    (re.compile(r"\s+([.,?!;:])"), r"\1"),
+    (re.compile(r"([.,?!;:])(\S)"), r"\1 \2"),  # number-splitting quirk kept
+    (re.compile(r"\(\s+"), "("),
+    (re.compile(r"\s+\)"), ")"),
+    (re.compile(r"\[\s+"), "["),
+    (re.compile(r"\s+\]"), "]"),
+    (re.compile(r"\{\s+"), "{"),
+    (re.compile(r"\s+\}"), "}"),
+    (re.compile(r"\s{2,}"), " "),
+]
+
+
+def normalize_spacing(text: str) -> str:
+    """8 sequential substitutions + final strip, exact order
+    (WhitespaceNormalizationModule, src/CorpusAid.py:285-306)."""
+    for pat, repl in _WS_SUBS:
+        text = pat.sub(repl, text)
+    return text.strip()
+
+
+_SINGLE_CHAR_LINE = re.compile(r"\s*\w\s*")
+_SOFT_BREAK = re.compile(r"(?<!\.\s)\n(?!\s*\n)", re.MULTILINE)
+_MULTI_WS = re.compile(r"\s{2,}")
+
+
+def normalize_line_breaks(text: str) -> str:
+    """Drop single-word-char lines, join soft line breaks, collapse runs,
+    strip (LineBreakNormalizationModule, src/CorpusAid.py:228-242)."""
+    lines = text.splitlines()
+    text = "\n".join(l for l in lines if not _SINGLE_CHAR_LINE.fullmatch(l))
+    text = _SOFT_BREAK.sub(" ", text)
+    text = _MULTI_WS.sub(" ", text)
+    return text.strip()
+
+
+def remove_break_lines(text: str) -> str:
+    """``"\\n" -> " "`` (LineBreakRemovalModule, src/CorpusAid.py:309-311)."""
+    return text.replace("\n", " ")
+
+
+# ---------------------------------------------------------------------------
+# 2. Removal ops
+# ---------------------------------------------------------------------------
+
+
+def compile_char_filter(chars_to_remove: tuple[str, ...]) -> re.Pattern[str] | None:
+    """Escape literals; pure word-char sequences get ``\\b`` wrapping;
+    OR-join; IGNORECASE (CharacterFilterModule, src/CorpusAid.py:197-216)."""
+    if not chars_to_remove:
+        return None
+    patterns = []
+    for seq in (re.escape(s) for s in chars_to_remove):
+        patterns.append(rf"\b{seq}\b" if re.match(r"^\w+$", seq) else seq)
+    try:
+        return re.compile("|".join(patterns), re.IGNORECASE)
+    except re.error:
+        return None  # reference logs and skips (src/CorpusAid.py:214-216)
+
+
+PAGE_NUMBER_RE = re.compile(r"^\s*\d{1,4}\s*$", re.MULTILINE)
+
+
+def remove_page_numbers(text: str) -> str:
+    """Blank lines that are only 1-4 digits
+    (PageNumberRemovalModule, src/CorpusAid.py:245-250)."""
+    return PAGE_NUMBER_RE.sub("", text)
+
+
+ROMAN_LINE_RE = re.compile(r"^\s*(?P<roman>[IiVvXxLlCcDdMm]{1,7})\s*$", re.MULTILINE)
+
+
+def remove_roman_page_numbers(text: str) -> str:
+    """Blank roman-numeral-ish lines — false positives like "mid" included
+    (RomanPageNumberRemovalModule, src/CorpusAid.py:253-263)."""
+    return ROMAN_LINE_RE.sub("", text)
+
+
+PAGE_INDICATOR_RE = re.compile(
+    r"\b(?:[Pp]age|[Pp]ag\.?)\s+(?P<number>\d+|[IVXLCDM]+)\b", re.MULTILINE
+)
+
+
+def remove_page_indicators(text: str) -> str:
+    """Remove "Page 12" / "pag. IV" anywhere
+    (PageIndicatorRemovalModule, src/CorpusAid.py:266-273)."""
+    return PAGE_INDICATOR_RE.sub("", text)
+
+
+PAGE_DELIMITER_RE = re.compile(r"---\s*Page\s+\d+\s*---", re.MULTILINE)
+
+
+def remove_page_delimiters(text: str) -> str:
+    """Remove "--- Page N ---" delimiters
+    (PageDelimiterRemovalModule, src/CorpusAid.py:276-282)."""
+    return PAGE_DELIMITER_RE.sub("", text)
+
+
+BIB_REF_RE = re.compile(r"\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)")
+
+
+def remove_bibliographical_references(text: str) -> str:
+    """Remove "(Smith 2020)"-style cites — also eats "(Word)" with no year
+    (BibliographicalReferenceRemovalModule, src/CorpusAid.py:314-319)."""
+    return BIB_REF_RE.sub("", text)
+
+
+# ---------------------------------------------------------------------------
+# 3. Transformation ops
+# ---------------------------------------------------------------------------
+
+
+def lowercase(text: str) -> str:
+    """``str.lower`` (LowercaseModule, src/CorpusAid.py:322-324)."""
+    return text.lower()
+
+
+class _TextExtractor(HTMLParser):
+    """Collect all character data (script/style included, entities decoded) —
+    the visible behavior of bs4 + "html.parser" ``get_text()``."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+
+    def handle_data(self, data: str) -> None:
+        self.parts.append(data)
+
+
+def strip_html(text: str) -> str:
+    """HTML → text via stdlib html.parser
+    (HTMLStripperModule, src/CorpusAid.py:385-387)."""
+    p = _TextExtractor()
+    p.feed(text)
+    p.close()
+    return "".join(p.parts)
+
+
+# ---------------------------------------------------------------------------
+# 5. Character-set removal ops
+# ---------------------------------------------------------------------------
+
+
+def remove_greek(text: str) -> str:
+    """Drop chars whose Unicode name starts with "GREEK"
+    (GreekLetterRemovalModule, src/CorpusAid.py:399-403)."""
+    return text.translate(name_prefix_delete_table("GREEK"))
+
+
+def remove_cyrillic(text: str) -> str:
+    """Drop chars whose Unicode name starts with "CYRILLIC"
+    (CyrillicRemovalModule, src/CorpusAid.py:406-412)."""
+    return text.translate(name_prefix_delete_table("CYRILLIC"))
+
+
+def remove_super_sub_script(text: str) -> str:
+    """Drop chars with category in {No, Sk}
+    (UnicodeCategoryFilterModule wiring, src/CorpusAid.py:673-675)."""
+    return text.translate(category_delete_table(frozenset({"No", "Sk"})))
+
+
+# ---------------------------------------------------------------------------
+# 6. User regex substitution
+# ---------------------------------------------------------------------------
+
+
+def compile_user_regex(pattern: str) -> re.Pattern[str] | None:
+    """User regex with DOTALL; invalid → None (module inert)
+    (RegexSubstitutionModule, src/CorpusAid.py:343-366)."""
+    if not pattern:
+        return None
+    try:
+        return re.compile(pattern, re.DOTALL)
+    except re.error:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Chain compiler — fixed assembly order (src/CorpusAid.py:625-684)
+# ---------------------------------------------------------------------------
+
+TextOp = Callable[[str], "str | list[str]"]
+
+
+def compile_chain(config) -> Callable[[str], str] | None:
+    """Compile a ``PipelineConfig`` into ONE fused ``str -> str`` function
+    applying the enabled reference operators in the fixed order, with the
+    list-join (``" ".join``) and final ``.strip()`` semantics of
+    ``PreprocessingPipeline.process`` + ``process_file``
+    (src/CorpusAid.py:439-444, 689-694).
+
+    Returns ``None`` when all 19 reference params are falsy — the caller
+    must bypass entirely (text unmodified, not even stripped)."""
+    if config.is_reference_noop:
+        return None
+
+    ops: list[TextOp] = []
+    if config.normalize_unicode:
+        ops.append(normalize_unicode)
+    if config.remove_diacritics:
+        ops.append(remove_diacritics)
+    if config.normalize_spacing:
+        ops.append(normalize_spacing)
+    if config.normalize_line_breaks:
+        ops.append(normalize_line_breaks)
+    if config.remove_break_lines:
+        ops.append(remove_break_lines)
+    char_pat = compile_char_filter(config.chars_to_remove)
+    if config.chars_to_remove:
+        if char_pat is not None:
+            ops.append(lambda t, _p=char_pat: _p.sub("", t))
+        # invalid pattern → module inert (src/CorpusAid.py:218-221): no op
+    if config.remove_page_numbers:
+        ops.append(remove_page_numbers)
+    if config.remove_roman_page_numbers:
+        ops.append(remove_roman_page_numbers)
+    if config.remove_page_indicators:
+        ops.append(remove_page_indicators)
+    if config.remove_page_delimiters:
+        ops.append(remove_page_delimiters)
+    if config.remove_bibliographical_references:
+        ops.append(remove_bibliographical_references)
+    if config.lowercase:
+        ops.append(lowercase)
+    if config.strip_html:
+        ops.append(strip_html)
+    if config.word_tokenization:
+        ops.append(tokenize_join)
+    if config.remove_stop_words:
+        ops.append(remove_stop_words)  # returns list → joined below
+    if config.remove_greek:
+        ops.append(remove_greek)
+    if config.remove_cyrillic:
+        ops.append(remove_cyrillic)
+    if config.remove_super_sub_script:
+        ops.append(remove_super_sub_script)
+    user_pat = compile_user_regex(config.regex_pattern)
+    if user_pat is not None:
+        ops.append(lambda t, _p=user_pat: _p.sub("", t))
+
+    def fused(text: str) -> str:
+        for op in ops:
+            text = op(text)
+            if isinstance(text, list):
+                text = " ".join(text)
+        # pipeline final strip (:444) + process_file strip (:694)
+        return text.strip()
+
+    return fused

@@ -1,0 +1,82 @@
+"""Pinned word tokenizer + stop-word set.
+
+The reference tokenizes with spaCy ``en_core_web_sm`` and filters
+``spacy.lang.en.stop_words.STOP_WORDS`` (``/root/reference/src/CorpusAid.py:
+369-382``). spaCy is not available in this environment, so the engine pins
+its OWN deterministic tokenizer spec (documented divergence, same role):
+
+- a token is either a word run (``\\w+``, optionally with internal
+  apostrophes/hyphens split off like spaCy does NOT — we keep it simple and
+  split them off) or a single non-word non-space char;
+- tokenization output is ``" ".join(tokens)`` exactly as the reference joins
+  (``src/CorpusAid.py:373``, ``440-443``);
+- the stop-word list is a frozen in-repo constant (a standard English list in
+  the spirit of spaCy's), applied as ``token.lower() in STOP_WORDS``
+  (``src/CorpusAid.py:381-382``).
+
+Both the engine and ``tests/reference_impl.py`` treat THESE definitions as
+the contract; the token regex below is the single source of truth.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Word runs | any single non-word, non-whitespace char (punctuation splits off,
+# mirroring the visible effect of spaCy tokenization on plain prose).
+TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+# Frozen English stop-word list (subset in the spirit of spaCy's
+# spacy.lang.en.stop_words.STOP_WORDS — a public list; pinned here so results
+# are reproducible with no external download).
+STOP_WORDS: frozenset[str] = frozenset(
+    """
+a about above after again against all almost alone along already also although
+always am among an and another any anybody anyone anything anywhere are area
+around as at back be became because become becomes been before behind being
+below between both but by came can cannot could did do does doing done down
+during each either enough even ever every everybody everyone everything
+everywhere few for from further had has have having he her here hers herself
+him himself his how however i if in into is it its itself just least less let
+like made many may me might more most much must my myself neither never next
+no nobody none nor not nothing now nowhere of off often on once one only or
+other others our ours ourselves out over own per perhaps rather same see seem
+seemed seeming seems several she should since so some somebody someone
+something somewhere still such than that the their theirs them themselves then
+there therefore these they this those though through thus to together too
+toward under until up upon us very was we well were what whatever when where
+whether which while who whoever whom whose why will with within without would
+yet you your yours yourself yourselves
+""".split()
+)
+
+
+def word_tokenize(text: str) -> list[str]:
+    """Engine tokenizer (pinned spec above)."""
+    return TOKEN_RE.findall(text)
+
+
+def tokenize_join(text: str) -> str:
+    """Reference WordTokenizationModule shape: tokens joined by single
+    spaces (src/CorpusAid.py:370-373)."""
+    return " ".join(word_tokenize(text))
+
+
+def remove_stop_words(text: str) -> list[str]:
+    """Reference StopWordRemovalModule shape: tokenize, drop tokens whose
+    lowercase form is a stop word, return the token LIST (the pipeline joins
+    lists with " ", src/CorpusAid.py:440-443)."""
+    return [t for t in word_tokenize(text) if t.lower() not in STOP_WORDS]
+
+
+def count_tokens(text: str) -> int:
+    """Token count under the pinned tokenizer (BPE-ish regex counting for the
+    text-analysis suite)."""
+    return len(TOKEN_RE.findall(text))
+
+
+def count_words_whitespace(text: str) -> int:
+    """Whitespace word count — the reference report's counting mode when
+    ``word_tokenization`` is enabled (src/CorpusAid.py:1800-1802) and the
+    post-process report (src/CorpusAid.py:3098-3118)."""
+    return len(text.split())

@@ -1,0 +1,47 @@
+"""Precomputed Unicode codepoint tables for character-class removal operators.
+
+The reference removes characters by *Unicode name prefix* ("GREEK", "CYRILLIC";
+``/root/reference/src/CorpusAid.py:399-412``) and by *category membership*
+({"No", "Sk"}; ``:420-429``) with a per-character Python generator. Here we
+precompute the matching codepoint sets ONCE per process and apply them with
+``str.translate`` (a single C-level pass per document). The scan over the full
+codepoint space costs a few hundred ms and is cached at module level, so an
+actor pays it once in ``__init__``, never per batch.
+"""
+
+from __future__ import annotations
+
+import sys
+import unicodedata
+from functools import lru_cache
+
+_MAX_CP = sys.maxunicode + 1
+
+
+@lru_cache(maxsize=None)
+def name_prefix_delete_table(prefix: str) -> dict[int, None]:
+    """``str.translate`` table deleting every char whose Unicode name starts
+    with ``prefix`` (reference semantics: ``unicodedata.name(c, "")``)."""
+    table: dict[int, None] = {}
+    for cp in range(_MAX_CP):
+        if unicodedata.name(chr(cp), "").startswith(prefix):
+            table[cp] = None
+    return table
+
+
+@lru_cache(maxsize=None)
+def category_delete_table(categories: frozenset[str]) -> dict[int, None]:
+    """``str.translate`` table deleting every char whose category is in the set
+    (reference ``UnicodeCategoryFilterModule``, categories {"No","Sk"})."""
+    table: dict[int, None] = {}
+    for cp in range(_MAX_CP):
+        if unicodedata.category(chr(cp)) in categories:
+            table[cp] = None
+    return table
+
+
+@lru_cache(maxsize=None)
+def mn_delete_table() -> dict[int, None]:
+    """Table deleting combining marks (category ``Mn``) — used after NFD
+    decomposition for diacritic removal (reference ``:390-396``)."""
+    return category_delete_table(frozenset({"Mn"}))

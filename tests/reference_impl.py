@@ -1,0 +1,315 @@
+"""Oracle: a naive, row-at-a-time transcription of the reference's
+preprocessing semantics (``/root/reference/src/CorpusAid.py:192-444``,
+``:569-694``), stdlib only. The reference ships zero tests, so this mirror
+IS the spec the engine is tested against (SURVEY.md §5).
+
+Structure deliberately mirrors the reference (one class per module, a
+pipeline that folds them, a processor that assembles in fixed order) while
+the engine (`corpusaid_ray.functions.textops`) implements the same
+semantics with precompiled fused chains and translate tables — divergence
+between the two implementations is what the golden tests catch.
+
+Environment substitutions (spaCy and bs4 are not installed here):
+- tokenization/stop-words use the engine's PINNED tokenizer spec
+  (corpusaid_ray/functions/tokenize.py) — the token regex is re-stated
+  literally below; the stop-word list is shared data.
+- HTML stripping uses stdlib html.parser (same parser bs4's "html.parser"
+  backend drives).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from html.parser import HTMLParser
+
+from corpusaid_ray.functions.tokenize import STOP_WORDS
+
+TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)  # pinned tokenizer spec
+
+
+class PreprocessingModule:
+    def process(self, text):
+        raise NotImplementedError
+
+
+class CharacterFilterModule(PreprocessingModule):  # src/CorpusAid.py:197-225
+    def __init__(self, chars_to_remove):
+        escaped = [re.escape(seq) for seq in chars_to_remove]
+        patterns = []
+        for seq in escaped:
+            if re.match(r"^\w+$", seq):
+                patterns.append(f"\\b{seq}\\b")
+            else:
+                patterns.append(seq)
+        try:
+            self.pattern = re.compile("|".join(patterns), re.IGNORECASE)
+        except re.error:
+            self.pattern = None
+
+    def process(self, text):
+        if not self.pattern:
+            return text
+        return self.pattern.sub("", text)
+
+
+class LineBreakNormalizationModule(PreprocessingModule):  # :228-242
+    def __init__(self):
+        self.single_char_line_pattern = re.compile(r"\s*\w\s*")
+        self.line_break_pattern = re.compile(r"(?<!\.\s)\n(?!\s*\n)", re.MULTILINE)
+
+    def process(self, text):
+        lines = text.splitlines()
+        filtered = [
+            line for line in lines if not self.single_char_line_pattern.fullmatch(line)
+        ]
+        text = "\n".join(filtered)
+        text = self.line_break_pattern.sub(" ", text)
+        text = re.sub(r"\s{2,}", " ", text)
+        return text.strip()
+
+
+class PageNumberRemovalModule(PreprocessingModule):  # :245-250
+    def __init__(self):
+        self.pattern = re.compile(r"^\s*\d{1,4}\s*$", re.MULTILINE)
+
+    def process(self, text):
+        return self.pattern.sub("", text)
+
+
+class RomanPageNumberRemovalModule(PreprocessingModule):  # :253-263
+    def __init__(self):
+        self.pattern = re.compile(
+            r"^\s*(?P<roman>[IiVvXxLlCcDdMm]{1,7})\s*$", re.MULTILINE
+        )
+
+    def process(self, text):
+        return self.pattern.sub("", text)
+
+
+class PageIndicatorRemovalModule(PreprocessingModule):  # :266-273
+    def __init__(self):
+        self.pattern = re.compile(
+            r"\b(?:[Pp]age|[Pp]ag\.?)\s+(?P<number>\d+|[IVXLCDM]+)\b", re.MULTILINE
+        )
+
+    def process(self, text):
+        return self.pattern.sub("", text)
+
+
+class PageDelimiterRemovalModule(PreprocessingModule):  # :276-282
+    def __init__(self):
+        self.pattern = re.compile(r"---\s*Page\s+\d+\s*---", re.MULTILINE)
+
+    def process(self, text):
+        return self.pattern.sub("", text)
+
+
+class WhitespaceNormalizationModule(PreprocessingModule):  # :285-306
+    def process(self, text):
+        text = re.sub(r"\s+([.,?!;:])", r"\1", text)
+        text = re.sub(r"([.,?!;:])(\S)", r"\1 \2", text)
+        text = re.sub(r"\(\s+", "(", text)
+        text = re.sub(r"\s+\)", ")", text)
+        text = re.sub(r"\[\s+", "[", text)
+        text = re.sub(r"\s+\]", "]", text)
+        text = re.sub(r"\{\s+", "{", text)
+        text = re.sub(r"\s+\}", "}", text)
+        text = re.sub(r"\s{2,}", " ", text)
+        return text.strip()
+
+
+class LineBreakRemovalModule(PreprocessingModule):  # :309-311
+    def process(self, text):
+        return text.replace("\n", " ")
+
+
+class BibliographicalReferenceRemovalModule(PreprocessingModule):  # :314-319
+    def __init__(self):
+        self.pattern = re.compile(r"\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)")
+
+    def process(self, text):
+        return self.pattern.sub("", text)
+
+
+class LowercaseModule(PreprocessingModule):  # :322-324
+    def process(self, text):
+        return text.lower()
+
+
+class RegexSubstitutionModule(PreprocessingModule):  # :343-366
+    def __init__(self, pattern, replacement=""):
+        try:
+            self.pattern = re.compile(pattern, re.DOTALL)
+        except re.error:
+            self.pattern = None
+        self.replacement = replacement
+
+    def process(self, text):
+        if self.pattern:
+            new_text, _ = self.pattern.subn(self.replacement, text)
+            return new_text
+        return text
+
+
+class WordTokenizationModule(PreprocessingModule):  # :369-373 (pinned tokenizer)
+    def process(self, text):
+        return " ".join(TOKEN_RE.findall(text))
+
+
+class StopWordRemovalModule(PreprocessingModule):  # :376-382 (pinned tokenizer)
+    def __init__(self):
+        self.stop_words = set(STOP_WORDS)
+
+    def process(self, text):
+        tokens = TOKEN_RE.findall(text)
+        return [w for w in tokens if w.lower() not in self.stop_words]
+
+
+class _Extract(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.out = []
+
+    def handle_data(self, d):
+        self.out.append(d)
+
+
+class HTMLStripperModule(PreprocessingModule):  # :385-387 (stdlib parser)
+    def process(self, text):
+        p = _Extract()
+        p.feed(text)
+        p.close()
+        return "".join(p.out)
+
+
+class DiacriticRemovalModule(PreprocessingModule):  # :390-396
+    def process(self, text):
+        return "".join(
+            c
+            for c in unicodedata.normalize("NFD", text)
+            if unicodedata.category(c) != "Mn"
+        )
+
+
+class GreekLetterRemovalModule(PreprocessingModule):  # :399-403
+    def process(self, text):
+        return "".join(
+            ch for ch in text if not unicodedata.name(ch, "").startswith("GREEK")
+        )
+
+
+class CyrillicRemovalModule(PreprocessingModule):  # :406-412
+    def process(self, text):
+        return "".join(
+            ch for ch in text if not unicodedata.name(ch, "").startswith("CYRILLIC")
+        )
+
+
+class UnicodeNormalizationModule(PreprocessingModule):  # :415-417
+    def process(self, text):
+        return unicodedata.normalize("NFKC", text)
+
+
+class UnicodeCategoryFilterModule(PreprocessingModule):  # :420-429
+    def __init__(self, categories_to_remove):
+        self.categories_to_remove = set(categories_to_remove)
+
+    def process(self, text):
+        return "".join(
+            ch
+            for ch in text
+            if unicodedata.category(ch) not in self.categories_to_remove
+        )
+
+
+class PreprocessingPipeline:  # :432-444
+    def __init__(self):
+        self.modules = []
+
+    def add_module(self, m):
+        self.modules.append(m)
+
+    def process(self, text):
+        for module in self.modules:
+            text = module.process(text)
+            if isinstance(text, list):
+                text = " ".join(text)
+        return text.strip()
+
+
+DEFAULT_PARAMETERS = {  # :570-590
+    "remove_break_lines": False,
+    "lowercase": False,
+    "chars_to_remove": [],
+    "word_tokenization": False,
+    "remove_stop_words": False,
+    "regex_pattern": "",
+    "strip_html": False,
+    "remove_diacritics": False,
+    "remove_greek": False,
+    "remove_cyrillic": False,
+    "remove_super_sub_script": False,
+    "remove_roman_page_numbers": False,
+    "remove_page_indicators": False,
+    "remove_page_numbers": False,
+    "remove_page_delimiters": False,
+    "remove_bibliographical_references": False,
+    "normalize_spacing": False,
+    "normalize_unicode": False,
+    "normalize_line_breaks": False,
+}
+
+
+class DocumentProcessor:  # :569-694 — fixed assembly order is the contract
+    def __init__(self, parameters=None):
+        self.parameters = {**DEFAULT_PARAMETERS, **(parameters or {})}
+        self.update_pipeline()
+
+    def update_pipeline(self):  # :625-684
+        p = self.parameters
+        pl = PreprocessingPipeline()
+        if p["normalize_unicode"]:
+            pl.add_module(UnicodeNormalizationModule())
+        if p["remove_diacritics"]:
+            pl.add_module(DiacriticRemovalModule())
+        if p["normalize_spacing"]:
+            pl.add_module(WhitespaceNormalizationModule())
+        if p["normalize_line_breaks"]:
+            pl.add_module(LineBreakNormalizationModule())
+        if p["remove_break_lines"]:
+            pl.add_module(LineBreakRemovalModule())
+        if p["chars_to_remove"]:
+            pl.add_module(CharacterFilterModule(p["chars_to_remove"]))
+        if p["remove_page_numbers"]:
+            pl.add_module(PageNumberRemovalModule())
+        if p["remove_roman_page_numbers"]:
+            pl.add_module(RomanPageNumberRemovalModule())
+        if p["remove_page_indicators"]:
+            pl.add_module(PageIndicatorRemovalModule())
+        if p["remove_page_delimiters"]:
+            pl.add_module(PageDelimiterRemovalModule())
+        if p["remove_bibliographical_references"]:
+            pl.add_module(BibliographicalReferenceRemovalModule())
+        if p["lowercase"]:
+            pl.add_module(LowercaseModule())
+        if p["strip_html"]:
+            pl.add_module(HTMLStripperModule())
+        if p["word_tokenization"]:
+            pl.add_module(WordTokenizationModule())
+        if p["remove_stop_words"]:
+            pl.add_module(StopWordRemovalModule())
+        if p["remove_greek"]:
+            pl.add_module(GreekLetterRemovalModule())
+        if p["remove_cyrillic"]:
+            pl.add_module(CyrillicRemovalModule())
+        if p["remove_super_sub_script"]:
+            pl.add_module(UnicodeCategoryFilterModule({"No", "Sk"}))
+        if p["regex_pattern"]:
+            pl.add_module(RegexSubstitutionModule(p["regex_pattern"]))
+        self.pipeline = pl
+
+    def process_file(self, text):  # :689-694 — all-off bypass quirk
+        if not any(self.parameters.values()):
+            return text
+        return self.pipeline.process(text).strip()

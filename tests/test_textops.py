@@ -1,0 +1,141 @@
+"""Golden-parity tests: engine operator kernels vs the reference oracle
+(`tests/reference_impl.py`), per operator and for full fused chains,
+including every quirk called out in SURVEY.md §2.1."""
+
+from __future__ import annotations
+
+import pytest
+
+from corpusaid_ray.config import PipelineConfig, REFERENCE_PARAM_DEFAULTS
+from corpusaid_ray.functions import textops
+from tests import reference_impl as ref
+
+FIXTURE_TEXTS = [
+    "",
+    "   ",
+    "x",
+    "hello world",
+    "ﬁne Ａ１ ½ x² H₂O ™",                              # NFKC + No/Sk fodder
+    "João façade naïve Ångström crème brûlée",          # diacritics
+    "word ,next( inner ) [ x ]  {  y  } end .",         # spacing normalizer
+    "pi is 3.14 and e is 2.71",                          # number-splitting quirk
+    "para one\nwrapped line\n\npara two. Next\nx\n",     # line-break norm + single-char line
+    "line1\nline2\nline3",
+    "intro\n 12 \ntext\nxiv\nmid\ndim\nMIX\nPage 7 and pag. IV\n--- Page 3 ---\nend",
+    "Results match (Smith 2020) and (Alpha) but not (this one) or (X1999Y 2020).",
+    "The quick brown fox doesn't jump; it waits, then runs.",
+    "<p>Hello &amp; goodbye <b>world</b></p><script>var x=1;</script>",
+    "İstanbul STRASSE ΣΟΦΙΑ МОСКВА mixed Ωmega Яblock",
+    "foo FOO a+b TODO not_foo food",
+    "secret@example.com from 10.0.0.1 called +1 555 867-5309",
+    "tabs\tand nbsp and emspace",
+    "a\n\n\nb\n \nc",
+    "ALL CAPS WITH Ünïcödé",
+    "(Smith 2020)(Jones 1999)",
+    "1234\n12345\n 42 \n",
+    "I\nII\nviii\nMMMMMMM\nMMMMMMMM\n",
+]
+
+SINGLE_OP_CASES = [
+    ("normalize_unicode", {"normalize_unicode": True}),
+    ("remove_diacritics", {"remove_diacritics": True}),
+    ("normalize_spacing", {"normalize_spacing": True}),
+    ("normalize_line_breaks", {"normalize_line_breaks": True}),
+    ("remove_break_lines", {"remove_break_lines": True}),
+    ("chars_to_remove", {"chars_to_remove": ["foo", "a+b", "TODO"]}),
+    ("remove_page_numbers", {"remove_page_numbers": True}),
+    ("remove_roman_page_numbers", {"remove_roman_page_numbers": True}),
+    ("remove_page_indicators", {"remove_page_indicators": True}),
+    ("remove_page_delimiters", {"remove_page_delimiters": True}),
+    ("remove_bib", {"remove_bibliographical_references": True}),
+    ("lowercase", {"lowercase": True}),
+    ("strip_html", {"strip_html": True}),
+    ("word_tokenization", {"word_tokenization": True}),
+    ("remove_stop_words", {"remove_stop_words": True}),
+    ("remove_greek", {"remove_greek": True}),
+    ("remove_cyrillic", {"remove_cyrillic": True}),
+    ("remove_super_sub_script", {"remove_super_sub_script": True}),
+    ("regex_pattern", {"regex_pattern": r"secret\S+|\bTODO\b"}),
+]
+
+
+def apply_engine(params: dict, text: str) -> str:
+    cfg = PipelineConfig.from_params(params)
+    chain = textops.compile_chain(cfg)
+    return text if chain is None else chain(text)
+
+
+def apply_oracle(params: dict, text: str) -> str:
+    return ref.DocumentProcessor(params).process_file(text)
+
+
+@pytest.mark.parametrize("name,params", SINGLE_OP_CASES, ids=[c[0] for c in SINGLE_OP_CASES])
+def test_single_operator_parity(name, params):
+    for text in FIXTURE_TEXTS:
+        assert apply_engine(params, text) == apply_oracle(params, text), (
+            f"{name} diverges on {text!r}"
+        )
+
+
+def test_all_off_bypass_not_even_stripped():
+    """src/CorpusAid.py:689-691 — all params falsy returns text unmodified."""
+    raw = "  spaced  \n"
+    assert apply_engine(dict(REFERENCE_PARAM_DEFAULTS), raw) == raw
+    assert apply_oracle(dict(REFERENCE_PARAM_DEFAULTS), raw) == raw
+
+
+def test_kitchen_sink_parity():
+    params = {
+        **{k: True for k in REFERENCE_PARAM_DEFAULTS if isinstance(REFERENCE_PARAM_DEFAULTS[k], bool)},
+        "chars_to_remove": ["foo", "a+b"],
+        "regex_pattern": r"\bTODO\b",
+    }
+    for text in FIXTURE_TEXTS:
+        assert apply_engine(params, text) == apply_oracle(params, text)
+
+
+def test_whitespace_number_splitting_quirk():
+    assert apply_engine({"normalize_spacing": True}, "pi is 3.14") == "pi is 3. 14"
+
+
+def test_roman_false_positive_quirk():
+    out = apply_engine({"remove_roman_page_numbers": True}, "mid\nkeep\ndim")
+    assert out == "\nkeep\n".strip()  # final strip applies
+
+
+def test_invalid_user_regex_is_inert_in_chain():
+    """Reference: invalid regex → module inert (src/CorpusAid.py:358-366).
+    Our config raises at construction (fail-fast); compile_user_regex alone
+    mirrors the inert behavior."""
+    assert textops.compile_user_regex("([") is None
+    from corpusaid_ray.config import ConfigError
+    with pytest.raises(ConfigError):
+        PipelineConfig(regex_pattern="([")
+
+
+def test_idempotent_ops():
+    for params in [{"normalize_unicode": True}, {"lowercase": True},
+                   {"remove_diacritics": True}, {"remove_greek": True}]:
+        for text in FIXTURE_TEXTS:
+            once = apply_engine(params, text)
+            assert apply_engine(params, once) == once
+
+
+def test_hypothesis_fuzz_parity():
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    params = {
+        "normalize_unicode": True, "remove_diacritics": True,
+        "normalize_spacing": True, "remove_page_numbers": True,
+        "remove_roman_page_numbers": True, "lowercase": True,
+        "remove_greek": True, "remove_cyrillic": True,
+        "remove_super_sub_script": True,
+    }
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=150, deadline=None)
+    def inner(text):
+        assert apply_engine(params, text) == apply_oracle(params, text)
+
+    inner()
