@@ -1,0 +1,206 @@
+"""DuckDB oracle-SQL mirrors for the driver's correctness gate.
+
+Each entry in ``ORACLE_SQL`` is ANSI SQL runnable by DuckDB over the
+pre-registered testdata views (``documents``, ``embeddings``, ``events``,
+...). The ``corpus`` CTE mirrors ``corpusaid_ray.corpus.derive_corpus_batch``
+expression-for-expression, built from the SAME Python motif literals, so a
+Ray query and its oracle share one definition of the synthetic corpus.
+
+Only RE2-safe, casefold-safe constructs are used in mirrored transforms
+(no lookarounds; ASCII-plus-safe-accents content), which is what makes
+Python-``re``-based engine stages and DuckDB regexp agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from corpusaid_ray.corpus import DUP_PAYLOADS, JUNK_PAYLOADS, MOTIF_PRE, MOTIF_POST
+
+
+def sql_quote(s: str) -> str:
+    """SQL single-quoted literal (newlines are legal inside DuckDB strings)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join(sql_quote(s) for s in items) + "]"
+
+
+def corpus_cte() -> str:
+    """The corpus derivation as a CTE body (mirrors derive_corpus_batch)."""
+    return f"""corpus AS (
+  SELECT
+    doc_id,
+    CASE WHEN doc_id % 20 < 8 THEN 'bigcorp/monorepo'
+         ELSE 'org' || (doc_id % 7)::VARCHAR || '/repo' || (doc_id % 13)::VARCHAR
+    END AS repo,
+    'src/m' || (doc_id % 16)::VARCHAR || '/f' || doc_id::VARCHAR || '.txt' AS path,
+    sha256('commit:' || doc_id::VARCHAR) AS "commit",
+    lang,
+    CASE WHEN doc_id % 10 = 7
+         THEN ({_sql_list(DUP_PAYLOADS)})[1 + (doc_id % 3)::INT]
+         WHEN doc_id % 25 = 3
+         THEN ({_sql_list(JUNK_PAYLOADS)})[1 + (doc_id % 3)::INT]
+         ELSE ({_sql_list(MOTIF_PRE)})[1 + (doc_id % 8)::INT]
+              || text
+              || ({_sql_list(MOTIF_POST)})[1 + (doc_id % 8)::INT]
+    END AS content
+  FROM documents
+)"""
+
+
+def with_corpus(select_sql: str) -> str:
+    return f"WITH {corpus_cte()}\n{select_sql}"
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# ASCII whitespace set matching Python str.strip() on this corpus (content is
+# ASCII + safe accents; no exotic Unicode spaces reach SQL-verified paths).
+WS_CHARS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+# Page-artifact removal chain, reference order (numbers → roman → indicators
+# → delimiters; src/CorpusAid.py:645-652). (?m) = RE2 inline MULTILINE.
+def _page_chain_sql(col: str) -> str:
+    s = col
+    s = f"regexp_replace({s}, '(?m)^\\s*\\d{{1,4}}\\s*$', '', 'g')"
+    s = f"regexp_replace({s}, '(?m)^\\s*([IiVvXxLlCcDdMm]{{1,7}})\\s*$', '', 'g')"
+    s = f"regexp_replace({s}, '\\b(?:[Pp]age|[Pp]ag\\.?)\\s+(\\d+|[IVXLCDM]+)\\b', '', 'g')"
+    s = f"regexp_replace({s}, '---\\s*Page\\s+\\d+\\s*---', '', 'g')"
+    return s
+
+
+# WhitespaceNormalizationModule's 8 subs + final strip (src/CorpusAid.py:285-306).
+def _ws_norm_sql(col: str) -> str:
+    s = col
+    for pat, repl in [
+        (r"\s+([.,?!;:])", r"\1"),
+        (r"([.,?!;:])(\S)", r"\1 \2"),
+        (r"\(\s+", "("),
+        (r"\s+\)", ")"),
+        (r"\[\s+", "["),
+        (r"\s+\]", "]"),
+        (r"\{\s+", "{"),
+        (r"\s+\}", "}"),
+        (r"\s{2,}", " "),
+    ]:
+        # DuckDB single-quoted literals: backslash is literal, only quote quotes
+        p = pat.replace("'", "''")
+        s = f"regexp_replace({s}, '{p}', '{repl}', 'g')"
+    return f"trim({s}, {WS_CHARS})"
+
+
+def scrub_sql(col: str, rules) -> str:
+    s = col
+    for r in rules:
+        p = r.pattern.replace("'", "''")
+        s = f"regexp_replace({s}, '{p}', '{r.replacement}', 'g')"
+    return s
+
+
+# Whitespace word count matching len(text.split()).
+def _word_count_sql(col: str) -> str:
+    t = f"trim({col}, {WS_CHARS})"
+    return f"CASE WHEN {t} = '' THEN 0 ELSE length(regexp_split_to_array({t}, '\\s+')) END"
+
+
+# ---------------------------------------------------------------------------
+# Oracle registry — extended alongside __ray_entry__.queries()
+# ---------------------------------------------------------------------------
+
+ORACLE_SQL: dict[str, str] = {}
+
+ORACLE_SQL["corpus_table"] = with_corpus(
+    'SELECT repo, path, "commit", lang, content FROM corpus'
+)
+
+ORACLE_SQL["clean_basic"] = with_corpus(f"""
+SELECT repo, path,
+       trim(lower(replace(content, chr(10), ' ')), {WS_CHARS}) AS content_clean,
+       sha256(trim(lower(replace(content, chr(10), ' ')), {WS_CHARS})) AS content_sha256
+FROM corpus""")
+
+ORACLE_SQL["scrub_pages"] = with_corpus(
+    f"SELECT repo, path, {_page_chain_sql('content')} AS content_scrubbed FROM corpus"
+)
+
+ORACLE_SQL["whitespace_norm"] = with_corpus(
+    f"SELECT repo, path, {_ws_norm_sql('content')} AS content_norm FROM corpus"
+)
+
+
+def _register_scrub_pii() -> None:
+    from corpusaid_ray.config import DEFAULT_SCRUB_RULES
+
+    ORACLE_SQL["scrub_pii"] = with_corpus(
+        f"SELECT repo, path, {scrub_sql('content', DEFAULT_SCRUB_RULES)} AS content_scrubbed FROM corpus"
+    )
+
+
+_register_scrub_pii()
+
+ORACLE_SQL["heuristic_metrics"] = with_corpus(f"""
+SELECT repo, path,
+       length(content) AS n_chars,
+       length(str_split(content, chr(10))) AS n_lines,
+       list_max(list_transform(str_split(content, chr(10)), x -> length(x))) AS max_line_len,
+       list_sum(list_transform(str_split(content, chr(10)), x -> length(x)))::DOUBLE
+         / greatest(length(str_split(content, chr(10))), 1) AS mean_line_len,
+       length(regexp_replace(content, '[^0-9A-Za-z]', '', 'g'))::DOUBLE
+         / greatest(length(content), 1) AS alnum_ratio,
+       1.0 - length(list_distinct(str_split(content, chr(10))))::DOUBLE
+         / greatest(length(str_split(content, chr(10))), 1) AS dup_line_frac
+FROM corpus""")
+
+ORACLE_SQL["dedup_exact"] = with_corpus("""
+SELECT repo, path, "commit", sha256(content) AS content_sha256
+FROM corpus
+QUALIFY row_number() OVER (PARTITION BY repo, sha256(content) ORDER BY path) = 1""")
+
+ORACLE_SQL["repo_stats"] = with_corpus("""
+SELECT repo,
+       count(*) AS n_docs,
+       sum(octet_length(encode(content)))::BIGINT AS n_bytes,
+       sum(""" + _word_count_sql("content") + """)::BIGINT AS n_words,
+       max(octet_length(encode(content)))::BIGINT AS max_doc_bytes
+FROM corpus GROUP BY repo""")
+
+ORACLE_SQL["corpus_report"] = with_corpus(f"""
+SELECT count(*)::BIGINT AS total_files,
+       sum(octet_length(encode(content)))::BIGINT AS total_bytes,
+       sum(octet_length(encode(content)))::DOUBLE / count(*) AS avg_bytes,
+       sum({_word_count_sql('content')})::BIGINT AS total_words,
+       sum({_word_count_sql('content')})::DOUBLE / count(*) AS avg_words
+FROM corpus""")
+
+ORACLE_SQL["lang_dist"] = with_corpus(
+    "SELECT lang, count(*)::BIGINT AS n_docs FROM corpus GROUP BY lang"
+)
+
+ORACLE_SQL["token_stats"] = f"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens,
+       {_word_count_sql('text')} AS n_words
+FROM documents"""
+
+ORACLE_SQL["events_window"] = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros
+FROM events GROUP BY event_type, date_trunc('hour', ts)"""
+
+ORACLE_SQL["ann_topk"] = """
+WITH queries AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 8
+), cands AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 8
+), scored AS (
+  SELECT q.query_id, c.vec_id, list_cosine_similarity(q.q, c.v) AS cosine
+  FROM queries q CROSS JOIN cands c
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+FROM scored
+QUALIFY rank <= 5"""

@@ -1,0 +1,84 @@
+"""Flagship pipeline: clean → score → heuristics → scrub → keep/drop label.
+
+Re-expresses the reference's load→process→collect batch job
+(``/root/reference/src/CorpusAid.py:2420-2525``) as a lazy streaming
+``ray.data.Dataset`` plan per the north rule:
+
+    read corpus → map_batches(CleanAndHash, actor pool)
+                → map_batches(LangId actor pool)        [enable_langid]
+                → map_batches(Perplexity actor pool)    [enable_perplexity]
+                → map_batches(vectorized heuristics)    [enable_heuristics]
+                → map_batches(PII/toxicity scrub)       [scrub_rules]
+                → map_batches(keep/drop labeling)
+
+Every stage streams; nothing materializes the full dataset. Stage knobs
+(``concurrency``, ``batch_size``) are sized for a 32-CPU node and scale by
+adding actors, not bigger batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from corpusaid_ray.config import PipelineConfig, flagship_config
+from corpusaid_ray.stages.clean import CleanAndHash
+from corpusaid_ray.stages.scrub import make_scrub_fn
+
+# Batch size for per-row Python text stages: large enough to amortize task
+# overhead, small enough that a batch of MB-scale docs fits a worker heap.
+TEXT_BATCH_SIZE = 256
+
+
+def build(ds, config: PipelineConfig | None = None, *, sf_dir: str | None = None,
+          langid_model=None, perplexity_model=None, concurrency: Any = None):
+    """Attach the flagship stages to a corpus Dataset (lazy; returns the
+    extended Dataset). Model stages need either pre-fitted models or
+    ``sf_dir`` to fit their deterministic bounded-sample models from.
+    ``concurrency=None`` lets actor pools autoscale (1, 8)."""
+    cfg = config or flagship_config()
+
+    ds = ds.map_batches(
+        CleanAndHash,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        batch_size=TEXT_BATCH_SIZE,
+        concurrency=concurrency or (1, 8),
+    )
+
+    if cfg.enable_langid:
+        from corpusaid_ray.stages.langid import attach_langid
+
+        ds = attach_langid(ds, sf_dir=sf_dir, model=langid_model,
+                           concurrency=concurrency)
+    if cfg.enable_perplexity:
+        from corpusaid_ray.stages.perplexity import attach_perplexity
+
+        ds = attach_perplexity(ds, sf_dir=sf_dir, model=perplexity_model,
+                               concurrency=concurrency)
+    if cfg.enable_heuristics:
+        from corpusaid_ray.stages.quality import heuristics_fn
+
+        # Heuristics score the RAW document (Gopher-style quality rules look
+        # at the original layout; the clean chain flattens line structure).
+        ds = ds.map_batches(
+            lambda b: heuristics_fn(b, source_col="content"),
+            batch_format="pyarrow",
+        )
+
+    if cfg.scrub_rules:
+        ds = ds.map_batches(
+            make_scrub_fn(cfg.scrub_rules, count_hits=True),
+            batch_format="pyarrow",
+        )
+
+    from corpusaid_ray.stages.label import label_fn
+
+    ds = ds.map_batches(label_fn(cfg), batch_format="pyarrow")
+    return ds
+
+
+def run(sf_dir: str, config: PipelineConfig | None = None, **kwargs):
+    """Read the corpus for ``sf_dir`` and attach the flagship stages (lazy)."""
+    from corpusaid_ray.corpus import read_corpus
+
+    return build(read_corpus(sf_dir), config, sf_dir=sf_dir, **kwargs)

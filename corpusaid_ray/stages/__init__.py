@@ -1,0 +1,4 @@
+"""Ray Data stage wrappers: callable classes / batch functions for
+``Dataset.map_batches`` composing the pure kernels in
+``corpusaid_ray.functions`` into a streaming pipeline.
+"""

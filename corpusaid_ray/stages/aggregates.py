@@ -1,0 +1,93 @@
+"""Whole-corpus and per-repo aggregates — the reference's report
+(``/root/reference/src/CorpusAid.py:1688-1809``, ``:3098-3118``) re-expressed
+as two-phase (partial → final) aggregation so the shuffle moves one partial
+row per (key, batch) instead of every input row.
+
+Float policy: every floating aggregate is derived by ONE division of exactly
+computed int64s (micro-unit sums where needed), so the DuckDB oracle produces
+bit-identical doubles — no float-summation-order hazards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Sum
+
+
+def _bytes_words(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+    arr = batch[col]
+    nbytes = pc.binary_length(pc.cast(arr, pa.binary())).to_numpy(zero_copy_only=False)
+    words = np.fromiter(
+        (len(t.split()) for t in arr.to_pylist()), dtype="int64", count=len(batch)
+    )
+    return nbytes.astype("int64"), words
+
+
+def corpus_report(ds, col: str = "content") -> pd.DataFrame:
+    """Reference report semantics (whitespace word counting, byte sizes):
+    ``{total_files, total_bytes, avg_bytes, total_words, avg_words}``.
+    Partial per batch → tree-reduce; one tiny row reaches the driver."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nbytes, words = _bytes_words(batch, col)
+        return pa.table(
+            {
+                "files": pa.array([len(batch)], pa.int64()),
+                "bytes": pa.array([int(nbytes.sum())], pa.int64()),
+                "words": pa.array([int(words.sum())], pa.int64()),
+            }
+        )
+
+    totals = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("files", alias_name="total_files"),
+        Sum("bytes", alias_name="total_bytes"),
+        Sum("words", alias_name="total_words"),
+    )
+    tf = totals["total_files"] or 0
+    tb = totals["total_bytes"] or 0
+    tw = totals["total_words"] or 0
+    return pd.DataFrame(
+        [
+            {
+                "total_files": tf,
+                "total_bytes": tb,
+                "avg_bytes": tb / tf if tf else 0.0,
+                "total_words": tw,
+                "avg_words": tw / tf if tf else 0.0,
+            }
+        ]
+    )
+
+
+def repo_stats(ds, key: str = "repo", col: str = "content"):
+    """Per-repo additive stats via partial-agg-then-groupby: the map side
+    collapses each batch to ≤ |repos-in-batch| rows, so the all-to-all
+    shuffle moves partials, not documents — giant-repo skew (40% of rows in
+    one repo here) costs one reducer a few hundred partial rows, not 40% of
+    the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nbytes, words = _bytes_words(batch, col)
+        df = pd.DataFrame(
+            {key: batch[key].to_numpy(zero_copy_only=False), "b": nbytes, "w": words}
+        )
+        g = df.groupby(key, sort=False).agg(
+            n_docs=("b", "size"), n_bytes=("b", "sum"),
+            n_words=("w", "sum"), max_doc_bytes=("b", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_bytes", alias_name="n_bytes"),
+            Sum("n_words", alias_name="n_words"),
+            Max("max_doc_bytes", alias_name="max_doc_bytes"),
+        )
+    )

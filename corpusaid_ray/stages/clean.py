@@ -1,0 +1,78 @@
+"""Fused reference-chain clean stage + content hashing.
+
+One ``map_batches`` stage applies ALL enabled stateless reference operators
+(SURVEY.md §2.1, fixed order) per row and emits ``content_clean`` plus
+``content_sha256`` — fusing the whole chain into a single stage avoids
+per-operator block materialization (the reference folds modules the same
+way, one pass per document: ``/root/reference/src/CorpusAid.py:439-444``).
+
+Shipped as a callable CLASS: chain compilation (regex precompile + the
+one-off full-codepoint Unicode table scan in ``unicode_tables``) runs once
+per actor in ``__init__``, never per batch. The per-row Python loop is
+deliberate where semantics demand Python ``re`` (lookarounds, ``\\b`` +
+IGNORECASE quirks); pure-Arrow fast paths exist for configs whose enabled
+ops are all vectorizable (lowercase / line-break removal).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from corpusaid_ray.config import PipelineConfig
+from corpusaid_ray.functions.textops import compile_chain
+
+
+def _sha256_hex_column(texts: list[str]) -> pa.Array:
+    return pa.array(
+        [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts], pa.string()
+    )
+
+
+# Configs whose enabled reference params are within this set can run fully
+# vectorized on Arrow (exact same semantics as the Python kernels).
+_VECTORIZABLE = {"remove_break_lines", "lowercase"}
+
+
+class CleanAndHash:
+    """``map_batches`` callable: content → content_clean + content_sha256.
+
+    Usage::
+
+        ds.map_batches(CleanAndHash, fn_constructor_kwargs={"config": cfg},
+                       batch_format="pyarrow", concurrency=N, batch_size=B)
+    """
+
+    def __init__(self, config: PipelineConfig, source_col: str = "content"):
+        self.config = config
+        self.source_col = source_col
+        self.chain = compile_chain(config)
+        enabled = {k for k, v in config.reference_params.items() if v}
+        self.vectorized = self.chain is not None and enabled <= _VECTORIZABLE
+        self._enabled = enabled
+
+    def _clean_vectorized(self, col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        if "remove_break_lines" in self._enabled:
+            col = pc.replace_substring(col, "\n", " ")
+        if "lowercase" in self._enabled:
+            col = pc.utf8_lower(col)
+        col = pc.utf8_trim_whitespace(col)  # final strip (src/CorpusAid.py:444,694)
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.source_col]
+        if self.chain is None:
+            # all-params-off bypass: text unmodified (src/CorpusAid.py:689-691)
+            cleaned_arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            texts = cleaned_arr.to_pylist()
+        elif self.vectorized:
+            cleaned_arr = self._clean_vectorized(col)
+            texts = cleaned_arr.to_pylist()
+        else:
+            chain = self.chain
+            texts = [chain(t) for t in col.to_pylist()]
+            cleaned_arr = pa.array(texts, pa.string())
+        batch = batch.append_column("content_clean", cleaned_arr)
+        return batch.append_column("content_sha256", _sha256_hex_column(texts))

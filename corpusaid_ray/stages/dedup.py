@@ -1,0 +1,45 @@
+"""Deduplication operators (north-rule + training-data-pipeline stages).
+
+Exact dedup: content-sha256, first-wins within a scope key. The wide step is
+one ``groupby`` on ``(scope, hash)`` — hash-partitioned, so duplicate groups
+co-locate regardless of which input fragment they came from; giant-repo skew
+does NOT concentrate on one reducer because the hash of *content* spreads a
+repo's rows across the keyspace (only truly identical content gathers).
+
+At 100 TB: groups are tiny (duplicate cardinality), the shuffle payload can
+be pruned to key columns first (``select_columns``) and joined back if full
+rows are needed; here rows are small so we shuffle them whole.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def add_sha256(batch: pa.Table, source_col: str = "content") -> pa.Table:
+    """Vectorized-enough hashing stage (hashlib releases the GIL per call;
+    C-speed over the batch)."""
+    col = batch[source_col]
+    sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in col.to_pylist()]
+    return batch.append_column("content_sha256", pa.array(sha, pa.string()))
+
+
+def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
+                hash_col: str = "content_sha256",
+                order_col: str = "path"):
+    """First-wins exact dedup: keep the row with min ``order_col`` per
+    (scope, hash) group. Deterministic regardless of block order.
+
+    SQL equivalent: ``QUALIFY row_number() OVER (PARTITION BY scope, hash
+    ORDER BY order_col) = 1``.
+    """
+    keys = [*scope_cols, hash_col]
+
+    # sort-within-group is deterministic; groups are tiny (dup cardinality)
+    def first_by_order(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").head(1)
+
+    return ds.groupby(keys).map_groups(first_by_order, batch_format="pandas")

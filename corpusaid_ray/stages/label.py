@@ -1,0 +1,52 @@
+"""Keep/drop labeling — folds the heuristic metrics and model scores into
+``keep: bool`` + ``drop_reason: string`` (first failing rule wins; "" when
+kept). North-rule stage; fully vectorized numpy over the metric columns.
+
+Rule order (first match is the recorded reason):
+    min_chars → langid → perplexity → max_line_len → alnum_ratio →
+    dup_line_frac
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from corpusaid_ray.config import PipelineConfig
+
+
+def label_fn(config: PipelineConfig):
+    th = config.thresholds
+
+    def label(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        names = set(batch.column_names)
+
+        def col(c):
+            return batch[c].to_numpy(zero_copy_only=False)
+
+        reason = np.full(n, "", dtype=object)
+        drop = np.zeros(n, dtype=bool)
+
+        def apply(mask: np.ndarray, tag: str) -> None:
+            new = mask & ~drop
+            reason[new] = tag
+            drop[new] = True
+
+        if "n_chars" in names:
+            apply(col("n_chars") < th.min_chars, "heuristic:min_chars")
+        if "lang_conf" in names:
+            apply(col("lang_conf") < th.min_lang_conf, "langid")
+        if "log_ppl" in names:
+            apply(col("log_ppl") > th.max_log_ppl, "perplexity")
+        if "max_line_len" in names:
+            apply(col("max_line_len") > th.max_line_len, "heuristic:max_line_len")
+        if "alnum_ratio" in names:
+            apply(col("alnum_ratio") < th.min_alnum_ratio, "heuristic:alnum_ratio")
+        if "dup_line_frac" in names:
+            apply(col("dup_line_frac") > th.max_dup_line_frac, "heuristic:dup_line_frac")
+
+        batch = batch.append_column("keep", pa.array(~drop))
+        return batch.append_column("drop_reason", pa.array(reason, pa.string()))
+
+    return label

@@ -1,0 +1,138 @@
+"""fastText-style language ID (north-rule stage; built from public knowledge:
+Joulin et al. 2016, "Bag of Tricks for Efficient Text Classification" —
+hashed character-n-gram features into a linear classifier; here a hashed
+char-1..3-gram multinomial Naive Bayes, which is the same feature family
+with a closed-form deterministic fit, no external model download).
+
+Training is deterministic: a bounded, doc_id-ordered sample of the
+``documents`` table (text + claimed lang labels), counted once into a
+(L × D) table with add-1 smoothing. At 100 TB the sample is still bounded
+(``limit(n)`` on the driver); the fitted model (~1 MB of float32) is
+``ray.put`` once and read by every scoring actor in ``__init__`` — never
+re-shipped per batch.
+
+Scoring is fully vectorized per row: codepoints via numpy, rolling n-gram
+hashes, one gather + sum over the log-prob table per class.
+
+The actor-pool pattern mirrors the reference's lock-guarded process-wide
+spaCy singleton (``/root/reference/src/CorpusAid.py:166-176``) — state
+pinned once per worker, shared across batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+D = 1 << 15  # hashed feature buckets
+_P1, _P2 = np.int64(1000003), np.int64(999983)
+
+
+def _ngram_hashes(text: str) -> np.ndarray:
+    """Hashed char 1/2/3-gram feature ids for one document (mod D)."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(cp) == 0:
+        return np.empty(0, dtype=np.int64)
+    h1 = cp
+    h2 = cp[:-1] * _P1 + cp[1:] if len(cp) > 1 else np.empty(0, np.int64)
+    h3 = (
+        (cp[:-2] * _P1 + cp[1:-1]) * _P2 + cp[2:]
+        if len(cp) > 2
+        else np.empty(0, np.int64)
+    )
+    return np.concatenate([h1, h2, h3]) % D
+
+
+class LangIdModel:
+    """Multinomial NB over hashed char n-grams."""
+
+    def __init__(self, classes: list[str], log_prior: np.ndarray, log_prob: np.ndarray):
+        self.classes = classes
+        self.log_prior = log_prior  # (L,)
+        self.log_prob = log_prob    # (L, D) float32
+
+    @classmethod
+    def fit(cls, texts: list[str], labels: list[str]) -> "LangIdModel":
+        classes = sorted(set(labels))
+        idx = {c: i for i, c in enumerate(classes)}
+        counts = np.zeros((len(classes), D), dtype=np.float64)
+        class_n = np.zeros(len(classes), dtype=np.float64)
+        for text, lab in zip(texts, labels):
+            i = idx[lab]
+            h = _ngram_hashes(text)
+            if len(h):
+                np.add.at(counts[i], h, 1.0)
+            class_n[i] += 1
+        counts += 1.0  # add-1 smoothing
+        log_prob = np.log(counts / counts.sum(axis=1, keepdims=True)).astype(np.float32)
+        log_prior = np.log(np.maximum(class_n, 1.0) / max(class_n.sum(), 1.0)).astype(
+            np.float32
+        )
+        return cls(classes, log_prior, log_prob)
+
+    @classmethod
+    def fit_from_documents(cls, sf_dir: str, n: int = 2000) -> "LangIdModel":
+        """Deterministic bounded-sample fit from ``documents.parquet``
+        (doc_id order; driver-side, no Ray session required)."""
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+        t = t.sort_by("doc_id").slice(0, n)
+        return cls.fit(t.column("text").to_pylist(), t.column("lang").to_pylist())
+
+    def predict_one(self, text: str) -> tuple[str, float]:
+        h = _ngram_hashes(text)
+        if len(h) == 0:
+            return self.classes[0], 1.0 / len(self.classes)
+        scores = self.log_prior + self.log_prob[:, h].sum(axis=1)
+        scores = scores - scores.max()
+        p = np.exp(scores)
+        p /= p.sum()
+        j = int(np.argmax(p))
+        return self.classes[j], float(p[j])
+
+
+class LangIdScorer:
+    """``map_batches`` actor: adds lang_pred / lang_conf / lang_match."""
+
+    def __init__(self, model_ref=None, model: LangIdModel | None = None):
+        if model is None:
+            import ray
+
+            model = ray.get(model_ref)
+        self.model = model
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["content_clean"].to_pylist()
+        preds, confs = [], np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            p, c = self.model.predict_one(t)
+            preds.append(p)
+            confs[i] = c
+        batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        batch = batch.append_column("lang_conf", pa.array(confs))
+        if "lang" in batch.column_names:
+            import pyarrow.compute as pc
+
+            batch = batch.append_column(
+                "lang_match", pc.equal(batch["lang"], batch["lang_pred"])
+            )
+        return batch
+
+
+def attach_langid(ds, *, sf_dir: str | None = None, model: LangIdModel | None = None,
+                  concurrency=None, batch_size: int = 512):
+    """Fit (if needed), broadcast once via ``ray.put``, attach the scorer."""
+    import ray
+
+    if model is None:
+        if sf_dir is None:
+            raise ValueError("attach_langid needs sf_dir or a fitted model")
+        model = LangIdModel.fit_from_documents(sf_dir)
+    ref = ray.put(model)
+    return ds.map_batches(
+        LangIdScorer,
+        fn_constructor_kwargs={"model_ref": ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )

@@ -1,0 +1,111 @@
+"""KenLM-style character-n-gram perplexity scorer (north-rule stage; public
+technique — Heafield 2011 KenLM / CCNet (Wenzek et al. 2020) use n-gram LM
+perplexity to rank web text; here a hashed char-trigram LM with add-α
+smoothing, fitted deterministically on a bounded corpus sample — no external
+model download).
+
+log_ppl(row) = -mean_t log P(c_t | c_{t-2} c_{t-1}), with
+P(w|ctx) = (count3[h3] + α) / (count2[h2] + α·V). Low for corpus-like text,
+high for high-entropy garbage (base64 blobs, minified noise).
+
+Same scale pattern as langid: fit once on the driver from a bounded sample,
+``ray.put`` the two count tables (~3 MB), score vectorized per row in an
+actor pool (rolling hashes + two table gathers, no Python char loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+D3 = 1 << 18  # trigram buckets
+D2 = 1 << 16  # bigram-context buckets
+V = 256.0     # effective vocab for smoothing
+ALPHA = 0.1
+_P1, _P2 = np.int64(1000003), np.int64(999983)
+
+
+def _cp(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+
+def _tri_bi_hashes(cp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h3, h2) for every trigram position (aligned): h2 hashes the 2-char
+    context, h3 the full trigram."""
+    h2 = (cp[:-2] * _P1 + cp[1:-1]) % D2
+    h3 = ((cp[:-2] * _P1 + cp[1:-1]) * _P2 + cp[2:]) % D3
+    return h3, h2
+
+
+class PerplexityModel:
+    def __init__(self, count3: np.ndarray, count2: np.ndarray):
+        self.count3 = count3  # (D3,) float32
+        self.count2 = count2  # (D2,) float32
+
+    @classmethod
+    def fit(cls, texts: list[str]) -> "PerplexityModel":
+        c3 = np.zeros(D3, dtype=np.float64)
+        c2 = np.zeros(D2, dtype=np.float64)
+        for t in texts:
+            cp = _cp(t)
+            if len(cp) < 3:
+                continue
+            h3, h2 = _tri_bi_hashes(cp)
+            np.add.at(c3, h3, 1.0)
+            np.add.at(c2, h2, 1.0)
+        return cls(c3.astype(np.float32), c2.astype(np.float32))
+
+    @classmethod
+    def fit_from_documents(cls, sf_dir: str, n: int = 2000) -> "PerplexityModel":
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        t = t.sort_by("doc_id").slice(0, n)
+        return cls.fit(t.column("text").to_pylist())
+
+    def log_ppl(self, text: str) -> float:
+        """Natural-log perplexity per char; 0.0 for texts shorter than 3."""
+        cp = _cp(text)
+        if len(cp) < 3:
+            return 0.0
+        h3, h2 = _tri_bi_hashes(cp)
+        logp = np.log(
+            (self.count3[h3].astype(np.float64) + ALPHA)
+            / (self.count2[h2].astype(np.float64) + ALPHA * V)
+        )
+        return float(-logp.mean())
+
+
+class PerplexityScorer:
+    """``map_batches`` actor: adds ``log_ppl`` (double)."""
+
+    def __init__(self, model_ref=None, model: PerplexityModel | None = None):
+        if model is None:
+            import ray
+
+            model = ray.get(model_ref)
+        self.model = model
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.empty(len(batch), dtype=np.float64)
+        for i, t in enumerate(batch["content_clean"].to_pylist()):
+            out[i] = self.model.log_ppl(t)
+        return batch.append_column("log_ppl", pa.array(out))
+
+
+def attach_perplexity(ds, *, sf_dir: str | None = None,
+                      model: PerplexityModel | None = None,
+                      concurrency=None, batch_size: int = 512):
+    import ray
+
+    if model is None:
+        if sf_dir is None:
+            raise ValueError("attach_perplexity needs sf_dir or a fitted model")
+        model = PerplexityModel.fit_from_documents(sf_dir)
+    ref = ray.put(model)
+    return ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"model_ref": ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 8),
+    )

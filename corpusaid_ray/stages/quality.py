@@ -1,0 +1,75 @@
+"""Vectorized heuristic quality rules (north-rule stage; no reference
+equivalent — the reference has no quality scoring at all, SURVEY.md §2.5).
+
+Per-row metrics over the zero-copy Arrow string column:
+
+- ``n_chars``            codepoint length
+- ``n_lines``            number of ``\\n``-split lines
+- ``max_line_len``       longest line, codepoints (minified-blob detector)
+- ``mean_line_len``      n_chars_in_lines / n_lines (double)
+- ``alnum_ratio``        ASCII-alnum chars / n_chars (ASCII-art detector)
+- ``dup_line_frac``      1 - distinct_lines / n_lines (log-file detector)
+
+All definitions are deliberately SQL-mirrorable (DuckDB ``str_split`` /
+``list_distinct`` / ``regexp_replace``), so the oracle can verify them
+value-exactly. Division is a single int64/int64 → float64 IEEE op on both
+sides.
+
+Implementation: Arrow kernels (``split_pattern``, ``utf8_length``,
+``count_substring_regex``) + numpy ``reduceat`` for per-row line reductions;
+the only non-Arrow step is the distinct-line count, done with one vectorized
+pandas ``drop_duplicates`` over the exploded (row, line) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ALNUM_RE = "[0-9A-Za-z]"
+
+
+def heuristics_fn(batch: pa.Table, source_col: str = "content_clean") -> pa.Table:
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype("int64")
+    alnum = pc.count_substring_regex(col, ALNUM_RE).to_numpy(zero_copy_only=False)
+
+    lines = pc.split_pattern(col, "\n")  # ListArray[string]
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    n_lines = np.diff(offsets)
+    flat = lines.flatten()
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype("int64")
+
+    # per-row max / sum of line lengths via reduceat (rows with lines only;
+    # split_pattern never yields an empty list for a string input)
+    starts = offsets[:-1]
+    max_line = np.maximum.reduceat(flat_len, starts) if len(flat_len) else np.zeros(n, "int64")
+    sum_line = np.add.reduceat(flat_len, starts) if len(flat_len) else np.zeros(n, "int64")
+
+    # distinct lines per row: explode → drop_duplicates (C-level hashing)
+    row_ids = np.repeat(np.arange(n, dtype="int64"), n_lines)
+    pairs = pd.DataFrame(
+        {"r": row_ids, "l": flat.to_numpy(zero_copy_only=False)}
+    ).drop_duplicates()
+    distinct = np.zeros(n, dtype="int64")
+    counts = pairs.groupby("r", sort=False).size()
+    distinct[counts.index.to_numpy()] = counts.to_numpy()
+
+    n_lines_safe = np.maximum(n_lines, 1)
+    n_chars_safe = np.maximum(n_chars, 1)
+    for name, arr in [
+        ("n_chars", n_chars),
+        ("n_lines", n_lines),
+        ("max_line_len", max_line),
+        ("mean_line_len", sum_line / n_lines_safe),
+        ("alnum_ratio", alnum / n_chars_safe),
+        ("dup_line_frac", 1.0 - distinct / n_lines_safe),
+    ]:
+        batch = batch.append_column(name, pa.array(arr))
+    return batch

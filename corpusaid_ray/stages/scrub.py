@@ -1,0 +1,53 @@
+"""PII / toxicity regex scrub stage — the reference's user-regex hook
+(``RegexSubstitutionModule``, ``/root/reference/src/CorpusAid.py:343-366``)
+generalized to an ordered ruleset (north-rule stage).
+
+Fully vectorized: each rule is one ``pyarrow.compute.replace_substring_regex``
+(RE2) kernel over the zero-copy Arrow string column — the same regex engine
+DuckDB uses, which is what makes the oracle SQL
+(``regexp_replace(..., 'g')`` chain) byte-identical. All rule patterns are
+RE2-safe by construction (``config.ScrubRule``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from corpusaid_ray.config import ScrubRule
+
+
+def make_scrub_fn(
+    rules: tuple[ScrubRule, ...],
+    source_col: str = "content_clean",
+    out_col: str = "content_scrubbed",
+    count_hits: bool = False,
+):
+    """Build a stateless ``map_batches`` fn applying the ordered ruleset.
+
+    With ``count_hits`` the fn also emits ``scrub_hits`` (int64, total
+    matches across rules per row) for lineage metrics.
+    """
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = batch[source_col]
+        hits = None
+        if count_hits:
+            import numpy as np
+
+            hits = np.zeros(len(batch), dtype="int64")
+        for rule in rules:
+            if count_hits:
+                n = pc.count_substring_regex(col, rule.pattern)
+                hits += n.combine_chunks().to_numpy(zero_copy_only=False)
+            col = pc.replace_substring_regex(
+                col, pattern=rule.pattern, replacement=rule.replacement
+            )
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        batch = batch.append_column(out_col, col)
+        if count_hits:
+            batch = batch.append_column("scrub_hits", pa.array(hits))
+        return batch
+
+    return scrub

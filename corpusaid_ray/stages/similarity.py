@@ -1,0 +1,86 @@
+"""Similarity search over an embedding column (training-data-pipeline stage).
+
+Brute-force cosine top-k: the query matrix (small) is broadcast once with
+``ray.put``; every ``map_batches`` task computes a numpy matmul of its batch
+against the queries and emits only its per-batch top-k rows — the driver-side
+final merge sees ``O(num_batches × Q × k)`` tiny rows, never the corpus.
+
+Scale path (documented, same API): IVF — k-means-bucket the vectors once
+(sampled fit, broadcast centroids), ``groupby(bucket)`` and search only the
+probed buckets. Brute force is the exactness baseline the oracle verifies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(list_col) -> np.ndarray:
+    """(n, d) float64 from an Arrow ``list<float>`` column or Ray's tensor
+    extension array."""
+    arr = list_col.combine_chunks() if hasattr(list_col, "combine_chunks") else list_col
+    if hasattr(arr, "flatten"):  # plain ListArray — zero-copy flatten
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(arr), -1)
+    return np.stack(arr.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BatchTopK:
+    """Per-batch brute-force cosine top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        q = ray.get(queries_ref)  # dict: query_id -> vector
+        self.qids = np.array(sorted(q))
+        self.qmat = _normalize(np.stack([q[i] for i in self.qids]).astype(np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = _normalize(_as_matrix(batch["embedding"]))
+        sims = self.qmat @ m.T  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_c = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = np.argpartition(-row, k - 1)[:k]
+            out_q.extend([self.qids[qi]] * k)
+            out_v.extend(vids[idx])
+            out_c.extend(row[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(out_q, dtype="int64")),
+                "vec_id": pa.array(np.asarray(out_v, dtype="int64")),
+                "cosine": pa.array(np.asarray(out_c, dtype="float64")),
+            }
+        )
+
+
+def ann_topk(ds, queries: dict[int, np.ndarray], k: int = 5) -> pd.DataFrame:
+    """Global top-k per query: per-batch top-k (streamed) → tiny final merge
+    on the driver. Ties broken by (−cosine, vec_id) for determinism."""
+    import ray
+
+    ref = ray.put(queries)
+    partial = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).to_pandas()  # O(batches × Q × k) rows — small by construction
+    partial = partial.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    top = partial.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "vec_id", "rank"]]

@@ -1,0 +1,45 @@
+"""Tumbling-window aggregate over the ``events`` stream table (streaming-
+shaped custom operator — Ray Data has no event-time windows; the reference
+has none either, SURVEY.md §2.5, so this is a target-spec addition).
+
+Semantics: assign each event to ``window_start = floor(ts, size)``; aggregate
+per (event_type, window). Implemented as partial-agg inside ``map_batches``
+(collapses each batch to ≤ |types × windows-in-batch| rows) then a small
+``groupby`` — same shuffle-minimizing shape as repo_stats. Ordering is NOT
+assumed; tumbling windows are order-independent under additive aggregation.
+
+Float policy: ``sum_value_micros`` is an exact int64 (floor(value·1e6)) so
+the oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+
+def tumbling_window(ds, *, size: str = "1h",
+                    key: str = "event_type", ts_col: str = "ts",
+                    value_col: str = "value"):
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[ts_col].dt.floor(size)
+        micros = np.floor(df[value_col].to_numpy() * 1_000_000).astype("int64")
+        g = (
+            pd.DataFrame({key: df[key], "window_start": w, "v": micros})
+            .groupby([key, "window_start"], sort=False)
+            .agg(n_events=("v", "size"), sum_value_micros=("v", "sum"))
+            .reset_index()
+        )
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_micros", alias_name="sum_value_micros"),
+        )
+    )

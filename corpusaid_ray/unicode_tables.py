@@ -2,11 +2,12 @@
 
 The reference removes characters by *Unicode name prefix* ("GREEK", "CYRILLIC";
 ``/root/reference/src/CorpusAid.py:399-412``) and by *category membership*
-({"No", "Sk"}; ``:420-429``) with a per-character Python generator. Here we
-precompute the matching codepoint sets ONCE per process and apply them with
-``str.translate`` (a single C-level pass per document). The scan over the full
-codepoint space costs a few hundred ms and is cached at module level, so an
-actor pays it once in ``__init__``, never per batch.
+({"No", "Sk"}; ``:420-429``, wiring ``:673-675``) plus combining marks (Mn)
+for diacritic removal (``:390-396``) — all with per-character Python
+generators. Here we precompute the matching codepoint sets in ONE pass over
+the whole codepoint space (a few seconds, cached at module level — an actor
+pays it once in ``__init__``, never per batch) and apply them with
+``str.translate`` (a single C-level pass per document).
 """
 
 from __future__ import annotations
@@ -17,27 +18,59 @@ from functools import lru_cache
 
 _MAX_CP = sys.maxunicode + 1
 
+# (name-prefixes, categories) every operator in this engine needs — built
+# together so the full-codepoint scan happens exactly once per process.
+_NAME_PREFIXES = ("GREEK", "CYRILLIC")
+_CATEGORIES = ("Mn", "No", "Sk")
+
+
+@lru_cache(maxsize=1)
+def _scan() -> tuple[dict[str, dict[int, None]], dict[str, dict[int, None]]]:
+    by_prefix: dict[str, dict[int, None]] = {p: {} for p in _NAME_PREFIXES}
+    by_cat: dict[str, dict[int, None]] = {c: {} for c in _CATEGORIES}
+    name = unicodedata.name
+    category = unicodedata.category
+    for cp in range(_MAX_CP):
+        ch = chr(cp)
+        cat = category(ch)
+        if cat in by_cat:
+            by_cat[cat][cp] = None
+        n = name(ch, "")
+        for p in _NAME_PREFIXES:
+            if n.startswith(p):
+                by_prefix[p][cp] = None
+    return by_prefix, by_cat
+
 
 @lru_cache(maxsize=None)
 def name_prefix_delete_table(prefix: str) -> dict[int, None]:
     """``str.translate`` table deleting every char whose Unicode name starts
     with ``prefix`` (reference semantics: ``unicodedata.name(c, "")``)."""
-    table: dict[int, None] = {}
-    for cp in range(_MAX_CP):
-        if unicodedata.name(chr(cp), "").startswith(prefix):
-            table[cp] = None
-    return table
+    by_prefix, _ = _scan()
+    if prefix in by_prefix:
+        return by_prefix[prefix]
+    return {
+        cp: None
+        for cp in range(_MAX_CP)
+        if unicodedata.name(chr(cp), "").startswith(prefix)
+    }
 
 
 @lru_cache(maxsize=None)
 def category_delete_table(categories: frozenset[str]) -> dict[int, None]:
-    """``str.translate`` table deleting every char whose category is in the set
-    (reference ``UnicodeCategoryFilterModule``, categories {"No","Sk"})."""
-    table: dict[int, None] = {}
-    for cp in range(_MAX_CP):
-        if unicodedata.category(chr(cp)) in categories:
-            table[cp] = None
-    return table
+    """``str.translate`` table deleting every char whose category is in the
+    set (reference ``UnicodeCategoryFilterModule``, categories {"No","Sk"})."""
+    _, by_cat = _scan()
+    if all(c in by_cat for c in categories):
+        merged: dict[int, None] = {}
+        for c in categories:
+            merged.update(by_cat[c])
+        return merged
+    return {
+        cp: None
+        for cp in range(_MAX_CP)
+        if unicodedata.category(chr(cp)) in categories
+    }
 
 
 @lru_cache(maxsize=None)

@@ -1,0 +1,90 @@
+"""End-to-end pipeline tests over the sf0.001 corpus (Ray session fixture)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def flagship_df(ray_session) -> pd.DataFrame:
+    from corpusaid_ray.pipelines.quality_filter import run
+
+    return run(SF_SMALL).to_pandas()
+
+
+def test_flagship_schema_and_rows(flagship_df):
+    assert len(flagship_df) == 500
+    for col in ["repo", "path", "commit", "lang", "content", "content_clean",
+                "content_sha256", "lang_pred", "lang_conf", "log_ppl",
+                "n_chars", "max_line_len", "alnum_ratio", "dup_line_frac",
+                "content_scrubbed", "keep", "drop_reason"]:
+        assert col in flagship_df.columns, col
+    assert flagship_df.keep.dtype == bool
+
+
+def test_flagship_clean_matches_reference_oracle(flagship_df):
+    """Per-row golden parity: content_clean / content_sha256 must equal the
+    reference oracle's kitchen-sink chain output (the north rule's sha256
+    equality gate)."""
+    from corpusaid_ray.config import flagship_config
+    from tests.reference_impl import DocumentProcessor
+
+    cfg = flagship_config()
+    proc = DocumentProcessor(cfg.reference_params)
+    sample = flagship_df.sample(n=100, random_state=7)
+    for _, row in sample.iterrows():
+        expected = proc.process_file(row["content"])
+        assert row["content_clean"] == expected, row["path"]
+        assert row["content_sha256"] == hashlib.sha256(expected.encode()).hexdigest()
+
+
+def test_flagship_deterministic(ray_session, flagship_df):
+    """Two runs in the same session produce identical labels and hashes."""
+    from corpusaid_ray.pipelines.quality_filter import run
+
+    again = run(SF_SMALL).to_pandas()
+    a = flagship_df.sort_values("path").reset_index(drop=True)
+    b = again.sort_values("path").reset_index(drop=True)
+    pd.testing.assert_series_equal(a["content_sha256"], b["content_sha256"])
+    pd.testing.assert_series_equal(a["keep"], b["keep"])
+    pd.testing.assert_series_equal(a["drop_reason"], b["drop_reason"])
+    pd.testing.assert_series_equal(a["lang_pred"], b["lang_pred"])
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    assert hasattr(res, "count")
+    assert res.count() == 500
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle without a query"
+
+
+def test_corpus_matches_sql_mirror(ray_session):
+    """Python derivation ≡ DuckDB CTE, byte for byte (the foundation of
+    every oracle comparison)."""
+    import duckdb
+
+    from corpusaid_ray.corpus import derive_corpus_batch
+    from corpusaid_ray.oracle import ORACLE_SQL
+
+    docs = pq.read_table(
+        f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+    py_df = derive_corpus_batch(docs).sort_values("path").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    sql_df = (
+        con.execute(ORACLE_SQL["corpus_table"]).df()
+        .sort_values("path").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(py_df[sql_df.columns], sql_df, check_dtype=False)

@@ -1,0 +1,167 @@
+"""Unit tests for individual stages: heuristics, langid, perplexity,
+dedup, window, similarity — each against an independently computed
+expectation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# heuristics
+# ---------------------------------------------------------------------------
+
+
+def test_heuristics_metrics_exact():
+    from corpusaid_ray.stages.quality import heuristics_fn
+
+    rows = [
+        "ab\ncd\nab\nab",          # 4 lines, dup frac 1 - 2/4
+        "x" * 10,                   # one long line
+        "!!!\n???",                 # no alnum
+        "",                         # empty
+    ]
+    t = pa.table({"content_clean": pa.array(rows, pa.string())})
+    out = heuristics_fn(t).to_pandas()
+    assert out.n_chars.tolist() == [11, 10, 7, 0]
+    assert out.n_lines.tolist() == [4, 1, 2, 1]
+    assert out.max_line_len.tolist() == [2, 10, 3, 0]
+    assert out.dup_line_frac.tolist() == [0.5, 0.0, 0.0, 0.0]
+    assert out.alnum_ratio.tolist() == [8 / 11, 1.0, 0.0, 0.0]
+    assert out.mean_line_len.tolist() == [8 / 4, 10.0, 6 / 2, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# langid — separable synthetic languages prove the model learns
+# ---------------------------------------------------------------------------
+
+
+def _lang_samples(n=200, seed=3):
+    rng = np.random.default_rng(seed)
+    vocab = {
+        "vowelish": ["aeio", "oui", "eau", "aia", "oie"],
+        "consonantish": ["strz", "krk", "pfl", "tsch", "brg"],
+        "digitish": ["1010", "42", "777", "3141", "2718"],
+    }
+    texts, labels = [], []
+    for lang, words in vocab.items():
+        for _ in range(n):
+            texts.append(" ".join(rng.choice(words, size=20)))
+            labels.append(lang)
+    return texts, labels
+
+
+def test_langid_learns_separable_languages():
+    from corpusaid_ray.stages.langid import LangIdModel
+
+    texts, labels = _lang_samples()
+    model = LangIdModel.fit(texts, labels)
+    test_texts, test_labels = _lang_samples(n=50, seed=99)
+    preds = [model.predict_one(t)[0] for t in test_texts]
+    acc = np.mean([p == l for p, l in zip(preds, test_labels)])
+    assert acc > 0.95, acc
+
+
+def test_langid_deterministic():
+    from corpusaid_ray.stages.langid import LangIdModel
+
+    a = LangIdModel.fit_from_documents("/root/testdata/sf0.001")
+    b = LangIdModel.fit_from_documents("/root/testdata/sf0.001")
+    assert a.classes == b.classes
+    np.testing.assert_array_equal(a.log_prob, b.log_prob)
+
+
+# ---------------------------------------------------------------------------
+# perplexity — low on in-distribution text, high on garbage
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_orders_text_quality():
+    from corpusaid_ray.stages.perplexity import PerplexityModel
+
+    model = PerplexityModel.fit_from_documents("/root/testdata/sf0.001")
+    import pyarrow.parquet as pq
+
+    natural = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    ).column("text")[450].as_py()
+    rng = np.random.default_rng(0)
+    garbage = "".join(rng.choice(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789+/=")) for _ in range(300))
+    assert model.log_ppl(natural) < model.log_ppl(garbage) - 1.0
+    assert model.log_ppl("ab") == 0.0  # shorter than a trigram
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_first_wins(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import add_sha256, dedup_exact
+
+    rows = [
+        {"repo": "r1", "path": "b.txt", "content": "same"},
+        {"repo": "r1", "path": "a.txt", "content": "same"},
+        {"repo": "r1", "path": "c.txt", "content": "other"},
+        {"repo": "r2", "path": "z.txt", "content": "same"},  # other repo kept
+    ]
+    ds = ray.data.from_items(rows).map_batches(add_sha256, batch_format="pyarrow")
+    out = dedup_exact(ds).to_pandas().sort_values(["repo", "path"])
+    assert out.path.tolist() == ["a.txt", "c.txt", "z.txt"]
+
+
+# ---------------------------------------------------------------------------
+# window
+# ---------------------------------------------------------------------------
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.window import tumbling_window
+
+    df = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "b", "a"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:50",
+                 "2024-01-01 00:20", "2024-01-01 01:05"]
+            ),
+            "value": [1.5, 2.25, 3.0, 4.0],
+        }
+    )
+    out = tumbling_window(ray.data.from_pandas(df)).to_pandas()
+    out = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert out.n_events.tolist() == [2, 1, 1]
+    assert out.sum_value_micros.tolist() == [3_750_000, 4_000_000, 3_000_000]
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_ann_topk_matches_bruteforce(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import ann_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(100, 16))
+    queries = {0: vecs[0], 1: vecs[1]}
+    cands = pd.DataFrame(
+        {"vec_id": np.arange(2, 100), "embedding": list(vecs[2:])}
+    )
+    out = ann_topk(ray.data.from_pandas(cands), queries, k=3)
+    # independent numpy expectation
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qid in (0, 1):
+        sims = norm[2:] @ norm[qid]
+        expected = (np.argsort(-sims, kind="stable")[:3] + 2).tolist()
+        got = out[out.query_id == qid].sort_values("rank").vec_id.tolist()
+        assert got == expected, (qid, got, expected)
