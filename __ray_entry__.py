@@ -220,6 +220,77 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(cands, queries, k=5)
 
 
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs (rows-only: LSH bucketing is not
+    SQL-expressible; determinism covered by pytest)."""
+    from corpusaid_ray.stages.neardup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_corpus(sf_dir))
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash Hamming≤3 near-dup pairs (rows-only)."""
+    from corpusaid_ray.stages.neardup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(_corpus(sf_dir))
+
+
+def q_dedup_ngram(sf_dir: str):
+    """Exact n-gram-Jaccard verified near-dups over LSH candidates
+    (rows-only)."""
+    from corpusaid_ray.stages.neardup import ngram_duplicates
+
+    return ngram_duplicates(_corpus(sf_dir))
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.neardup import embedding_neardup_pairs
+
+    dim = len(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")[0]
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_neardup_pairs(ds, dim=dim, threshold=0.95)
+
+
+def q_fingerprint(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer 2003; rows-only)."""
+    import pyarrow as pa
+
+    from corpusaid_ray.functions.hashing import doc_fingerprint_hex
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "fingerprint": pa.array(
+                    [doc_fingerprint_hex(t) for t in batch["content"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _corpus(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def q_multimodal_meta(sf_dir: str):
+    """Opaque-binary payload plumbing + metadata extraction (decode stubbed;
+    bytes-level outputs are oracle-verified)."""
+    from corpusaid_ray.stages.multimodal import multimodal_meta
+
+    return multimodal_meta(_corpus(sf_dir)).select_columns(
+        ["repo", "path", "payload_bytes", "magic_hex"]
+    )
+
+
 def q_keep_drop(sf_dir: str):
     """Full flagship labeling — model stages not SQL-expressible → rows-only
     driver check; value-level correctness is covered by pytest golden tests."""
@@ -246,6 +317,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "embed_neardup": q_embed_neardup,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
         "keep_drop": q_keep_drop,
     }
 

@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "extras": {...}}
+
+``--scaling`` re-runs the headline in two fresh processes (8 vs 32 CPUs by
+default — the sandbox stand-in for N vs 4N nodes), reports both throughputs
+plus scaling efficiency, and prints that JSON line instead.
+
+The bench corpus is the deterministic sf corpus replicated
+``$GRAFT_BENCH_REPEAT``× (default 200 → ~1M docs / ~370 MB at sf0.1) so
+stage wall-time dominates scheduling overhead. Consumption is a streaming
+partial-aggregate (files/bytes/kept) — nothing materializes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "200"))
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(d.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return -1.0
+
+
+def _consume_counting(ds) -> dict:
+    """Force full execution with a streaming partial-agg; returns totals."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nbytes = pc.sum(
+            pc.binary_length(pc.cast(batch["content"], pa.binary()))
+        ).as_py() or 0
+        kept = pc.sum(pc.cast(batch["keep"], pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "files": pa.array([len(batch)], pa.int64()),
+                "bytes": pa.array([int(nbytes)], pa.int64()),
+                "kept": pa.array([int(kept)], pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("files", alias_name="files"),
+        Sum("bytes", alias_name="bytes"),
+        Sum("kept", alias_name="kept"),
+    )
+    return {k: int(v or 0) for k, v in out.items()}
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NCPU,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from corpusaid_ray.corpus import read_corpus
+    from corpusaid_ray.pipelines.quality_filter import build
+    from corpusaid_ray.stages.aggregates import repo_stats
+    from corpusaid_ray.stages.dedup import add_sha256, dedup_exact
+    from corpusaid_ray.stages.window import tumbling_window
+
+    from corpusaid_ray.stages.langid import LangIdModel
+    from corpusaid_ray.stages.perplexity import PerplexityModel
+
+    blocks = NCPU * 4
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the OS page cache (untimed)
+    read_corpus(SF_DIR, parallelism=blocks).count()
+    # model fit is once-per-cluster setup (pinned + broadcast), not per-byte
+    # work — fitted untimed, exactly like a production run shipping a frozen
+    # model artifact
+    langid_model = LangIdModel.fit_from_documents(SF_DIR)
+    ppl_model = PerplexityModel.fit_from_documents(SF_DIR)
+
+    # --- headline: flagship keep/drop + scrub over the repeated corpus ---
+    t0 = time.perf_counter()
+    ds = read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT)
+    ds = build(ds, langid_model=langid_model, perplexity_model=ppl_model)
+    totals = _consume_counting(ds)
+    headline = time.perf_counter() - t0
+    queries["flagship"] = round(headline, 3)
+    extras["files"] = totals["files"]
+    extras["mb"] = round(totals["bytes"] / 1e6, 1)
+    extras["kept_frac"] = round(totals["kept"] / max(totals["files"], 1), 4)
+    extras["files_per_sec"] = round(totals["files"] / headline, 1)
+    extras["mb_per_sec"] = round(totals["bytes"] / 1e6 / headline, 2)
+
+    # --- dedup_exact over the repeated corpus (groupby shuffle stressor) ---
+    t0 = time.perf_counter()
+    d = read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT).map_batches(
+        add_sha256, batch_format="pyarrow"
+    )
+    n = dedup_exact(d).count()
+    queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
+    extras["dedup_out_rows"] = n
+
+    # --- per-repo aggregates (partial-agg + small groupby) ---
+    t0 = time.perf_counter()
+    repo_stats(read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT)).count()
+    queries["repo_stats"] = round(time.perf_counter() - t0, 3)
+
+    # --- event windows ---
+    t0 = time.perf_counter()
+    ev = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    tumbling_window(ev).count()
+    queries["events_window"] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "flagship keep/drop+scrub wall time (sf corpus ×%d)" % REPEAT,
+        "value": queries["flagship"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "num_cpus": NCPU,
+        "extras": extras,
+    }
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)  # 1.0 = linear scaling
+    return {
+        "metric": "scaling efficiency %d->%d cpus (flagship)" % (lo, hi),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "files_per_sec_lo": r_lo["extras"]["files_per_sec"],
+        "files_per_sec_hi": r_hi["extras"]["files_per_sec"],
+        "cpus": [lo, hi],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

@@ -109,7 +109,7 @@ def derive_corpus_batch(df: pd.DataFrame) -> pd.DataFrame:
         content = content.copy()
         content[dup_mask] = np.array(DUP_PAYLOADS, dtype=object)[did[dup_mask] % 3]
         content[junk_mask] = np.array(JUNK_PAYLOADS, dtype=object)[did[junk_mask] % 3]
-    return pd.DataFrame(
+    out = pd.DataFrame(
         {
             "repo": repo,
             "path": path,
@@ -118,13 +118,28 @@ def derive_corpus_batch(df: pd.DataFrame) -> pd.DataFrame:
             "content": content,
         }
     )
+    return out
 
 
-def read_corpus(sf_dir: str, *, parallelism: int = -1):
+def derive_corpus_arrow(batch: pd.DataFrame):
+    """pandas-in → metadata-free Arrow out (avoids re-attaching pandas schema
+    metadata on every block, which defeats Ray's schema dedup and spams
+    'Failed to hash the schemas' logs)."""
+    import pyarrow as pa
+
+    t = pa.Table.from_pandas(derive_corpus_batch(batch), preserve_index=False)
+    return t.replace_schema_metadata(None)
+
+
+def read_corpus(sf_dir: str, *, parallelism: int = -1, repeat: int = 1):
     """``documents.parquet`` → lazy corpus Dataset with the input_hint schema.
 
     Column-pruned at the read (only doc_id/text/lang leave storage); the
     derivation streams per batch — nothing materializes.
+
+    ``repeat > 1`` (bench tiers) deterministically replicates every corpus
+    row with distinct ``path`` suffixes (``#rK``) — same content, so dedup
+    stages face K-sized duplicate groups (a deliberate skew stressor).
     """
     import ray.data
 
@@ -133,4 +148,21 @@ def read_corpus(sf_dir: str, *, parallelism: int = -1):
         columns=["doc_id", "text", "lang"],
         override_num_blocks=parallelism if parallelism > 0 else None,
     )
-    return ds.map_batches(derive_corpus_batch, batch_format="pandas")
+
+    if repeat <= 1:
+        return ds.map_batches(derive_corpus_arrow, batch_format="pandas")
+
+    def derive_repeated(df: pd.DataFrame):
+        import pyarrow as pa
+
+        base = derive_corpus_batch(df)
+        parts = []
+        for r in range(repeat):
+            p = base.copy()
+            p["path"] = p["path"] + f"#r{r}"
+            parts.append(p)
+        t = pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
+                                 preserve_index=False)
+        return t.replace_schema_metadata(None)
+
+    return ds.map_batches(derive_repeated, batch_format="pandas")

@@ -1,0 +1,129 @@
+"""Vectorized hashing kernels: char shingles, MinHash signatures, SimHash,
+winnowing fingerprints (public techniques: Broder 1997 resemblance/MinHash;
+Charikar 2002 SimHash; Schleimer et al. 2003 winnowing). All seeds are fixed
+constants — results are deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_RNG = np.random.default_rng(0xC0FFEE)
+NUM_PERM = 64
+_A = _RNG.integers(1, (1 << 61) - 1, size=NUM_PERM, dtype=np.uint64)
+_B = _RNG.integers(0, (1 << 61) - 1, size=NUM_PERM, dtype=np.uint64)
+
+_SHINGLE_K = 5
+_POW = np.uint64(1099511628211)  # FNV-ish rolling base
+
+
+def char_shingle_hashes(text: str, k: int = _SHINGLE_K) -> np.ndarray:
+    """Distinct 64-bit hashes of the k-char shingles of ``text``."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < k:
+        cp = np.pad(cp, (0, k - len(cp)), constant_values=np.uint64(1))
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(cp) - k + 1, dtype=np.uint64)
+        for i in range(k):
+            h = h * _POW + cp[i : len(cp) - k + 1 + i]
+    return np.unique(h)
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """(NUM_PERM,) uint64 MinHash signature via universal hashing
+    h_i(x) = (a_i * x + b_i) mod (2^61 - 1)."""
+    if len(shingles) == 0:
+        return np.zeros(NUM_PERM, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (P, S) — wraparound multiply is fine: we only need a fixed
+        # deterministic mixing function, applied identically everywhere
+        m = _A[:, None] * shingles[None, :] + _B[:, None]
+        m %= _MERSENNE
+    return m.min(axis=1)
+
+
+def band_hashes(sig: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(bands,) uint64 — hash of each band's rows (sig length must divide)."""
+    r = len(sig) // bands
+    out = np.empty(bands, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            chunk = sig[b * r : (b + 1) * r]
+            acc = np.uint64(1469598103934665603)
+            for v in chunk:
+                acc = (acc ^ v) * _POW
+            out[b] = acc
+    return out
+
+
+def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+def simhash64(token_hashes: np.ndarray) -> np.uint64:
+    """64-bit SimHash from token hashes (unweighted)."""
+    if len(token_hashes) == 0:
+        return np.uint64(0)
+    bits = (token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = bits.sum(axis=0) * 2 - len(token_hashes)  # (+1/-1 tally)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """64-bit hashes of whitespace tokens (deterministic FNV-1a)."""
+    out = np.empty(len(text.split()), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, tok in enumerate(text.split()):
+            acc = np.uint64(1469598103934665603)
+            for byte in tok.encode():
+                acc = (acc ^ np.uint64(byte)) * _POW
+            out[i] = acc
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.uint64) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 array and one value."""
+    x = a ^ b
+    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:
+    """Winnowing (Schleimer 2003): k-gram rolling hashes, min per sliding
+    window (rightmost min), distinct selected hashes sorted."""
+    h = char_shingle_hashes_ordered(text, k)
+    if len(h) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    sel = []
+    for i in range(len(h) - window + 1):
+        w = h[i : i + window]
+        sel.append(w.min())
+    return np.unique(np.array(sel, dtype=np.uint64))
+
+
+def char_shingle_hashes_ordered(text: str, k: int) -> np.ndarray:
+    """Like char_shingle_hashes but order-preserving, duplicates kept."""
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cp) < k:
+        return np.zeros(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(cp) - k + 1, dtype=np.uint64)
+        for i in range(k):
+            h = h * _POW + cp[i : len(cp) - k + 1 + i]
+    return h
+
+
+def doc_fingerprint_hex(text: str) -> str:
+    """Single stable document fingerprint: xor-fold of winnowed hashes."""
+    fps = winnow_fingerprints(text)
+    acc = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for v in fps:
+            acc ^= v * _POW
+    return format(int(acc), "016x")

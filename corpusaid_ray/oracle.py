@@ -191,6 +191,12 @@ SELECT event_type,
        sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros
 FROM events GROUP BY event_type, date_trunc('hour', ts)"""
 
+ORACLE_SQL["multimodal_meta"] = with_corpus("""
+SELECT repo, path,
+       octet_length(encode(content))::BIGINT AS payload_bytes,
+       substr(hex(encode(content)), 1, 8) AS magic_hex
+FROM corpus""")
+
 ORACLE_SQL["ann_topk"] = """
 WITH queries AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 8

@@ -4,16 +4,15 @@ Re-expresses the reference's load→process→collect batch job
 (``/root/reference/src/CorpusAid.py:2420-2525``) as a lazy streaming
 ``ray.data.Dataset`` plan per the north rule:
 
-    read corpus → map_batches(CleanAndHash, actor pool)
-                → map_batches(LangId actor pool)        [enable_langid]
-                → map_batches(Perplexity actor pool)    [enable_perplexity]
-                → map_batches(vectorized heuristics)    [enable_heuristics]
-                → map_batches(PII/toxicity scrub)       [scrub_rules]
-                → map_batches(keep/drop labeling)
+    read corpus → map_batches(CleanScoreStage, ONE fixed-size actor pool
+                  fusing: reference clean chain + sha256 + langid +
+                  perplexity + vectorized heuristics + PII/toxicity scrub +
+                  keep/drop labeling)
 
-Every stage streams; nothing materializes the full dataset. Stage knobs
-(``concurrency``, ``batch_size``) are sized for a 32-CPU node and scale by
-adding actors, not bigger batches.
+Every stage streams; nothing materializes the full dataset. ALL per-row
+work is fused into the single actor pool (sized cpus-2): with the pool
+reserving nearly every CPU, separate trailing task operators would starve
+and backpressure the pipeline (measured 2-3× slower at 32 CPUs).
 """
 
 from __future__ import annotations
@@ -21,60 +20,77 @@ from __future__ import annotations
 from typing import Any
 
 from corpusaid_ray.config import PipelineConfig, flagship_config
-from corpusaid_ray.stages.clean import CleanAndHash
+from corpusaid_ray.stages.score import CleanScoreStage
 from corpusaid_ray.stages.scrub import make_scrub_fn
-
-# Batch size for per-row Python text stages: large enough to amortize task
-# overhead, small enough that a batch of MB-scale docs fits a worker heap.
-TEXT_BATCH_SIZE = 256
-
 
 def build(ds, config: PipelineConfig | None = None, *, sf_dir: str | None = None,
           langid_model=None, perplexity_model=None, concurrency: Any = None):
     """Attach the flagship stages to a corpus Dataset (lazy; returns the
     extended Dataset). Model stages need either pre-fitted models or
-    ``sf_dir`` to fit their deterministic bounded-sample models from.
-    ``concurrency=None`` lets actor pools autoscale (1, 8)."""
+    ``sf_dir`` to fit their deterministic bounded-sample models from."""
+    import ray
+
     cfg = config or flagship_config()
 
-    ds = ds.map_batches(
-        CleanAndHash,
-        fn_constructor_kwargs={"config": cfg},
-        batch_format="pyarrow",
-        batch_size=TEXT_BATCH_SIZE,
-        concurrency=concurrency or (1, 8),
-    )
-
+    langid_ref = ppl_ref = None
     if cfg.enable_langid:
-        from corpusaid_ray.stages.langid import attach_langid
+        from corpusaid_ray.stages.langid import LangIdModel
 
-        ds = attach_langid(ds, sf_dir=sf_dir, model=langid_model,
-                           concurrency=concurrency)
+        if langid_model is None:
+            if sf_dir is None:
+                raise ValueError("enable_langid needs sf_dir or langid_model")
+            langid_model = LangIdModel.fit_from_documents(sf_dir)
+        langid_ref = ray.put(langid_model)
     if cfg.enable_perplexity:
-        from corpusaid_ray.stages.perplexity import attach_perplexity
+        from corpusaid_ray.stages.perplexity import PerplexityModel
 
-        ds = attach_perplexity(ds, sf_dir=sf_dir, model=perplexity_model,
-                               concurrency=concurrency)
+        if perplexity_model is None:
+            if sf_dir is None:
+                raise ValueError("enable_perplexity needs sf_dir or perplexity_model")
+            perplexity_model = PerplexityModel.fit_from_documents(sf_dir)
+        ppl_ref = ray.put(perplexity_model)
+
+    from corpusaid_ray.stages.label import label_fn
+
+    post_fns = []
     if cfg.enable_heuristics:
         from corpusaid_ray.stages.quality import heuristics_fn
 
         # Heuristics score the RAW document (Gopher-style quality rules look
         # at the original layout; the clean chain flattens line structure).
-        ds = ds.map_batches(
-            lambda b: heuristics_fn(b, source_col="content"),
-            batch_format="pyarrow",
-        )
-
+        post_fns.append(lambda b: heuristics_fn(b, source_col="content"))
     if cfg.scrub_rules:
-        ds = ds.map_batches(
-            make_scrub_fn(cfg.scrub_rules, count_hits=True),
+        post_fns.append(make_scrub_fn(cfg.scrub_rules, count_hits=True))
+    post_fns.append(label_fn(cfg))
+
+    # ONE operator does everything. Stateless TASKS, not an actor pool:
+    # stage state (compiled chain + broadcast models) is cheap to build and
+    # cached per worker process (make_fused_fn), so tasks get actor-style
+    # amortization with zero pool-startup latency, full CPU elasticity, and
+    # no reservation starvation of other operators.
+    from corpusaid_ray.stages.score import make_fused_fn
+
+    if concurrency is not None:
+        return ds.map_batches(
+            CleanScoreStage,
+            fn_constructor_kwargs={
+                "config": cfg, "langid_ref": langid_ref, "ppl_ref": ppl_ref,
+                "post_fns": tuple(post_fns),
+            },
             batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
         )
-
-    from corpusaid_ray.stages.label import label_fn
-
-    ds = ds.map_batches(label_fn(cfg), batch_format="pyarrow")
-    return ds
+    return ds.map_batches(
+        make_fused_fn(cfg, langid_ref, ppl_ref, tuple(post_fns)),
+        batch_format="pyarrow",
+        # batch_size=None → one task per input block. Bundling to a row
+        # target would merge MANY small pre-expansion blocks into few fat
+        # tasks (measured: 10 tasks on 128 blocks at bench scale → 2/3 of
+        # the cluster idle). Block size is already bounded by
+        # DataContext.target_max_block_size upstream.
+        batch_size=None,
+    )
 
 
 def run(sf_dir: str, config: PipelineConfig | None = None, **kwargs):

@@ -1,0 +1,56 @@
+"""Sources: the reference's ingest paths re-expressed on Ray Data readers.
+
+The reference scans directories recursively for case-insensitive ``.txt``
+files, reads with encoding detection and lossy fallback, and previews the
+first N chars (``/root/reference/src/CorpusAid.py:721-825``,
+``rust_preview/src/lib.rs:13-98``). Parquet corpora don't need any of that
+(Arrow strings are UTF-8 by construction); the raw-text path below keeps the
+reference semantics for directory inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+
+def read_text_dir(root: str):
+    """Recursive ``.txt`` scan (case-insensitive, like the reference's
+    ``scan_directory``) → Dataset[path, content].
+
+    Decode is ``utf-8, errors="replace"`` — the reference's Python fallback
+    read path (``src/CorpusAid.py:131-146``); paths are normalized like
+    ``Document.__init__`` (``:449``).
+    """
+    import ray.data
+
+    ds = ray.data.read_binary_files(
+        root,
+        include_paths=True,
+        file_extensions=["txt", "TXT", "Txt"],
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        paths = [os.path.normpath(p) for p in batch["path"].to_pylist()]
+        texts = [b.decode("utf-8", errors="replace") for b in batch["bytes"].to_pylist()]
+        return pa.table(
+            {"path": pa.array(paths, pa.string()),
+             "content": pa.array(texts, pa.string())}
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+def preview(ds, limit_chars: int = 5000, n: int = 20):
+    """Reference preview semantics: first ``limit_chars`` chars of the first
+    ``n`` docs (``PREVIEW_CHAR_LIMIT=5000``, ``PREVIEW_BATCH_SIZE=20``;
+    ``src/CorpusAid.py:158-163``). Driver-side small take — never a full
+    materialization."""
+    import pyarrow.compute as pc
+
+    rows = ds.limit(n).take_all()
+    return [
+        {**r, "content": r["content"][:limit_chars]}
+        for r in rows
+    ]

@@ -35,11 +35,27 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
 
     SQL equivalent: ``QUALIFY row_number() OVER (PARTITION BY scope, hash
     ORDER BY order_col) = 1``.
+
+    Two-phase: a batch-local combiner (vectorized ``drop_duplicates`` keeping
+    the min-order row per key) runs BEFORE the groupby, so the all-to-all
+    shuffle moves at most one row per (key, batch) instead of every
+    duplicate — at bench scale (100× replicated corpus) this cuts the
+    shuffle payload ~100×. The final per-group pick is semantics-preserving
+    because min-of-mins = global min.
     """
     keys = [*scope_cols, hash_col]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_col, kind="mergesort").drop_duplicates(
+            keys, keep="first"
+        )
 
     # sort-within-group is deterministic; groups are tiny (dup cardinality)
     def first_by_order(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(order_col, kind="mergesort").head(1)
 
-    return ds.groupby(keys).map_groups(first_by_order, batch_format="pandas")
+    return (
+        ds.map_batches(combine, batch_format="pandas")
+        .groupby(keys)
+        .map_groups(first_by_order, batch_format="pandas")
+    )

@@ -25,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from corpusaid_ray.util import default_concurrency
+
 D = 1 << 15  # hashed feature buckets
 _P1, _P2 = np.int64(1000003), np.int64(999983)
 
@@ -134,5 +136,5 @@ def attach_langid(ds, *, sf_dir: str | None = None, model: LangIdModel | None = 
         fn_constructor_kwargs={"model_ref": ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or default_concurrency(),
     )

@@ -1,0 +1,73 @@
+"""Multimodal column plumbing (training-data-pipeline stage).
+
+Images/audio/video are carried as opaque ``binary`` payload columns with
+typed metadata extracted by actor-pool ``map_batches`` stages. The actual
+media DECODE is stubbed (no image/audio libraries in this environment) behind
+``decode_media`` → ``NotImplementedError``; everything around it — schema,
+batch handling, actor signature, zero-copy binary slicing, output layout —
+is real and tested, so swapping in a real decoder is a one-function change.
+
+Payloads here are synthesized deterministically from the corpus content
+(UTF-8 bytes), which keeps the whole path oracle-verifiable in SQL
+(octet_length / hex of the same bytes).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAGIC_LEN = 4
+
+
+def attach_payload(batch: pa.Table, source_col: str = "content") -> pa.Table:
+    """content → opaque ``payload: binary`` column (zero-copy cast)."""
+    payload = pc.cast(batch[source_col], pa.binary())
+    return batch.append_column("payload", payload)
+
+
+def decode_media(payload: bytes, media_type: str):
+    """STUB: real deployments plug an image/audio decoder here (PIL,
+    torchaudio, ffmpeg). Deliberately NotImplemented in this environment."""
+    raise NotImplementedError(
+        f"media decode ({media_type}) requires image/audio libraries "
+        "not present in this container; see module docstring"
+    )
+
+
+class MediaMetaExtractor:
+    """Actor-pool stage: payload → (payload_bytes, magic_hex, media_type).
+
+    ``__init__`` is where a real decoder/model would load once per actor;
+    the extractor itself is vectorized over the Arrow binary column.
+    """
+
+    def __init__(self, try_decode: bool = False):
+        self.try_decode = try_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        nbytes = pc.binary_length(payload)
+        magic = pc.binary_slice(payload, 0, MAGIC_LEN)
+        magic_hex = pa.array(
+            [m.hex().upper() if m is not None else None for m in magic.to_pylist()],
+            pa.string(),
+        )
+        batch = batch.append_column("payload_bytes", nbytes)
+        batch = batch.append_column("magic_hex", magic_hex)
+        if self.try_decode:
+            decode_media(payload[0].as_py(), "image")  # pragma: no cover
+        return batch
+
+
+def multimodal_meta(ds, *, concurrency=(1, 4)):
+    """corpus → payload + metadata columns (binary stays Arrow end-to-end;
+    never converts through pandas object dtype)."""
+    ds = ds.map_batches(attach_payload, batch_format="pyarrow")
+    return ds.map_batches(
+        MediaMetaExtractor,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        # media rows are large: small batches keep actor heaps bounded
+        batch_size=256,
+    )

@@ -1,0 +1,257 @@
+"""Near-duplicate detection (training-data-pipeline stages; the reference
+has no dedup at all, SURVEY.md §2.5 — these are target-spec additions built
+from public techniques).
+
+Three detectors, one shared shape:
+
+1. **MinHash + LSH** (Broder 1997): shingle → 64-perm MinHash → 16 bands ×
+   4 rows → ``groupby(band, band_hash)`` buckets → candidate pairs →
+   Jaccard-estimate (or exact-verify) filter.
+2. **SimHash** (Charikar 2002): 64-bit signature → 4×16-bit chunk buckets
+   (pigeonhole: Hamming ≤ 3 ⇒ ≥1 identical chunk) → verify Hamming.
+3. **Embedding cosine** (random-hyperplane LSH): sign-bits bucket →
+   verify cosine within bucket.
+
+Scale shape: the only all-to-all move is the (band, hash, doc-key,
+signature) EXPLODED table — tiny fixed-width rows, never the content. Each
+bucket group is small by construction; candidate pairs are deduped by a
+second small groupby. Exact verification (optional) broadcast-joins content
+for the candidate set only (assumed ≪ corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from corpusaid_ray.functions import hashing as H
+
+BANDS = 16
+
+
+def _minhash_explode(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
+    """Per doc: MinHash sig → one row per band: (band, band_hash, keys, sig)."""
+    texts = batch["content"].to_pylist()
+    n = len(texts)
+    keys = {c: batch[c].to_pylist() for c in key_cols}
+    out = {
+        "band": [], "band_hash": [], "sig": [],
+        **{c: [] for c in key_cols},
+    }
+    for i in range(n):
+        sig = H.minhash_signature(H.char_shingle_hashes(texts[i]))
+        bh = H.band_hashes(sig, BANDS)
+        sig_bytes = sig.tobytes()
+        for b in range(BANDS):
+            out["band"].append(b)
+            out["band_hash"].append(int(bh[b]))
+            out["sig"].append(sig_bytes)
+            for c in key_cols:
+                out[c].append(keys[c][i])
+    return pa.table(
+        {
+            "band": pa.array(out["band"], pa.int32()),
+            "band_hash": pa.array(np.array(out["band_hash"], dtype=np.uint64)),
+            "sig": pa.array(out["sig"], pa.binary()),
+            **{c: pa.array(out[c], pa.string()) for c in key_cols},
+        }
+    )
+
+
+def minhash_candidate_pairs(ds, *, key: str = "path",
+                            est_threshold: float = 0.7):
+    """Corpus → deterministic candidate near-dup pairs
+    ``(path_a, path_b, est_jaccard)`` with path_a < path_b.
+
+    Pipeline: explode bands → groupby(band, band_hash) → pairs within
+    bucket → groupby(pair) first → estimate filter."""
+    exploded = ds.map_batches(
+        lambda b: _minhash_explode(b, (key,)), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"path_a": [], "path_b": [], "est_jaccard": []})
+        g = g.sort_values(key, kind="mergesort").drop_duplicates(key)
+        # LSH safety valve: a degenerate bucket (low-entropy corpus) would go
+        # quadratic; cap deterministically at the first 200 paths
+        g = g.head(200)
+        rows_a, rows_b, est = [], [], []
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        paths = g[key].tolist()
+        for i in range(len(paths)):
+            for j in range(i + 1, len(paths)):
+                rows_a.append(paths[i])
+                rows_b.append(paths[j])
+                est.append(H.minhash_jaccard_estimate(sigs[i], sigs[j]))
+        return pd.DataFrame({"path_a": rows_a, "path_b": rows_b, "est_jaccard": est})
+
+    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    # a pair can surface from several bands — keep one row per pair
+    def drop_dup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["path_a", "path_b"])
+
+    pairs = pairs.map_batches(drop_dup_pairs, batch_format="pandas")
+    uniq = pairs.groupby(["path_a", "path_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    import pyarrow.compute as pc
+
+    return uniq.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["est_jaccard"], est_threshold)),
+        batch_format="pyarrow",
+    )
+
+
+def _simhash_explode(batch: pa.Table, key: str) -> pa.Table:
+    texts = batch["content"].to_pylist()
+    keys = batch[key].to_pylist()
+    out_chunk, out_val, out_sig, out_key = [], [], [], []
+    for i, t in enumerate(texts):
+        sh = H.simhash64(H.token_hashes(t))
+        for c in range(4):
+            out_chunk.append(c)
+            out_val.append(int((int(sh) >> (16 * c)) & 0xFFFF))
+            out_sig.append(int(sh))
+            out_key.append(keys[i])
+    return pa.table(
+        {
+            "chunk": pa.array(out_chunk, pa.int32()),
+            "chunk_val": pa.array(out_val, pa.int32()),
+            "simhash": pa.array(np.array(out_sig, dtype=np.uint64)),
+            key: pa.array(out_key, pa.string()),
+        }
+    )
+
+
+def simhash_candidate_pairs(ds, *, key: str = "path", max_hamming: int = 3):
+    """Corpus → pairs with SimHash Hamming distance ≤ max_hamming."""
+    exploded = ds.map_batches(
+        lambda b: _simhash_explode(b, key), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"path_a": [], "path_b": [], "hamming": []})
+        g = g.sort_values(key, kind="mergesort").drop_duplicates(key)
+        g = g.head(200)  # LSH safety valve (see minhash_candidate_pairs)
+        paths = g[key].tolist()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        a, b_, d = [], [], []
+        for i in range(len(paths)):
+            dist = H.hamming64(sh[i + 1 :], sh[i])
+            for j, dd in enumerate(dist, start=i + 1):
+                a.append(paths[i])
+                b_.append(paths[j])
+                d.append(int(dd))
+        return pd.DataFrame({"path_a": a, "path_b": b_, "hamming": d})
+
+    pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    uniq = pairs.groupby(["path_a", "path_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    import pyarrow.compute as pc
+
+    return uniq.map_batches(
+        lambda b: b.filter(pc.less_equal(b["hamming"], max_hamming)),
+        batch_format="pyarrow",
+    )
+
+
+def ngram_duplicates(ds, *, threshold: float = 0.6, est_threshold: float = 0.5):
+    """Exact n-gram-Jaccard near-dups: MinHash-LSH candidates, then exact
+    shingle-set verification over the candidate set only (broadcast join —
+    candidates ≪ corpus by construction). Returns a pandas DataFrame
+    ``(path_a, path_b, jaccard)``, deterministic order."""
+    import pyarrow.compute as pc
+
+    pairs = minhash_candidate_pairs(ds, est_threshold=est_threshold).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame(columns=["path_a", "path_b", "jaccard"])
+    cand_paths = sorted(set(pairs.path_a) | set(pairs.path_b))
+    paths_arr = pa.array(cand_paths, pa.string())
+    small = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["path"], value_set=paths_arr))
+        .select(["path", "content"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    contents = dict(zip(small.path, small.content))
+    out = ngram_jaccard_verify(pairs, contents, threshold)
+    return out.sort_values(["path_a", "path_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_verify(pairs_df: pd.DataFrame, contents: dict[str, str],
+                         threshold: float = 0.6) -> pd.DataFrame:
+    """Exact n-gram Jaccard over a (small) candidate set; ``contents`` is a
+    broadcast path→content dict covering the candidate paths."""
+    out = []
+    for _, r in pairs_df.iterrows():
+        sa = set(H.char_shingle_hashes(contents[r.path_a]).tolist())
+        sb = set(H.char_shingle_hashes(contents[r.path_b]).tolist())
+        j = len(sa & sb) / max(len(sa | sb), 1)
+        if j >= threshold:
+            out.append({"path_a": r.path_a, "path_b": r.path_b,
+                        "jaccard": j})
+    return pd.DataFrame(out, columns=["path_a", "path_b", "jaccard"])
+
+
+class _EmbedLSH:
+    """Random-hyperplane sign bits (fixed seed)."""
+
+    def __init__(self, dim: int, bits: int = 12):
+        rng = np.random.default_rng(0x5EED)
+        self.planes = rng.normal(size=(bits, dim))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
+                            bits: int = 12):
+    """Embedding near-dup: hyperplane-LSH bucket → exact cosine verify within
+    bucket. Output: (vec_id_a, vec_id_b, cosine) with a < b."""
+    from corpusaid_ray.stages.similarity import _as_matrix, _normalize
+
+    lsh = _EmbedLSH(dim, bits)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch["embedding"]))
+        buckets = lsh.bucket(m)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets),
+                "vec_id": batch["vec_id"],
+                "vec": pa.array([v.tobytes() for v in m], pa.binary()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+        g = g.sort_values("vec_id").drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        mask = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ii[mask]],
+                "vec_id_b": ids[jj[mask]],
+                "cosine": sims[ii, jj][mask],
+            }
+        )
+
+    pairs = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -19,6 +19,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from corpusaid_ray.util import default_concurrency
+
 D3 = 1 << 18  # trigram buckets
 D2 = 1 << 16  # bigram-context buckets
 V = 256.0     # effective vocab for smoothing
@@ -107,5 +109,5 @@ def attach_perplexity(ds, *, sf_dir: str | None = None,
         fn_constructor_kwargs={"model_ref": ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency or default_concurrency(),
     )

@@ -1,0 +1,95 @@
+"""Fused clean + hash + langid + perplexity actor stage.
+
+The flagship pipeline's heavy per-row work (reference clean chain, sha256,
+both model scores) happens in ONE actor pool instead of three chained pools:
+one ``to_pylist`` pass, one Python loop, no intermediate block
+materialization between stages, and a single pool whose size is easy to
+reason about against the cluster CPU count. Ray would otherwise run three
+ActorPoolMapOperators whose autoscalers compete for the same CPUs (measured:
+3× slower at 32 CPUs than this fusion).
+
+Models are fitted once on the driver and broadcast via ``ray.put``; each
+actor fetches them once in ``__init__`` (zero-copy numpy views out of the
+object store).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from corpusaid_ray.config import PipelineConfig
+from corpusaid_ray.functions.textops import compile_chain
+
+
+class CleanScoreStage:
+    def __init__(self, config: PipelineConfig, langid_ref=None, ppl_ref=None,
+                 post_fns: tuple = ()):
+        """``post_fns``: extra batch→batch fns (heuristics, scrub, label)
+        applied inside the SAME actor call. Fusing them here instead of
+        trailing task operators matters on a saturated cluster: the actor
+        pool reserves nearly every CPU, so separate task ops would starve
+        and backpressure the whole pipeline (measured 2-3× slower)."""
+        import ray
+
+        self.config = config
+        self.chain = compile_chain(config)
+        self.langid = ray.get(langid_ref) if langid_ref is not None else None
+        self.ppl = ray.get(ppl_ref) if ppl_ref is not None else None
+        self.post_fns = tuple(post_fns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["content"].to_pylist()
+        chain = self.chain
+        cleaned = texts if chain is None else [chain(t) for t in texts]
+        sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in cleaned]
+        batch = batch.append_column("content_clean", pa.array(cleaned, pa.string()))
+        batch = batch.append_column("content_sha256", pa.array(sha, pa.string()))
+
+        n = len(cleaned)
+        if self.langid is not None:
+            preds = []
+            confs = np.empty(n, dtype=np.float64)
+            for i, t in enumerate(cleaned):
+                p, c = self.langid.predict_one(t)
+                preds.append(p)
+                confs[i] = c
+            batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+            batch = batch.append_column("lang_conf", pa.array(confs))
+            if "lang" in batch.column_names:
+                batch = batch.append_column(
+                    "lang_match", pc.equal(batch["lang"], batch["lang_pred"])
+                )
+        if self.ppl is not None:
+            ppl = np.empty(n, dtype=np.float64)
+            for i, t in enumerate(cleaned):
+                ppl[i] = self.ppl.log_ppl(t)
+            batch = batch.append_column("log_ppl", pa.array(ppl))
+        for fn in self.post_fns:
+            batch = fn(batch)
+        return batch
+
+
+# Per-worker-process stage cache for the TASK-based fast path: stateless
+# tasks reuse worker processes, so the stage (compiled chain + zero-copy
+# model views from the object store) is constructed once per process per
+# rule_version — actor-pool init amortization without actor-pool startup
+# latency or CPU reservation (measured: task pool beats a fixed 30-actor
+# pool at bench scale because ~30 fresh actor processes cost seconds per
+# execution while tasks reuse warm workers).
+_PROCESS_STAGE_CACHE: dict[str, CleanScoreStage] = {}
+
+
+def make_fused_fn(config: PipelineConfig, langid_ref=None, ppl_ref=None,
+                  post_fns: tuple = ()):
+    def fused(batch: pa.Table) -> pa.Table:
+        stage = _PROCESS_STAGE_CACHE.get(config.rule_version)
+        if stage is None:
+            stage = CleanScoreStage(config, langid_ref, ppl_ref, post_fns)
+            _PROCESS_STAGE_CACHE[config.rule_version] = stage
+        return stage(batch)
+
+    return fused

@@ -1,0 +1,1 @@
+"""Lineage manifests and checkpoint/resume for partitioned pipeline output."""

@@ -26,8 +26,36 @@ _CATEGORIES = ("Mn", "No", "Sk")
 
 @lru_cache(maxsize=1)
 def _scan() -> tuple[dict[str, dict[int, None]], dict[str, dict[int, None]]]:
-    by_prefix: dict[str, dict[int, None]] = {p: {} for p in _NAME_PREFIXES}
-    by_cat: dict[str, dict[int, None]] = {c: {} for c in _CATEGORIES}
+    # Fast path: precomputed codepoint sets shipped with the package
+    # (scripts/gen_unicode_tables.py); regenerated if the interpreter's
+    # Unicode database version differs.
+    try:
+        import numpy as np
+        from pathlib import Path
+
+        npz_path = Path(__file__).parent / "data" / "unicode_sets.npz"
+        z = np.load(npz_path, allow_pickle=False)
+        if str(z["unidata_version"][0]) == unicodedata.unidata_version:
+            by_prefix = {
+                "GREEK": dict.fromkeys(z["greek"].tolist()),
+                "CYRILLIC": dict.fromkeys(z["cyrillic"].tolist()),
+            }
+            no_sk = z["no_sk"].tolist()
+            by_cat = {
+                "Mn": dict.fromkeys(z["mn"].tolist()),
+                "No": dict.fromkeys(
+                    cp for cp in no_sk if unicodedata.category(chr(cp)) == "No"
+                ),
+                "Sk": dict.fromkeys(
+                    cp for cp in no_sk if unicodedata.category(chr(cp)) == "Sk"
+                ),
+            }
+            return by_prefix, by_cat
+    except Exception:
+        pass
+
+    by_prefix = {p: {} for p in _NAME_PREFIXES}
+    by_cat = {c: {} for c in _CATEGORIES}
     name = unicodedata.name
     category = unicodedata.category
     for cp in range(_MAX_CP):

@@ -1,0 +1,16 @@
+"""Small shared helpers (no Ray session ownership here)."""
+
+from __future__ import annotations
+
+
+def default_concurrency(cap: int | None = None) -> tuple[int, int]:
+    """Actor-pool autoscale bounds sized to the cluster: up to one actor per
+    CPU (each reserves ``num_cpus=1``), so stage throughput scales with the
+    cluster instead of saturating a hard-coded pool size."""
+    import ray
+
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        hi = max(2, cpus if cap is None else min(cpus, cap))
+        return (1, hi)
+    return (1, 8)

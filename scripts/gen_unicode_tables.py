@@ -1,0 +1,48 @@
+"""Regenerate corpusaid_ray/data/unicode_sets.npz — the precomputed
+codepoint sets used by the character-class removal operators (GREEK/CYRILLIC
+name prefixes, Mn/No/Sk categories). Run when the interpreter's Unicode
+database version changes; unicode_tables falls back to a live scan otherwise.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import unicodedata
+from pathlib import Path
+
+import numpy as np
+
+OUT = Path(__file__).resolve().parent.parent / "corpusaid_ray" / "data" / "unicode_sets.npz"
+
+
+def main() -> None:
+    t0 = time.time()
+    mn, no_sk, greek, cyr = [], [], [], []
+    for cp in range(sys.maxunicode + 1):
+        ch = chr(cp)
+        cat = unicodedata.category(ch)
+        if cat == "Mn":
+            mn.append(cp)
+        elif cat in ("No", "Sk"):
+            no_sk.append(cp)
+        n = unicodedata.name(ch, "")
+        if n.startswith("GREEK"):
+            greek.append(cp)
+        elif n.startswith("CYRILLIC"):
+            cyr.append(cp)
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        OUT,
+        mn=np.array(mn, dtype=np.int32),
+        no_sk=np.array(no_sk, dtype=np.int32),
+        greek=np.array(greek, dtype=np.int32),
+        cyrillic=np.array(cyr, dtype=np.int32),
+        unidata_version=np.array([unicodedata.unidata_version], dtype="U16"),
+    )
+    print(f"wrote {OUT} in {time.time() - t0:.1f}s "
+          f"(unidata {unicodedata.unidata_version})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Checkpoint/resume tests: kill-after-K-partitions → resume → output is
+identical to an uninterrupted run, with no duplicated partitions (SURVEY.md
+§5 item 4)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMALL
+
+NUM_PARTS = 8
+
+
+def _read_all(out_dir: str) -> pd.DataFrame:
+    from corpusaid_ray.state.lineage import read_output
+
+    df = read_output(out_dir).to_pandas()
+    return df.sort_values("path").reset_index(drop=True)
+
+
+@pytest.fixture()
+def tmp_out(tmp_path):
+    return str(tmp_path / "out")
+
+
+def test_resume_after_partial_run_matches_uninterrupted(ray_session, tmp_out):
+    from corpusaid_ray.state.lineage import run_checkpointed
+
+    # uninterrupted reference run
+    ref_dir = tmp_out + "_ref"
+    s = run_checkpointed(SF_SMALL, ref_dir, num_parts=NUM_PARTS, resume=False)
+    assert len(s["parts_written"]) == NUM_PARTS
+    ref = _read_all(ref_dir)
+    assert len(ref) == 500
+
+    # "killed" run: only partitions 0..2 complete
+    s1 = run_checkpointed(
+        SF_SMALL, tmp_out, num_parts=NUM_PARTS, part_filter={0, 1, 2}
+    )
+    assert s1["parts_written"] == [0, 1, 2]
+
+    # resume: must process exactly the rest, skip the done ones
+    s2 = run_checkpointed(SF_SMALL, tmp_out, num_parts=NUM_PARTS)
+    assert s2["skipped"] == [0, 1, 2]
+    assert s2["parts_written"] == [3, 4, 5, 6, 7]
+
+    got = _read_all(tmp_out)
+    cols = ["repo", "path", "commit", "content_sha256", "keep", "drop_reason"]
+    pd.testing.assert_frame_equal(got[cols], ref[cols])
+
+    # second resume is a no-op
+    s3 = run_checkpointed(SF_SMALL, tmp_out, num_parts=NUM_PARTS)
+    assert s3["parts_written"] == [] and len(s3["skipped"]) == NUM_PARTS
+
+
+def test_orphan_files_cleaned_on_resume(ray_session, tmp_out):
+    from corpusaid_ray.state.lineage import part_dir, run_checkpointed
+
+    run_checkpointed(SF_SMALL, tmp_out, num_parts=NUM_PARTS, part_filter={0})
+    # simulate crash debris in an incomplete partition
+    d = part_dir(tmp_out, 5)
+    d.mkdir(parents=True, exist_ok=True)
+    orphan = d / "deadbeef-orphan.parquet"
+    orphan.write_bytes(b"not a real parquet")
+    run_checkpointed(SF_SMALL, tmp_out, num_parts=NUM_PARTS)
+    assert not orphan.exists()
+    got = _read_all(tmp_out)
+    assert len(got) == 500  # orphan did not poison the read
+
+
+def test_rule_version_change_invalidates_checkpoints(ray_session, tmp_out):
+    from corpusaid_ray.config import flagship_config, PipelineConfig
+    from corpusaid_ray.state.lineage import run_checkpointed
+
+    run_checkpointed(SF_SMALL, tmp_out, num_parts=NUM_PARTS, part_filter={0, 1})
+    cfg2 = PipelineConfig(lowercase=True, enable_heuristics=True)
+    s = run_checkpointed(SF_SMALL, tmp_out, num_parts=NUM_PARTS, config=cfg2)
+    # nothing is "done" under the new rule version
+    assert s["skipped"] == []
+    assert len(s["parts_written"]) == NUM_PARTS
+
+
+def test_manifest_contents(ray_session, tmp_out):
+    from corpusaid_ray.config import flagship_config
+    from corpusaid_ray.state.lineage import MANIFEST, part_dir, run_checkpointed
+
+    run_checkpointed(SF_SMALL, tmp_out, num_parts=NUM_PARTS)
+    total = 0
+    for pid in range(NUM_PARTS):
+        m = json.loads((part_dir(tmp_out, pid) / MANIFEST).read_text())
+        assert m["rule_version"] == flagship_config().rule_version
+        assert m["n_rows"] == sum(m["drop_reason_counts"].values())
+        assert m["n_kept"] == m["drop_reason_counts"].get("", 0)
+        total += m["n_rows"]
+    assert total == 500

@@ -1,0 +1,113 @@
+"""Near-dup detectors, fingerprints, multimodal plumbing, text-dir source."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _mini_corpus(ray_session):
+    import ray.data
+
+    rows = [
+        {"repo": "r", "path": "a.txt",
+         "content": "the quick brown fox jumps over the lazy dog " * 8},
+        {"repo": "r", "path": "b.txt",  # near-dup of a (one word changed)
+         "content": ("the quick brown fox jumps over the lazy dog " * 7
+                     + "the quick brown fox leaps over the lazy dog ")},
+        {"repo": "r", "path": "c.txt",
+         "content": "completely different content about ray data pipelines "
+                     "streaming execution and arrow batches " * 6},
+        {"repo": "r", "path": "d.txt",  # exact dup of a
+         "content": "the quick brown fox jumps over the lazy dog " * 8},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_minhash_finds_near_and_exact_dups(ray_session):
+    from corpusaid_ray.stages.neardup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(_mini_corpus(ray_session)).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs.path_a, pairs.path_b)}
+    assert ("a.txt", "d.txt") in got           # exact dup
+    assert ("a.txt", "b.txt") in got           # near dup
+    assert ("a.txt", "c.txt") not in got       # unrelated
+    exact = pairs[(pairs.path_a == "a.txt") & (pairs.path_b == "d.txt")]
+    assert (exact.est_jaccard == 1.0).all()
+
+
+def test_ngram_duplicates_verifies_exactly(ray_session):
+    from corpusaid_ray.stages.neardup import ngram_duplicates
+
+    out = ngram_duplicates(_mini_corpus(ray_session), threshold=0.6)
+    got = {tuple(sorted(p)) for p in zip(out.path_a, out.path_b)}
+    assert ("a.txt", "d.txt") in got
+    assert ("a.txt", "b.txt") in got
+    assert all("c.txt" not in p for pair in got for p in pair)
+    row = out[(out.path_a == "a.txt") & (out.path_b == "d.txt")]
+    assert (row.jaccard == 1.0).all()
+
+
+def test_simhash_pairs(ray_session):
+    from corpusaid_ray.stages.neardup import simhash_candidate_pairs
+
+    pairs = simhash_candidate_pairs(_mini_corpus(ray_session)).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(pairs.path_a, pairs.path_b)}
+    assert ("a.txt", "d.txt") in got
+    for p in got:
+        assert ("c.txt" not in p) or p == ("c.txt",), p
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.neardup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=16)
+    vecs = [base, base + rng.normal(scale=0.01, size=16),  # near-dup pair
+            rng.normal(size=16), rng.normal(size=16)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": [0, 1, 2, 3], "embedding": [list(v) for v in vecs]})
+    )
+    out = embedding_neardup_pairs(ds, dim=16, threshold=0.95).to_pandas()
+    assert {(int(a), int(b)) for a, b in zip(out.vec_id_a, out.vec_id_b)} == {(0, 1)}
+
+
+def test_fingerprint_deterministic_and_distinct():
+    from corpusaid_ray.functions.hashing import doc_fingerprint_hex
+
+    a = doc_fingerprint_hex("some document body with enough length to window")
+    b = doc_fingerprint_hex("some document body with enough length to window")
+    c = doc_fingerprint_hex("a totally different document body entirely here")
+    assert a == b and a != c and len(a) == 16
+
+
+def test_multimodal_meta_and_stub(ray_session):
+    from corpusaid_ray.corpus import read_corpus
+    from corpusaid_ray.stages.multimodal import decode_media, multimodal_meta
+
+    out = multimodal_meta(read_corpus(SF_SMALL)).limit(5).to_pandas()
+    assert (out.payload_bytes > 0).all()
+    assert out.magic_hex.str.len().eq(8).all()
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image")
+
+
+def test_read_text_dir_reference_semantics(ray_session, tmp_path):
+    from corpusaid_ray.sources import preview, read_text_dir
+
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.txt").write_text("hello")
+    (tmp_path / "sub" / "b.TXT").write_bytes("caf\xe9 latt\xe9".encode("latin-1"))
+    (tmp_path / "skip.md").write_text("nope")
+    ds = read_text_dir(str(tmp_path))
+    rows = {r["path"].split("/")[-1]: r["content"] for r in ds.take_all()}
+    assert set(rows) == {"a.txt", "b.TXT"}
+    assert rows["a.txt"] == "hello"
+    assert "caf�" in rows["b.TXT"]  # errors="replace" fallback
+    pv = preview(ds, limit_chars=3, n=1)
+    assert len(pv) == 1 and len(pv[0]["content"]) == 3
