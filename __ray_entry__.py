@@ -220,6 +220,215 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(cands, queries, k=5)
 
 
+CHAR_FILTER_SEQS = ("foo", "TODO", "a+b")
+USER_REGEX = r"key AKIA.*?leaked"  # DOTALL user scrub (reference op #19)
+
+
+def q_char_filter(sf_dir: str):
+    """CharacterFilterModule semantics: escaped literals, \\b-wrap for word
+    sequences, IGNORECASE (src/CorpusAid.py:197-225)."""
+    import pyarrow as pa
+
+    from corpusaid_ray.functions.textops import compile_char_filter
+
+    pat = compile_char_filter(CHAR_FILTER_SEQS)
+
+    def fil(batch: pa.Table) -> pa.Table:
+        out = [pat.sub("", t) for t in batch["content"].to_pylist()]
+        return pa.table(
+            {"repo": batch["repo"], "path": batch["path"],
+             "content_filtered": pa.array(out, pa.string())}
+        )
+
+    return _corpus(sf_dir).map_batches(fil, batch_format="pyarrow")
+
+
+def q_regex_scrub(sf_dir: str):
+    """User-regex substitution with DOTALL (src/CorpusAid.py:343-366)."""
+    import pyarrow as pa
+
+    from corpusaid_ray.functions.textops import compile_user_regex
+
+    pat = compile_user_regex(USER_REGEX)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        out = [pat.sub("", t) for t in batch["content"].to_pylist()]
+        return pa.table(
+            {"repo": batch["repo"], "path": batch["path"],
+             "content_scrubbed": pa.array(out, pa.string())}
+        )
+
+    return _corpus(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
+def q_scrub_bib(sf_dir: str):
+    """Bibliographical-reference removal (src/CorpusAid.py:314-319)."""
+    import pyarrow as pa
+
+    from corpusaid_ray.functions.textops import remove_bibliographical_references
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        out = [remove_bibliographical_references(t)
+               for t in batch["content"].to_pylist()]
+        return pa.table(
+            {"repo": batch["repo"], "path": batch["path"],
+             "content_scrubbed": pa.array(out, pa.string())}
+        )
+
+    return _corpus(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
+def q_strip_html(sf_dir: str):
+    """HTML → text (html.parser semantics; not SQL-expressible → rows-only,
+    value parity vs the oracle transcription lives in pytest)."""
+    import pyarrow as pa
+
+    from corpusaid_ray.functions.textops import strip_html
+
+    def strip(batch: pa.Table) -> pa.Table:
+        out = [strip_html(t) for t in batch["content"].to_pylist()]
+        return pa.table(
+            {"repo": batch["repo"], "path": batch["path"],
+             "content_text": pa.array(out, pa.string())}
+        )
+
+    return _corpus(sf_dir).map_batches(strip, batch_format="pyarrow")
+
+
+def q_tokenize_stopwords(sf_dir: str):
+    """Pinned tokenizer + stop-word filter + single-space join (reference
+    ops #14-15 under the engine's pinned spec). Runs on the ASCII
+    ``documents.text`` so the RE2 oracle tokenizes identically."""
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.functions.tokenize import TOKEN_RE, STOP_WORDS
+
+    def tok(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        joined, kept = [], []
+        for t in texts:
+            toks = [w for w in TOKEN_RE.findall(t) if w.lower() not in STOP_WORDS]
+            joined.append(" ".join(toks))
+            kept.append(len(toks))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "content_tokens": pa.array(joined, pa.string()),
+                "n_kept_tokens": pa.array(kept, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(tok, batch_format="pyarrow")
+
+
+def q_clean_unicode(sf_dir: str):
+    """Unicode-class operator chain: NFKC → diacritics → greek → cyrillic →
+    No/Sk (rows-only: unicodedata tables aren't SQL; pytest holds parity)."""
+    import pyarrow as pa
+
+    from corpusaid_ray.functions import textops as T
+
+    def chain(batch: pa.Table) -> pa.Table:
+        out = [
+            T.remove_super_sub_script(
+                T.remove_cyrillic(T.remove_greek(
+                    T.remove_diacritics(T.normalize_unicode(t))))
+            )
+            for t in batch["content"].to_pylist()
+        ]
+        return pa.table(
+            {"repo": batch["repo"], "path": batch["path"],
+             "content_clean": pa.array(out, pa.string())}
+        )
+
+    return _corpus(sf_dir).map_batches(chain, batch_format="pyarrow")
+
+
+def q_clean_full(sf_dir: str):
+    """Kitchen-sink reference chain (all 19 params incl. char filter, user
+    regex, tokenization) + sha256 — the north rule's per-row invariant
+    column. Rows-only here; per-row equality vs tests/reference_impl.py is
+    the pytest golden gate."""
+    from corpusaid_ray.config import PipelineConfig, REFERENCE_PARAM_DEFAULTS
+    from corpusaid_ray.stages.clean import CleanAndHash
+
+    params = {
+        **{k: True for k, v in REFERENCE_PARAM_DEFAULTS.items()
+           if isinstance(v, bool)},
+        "chars_to_remove": list(CHAR_FILTER_SEQS),
+        "regex_pattern": USER_REGEX,
+    }
+    cfg = PipelineConfig.from_params(params)
+    return (
+        _corpus(sf_dir)
+        .map_batches(
+            CleanAndHash,
+            fn_constructor_kwargs={"config": cfg},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .select_columns(["repo", "path", "content_clean", "content_sha256"])
+    )
+
+
+def q_processed_report(sf_dir: str):
+    """Post-process report (src/CorpusAid.py:3098-3118): totals over the
+    PROCESSED text of the clean_basic config."""
+    from corpusaid_ray.config import PipelineConfig
+    from corpusaid_ray.stages.aggregates import corpus_report
+    from corpusaid_ray.stages.clean import CleanAndHash
+
+    cfg = PipelineConfig(remove_break_lines=True, lowercase=True)
+    ds = _corpus(sf_dir).map_batches(
+        CleanAndHash,
+        fn_constructor_kwargs={"config": cfg},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return corpus_report(ds, col="content_clean")
+
+
+def q_repo_dedup_stats(sf_dir: str):
+    """Salted per-repo distinct-content aggregate (north-rule skew stage)."""
+    from corpusaid_ray.stages.aggregates import repo_dedup_stats
+    from corpusaid_ray.stages.dedup import add_sha256
+
+    ds = _corpus(sf_dir).map_batches(add_sha256, batch_format="pyarrow")
+    return repo_dedup_stats(ds)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k (scale path of ann_topk; rows-only —
+    recall vs brute force is asserted in pytest)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import IVFIndexParams, ann_ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = t.filter(pc.less(t["vec_id"], 8))
+    queries = {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
+    }
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    params = IVFIndexParams.fit(sample)
+    cands = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") >= 8,
+    )
+    return ann_ivf_topk(cands, queries, k=5, params=params)
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs (rows-only: LSH bucketing is not
     SQL-expressible; determinism covered by pytest)."""
@@ -317,6 +526,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
+        "char_filter": q_char_filter,
+        "regex_scrub": q_regex_scrub,
+        "scrub_bib": q_scrub_bib,
+        "strip_html": q_strip_html,
+        "tokenize_stopwords": q_tokenize_stopwords,
+        "clean_unicode": q_clean_unicode,
+        "clean_full": q_clean_full,
+        "processed_report": q_processed_report,
+        "repo_dedup_stats": q_repo_dedup_stats,
+        "ann_ivf": q_ann_ivf,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,

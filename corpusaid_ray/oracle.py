@@ -191,6 +191,62 @@ SELECT event_type,
        sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros
 FROM events GROUP BY event_type, date_trunc('hour', ts)"""
 
+# CharacterFilterModule mirror: escaped literals, \b wrap for word-char
+# sequences, case-insensitive — (?i) inline since RE2 has no flag arg here.
+ORACLE_SQL["char_filter"] = with_corpus(r"""
+SELECT repo, path,
+       regexp_replace(content, '(?i)\bfoo\b|\bTODO\b|a\+b', '', 'g')
+         AS content_filtered
+FROM corpus""")
+
+# RegexSubstitutionModule mirror: user pattern under DOTALL → (?s).
+ORACLE_SQL["regex_scrub"] = with_corpus(r"""
+SELECT repo, path,
+       regexp_replace(content, '(?s)key AKIA.*?leaked', '', 'g')
+         AS content_scrubbed
+FROM corpus""")
+
+ORACLE_SQL["scrub_bib"] = with_corpus(r"""
+SELECT repo, path,
+       regexp_replace(content, '\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)', '', 'g')
+         AS content_scrubbed
+FROM corpus""")
+
+
+def _register_tokenize_stopwords() -> None:
+    from corpusaid_ray.functions.tokenize import STOP_WORDS
+
+    stop_list = ", ".join(sql_quote(w) for w in sorted(STOP_WORDS))
+    ORACLE_SQL["tokenize_stopwords"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(text, '\\w+|[^\\w\\s]'),
+                     x -> lower(x) NOT IN ({stop_list})) AS kept
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(kept, ' ') AS content_tokens,
+       length(kept)::BIGINT AS n_kept_tokens
+FROM toks"""
+
+
+_register_tokenize_stopwords()
+
+_CLEAN_BASIC = f"trim(lower(replace(content, chr(10), ' ')), {WS_CHARS})"
+ORACLE_SQL["processed_report"] = with_corpus(f"""
+SELECT count(*)::BIGINT AS total_files,
+       sum(octet_length(encode({_CLEAN_BASIC})))::BIGINT AS total_bytes,
+       sum(octet_length(encode({_CLEAN_BASIC})))::DOUBLE / count(*) AS avg_bytes,
+       sum({_word_count_sql(_CLEAN_BASIC)})::BIGINT AS total_words,
+       sum({_word_count_sql(_CLEAN_BASIC)})::DOUBLE / count(*) AS avg_words
+FROM corpus""")
+
+ORACLE_SQL["repo_dedup_stats"] = with_corpus("""
+SELECT repo,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT sha256(content))::BIGINT AS n_distinct_content
+FROM corpus GROUP BY repo""")
+
 ORACLE_SQL["multimodal_meta"] = with_corpus("""
 SELECT repo, path,
        octet_length(encode(content))::BIGINT AS payload_bytes,

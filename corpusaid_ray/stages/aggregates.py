@@ -63,6 +63,62 @@ def corpus_report(ds, col: str = "content") -> pd.DataFrame:
     )
 
 
+def repo_dedup_stats(ds, key: str = "repo", hash_col: str = "content_sha256",
+                     num_salts: int = 8):
+    """Per-repo doc counts + DISTINCT-content counts with an explicitly
+    SALTED shuffle (north rule: giant repos skew a naive ``groupby(repo)``).
+
+    Distinct is non-additive, so the salt must partition by the DEDUP KEY:
+    ``salt = crc32(sha) % S`` puts every copy of one content hash in the same
+    salt bucket, making per-(repo, salt) distinct counts disjoint — phase 2
+    just sums them. Salting by row identity (e.g. path) would double-count.
+
+    Phases: batch combiner (dedup (repo, salt, sha) within batch, carrying
+    exact doc counts) → shuffle on (repo, salt) → per-group distinct count →
+    groupby(repo) sum. The giant repo's rows spread across S reducers
+    instead of one."""
+    import zlib
+
+    def salt_rows(batch: pa.Table) -> pa.Table:
+        shas = batch[hash_col].to_pylist()
+        salts = np.fromiter(
+            (zlib.crc32(s.encode()) % num_salts for s in shas),
+            dtype="int64", count=len(shas),
+        )
+        t = pa.table(
+            {key: batch[key], "salt": pa.array(salts), hash_col: batch[hash_col]}
+        )
+        df = t.to_pandas()
+        docs = df.groupby([key, "salt"], sort=False).size().rename("n_docs").reset_index()
+        dedup = df.drop_duplicates()
+        dedup = dedup.merge(docs, on=[key, "salt"], how="left")
+        # n_docs valid only on first row per (repo,salt); zero elsewhere
+        dedup["n_docs"] = dedup["n_docs"].where(
+            ~dedup.duplicated([key, "salt"]), 0
+        )
+        return pa.Table.from_pandas(dedup, preserve_index=False)
+
+    rows = ds.map_batches(salt_rows, batch_format="pyarrow")
+
+    def per_salt(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n_docs": [int(g["n_docs"].sum())],
+                "n_distinct": [int(g[hash_col].nunique())],
+            }
+        )
+
+    per = rows.groupby([key, "salt"]).map_groups(per_salt, batch_format="pandas")
+    return (
+        per.groupby(key)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_distinct", alias_name="n_distinct_content"),
+        )
+    )
+
+
 def repo_stats(ds, key: str = "repo", col: str = "content"):
     """Per-repo additive stats via partial-agg-then-groupby: the map side
     collapses each batch to ≤ |repos-in-batch| rows, so the all-to-all
