@@ -500,6 +500,122 @@ def q_multimodal_meta(sf_dir: str):
     )
 
 
+def q_events_sessionize(sf_dir: str):
+    """Per-user session windows (gap > 30 min starts a new session)."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return sessionize(ds, gap_minutes=30)
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast join: orders ⨝ customer ⨝ nation (both dimension sides tiny
+    → ray.put once, merge per batch, zero shuffle) → per-nation aggregates."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.join import broadcast_join
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_micros(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        df = df.rename(columns={"o_custkey": "c_custkey"})
+        df["price_micros"] = np.floor(
+            df.pop("o_totalprice").to_numpy() * 1_000_000
+        ).astype("int64")
+        return df
+
+    joined = broadcast_join(
+        orders.map_batches(to_micros, batch_format="pandas"), dim, on="c_custkey"
+    )
+    return (
+        joined.groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("price_micros", alias_name="total_price_micros"),
+        )
+    )
+
+
+def q_order_revenue_join(sf_dir: str):
+    """Hash join (both sides large): lineitem ⨝ orders on orderkey via Ray's
+    hash-partitioned join, then per-status revenue aggregates."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["l_orderkey"],
+                "rev_micros": np.floor(rev * 1_000_000).astype("int64"),
+            }
+        )
+
+    li = li.map_batches(revenue, batch_format="pandas")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    joined = hash_join(li, orders, on="o_orderkey", num_partitions=16)
+    return (
+        joined.groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("rev_micros", alias_name="revenue_micros"),
+        )
+    )
+
+
+def q_top_docs(sf_dir: str):
+    """Distributed sort + limit: 20 largest corpus docs (chars desc, path asc
+    tie-break)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def measure(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "n_chars": pc.utf8_length(batch["content"]),
+            }
+        )
+
+    return (
+        _corpus(sf_dir)
+        .map_batches(measure, batch_format="pyarrow")
+        .sort(["n_chars", "path"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def q_keep_drop(sf_dir: str):
     """Full flagship labeling — model stages not SQL-expressible → rows-only
     driver check; value-level correctness is covered by pytest golden tests."""
@@ -536,6 +652,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "processed_report": q_processed_report,
         "repo_dedup_stats": q_repo_dedup_stats,
         "ann_ivf": q_ann_ivf,
+        "events_sessionize": q_events_sessionize,
+        "orders_by_nation": q_orders_by_nation,
+        "order_revenue_join": q_order_revenue_join,
+        "top_docs": q_top_docs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,

@@ -253,6 +253,48 @@ SELECT repo, path,
        substr(hex(encode(content)), 1, 8) AS magic_hex
 FROM corpus""")
 
+ORACLE_SQL["events_sessionize"] = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros
+FROM sess GROUP BY user_id, session_id"""
+
+ORACLE_SQL["orders_by_nation"] = """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 1000000) AS BIGINT)) AS total_price_micros
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+ORACLE_SQL["order_revenue_join"] = """
+SELECT o.o_orderstatus,
+       count(*)::BIGINT AS n_items,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000)
+                AS BIGINT)) AS revenue_micros
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus"""
+
+ORACLE_SQL["top_docs"] = with_corpus("""
+SELECT repo, path, length(content) AS n_chars
+FROM corpus
+ORDER BY n_chars DESC, path
+LIMIT 20""")
+
 ORACLE_SQL["ann_topk"] = """
 WITH queries AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 8

@@ -1,0 +1,41 @@
+"""Join patterns (the reference has no joins, SURVEY.md §2.5 — these are
+the engine's lookup/join toolkit for pipelines that need dimension data):
+
+1. **Broadcast join** (small side): ``ray.put`` the dimension table once,
+   merge inside ``map_batches``. No shuffle; the small side ships to each
+   worker once via the object store, never per batch. This is ALWAYS the
+   right join when one side fits in memory (dimension tables, vocab,
+   blocklists).
+2. **Hash join** (both sides large): Ray Data's native hash-partitioned
+   ``Dataset.join`` — both inputs shuffle exactly once, partitioned by the
+   key hash across ``num_partitions`` aggregators. Skewed keys should be
+   salted into sub-keys before the join and re-merged after.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, *, on: str, how: str = "inner"):
+    """ds ⨝ small_df on ``on`` — small side broadcast once via ``ray.put``."""
+    import ray
+
+    ref = ray.put(small_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)  # zero-copy read from the local object store
+        return batch.merge(small, on=on, how=how)
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def hash_join(left, right, *, on: str, num_partitions: int = 32,
+              join_type: str = "inner"):
+    """Large ⨝ large via Ray's hash-partitioned join (one shuffle per side)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+    )

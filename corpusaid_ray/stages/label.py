@@ -33,6 +33,8 @@ def label_fn(config: PipelineConfig):
             reason[new] = tag
             drop[new] = True
 
+        if "clean_error" in names:
+            apply(col("clean_error").astype(bool), "error:clean")
         if "n_chars" in names:
             apply(col("n_chars") < th.min_chars, "heuristic:min_chars")
         if "lang_conf" in names:

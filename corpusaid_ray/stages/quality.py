@@ -35,6 +35,7 @@ def heuristics_fn(batch: pa.Table, source_col: str = "content_clean") -> pa.Tabl
     col = batch[source_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    col = pc.fill_null(col, "")  # poison rows: metrics of the empty string
     n = len(col)
 
     n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype("int64")

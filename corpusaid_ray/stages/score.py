@@ -42,12 +42,36 @@ class CleanScoreStage:
         self.post_fns = tuple(post_fns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # a block whose content is entirely null arrives with Arrow `null`
+        # type — normalize so downstream string kernels have a real type
+        idx = batch.column_names.index("content")
+        if pa.types.is_null(batch.schema.field("content").type):
+            batch = batch.set_column(
+                idx, "content", batch["content"].cast(pa.string())
+            )
         texts = batch["content"].to_pylist()
         chain = self.chain
-        cleaned = texts if chain is None else [chain(t) for t in texts]
+        # Poison-pill rows (null content, pathological operator errors) must
+        # not fail the task — the reference collects per-file errors and
+        # keeps going (src/CorpusAid.py:713-716, 2483-2493); here they become
+        # keep=false, drop_reason="error:clean" rows (label stage reads
+        # clean_error).
+        cleaned: list[str] = []
+        errors = np.zeros(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            if t is None:
+                cleaned.append("")
+                errors[i] = True
+                continue
+            try:
+                cleaned.append(t if chain is None else chain(t))
+            except Exception:
+                cleaned.append("")
+                errors[i] = True
         sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in cleaned]
         batch = batch.append_column("content_clean", pa.array(cleaned, pa.string()))
         batch = batch.append_column("content_sha256", pa.array(sha, pa.string()))
+        batch = batch.append_column("clean_error", pa.array(errors))
 
         n = len(cleaned)
         if self.langid is not None:

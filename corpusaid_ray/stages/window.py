@@ -21,6 +21,42 @@ import pyarrow as pa
 from ray.data.aggregate import Sum
 
 
+def sessionize(ds, *, gap_minutes: int = 30, key: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value"):
+    """Session windows per key: events sorted by time within each key; a gap
+    > ``gap_minutes`` starts a new session. One ``groupby(key)`` co-locates
+    each key's events; the per-group pandas fn does the ordered scan (the
+    ordering assumption lives INSIDE the group — block order never matters).
+
+    Output: (key, session_id [0-based per key], n_events, session_start,
+    session_end, sum_value_micros). SQL mirror: lag + cumulative sum window
+    functions.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        new_session = g[ts_col].diff() > gap
+        sid = new_session.cumsum().astype("int64")
+        micros = np.floor(g[value_col].to_numpy() * 1_000_000).astype("int64")
+        out = (
+            pd.DataFrame(
+                {key: g[key], "session_id": sid, "ts": g[ts_col], "v": micros}
+            )
+            .groupby([key, "session_id"], sort=True)
+            .agg(
+                n_events=("v", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                sum_value_micros=("v", "sum"),
+            )
+            .reset_index()
+        )
+        return out
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def tumbling_window(ds, *, size: str = "1h",
                     key: str = "event_type", ts_col: str = "ts",
                     value_col: str = "value"):

@@ -165,3 +165,75 @@ def test_ann_topk_matches_bruteforce(ray_session):
         expected = (np.argsort(-sims, kind="stable")[:3] + 2).tolist()
         got = out[out.query_id == qid].sort_values("rank").vec_id.tolist()
         assert got == expected, (qid, got, expected)
+
+
+# ---------------------------------------------------------------------------
+# poison rows, sessionize, joins
+# ---------------------------------------------------------------------------
+
+
+def test_poison_rows_become_error_drops(ray_session):
+    import ray.data
+
+    from corpusaid_ray.config import flagship_config
+    from corpusaid_ray.pipelines.quality_filter import build
+    from corpusaid_ray.stages.langid import LangIdModel
+    from corpusaid_ray.stages.perplexity import PerplexityModel
+
+    rows = [
+        {"repo": "r", "path": "ok.txt", "lang": "en",
+         "content": "perfectly fine text with enough length"},
+        {"repo": "r", "path": "null.txt", "lang": "en", "content": None},
+    ]
+    lid = LangIdModel.fit(["aaa", "bbb"], ["en", "fr"])
+    ppl = PerplexityModel.fit(["some text to count trigrams on"])
+    ds = build(ray.data.from_items(rows), flagship_config(),
+               langid_model=lid, perplexity_model=ppl)
+    out = ds.to_pandas().set_index("path")
+    assert bool(out.loc["ok.txt", "keep"])
+    assert not bool(out.loc["null.txt", "keep"])
+    assert out.loc["null.txt", "drop_reason"] == "error:clean"
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.window import sessionize
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10",
+                 "2024-01-01 01:00", "2024-01-01 00:00"]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    out = (
+        sessionize(ray.data.from_pandas(df), gap_minutes=30)
+        .to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    )
+    assert out.n_events.tolist() == [2, 1, 1]
+    assert out.session_id.tolist() == [0, 1, 0]
+    assert out.sum_value_micros.tolist() == [3_000_000, 3_000_000, 4_000_000]
+
+
+def test_broadcast_and_hash_join(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.join import broadcast_join, hash_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+    )
+    dim = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    bj = broadcast_join(left, dim, on="k").to_pandas().sort_values("k")
+    assert bj.k.tolist() == [1, 2, 3] and bj.name.tolist() == ["a", "b", "c"]
+
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": [2, 3, 5], "w": [200, 300, 500]})
+    )
+    hj = hash_join(left, right, on="k", num_partitions=4).to_pandas().sort_values("k")
+    assert hj.k.tolist() == [2, 3]
+    assert hj.w.tolist() == [200, 300]
