@@ -500,6 +500,74 @@ def q_multimodal_meta(sf_dir: str):
     )
 
 
+def q_dup_groups(sf_dir: str):
+    """Near-dup groups: MinHash-LSH pairs → exact verify → connected
+    components with deterministic representatives (rows-only)."""
+    from corpusaid_ray.stages.neardup import duplicate_groups, ngram_duplicates
+
+    verified = ngram_duplicates(_corpus(sf_dir), threshold=0.8)
+    return duplicate_groups(verified)
+
+
+def q_ttr_stats(sf_dir: str):
+    """Type-token ratio per document (text-analysis suite; pinned
+    tokenizer, ASCII documents table so the RE2 oracle agrees)."""
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        n_tokens, n_types = [], []
+        for t in batch["text"].to_pylist():
+            toks = TOKEN_RE.findall(t)
+            n_tokens.append(len(toks))
+            n_types.append(len(set(toks)))
+        nt = pa.array(n_tokens, pa.int64())
+        ty = pa.array(n_types, pa.int64())
+        import numpy as np
+
+        ratio = np.array(n_types, dtype=np.float64) / np.maximum(
+            np.array(n_tokens, dtype=np.float64), 1.0
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": nt, "n_types": ty,
+             "ttr": pa.array(ratio)}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+def q_word_freq(sf_dir: str):
+    """Corpus-wide token frequency, top 50: explode tokens per batch with a
+    batch-local combiner (token→count partials) → small groupby → sort/limit.
+    The shuffle moves ≤ |vocab| rows per batch, never one row per token."""
+    import pandas as pd
+    import ray.data
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(TOKEN_RE.findall(t))
+        return pd.DataFrame(
+            {"token": list(c.keys()), "n": list(c.values())}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    freq = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return freq.sort(["n", "token"], descending=[True, False]).limit(50)
+
+
 def q_events_sessionize(sf_dir: str):
     """Per-user session windows (gap > 30 min starts a new session)."""
     import ray.data
@@ -652,6 +720,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "processed_report": q_processed_report,
         "repo_dedup_stats": q_repo_dedup_stats,
         "ann_ivf": q_ann_ivf,
+        "dup_groups": q_dup_groups,
+        "ttr_stats": q_ttr_stats,
+        "word_freq": q_word_freq,
         "events_sessionize": q_events_sessionize,
         "orders_by_nation": q_orders_by_nation,
         "order_revenue_join": q_order_revenue_join,

@@ -1,0 +1,74 @@
+"""CLI: run the flagship pipeline with checkpoint/resume, or print reports.
+
+Examples::
+
+    python -m corpusaid_ray run --sf-dir /root/testdata/sf0.001 --out /tmp/out
+    python -m corpusaid_ray run --sf-dir ... --out ... --resume
+    python -m corpusaid_ray report --sf-dir /root/testdata/sf0.01
+
+The CLI OWNS the Ray session (guarded init + shutdown); library code never
+touches session lifecycle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="corpusaid_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="checkpointed flagship run")
+    runp.add_argument("--sf-dir", required=True)
+    runp.add_argument("--out", required=True)
+    runp.add_argument("--num-parts", type=int, default=16)
+    runp.add_argument("--repeat", type=int, default=1)
+    runp.add_argument("--no-resume", action="store_true")
+    runp.add_argument("--num-cpus", type=int, default=None)
+
+    repp = sub.add_parser("report", help="corpus report aggregates")
+    repp.add_argument("--sf-dir", required=True)
+    repp.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        if args.cmd == "run":
+            from corpusaid_ray.state.lineage import run_checkpointed
+
+            summary = run_checkpointed(
+                args.sf_dir, args.out,
+                num_parts=args.num_parts,
+                repeat=args.repeat,
+                resume=not args.no_resume,
+            )
+            print(json.dumps(summary))
+        elif args.cmd == "report":
+            from corpusaid_ray.corpus import read_corpus
+            from corpusaid_ray.stages.aggregates import corpus_report
+
+            df = corpus_report(read_corpus(args.sf_dir))
+            print(df.to_json(orient="records"))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

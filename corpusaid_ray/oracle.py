@@ -253,6 +253,24 @@ SELECT repo, path,
        substr(hex(encode(content)), 1, 8) AS magic_hex
 FROM corpus""")
 
+ORACLE_SQL["ttr_stats"] = r"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_tokens,
+       length(list_distinct(regexp_extract_all(text, '\w+|[^\w\s]')))::BIGINT
+         AS n_types,
+       length(list_distinct(regexp_extract_all(text, '\w+|[^\w\s]')))::DOUBLE
+         / greatest(length(regexp_extract_all(text, '\w+|[^\w\s]')), 1)
+         AS ttr
+FROM documents"""
+
+ORACLE_SQL["word_freq"] = r"""
+SELECT token, count(*)::BIGINT AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 50"""
+
 ORACLE_SQL["events_sessionize"] = """
 WITH ordered AS (
   SELECT user_id, ts, value,

@@ -186,6 +186,37 @@ def ngram_duplicates(ds, *, threshold: float = 0.6, est_threshold: float = 0.5):
     return out.sort_values(["path_a", "path_b"]).reset_index(drop=True)
 
 
+def duplicate_groups(pairs_df: pd.DataFrame,
+                     cols: tuple[str, str] = ("path_a", "path_b")) -> pd.DataFrame:
+    """Connected components over verified duplicate pairs → (path, group_rep)
+    where ``group_rep`` is the lexicographically-smallest member.
+
+    Union-find on the driver: safe because the input is the LSH-filtered
+    candidate-pair set, which is ≪ corpus by construction (the guide's
+    stated precondition). For adversarial corpora where pairs explode, the
+    distributed alternative is iterated min-label propagation via
+    ``groupby`` — O(diameter) shuffles.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs_df[cols[0]], pairs_df[cols[1]]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by lexicographic order → deterministic representative
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=["path", "group_rep"])
+
+
 def ngram_jaccard_verify(pairs_df: pd.DataFrame, contents: dict[str, str],
                          threshold: float = 0.6) -> pd.DataFrame:
     """Exact n-gram Jaccard over a (small) candidate set; ``contents`` is a

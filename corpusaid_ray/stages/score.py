@@ -56,18 +56,25 @@ class CleanScoreStage:
         # keeps going (src/CorpusAid.py:713-716, 2483-2493); here they become
         # keep=false, drop_reason="error:clean" rows (label stage reads
         # clean_error).
-        cleaned: list[str] = []
         errors = np.zeros(len(texts), dtype=bool)
-        for i, t in enumerate(texts):
-            if t is None:
-                cleaned.append("")
-                errors[i] = True
-                continue
-            try:
-                cleaned.append(t if chain is None else chain(t))
-            except Exception:
-                cleaned.append("")
-                errors[i] = True
+        try:
+            # fast path: no per-row exception handling cost (~15% at bench
+            # scale); any poison row drops us to the row-by-row path
+            cleaned = texts if chain is None else [chain(t) for t in texts]
+            if chain is None and any(t is None for t in texts):
+                raise TypeError  # normalize None through the slow path
+        except Exception:
+            cleaned = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    cleaned.append("")
+                    errors[i] = True
+                    continue
+                try:
+                    cleaned.append(t if chain is None else chain(t))
+                except Exception:
+                    cleaned.append("")
+                    errors[i] = True
         sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in cleaned]
         batch = batch.append_column("content_clean", pa.array(cleaned, pa.string()))
         batch = batch.append_column("content_sha256", pa.array(sha, pa.string()))

@@ -114,3 +114,25 @@ def test_fingerprint_groups_exact_dups(ray_session):
     df = _corpus_df()[["path", "content"]].merge(fp, on="path")
     by_content = df.groupby("content")["fingerprint"].nunique()
     assert (by_content == 1).all()
+
+
+def test_dup_groups_union_find(ray_session):
+    """Connected components with deterministic representatives."""
+    from corpusaid_ray.stages.neardup import duplicate_groups
+
+    pairs = pd.DataFrame(
+        {"path_a": ["b", "c", "x"], "path_b": ["a", "b", "y"]}
+    )
+    out = duplicate_groups(pairs)
+    groups = dict(zip(out.path, out.group_rep))
+    assert groups == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_word_freq_and_ttr(ray_session):
+    import __ray_entry__ as e
+
+    wf = e.q_word_freq(SF_SMALL).to_pandas()
+    assert wf.n.is_monotonic_decreasing
+    ttr = e.q_ttr_stats(SF_SMALL).to_pandas()
+    assert ((ttr.ttr > 0) & (ttr.ttr <= 1)).all()
+    assert (ttr.n_types <= ttr.n_tokens).all()
