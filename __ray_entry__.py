@@ -139,8 +139,10 @@ def q_dedup_exact(sf_dir: str):
     from corpusaid_ray.stages.dedup import add_sha256, dedup_exact
 
     ds = _corpus(sf_dir).map_batches(add_sha256, batch_format="pyarrow")
-    ds = dedup_exact(ds, scope_cols=("repo",))
-    return ds.select_columns(["repo", "path", "commit", "content_sha256"])
+    # prune BEFORE the shuffle: only key columns cross the exchange, never
+    # the content payload
+    ds = ds.select_columns(["repo", "path", "commit", "content_sha256"])
+    return dedup_exact(ds, scope_cols=("repo",))
 
 
 def q_repo_stats(sf_dir: str):

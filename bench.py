@@ -121,7 +121,7 @@ def run_bench() -> dict:
     t0 = time.perf_counter()
     d = read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT).map_batches(
         add_sha256, batch_format="pyarrow"
-    )
+    ).select_columns(["repo", "path", "commit", "content_sha256"])
     n = dedup_exact(d).count()
     queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
     extras["dedup_out_rows"] = n
@@ -138,6 +138,20 @@ def run_bench() -> dict:
     )
     tumbling_window(ev).count()
     queries["events_window"] = round(time.perf_counter() - t0, 3)
+
+    # --- checkpointed write path (partitioned parquet + lineage manifests) ---
+    import shutil
+
+    from corpusaid_ray.state.lineage import run_checkpointed
+
+    out_dir = "/tmp/bench_ckpt"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = run_checkpointed(
+        SF_DIR, out_dir, num_parts=NCPU, repeat=max(1, REPEAT // 10)
+    )
+    queries["checkpoint_write"] = round(time.perf_counter() - t0, 3)
+    extras["checkpoint_rows"] = summary["rows"]
 
     return {
         "metric": "flagship keep/drop+scrub wall time (sf corpus ×%d)" % REPEAT,

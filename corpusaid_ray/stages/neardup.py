@@ -91,7 +91,10 @@ def minhash_candidate_pairs(ds, *, key: str = "path",
         bucket_pairs, batch_format="pandas"
     )
 
-    # a pair can surface from several bands — keep one row per pair
+    # a pair can surface from several bands — dedupe per batch, then one
+    # whole-key map_groups pass. (Measured: groupby().aggregate(Max) on the
+    # two string keys is 5× slower than this at sf0.1 — Ray's sort-based
+    # aggregate pays more on wide string keys than per-group pandas here.)
     def drop_dup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["path_a", "path_b"])
 
