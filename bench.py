@@ -148,7 +148,8 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     summary = run_checkpointed(
-        SF_DIR, out_dir, num_parts=NCPU, repeat=max(1, REPEAT // 10)
+        SF_DIR, out_dir, num_parts=NCPU, repeat=max(1, REPEAT // 10),
+        langid_model=langid_model, perplexity_model=ppl_model,
     )
     queries["checkpoint_write"] = round(time.perf_counter() - t0, 3)
     extras["checkpoint_rows"] = summary["rows"]

@@ -144,7 +144,8 @@ class PartWriter:
 
 def run_checkpointed(sf_dir: str, out_dir: str, *, config=None,
                      num_parts: int = 16, repeat: int = 1, resume: bool = True,
-                     part_filter=None) -> dict:
+                     part_filter=None, langid_model=None,
+                     perplexity_model=None) -> dict:
     """One resumable flagship run. Returns a summary dict (parts written,
     rows, drop-reason totals). ``part_filter`` (set[int] | None) restricts
     which partitions are processed — used by tests to simulate a job killed
@@ -177,7 +178,8 @@ def run_checkpointed(sf_dir: str, out_dir: str, *, config=None,
         lambda b: b.filter(pc.is_in(b["part_id"], value_set=target_arr)),
         batch_format="pyarrow",
     )
-    ds = build(ds, cfg, sf_dir=sf_dir)
+    ds = build(ds, cfg, sf_dir=sf_dir, langid_model=langid_model,
+               perplexity_model=perplexity_model)
 
     run_id = uuid.uuid4().hex[:12]
     stats = ds.map_batches(
