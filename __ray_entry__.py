@@ -42,6 +42,21 @@ def _corpus(sf_dir: str):
     return read_corpus(sf_dir)
 
 
+def _rowwise(sf_dir: str, row_fn, out_col: str):
+    """Shared shape for per-row string-operator queries: corpus →
+    map_batches applying ``row_fn`` per row → (repo, path, out_col)."""
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = [row_fn(t) for t in batch["content"].to_pylist()]
+        return pa.table(
+            {"repo": batch["repo"], "path": batch["path"],
+             out_col: pa.array(out, pa.string())}
+        )
+
+    return _corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def q_corpus_table(sf_dir: str):
     return _corpus(sf_dir)
 
@@ -64,46 +79,22 @@ def q_clean_basic(sf_dir: str):
 
 
 def q_scrub_pages(sf_dir: str):
-    import pyarrow as pa
-
     from corpusaid_ray.functions import textops as T
 
-    def page_chain(batch: pa.Table) -> pa.Table:
-        out = [
-            T.remove_page_delimiters(
-                T.remove_page_indicators(
-                    T.remove_roman_page_numbers(T.remove_page_numbers(t))
-                )
+    def page_chain(t: str) -> str:
+        return T.remove_page_delimiters(
+            T.remove_page_indicators(
+                T.remove_roman_page_numbers(T.remove_page_numbers(t))
             )
-            for t in batch["content"].to_pylist()
-        ]
-        return pa.table(
-            {
-                "repo": batch["repo"],
-                "path": batch["path"],
-                "content_scrubbed": pa.array(out, pa.string()),
-            }
         )
 
-    return _corpus(sf_dir).map_batches(page_chain, batch_format="pyarrow")
+    return _rowwise(sf_dir, page_chain, "content_scrubbed")
 
 
 def q_whitespace_norm(sf_dir: str):
-    import pyarrow as pa
-
     from corpusaid_ray.functions.textops import normalize_spacing
 
-    def norm(batch: pa.Table) -> pa.Table:
-        out = [normalize_spacing(t) for t in batch["content"].to_pylist()]
-        return pa.table(
-            {
-                "repo": batch["repo"],
-                "path": batch["path"],
-                "content_norm": pa.array(out, pa.string()),
-            }
-        )
-
-    return _corpus(sf_dir).map_batches(norm, batch_format="pyarrow")
+    return _rowwise(sf_dir, normalize_spacing, "content_norm")
 
 
 def q_scrub_pii(sf_dir: str):
@@ -229,55 +220,25 @@ USER_REGEX = r"key AKIA.*?leaked"  # DOTALL user scrub (reference op #19)
 def q_char_filter(sf_dir: str):
     """CharacterFilterModule semantics: escaped literals, \\b-wrap for word
     sequences, IGNORECASE (src/CorpusAid.py:197-225)."""
-    import pyarrow as pa
-
     from corpusaid_ray.functions.textops import compile_char_filter
 
     pat = compile_char_filter(CHAR_FILTER_SEQS)
-
-    def fil(batch: pa.Table) -> pa.Table:
-        out = [pat.sub("", t) for t in batch["content"].to_pylist()]
-        return pa.table(
-            {"repo": batch["repo"], "path": batch["path"],
-             "content_filtered": pa.array(out, pa.string())}
-        )
-
-    return _corpus(sf_dir).map_batches(fil, batch_format="pyarrow")
+    return _rowwise(sf_dir, lambda t: pat.sub("", t), "content_filtered")
 
 
 def q_regex_scrub(sf_dir: str):
     """User-regex substitution with DOTALL (src/CorpusAid.py:343-366)."""
-    import pyarrow as pa
-
     from corpusaid_ray.functions.textops import compile_user_regex
 
     pat = compile_user_regex(USER_REGEX)
-
-    def scrub(batch: pa.Table) -> pa.Table:
-        out = [pat.sub("", t) for t in batch["content"].to_pylist()]
-        return pa.table(
-            {"repo": batch["repo"], "path": batch["path"],
-             "content_scrubbed": pa.array(out, pa.string())}
-        )
-
-    return _corpus(sf_dir).map_batches(scrub, batch_format="pyarrow")
+    return _rowwise(sf_dir, lambda t: pat.sub("", t), "content_scrubbed")
 
 
 def q_scrub_bib(sf_dir: str):
     """Bibliographical-reference removal (src/CorpusAid.py:314-319)."""
-    import pyarrow as pa
-
     from corpusaid_ray.functions.textops import remove_bibliographical_references
 
-    def scrub(batch: pa.Table) -> pa.Table:
-        out = [remove_bibliographical_references(t)
-               for t in batch["content"].to_pylist()]
-        return pa.table(
-            {"repo": batch["repo"], "path": batch["path"],
-             "content_scrubbed": pa.array(out, pa.string())}
-        )
-
-    return _corpus(sf_dir).map_batches(scrub, batch_format="pyarrow")
+    return _rowwise(sf_dir, remove_bibliographical_references, "content_scrubbed")
 
 
 def q_strip_html(sf_dir: str):
@@ -287,14 +248,7 @@ def q_strip_html(sf_dir: str):
 
     from corpusaid_ray.functions.textops import strip_html
 
-    def strip(batch: pa.Table) -> pa.Table:
-        out = [strip_html(t) for t in batch["content"].to_pylist()]
-        return pa.table(
-            {"repo": batch["repo"], "path": batch["path"],
-             "content_text": pa.array(out, pa.string())}
-        )
-
-    return _corpus(sf_dir).map_batches(strip, batch_format="pyarrow")
+    return _rowwise(sf_dir, strip_html, "content_text")
 
 
 def q_tokenize_stopwords(sf_dir: str):
@@ -329,24 +283,15 @@ def q_tokenize_stopwords(sf_dir: str):
 def q_clean_unicode(sf_dir: str):
     """Unicode-class operator chain: NFKC → diacritics → greek → cyrillic →
     No/Sk (rows-only: unicodedata tables aren't SQL; pytest holds parity)."""
-    import pyarrow as pa
-
     from corpusaid_ray.functions import textops as T
 
-    def chain(batch: pa.Table) -> pa.Table:
-        out = [
-            T.remove_super_sub_script(
-                T.remove_cyrillic(T.remove_greek(
-                    T.remove_diacritics(T.normalize_unicode(t))))
-            )
-            for t in batch["content"].to_pylist()
-        ]
-        return pa.table(
-            {"repo": batch["repo"], "path": batch["path"],
-             "content_clean": pa.array(out, pa.string())}
+    def chain(t: str) -> str:
+        return T.remove_super_sub_script(
+            T.remove_cyrillic(T.remove_greek(
+                T.remove_diacritics(T.normalize_unicode(t))))
         )
 
-    return _corpus(sf_dir).map_batches(chain, batch_format="pyarrow")
+    return _rowwise(sf_dir, chain, "content_clean")
 
 
 def q_clean_full(sf_dir: str):
@@ -473,23 +418,9 @@ def q_embed_neardup(sf_dir: str):
 
 def q_fingerprint(sf_dir: str):
     """Winnowing document fingerprints (Schleimer 2003; rows-only)."""
-    import pyarrow as pa
-
     from corpusaid_ray.functions.hashing import doc_fingerprint_hex
 
-    def fp(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "repo": batch["repo"],
-                "path": batch["path"],
-                "fingerprint": pa.array(
-                    [doc_fingerprint_hex(t) for t in batch["content"].to_pylist()],
-                    pa.string(),
-                ),
-            }
-        )
-
-    return _corpus(sf_dir).map_batches(fp, batch_format="pyarrow")
+    return _rowwise(sf_dir, doc_fingerprint_hex, "fingerprint")
 
 
 def q_multimodal_meta(sf_dir: str):

@@ -47,8 +47,6 @@ def preview(ds, limit_chars: int = 5000, n: int = 20):
     ``n`` docs (``PREVIEW_CHAR_LIMIT=5000``, ``PREVIEW_BATCH_SIZE=20``;
     ``src/CorpusAid.py:158-163``). Driver-side small take — never a full
     materialization."""
-    import pyarrow.compute as pc
-
     rows = ds.limit(n).take_all()
     return [
         {**r, "content": r["content"][:limit_chars]}

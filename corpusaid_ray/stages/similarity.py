@@ -120,10 +120,9 @@ def ann_ivf_topk(ds, queries: dict[int, np.ndarray], *, k: int = 5,
         batch_format="pyarrow",
         concurrency=(1, 4),
     ).to_pandas()
-    # mask out (query, vec) hits whose bucket the query does not probe:
-    # BatchTopK searched every pruned vector; re-filter per query via a
-    # second pass is unnecessary here because partial already only contains
-    # probed buckets' vectors — acceptable superset for an ANN method.
+    # partial only contains vectors from buckets probed by SOME query — a
+    # per-query bucket mask would tighten recall semantics but a superset
+    # candidate pool is acceptable (and strictly better) for an ANN method
     partial = partial.sort_values(
         ["query_id", "cosine", "vec_id"], ascending=[True, False, True],
         kind="mergesort",

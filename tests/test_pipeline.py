@@ -88,3 +88,33 @@ def test_corpus_matches_sql_mirror(ray_session):
         .sort_values("path").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(py_df[sql_df.columns], sql_df, check_dtype=False)
+
+
+def test_edge_rows_through_flagship(ray_session):
+    """FIXTURES.md edge family: empty, whitespace-only, newline-only,
+    single char, and a 1 MB row must flow through the full pipeline."""
+    import ray.data
+
+    from corpusaid_ray.pipelines.quality_filter import build
+    from corpusaid_ray.stages.langid import LangIdModel
+    from corpusaid_ray.stages.perplexity import PerplexityModel
+
+    big = ("line of source text\n" * 50_000)  # ~1 MB, many lines
+    rows = [
+        {"repo": "r", "path": "empty.txt", "lang": "en", "content": ""},
+        {"repo": "r", "path": "ws.txt", "lang": "en", "content": "   \t  "},
+        {"repo": "r", "path": "nl.txt", "lang": "en", "content": "\n\n\n"},
+        {"repo": "r", "path": "one.txt", "lang": "en", "content": "x"},
+        {"repo": "r", "path": "big.txt", "lang": "en", "content": big},
+    ]
+    lid = LangIdModel.fit(["abc def"], ["en"])
+    ppl = PerplexityModel.fit(["abc def ghi"])
+    out = build(ray.data.from_items(rows), langid_model=lid,
+                perplexity_model=ppl).to_pandas().set_index("path")
+    assert len(out) == 5
+    # tiny rows drop via min_chars; the big row is clean, repetitive lines
+    for p in ["empty.txt", "ws.txt", "nl.txt", "one.txt"]:
+        assert out.loc[p, "drop_reason"] == "heuristic:min_chars", p
+    assert out.loc["big.txt", "n_chars"] == len(big)
+    assert out.loc["big.txt", "drop_reason"] == "heuristic:dup_line_frac"
+    assert len(out.loc["big.txt", "content_clean"]) > 0
