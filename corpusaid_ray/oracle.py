@@ -95,7 +95,8 @@ def scrub_sql(col: str, rules) -> str:
     s = col
     for r in rules:
         p = r.pattern.replace("'", "''")
-        s = f"regexp_replace({s}, '{p}', '{r.replacement}', 'g')"
+        repl = r.replacement.replace("'", "''")
+        s = f"regexp_replace({s}, '{p}', '{repl}', 'g')"
     return s
 
 

@@ -46,10 +46,10 @@ def corpus_report(ds, col: str = "content") -> pd.DataFrame:
         Sum("files", alias_name="total_files"),
         Sum("bytes", alias_name="total_bytes"),
         Sum("words", alias_name="total_words"),
-    )
-    tf = totals["total_files"] or 0
-    tb = totals["total_bytes"] or 0
-    tw = totals["total_words"] or 0
+    ) or {}  # Ray returns None for an empty dataset
+    tf = totals.get("total_files") or 0
+    tb = totals.get("total_bytes") or 0
+    tw = totals.get("total_words") or 0
     return pd.DataFrame(
         [
             {

@@ -63,6 +63,9 @@ class CleanAndHash:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.source_col]
+        if pa.types.is_null(col.type if not isinstance(col, pa.ChunkedArray) else col.type):
+            col = col.cast(pa.string())
+        col = pc.fill_null(col, "")  # poison rows clean as empty strings
         if self.chain is None:
             # all-params-off bypass: text unmodified (src/CorpusAid.py:689-691)
             cleaned_arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

@@ -111,16 +111,27 @@ class CleanScoreStage:
 # latency or CPU reservation (measured: task pool beats a fixed 30-actor
 # pool at bench scale because ~30 fresh actor processes cost seconds per
 # execution while tasks reuse warm workers).
-_PROCESS_STAGE_CACHE: dict[str, CleanScoreStage] = {}
+_PROCESS_STAGE_CACHE: dict[tuple, CleanScoreStage] = {}
 
 
 def make_fused_fn(config: PipelineConfig, langid_ref=None, ppl_ref=None,
                   post_fns: tuple = ()):
+    # cache key must include the MODEL identities, not just the config —
+    # the same rule_version run with differently-fitted models would
+    # otherwise silently reuse the first run's models in warm workers
+    key = (
+        config.rule_version,
+        langid_ref.hex() if langid_ref is not None else None,
+        ppl_ref.hex() if ppl_ref is not None else None,
+    )
+
     def fused(batch: pa.Table) -> pa.Table:
-        stage = _PROCESS_STAGE_CACHE.get(config.rule_version)
+        stage = _PROCESS_STAGE_CACHE.get(key)
         if stage is None:
+            if len(_PROCESS_STAGE_CACHE) >= 8:  # bound long-lived workers
+                _PROCESS_STAGE_CACHE.clear()
             stage = CleanScoreStage(config, langid_ref, ppl_ref, post_fns)
-            _PROCESS_STAGE_CACHE[config.rule_version] = stage
+            _PROCESS_STAGE_CACHE[key] = stage
         return stage(batch)
 
     return fused

@@ -45,6 +45,12 @@ class BatchTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # bucket-pruned blocks can arrive empty
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
         m = _normalize(_as_matrix(batch["embedding"]))
         sims = self.qmat @ m.T  # (Q, B)
@@ -52,7 +58,10 @@ class BatchTopK:
         out_q, out_v, out_c = [], [], []
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            idx = np.argpartition(-row, k - 1)[:k]
+            # deterministic tie-break (cosine desc, vec_id asc) so per-batch
+            # selection never depends on block boundaries under exact ties
+            order = np.lexsort((vids, -row))[:k]
+            idx = order
             out_q.extend([self.qids[qi]] * k)
             out_v.extend(vids[idx])
             out_c.extend(row[idx])

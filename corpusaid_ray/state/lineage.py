@@ -60,12 +60,25 @@ def part_dir(out_dir: str, part_id: int) -> Path:
     return Path(out_dir) / f"part={part_id:04d}"
 
 
+def existing_part_ids(out_dir: str) -> set[int]:
+    """All partition ids present on disk — discovered by globbing, NOT by
+    ``range(num_parts)``: a previous run with a larger partition count must
+    not leave invisible stale partitions behind."""
+    ids = set()
+    for d in Path(out_dir).glob("part=*"):
+        try:
+            ids.add(int(d.name.split("=", 1)[1]))
+        except ValueError:
+            continue
+    return ids
+
+
 def load_done_parts(out_dir: str, rule_version: str, num_parts: int) -> set[int]:
     """Partitions whose manifest exists and matches the current rule version.
     A manifest with a DIFFERENT rule version does not count — changing the
     config invalidates prior output."""
     done: set[int] = set()
-    for pid in range(num_parts):
+    for pid in existing_part_ids(out_dir):
         mpath = part_dir(out_dir, pid) / MANIFEST
         if mpath.exists():
             try:
@@ -78,17 +91,23 @@ def load_done_parts(out_dir: str, rule_version: str, num_parts: int) -> set[int]
 
 
 def clean_orphans(out_dir: str, done: set[int], num_parts: int) -> int:
-    """Delete data files in partitions without a valid manifest (debris from
-    a killed run); idempotent."""
+    """Delete data files AND stale manifests in partitions that are not
+    currently valid (debris from a killed run, or output under an old rule
+    version); idempotent. Removing the stale manifest matters: deleting
+    only the data while an old-rule manifest survives would make a later
+    run under that old rule treat the now-empty partition as complete."""
     removed = 0
-    for pid in range(num_parts):
+    for pid in existing_part_ids(out_dir) | set(range(num_parts)):
         if pid in done:
             continue
         d = part_dir(out_dir, pid)
         if d.exists():
-            for f in d.glob("*.parquet"):
+            for f in list(d.glob("*.parquet")) + list(d.glob("*.tmp")):
                 f.unlink()
                 removed += 1
+            m = d / MANIFEST
+            if m.exists():
+                m.unlink()
     return removed
 
 
@@ -107,13 +126,24 @@ class PartWriter:
             "part_id": [], "drop_reason": [], "n_rows": [], "n_kept": [],
             "n_bytes_clean": [],
         }
+        import hashlib
+
         part_ids = batch["part_id"].to_numpy(zero_copy_only=False)
         for pid in np.unique(part_ids):
             sub = batch.filter(pc.equal(batch["part_id"], pa.scalar(int(pid))))
             d = part_dir(self.out_dir, int(pid))
             d.mkdir(parents=True, exist_ok=True)
-            fname = f"{self.run_id}-{uuid.uuid4().hex}.parquet"
-            pq.write_table(sub, d / fname)
+            # DETERMINISTIC filename per (run, part, row-set): a Ray task
+            # retry rewrites the same file instead of adding a duplicate
+            # next to the first attempt's output; tmp + os.replace keeps the
+            # write atomic
+            row_key = hashlib.sha256(
+                "\n".join(sorted(sub["path"].to_pylist())).encode()
+            ).hexdigest()[:16]
+            fname = f"{self.run_id}-p{int(pid):04d}-{row_key}.parquet"
+            tmp = d / (fname + ".tmp")
+            pq.write_table(sub, tmp)
+            os.replace(tmp, d / fname)
             reasons = sub["drop_reason"].to_pylist()
             keeps = sub["keep"].to_pylist()
             nbytes = pc.binary_length(
@@ -162,6 +192,9 @@ def run_checkpointed(sf_dir: str, out_dir: str, *, config=None,
     rule_version = cfg.rule_version
     os.makedirs(out_dir, exist_ok=True)
 
+    # resume=False → done is empty → clean_orphans wipes every partition's
+    # data files and manifests (a true fresh run, whatever num_parts any
+    # previous run used)
     done = load_done_parts(out_dir, rule_version, num_parts) if resume else set()
     clean_orphans(out_dir, done, num_parts)
 

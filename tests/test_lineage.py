@@ -98,3 +98,14 @@ def test_manifest_contents(ray_session, tmp_out):
         assert m["n_kept"] == m["drop_reason_counts"].get("", 0)
         total += m["n_rows"]
     assert total == 500
+
+
+def test_no_resume_overwrites_completed_partitions(ray_session, tmp_out):
+    """resume=False on an existing output dir must NOT duplicate data."""
+    from corpusaid_ray.state.lineage import run_checkpointed
+
+    run_checkpointed(SF_SMALL, tmp_out, num_parts=NUM_PARTS)
+    run_checkpointed(SF_SMALL, tmp_out, num_parts=NUM_PARTS, resume=False)
+    got = _read_all(tmp_out)
+    assert len(got) == 500
+    assert got.path.is_unique
