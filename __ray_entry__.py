@@ -617,6 +617,22 @@ def q_top_docs(sf_dir: str):
     )
 
 
+def q_kept_corpus(sf_dir: str):
+    """The quality filter's actual deliverable: kept rows only, scrubbed
+    content (rows-only — keep depends on the model stages)."""
+    import pyarrow.compute as pc
+
+    from corpusaid_ray.pipelines.quality_filter import run
+
+    ds = run(sf_dir)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["keep"], True)), batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["repo", "path", "commit", "lang", "content_scrubbed", "content_sha256"]
+    )
+
+
 def q_keep_drop(sf_dir: str):
     """Full flagship labeling — model stages not SQL-expressible → rows-only
     driver check; value-level correctness is covered by pytest golden tests."""
@@ -666,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": q_embed_neardup,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "kept_corpus": q_kept_corpus,
         "keep_drop": q_keep_drop,
     }
 
