@@ -302,3 +302,141 @@ def compile_chain(config) -> Callable[[str], str] | None:
         return text.strip()
 
     return fused
+
+
+# ---------------------------------------------------------------------------
+# Column-wise ASCII fast path
+# ---------------------------------------------------------------------------
+#
+# On an all-ASCII batch (the common case for source code) most Unicode
+# operators are identities (NFKC, diacritics, Greek/Cyrillic) and every
+# regex operator WITHOUT lookarounds is Python-re ≡ RE2, so the chain can
+# run as a sequence of Arrow RE2 kernels over the whole column with only a
+# few per-row Python passes (line-break normalizer's lookbehind, HTML,
+# tokenization). Parity with compile_chain on ASCII input is enforced by a
+# dedicated hypothesis test; non-ASCII batches fall back to the row chain.
+
+# ASCII chars matched by Python re's \s (Unicode whitespace): RE2's \s is
+# only [\t\n\f\r ] — it misses \x0b and the \x1c-\x1f separators, so every
+# fixed pattern gets \s/\S rewritten to an explicit class before RE2 sees it
+_PY_WS_ASCII = r" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f"
+
+
+def _pyws_rewrite(pattern: str) -> str:
+    """Rewrite \\s / \\S (at even-backslash boundaries only, so escaped
+    literals from re.escape survive) into explicit ASCII classes with
+    Python-re whitespace semantics."""
+    import re as _re
+
+    def repl(m):
+        cls = (f"[{_PY_WS_ASCII}]" if m.group(2) == "s"
+               else f"[^{_PY_WS_ASCII}]")
+        return m.group(1) + cls
+
+    return _re.sub(r"(?<!\\)((?:\\\\)*)\\([sS])", repl, pattern)
+
+
+def _ascii_sk_no_class() -> str:
+    """Regex class of ASCII chars with category in {No, Sk} (just ^ and `
+    in practice — computed, not assumed)."""
+    import re as _re
+
+    chars = [chr(c) for c in range(128)
+             if unicodedata.category(chr(c)) in ("No", "Sk")]
+    return "[" + "".join(_re.escape(c) for c in chars) + "]" if chars else ""
+
+
+def compile_column_chain(config):
+    """Compile the enabled operators into a column-level function
+    ``pa.Array -> pa.Array`` valid ONLY for all-ASCII, non-null input.
+    Returns None when the config is a no-op (caller bypasses)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if config.is_reference_noop:
+        return None
+
+    # python str.strip() strips every ASCII char where isspace() is True —
+    # including \x1c-\x1f, which Unicode White_Space (utf8_trim_whitespace)
+    # does NOT cover; trim the exact set for parity
+    _STRIP = "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f "
+
+    def _trim(col):
+        return pc.utf8_trim(col, characters=_STRIP)
+
+    steps: list[tuple[str, object]] = []  # ("arrow", col_fn) | ("py", row_fn)
+
+    def rx(pattern: str, repl: str = ""):
+        steps.append(
+            ("arrow",
+             lambda col, _p=_pyws_rewrite(pattern), _r=repl:
+             pc.replace_substring_regex(col, pattern=_p, replacement=_r))
+        )
+
+    # NFKC / diacritics / greek / cyrillic: identity on ASCII
+    if config.normalize_spacing:
+        for pat, repl in [
+            (r"\s+([.,?!;:])", r"\1"), (r"([.,?!;:])(\S)", r"\1 \2"),
+            (r"\(\s+", "("), (r"\s+\)", ")"), (r"\[\s+", "["),
+            (r"\s+\]", "]"), (r"\{\s+", "{"), (r"\s+\}", "}"),
+            (r"\s{2,}", " "),
+        ]:
+            rx(pat, repl)
+        steps.append(("arrow", _trim))
+    if config.normalize_line_breaks:
+        steps.append(("py", normalize_line_breaks))  # lookbehind → Python
+    if config.remove_break_lines:
+        steps.append(("arrow", lambda col: pc.replace_substring(col, "\n", " ")))
+    if config.chars_to_remove:
+        pat = compile_char_filter(config.chars_to_remove)
+        if pat is not None:
+            rx("(?i)" + pat.pattern)
+    if config.remove_page_numbers:
+        rx(r"(?m)^\s*\d{1,4}\s*$")
+    if config.remove_roman_page_numbers:
+        rx(r"(?m)^\s*([IiVvXxLlCcDdMm]{1,7})\s*$")
+    if config.remove_page_indicators:
+        rx(r"\b(?:[Pp]age|[Pp]ag\.?)\s+(\d+|[IVXLCDM]+)\b")
+    if config.remove_page_delimiters:
+        rx(r"---\s*Page\s+\d+\s*---")
+    if config.remove_bibliographical_references:
+        rx(r"\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)")
+    if config.lowercase:
+        steps.append(("arrow", pc.utf8_lower))
+    if config.strip_html:
+        steps.append(("py", strip_html))
+    if config.word_tokenization:
+        steps.append(("py", tokenize_join))
+    if config.remove_stop_words:
+        steps.append(("py", lambda t: " ".join(remove_stop_words(t))))
+    if config.remove_super_sub_script:
+        cls = _ascii_sk_no_class()
+        if cls:
+            rx(cls)
+    user_pat = compile_user_regex(config.regex_pattern)
+    if user_pat is not None:
+        steps.append(("py", lambda t, _p=user_pat: _p.sub("", t)))
+    steps.append(("arrow", _trim))  # final strip
+
+    # merge consecutive Python passes into one row loop
+    merged: list[tuple[str, object]] = []
+    for kind, fn in steps:
+        if kind == "py" and merged and merged[-1][0] == "py":
+            prev = merged[-1][1]
+            merged[-1] = ("py", lambda t, _a=prev, _b=fn: _b(_a(t)))
+        else:
+            merged.append((kind, fn))
+
+    def column_chain(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for kind, fn in merged:
+            if kind == "arrow":
+                col = fn(col)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+            else:
+                col = pa.array([fn(t) for t in col.to_pylist()], pa.string())
+        return col
+
+    return column_chain

@@ -35,8 +35,20 @@ class CleanScoreStage:
         and backpressure the whole pipeline (measured 2-3× slower)."""
         import ray
 
+        from corpusaid_ray.functions.textops import compile_column_chain
+
+        import os
+
         self.config = config
         self.chain = compile_chain(config)
+        # column-wise ASCII fast path: Arrow RE2 kernels over the whole
+        # column (parity with the row chain on ASCII input is a tested
+        # invariant); non-ASCII / null rows use the row chain. Env var is a
+        # debug/A-B lever only.
+        self.column_chain = (
+            None if os.environ.get("CORPUSAID_DISABLE_COLUMN_CHAIN")
+            else compile_column_chain(config)
+        )
         self.langid = ray.get(langid_ref) if langid_ref is not None else None
         self.ppl = ray.get(ppl_ref) if ppl_ref is not None else None
         self.post_fns = tuple(post_fns)
@@ -49,13 +61,59 @@ class CleanScoreStage:
             batch = batch.set_column(
                 idx, "content", batch["content"].cast(pa.string())
             )
-        texts = batch["content"].to_pylist()
+        col = batch["content"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(batch)
+        errors = np.zeros(n, dtype=bool)
+        cleaned: list | None = None
+
+        # Column-wise ASCII fast path (Arrow RE2 kernels, no per-row Python
+        # for the regex operators; parity with the row chain on ASCII input
+        # is a tested invariant). Real corpora are MIXED — gating on an
+        # all-ASCII batch almost never fires — so split each batch by an
+        # ASCII mask: column chain on ASCII rows, row chain on the rest,
+        # recombined in original order.
+        if self.chain is not None and self.column_chain is not None and n:
+            try:
+                mask = pc.string_is_ascii(col)
+                if col.null_count:
+                    mask = pc.fill_null(mask, False)
+                mask_np = mask.to_numpy(zero_copy_only=False)
+                n_ascii = int(mask_np.sum())
+                if n_ascii == n:
+                    cleaned = self.column_chain(col).to_pylist()
+                elif n_ascii * 4 >= n:  # split only when the fast side pays
+                    ascii_clean = self.column_chain(col.filter(mask)).to_pylist()
+                    rest_clean, rest_err = self._row_clean(
+                        col.filter(pc.invert(mask)).to_pylist()
+                    )
+                    cleaned = [""] * n
+                    ascii_pos = np.flatnonzero(mask_np)
+                    rest_pos = np.flatnonzero(~mask_np)
+                    for p, v in zip(ascii_pos, ascii_clean):
+                        cleaned[p] = v
+                    for p, v in zip(rest_pos, rest_clean):
+                        cleaned[p] = v
+                    errors[rest_pos] = rest_err
+            except Exception:
+                cleaned = None  # parity safety net: row path handles all
+
+        if cleaned is None:
+            cleaned, errors = self._row_clean(col.to_pylist())
+        sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in cleaned]
+        batch = batch.append_column("content_clean", pa.array(cleaned, pa.string()))
+        batch = batch.append_column("content_sha256", pa.array(sha, pa.string()))
+        batch = batch.append_column("clean_error", pa.array(errors))
+        return self._score(batch, cleaned)
+
+    def _row_clean(self, texts: list) -> tuple[list[str], np.ndarray]:
+        """Row-wise clean with poison-pill handling: null content or a
+        pathological operator error must not fail the task — the reference
+        collects per-file errors and keeps going (src/CorpusAid.py:713-716,
+        2483-2493); such rows become keep=false, drop_reason="error:clean"
+        (label stage reads clean_error)."""
         chain = self.chain
-        # Poison-pill rows (null content, pathological operator errors) must
-        # not fail the task — the reference collects per-file errors and
-        # keeps going (src/CorpusAid.py:713-716, 2483-2493); here they become
-        # keep=false, drop_reason="error:clean" rows (label stage reads
-        # clean_error).
         errors = np.zeros(len(texts), dtype=bool)
         try:
             # fast path: no per-row exception handling cost (~15% at bench
@@ -75,11 +133,9 @@ class CleanScoreStage:
                 except Exception:
                     cleaned.append("")
                     errors[i] = True
-        sha = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in cleaned]
-        batch = batch.append_column("content_clean", pa.array(cleaned, pa.string()))
-        batch = batch.append_column("content_sha256", pa.array(sha, pa.string()))
-        batch = batch.append_column("clean_error", pa.array(errors))
+        return cleaned, errors
 
+    def _score(self, batch: pa.Table, cleaned: list[str]) -> pa.Table:
         n = len(cleaned)
         if self.langid is not None:
             preds = []

@@ -161,3 +161,80 @@ def test_scrub_ruleset_idempotent():
     for s in samples:
         once = scrub(s)
         assert scrub(once) == once
+
+
+def test_column_chain_parity_on_ascii():
+    """The column-wise ASCII fast path must equal the row chain exactly."""
+    import pyarrow as pa
+
+    from corpusaid_ray.config import PipelineConfig, flagship_config
+    from corpusaid_ray.functions.textops import compile_chain, compile_column_chain
+
+    configs = [
+        flagship_config(),
+        PipelineConfig.from_params({
+            **{k: True for k, v in REFERENCE_PARAM_DEFAULTS.items()
+               if isinstance(v, bool)},
+            "chars_to_remove": ["foo", "a+b"],
+            "regex_pattern": r"\bTODO\b",
+        }),
+        PipelineConfig(normalize_spacing=True, remove_page_numbers=True,
+                       lowercase=True),
+    ]
+    ascii_texts = [t for t in FIXTURE_TEXTS if t.isascii()]
+    ascii_texts += ["^caret `backtick`", "\x1c\x1dctrl separators\x1e\x1f",
+                    "Page 12\nIII\n--- Page 9 ---\n(Smith 2020) a.b,c"]
+    for cfg in configs:
+        row = compile_chain(cfg)
+        colfn = compile_column_chain(cfg)
+        got = colfn(pa.array(ascii_texts, pa.string())).to_pylist()
+        exp = [row(t) for t in ascii_texts]
+        assert got == exp, cfg
+
+
+def test_column_chain_parity_hypothesis_ascii():
+    pytest.importorskip("hypothesis")
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from corpusaid_ray.config import flagship_config
+    from corpusaid_ray.functions.textops import compile_chain, compile_column_chain
+
+    cfg = flagship_config()
+    row = compile_chain(cfg)
+    colfn = compile_column_chain(cfg)
+
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=0, max_codepoint=127),
+        max_size=120), min_size=1, max_size=8))
+    @settings(max_examples=150, deadline=None)
+    def inner(texts):
+        got = colfn(pa.array(texts, pa.string())).to_pylist()
+        exp = [row(t) for t in texts]
+        assert got == exp
+
+    inner()
+
+
+def test_clean_stage_mixed_batch_split_parity():
+    """CleanScoreStage splits batches by ASCII mask (column chain on ASCII
+    rows, row chain on the rest); the recombined output must equal the pure
+    row chain in original order, nulls flagged as clean errors."""
+    import pyarrow as pa
+
+    from corpusaid_ray.config import flagship_config
+    from corpusaid_ray.functions.textops import compile_chain
+    from corpusaid_ray.stages.score import CleanScoreStage
+
+    cfg = flagship_config()
+    texts = (FIXTURE_TEXTS + [None, "pure ascii", "café"]) * 3
+    tbl = pa.table({
+        "content": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    out = CleanScoreStage(cfg)(tbl)
+    row = compile_chain(cfg)
+    assert out["content_clean"].to_pylist() == [
+        "" if t is None else row(t) for t in texts
+    ]
+    assert out["clean_error"].to_pylist() == [t is None for t in texts]
