@@ -25,7 +25,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from corpusaid_ray.util import default_concurrency
+from corpusaid_ray.util import (
+    SCORER_CHUNK_CHARS as CHUNK_CHARS,
+    char_chunks as _char_chunks,
+    default_concurrency,
+)
 
 D = 1 << 15  # hashed feature buckets
 _P1, _P2 = np.int64(1000003), np.int64(999983)
@@ -82,6 +86,9 @@ class LangIdModel:
         return cls.fit(t.column("text").to_pylist(), t.column("lang").to_pylist())
 
     def predict_one(self, text: str) -> tuple[str, float]:
+        """Row-wise scoring (float32 accumulation). May differ from
+        ``predict_batch`` (float64 accum) in the last ulp of the
+        confidence; predictions agree on anything non-degenerate."""
         h = _ngram_hashes(text)
         if len(h) == 0:
             return self.classes[0], 1.0 / len(self.classes)
@@ -91,6 +98,55 @@ class LangIdModel:
         p /= p.sum()
         j = int(np.argmax(p))
         return self.classes[j], float(p[j])
+
+    def predict_batch(self, texts: list[str]) -> tuple[list[str], np.ndarray]:
+        """Vectorized scoring for a whole batch: one utf-32 encode of the
+        concatenated texts, boundary-masked rolling hashes, and a per-class
+        ``bincount`` segment-sum — no per-row numpy-call overhead. Per-doc
+        accumulation order is independent of batch composition, so results
+        are deterministic across any block/batch split (float64 accum)."""
+        n = len(texts)
+        L = len(self.classes)
+        preds = [self.classes[0]] * n
+        confs = np.full(n, 1.0 / L)
+        if n == 0:
+            return preds, confs
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        scores = np.tile(
+            self.log_prior.astype(np.float64)[:, None], (1, n)
+        )
+        # chunk by docs so the int64 gram arrays stay ~tens of MB even for
+        # huge blocks (content is unbounded; batch_size=None in the fused
+        # task path means a whole block per call)
+        bounds = _char_chunks(lens, CHUNK_CHARS)
+        for lo, hi in bounds:
+            cp = np.frombuffer(
+                "".join(texts[lo:hi]).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if len(cp) == 0:
+                continue
+            doc = np.repeat(np.arange(lo, hi, dtype=np.int64), lens[lo:hi])
+            m2 = doc[:-1] == doc[1:]
+            m3 = doc[:-2] == doc[2:]
+            grams = np.concatenate([
+                cp,
+                (cp[:-1] * _P1 + cp[1:])[m2],
+                ((cp[:-2] * _P1 + cp[1:-1]) * _P2 + cp[2:])[m3],
+            ]) % D
+            gdoc = np.concatenate([doc, doc[:-1][m2], doc[:-2][m3]])
+            for li in range(L):
+                scores[li] += np.bincount(
+                    gdoc, weights=self.log_prob[li][grams], minlength=n
+                )[: n]
+        scores -= scores.max(axis=0, keepdims=True)
+        p = np.exp(scores)
+        p /= p.sum(axis=0, keepdims=True)
+        best = np.argmax(p, axis=0)
+        nonempty = lens > 0
+        for i in np.flatnonzero(nonempty):
+            preds[i] = self.classes[best[i]]
+        confs = np.where(nonempty, p[best, np.arange(n)], 1.0 / L)
+        return preds, confs
 
 
 class LangIdScorer:
@@ -105,11 +161,7 @@ class LangIdScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["content_clean"].to_pylist()
-        preds, confs = [], np.empty(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            p, c = self.model.predict_one(t)
-            preds.append(p)
-            confs[i] = c
+        preds, confs = self.model.predict_batch(texts)
         batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
         batch = batch.append_column("lang_conf", pa.array(confs))
         if "lang" in batch.column_names:

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from corpusaid_ray.util import default_concurrency
+from corpusaid_ray.util import SCORER_CHUNK_CHARS as CHUNK_CHARS, default_concurrency
 
 D3 = 1 << 18  # trigram buckets
 D2 = 1 << 16  # bigram-context buckets
@@ -65,7 +65,9 @@ class PerplexityModel:
         return cls.fit(t.column("text").to_pylist())
 
     def log_ppl(self, text: str) -> float:
-        """Natural-log perplexity per char; 0.0 for texts shorter than 3."""
+        """Natural-log perplexity per char; 0.0 for texts shorter than 3.
+        Row-wise twin of ``log_ppl_batch`` (identical math; accumulation
+        order differs only in np.mean's pairwise summation, ~1e-13)."""
         cp = _cp(text)
         if len(cp) < 3:
             return 0.0
@@ -75,6 +77,41 @@ class PerplexityModel:
             / (self.count2[h2].astype(np.float64) + ALPHA * V)
         )
         return float(-logp.mean())
+
+    def log_ppl_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorized whole-batch scoring: one utf-32 encode per chunk,
+        boundary-masked trigram hashes, ``bincount`` segment-sums. Per-doc
+        accumulation order is independent of batch composition → results
+        deterministic across block/batch splits."""
+        from corpusaid_ray.util import char_chunks
+
+        n = len(texts)
+        out = np.zeros(n, dtype=np.float64)
+        if n == 0:
+            return out
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        sums = np.zeros(n, dtype=np.float64)
+        cnts = np.zeros(n, dtype=np.int64)
+        for lo, hi in char_chunks(lens, CHUNK_CHARS):
+            cp = np.frombuffer(
+                "".join(texts[lo:hi]).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            if len(cp) < 3:
+                continue
+            doc = np.repeat(np.arange(lo, hi, dtype=np.int64), lens[lo:hi])
+            m3 = doc[:-2] == doc[2:]
+            ctx = cp[:-2] * _P1 + cp[1:-1]
+            h2 = (ctx % D2)[m3]
+            h3 = ((ctx * _P2 + cp[2:]) % D3)[m3]
+            d = doc[:-2][m3]
+            logp = np.log(
+                (self.count3[h3].astype(np.float64) + ALPHA)
+                / (self.count2[h2].astype(np.float64) + ALPHA * V)
+            )
+            sums += np.bincount(d, weights=logp, minlength=n)[:n]
+            cnts += np.bincount(d, minlength=n)[:n]
+        np.divide(-sums, cnts, out=out, where=cnts > 0)
+        return out
 
 
 class PerplexityScorer:
@@ -88,9 +125,7 @@ class PerplexityScorer:
         self.model = model
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.empty(len(batch), dtype=np.float64)
-        for i, t in enumerate(batch["content_clean"].to_pylist()):
-            out[i] = self.model.log_ppl(t)
+        out = self.model.log_ppl_batch(batch["content_clean"].to_pylist())
         return batch.append_column("log_ppl", pa.array(out))
 
 

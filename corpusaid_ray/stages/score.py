@@ -136,14 +136,24 @@ class CleanScoreStage:
         return cleaned, errors
 
     def _score(self, batch: pa.Table, cleaned: list[str]) -> pa.Table:
-        n = len(cleaned)
+        # Per-row scoring is the measured default on this sandbox: with 32
+        # concurrent worker processes, the batch scorers' MB-scale numpy
+        # temporaries lose to the per-row path's KB-scale cache-resident
+        # allocations (fresh-process A/B: per-row 18-25 s vs batch 31-34 s
+        # for the 1M-doc flagship; the VM pays ~66 us/page on first touch).
+        # On hardware with normal fault costs the vectorized predict_batch /
+        # log_ppl_batch path should win — flip with CORPUSAID_BATCH_SCORERS.
+        import os
+        per_row = not os.environ.get("CORPUSAID_BATCH_SCORERS")
         if self.langid is not None:
-            preds = []
-            confs = np.empty(n, dtype=np.float64)
-            for i, t in enumerate(cleaned):
-                p, c = self.langid.predict_one(t)
-                preds.append(p)
-                confs[i] = c
+            if per_row:
+                preds, confs = [], np.empty(len(cleaned))
+                for i, t in enumerate(cleaned):
+                    p, c = self.langid.predict_one(t)
+                    preds.append(p)
+                    confs[i] = c
+            else:
+                preds, confs = self.langid.predict_batch(cleaned)
             batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
             batch = batch.append_column("lang_conf", pa.array(confs))
             if "lang" in batch.column_names:
@@ -151,9 +161,10 @@ class CleanScoreStage:
                     "lang_match", pc.equal(batch["lang"], batch["lang_pred"])
                 )
         if self.ppl is not None:
-            ppl = np.empty(n, dtype=np.float64)
-            for i, t in enumerate(cleaned):
-                ppl[i] = self.ppl.log_ppl(t)
+            if per_row:
+                ppl = np.array([self.ppl.log_ppl(t) for t in cleaned])
+            else:
+                ppl = self.ppl.log_ppl_batch(cleaned)
             batch = batch.append_column("log_ppl", pa.array(ppl))
         for fn in self.post_fns:
             batch = fn(batch)
@@ -191,3 +202,5 @@ def make_fused_fn(config: PipelineConfig, langid_ref=None, ppl_ref=None,
         return stage(batch)
 
     return fused
+
+

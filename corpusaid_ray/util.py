@@ -14,3 +14,33 @@ def default_concurrency(cap: int | None = None) -> tuple[int, int]:
         hi = max(2, cpus if cap is None else min(cpus, cap))
         return (1, hi)
     return (1, 8)
+
+
+def char_chunks(lens, cap: int):
+    """Split doc indices [0, n) into contiguous [lo, hi) ranges whose total
+    char count stays under ``cap`` (each range holds >= 1 doc, so a single
+    huge doc still forms its own range). Used by the vectorized scorers to
+    bound the size of concatenated codepoint arrays."""
+    bounds = []
+    n = len(lens)
+    lo = 0
+    total = 0
+    for i in range(n):
+        if total + int(lens[i]) > cap and i > lo:
+            bounds.append((lo, i))
+            lo = i
+            total = 0
+        total += int(lens[i])
+    if lo < n:
+        bounds.append((lo, n))
+    return bounds
+
+
+# Scorer chunk size (chars). Chosen so the largest numpy temporary in the
+# vectorized scorers stays ~6 MB: glibc returns mmap'd blocks (>= dynamic
+# mmap threshold, capped at 32 MB) straight to the OS on free, and this
+# sandbox's VM pays ~66 us/page on first touch — a >32 MB temporary per
+# batch re-faults its whole footprint on EVERY task (measured: 110 s vs
+# 14 s flagship). Small chunks keep temporaries heap-resident across
+# batches in long-lived Ray workers.
+SCORER_CHUNK_CHARS = 250_000

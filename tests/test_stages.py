@@ -237,3 +237,40 @@ def test_broadcast_and_hash_join(ray_session):
     hj = hash_join(left, right, on="k", num_partitions=4).to_pandas().sort_values("k")
     assert hj.k.tolist() == [2, 3]
     assert hj.w.tolist() == [200, 300]
+
+
+def test_batch_scorers_match_rowwise_and_split_invariant():
+    """predict_batch / log_ppl_batch must agree with their row-wise twins
+    (same argmax, conf within float32-accum tolerance) and be bitwise
+    invariant to how a corpus is split into batches."""
+    import numpy as np
+
+    from corpusaid_ray.stages.langid import LangIdModel
+    from corpusaid_ray.stages.perplexity import PerplexityModel
+
+    texts = [
+        "def foo(x):\n    return x + 1\n",
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "", "ab", "é" * 7, "zzz 123 !!!", "x" * 5000,
+        "SELECT * FROM t WHERE a = 1;",
+    ] * 4
+    labels = (["en", "fr", "es", "de"] * len(texts))[: len(texts)]
+    lm = LangIdModel.fit(texts, labels)
+    pm = PerplexityModel.fit(texts)
+
+    preds, confs = lm.predict_batch(texts)
+    ppl = pm.log_ppl_batch(texts)
+    for i, t in enumerate(texts):
+        p1, c1 = lm.predict_one(t)
+        assert preds[i] == p1
+        assert abs(confs[i] - c1) < 1e-5
+        assert abs(ppl[i] - pm.log_ppl(t)) < 1e-9
+
+    for k in (1, 3, len(texts) - 1):
+        pa_, ca = lm.predict_batch(texts[:k])
+        pb, cb = lm.predict_batch(texts[k:])
+        assert pa_ + pb == preds
+        assert np.array_equal(np.concatenate([ca, cb]), confs)
+        assert np.array_equal(
+            np.concatenate([pm.log_ppl_batch(texts[:k]),
+                            pm.log_ppl_batch(texts[k:])]), ppl)
