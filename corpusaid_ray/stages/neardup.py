@@ -30,6 +30,14 @@ from corpusaid_ray.functions import hashing as H
 BANDS = 16
 
 
+def _empty_df(**dtypes: str) -> pd.DataFrame:
+    """Typed empty frame: empty blocks must carry the SAME schema as
+    populated ones (``pd.DataFrame({"c": []})`` defaults every column to
+    float64, which makes Ray's streaming executor see a different block
+    schema per bucket and can break downstream unions)."""
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in dtypes.items()})
+
+
 def _minhash_explode(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
     """Per doc: MinHash sig → one row per band: (band, band_hash, keys, sig)."""
     texts = batch["content"].to_pylist()
@@ -72,7 +80,8 @@ def minhash_candidate_pairs(ds, *, key: str = "path",
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"path_a": [], "path_b": [], "est_jaccard": []})
+            return _empty_df(path_a="object", path_b="object",
+                             est_jaccard="float64")
         g = g.sort_values(key, kind="mergesort").drop_duplicates(key)
         # LSH safety valve: a degenerate bucket (low-entropy corpus) would go
         # quadratic; cap deterministically at the first 200 paths
@@ -139,7 +148,8 @@ def simhash_candidate_pairs(ds, *, key: str = "path", max_hamming: int = 3):
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"path_a": [], "path_b": [], "hamming": []})
+            return _empty_df(path_a="object", path_b="object",
+                             hamming="int64")
         g = g.sort_values(key, kind="mergesort").drop_duplicates(key)
         g = g.head(200)  # LSH safety valve (see minhash_candidate_pairs)
         paths = g[key].tolist()
@@ -270,7 +280,8 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [], "cosine": []})
+            return _empty_df(vec_id_a="int64", vec_id_b="int64",
+                             cosine="float64")
         g = g.sort_values("vec_id").drop_duplicates("vec_id")
         ids = g["vec_id"].to_numpy()
         m = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
