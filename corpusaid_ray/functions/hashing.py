@@ -66,7 +66,9 @@ def simhash64(token_hashes: np.ndarray) -> np.uint64:
     if len(token_hashes) == 0:
         return np.uint64(0)
     bits = (token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    votes = bits.sum(axis=0) * 2 - len(token_hashes)  # (+1/-1 tally)
+    # signed arithmetic: a uint64 tally wraps negative vote sums to huge
+    # positives, which would set minority bits and collapse signatures
+    votes = bits.astype(np.int64).sum(axis=0) * 2 - len(token_hashes)  # (+1/-1 tally)
     out = np.uint64(0)
     for i in range(64):
         if votes[i] > 0:

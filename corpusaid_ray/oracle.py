@@ -189,7 +189,7 @@ ORACLE_SQL["events_window"] = """
 SELECT event_type,
        date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events,
-       sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros
+       sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS sum_value_micros
 FROM events GROUP BY event_type, date_trunc('hour', ts)"""
 
 # CharacterFilterModule mirror: escaped literals, \b wrap for word-char
@@ -288,13 +288,13 @@ SELECT user_id, session_id::BIGINT AS session_id,
        count(*)::BIGINT AS n_events,
        min(ts) AS session_start,
        max(ts) AS session_end,
-       sum(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros
+       sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS sum_value_micros
 FROM sess GROUP BY user_id, session_id"""
 
 ORACLE_SQL["orders_by_nation"] = """
 SELECT n.n_name,
        count(*)::BIGINT AS n_orders,
-       sum(CAST(floor(o.o_totalprice * 1000000) AS BIGINT)) AS total_price_micros
+       sum(CAST(floor(o.o_totalprice * 1000000) AS BIGINT))::BIGINT AS total_price_micros
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -304,7 +304,7 @@ ORACLE_SQL["order_revenue_join"] = """
 SELECT o.o_orderstatus,
        count(*)::BIGINT AS n_items,
        sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000)
-                AS BIGINT)) AS revenue_micros
+                AS BIGINT))::BIGINT AS revenue_micros
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus"""
 

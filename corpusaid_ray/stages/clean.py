@@ -58,7 +58,10 @@ class CleanAndHash:
             col = pc.replace_substring(col, "\n", " ")
         if "lowercase" in self._enabled:
             col = pc.utf8_lower(col)
-        col = pc.utf8_trim_whitespace(col)  # final strip (src/CorpusAid.py:444,694)
+        # final strip (src/CorpusAid.py:444,694): python str.strip() also
+        # removes \x1c-\x1f, which Unicode White_Space (utf8_trim_whitespace)
+        # does not — trim the explicit set, same as textops.compile_column_chain
+        col = pc.utf8_trim(col, characters="\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ")
         return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
     def __call__(self, batch: pa.Table) -> pa.Table:

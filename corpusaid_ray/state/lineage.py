@@ -73,10 +73,15 @@ def existing_part_ids(out_dir: str) -> set[int]:
     return ids
 
 
-def load_done_parts(out_dir: str, rule_version: str, num_parts: int) -> set[int]:
-    """Partitions whose manifest exists and matches the current rule version.
-    A manifest with a DIFFERENT rule version does not count — changing the
-    config invalidates prior output."""
+def load_done_parts(out_dir: str, rule_version: str, num_parts: int,
+                    repeat: int = 1, input_dir: str | None = None) -> set[int]:
+    """Partitions whose manifest exists and matches the FULL checkpoint
+    identity: rule version, partition count, input repeat factor and input
+    dir. Any mismatch invalidates the partition — a manifest written under a
+    different ``num_parts`` covers a different row set for the same part id
+    (crc32 mod P changes), and a different ``repeat``/``input`` means
+    different rows entirely; counting those as done would duplicate or mix
+    rows on resume."""
     done: set[int] = set()
     for pid in existing_part_ids(out_dir):
         mpath = part_dir(out_dir, pid) / MANIFEST
@@ -85,7 +90,12 @@ def load_done_parts(out_dir: str, rule_version: str, num_parts: int) -> set[int]
                 m = json.loads(mpath.read_text())
             except json.JSONDecodeError:
                 continue
-            if m.get("rule_version") == rule_version:
+            if (
+                m.get("rule_version") == rule_version
+                and m.get("num_parts") == num_parts
+                and m.get("repeat") == repeat
+                and (input_dir is None or m.get("input") == input_dir)
+            ):
                 done.add(pid)
     return done
 
@@ -195,7 +205,11 @@ def run_checkpointed(sf_dir: str, out_dir: str, *, config=None,
     # resume=False → done is empty → clean_orphans wipes every partition's
     # data files and manifests (a true fresh run, whatever num_parts any
     # previous run used)
-    done = load_done_parts(out_dir, rule_version, num_parts) if resume else set()
+    done = (
+        load_done_parts(out_dir, rule_version, num_parts, repeat, sf_dir)
+        if resume
+        else set()
+    )
     clean_orphans(out_dir, done, num_parts)
 
     targets = set(range(num_parts)) - done
@@ -231,6 +245,8 @@ def run_checkpointed(sf_dir: str, out_dir: str, *, config=None,
                 "part_id": int(pid),
                 "rule_version": rule_version,
                 "input": sf_dir,
+                "num_parts": num_parts,
+                "repeat": repeat,
                 "n_rows": int(grp["n_rows"].sum()),
                 "n_kept": int(grp["n_kept"].sum()),
                 "n_bytes_clean": int(grp["n_bytes_clean"].sum()),

@@ -61,6 +61,24 @@ def test_simhash_pairs(ray_session):
         assert ("c.txt" not in p) or p == ("c.txt",), p
 
 
+def test_simhash64_signed_votes():
+    """Vote tally must be signed: a uint64 tally wraps negative sums huge,
+    setting minority bits too — signatures collapse toward all-ones and
+    unrelated docs look near-identical (round-1 advisor finding)."""
+    from corpusaid_ray.functions.hashing import hamming64, simhash64, token_hashes
+
+    a = simhash64(token_hashes("the quick brown fox jumps over the lazy dog " * 6))
+    pop = bin(int(a)).count("1")
+    assert 10 <= pop <= 54, pop  # realistic signature, never saturated
+    b = simhash64(
+        token_hashes(
+            "completely different content about ray data pipelines streaming " * 6
+        )
+    )
+    dist = int(hamming64(np.array([a], dtype=np.uint64), b)[0])
+    assert dist >= 16, dist  # unrelated docs stay far apart (~32 expected)
+
+
 def test_embedding_neardup(ray_session):
     import ray.data
 
