@@ -413,7 +413,18 @@ def q_embed_neardup(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return embedding_neardup_pairs(ds, dim=dim, threshold=0.95)
+    out = embedding_neardup_pairs(ds, dim=dim, threshold=0.95).to_pandas()
+    # Ray's to_pandas() drops the schema of an all-empty dataset; the final
+    # pair set is small by construction, so return a typed DataFrame
+    if out.shape[1] == 0:
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {"vec_id_a": pd.Series(dtype="int64"),
+             "vec_id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+    return out
 
 
 def q_fingerprint(sf_dir: str):
@@ -634,13 +645,27 @@ def q_kept_corpus(sf_dir: str):
 
 
 def q_keep_drop(sf_dir: str):
-    """Full flagship labeling — model stages not SQL-expressible → rows-only
-    driver check; value-level correctness is covered by pytest golden tests."""
+    """Full flagship labeling (keep/drop_reason + invariant sha). Oracle-
+    mirrored: the model gates (langid/perplexity) never fire on this corpus
+    (measured 5× margins, see oracle.py) so the label is heuristic-derived;
+    the model score columns themselves live in ``langid_scores``."""
     from corpusaid_ray.pipelines.quality_filter import run
 
     return run(sf_dir).select_columns(
-        ["repo", "path", "commit", "content_sha256", "lang_pred",
-         "keep", "drop_reason"]
+        ["repo", "path", "commit", "content_sha256", "keep", "drop_reason"]
+    )
+
+
+def q_langid_scores(sf_dir: str):
+    """Model-score surface of the flagship pipeline: langid prediction +
+    confidence, ground-truth match flag, perplexity. Rows-only (NB model and
+    char-LM are not SQL-expressible); determinism/separability covered by
+    pytest."""
+    from corpusaid_ray.pipelines.quality_filter import run
+
+    return run(sf_dir).select_columns(
+        ["repo", "path", "lang", "lang_pred", "lang_conf", "lang_match",
+         "log_ppl"]
     )
 
 
@@ -684,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": q_multimodal_meta,
         "kept_corpus": q_kept_corpus,
         "keep_drop": q_keep_drop,
+        "langid_scores": q_langid_scores,
     }
 
 

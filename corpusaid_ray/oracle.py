@@ -308,6 +308,223 @@ SELECT o.o_orderstatus,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus"""
 
+# ---------------------------------------------------------------------------
+# Motif-aware mirrors for the unicode/HTML/full-chain family.
+#
+# These oracles are exact on THIS synthetic corpus (see corpus.py docstring):
+# content is ASCII + the safe accents é/ï/É, the only markup is the simple
+# well-formed tags + &amp;/&#33; entities of MOTIF_PRE[2]/MOTIF_POST[2], and
+# no Greek/Cyrillic/No/Sk codepoints occur. That is what lets NFKC ≈ identity,
+# diacritic removal ≈ strip_accents(), and html.parser ≈ tag-strip + the two
+# entity substitutions. Exotic-Unicode behavior is pinned by pytest goldens
+# (tests/test_textops.py), not by these mirrors.
+# ---------------------------------------------------------------------------
+
+
+def _strip_html_sql(col: str) -> str:
+    """html.parser get_text() on the corpus's markup: strip well-formed tags,
+    decode the two entities that occur (&#33; before &amp; so a decoded '&'
+    can never fabricate a new charref)."""
+    s = f"regexp_replace({col}, '<[^>]*>', '', 'g')"
+    s = f"replace({s}, '&#33;', '!')"
+    return f"replace({s}, '&amp;', '&')"
+
+
+ORACLE_SQL["strip_html"] = with_corpus(
+    f"SELECT repo, path, {_strip_html_sql('content')} AS content_text FROM corpus"
+)
+
+# NFKC = identity on ASCII + composed accents; NFD-decompose-drop-Mn =
+# strip_accents; Greek/Cyrillic/No/Sk removal = identity (none occur).
+ORACLE_SQL["clean_unicode"] = with_corpus(
+    "SELECT repo, path, strip_accents(content) AS content_clean FROM corpus"
+)
+
+
+def _line_break_norm_sql(s: str) -> str:
+    """LineBreakNormalizationModule mirror, valid ONLY after ``_ws_norm_sql``
+    (whose final ``\\s{2,}`` collapse guarantees no two consecutive
+    whitespace chars and no space adjacent to a newline). Under that
+    precondition the Python kernel reduces to: drop single-word-char lines,
+    then every remaining newline is a soft break (the ``(?<!\\.\\s)`` /
+    ``(?!\\s*\\n)`` lookarounds can never fire) → join with a space,
+    collapse, strip."""
+    s = f"regexp_replace({s}, '(?m)^\\w\\n', '', 'g')"  # interior 1-char lines
+    s = f"regexp_replace({s}, '\\n\\w$', '')"           # final 1-char line
+    s = f"regexp_replace({s}, '^\\w$', '')"             # whole-string 1 char
+    s = f"replace({s}, chr(10), ' ')"                   # soft-break join
+    s = f"regexp_replace({s}, '\\s{{2,}}', ' ', 'g')"
+    return f"trim({s}, {WS_CHARS})"
+
+
+_BIB_SQL_PAT = r"\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)"
+
+
+def _flagship_clean_sql(col: str) -> str:
+    """The flagship config's clean chain (textops.compile_chain order for
+    flagship_config(): NFKC → diacritics → spacing → line breaks → break-line
+    removal → page chain → bib refs → lowercase → HTML strip → Greek/Cyrillic
+    (identity) → No/Sk → final strip)."""
+    s = f"strip_accents({col})"
+    s = _ws_norm_sql(s)
+    s = _line_break_norm_sql(s)
+    s = f"replace({s}, chr(10), ' ')"  # remove_break_lines (no-op post-join)
+    s = _page_chain_sql(s)
+    s = f"regexp_replace({s}, '{_BIB_SQL_PAT}', '', 'g')"
+    s = f"lower({s})"
+    s = _strip_html_sql(s)
+    s = f"regexp_replace({s}, '[\\^`]', '', 'g')"  # ASCII No/Sk chars
+    return f"trim({s}, {WS_CHARS})"
+
+
+def _register_clean_full() -> None:
+    """clean_full = flagship chain + char filter + tokenize/stop-words +
+    user regex, in compile_chain's fixed order."""
+    from corpusaid_ray.functions.tokenize import STOP_WORDS
+
+    stop_list = ", ".join(sql_quote(w) for w in sorted(STOP_WORDS))
+    s = "strip_accents(content)"
+    s = _ws_norm_sql(s)
+    s = _line_break_norm_sql(s)
+    s = f"replace({s}, chr(10), ' ')"
+    # char filter runs BEFORE the page chain (compile_chain order)
+    s = f"regexp_replace({s}, '(?i)\\bfoo\\b|\\bTODO\\b|a\\+b', '', 'g')"
+    s = _page_chain_sql(s)
+    s = f"regexp_replace({s}, '{_BIB_SQL_PAT}', '', 'g')"
+    s = f"lower({s})"
+    s = _strip_html_sql(s)
+    s = f"array_to_string(regexp_extract_all({s}, '\\w+|[^\\w\\s]'), ' ')"
+    s = (f"array_to_string(list_filter(regexp_extract_all({s}, '\\w+|[^\\w\\s]'), "
+         f"x -> lower(x) NOT IN ({stop_list})), ' ')")
+    s = f"regexp_replace({s}, '[\\^`]', '', 'g')"
+    # user regex (DOTALL): inert post-lowercase ('AKIA' no longer matches),
+    # applied anyway for chain fidelity
+    s = f"regexp_replace({s}, '(?s)key AKIA.*?leaked', '', 'g')"
+    s = f"trim({s}, {WS_CHARS})"
+    ORACLE_SQL["clean_full"] = with_corpus(f"""
+SELECT repo, path, {s} AS content_clean, sha256({s}) AS content_sha256
+FROM corpus""")
+
+
+_register_clean_full()
+
+
+# --- keep/drop mirror -------------------------------------------------------
+# Label order (stages/label.py): clean_error → min_chars → langid →
+# perplexity → max_line_len → alnum_ratio → dup_line_frac. On this corpus
+# clean_error never fires (no null/poison rows) and the model gates never
+# fire either — measured margins at sf0.01 AND sf0.1: min lang_conf 0.277 vs
+# threshold 0.05, max log_ppl 7.28 vs threshold 12.0 (deterministic model
+# fits, so the margins are stable). The SQL mirror therefore carries only
+# the heuristic rules, in the same precedence order.
+_HEUR_COLS = """
+       length(content) AS n_chars,
+       list_max(list_transform(str_split(content, chr(10)), x -> length(x))) AS max_line_len,
+       length(regexp_replace(content, '[^0-9A-Za-z]', '', 'g'))::DOUBLE
+         / greatest(length(content), 1) AS alnum_ratio,
+       1.0 - length(list_distinct(str_split(content, chr(10))))::DOUBLE
+         / greatest(length(str_split(content, chr(10))), 1) AS dup_line_frac"""
+
+_DROP_REASON_SQL = """CASE
+         WHEN n_chars < 8 THEN 'heuristic:min_chars'
+         WHEN max_line_len > 2000 THEN 'heuristic:max_line_len'
+         WHEN alnum_ratio < 0.25 THEN 'heuristic:alnum_ratio'
+         WHEN dup_line_frac > 0.6 THEN 'heuristic:dup_line_frac'
+         ELSE '' END"""
+
+ORACLE_SQL["keep_drop"] = with_corpus(f"""
+, m AS (
+  SELECT repo, path, "commit",
+         sha256({_flagship_clean_sql('content')}) AS content_sha256,
+         {_HEUR_COLS}
+  FROM corpus
+)
+SELECT repo, path, "commit", content_sha256,
+       {_DROP_REASON_SQL} AS drop_reason,
+       ({_DROP_REASON_SQL}) = '' AS keep
+FROM m""")
+
+
+def _register_kept_corpus() -> None:
+    from corpusaid_ray.config import DEFAULT_SCRUB_RULES
+
+    ORACLE_SQL["kept_corpus"] = with_corpus(f"""
+, m AS (
+  SELECT repo, path, "commit", lang,
+         {_flagship_clean_sql('content')} AS content_clean,
+         {_HEUR_COLS}
+  FROM corpus
+)
+SELECT repo, path, "commit", lang,
+       {scrub_sql('content_clean', DEFAULT_SCRUB_RULES)} AS content_scrubbed,
+       sha256(content_clean) AS content_sha256
+FROM m
+WHERE ({_DROP_REASON_SQL}) = ''""")
+
+
+_register_kept_corpus()
+
+
+# --- exact n-gram near-dup mirror -------------------------------------------
+# dedup_ngram = LSH candidates → exact 5-char-shingle Jaccard ≥ 0.6. The SQL
+# side computes ALL-pairs shingle Jaccard (no LSH): verified identical at
+# sf0.01 — MinHash recall is 100% on this corpus (duplicate groups share
+# content or differ by one char), and hashed-shingle Jaccard equals
+# string-shingle Jaccard (no 64-bit collisions at this scale).
+_SHINGLE_PAIRS = """
+sh AS (
+  SELECT path, unnest(list_distinct(list_transform(
+           range(1, greatest(length(content) - 3, 2)),
+           i -> substr(content, i::INT, 5)))) AS s
+  FROM corpus
+),
+sizes AS (SELECT path, count(*) AS n FROM sh GROUP BY path),
+inter AS (
+  SELECT a.path AS path_a, b.path AS path_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.path < b.path
+  GROUP BY a.path, b.path
+),
+jac AS (
+  SELECT path_a, path_b,
+         inter.i::DOUBLE / (sa.n + sb.n - inter.i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.path = inter.path_a
+  JOIN sizes sb ON sb.path = inter.path_b
+)"""
+
+ORACLE_SQL["dedup_ngram"] = with_corpus(f"""
+, {_SHINGLE_PAIRS}
+SELECT path_a, path_b, jaccard FROM jac WHERE jaccard >= 0.6""")
+
+# dup_groups: connected components over the ≥0.8 verified pairs, group_rep =
+# lexicographically smallest member — transitive closure via recursive CTE.
+ORACLE_SQL["dup_groups"] = f"""WITH RECURSIVE {corpus_cte()},
+{_SHINGLE_PAIRS},
+pairs AS (SELECT path_a, path_b FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT path_a AS u, path_b AS v FROM pairs
+  UNION
+  SELECT path_b, path_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS path, least(u, min(v)) AS group_rep FROM reach GROUP BY u"""
+
+# embed_neardup: brute-force cosine mirror of the hyperplane-LSH detector.
+# Exact because LSH only adds false NEGATIVES and the sf0.01 ground truth is
+# empty (verified by brute force) — any future pair the LSH finds is also in
+# the brute-force set.
+ORACLE_SQL["embed_neardup"] = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95"""
+
+
 ORACLE_SQL["top_docs"] = with_corpus("""
 SELECT repo, path, length(content) AS n_chars
 FROM corpus

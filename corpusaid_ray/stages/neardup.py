@@ -297,6 +297,16 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
         )
 
     pairs = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+    uniq = pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+    # normalize the degenerate block a zero-row groupby emits (no columns at
+    # all) back to the typed schema: a corpus with zero near-dup pairs must
+    # still yield (vec_id_a, vec_id_b, cosine) columns
+    def ensure_schema(df: pd.DataFrame) -> pd.DataFrame:
+        if df.shape[1] == 0:
+            return _empty_df(vec_id_a="int64", vec_id_b="int64",
+                             cosine="float64")
+        return df
+
+    return uniq.map_batches(ensure_schema, batch_format="pandas")
