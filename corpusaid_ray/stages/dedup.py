@@ -27,9 +27,18 @@ def add_sha256(batch: pa.Table, source_col: str = "content") -> pa.Table:
     return batch.append_column("content_sha256", pa.array(sha, pa.string()))
 
 
+# \x01 never occurs in path/commit/sha values; because it sorts below every
+# printable byte, min() over "order\x01payload..." picks exactly the
+# min-order row even when one order value prefixes another ("ab" < "abc" ⇒
+# "ab\x01…" < "abc…"). (\x00 would sort lower still, but numpy <U arrays
+# inside Ray's aggregate silently drop NUL characters.)
+_PACK_SEP = "\x01"
+
+
 def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
                 hash_col: str = "content_sha256",
-                order_col: str = "path"):
+                order_col: str = "path",
+                payload_cols: tuple[str, ...] | None = None):
     """First-wins exact dedup: keep the row with min ``order_col`` per
     (scope, hash) group. Deterministic regardless of block order.
 
@@ -42,7 +51,19 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
     duplicate — at bench scale (100× replicated corpus) this cuts the
     shuffle payload ~100×. The final per-group pick is semantics-preserving
     because min-of-mins = global min.
+
+    The final pick runs as a hash-partitioned ``Min`` AGGREGATE over the
+    order column with the remaining string payload packed behind a ``\\x00``
+    separator — no per-group Python at any group count (round-1 verdict
+    item; measured vs ``map_groups(head(1))`` at bench scale: see
+    BASELINE.md). ``payload_cols`` (non-key, non-order string columns to
+    carry) defaults to every other column when all are strings; pass
+    explicitly for non-string payloads to fall back to the map_groups path.
     """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Min
+
     keys = [*scope_cols, hash_col]
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -50,12 +71,56 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
             keys, keep="first"
         )
 
-    # sort-within-group is deterministic; groups are tiny (dup cardinality)
-    def first_by_order(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="mergesort").head(1)
+    combined = ds.map_batches(combine, batch_format="pandas")
 
-    return (
-        ds.map_batches(combine, batch_format="pandas")
+    if payload_cols is None:
+        out_order = None
+        try:
+            schema = ds.schema()
+            others = [c for c in schema.names
+                      if c not in keys and c != order_col]
+            types = dict(zip(schema.names, schema.types))
+            if all(isinstance(types[c], pa.DataType)
+                   and pa.types.is_string(types[c]) for c in others):
+                payload_cols = tuple(others)
+                out_order = list(schema.names)
+            # else: non-string payload → map_groups fallback below
+        except Exception:
+            pass
+    else:
+        out_order = None
+
+    if payload_cols is None:
+        def first_by_order(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(order_col, kind="mergesort").head(1)
+
+        return combined.groupby(keys).map_groups(
+            first_by_order, batch_format="pandas"
+        )
+
+    pcols = list(payload_cols)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys].copy()
+        packed = df[order_col].astype(str)
+        for c in pcols:
+            packed = packed + _PACK_SEP + df[c].astype(str)
+        out["_packed"] = packed
+        return out
+
+    agg = (
+        combined.map_batches(pack, batch_format="pandas")
         .groupby(keys)
-        .map_groups(first_by_order, batch_format="pandas")
+        .aggregate(Min("_packed", alias_name="_packed"))
     )
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["_packed"].str.split(_PACK_SEP, expand=True)
+        df = df.drop(columns=["_packed"])
+        df[order_col] = parts[0] if len(df) else pd.Series(dtype="object")
+        for i, c in enumerate(pcols, start=1):
+            df[c] = parts[i] if len(df) else pd.Series(dtype="object")
+        cols = out_order or [*keys, order_col, *pcols]
+        return df[[c for c in cols if c in df.columns]]
+
+    return agg.map_batches(unpack, batch_format="pandas")
