@@ -213,6 +213,33 @@ def q_ann_topk(sf_dir: str):
     return ann_topk(cands, queries, k=5)
 
 
+SEARCH_TERM = "page"  # search-count fixture (escaped literal, case-insensitive)
+
+
+def q_search_count(sf_dir: str):
+    """Reference search-occurrence count (src/CorpusAid.py:2628-2673):
+    escaped literal term, CASE-INSENSITIVE, non-overlapping matches per
+    document — one vectorized ``pc.count_substring`` kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "n_matches": pc.cast(
+                    pc.count_substring(
+                        batch["content"], SEARCH_TERM, ignore_case=True
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _corpus(sf_dir).map_batches(count, batch_format="pyarrow")
+
+
 CHAR_FILTER_SEQS = ("foo", "TODO", "a+b")
 USER_REGEX = r"key AKIA.*?leaked"  # DOTALL user scrub (reference op #19)
 
@@ -239,6 +266,19 @@ def q_scrub_bib(sf_dir: str):
     from corpusaid_ray.functions.textops import remove_bibliographical_references
 
     return _rowwise(sf_dir, remove_bibliographical_references, "content_scrubbed")
+
+
+def q_pattern_scrub(sf_dir: str):
+    """Advanced pattern-builder wizard → operator #19: the declarative
+    ``{start, end_type, end, number_length}`` rows compile to the reference's
+    regex (src/CorpusAid.py:1128-1165) and scrub under DOTALL."""
+    from corpusaid_ray.config import DEMO_PATTERN_ROWS, compile_pattern_builder
+    from corpusaid_ray.functions.textops import compile_user_regex
+
+    pat = compile_user_regex(
+        compile_pattern_builder(DEMO_PATTERN_ROWS, case_sensitive=False)
+    )
+    return _rowwise(sf_dir, lambda t: pat.sub("", t), "content_scrubbed")
 
 
 def q_strip_html(sf_dir: str):
@@ -686,6 +726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,
+        "pattern_scrub": q_pattern_scrub,
+        "search_count": q_search_count,
         "scrub_bib": q_scrub_bib,
         "strip_html": q_strip_html,
         "tokenize_stopwords": q_tokenize_stopwords,

@@ -165,6 +165,80 @@ class PipelineConfig:
         return cls(**merged, **extensions)
 
 
+def compile_pattern_builder(
+    rows: list[dict],
+    *,
+    whole_words: bool = False,
+    case_sensitive: bool = True,
+) -> str:
+    """The reference's advanced pattern-builder wizard → regex string
+    (``/root/reference/src/CorpusAid.py:1128-1165``), feeding reference
+    operator #19 (user regex, DOTALL).
+
+    Each row is ``{start, end_type, end, number_length}`` with ``end_type``
+    one of ``Single Number`` / ``Multiple Numbers`` / ``Specific Sequence``.
+    Reference quirks kept deliberately:
+
+    - a row is included only when BOTH ``start`` and ``end`` are non-empty —
+      even for ``Multiple Numbers``, whose ``end`` value is otherwise unused
+      (``:1114-1118``);
+    - ``Single Number`` ignores ``end``'s value and matches one ``\\d``;
+    - ``Multiple Numbers`` requires ``number_length.isdigit()`` (``"0"`` is
+      accepted → ``\\d{0}``) and raises otherwise (``:1138-1141``);
+    - ``whole_words`` wraps the WHOLE alternation in ``\\b( ... )\\b``;
+    - flags are DOTALL always, plus IGNORECASE unless ``case_sensitive`` —
+      emitted as an inline ``(?i)`` prefix so the string drops straight into
+      ``regex_pattern`` (compiled with ``re.DOTALL`` by operator #19).
+
+    The reference shows an error dialog on an invalid result and keeps the
+    previous pattern; the engine raises ``ConfigError`` instead (fail fast).
+    """
+    patterns = []
+    for data in rows:
+        start = str(data.get("start", "")).strip()
+        end = str(data.get("end", "")).strip()
+        if not (start and end):
+            continue
+        s = re.escape(start)
+        end_type = data.get("end_type", "Specific Sequence")
+        if end_type == "Single Number":
+            pattern = rf"{s}.*?\d"
+        elif end_type == "Multiple Numbers":
+            number_length = str(data.get("number_length", "")).strip()
+            if not number_length.isdigit():
+                raise ConfigError(
+                    "Number Length must be a positive integer for "
+                    "Multiple Numbers."
+                )
+            pattern = s + r".*?\d{" + number_length + "}"
+        else:  # Specific Sequence
+            pattern = rf"{s}.*?{re.escape(end)}"
+        patterns.append(pattern)
+    final = "|".join(patterns)
+    if whole_words:
+        final = rf"\b({final})\b"
+    if not case_sensitive:
+        final = "(?i)" + final
+    try:
+        re.compile(final, re.DOTALL)
+    except re.error as e:
+        raise ConfigError(f"invalid built pattern: {e}") from e
+    return final
+
+
+# Demo builder rows exercised by the driver's pattern_scrub query (one row
+# per end_type; case-insensitive to exercise the (?i) flag path). Targets
+# the page-delimiter / phone / pag.-indicator motifs of the synthetic corpus.
+DEMO_PATTERN_ROWS: list[dict] = [
+    {"start": "--- Page", "end_type": "Specific Sequence", "end": "---",
+     "number_length": ""},
+    {"start": "call", "end_type": "Multiple Numbers", "end": "n/a",
+     "number_length": "4"},
+    {"start": "see pag.", "end_type": "Single Number", "end": "0",
+     "number_length": ""},
+]
+
+
 # The kitchen-sink config used by the flagship pipeline: every stateless
 # reference operator on + the target-spec stages. (Tokenization/stop-words
 # use the engine's pinned tokenizer — see functions/tokenize.py.)

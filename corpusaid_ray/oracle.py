@@ -207,6 +207,32 @@ SELECT repo, path,
          AS content_scrubbed
 FROM corpus""")
 
+# Reference search-count mirror: escaped literal, case-insensitive,
+# non-overlapping (QRegularExpression.escape + CaseInsensitiveOption,
+# src/CorpusAid.py:2650-2652).
+ORACLE_SQL["search_count"] = with_corpus("""
+SELECT repo, path,
+       length(regexp_extract_all(content, '(?i)page'))::BIGINT AS n_matches
+FROM corpus""")
+
+
+def _register_pattern_scrub() -> None:
+    """Pattern-builder mirror: the compiled pattern string is RE2-safe by
+    construction (escaped literals, lazy dot, \\d{n}, alternation, inline
+    (?i)) — embed it verbatim under (?s) for DOTALL."""
+    from corpusaid_ray.config import DEMO_PATTERN_ROWS, compile_pattern_builder
+
+    pat = compile_pattern_builder(DEMO_PATTERN_ROWS, case_sensitive=False)
+    ORACLE_SQL["pattern_scrub"] = with_corpus(f"""
+SELECT repo, path,
+       regexp_replace(content, {sql_quote('(?s)' + pat)}, '', 'g')
+         AS content_scrubbed
+FROM corpus""")
+
+
+_register_pattern_scrub()
+
+
 ORACLE_SQL["scrub_bib"] = with_corpus(r"""
 SELECT repo, path,
        regexp_replace(content, '\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)', '', 'g')

@@ -15,13 +15,36 @@ import os
 import pyarrow as pa
 
 
-def read_text_dir(root: str):
+def detect_and_decode(raw: bytes) -> str:
+    """Pinned encoding-detection decode (the reference detects with
+    charset_normalizer / chardetng then decodes with ``errors="replace"``,
+    ``src/CorpusAid.py:1786-1796``, ``rust_preview/src/lib.rs:43-57``;
+    neither detector ships in this environment, so the engine pins a
+    deterministic heuristic of the same shape):
+
+    1. BOM sniff: UTF-8 / UTF-16 LE / UTF-16 BE BOMs win outright;
+    2. strict UTF-8 decode succeeds → UTF-8;
+    3. otherwise cp1252 (the usual Western single-byte guess),
+       ``errors="replace"`` so undecodable bytes never fail the read.
+    """
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return raw.decode("utf-8-sig", errors="replace")
+    if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):
+        return raw.decode("utf-16", errors="replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("cp1252", errors="replace")
+
+
+def read_text_dir(root: str, *, detect_encoding: bool = False):
     """Recursive ``.txt`` scan (case-insensitive, like the reference's
     ``scan_directory``) → Dataset[path, content].
 
-    Decode is ``utf-8, errors="replace"`` — the reference's Python fallback
-    read path (``src/CorpusAid.py:131-146``); paths are normalized like
-    ``Document.__init__`` (``:449``).
+    Default decode is ``utf-8, errors="replace"`` — the reference's Python
+    fallback read path (``src/CorpusAid.py:131-146``); paths are normalized
+    like ``Document.__init__`` (``:449``). ``detect_encoding=True`` switches
+    to :func:`detect_and_decode` (the reference's detection path).
     """
     import ray.data
 
@@ -33,7 +56,11 @@ def read_text_dir(root: str):
 
     def decode(batch: pa.Table) -> pa.Table:
         paths = [os.path.normpath(p) for p in batch["path"].to_pylist()]
-        texts = [b.decode("utf-8", errors="replace") for b in batch["bytes"].to_pylist()]
+        if detect_encoding:
+            texts = [detect_and_decode(b) for b in batch["bytes"].to_pylist()]
+        else:
+            texts = [b.decode("utf-8", errors="replace")
+                     for b in batch["bytes"].to_pylist()]
         return pa.table(
             {"path": pa.array(paths, pa.string()),
              "content": pa.array(texts, pa.string())}

@@ -129,3 +129,8 @@ def test_read_text_dir_reference_semantics(ray_session, tmp_path):
     assert "caf�" in rows["b.TXT"]  # errors="replace" fallback
     pv = preview(ds, limit_chars=3, n=1)
     assert len(pv) == 1 and len(pv[0]["content"]) == 3
+    # detection path (reference's chardet read, pinned heuristic): the
+    # latin-1 bytes decode via the cp1252 guess instead of replacement chars
+    det = read_text_dir(str(tmp_path), detect_encoding=True)
+    rows_det = {r["path"].split("/")[-1]: r["content"] for r in det.take_all()}
+    assert rows_det["b.TXT"] == "café latté"

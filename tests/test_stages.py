@@ -274,3 +274,68 @@ def test_batch_scorers_match_rowwise_and_split_invariant():
         assert np.array_equal(
             np.concatenate([pm.log_ppl_batch(texts[:k]),
                             pm.log_ppl_batch(texts[k:])]), ppl)
+
+
+def test_pattern_builder_golden():
+    """Golden compiled patterns reproducing the reference wizard
+    (src/CorpusAid.py:1128-1165) for each end_type + flag combination."""
+    import pytest
+
+    from corpusaid_ray.config import ConfigError, compile_pattern_builder
+
+    rows = [
+        {"start": "--- Page", "end_type": "Specific Sequence", "end": "---",
+         "number_length": ""},
+        {"start": "call", "end_type": "Multiple Numbers", "end": "n/a",
+         "number_length": "4"},
+        {"start": "see pag.", "end_type": "Single Number", "end": "0",
+         "number_length": ""},
+    ]
+    assert compile_pattern_builder(rows) == (
+        r"\-\-\-\ Page.*?\-\-\-|call.*?\d{4}|see\ pag\..*?\d"
+    )
+    assert compile_pattern_builder(rows, case_sensitive=False).startswith("(?i)")
+    assert compile_pattern_builder(rows, whole_words=True) == (
+        r"\b(\-\-\-\ Page.*?\-\-\-|call.*?\d{4}|see\ pag\..*?\d)\b"
+    )
+    # quirk: a row is dropped when start or end is empty — even for
+    # Multiple Numbers, whose end value is otherwise unused (:1114-1118)
+    assert compile_pattern_builder(
+        [{"start": "x", "end_type": "Multiple Numbers", "end": "",
+          "number_length": "3"}] + rows[:1]
+    ) == r"\-\-\-\ Page.*?\-\-\-"
+    # quirk: "0" passes isdigit() → \d{0}
+    assert compile_pattern_builder(
+        [{"start": "x", "end_type": "Multiple Numbers", "end": "y",
+          "number_length": "0"}]
+    ) == r"x.*?\d{0}"
+    with pytest.raises(ConfigError):
+        compile_pattern_builder(
+            [{"start": "x", "end_type": "Multiple Numbers", "end": "y",
+              "number_length": "abc"}]
+        )
+
+
+def test_pattern_builder_matches_reference_semantics():
+    import re
+
+    from corpusaid_ray.config import DEMO_PATTERN_ROWS, compile_pattern_builder
+
+    pat = re.compile(
+        compile_pattern_builder(DEMO_PATTERN_ROWS, case_sensitive=False),
+        re.DOTALL,
+    )
+    text = "a --- Page 3 --- b call +1 555 867-5309. See pag. IV for 7 end"
+    assert pat.sub("", text) == "a  b .  end"
+
+
+def test_detect_and_decode():
+    from corpusaid_ray.sources import detect_and_decode
+
+    assert detect_and_decode("héllo".encode("utf-8")) == "héllo"
+    assert detect_and_decode(b"\xef\xbb\xbfabc") == "abc"          # UTF-8 BOM
+    assert detect_and_decode("héllo".encode("utf-16")) == "héllo"  # BOM'd
+    assert detect_and_decode("café".encode("latin-1")) == "café"   # cp1252 path
+    assert detect_and_decode(b"") == ""
+    # cp1252-unmappable byte still decodes (errors="replace")
+    assert "�" in detect_and_decode(b"caf\x81")
