@@ -346,6 +346,54 @@ def _ascii_sk_no_class() -> str:
     return "[" + "".join(_re.escape(c) for c in chars) + "]" if chars else ""
 
 
+def apply_ascii_split(col, column_fn, row_fn):
+    """Apply ``column_fn`` (Arrow kernels, RE2 semantics — valid on ASCII)
+    to the ASCII rows of ``col`` and ``row_fn`` (Python ``re``, reference
+    semantics) to the rest, recombined in original order. The same
+    split-by-mask pattern the flagship stage uses (stages/score.py)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    mask = pc.string_is_ascii(col)
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    n_ascii = int(mask_np.sum())
+    if n_ascii == n:
+        out = column_fn(col)
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+    if n_ascii == 0:
+        return pa.array([row_fn(t) for t in col.to_pylist()], pa.string())
+    fast = column_fn(col.filter(mask)).to_pylist()
+    slow = [row_fn(t) for t in col.filter(pc.invert(mask)).to_pylist()]
+    merged: list[str] = [""] * n
+    for p, v in zip(np.flatnonzero(mask_np), fast):
+        merged[p] = v
+    for p, v in zip(np.flatnonzero(~mask_np), slow):
+        merged[p] = v
+    return pa.array(merged, pa.string())
+
+
+def compile_rx_chain(patterns: list[tuple[str, str]], *, final_trim: bool = False):
+    """Column fn chaining RE2 ``replace_substring_regex`` kernels; each
+    pattern is ``\\s``-rewritten to Python-re whitespace semantics."""
+    import pyarrow.compute as pc
+
+    compiled = [(_pyws_rewrite(p), r) for p, r in patterns]
+
+    def col_fn(col):
+        for p, r in compiled:
+            col = pc.replace_substring_regex(col, pattern=p, replacement=r)
+        if final_trim:
+            col = pc.utf8_trim(col, characters="\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ")
+        return col
+
+    return col_fn
+
+
 def compile_column_chain(config):
     """Compile the enabled operators into a column-level function
     ``pa.Array -> pa.Array`` valid ONLY for all-ASCII, non-null input.

@@ -109,3 +109,31 @@ def test_no_resume_overwrites_completed_partitions(ray_session, tmp_out):
     got = _read_all(tmp_out)
     assert len(got) == 500
     assert got.path.is_unique
+
+
+def test_resume_invalidates_on_identity_change(ray_session, tmp_out):
+    """Changing num_parts or repeat between runs changes the checkpoint
+    identity: old manifests must NOT count as done (resuming across a
+    different mod-P partitioning would duplicate rows — round-1 advisor
+    finding)."""
+    from corpusaid_ray.state.lineage import load_done_parts, run_checkpointed
+
+    s1 = run_checkpointed(SF_SMALL, tmp_out, num_parts=4, resume=False)
+    assert s1["parts_written"] == [0, 1, 2, 3]
+    rv = s1["rule_version"]
+
+    # same identity → all 4 count as done
+    assert load_done_parts(tmp_out, rv, 4, 1, SF_SMALL) == {0, 1, 2, 3}
+    # different num_parts / repeat / input → nothing counts
+    assert load_done_parts(tmp_out, rv, 8, 1, SF_SMALL) == set()
+    assert load_done_parts(tmp_out, rv, 4, 2, SF_SMALL) == set()
+    assert load_done_parts(tmp_out, rv, 4, 1, "/elsewhere") == set()
+
+    # resuming with a larger num_parts reprocesses from scratch (old
+    # partitions invalidated + cleaned) and the output has NO duplicate rows
+    s2 = run_checkpointed(SF_SMALL, tmp_out, num_parts=8)
+    assert s2["parts_written"] == list(range(8))
+    assert s2["skipped"] == []
+    df = _read_all(tmp_out)
+    assert df.path.is_unique
+    assert len(df) == s1["rows"] == s2["rows"]

@@ -339,3 +339,32 @@ def test_detect_and_decode():
     assert detect_and_decode(b"") == ""
     # cp1252-unmappable byte still decodes (errors="replace")
     assert "�" in detect_and_decode(b"caf\x81")
+
+
+def test_dedup_aggregate_equals_map_groups(ray_session):
+    """The packed-Min aggregate final pick must equal the map_groups
+    fallback row-for-row, including prefix-ordering edge cases
+    ("ab" < "abc") and payload reconstruction."""
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import dedup_exact
+
+    rows = []
+    for i, (repo, path, sha) in enumerate([
+        ("r1", "ab", "h1"), ("r1", "abc", "h1"),      # prefix-order edge
+        ("r1", "z/2.txt", "h2"), ("r1", "z/10.txt", "h2"),  # lexicographic
+        ("r2", "a.txt", "h1"),                         # same hash, other scope
+        ("r2", "only.txt", "h3"),
+    ]):
+        rows.append({"repo": repo, "path": path, "commit": f"c{i}",
+                     "content_sha256": sha})
+    ds = ray.data.from_items(rows)
+
+    agg = dedup_exact(ds).to_pandas()
+    got = {tuple(r) for r in agg[["repo", "path", "commit"]].itertuples(index=False)}
+    assert got == {
+        ("r1", "ab", "c0"),          # "ab" wins over "abc"
+        ("r1", "z/10.txt", "c3"),    # "z/10" < "z/2" lexicographically
+        ("r2", "a.txt", "c4"),
+        ("r2", "only.txt", "c5"),
+    }

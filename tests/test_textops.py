@@ -238,3 +238,38 @@ def test_clean_stage_mixed_batch_split_parity():
         "" if t is None else row(t) for t in texts
     ]
     assert out["clean_error"].to_pylist() == [t is None for t in texts]
+
+
+def test_apply_ascii_split_parity_mixed_batch():
+    """Column RE2 path on ASCII rows + row path on the rest must equal the
+    pure row path on a mixed batch (the _colwise driver-query shape)."""
+    import pyarrow as pa
+
+    from corpusaid_ray.functions import textops as T
+    from corpusaid_ray.functions.textops import apply_ascii_split, compile_rx_chain
+
+    def page_chain(t: str) -> str:
+        return T.remove_page_delimiters(
+            T.remove_page_indicators(
+                T.remove_roman_page_numbers(T.remove_page_numbers(t))
+            )
+        )
+
+    col_fn = compile_rx_chain(
+        [(r"(?m)^\s*\d{1,4}\s*$", ""),
+         (r"(?m)^\s*([IiVvXxLlCcDdMm]{1,7})\s*$", ""),
+         (r"\b(?:[Pp]age|[Pp]ag\.?)\s+(\d+|[IVXLCDM]+)\b", ""),
+         (r"---\s*Page\s+\d+\s*---", "")],
+    )
+    rows = [
+        "--- Page 3 ---\n12\nIntro.\nxiv\nSee pag. IV now",
+        "Résumé café — Page 12 here\n42\n",   # non-ASCII → row path
+        "",
+        "mid\n1234\nplain text Page IX",
+        "\x0b7\x0b\nodd \x1cws\x1d Page 5",    # exotic whitespace
+        None,
+    ]
+    col = pa.array(rows, pa.string())
+    got = apply_ascii_split(col, col_fn, page_chain).to_pylist()
+    want = [page_chain(t if t is not None else "") for t in rows]
+    assert got == want
