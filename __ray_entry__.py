@@ -538,6 +538,70 @@ def q_multimodal_meta(sf_dir: str):
     )
 
 
+def _media_ds(sf_dir: str, parity: int):
+    """Deterministic media payloads in closed forms of ``doc_id``: PGM
+    images for even ids (pixel (doc_id+i+j)%256 on an (8+id%7)×(8+id%5)
+    grid), RIFF/WAVE PCM for odd (800+(id%10)*80 constant samples id%100 at
+    8 kHz) — decoded features stay SQL-expressible."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.multimodal import (
+        encode_pnm,
+        encode_wav,
+        media_features,
+    )
+
+    import pyarrow.compute as pc
+
+    def synth(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), parity)
+        )
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            if did % 2 == 0:
+                w, h = 8 + did % 5, 8 + did % 7
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                payloads.append(
+                    encode_pnm(((did + i + j) % 256).astype(np.uint8))
+                )
+            else:
+                frames = 800 + (did % 10) * 80
+                payloads.append(
+                    encode_wav(
+                        np.full(frames, did % 100, dtype=np.int16), 8000
+                    )
+                )
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return media_features(ds.map_batches(synth, batch_format="pyarrow"))
+
+
+def q_image_features(sf_dir: str):
+    """REAL netpbm decode path (pure-numpy P5/P6 decoder in an actor pool):
+    dims / channels / mean intensity of deterministically synthesized PGM
+    payloads — every DECODED value oracle-verified."""
+    return _media_ds(sf_dir, 0).select_columns(
+        ["doc_id", "width", "height", "channels", "mean_intensity"]
+    )
+
+
+def q_audio_features(sf_dir: str):
+    """REAL WAV decode path (stdlib ``wave`` in an actor pool): duration /
+    rate / channels / RMS of deterministically synthesized PCM payloads —
+    every DECODED value oracle-verified."""
+    return _media_ds(sf_dir, 1).select_columns(
+        ["doc_id", "duration_s", "sample_rate", "n_channels", "rms"]
+    )
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -803,6 +867,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": q_embed_neardup,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "kept_corpus": q_kept_corpus,
         "keep_drop": q_keep_drop,
         "langid_scores": q_langid_scores,

@@ -280,6 +280,31 @@ SELECT repo, path,
        substr(hex(encode(content)), 1, 8) AS magic_hex
 FROM corpus""")
 
+# image/audio_features mirrors: the payloads are closed forms of doc_id
+# (PGM pixel (doc_id+i+j)%256 on an (8+doc_id%7) × (8+doc_id%5) grid for
+# even ids; WAV PCM of 800+(doc_id%10)*80 constant samples doc_id%100 at
+# 8 kHz for odd), so every DECODED feature has an exact SQL expression —
+# this verifies the real wave/netpbm decode round-trip, not just byte
+# plumbing.
+ORACLE_SQL["image_features"] = """
+SELECT doc_id,
+       (8 + doc_id % 5)::BIGINT AS width,
+       (8 + doc_id % 7)::BIGINT AS height,
+       1::BIGINT AS channels,
+       list_avg(flatten(list_transform(range(8 + doc_id % 7),
+         i -> list_transform(range(8 + doc_id % 5),
+                             j -> (doc_id + i + j) % 256))))
+         AS mean_intensity
+FROM documents WHERE doc_id % 2 = 0"""
+
+ORACLE_SQL["audio_features"] = """
+SELECT doc_id,
+       (800 + (doc_id % 10) * 80)::DOUBLE / 8000 AS duration_s,
+       8000::BIGINT AS sample_rate,
+       1::BIGINT AS n_channels,
+       (doc_id % 100)::DOUBLE AS rms
+FROM documents WHERE doc_id % 2 = 1"""
+
 ORACLE_SQL["ttr_stats"] = r"""
 SELECT doc_id,
        length(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_tokens,

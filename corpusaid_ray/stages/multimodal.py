@@ -1,19 +1,28 @@
-"""Multimodal column plumbing (training-data-pipeline stage).
+"""Multimodal column plumbing + stdlib media decode (training-data-pipeline
+stage).
 
 Images/audio/video are carried as opaque ``binary`` payload columns with
-typed metadata extracted by actor-pool ``map_batches`` stages. The actual
-media DECODE is stubbed (no image/audio libraries in this environment) behind
-``decode_media`` → ``NotImplementedError``; everything around it — schema,
-batch handling, actor signature, zero-copy binary slicing, output layout —
-is real and tested, so swapping in a real decoder is a one-function change.
+typed metadata extracted by actor-pool ``map_batches`` stages.
+``decode_media`` REALLY decodes the formats the standard library covers —
+WAV (RIFF PCM via ``wave``) and binary netpbm images (P5 grayscale / P6
+RGB, pure numpy) — with resize (nearest-neighbor) and feature extraction
+(dims, mean intensity, duration, RMS) on top. Formats needing external
+codecs (PNG/JPEG/MP3/video) raise ``NotImplementedError`` with the reason;
+the Ray-side plumbing — schema, batch handling, actor signature, zero-copy
+binary slicing, output layout — is identical for all formats, so adding a
+codec is a one-function change.
 
-Payloads here are synthesized deterministically from the corpus content
-(UTF-8 bytes), which keeps the whole path oracle-verifiable in SQL
-(octet_length / hex of the same bytes).
+Payloads in the driver queries are synthesized deterministically (closed
+forms of ``doc_id``), which keeps even the DECODED features
+oracle-verifiable in SQL.
 """
 
 from __future__ import annotations
 
+import io
+import wave
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -26,12 +35,100 @@ def attach_payload(batch: pa.Table, source_col: str = "content") -> pa.Table:
     return batch.append_column("payload", payload)
 
 
-def decode_media(payload: bytes, media_type: str):
-    """STUB: real deployments plug an image/audio decoder here (PIL,
-    torchaudio, ffmpeg). Deliberately NotImplemented in this environment."""
+# ---------------------------------------------------------------------------
+# Real stdlib decoders
+# ---------------------------------------------------------------------------
+
+
+def encode_pnm(pixels: np.ndarray) -> bytes:
+    """uint8 array (H,W) → binary PGM (P5) or (H,W,3) → PPM (P6)."""
+    if pixels.ndim == 2:
+        magic = b"P5"
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    h, w = pixels.shape[:2]
+    header = b"%s\n%d %d\n255\n" % (magic, w, h)
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P5/P6, maxval ≤ 255) → uint8 array (H,W[,3])."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    channels = 1 if payload[:2] == b"P5" else 3
+    # header = magic, width, height, maxval as whitespace/comment-separated
+    # tokens, then a single whitespace byte before raster data
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    n = w * h * channels
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape((h, w) if channels == 1 else (h, w, 3))
+
+
+def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    """int16 PCM samples → RIFF/WAVE bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE 16-bit PCM → (samples int16 [frames, channels], rate,
+    channels)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        rate, channels, nframes = (
+            f.getframerate(), f.getnchannels(), f.getnframes()
+        )
+        samples = np.frombuffer(f.readframes(nframes), dtype="<i2")
+    return samples.reshape(-1, channels), rate, channels
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index mapping)."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return pixels[rows][:, cols]
+
+
+def decode_media(payload: bytes, media_type: str | None = None):
+    """Decode a media payload by magic sniff. Returns
+    ``{"kind": "image", "pixels": ndarray}`` or
+    ``{"kind": "audio", "samples": ndarray, "rate": int, "channels": int}``.
+
+    Formats requiring external codecs (PNG/JPEG/MP3/video containers) raise
+    ``NotImplementedError`` — no image/video libraries ship in this
+    container; plug PIL/ffmpeg here in a real deployment."""
+    if payload[:2] in (b"P5", b"P6"):
+        return {"kind": "image", "pixels": decode_pnm(payload)}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate, channels = decode_wav(payload)
+        return {"kind": "audio", "samples": samples, "rate": rate,
+                "channels": channels}
     raise NotImplementedError(
-        f"media decode ({media_type}) requires image/audio libraries "
-        "not present in this container; see module docstring"
+        f"media decode ({media_type or payload[:4]!r}) requires codec "
+        "libraries not present in this container; see module docstring"
     )
 
 
@@ -58,6 +155,82 @@ class MediaMetaExtractor:
         if self.try_decode:
             decode_media(payload[0].as_py(), "image")  # pragma: no cover
         return batch
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode each payload and emit per-media features —
+    images: (width, height, channels, mean_intensity, thumb 8×8 PGM bytes);
+    audio: (duration_s, sample_rate, n_channels, rms). Columns not
+    applicable to a row's media kind are null. Decode state (none here, a
+    codec/model in real deployments) belongs in ``__init__`` — once per
+    actor, never per batch."""
+
+    THUMB = 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        width = np.full(n, -1, dtype=np.int64)
+        height = np.full(n, -1, dtype=np.int64)
+        channels = np.full(n, -1, dtype=np.int64)
+        mean_int = np.full(n, np.nan)
+        duration = np.full(n, np.nan)
+        rate = np.full(n, -1, dtype=np.int64)
+        nchan = np.full(n, -1, dtype=np.int64)
+        rms = np.full(n, np.nan)
+        kinds: list[str | None] = [None] * n
+        thumbs: list[bytes | None] = [None] * n
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            m = decode_media(payload)
+            kinds[i] = m["kind"]
+            if m["kind"] == "image":
+                px = m["pixels"]
+                height[i], width[i] = px.shape[:2]
+                channels[i] = 1 if px.ndim == 2 else px.shape[2]
+                mean_int[i] = px.mean()
+                gray = px if px.ndim == 2 else px.mean(axis=2).astype(np.uint8)
+                thumbs[i] = encode_pnm(
+                    resize_nearest(gray, self.THUMB, self.THUMB)
+                )
+            else:
+                s = m["samples"].astype(np.float64)
+                duration[i] = m["samples"].shape[0] / m["rate"]
+                rate[i] = m["rate"]
+                nchan[i] = m["channels"]
+                rms[i] = float(np.sqrt((s * s).mean()))
+
+        def opt_int(arr):
+            return pa.array(
+                [int(v) if v >= 0 else None for v in arr], pa.int64()
+            )
+
+        def opt_float(arr):
+            return pa.array(
+                [float(v) if v == v else None for v in arr], pa.float64()
+            )
+
+        batch = batch.append_column("media_kind", pa.array(kinds, pa.string()))
+        batch = batch.append_column("width", opt_int(width))
+        batch = batch.append_column("height", opt_int(height))
+        batch = batch.append_column("channels", opt_int(channels))
+        batch = batch.append_column("mean_intensity", opt_float(mean_int))
+        batch = batch.append_column("thumb", pa.array(thumbs, pa.binary()))
+        batch = batch.append_column("duration_s", opt_float(duration))
+        batch = batch.append_column("sample_rate", opt_int(rate))
+        batch = batch.append_column("n_channels", opt_int(nchan))
+        batch = batch.append_column("rms", opt_float(rms))
+        return batch
+
+
+def media_features(ds, *, concurrency=(1, 4)):
+    """payload Dataset → decoded per-media feature columns (actor pool;
+    binary stays Arrow end-to-end). Large payloads → small batches so a
+    batch × concurrency stays within the actor heap."""
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=256,
+    )
 
 
 def multimodal_meta(ds, *, concurrency=(1, 4)):

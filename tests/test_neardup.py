@@ -111,8 +111,49 @@ def test_multimodal_meta_and_stub(ray_session):
     out = multimodal_meta(read_corpus(SF_SMALL)).limit(5).to_pandas()
     assert (out.payload_bytes > 0).all()
     assert out.magic_hex.str.len().eq(8).all()
+    # codec-requiring formats stay honestly unimplemented
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image")
+        decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def test_media_decode_roundtrip_and_features(ray_session):
+    """Real stdlib decode paths: PGM/PPM and WAV round-trip exactly; the
+    actor-pool feature stage emits the decoded values."""
+    import ray.data
+
+    from corpusaid_ray.stages import multimodal as M
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_pnm(M.encode_pnm(gray)), gray)
+    assert np.array_equal(M.decode_pnm(M.encode_pnm(rgb)), rgb)
+    # comment + multi-whitespace headers parse too
+    hdr = b"P5\n# a comment\n 13  9\n255\n" + gray.tobytes()
+    assert np.array_equal(M.decode_pnm(hdr), gray)
+
+    samples = rng.integers(-3000, 3000, size=1600, dtype=np.int16)
+    dec, rate, ch = M.decode_wav(M.encode_wav(samples, 8000))
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(dec[:, 0], samples)
+
+    r = M.resize_nearest(gray, 3, 3)
+    assert r.shape == (3, 3)
+    assert r[0, 0] == gray[0, 0]
+
+    ds = ray.data.from_items(
+        [{"payload": M.encode_pnm(gray)},
+         {"payload": M.encode_wav(samples, 8000)}]
+    )
+    df = M.media_features(ds, concurrency=1).to_pandas()
+    img = df[df.media_kind == "image"].iloc[0]
+    assert (img.width, img.height, img.channels) == (13, 9, 1)
+    assert img.mean_intensity == gray.mean()
+    assert M.decode_pnm(img.thumb).shape == (8, 8)
+    aud = df[df.media_kind == "audio"].iloc[0]
+    assert aud.sample_rate == 8000 and aud.n_channels == 1
+    assert aud.duration_s == 1600 / 8000
+    assert abs(aud.rms - np.sqrt((samples.astype(np.float64) ** 2).mean())) < 1e-9
 
 
 def test_read_text_dir_reference_semantics(ray_session, tmp_path):
