@@ -229,6 +229,33 @@ def q_events_window(sf_dir: str):
     return tumbling_window(ds)
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (1 h windows every 30 min): map-side explode
+    into size/hop windows + partial agg, small groupby."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import hopping_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return hopping_window(ds, size_minutes=60, hop_minutes=30)
+
+
+def q_events_rolling(sf_dir: str):
+    """Per-user analytic functions: lag(value) and 3-row rolling sum in
+    event-time order (groupby co-locates each user's history)."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import rolling_analytics
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return rolling_analytics(ds)
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
@@ -841,6 +868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dist": q_lang_dist,
         "token_stats": q_token_stats,
         "events_window": q_events_window,
+        "events_hopping": q_events_hopping,
+        "events_rolling": q_events_rolling,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

@@ -192,6 +192,29 @@ SELECT event_type,
        sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS sum_value_micros
 FROM events GROUP BY event_type, date_trunc('hour', ts)"""
 
+# Hopping windows: each event belongs to size/hop = 2 aligned windows;
+# window_start = 30-min bucket minus i hops (epoch_us math keeps the type
+# a plain TIMESTAMP, matching pandas dt.floor arithmetic exactly).
+ORACLE_SQL["events_hopping"] = """
+SELECT event_type,
+       make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000)
+         AS window_start,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS sum_value_micros
+FROM events, unnest([0, 1]) AS t(i)
+GROUP BY event_type, window_start"""
+
+ORACLE_SQL["events_rolling"] = """
+SELECT event_id, user_id,
+       coalesce(lag(CAST(floor(value * 1000000) AS BIGINT))
+                OVER w, 0) AS prev_value_micros,
+       sum(CAST(floor(value * 1000000) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
+         AS rolling3_micros
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
 # CharacterFilterModule mirror: escaped literals, \b wrap for word-char
 # sequences, case-insensitive — (?i) inline since RE2 has no flag arg here.
 ORACLE_SQL["char_filter"] = with_corpus(r"""

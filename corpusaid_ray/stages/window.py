@@ -57,6 +57,81 @@ def sessionize(ds, *, gap_minutes: int = 30, key: str = "user_id",
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def hopping_window(ds, *, size_minutes: int = 60, hop_minutes: int = 30,
+                   key: str = "event_type", ts_col: str = "ts",
+                   value_col: str = "value"):
+    """Hopping (sliding) window aggregate: windows of ``size`` every
+    ``hop`` (size must be a multiple of hop). Each event explodes into
+    ``size/hop`` window rows map-side — the shuffle then moves only the
+    partial aggregates, exactly like ``tumbling_window``; order-independent
+    under additive aggregation.
+
+    Output: (key, window_start, n_events, sum_value_micros) — one row per
+    (key, window) where the window [start, start+size) contains ≥1 event.
+    """
+    if size_minutes % hop_minutes:
+        raise ValueError("size must be a multiple of hop")
+    ratio = size_minutes // hop_minutes
+    hop_td = pd.Timedelta(minutes=hop_minutes)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w0 = df[ts_col].dt.floor(f"{hop_minutes}min")
+        micros = np.floor(df[value_col].to_numpy() * 1_000_000).astype("int64")
+        parts = [
+            pd.DataFrame(
+                {key: df[key], "window_start": w0 - i * hop_td, "v": micros}
+            )
+            for i in range(ratio)
+        ]
+        return (
+            pd.concat(parts, ignore_index=True)
+            .groupby([key, "window_start"], sort=False)
+            .agg(n_events=("v", "size"), sum_value_micros=("v", "sum"))
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_micros", alias_name="sum_value_micros"),
+        )
+    )
+
+
+def rolling_analytics(ds, *, key: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id", value_col: str = "value",
+                      window: int = 3):
+    """Per-key ordered analytic functions (lag + rolling sum) — the
+    groupby co-locates each key's history, the per-group fn does the
+    ordered scan (ordering lives inside the group; block order never
+    matters). Ties broken by ``id_col`` for determinism.
+
+    Output: (id_col, key, prev_value_micros [lag, 0 at partition head],
+    rolling{window}_micros [sum of current + window-1 preceding rows]).
+    SQL mirror: ``lag()`` / ``sum() OVER (... ROWS N PRECEDING)``.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        v = np.floor(g[value_col].to_numpy() * 1_000_000).astype("int64")
+        prev = np.concatenate([[0], v[:-1]])
+        roll = (
+            pd.Series(v).rolling(window, min_periods=1).sum().astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key: g[key].to_numpy(),
+                "prev_value_micros": prev,
+                f"rolling{window}_micros": roll.to_numpy(),
+            }
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def tumbling_window(ds, *, size: str = "1h",
                     key: str = "event_type", ts_col: str = "ts",
                     value_col: str = "value"):

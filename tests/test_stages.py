@@ -368,3 +368,77 @@ def test_dedup_aggregate_equals_map_groups(ray_session):
         ("r2", "a.txt", "c4"),
         ("r2", "only.txt", "c5"),
     }
+
+
+def test_hopping_window_membership(ray_session):
+    """Every event lands in exactly size/hop windows; totals across windows
+    equal ratio × per-event totals; windows match a pandas reference."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import hopping_window
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:05", "2024-01-01 00:40", "2024-01-01 01:10",
+         "2024-01-01 02:59", "2024-01-01 03:00"]
+    )
+    df = pd.DataFrame(
+        {"event_type": ["a", "a", "b", "a", "a"], "ts": ts,
+         "value": [1.5, 2.0, 3.25, 1.0, 10.0]}
+    )
+    out = (
+        hopping_window(ray.data.from_pandas(df), size_minutes=60,
+                       hop_minutes=30)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    # pandas reference: explode each event into the 2 aligned windows
+    rows = []
+    for _, r in df.iterrows():
+        w0 = r.ts.floor("30min")
+        for i in range(2):
+            rows.append(
+                {"event_type": r.event_type,
+                 "window_start": w0 - pd.Timedelta(minutes=30 * i),
+                 "v": int(np.floor(r.value * 1_000_000))}
+            )
+    want = (
+        pd.DataFrame(rows)
+        .groupby(["event_type", "window_start"])
+        .agg(n_events=("v", "size"), sum_value_micros=("v", "sum"))
+        .reset_index()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out, want, check_dtype=False
+    )
+    assert out.n_events.sum() == 2 * len(df)
+
+
+def test_rolling_analytics_order_and_ties(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.window import rolling_analytics
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:01",
+         "2024-01-01 00:05", "2024-01-01 00:00"]
+    )
+    df = pd.DataFrame(
+        {"event_id": [10, 11, 12, 13, 20], "user_id": [1, 1, 1, 1, 2],
+         "ts": ts, "value": [1.0, 2.0, 3.0, 4.0, 7.5]}
+    )
+    out = (
+        rolling_analytics(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 1 ordered by (ts, event_id): 10, 11, 12, 13 (tie 11<12 by id)
+    assert out.prev_value_micros.tolist() == [
+        0, 1_000_000, 2_000_000, 3_000_000, 0
+    ]
+    assert out.rolling3_micros.tolist() == [
+        1_000_000, 3_000_000, 6_000_000, 9_000_000, 7_500_000
+    ]
