@@ -256,6 +256,87 @@ def q_events_rolling(sf_dir: str):
     return rolling_analytics(ds)
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: each event picks up the latest per-user budget update at
+    or before its timestamp. The update stream is synthesized in closed form
+    (per user, every 6 h through January 2024, budget = user*1000 + k) so
+    the joined values mirror exactly in DuckDB's ASOF JOIN."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.join import asof_join
+
+    users = (
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+        .column("user_id")
+    )
+    import pyarrow.compute as pc
+
+    uids = sorted(pc.unique(users).to_pylist())
+    k = list(range(120))  # 30 days × 4 updates/day
+    right = pd.DataFrame(
+        {
+            "user_id": [u for u in uids for _ in k],
+            "uts": pd.Series(
+                [
+                    pd.Timestamp("2024-01-01") + pd.Timedelta(hours=6 * i)
+                    for _ in uids
+                    for i in k
+                ],
+                dtype="datetime64[us]",  # events.ts arrives as [us] from Arrow
+            ),
+            "budget": [u * 1000 + i for u in uids for i in k],
+        }
+    )
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    out = asof_join(ev, right, by="user_id", left_on="ts", right_on="uts")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "budget"]],
+        batch_format="pandas",
+    )
+
+
+def q_orders_price_bands(sf_dir: str):
+    """Range join: classify each order's total price into [k·50k, (k+1)·50k)
+    bands (broadcast band table + binary search per batch), then per-band
+    aggregates."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.join import range_join
+
+    bands = pd.DataFrame(
+        {
+            "lo": [k * 50_000.0 for k in range(10)],
+            "hi": [(k + 1) * 50_000.0 for k in range(10)],
+            "band": [f"b{k}" for k in range(10)],
+        }
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def micros(df: pd.DataFrame) -> pd.DataFrame:
+        df["price_micros"] = np.floor(
+            df["o_totalprice"].to_numpy() * 1_000_000
+        ).astype("int64")
+        return df
+
+    joined = range_join(
+        orders.map_batches(micros, batch_format="pandas"), bands,
+        on="o_totalprice",
+    )
+    return joined.groupby("band").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_micros", alias_name="total_price_micros"),
+    )
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
@@ -870,6 +951,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "events_hopping": q_events_hopping,
         "events_rolling": q_events_rolling,
+        "events_asof": q_events_asof,
+        "orders_price_bands": q_orders_price_bands,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

@@ -215,6 +215,34 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
+# As-of join mirror: DuckDB's native ASOF JOIN over the same closed-form
+# update stream (1704067200000000 us = 2024-01-01 00:00:00).
+ORACLE_SQL["events_asof"] = """
+WITH updates AS (
+  SELECT u.user_id,
+         make_timestamp(1704067200000000 + k * 21600000000) AS uts,
+         (u.user_id * 1000 + k)::BIGINT AS budget
+  FROM (SELECT DISTINCT user_id FROM events) u, unnest(range(120)) AS t(k)
+)
+SELECT e.event_id, e.user_id, b.budget
+FROM events e
+ASOF JOIN updates b ON e.user_id = b.user_id AND e.ts >= b.uts"""
+
+# Range join mirror: interval predicate join against the same closed-form
+# band table.
+ORACLE_SQL["orders_price_bands"] = """
+WITH bands AS (
+  SELECT 'b' || k::VARCHAR AS band, k * 50000 AS lo, (k + 1) * 50000 AS hi
+  FROM unnest(range(10)) AS t(k)
+)
+SELECT b.band,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o.o_totalprice * 1000000) AS BIGINT))::BIGINT
+         AS total_price_micros
+FROM orders o
+JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band"""
+
 # CharacterFilterModule mirror: escaped literals, \b wrap for word-char
 # sequences, case-insensitive — (?i) inline since RE2 has no flag arg here.
 ORACLE_SQL["char_filter"] = with_corpus(r"""

@@ -39,3 +39,71 @@ def hash_join(left, right, *, on: str, num_partitions: int = 32,
         num_partitions=num_partitions,
         on=(on,),
     )
+
+
+def asof_join(left, right_df: pd.DataFrame, *, by: str, left_on: str,
+              right_on: str, direction: str = "backward"):
+    """As-of join (Ray Data has no native one): for each left row, attach
+    the nearest right row per ``by`` key with ``right_on <= left_on``
+    (backward; "forward"/"nearest" per pandas semantics).
+
+    Broadcast shape: the right side (rate tables, dimension-update streams)
+    is small by nature — ``ray.put`` once, each batch runs one vectorized
+    ``pd.merge_asof`` sorted merge. Zero shuffle; left streams through.
+    Partitioning assumption: right side fits in worker memory — for a
+    large right side, tag-union both sides and reuse the per-key
+    ``groupby(by).map_groups`` sorted-merge shape instead.
+    """
+    import ray
+
+    ref = ray.put(right_df.sort_values(right_on, kind="mergesort")
+                  .reset_index(drop=True))
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(ref)  # zero-copy from the local object store
+        return pd.merge_asof(
+            batch.sort_values(left_on, kind="mergesort"),
+            right,
+            left_on=left_on,
+            right_on=right_on,
+            by=by,
+            direction=direction,
+        )
+
+    return left.map_batches(merge, batch_format="pandas")
+
+
+def range_join(left, bands_df: pd.DataFrame, *, on: str,
+               lo_col: str = "lo", hi_col: str = "hi"):
+    """Range (interval) join: attach to each left row the band whose
+    ``[lo, hi)`` interval contains ``left[on]``. Bands must be disjoint and
+    sorted; rows outside every band are dropped (inner semantics).
+
+    Broadcast + binary search: ``ray.put`` the band table once, one
+    vectorized ``np.searchsorted`` per batch — zero shuffle. This is the
+    standard small-side interval join; for banded joins of two LARGE
+    tables, bucket both sides by ``floor(value / band_width)`` and reuse
+    the hash-join shape.
+    """
+    import numpy as np
+    import ray
+
+    bands_df = bands_df.sort_values(lo_col, kind="mergesort").reset_index(
+        drop=True
+    )
+    ref = ray.put(bands_df)
+
+    def lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        bands = ray.get(ref)
+        lo = bands[lo_col].to_numpy()
+        hi = bands[hi_col].to_numpy()
+        v = batch[on].to_numpy()
+        idx = np.searchsorted(lo, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi[np.clip(idx, 0, len(hi) - 1)])
+        out = batch.loc[ok].reset_index(drop=True)
+        band = bands.drop(columns=[lo_col, hi_col]).iloc[idx[ok]].reset_index(
+            drop=True
+        )
+        return pd.concat([out, band], axis=1)
+
+    return left.map_batches(lookup, batch_format="pandas")

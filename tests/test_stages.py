@@ -442,3 +442,63 @@ def test_rolling_analytics_order_and_ties(ray_session):
     assert out.rolling3_micros.tolist() == [
         1_000_000, 3_000_000, 6_000_000, 9_000_000, 7_500_000
     ]
+
+
+def test_asof_join_backward_per_key(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.join import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 2],
+            "ts": pd.Series(
+                pd.to_datetime(
+                    ["2024-01-01 00:05", "2024-01-01 02:00",
+                     "2024-01-01 00:30", "2023-12-31 23:00"]
+                ),
+                dtype="datetime64[us]",
+            ),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "uts": pd.Series(
+                pd.to_datetime(
+                    ["2024-01-01 00:00", "2024-01-01 01:00",
+                     "2024-01-01 00:00"]
+                ),
+                dtype="datetime64[us]",
+            ),
+            "v": [10, 11, 20],
+        }
+    )
+    out = (
+        asof_join(ray.data.from_pandas(left), right, by="k", left_on="ts",
+                  right_on="uts")
+        .to_pandas()
+        .sort_values(["k", "ts"])
+    )
+    # row before any update for key 2 → no match (NaN); others pick latest ≤ ts
+    got = out[["k", "v"]].to_numpy(dtype=float)
+    assert got[0].tolist() == [1, 10.0]
+    assert got[1].tolist() == [1, 11.0]
+    assert got[2][0] == 2 and np.isnan(got[2][1])
+    assert got[3].tolist() == [2, 20.0]
+
+
+def test_range_join_bands(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.join import range_join
+
+    bands = pd.DataFrame(
+        {"lo": [0.0, 10.0, 20.0], "hi": [10.0, 20.0, 30.0],
+         "band": ["low", "mid", "high"]}
+    )
+    left = pd.DataFrame({"x": [-1.0, 0.0, 9.999, 10.0, 25.0, 30.0, 99.0]})
+    out = range_join(ray.data.from_pandas(left), bands, on="x").to_pandas()
+    # -1, 30 (hi-exclusive) and 99 fall outside every band → dropped
+    assert out.x.tolist() == [0.0, 9.999, 10.0, 25.0]
+    assert out.band.tolist() == ["low", "low", "mid", "high"]
