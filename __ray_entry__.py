@@ -710,6 +710,31 @@ def q_audio_features(sf_dir: str):
     )
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic content-stable train/val split: md5(path) first 8 hex
+    digits mod 100 — < 90 → train, else val. Stable across runs, cluster
+    sizes and input order (the property a training pipeline needs); no
+    shuffle, pure map."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def assign(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        splits = [
+            "train"
+            if int(hashlib.md5(p.encode()).hexdigest()[:8], 16) % 100 < 90
+            else "val"
+            for p in paths
+        ]
+        return pa.table(
+            {"repo": batch["repo"], "path": batch["path"],
+             "split": pa.array(splits, pa.string())}
+        )
+
+    return _corpus(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -953,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q_events_rolling,
         "events_asof": q_events_asof,
         "orders_price_bands": q_orders_price_bands,
+        "split_assign": q_split_assign,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

@@ -627,6 +627,13 @@ JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95"""
 
 
+# Deterministic hash split mirror: DuckDB parses the same md5 prefix.
+ORACLE_SQL["split_assign"] = with_corpus("""
+SELECT repo, path,
+       CASE WHEN ('0x' || substr(md5(path), 1, 8))::UBIGINT % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM corpus""")
+
 ORACLE_SQL["top_docs"] = with_corpus("""
 SELECT repo, path, length(content) AS n_chars
 FROM corpus
