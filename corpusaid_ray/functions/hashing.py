@@ -88,10 +88,15 @@ def token_hashes(text: str) -> np.ndarray:
     return out
 
 
-def hamming64(a: np.ndarray, b: np.uint64) -> np.ndarray:
-    """Vectorized Hamming distance between uint64 array and one value."""
-    x = a ^ b
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+def hamming64(a: np.ndarray, b: np.uint64 | np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays (or array vs
+    scalar): xor → per-element popcount via ``unpackbits`` — no Python
+    loop."""
+    x = np.ascontiguousarray(a ^ b, dtype=np.uint64)
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(x[:, None].view(np.uint8), axis=1)
+    return bits.sum(axis=1).astype(np.int64)
 
 
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:

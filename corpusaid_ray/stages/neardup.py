@@ -44,6 +44,11 @@ BANDS = 16
 # paths and every truncation is LOGGED with its dropped-path count so lost
 # recall is visible (round-1 verdict: silent caps read as full coverage).
 MAX_BUCKET = 200
+# Coarse shuffle-key cardinality: fine LSH buckets are salted into this many
+# groupby keys so Ray's per-GROUP UDF invocation cost is paid ~4k times, not
+# once per bucket/pair; the fine grouping runs inside pandas at C speed.
+# Scale note: raise with cluster size (keys ≈ 16-64× total cores).
+SALT_BUCKETS = 4096
 
 
 def _empty_df(**dtypes: str) -> pd.DataFrame:
@@ -64,9 +69,12 @@ def _minhash_explode(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
     n = len(texts)
     keys = {c: batch[c].to_pylist() for c in key_cols}
     out = {"band": [], "band_hash": [], **{c: [] for c in key_cols}}
+    bh_cache: dict[str, np.ndarray] = {}  # duplicate contents hash once
     for i in range(n):
-        sig = H.minhash_signature(H.char_shingle_hashes(texts[i]))
-        bh = H.band_hashes(sig, BANDS)
+        bh = bh_cache.get(texts[i])
+        if bh is None:
+            sig = H.minhash_signature(H.char_shingle_hashes(texts[i]))
+            bh = bh_cache[texts[i]] = H.band_hashes(sig, BANDS)
         for b in range(BANDS):
             out["band"].append(b)
             out["band_hash"].append(int(bh[b]))
@@ -82,13 +90,26 @@ def _minhash_explode(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
 
 
 def _minhash_sigs(batch: pa.Table, key: str) -> pa.Table:
-    """(key, sig) — one 512-B signature row per doc."""
+    """(key, content_key, sig) — one 512-B signature row per doc; identical
+    contents (``content_key`` = sha1 of text) are hashed once per batch and
+    let downstream steps collapse per-content instead of per-path."""
+    import hashlib
+
     texts = batch["content"].to_pylist()
-    sigs = [
-        H.minhash_signature(H.char_shingle_hashes(t)).tobytes() for t in texts
-    ]
+    sig_cache: dict[str, bytes] = {}
+    sigs, ckeys = [], []
+    for t in texts:
+        s = sig_cache.get(t)
+        if s is None:
+            s = sig_cache[t] = H.minhash_signature(
+                H.char_shingle_hashes(t)
+            ).tobytes()
+        sigs.append(s)
+        ckeys.append(hashlib.sha1(t.encode("utf-8")).hexdigest())
     return pa.table(
-        {key: batch[key].cast(pa.string()), "sig": pa.array(sigs, pa.binary())}
+        {key: batch[key].cast(pa.string()),
+         "content_key": pa.array(ckeys, pa.string()),
+         "sig": pa.array(sigs, pa.binary())}
     )
 
 
@@ -152,55 +173,92 @@ def minhash_candidate_pairs(ds, *, key: str = "path",
     broadcast for ``stages.join.hash_join`` on ``path_a``/``path_b``."""
     import pyarrow.compute as pc
 
-    exploded = ds.map_batches(
-        lambda b: _minhash_explode(b, (key,)), batch_format="pyarrow"
-    )
+    def explode_salted(b: pa.Table) -> pa.Table:
+        t = _minhash_explode(b, (key,))
+        # coarse shuffle key: Ray invokes the map_groups UDF once per GROUP,
+        # so grouping by the raw (band, band_hash) means one Python call per
+        # LSH bucket (~1 per distinct doc × band — measured dominant cost).
+        # Salting band_hash into SALT_BUCKETS sub-keys keeps co-location of
+        # every bucket (same band_hash → same salt) while the fine grouping
+        # runs at C speed inside pandas.
+        import pyarrow.compute as pc
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        salt = pc.cast(
+            pc.bit_wise_and(
+                t["band_hash"], pa.scalar(SALT_BUCKETS - 1, pa.uint64())
+            ),
+            pa.int64(),
+        )
+        return t.append_column("salt", salt)
+
+    exploded = ds.map_batches(explode_salted, batch_format="pyarrow")
+
+    def salted_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (band, bh), sub in g.groupby(["band", "band_hash"], sort=True):
+            if len(sub) < 2:
+                continue
+            sub = _truncate_bucket(sub, key, max_bucket,
+                                   f"band={band} hash={bh}")
+            paths = sub[key].to_numpy()
+            ii, jj = np.triu_indices(len(paths), k=1)
+            outs.append(
+                pd.DataFrame({"path_a": paths[ii], "path_b": paths[jj]})
+            )
+        if not outs:
             return _empty_df(path_a="object", path_b="object")
-        desc = f"band={g['band'].iloc[0]} hash={g['band_hash'].iloc[0]}"
-        g = _truncate_bucket(g, key, max_bucket, desc)
-        paths = g[key].tolist()
-        rows_a, rows_b = [], []
-        for i in range(len(paths)):
-            for j in range(i + 1, len(paths)):
-                rows_a.append(paths[i])
-                rows_b.append(paths[j])
-        return pd.DataFrame({"path_a": rows_a, "path_b": rows_b})
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pairs = exploded.groupby(["band", "salt"]).map_groups(
+        salted_pairs, batch_format="pandas"
     )
 
-    # a pair can surface from several bands — dedupe per batch, then one
-    # whole-key map_groups pass. (Measured: groupby().aggregate(Max) on the
-    # two string keys is 5× slower than this at sf0.1 — Ray's sort-based
-    # aggregate pays more on wide string keys than per-group pandas here.)
-    pairs = pairs.map_batches(
-        lambda df: df.drop_duplicates(["path_a", "path_b"]),
+    # a pair can surface from several bands — dedupe per batch first, then
+    # one salted cross-batch pass: pair identity hashes to a salt, so each
+    # salt group dedups independently with one C-speed drop_duplicates
+    # (per-pair map_groups was ~1 Python call per pair; string-key
+    # groupby().aggregate measured 4× slower still).
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["path_a", "path_b"])
+        df["pair_salt"] = (
+            pd.util.hash_pandas_object(
+                df["path_a"] + "\x00" + df["path_b"], index=False
+            ).to_numpy()
+            % SALT_BUCKETS
+        ).astype("int64")
+        return df
+
+    pairs = pairs.map_batches(local_dedup, batch_format="pandas")
+    pairs = pairs.groupby("pair_salt").map_groups(
+        lambda g: g.drop_duplicates(["path_a", "path_b"]).drop(
+            columns=["pair_salt"]
+        ),
         batch_format="pandas",
-    )
-    pairs = pairs.groupby(["path_a", "path_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
     ).materialize()  # small by LSH construction; consumed twice below
 
     cand = _candidate_paths(pairs)
     if not cand:
         return _typed_pairs_dataset()
     cand_arr = pa.array(cand, pa.string())
-    sig_map: dict[str, bytes] = {}
+    # two-level broadcast: path → content_key (small strings) and
+    # content_key → sig (one 512-B signature per DISTINCT content, not per
+    # path — duplicate-heavy corpora collapse by the dup factor)
+    path_ck: dict[str, str] = {}
+    ck_sig: dict[str, bytes] = {}
     for b in ds.map_batches(
         lambda b: _minhash_sigs(
             b.filter(pc.is_in(b[key], value_set=cand_arr)), key
         ),
         batch_format="pyarrow",
     ).iter_batches(batch_format="pyarrow"):
-        sig_map.update(zip(b[key].to_pylist(), b["sig"].to_pylist()))
+        for p, ck, s in zip(b[key].to_pylist(), b["content_key"].to_pylist(),
+                            b["sig"].to_pylist()):
+            path_ck[p] = ck
+            ck_sig.setdefault(ck, s)
 
     import ray
 
-    sig_ref = ray.put(sig_map)  # candidate-only: broadcast once
+    lut_ref = ray.put((path_ck, ck_sig))  # candidate-only: broadcast once
 
     def estimate(b: pa.Table) -> pa.Table:
         if len(b) == 0:
@@ -209,14 +267,24 @@ def minhash_candidate_pairs(ds, *, key: str = "path",
                  "path_b": pa.array([], pa.string()),
                  "est_jaccard": pa.array([], pa.float64())}
             )
-        sigs = _bcast_lookup(sig_ref)
-        sa = np.frombuffer(
-            b"".join(sigs[p] for p in b["path_a"].to_pylist()), dtype=np.uint64
-        ).reshape(len(b), H.NUM_PERM)
-        sb = np.frombuffer(
-            b"".join(sigs[p] for p in b["path_b"].to_pylist()), dtype=np.uint64
-        ).reshape(len(b), H.NUM_PERM)
-        est = (sa == sb).mean(axis=1)
+        p2c, sigs = _bcast_lookup(lut_ref)
+        est = np.empty(len(b))
+        cache: dict[tuple[str, str], float] = {}
+        for i, (pa_, pb_) in enumerate(
+            zip(b["path_a"].to_pylist(), b["path_b"].to_pylist())
+        ):
+            k = (p2c[pa_], p2c[pb_])
+            e = cache.get(k)
+            if e is None:
+                if k[0] == k[1]:
+                    e = 1.0
+                else:
+                    e = float(
+                        (np.frombuffer(sigs[k[0]], dtype=np.uint64)
+                         == np.frombuffer(sigs[k[1]], dtype=np.uint64)).mean()
+                    )
+                cache[k] = e
+            est[i] = e
         t = pa.table(
             {"path_a": b["path_a"], "path_b": b["path_b"],
              "est_jaccard": pa.array(est)}
@@ -262,35 +330,59 @@ def _simhash_explode(batch: pa.Table, key: str) -> pa.Table:
 def simhash_candidate_pairs(ds, *, key: str = "path", max_hamming: int = 3,
                             max_bucket: int = MAX_BUCKET):
     """Corpus → pairs with SimHash Hamming distance ≤ max_hamming."""
-    exploded = ds.map_batches(
-        lambda b: _simhash_explode(b, key), batch_format="pyarrow"
-    )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return _empty_df(path_a="object", path_b="object",
-                             hamming="int64")
-        desc = f"chunk={g['chunk'].iloc[0]} val={g['chunk_val'].iloc[0]}"
-        g = _truncate_bucket(g, key, max_bucket, desc)
-        paths = g[key].tolist()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        a, b_, d = [], [], []
-        for i in range(len(paths)):
-            dist = H.hamming64(sh[i + 1 :], sh[i])
-            for j, dd in enumerate(dist, start=i + 1):
-                a.append(paths[i])
-                b_.append(paths[j])
-                d.append(int(dd))
-        return pd.DataFrame({"path_a": a, "path_b": b_, "hamming": d})
-
-    pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    uniq = pairs.groupby(["path_a", "path_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
     import pyarrow.compute as pc
 
+    def explode_salted(b: pa.Table) -> pa.Table:
+        t = _simhash_explode(b, key)
+        salt = pc.cast(
+            pc.bit_wise_and(t["chunk_val"], SALT_BUCKETS - 1), pa.int64()
+        )
+        return t.append_column("salt", salt)
+
+    exploded = ds.map_batches(explode_salted, batch_format="pyarrow")
+
+    def salted_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (chunk, cv), sub in g.groupby(["chunk", "chunk_val"], sort=True):
+            if len(sub) < 2:
+                continue
+            sub = _truncate_bucket(sub, key, max_bucket,
+                                   f"chunk={chunk} val={cv}")
+            paths = sub[key].to_numpy()
+            sh = sub["simhash"].to_numpy().astype(np.uint64)
+            ii, jj = np.triu_indices(len(paths), k=1)
+            outs.append(
+                pd.DataFrame(
+                    {"path_a": paths[ii], "path_b": paths[jj],
+                     "hamming": H.hamming64(sh[ii], sh[jj])}
+                )
+            )
+        if not outs:
+            return _empty_df(path_a="object", path_b="object",
+                             hamming="int64")
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = exploded.groupby(["chunk", "salt"]).map_groups(
+        salted_pairs, batch_format="pandas"
+    )
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["path_a", "path_b"])
+        df["pair_salt"] = (
+            pd.util.hash_pandas_object(
+                df["path_a"] + "\x00" + df["path_b"], index=False
+            ).to_numpy()
+            % SALT_BUCKETS
+        ).astype("int64")
+        return df
+
+    uniq = pairs.map_batches(local_dedup, batch_format="pandas")
+    uniq = uniq.groupby("pair_salt").map_groups(
+        lambda g: g.drop_duplicates(["path_a", "path_b"]).drop(
+            columns=["pair_salt"]
+        ),
+        batch_format="pandas",
+    )
     return uniq.map_batches(
         lambda b: b.filter(pc.less_equal(b["hamming"], max_hamming)),
         batch_format="pyarrow",
@@ -316,39 +408,63 @@ def ngram_duplicates(ds, *, threshold: float = 0.6, est_threshold: float = 0.5):
     cand_arr = pa.array(cand, pa.string())
 
     def to_shingles(b: pa.Table) -> pa.Table:
+        import hashlib
+
         b = b.filter(pc.is_in(b["path"], value_set=cand_arr))
+        sh_cache: dict[str, bytes] = {}
+        ckeys, blobs = [], []
+        for t in b["content"].to_pylist():
+            s = sh_cache.get(t)
+            if s is None:
+                s = sh_cache[t] = H.char_shingle_hashes(t).tobytes()
+            ckeys.append(hashlib.sha1(t.encode("utf-8")).hexdigest())
+            blobs.append(s)
         return pa.table(
             {
                 "path": b["path"].cast(pa.string()),
-                "shingles": pa.array(
-                    [H.char_shingle_hashes(t).tobytes()
-                     for t in b["content"].to_pylist()],
-                    pa.binary(),
-                ),
+                "content_key": pa.array(ckeys, pa.string()),
+                "shingles": pa.array(blobs, pa.binary()),
             }
         )
 
-    shingle_map: dict[str, np.ndarray] = {}
+    # path → content_key + content_key → shingle set: one set per DISTINCT
+    # content; jaccard is then cached per content PAIR, so duplicate-group
+    # pair floods (n² pairs over a handful of contents) cost O(#contents²)
+    # set intersections, not O(#pairs)
+    path_ck: dict[str, str] = {}
+    ck_sh: dict[str, np.ndarray] = {}
     for b in ds.map_batches(to_shingles, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        for p, s in zip(b["path"].to_pylist(), b["shingles"].to_pylist()):
-            shingle_map[p] = np.frombuffer(s, dtype=np.uint64)
+        for p, ck, s in zip(b["path"].to_pylist(),
+                            b["content_key"].to_pylist(),
+                            b["shingles"].to_pylist()):
+            path_ck[p] = ck
+            if ck not in ck_sh:
+                ck_sh[ck] = np.frombuffer(s, dtype=np.uint64)
 
     import ray
 
-    sh_ref = ray.put(shingle_map)
+    sh_ref = ray.put((path_ck, ck_sh))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return _empty_df(path_a="object", path_b="object",
                              jaccard="float64")
-        sh = _bcast_lookup(sh_ref)
+        p2c, sh = _bcast_lookup(sh_ref)
+        cache: dict[tuple[str, str], float] = {}
         out_a, out_b, out_j = [], [], []
         for pa_, pb_ in zip(df["path_a"], df["path_b"]):
-            a, b = sh[pa_], sh[pb_]
-            inter = len(np.intersect1d(a, b, assume_unique=True))
-            jac = inter / max(len(a) + len(b) - inter, 1)
+            k = (p2c[pa_], p2c[pb_])
+            jac = cache.get(k)
+            if jac is None:
+                if k[0] == k[1]:
+                    jac = 1.0
+                else:
+                    a, b = sh[k[0]], sh[k[1]]
+                    inter = len(np.intersect1d(a, b, assume_unique=True))
+                    jac = inter / max(len(a) + len(b) - inter, 1)
+                cache[k] = jac
             if jac >= threshold:
                 out_a.append(pa_)
                 out_b.append(pb_)
