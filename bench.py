@@ -126,6 +126,15 @@ def run_bench() -> dict:
     queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
     extras["dedup_out_rows"] = n
 
+    # --- MinHash-LSH near-dup candidates (salted buckets, content-keyed
+    # signatures; repeat=1 — the dup structure is in the corpus itself) ---
+    from corpusaid_ray.stages.neardup import minhash_candidate_pairs
+
+    t0 = time.perf_counter()
+    n = minhash_candidate_pairs(read_corpus(SF_DIR, parallelism=blocks)).count()
+    queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
+    extras["minhash_pairs"] = n
+
     # --- per-repo aggregates (partial-agg + small groupby) ---
     t0 = time.perf_counter()
     repo_stats(read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT)).count()
