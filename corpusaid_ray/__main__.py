@@ -33,11 +33,35 @@ def main(argv: list[str] | None = None) -> int:
     repp.add_argument("--sf-dir", required=True)
     repp.add_argument("--num-cpus", type=int, default=None)
 
+    prev = sub.add_parser(
+        "preview",
+        help="first N docs, capped chars (reference preview semantics)",
+    )
+    src = prev.add_mutually_exclusive_group(required=True)
+    src.add_argument("--sf-dir", help="synthetic parquet corpus")
+    src.add_argument("--text-dir", help="recursive .txt directory")
+    prev.add_argument("--limit-chars", type=int, default=5000)
+    prev.add_argument("--n", type=int, default=20)
+    prev.add_argument("--detect-encoding", action="store_true")
+    prev.add_argument("--num-cpus", type=int, default=None)
+
+    srch = sub.add_parser(
+        "search",
+        help="case-insensitive occurrence count of a literal term",
+    )
+    srch.add_argument("--sf-dir", required=True)
+    srch.add_argument("--term", required=True)
+    srch.add_argument("--top", type=int, default=20)
+    srch.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     import ray
 
-    if not ray.is_initialized():
+    # shut down only a session WE started — callers (tests, notebooks) that
+    # already own a session keep it
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -65,8 +89,61 @@ def main(argv: list[str] | None = None) -> int:
 
             df = corpus_report(read_corpus(args.sf_dir))
             print(df.to_json(orient="records"))
+        elif args.cmd == "preview":
+            from corpusaid_ray.sources import preview, read_text_dir
+
+            if args.text_dir:
+                ds = read_text_dir(
+                    args.text_dir, detect_encoding=args.detect_encoding
+                )
+            else:
+                from corpusaid_ray.corpus import read_corpus
+
+                ds = read_corpus(args.sf_dir).select_columns(
+                    ["path", "content"]
+                )
+            rows = preview(ds, limit_chars=args.limit_chars, n=args.n)
+            print(json.dumps(rows))
+        elif args.cmd == "search":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from corpusaid_ray.corpus import read_corpus
+
+            term = args.term
+
+            def count(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "path": batch["path"],
+                        "n_matches": pc.cast(
+                            pc.count_substring(
+                                batch["content"], term, ignore_case=True
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                )
+
+            from ray.data.aggregate import Sum
+
+            ds = read_corpus(args.sf_dir).map_batches(
+                count, batch_format="pyarrow"
+            ).materialize()  # tiny (path, count) rows; consumed twice
+            total = ds.aggregate(Sum("n_matches", alias_name="t"))["t"] or 0
+            rows = (
+                ds.map_batches(
+                    lambda b: b.filter(pc.greater(b["n_matches"], 0)),
+                    batch_format="pyarrow",
+                )
+                .sort(["n_matches", "path"], descending=[True, False])
+                .limit(args.top)
+                .take_all()
+            )
+            print(json.dumps({"total": int(total), "top": rows}))
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

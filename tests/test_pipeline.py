@@ -118,3 +118,28 @@ def test_edge_rows_through_flagship(ray_session):
     assert out.loc["big.txt", "n_chars"] == len(big)
     assert out.loc["big.txt", "drop_reason"] == "heuristic:dup_line_frac"
     assert len(out.loc["big.txt", "content_clean"]) > 0
+
+
+def test_cli_preview_and_search(ray_session):
+    """CLI subcommands mirroring the reference's preview pane and search box
+    (main() reuses the already-initialised session)."""
+    import json
+
+    from corpusaid_ray.__main__ import main
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["preview", "--sf-dir", SF_SMALL, "--n", "2",
+                     "--limit-chars", "30"]) == 0
+    rows = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert len(rows) == 2 and all(len(r["content"]) <= 30 for r in rows)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["search", "--sf-dir", SF_SMALL, "--term", "Page",
+                     "--top", "5"]) == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["total"] > 0 and len(out["top"]) == 5
+    assert all(r["n_matches"] >= 1 for r in out["top"])
