@@ -175,3 +175,37 @@ def test_read_text_dir_reference_semantics(ray_session, tmp_path):
     det = read_text_dir(str(tmp_path), detect_encoding=True)
     rows_det = {r["path"].split("/")[-1]: r["content"] for r in det.take_all()}
     assert rows_det["b.TXT"] == "café latté"
+
+
+def test_lsh_bucket_cap_logs_truncation(ray_session, caplog):
+    """A degenerate (low-entropy) corpus trips the bucket cap; the drop is
+    LOGGED, never silent (round-1 verdict), and pair output stays bounded."""
+    import logging
+
+    import ray.data
+
+    from corpusaid_ray.stages.neardup import minhash_candidate_pairs
+
+    rows = [
+        {"repo": "r", "path": f"p{i:03d}.txt",
+         "content": "identical low entropy content repeated " * 4}
+        for i in range(30)
+    ]
+    pairs = minhash_candidate_pairs(
+        ray.data.from_items(rows), max_bucket=10
+    ).to_pandas()
+    # 30 identical docs, cap 10 → C(10,2)=45 pairs, not C(30,2)=435
+    assert len(pairs) == 45
+
+    # the log emission itself (fires inside remote workers in the pipeline,
+    # where caplog can't see it — Ray forwards worker logs to the driver
+    # console; here we pin the message at unit level)
+    from corpusaid_ray.stages.neardup import _truncate_bucket
+
+    g = pd.DataFrame({"path": [f"p{i}" for i in range(30)]})
+    with caplog.at_level(logging.WARNING,
+                         logger="corpusaid_ray.stages.neardup"):
+        out = _truncate_bucket(g, "path", 10, "band=0 hash=1")
+    assert len(out) == 10
+    assert any("truncated" in r.message and "20 of 30" in r.message
+               for r in caplog.records)
