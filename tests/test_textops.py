@@ -273,3 +273,88 @@ def test_apply_ascii_split_parity_mixed_batch():
     got = apply_ascii_split(col, col_fn, page_chain).to_pylist()
     want = [page_chain(t if t is not None else "") for t in rows]
     assert got == want
+
+
+def test_hamming64_matches_naive_popcount():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from corpusaid_ray.functions.hashing import hamming64
+
+    @given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                    min_size=0, max_size=40),
+           st.integers(min_value=0, max_value=(1 << 64) - 1))
+    @settings(max_examples=60, deadline=None)
+    def check(vals, b):
+        a = np.array(vals, dtype=np.uint64)
+        got = hamming64(a, np.uint64(b))
+        want = [bin(v ^ b).count("1") for v in vals]
+        assert got.tolist() == want
+
+    check()
+
+
+def test_pnm_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from corpusaid_ray.stages.multimodal import decode_pnm, encode_pnm
+
+    @given(st.integers(1, 17), st.integers(1, 13),
+           st.sampled_from([1, 3]), st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def check(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_pnm(encode_pnm(px)), px)
+
+    check()
+
+
+def test_pattern_builder_python_re2_parity_property():
+    """Compiled builder patterns behave identically under Python re and
+    pyarrow's RE2 on arbitrary ASCII text (the invariant the SQL oracle
+    relies on)."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from hypothesis import given, settings, strategies as st
+
+    from corpusaid_ray.config import compile_pattern_builder
+
+    rows_strategy = st.lists(
+        st.fixed_dictionaries(
+            {
+                "start": st.text(
+                    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    min_size=1, max_size=6),
+                "end_type": st.sampled_from(
+                    ["Single Number", "Multiple Numbers", "Specific Sequence"]),
+                "end": st.text(
+                    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    min_size=1, max_size=4),
+                "number_length": st.sampled_from(["1", "2", "3"]),
+            }
+        ),
+        min_size=1, max_size=3,
+    )
+    text_strategy = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=120,
+    )
+
+    @given(rows_strategy, text_strategy, st.booleans(), st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def check(rows, text, whole_words, case_sensitive):
+        pat = compile_pattern_builder(
+            rows, whole_words=whole_words, case_sensitive=case_sensitive
+        )
+        py = re.compile(pat, re.DOTALL).sub("", text)
+        re2 = pc.replace_substring_regex(
+            pa.array([text]), pattern="(?s)" + pat, replacement=""
+        )[0].as_py()
+        assert py == re2
+
+    check()
