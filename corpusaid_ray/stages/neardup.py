@@ -89,30 +89,6 @@ def _minhash_explode(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Table:
     )
 
 
-def _minhash_sigs(batch: pa.Table, key: str) -> pa.Table:
-    """(key, content_key, sig) — one 512-B signature row per doc; identical
-    contents (``content_key`` = sha1 of text) are hashed once per batch and
-    let downstream steps collapse per-content instead of per-path."""
-    import hashlib
-
-    texts = batch["content"].to_pylist()
-    sig_cache: dict[str, bytes] = {}
-    sigs, ckeys = [], []
-    for t in texts:
-        s = sig_cache.get(t)
-        if s is None:
-            s = sig_cache[t] = H.minhash_signature(
-                H.char_shingle_hashes(t)
-            ).tobytes()
-        sigs.append(s)
-        ckeys.append(hashlib.sha1(t.encode("utf-8")).hexdigest())
-    return pa.table(
-        {key: batch[key].cast(pa.string()),
-         "content_key": pa.array(ckeys, pa.string()),
-         "sig": pa.array(sigs, pa.binary())}
-    )
-
-
 def _truncate_bucket(g: pd.DataFrame, key: str, max_bucket: int,
                      bucket_desc: str) -> pd.DataFrame:
     g = g.sort_values(key, kind="mergesort").drop_duplicates(key)
@@ -156,21 +132,9 @@ def _candidate_paths(pairs) -> list[str]:
     return sorted(seen)
 
 
-def minhash_candidate_pairs(ds, *, key: str = "path",
-                            est_threshold: float = 0.7,
-                            max_bucket: int = MAX_BUCKET):
-    """Corpus → deterministic candidate near-dup pairs
-    ``(path_a, path_b, est_jaccard)`` with path_a < path_b.
-
-    Pipeline: explode light band rows → groupby(band, band_hash) → pairs
-    within bucket → pair dedup → recompute signatures for candidate docs
-    only (map-side filter, no shuffle of content) → broadcast the candidate
-    sig table once via ``ray.put`` → vectorized estimate filter inside
-    ``map_batches``. The only all-to-all move is the 3-column exploded
-    table; signatures ship through the object store exactly once.
-    Precondition (documented at module level): candidates ≪ corpus — for a
-    corpus where the broadcast sig table would not fit a worker, swap the
-    broadcast for ``stages.join.hash_join`` on ``path_a``/``path_b``."""
+def _raw_candidate_pairs(ds, key: str, max_bucket: int):
+    """Shared LSH front half: explode light band rows → salted bucket pair
+    generation → salted pair dedup → materialized (path_a, path_b) pairs."""
     import pyarrow.compute as pc
 
     def explode_salted(b: pa.Table) -> pa.Table:
@@ -229,32 +193,91 @@ def minhash_candidate_pairs(ds, *, key: str = "path",
         return df
 
     pairs = pairs.map_batches(local_dedup, batch_format="pandas")
-    pairs = pairs.groupby("pair_salt").map_groups(
+    return pairs.groupby("pair_salt").map_groups(
         lambda g: g.drop_duplicates(["path_a", "path_b"]).drop(
             columns=["pair_salt"]
         ),
         batch_format="pandas",
-    ).materialize()  # small by LSH construction; consumed twice below
+    ).materialize()  # small by LSH construction; consumed twice downstream
 
+
+def _candidate_luts(ds, key: str, cand_arr, *, want_shingles: bool):
+    """One candidate-only corpus pass (map-side ``is_in`` prune, no shuffle
+    of content) → two-level broadcast lookups: path → content_key and
+    content_key → signature (plus content_key → shingle set when exact
+    verification needs it). One hash/signature per DISTINCT content —
+    duplicate-heavy corpora collapse by the dup factor."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def extract(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b[key], value_set=cand_arr))
+        cache: dict[str, tuple[str, bytes, bytes]] = {}
+        ckeys, sigs, blobs = [], [], []
+        for t in b["content"].to_pylist():
+            hit = cache.get(t)
+            if hit is None:
+                sh = H.char_shingle_hashes(t)
+                hit = cache[t] = (
+                    hashlib.sha1(t.encode("utf-8")).hexdigest(),
+                    H.minhash_signature(sh).tobytes(),
+                    sh.tobytes() if want_shingles else b"",
+                )
+            ckeys.append(hit[0])
+            sigs.append(hit[1])
+            blobs.append(hit[2])
+        return pa.table(
+            {
+                key: b[key].cast(pa.string()),
+                "content_key": pa.array(ckeys, pa.string()),
+                "sig": pa.array(sigs, pa.binary()),
+                "shingles": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    path_ck: dict[str, str] = {}
+    ck_sig: dict[str, bytes] = {}
+    ck_sh: dict[str, np.ndarray] = {}
+    for b in ds.map_batches(extract, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for p, ck, s, sh in zip(
+            b[key].to_pylist(), b["content_key"].to_pylist(),
+            b["sig"].to_pylist(), b["shingles"].to_pylist(),
+        ):
+            path_ck[p] = ck
+            if ck not in ck_sig:
+                ck_sig[ck] = s
+                if want_shingles:
+                    ck_sh[ck] = np.frombuffer(sh, dtype=np.uint64)
+    return path_ck, ck_sig, (ck_sh if want_shingles else None)
+
+
+def minhash_candidate_pairs(ds, *, key: str = "path",
+                            est_threshold: float = 0.7,
+                            max_bucket: int = MAX_BUCKET):
+    """Corpus → deterministic candidate near-dup pairs
+    ``(path_a, path_b, est_jaccard)`` with path_a < path_b.
+
+    Pipeline: explode light band rows → salted ``groupby`` buckets → pairs
+    within bucket → salted pair dedup → recompute signatures for candidate
+    docs only (map-side filter, no shuffle of content) → broadcast the
+    candidate lookup once via ``ray.put`` → per-content-pair-cached
+    estimate filter inside ``map_batches``. The only all-to-all move is the
+    4-column exploded table; signatures ship through the object store
+    exactly once. Precondition (documented at module level): candidates ≪
+    corpus — for a corpus where the broadcast side would not fit a worker,
+    swap the broadcast for ``stages.join.hash_join`` on the pair keys."""
+    import pyarrow.compute as pc
+
+    pairs = _raw_candidate_pairs(ds, key, max_bucket)
     cand = _candidate_paths(pairs)
     if not cand:
         return _typed_pairs_dataset()
-    cand_arr = pa.array(cand, pa.string())
-    # two-level broadcast: path → content_key (small strings) and
-    # content_key → sig (one 512-B signature per DISTINCT content, not per
-    # path — duplicate-heavy corpora collapse by the dup factor)
-    path_ck: dict[str, str] = {}
-    ck_sig: dict[str, bytes] = {}
-    for b in ds.map_batches(
-        lambda b: _minhash_sigs(
-            b.filter(pc.is_in(b[key], value_set=cand_arr)), key
-        ),
-        batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        for p, ck, s in zip(b[key].to_pylist(), b["content_key"].to_pylist(),
-                            b["sig"].to_pylist()):
-            path_ck[p] = ck
-            ck_sig.setdefault(ck, s)
+    path_ck, ck_sig, _ = _candidate_luts(
+        ds, key, pa.array(cand, pa.string()), want_shingles=False
+    )
 
     import ray
 
@@ -399,59 +422,28 @@ def ngram_duplicates(ds, *, threshold: float = 0.6, est_threshold: float = 0.5):
     ``(path_a, path_b, jaccard)`` (the final verified set — small),
     deterministic order. Same broadcast precondition/alternative as
     ``minhash_candidate_pairs``."""
-    import pyarrow.compute as pc
-
-    pairs = minhash_candidate_pairs(ds, est_threshold=est_threshold).materialize()
+    pairs = _raw_candidate_pairs(ds, "path", MAX_BUCKET)
     cand = _candidate_paths(pairs)
     if not cand:
         return pd.DataFrame(columns=["path_a", "path_b", "jaccard"])
-    cand_arr = pa.array(cand, pa.string())
-
-    def to_shingles(b: pa.Table) -> pa.Table:
-        import hashlib
-
-        b = b.filter(pc.is_in(b["path"], value_set=cand_arr))
-        sh_cache: dict[str, bytes] = {}
-        ckeys, blobs = [], []
-        for t in b["content"].to_pylist():
-            s = sh_cache.get(t)
-            if s is None:
-                s = sh_cache[t] = H.char_shingle_hashes(t).tobytes()
-            ckeys.append(hashlib.sha1(t.encode("utf-8")).hexdigest())
-            blobs.append(s)
-        return pa.table(
-            {
-                "path": b["path"].cast(pa.string()),
-                "content_key": pa.array(ckeys, pa.string()),
-                "shingles": pa.array(blobs, pa.binary()),
-            }
-        )
-
-    # path → content_key + content_key → shingle set: one set per DISTINCT
-    # content; jaccard is then cached per content PAIR, so duplicate-group
-    # pair floods (n² pairs over a handful of contents) cost O(#contents²)
+    # ONE candidate pass yields both signatures (estimate pre-filter) and
+    # shingle sets (exact verify) — the shingle computation is shared, and
+    # jaccard/estimate are cached per content PAIR, so duplicate-group pair
+    # floods (n² pairs over a handful of contents) cost O(#contents²)
     # set intersections, not O(#pairs)
-    path_ck: dict[str, str] = {}
-    ck_sh: dict[str, np.ndarray] = {}
-    for b in ds.map_batches(to_shingles, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for p, ck, s in zip(b["path"].to_pylist(),
-                            b["content_key"].to_pylist(),
-                            b["shingles"].to_pylist()):
-            path_ck[p] = ck
-            if ck not in ck_sh:
-                ck_sh[ck] = np.frombuffer(s, dtype=np.uint64)
+    path_ck, ck_sig, ck_sh = _candidate_luts(
+        ds, "path", pa.array(cand, pa.string()), want_shingles=True
+    )
 
     import ray
 
-    sh_ref = ray.put((path_ck, ck_sh))
+    lut_ref = ray.put((path_ck, ck_sig, ck_sh))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return _empty_df(path_a="object", path_b="object",
                              jaccard="float64")
-        p2c, sh = _bcast_lookup(sh_ref)
+        p2c, sigs, sh = _bcast_lookup(lut_ref)
         cache: dict[tuple[str, str], float] = {}
         out_a, out_b, out_j = [], [], []
         for pa_, pb_ in zip(df["path_a"], df["path_b"]):
@@ -461,9 +453,16 @@ def ngram_duplicates(ds, *, threshold: float = 0.6, est_threshold: float = 0.5):
                 if k[0] == k[1]:
                     jac = 1.0
                 else:
-                    a, b = sh[k[0]], sh[k[1]]
-                    inter = len(np.intersect1d(a, b, assume_unique=True))
-                    jac = inter / max(len(a) + len(b) - inter, 1)
+                    est = float(
+                        (np.frombuffer(sigs[k[0]], dtype=np.uint64)
+                         == np.frombuffer(sigs[k[1]], dtype=np.uint64)).mean()
+                    )
+                    if est < est_threshold:
+                        jac = -1.0  # estimate pre-filter: skip exact verify
+                    else:
+                        a, b = sh[k[0]], sh[k[1]]
+                        inter = len(np.intersect1d(a, b, assume_unique=True))
+                        jac = inter / max(len(a) + len(b) - inter, 1)
                 cache[k] = jac
             if jac >= threshold:
                 out_a.append(pa_)
