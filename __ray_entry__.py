@@ -256,6 +256,34 @@ def q_events_rolling(sf_dir: str):
     return rolling_analytics(ds)
 
 
+def q_events_percentiles(sf_dir: str):
+    """Exact discrete percentiles (p50/p90/p99, micro-units, ceil-rank
+    selection) of event value per event_type."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import group_percentiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return group_percentiles(ds, key="event_type", value_col="value")
+
+
+def q_top_users_per_type(sf_dir: str):
+    """Per-group top-k: the 3 users with the highest total event value per
+    event_type (two-phase partial sums, per-group pick, deterministic
+    ties)."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import group_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    return group_topk(ds, key="event_type", rank_col="user_id",
+                      by_col="value", k=3)
+
+
 def q_events_asof(sf_dir: str):
     """As-of join: each event picks up the latest per-user budget update at
     or before its timestamp. The update stream is synthesized in closed form
@@ -977,6 +1005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "events_rolling": q_events_rolling,
         "events_asof": q_events_asof,
+        "events_percentiles": q_events_percentiles,
+        "top_users_per_type": q_top_users_per_type,
         "orders_price_bands": q_orders_price_bands,
         "split_assign": q_split_assign,
         "ann_topk": q_ann_topk,

@@ -228,6 +228,35 @@ SELECT e.event_id, e.user_id, b.budget
 FROM events e
 ASOF JOIN updates b ON e.user_id = b.user_id AND e.ts >= b.uts"""
 
+# Exact discrete percentiles: 1-based ceil(p·n) rank selection over sorted
+# int64 micro-values — list indexing, no interpolation.
+ORACLE_SQL["events_percentiles"] = """
+WITH vals AS (
+  SELECT event_type,
+         list_sort(list(CAST(floor(value * 1000000) AS BIGINT))) AS v,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS p50_micros,
+       v[greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)] AS p90_micros,
+       v[greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)] AS p99_micros
+FROM vals"""
+
+# Per-group top-k mirror: window rank over per-(type,user) sums,
+# deterministic tie-break on user_id.
+ORACLE_SQL["top_users_per_type"] = """
+WITH sums AS (
+  SELECT event_type, user_id,
+         sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS total_micros
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id, total_micros,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY total_micros DESC, user_id) AS rank
+FROM sums
+QUALIFY rank <= 3"""
+
 # Range join mirror: interval predicate join against the same closed-form
 # band table.
 ORACLE_SQL["orders_price_bands"] = """

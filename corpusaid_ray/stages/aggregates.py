@@ -147,3 +147,61 @@ def repo_stats(ds, key: str = "repo", col: str = "content"):
             Max("max_doc_bytes", alias_name="max_doc_bytes"),
         )
     )
+
+
+def group_percentiles(ds, *, key: str, value_col: str,
+                      percentiles: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Exact discrete percentiles per group: element at 1-based rank
+    ``ceil(p·n)`` of the sorted values — pure integer selection (micro-unit
+    int64 values), so the result is hash-exact against a SQL mirror with no
+    float-interpolation hazards. ``groupby(key)`` co-locates each group; the
+    per-group sort is bounded by group size.
+
+    Output: (key, n, p{XX}_micros per requested percentile)."""
+    import math
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(
+            np.floor(g[value_col].to_numpy() * 1_000_000).astype("int64")
+        )
+        n = len(v)
+        row = {key: [g[key].iloc[0]], "n": [n]}
+        for p in percentiles:
+            rank = max(math.ceil(p * n), 1)  # 1-based, ceil semantics
+            row[f"p{int(p * 100)}_micros"] = [int(v[rank - 1])]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def group_topk(ds, *, key: str, rank_col: str, by_col: str, k: int = 3):
+    """Per-group top-k: the k largest ``by_col`` totals per (key, rank_col)
+    sub-group. Two-phase: partial (key, rank_col) sums inside map_batches →
+    groupby final sum → per-key top-k selection (deterministic tie-break on
+    rank_col ascending).
+
+    Output: (key, rank_col, total_micros, rank 1..k)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["v"] = np.floor(df[by_col].to_numpy() * 1_000_000).astype("int64")
+        return (
+            df.groupby([key, rank_col], sort=False)["v"].sum().reset_index()
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key, rank_col])
+        .aggregate(Sum("v", alias_name="total_micros"))
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["total_micros", rank_col], ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return sums.groupby(key).map_groups(pick, batch_format="pandas")

@@ -502,3 +502,44 @@ def test_range_join_bands(ray_session):
     # -1, 30 (hi-exclusive) and 99 fall outside every band → dropped
     assert out.x.tolist() == [0.0, 9.999, 10.0, 25.0]
     assert out.band.tolist() == ["low", "low", "mid", "high"]
+
+
+def test_group_percentiles_exact_rank(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import group_percentiles
+
+    df = pd.DataFrame(
+        {"event_type": ["a"] * 10 + ["b"],
+         "value": [float(i) for i in range(1, 11)] + [7.5]}
+    )
+    out = (
+        group_percentiles(ray.data.from_pandas(df), key="event_type",
+                          value_col="value")
+        .to_pandas().set_index("event_type")
+    )
+    # n=10: ceil(.5*10)=5 → 5.0; ceil(.9*10)=9 → 9.0; ceil(.99*10)=10 → 10.0
+    assert out.loc["a", ["n", "p50_micros", "p90_micros", "p99_micros"]].tolist() == [
+        10, 5_000_000, 9_000_000, 10_000_000
+    ]
+    assert out.loc["b", "p50_micros"] == 7_500_000  # single element
+
+
+def test_group_topk_ties_and_ranks(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import group_topk
+
+    df = pd.DataFrame(
+        {"event_type": ["a"] * 5 + ["b"] * 2,
+         "user_id": [1, 1, 2, 3, 4, 9, 8],
+         "value": [1.0, 1.0, 2.0, 2.0, 0.5, 1.0, 1.0]}
+    )
+    out = group_topk(ray.data.from_pandas(df), key="event_type",
+                     rank_col="user_id", by_col="value", k=3).to_pandas()
+    a = out[out.event_type == "a"].sort_values("rank")
+    # totals: u1=2.0, u2=2.0, u3=2.0, u4=0.5 → tie broken by user_id asc
+    assert a.user_id.tolist() == [1, 2, 3]
+    assert a["rank"].tolist() == [1, 2, 3]
+    b = out[out.event_type == "b"].sort_values("rank")
+    assert b.user_id.tolist() == [8, 9]  # k larger than group → all, tie by id
