@@ -209,3 +209,31 @@ def test_lsh_bucket_cap_logs_truncation(ray_session, caplog):
     assert len(out) == 10
     assert any("truncated" in r.message and "20 of 30" in r.message
                for r in caplog.records)
+
+
+def test_no_duplicates_empty_outputs(ray_session):
+    """A corpus with no near-dups exercises the empty-candidate paths:
+    typed-empty pair dataset, empty verified frame, empty groups."""
+    import ray.data
+
+    from corpusaid_ray.stages.neardup import (
+        duplicate_groups,
+        minhash_candidate_pairs,
+        ngram_duplicates,
+    )
+
+    rng = np.random.default_rng(21)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    rows = [
+        {"repo": "r", "path": f"u{i}.txt",
+         "content": "".join(rng.choice(letters, size=120))}
+        for i in range(6)
+    ]
+    ds = ray.data.from_items(rows)
+    pairs = minhash_candidate_pairs(ds).to_pandas()
+    assert list(pairs.columns) == ["path_a", "path_b", "est_jaccard"] or len(pairs) == 0
+    verified = ngram_duplicates(ray.data.from_items(rows))
+    assert len(verified) == 0
+    assert list(verified.columns) == ["path_a", "path_b", "jaccard"]
+    groups = duplicate_groups(verified)
+    assert len(groups) == 0
