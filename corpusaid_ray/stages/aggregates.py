@@ -157,6 +157,12 @@ def group_percentiles(ds, *, key: str, value_col: str,
     float-interpolation hazards. ``groupby(key)`` co-locates each group; the
     per-group sort is bounded by group size.
 
+    Partitioning assumption: one key's values fit one reducer. Low-
+    cardinality keys over huge data violate this — at that scale swap in a
+    mergeable quantile sketch (t-digest / KLL partials inside
+    ``map_batches``) and accept approximation, or pre-bucket by value range
+    and select across bucket counts in a second small pass.
+
     Output: (key, n, p{XX}_micros per requested percentile)."""
     import math
 

@@ -544,9 +544,12 @@ class _EmbedLSH:
 
 
 def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
-                            bits: int = 12):
+                            bits: int = 12, max_bucket: int = MAX_BUCKET):
     """Embedding near-dup: hyperplane-LSH bucket → exact cosine verify within
-    bucket. Output: (vec_id_a, vec_id_b, cosine) with a < b."""
+    bucket. Output: (vec_id_a, vec_id_b, cosine) with a < b. Buckets are
+    capped at ``max_bucket`` vectors with a logged drop count (same safety
+    valve as the text LSH detectors — a degenerate embedding set where every
+    vector points the same way would otherwise go quadratic)."""
     from corpusaid_ray.stages.similarity import _as_matrix, _normalize
 
     lsh = _EmbedLSH(dim, bits)
@@ -568,7 +571,8 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
         if len(g) < 2:
             return _empty_df(vec_id_a="int64", vec_id_b="int64",
                              cosine="float64")
-        g = g.sort_values("vec_id").drop_duplicates("vec_id")
+        g = _truncate_bucket(g, "vec_id", max_bucket,
+                             f"embed bucket={g['bucket'].iloc[0]}")
         ids = g["vec_id"].to_numpy()
         m = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
         sims = m @ m.T
