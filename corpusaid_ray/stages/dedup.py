@@ -53,12 +53,14 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
     because min-of-mins = global min.
 
     The final pick runs as a hash-partitioned ``Min`` AGGREGATE over the
-    order column with the remaining string payload packed behind a ``\\x00``
+    order column with the remaining string payload packed behind a ``\\x01``
     separator — no per-group Python at any group count (round-1 verdict
     item; measured vs ``map_groups(head(1))`` at bench scale: see
     BASELINE.md). ``payload_cols`` (non-key, non-order string columns to
-    carry) defaults to every other column when all are strings; pass
-    explicitly for non-string payloads to fall back to the map_groups path.
+    carry) defaults to every other column when all are strings; non-string
+    payload schemas fall back to a per-group ``map_groups`` pick
+    automatically. Passing ``payload_cols=()`` explicitly DROPS all
+    non-key, non-order columns from the output.
     """
     import pyarrow as pa
 
@@ -103,6 +105,15 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         out = df[keys].copy()
         packed = df[order_col].astype(str)
+        for c in [order_col, *pcols]:
+            # a \x01 inside a value would shift every later column on unpack
+            # — fail loudly; such data needs the map_groups path
+            if df[c].astype(str).str.contains(_PACK_SEP).any():
+                raise ValueError(
+                    f"dedup_exact: column {c!r} contains the \\x01 pack "
+                    "separator; pass payload_cols=None with non-string "
+                    "types (or use the map_groups path) for such data"
+                )
         for c in pcols:
             packed = packed + _PACK_SEP + df[c].astype(str)
         out["_packed"] = packed
