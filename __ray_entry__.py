@@ -256,6 +256,69 @@ def q_events_rolling(sf_dir: str):
     return rolling_analytics(ds)
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Per-document salient terms: top-3 tokens by a log-free TF-IDF score
+    ``tf·N/df`` (exact int64 product, ONE float division — bit-exact vs the
+    SQL mirror; ln-based idf would differ in the last ulp between libms).
+    Two-phase DF (batch-local distinct-token partials → small groupby) is
+    collected once (vocab-sized) and broadcast via ``ray.put``; the per-doc
+    ranking then streams map-side."""
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(set(TOKEN_RE.findall(t)))
+        return pd.DataFrame({"token": list(c.keys()), "df": list(c.values())})
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    df_map: dict[str, int] = {}
+    for b in df_tbl.iter_batches(batch_format="pandas"):
+        df_map.update(zip(b["token"], b["df"].astype(int)))
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    df_ref = ray.put(df_map)
+
+    def topk(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        dfm = ray.get(df_ref)
+        out = []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            tf = Counter(TOKEN_RE.findall(text))
+            rows = sorted(
+                (
+                    (-(c * n_docs) / dfm[t], t, c)
+                    for t, c in tf.items()
+                ),
+            )[:3]
+            for rank, (neg_score, t, c) in enumerate(rows, start=1):
+                out.append(
+                    {"doc_id": did, "token": t, "tf": int(c),
+                     "score": -neg_score, "rank": rank}
+                )
+        o = pd.DataFrame(out, columns=["doc_id", "token", "tf", "score",
+                                       "rank"])
+        return o.astype({"doc_id": "int64", "tf": "int64",
+                         "score": "float64", "rank": "int64"})
+
+    return docs.map_batches(topk, batch_format="pandas")
+
+
 def q_events_percentiles(sf_dir: str):
     """Exact discrete percentiles (p50/p90/p99, micro-units, ceil-rank
     selection) of event value per event_type."""
@@ -1006,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": q_events_rolling,
         "events_asof": q_events_asof,
         "events_percentiles": q_events_percentiles,
+        "doc_tfidf": q_doc_tfidf,
         "top_users_per_type": q_top_users_per_type,
         "orders_price_bands": q_orders_price_bands,
         "split_assign": q_split_assign,

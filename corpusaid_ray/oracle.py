@@ -228,6 +228,28 @@ SELECT e.event_id, e.user_id, b.budget
 FROM events e
 ASOF JOIN updates b ON e.user_id = b.user_id AND e.ts >= b.uts"""
 
+# TF-IDF salient terms: log-free score tf·N/df (exact int64 product, one
+# float division) so the mirror is bit-exact; ties broken by token.
+ORACLE_SQL["doc_tfidf"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY token
+),
+n AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT doc_id, token, tf,
+       (tf * n.n)::DOUBLE / df.df AS score,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY (tf * n.n)::DOUBLE / df.df DESC, token)
+         AS rank
+FROM tf JOIN df USING (token), n
+QUALIFY rank <= 3"""
+
 # Exact discrete percentiles: 1-based ceil(p·n) rank selection over sorted
 # int64 micro-values — list indexing, no interpolation.
 ORACLE_SQL["events_percentiles"] = """
