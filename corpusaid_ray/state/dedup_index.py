@@ -1,0 +1,125 @@
+"""Streaming incremental dedup — the one stage built on RAW Ray actors.
+
+Batch dedup (``stages/dedup.dedup_exact``) is a Dataset ``groupby``: it
+needs the whole input before it can pick winners, and re-running it over a
+growing corpus reprocesses everything. CONTINUOUS ingest (docs arriving in
+micro-batches over hours/days) instead needs a cluster-global *shared
+mutable* membership index — exactly the semantics the Dataset API cannot
+express and the stated reason to drop to ``@ray.remote`` actors.
+
+Design (scale-first):
+
+- The index is SHARDED over ``num_shards`` actors; a hash routes to shard
+  ``int(h[:8], 16) % num_shards`` — deterministic, uniform (content hashes),
+  no hot shard. On a 256-node cluster the shards spread across nodes and
+  each holds |unique|/shards entries.
+- A batch makes ONE round-trip per touched shard (hashes grouped
+  shard-wise, futures awaited together), not one per row.
+- First-wins is ARRIVAL order — the honest semantics of a stream. Within
+  one arriving batch ties resolve by batch order; across concurrently
+  submitted batches the winner is whichever reaches the shard first (batch
+  dedup's deterministic min-``order_col`` pick is the right tool when the
+  corpus is finite and order must not matter).
+- Shard state is a plain ``set`` per actor; memory = 32 B-ish per unique
+  hash — checkpoint by snapshotting each shard (``dump``) into the lineage
+  manifest directory if the stream must survive a driver restart.
+"""
+
+from __future__ import annotations
+
+import ray
+
+
+@ray.remote(num_cpus=0.1)
+class _IndexShard:
+    """One shard of the global seen-set. ``num_cpus=0.1``: shards are
+    latency-, not compute-bound — 8 shards must not reserve 8 worker
+    slots."""
+
+    def __init__(self) -> None:
+        self._seen: set[str] = set()
+
+    def check_and_add(self, hashes: list[str]) -> list[bool]:
+        """For each hash IN ORDER: True if first-ever-seen (claims it)."""
+        seen = self._seen
+        out = []
+        for h in hashes:
+            if h in seen:
+                out.append(False)
+            else:
+                seen.add(h)
+                out.append(True)
+        return out
+
+    def size(self) -> int:
+        return len(self._seen)
+
+    def dump(self) -> list[str]:
+        """Snapshot for checkpointing (sorted → deterministic)."""
+        return sorted(self._seen)
+
+    def load(self, hashes: list[str]) -> None:
+        self._seen.update(hashes)
+
+
+class StreamingDedupIndex:
+    """Cluster-global sharded membership index for streaming ingest."""
+
+    def __init__(self, num_shards: int = 8):
+        self.num_shards = num_shards
+        self.shards = [_IndexShard.remote() for _ in range(num_shards)]
+
+    def _route(self, h: str) -> int:
+        return int(h[:8], 16) % self.num_shards
+
+    def filter_new(self, hashes: list[str]) -> list[bool]:
+        """One shard round-trip: which of ``hashes`` are first-ever-seen
+        (claiming them). Duplicates WITHIN the list resolve in list order."""
+        per_shard: dict[int, list[int]] = {}
+        for i, h in enumerate(hashes):
+            per_shard.setdefault(self._route(h), []).append(i)
+        futs, order = [], []
+        for sid, idxs in per_shard.items():
+            futs.append(
+                self.shards[sid].check_and_add.remote([hashes[i] for i in idxs])
+            )
+            order.append(idxs)
+        out = [False] * len(hashes)
+        for idxs, flags in zip(order, ray.get(futs)):
+            for i, f in zip(idxs, flags):
+                out[i] = f
+        return out
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def snapshot(self) -> list[str]:
+        out: list[str] = []
+        for part in ray.get([s.dump.remote() for s in self.shards]):
+            out.extend(part)
+        return sorted(out)
+
+    def restore(self, hashes: list[str]) -> None:
+        per_shard: dict[int, list[str]] = {}
+        for h in hashes:
+            per_shard.setdefault(self._route(h), []).append(h)
+        ray.get(
+            [self.shards[sid].load.remote(hs) for sid, hs in per_shard.items()]
+        )
+
+
+def dedup_stream_batch(index: StreamingDedupIndex, batch,
+                       hash_col: str = "content_sha256"):
+    """Filter one arriving micro-batch (pyarrow Table) against the global
+    index: rows whose hash was never seen before survive (and claim their
+    hash). Driver-side loop shape::
+
+        idx = StreamingDedupIndex()
+        for batch in incoming.iter_batches(batch_format="pyarrow"):
+            kept = dedup_stream_batch(idx, batch)
+            writer.write(kept)
+    """
+    import pyarrow as pa
+
+    flags = index.filter_new(batch[hash_col].to_pylist())
+    return batch.filter(pa.array(flags, pa.bool_()))

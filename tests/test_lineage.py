@@ -137,3 +137,46 @@ def test_resume_invalidates_on_identity_change(ray_session, tmp_out):
     df = _read_all(tmp_out)
     assert df.path.is_unique
     assert len(df) == s1["rows"] == s2["rows"]
+
+
+def test_streaming_dedup_index(ray_session):
+    """Sharded actor index: arrival-order first-wins across micro-batches,
+    exactly one survivor per content, snapshot/restore round-trips."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from corpusaid_ray.state.dedup_index import (
+        StreamingDedupIndex,
+        dedup_stream_batch,
+    )
+
+    def mk_batch(rows):
+        return pa.table(
+            {
+                "path": pa.array([p for p, _ in rows], pa.string()),
+                "content_sha256": pa.array(
+                    [hashlib.sha256(c.encode()).hexdigest() for _, c in rows],
+                    pa.string(),
+                ),
+            }
+        )
+
+    idx = StreamingDedupIndex(num_shards=4)
+    b1 = dedup_stream_batch(idx, mk_batch(
+        [("a", "x"), ("b", "y"), ("c", "x")]  # within-batch dup: first wins
+    ))
+    assert b1["path"].to_pylist() == ["a", "b"]
+    b2 = dedup_stream_batch(idx, mk_batch(
+        [("d", "y"), ("e", "z")]  # cross-batch dup of y
+    ))
+    assert b2["path"].to_pylist() == ["e"]
+    assert idx.size() == 3
+
+    # snapshot → fresh index → restore → dup still rejected
+    snap = idx.snapshot()
+    assert len(snap) == 3
+    idx2 = StreamingDedupIndex(num_shards=2)  # shard count may differ
+    idx2.restore(snap)
+    b3 = dedup_stream_batch(idx2, mk_batch([("f", "z"), ("g", "new")]))
+    assert b3["path"].to_pylist() == ["g"]
