@@ -685,6 +685,53 @@ SELECT repo, path,
             THEN 'train' ELSE 'val' END AS split
 FROM corpus""")
 
+def _register_fingerprint() -> None:
+    """Winnowing fingerprint mirror (Schleimer 2003, hashing.py semantics):
+    k=8 rolling hash with uint64 wraparound emulated as HUGEINT mod 2^64
+    (per-term products stay < 2^88, inside HUGEINT), window-4 sliding min,
+    distinct, xor-fold of v·FNV-prime mod 2^64 via ``bit_xor`` (the fold is
+    XOR — order-free — which is what makes it an aggregate). The power
+    constants POW^(7-j) mod 2^64 are embedded from the same Python
+    literal."""
+    P, M = 1099511628211, 1 << 64
+    consts = [pow(P, 7 - j, M) for j in range(8)]
+    terms = " + ".join(f"cp[i+{j}]*{c}::HUGEINT" for j, c in enumerate(consts))
+    ORACLE_SQL["fingerprint"] = with_corpus(f"""
+, cps AS (
+  SELECT repo, path,
+         list_transform(range(1, length(content)+1),
+                        i -> unicode(substr(content, i::INT, 1))::HUGEINT) AS cp,
+         length(content) AS n
+  FROM corpus
+),
+hs AS (
+  SELECT repo, path,
+         CASE WHEN n < 8 THEN []::UBIGINT[]
+              ELSE list_transform(range(1, n - 6),
+                     i -> (({terms}) % {M})::UBIGINT)
+         END AS h
+  FROM cps
+),
+sel AS (
+  SELECT repo, path,
+         CASE WHEN len(h) = 0 THEN []::UBIGINT[]
+              WHEN len(h) <= 4 THEN [list_min(h)]
+              ELSE list_transform(range(1, len(h) - 2),
+                     i -> least(h[i], h[i+1], h[i+2], h[i+3]))
+         END AS s
+  FROM hs
+)
+SELECT repo, path,
+       lpad(lower(hex(coalesce(bit_xor(
+         ((v::HUGEINT * {P}) % {M})::UBIGINT
+       ), 0::UBIGINT))), 16, '0') AS fingerprint
+FROM (SELECT repo, path, unnest(list_distinct(s)) AS v FROM sel)
+GROUP BY repo, path""")
+
+
+_register_fingerprint()
+
+
 ORACLE_SQL["top_docs"] = with_corpus("""
 SELECT repo, path, length(content) AS n_chars
 FROM corpus
