@@ -685,6 +685,70 @@ SELECT repo, path,
             THEN 'train' ELSE 'val' END AS split
 FROM corpus""")
 
+def _register_dedup_minhash() -> None:
+    """FULL MinHash-LSH mirror — the entire detector re-derived in SQL:
+    k=5 rolling shingle hashes (closed-form polynomial, HUGEINT mod 2^64),
+    all 64 affine permutations (same A/B constants as
+    ``functions.hashing``), min per permutation, 16 FNV-folded band hashes
+    (4 steps unrolled), bucket self-join on (band, hash), and the
+    64-component equality estimate — bit-exact against the engine (verified:
+    identical pair set AND est_jaccard distribution at sf0.01). The engine's
+    200-path bucket cap is not mirrored: no sf0.01 bucket reaches it.
+    Runtime ~1 min at sf0.01 — the price of evaluating 64 permutations per
+    shingle in SQL."""
+    from corpusaid_ray.functions import hashing as _H
+
+    P, M64, M61 = 1099511628211, 1 << 64, (1 << 61) - 1
+    fnv0 = 1469598103934665603
+    c5 = [pow(P, 4 - j, M64) for j in range(5)]
+    terms5 = " + ".join(f"cp[i+{j}]*{c}::HUGEINT" for j, c in enumerate(c5))
+    perm_exprs = ", ".join(
+        f"list_min(list_transform(sh, x -> ((((x::HUGEINT * {int(a)}) % {M64})"
+        f" + {int(b)}) % {M64} % {M61})::UBIGINT))"
+        for a, b in zip(_H._A, _H._B)
+    )
+
+    def band_expr(b: int) -> str:
+        acc = f"{fnv0}::UBIGINT"
+        for r in range(4):
+            acc = (f"((xor({acc}, sig[{4 * b + r + 1}])::HUGEINT * {P})"
+                   f" % {M64})::UBIGINT")
+        return acc
+
+    band_exprs = ", ".join(band_expr(b) for b in range(16))
+    ORACLE_SQL["dedup_minhash"] = with_corpus(f"""
+, cps AS (
+  SELECT path, list_transform(range(1, length(content)+1),
+                 i -> unicode(substr(content, i::INT, 1))::HUGEINT) AS cp,
+         length(content) AS n
+  FROM corpus
+),
+sh AS (
+  SELECT path, list_distinct(list_transform(range(1, n - 3),
+                 i -> (({terms5}) % {M64})::UBIGINT)) AS sh
+  FROM cps
+),
+sigs AS (SELECT path, [{perm_exprs}] AS sig FROM sh),
+bands AS (SELECT path, sig, [{band_exprs}] AS bh FROM sigs),
+eb AS (SELECT path, sig, b.i AS band, bh[b.i::INT + 1] AS h
+       FROM bands, unnest(range(16)) AS b(i)),
+cand AS (
+  SELECT DISTINCT a.path AS path_a, b.path AS path_b, a.sig AS sa, b.sig AS sb
+  FROM eb a JOIN eb b ON a.band = b.band AND a.h = b.h AND a.path < b.path
+),
+est AS (
+  SELECT path_a, path_b,
+         len(list_filter(range(64),
+                         i -> sa[i::INT + 1] = sb[i::INT + 1]))::DOUBLE / 64
+           AS est_jaccard
+  FROM cand
+)
+SELECT path_a, path_b, est_jaccard FROM est WHERE est_jaccard >= 0.7""")
+
+
+_register_dedup_minhash()
+
+
 def _register_fingerprint() -> None:
     """Winnowing fingerprint mirror (Schleimer 2003, hashing.py semantics):
     k=8 rolling hash with uint64 wraparound emulated as HUGEINT mod 2^64
