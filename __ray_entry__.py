@@ -678,7 +678,7 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash Hamming≤3 near-dup pairs (rows-only)."""
+    """SimHash Hamming≤3 near-dup pairs (full SQL mirror in oracle.py)."""
     from corpusaid_ray.stages.neardup import simhash_candidate_pairs
 
     return simhash_candidate_pairs(_corpus(sf_dir))

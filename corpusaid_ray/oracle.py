@@ -749,6 +749,79 @@ SELECT path_a, path_b, est_jaccard FROM est WHERE est_jaccard >= 0.7""")
 _register_dedup_minhash()
 
 
+def _register_dedup_simhash() -> None:
+    """FULL SimHash mirror (Charikar 2002, ``hashing.py`` semantics):
+    whitespace tokenization (`[\\t\\n\\x0b\\x0c\\r\\x1c-\\x1f ]+` matches
+    Python ``str.split()`` on this corpus — verified token-list-identical at
+    sf0.01), FNV-1a per DISTINCT token over its UTF-8 bytes (codepoints
+    expanded to bytes in SQL; ``list_reduce`` folds the xor-multiply with
+    HUGEINT-mod-2^64 wraparound), per-bit majority vote via 64 unnested
+    sums, pigeonhole 16-bit chunk self-join, and ``bit_count`` Hamming ≤ 3 —
+    bit-exact against the engine (identical 733-pair set incl. hamming at
+    sf0.01). The engine's 200-path bucket cap is not mirrored: the largest
+    sf0.01 chunk bucket holds 50 docs. Runs in <1 s."""
+    P, M64 = 1099511628211, 1 << 64
+    fnv0 = 1469598103934665603
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    bit_sums = ", ".join(
+        f"sum(((h >> {i}) & 1)::BIGINT) AS b{i}" for i in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2*b{i} > n THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    ORACLE_SQL["dedup_simhash"] = with_corpus(f"""
+, toks AS (
+  SELECT path,
+         unnest(list_filter(regexp_split_to_array(content, '{ws}'),
+                            t -> t != '')) AS tok
+  FROM corpus
+),
+dtok AS (SELECT DISTINCT tok FROM toks),
+thash AS (
+  SELECT tok, list_reduce(list_prepend({fnv0}::UBIGINT,
+    flatten(list_transform(
+      list_transform(range(1, length(tok)+1),
+                     i -> unicode(substr(tok, i::INT, 1))),
+      cp -> CASE
+        WHEN cp < 128 THEN [cp::UBIGINT]
+        WHEN cp < 2048 THEN
+          [(192 + cp // 64)::UBIGINT, (128 + cp % 64)::UBIGINT]
+        WHEN cp < 65536 THEN
+          [(224 + cp // 4096)::UBIGINT, (128 + (cp // 64) % 64)::UBIGINT,
+           (128 + cp % 64)::UBIGINT]
+        ELSE
+          [(240 + cp // 262144)::UBIGINT, (128 + (cp // 4096) % 64)::UBIGINT,
+           (128 + (cp // 64) % 64)::UBIGINT, (128 + cp % 64)::UBIGINT]
+      END))),
+    (a, x) -> ((xor(a, x)::HUGEINT * {P}) % {M64}::HUGEINT)::UBIGINT) AS h
+  FROM dtok
+),
+votes AS (
+  SELECT t.path, count(*) AS n, {bit_sums}
+  FROM toks t JOIN thash USING (tok)
+  GROUP BY t.path
+),
+sigs AS (
+  SELECT c.path, coalesce(({sig_terms})::UBIGINT, 0::UBIGINT) AS sh
+  FROM corpus c LEFT JOIN votes v ON c.path = v.path
+),
+eb AS (
+  SELECT path, sh, ch.i AS chunk, ((sh >> (16 * ch.i::INT)) & 65535) AS val
+  FROM sigs, unnest(range(4)) AS ch(i)
+),
+cand AS (
+  SELECT DISTINCT a.path AS path_a, b.path AS path_b,
+         bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+  FROM eb a JOIN eb b ON a.chunk = b.chunk AND a.val = b.val
+                     AND a.path < b.path
+)
+SELECT path_a, path_b, hamming FROM cand WHERE hamming <= 3""")
+
+
+_register_dedup_simhash()
+
+
 def _register_fingerprint() -> None:
     """Winnowing fingerprint mirror (Schleimer 2003, hashing.py semantics):
     k=8 rolling hash with uint64 wraparound emulated as HUGEINT mod 2^64

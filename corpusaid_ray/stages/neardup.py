@@ -183,7 +183,7 @@ def _raw_candidate_pairs(ds, key: str, max_bucket: int):
     # (per-pair map_groups was ~1 Python call per pair; string-key
     # groupby().aggregate measured 4× slower still).
     def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["path_a", "path_b"])
+        df = df.drop_duplicates(["path_a", "path_b"]).copy()
         df["pair_salt"] = (
             pd.util.hash_pandas_object(
                 df["path_a"] + "\x00" + df["path_b"], index=False
@@ -390,7 +390,7 @@ def simhash_candidate_pairs(ds, *, key: str = "path", max_hamming: int = 3,
     )
 
     def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["path_a", "path_b"])
+        df = df.drop_duplicates(["path_a", "path_b"]).copy()
         df["pair_salt"] = (
             pd.util.hash_pandas_object(
                 df["path_a"] + "\x00" + df["path_b"], index=False
