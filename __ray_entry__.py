@@ -826,6 +826,42 @@ def q_split_assign(sf_dir: str):
     return _corpus(sf_dir).map_batches(assign, batch_format="pyarrow")
 
 
+def q_line_dedup(sf_dir: str):
+    """CCNet-style corpus-wide line dedup: a non-empty line survives only at
+    its first occurrence by (path, line_no); docs reassembled from surviving
+    lines (docs losing every line are absent). Batch-local combiner before
+    the groupby; Min-aggregate first-occurrence pick (no per-group Python)."""
+    from corpusaid_ray.stages.linedup import line_dedup
+
+    return line_dedup(_corpus(sf_dir))
+
+
+def q_repetition_metrics(sf_dir: str):
+    """Gopher-style repetition filters per doc: top word-bigram coverage and
+    duplicate word-5-gram character fraction (vectorized Arrow split + pandas
+    C-level gram counting; single int/int division for each fraction)."""
+    from corpusaid_ray.stages.quality import repetition_fn
+
+    return _corpus(sf_dir).map_batches(
+        repetition_fn, batch_format="pyarrow"
+    ).select_columns([
+        "repo", "path", "n_words", "top_bigram_count", "top_bigram",
+        "top_bigram_char_frac", "dup5gram_char_frac",
+    ])
+
+
+def q_repo_quota_sample(sf_dir: str):
+    """Per-domain quota sampling (C4/RefinedWeb-style host caps): keep the 5
+    docs with the smallest (md5-rank, path) per repo — deterministic across
+    runs, cluster sizes and input order; combiner bounds the shuffle at
+    n × repos × batches rows."""
+    from corpusaid_ray.stages.sampling import repo_quota_sample
+
+    return repo_quota_sample(
+        _corpus(sf_dir).select_columns(["repo", "path"]), n_per_repo=5
+    ).select_columns(["repo", "path", "md5_rank"])
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1073,6 +1109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_per_type": q_top_users_per_type,
         "orders_price_bands": q_orders_price_bands,
         "split_assign": q_split_assign,
+        "line_dedup": q_line_dedup,
+        "repetition_metrics": q_repetition_metrics,
+        "repo_quota_sample": q_repo_quota_sample,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

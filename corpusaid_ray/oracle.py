@@ -685,6 +685,95 @@ SELECT repo, path,
             THEN 'train' ELSE 'val' END AS split
 FROM corpus""")
 
+# CCNet-style corpus-wide line dedup mirror: first occurrence per exact
+# line under (path, line_no); docs reassembled from surviving lines only.
+ORACLE_SQL["line_dedup"] = with_corpus("""
+, lns AS (
+  SELECT path, t.i::BIGINT - 1 AS line_no, arr[t.i::INT] AS line
+  FROM (SELECT path, regexp_split_to_array(content, chr(10)) AS arr
+        FROM corpus),
+       unnest(range(1, length(arr) + 1)) AS t(i)
+  WHERE arr[t.i::INT] != ''
+),
+kept AS (
+  SELECT path, line_no, line
+  FROM lns
+  QUALIFY row_number() OVER (PARTITION BY line ORDER BY path, line_no) = 1
+)
+SELECT path, string_agg(line, chr(10) ORDER BY line_no) AS content_dedup,
+       count(*)::BIGINT AS lines_kept
+FROM kept GROUP BY path""")
+
+
+def _register_repetition_metrics() -> None:
+    """Gopher repetition-filter mirror (``stages/quality.repetition_fn``):
+    whitespace words (same explicit class as the SimHash mirror — matches
+    Python ``str.split()`` on this corpus), space-joined word 2-/5-grams via
+    lateral index unnest, top bigram by (count DESC, gram ASC) — UTF-8 byte
+    order equals codepoint order, so DuckDB and Python agree on ties — and
+    each fraction one INT/INT → DOUBLE division (DuckDB ``/`` is float
+    division), bit-equal to the numpy side."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    ORACLE_SQL["repetition_metrics"] = with_corpus(f"""
+, words AS (
+  SELECT repo, path, greatest(length(content), 1)::BIGINT AS nc,
+         list_filter(regexp_split_to_array(content, '{ws}'),
+                     t -> t != '') AS w
+  FROM corpus
+),
+big AS (
+  SELECT path, w[t.i::INT] || ' ' || w[t.i::INT + 1] AS g
+  FROM words, unnest(range(1, length(w))) AS t(i)
+),
+bcnt AS (
+  SELECT path, g, count(*)::BIGINT AS c, length(g)::BIGINT AS gl
+  FROM big GROUP BY path, g
+),
+btop AS (
+  SELECT path, g, c, gl FROM bcnt
+  QUALIFY row_number() OVER (PARTITION BY path ORDER BY c DESC, g ASC) = 1
+),
+five AS (
+  SELECT path, w[t.i::INT] || ' ' || w[t.i::INT + 1] || ' ' ||
+         w[t.i::INT + 2] || ' ' || w[t.i::INT + 3] || ' ' ||
+         w[t.i::INT + 4] AS g
+  FROM words, unnest(range(1, length(w) - 3)) AS t(i)
+),
+fcnt AS (
+  SELECT path, g, count(*)::BIGINT AS c, length(g)::BIGINT AS gl
+  FROM five GROUP BY path, g
+),
+fdup AS (
+  SELECT path, sum((c - 1) * gl)::BIGINT AS dup_chars
+  FROM fcnt WHERE c > 1 GROUP BY path
+)
+SELECT w.repo, w.path,
+       length(w.w)::BIGINT AS n_words,
+       coalesce(b.c, 0)::BIGINT AS top_bigram_count,
+       coalesce(b.g, '') AS top_bigram,
+       (coalesce(b.c, 0) * coalesce(b.gl, 0))::BIGINT / w.nc
+           AS top_bigram_char_frac,
+       coalesce(f.dup_chars, 0)::BIGINT / w.nc AS dup5gram_char_frac
+FROM words w
+LEFT JOIN btop b USING (path)
+LEFT JOIN fdup f ON w.path = f.path""")
+
+
+_register_repetition_metrics()
+
+
+# Per-domain quota sample mirror: same md5-prefix rank as split_assign.
+ORACLE_SQL["repo_quota_sample"] = with_corpus("""
+, ranked AS (
+  SELECT repo, path,
+         (('0x' || substr(md5(path), 1, 8))::UBIGINT)::BIGINT AS md5_rank
+  FROM corpus
+)
+SELECT repo, path, md5_rank
+FROM ranked
+QUALIFY row_number() OVER (PARTITION BY repo ORDER BY md5_rank, path) <= 5""")
+
+
 def _register_dedup_minhash() -> None:
     """FULL MinHash-LSH mirror — the entire detector re-derived in SQL:
     k=5 rolling shingle hashes (closed-form polynomial, HUGEINT mod 2^64),

@@ -1,0 +1,138 @@
+"""Cross-document line deduplication (CCNet-style; training-data-pipeline
+stage, no reference equivalent — the reference deduplicates nothing,
+SURVEY.md §2.5).
+
+Web-corpus pipelines (Wenzek et al. 2019, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data") drop boilerplate by removing
+every repeated occurrence of a line across the whole corpus, keeping one
+canonical copy. Here: a non-empty line survives only at its first
+occurrence under the total order ``(path, line_no)``; documents are
+reassembled from their surviving lines. Documents whose lines ALL
+disappear (empty or fully-boilerplate docs) are absent from the output.
+
+SQL equivalent::
+
+    QUALIFY row_number() OVER (PARTITION BY line ORDER BY path, line_no) = 1
+    ... GROUP BY path: string_agg(line, chr(10) ORDER BY line_no)
+
+Scale shape (the two wide steps are both hash-partitioned groupbys):
+
+1. explode — zero-copy Arrow ``split_pattern`` + numpy offsets; no Python
+   per row.
+2. batch-local combiner — keeps only the min-order occurrence per line per
+   batch, so the shuffle moves at most one row per (line, batch); on
+   boilerplate-heavy corpora this shrinks the exchange by the duplication
+   factor before it happens.
+3. global first-occurrence pick — ``groupby(line).aggregate(Min(pack))``
+   with the order key packed behind ``\\x01`` (same trick and rationale as
+   ``dedup.dedup_exact``): no per-group Python at web-scale group counts.
+   The group key here is the line TEXT (exact semantics, zero collision
+   risk, matches the oracle byte-for-byte); at 100 TB swap the key for
+   ``sha1(line)`` to bound key bytes in the shuffle — the pack already
+   carries everything needed downstream.
+4. reassembly — surviving lines only; fine per-``path`` grouping is done
+   with pandas INSIDE ~4096 coarse salted groups (measured round-2 lesson:
+   Ray ``map_groups`` costs ~1 Python call per group, so salt fine keys
+   coarse and group locally).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SEP = "\x01"  # sorts below every printable byte; never in path/line_no
+_PAD = 12      # zero-pad width for line_no in the pack (10^12 lines/doc cap)
+_COARSE = 4096
+
+
+def _explode_lines(batch: pa.Table, content_col: str, key_col: str) -> pa.Table:
+    col = batch[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    lines = pc.split_pattern(col, "\n")
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = lines.flatten()
+    n_per_row = np.diff(offsets)
+    row_ids = np.repeat(np.arange(len(col), dtype="int64"), n_per_row)
+    line_no = np.arange(len(flat), dtype="int64") - np.repeat(
+        offsets[:-1], n_per_row
+    )
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False
+    )
+    keys = batch[key_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pa.table({
+        "line": flat.filter(pa.array(nonempty)),
+        "path": keys.take(pa.array(row_ids[nonempty])),
+        "line_no": pa.array(line_no[nonempty]),
+    })
+
+
+def _pack_combine(df: pd.DataFrame) -> pd.DataFrame:
+    """Pack the order key and keep the batch-local min occurrence per line."""
+    df["_pack"] = (
+        df["path"] + _SEP + df["line_no"].astype(str).str.zfill(_PAD)
+    )
+    df = df.sort_values("_pack", kind="mergesort").drop_duplicates(
+        "line", keep="first"
+    )
+    return df[["line", "_pack"]]
+
+
+def line_dedup(ds, *, content_col: str = "content", key_col: str = "path"):
+    """Corpus-wide first-occurrence line dedup; returns one row per document
+    that retains at least one line: ``(path, content_dedup, lines_kept)``."""
+    from ray.data.aggregate import Min
+
+    exploded = ds.map_batches(
+        lambda b: _explode_lines(b, content_col, key_col),
+        batch_format="pyarrow",
+    ).map_batches(_pack_combine, batch_format="pandas")
+
+    winners = exploded.groupby("line").aggregate(Min("_pack", alias_name="_pack"))
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "path": pd.Series(dtype="object"),
+                "line_no": pd.Series(dtype="int64"),
+                "line": pd.Series(dtype="object"),
+                "part": pd.Series(dtype="int64"),
+            })
+        parts = df["_pack"].str.split(_SEP, expand=True)
+        out = pd.DataFrame({
+            "path": parts[0],
+            "line_no": parts[1].astype("int64"),
+            "line": df["line"],
+        })
+        out["part"] = (
+            pd.util.hash_pandas_object(out["path"], index=False).to_numpy()
+            % _COARSE
+        ).astype("int64")
+        return out
+
+    survivors = winners.map_batches(unpack, batch_format="pandas")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "path": pd.Series(dtype="object"),
+                "content_dedup": pd.Series(dtype="object"),
+                "lines_kept": pd.Series(dtype="int64"),
+            })
+        g = g.sort_values(["path", "line_no"], kind="mergesort")
+        agg = g.groupby("path", sort=True)["line"].agg(
+            content_dedup="\n".join, lines_kept="size"
+        )
+        agg["lines_kept"] = agg["lines_kept"].astype("int64")
+        return agg.reset_index()
+
+    return survivors.groupby("part").map_groups(
+        reassemble, batch_format="pandas"
+    ).select_columns(["path", "content_dedup", "lines_kept"])

@@ -31,6 +31,93 @@ import pyarrow.compute as pc
 ALNUM_RE = "[0-9A-Za-z]"
 
 
+# Python str.split() whitespace, restricted to what occurs in this corpus
+# (ASCII + safe accents; verified token-list-identical to str.split() at
+# sf0.01 — same class the SimHash oracle mirrors). RE2-safe.
+WORD_SPLIT_RE = "[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+
+
+def repetition_fn(batch: pa.Table, source_col: str = "content") -> pa.Table:
+    """Gopher-style repetition metrics (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", Table A1 — repetitious-text filters), per document:
+
+    - ``n_words``              whitespace-token count
+    - ``top_bigram_count``     occurrences of the most frequent word bigram
+                               (ties broken to the lexicographically
+                               smallest bigram; 0 if < 2 words)
+    - ``top_bigram``           that bigram ('' if none)
+    - ``top_bigram_char_frac`` count × len(bigram) / max(n_chars, 1)
+    - ``dup5gram_char_frac``   Σ over word-5-grams seen more than once of
+                               (count−1) × len(gram), / max(n_chars, 1)
+
+    Fractions are a single int64/int64 → float64 division on both the engine
+    and the DuckDB oracle, so values compare bit-exactly. Fully vectorized:
+    Arrow RE2 split, numpy shifted-equality masks for adjacency, one pandas
+    C-level groupby per n-gram order — no Python per row or per gram.
+    """
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype("int64")
+    n_chars_safe = np.maximum(n_chars, 1)
+
+    toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = toks.flatten()
+    row_ids = np.repeat(np.arange(n, dtype="int64"), np.diff(offsets))
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    words, row_ids = words[keep], row_ids[keep]
+
+    n_words = np.zeros(n, dtype="int64")
+    np.add.at(n_words, row_ids, 1)
+
+    def gram_stats(k: int):
+        """(row, gram) occurrence counts for word k-grams, space-joined."""
+        if len(words) < k:
+            return pd.DataFrame({"r": [], "g": [], "c": []})
+        same = row_ids[: len(row_ids) - k + 1] == row_ids[k - 1:]
+        g = words[: len(words) - k + 1].astype(object)
+        for j in range(1, k):
+            g = g + " " + words[j: len(words) - k + 1 + j].astype(object)
+        df = pd.DataFrame({"r": row_ids[: len(row_ids) - k + 1][same],
+                           "g": g[same]})
+        return df.groupby(["r", "g"], sort=False).size().rename("c").reset_index()
+
+    big = gram_stats(2)
+    top_cnt = np.zeros(n, dtype="int64")
+    top_gram = np.full(n, "", dtype=object)
+    if len(big):
+        big = big.sort_values(["r", "c", "g"],
+                              ascending=[True, False, True],
+                              kind="mergesort").drop_duplicates("r")
+        top_cnt[big["r"].to_numpy()] = big["c"].to_numpy()
+        top_gram[big["r"].to_numpy()] = big["g"].to_numpy()
+    top_len = pd.Series(top_gram).str.len().to_numpy().astype("int64")
+
+    five = gram_stats(5)
+    dup5_chars = np.zeros(n, dtype="int64")
+    if len(five):
+        five = five[five["c"] > 1]
+        if len(five):
+            contrib = (five["c"].to_numpy() - 1) * five["g"].str.len().to_numpy()
+            np.add.at(dup5_chars, five["r"].to_numpy(), contrib.astype("int64"))
+
+    for name, arr in [
+        ("n_words", n_words),
+        ("top_bigram_count", top_cnt),
+        ("top_bigram", pa.array(list(top_gram), pa.string())),
+        ("top_bigram_char_frac", top_cnt * top_len / n_chars_safe),
+        ("dup5gram_char_frac", dup5_chars / n_chars_safe),
+    ]:
+        batch = batch.append_column(
+            name, arr if isinstance(arr, pa.Array) else pa.array(arr)
+        )
+    return batch
+
+
 def heuristics_fn(batch: pa.Table, source_col: str = "content_clean") -> pa.Table:
     col = batch[source_col]
     if isinstance(col, pa.ChunkedArray):

@@ -1,0 +1,62 @@
+"""Deterministic per-domain quota sampling (training-data-pipeline stage,
+no reference equivalent — SURVEY.md §2.5 additions).
+
+Web-corpus recipes cap how much any one domain can contribute (e.g. C4 /
+RefinedWeb per-host caps) so a single giant site cannot dominate the
+training mix. Here the domain is ``repo`` and the rank is a content-stable
+pseudo-random key — ``int(md5(path)[:8], 16)`` , the same hash family as
+the train/val split — so the sample is reproducible across runs, cluster
+sizes and input order, and is a uniform draw under the md5 model.
+
+SQL equivalent::
+
+    QUALIFY row_number() OVER (PARTITION BY repo ORDER BY rank, path) <= n
+
+Scale shape: a batch-local combiner keeps only the n smallest ranks per
+repo per batch BEFORE the groupby, so the shuffle moves at most
+n × repos × batches rows regardless of corpus size; the final per-repo pick
+runs over those survivors only. Skewed domains (one repo = 40 % of this
+corpus) are bounded the same way — the hot reducer sees n rows per input
+batch, not the repo's full row set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def add_md5_rank(batch: pa.Table, key_col: str = "path",
+                 out_col: str = "md5_rank") -> pa.Table:
+    """First 8 md5 hex digits of the key as int64 (hashlib releases the GIL
+    per call; C-speed over the batch)."""
+    ranks = [
+        int(hashlib.md5(p.encode("utf-8")).hexdigest()[:8], 16)
+        for p in batch[key_col].to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(ranks, pa.int64()))
+
+
+def repo_quota_sample(ds, *, n_per_repo: int, scope_col: str = "repo",
+                      key_col: str = "path"):
+    """Keep at most ``n_per_repo`` rows per ``scope_col``, the ones with the
+    smallest ``(md5_rank, key)`` — deterministic, order-independent."""
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (
+            df.sort_values([scope_col, "md5_rank", key_col], kind="mergesort")
+            .groupby(scope_col, sort=False)
+            .head(n_per_repo)
+        )
+
+    ranked = ds.map_batches(
+        lambda b: add_md5_rank(b, key_col), batch_format="pyarrow"
+    )
+    combined = ranked.map_batches(head_n, batch_format="pandas")
+    return combined.groupby(scope_col).map_groups(
+        head_n, batch_format="pandas"
+    )

@@ -1,0 +1,174 @@
+"""Semantics tests for the round-2 training-data operators: corpus-wide
+line dedup (CCNet-style), Gopher repetition metrics, per-domain quota
+sampling. Hand-crafted inputs with known answers; determinism under
+block-order permutation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(ray, rows, parallelism=3):
+    import ray.data
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(
+        parallelism
+    )
+
+
+class TestLineDedup:
+    def test_keep_first_occurrence(self, ray_session):
+        from corpusaid_ray.stages.linedup import line_dedup
+
+        rows = [
+            {"path": "a", "content": "alpha\nshared\nbeta"},
+            {"path": "b", "content": "shared\ngamma\nshared"},
+            {"path": "c", "content": "shared"},
+        ]
+        out = {
+            r["path"]: r
+            for r in line_dedup(_docs_ds(ray_session, rows)).take_all()
+        }
+        # 'shared' survives only in path 'a' (min (path, line_no))
+        assert out["a"]["content_dedup"] == "alpha\nshared\nbeta"
+        assert out["b"]["content_dedup"] == "gamma"
+        assert out["b"]["lines_kept"] == 1
+        # path 'c' lost its only line → absent
+        assert "c" not in out
+
+    def test_within_doc_repeats_collapse(self, ray_session):
+        from corpusaid_ray.stages.linedup import line_dedup
+
+        rows = [{"path": "a", "content": "x\nx\nx\ny"}]
+        out = line_dedup(_docs_ds(ray_session, rows, 1)).take_all()
+        assert out[0]["content_dedup"] == "x\ny"
+        assert out[0]["lines_kept"] == 2
+
+    def test_empty_lines_dropped_not_deduped(self, ray_session):
+        from corpusaid_ray.stages.linedup import line_dedup
+
+        rows = [
+            {"path": "a", "content": "p\n\nq"},
+            {"path": "b", "content": "\n\nr"},
+        ]
+        out = {
+            r["path"]: r["content_dedup"]
+            for r in line_dedup(_docs_ds(ray_session, rows)).take_all()
+        }
+        assert out == {"a": "p\nq", "b": "r"}
+
+    def test_block_order_independent(self, ray_session):
+        from corpusaid_ray.stages.linedup import line_dedup
+
+        rows = [
+            {"path": f"d{i:02d}", "content": f"uniq{i}\ncommon\nuniq{i}b"}
+            for i in range(12)
+        ]
+        a = sorted(
+            map(tuple, (r.values() for r in
+                        line_dedup(_docs_ds(ray_session, rows, 1)).take_all()))
+        )
+        b = sorted(
+            map(tuple, (r.values() for r in
+                        line_dedup(
+                            _docs_ds(ray_session, rows[::-1], 5)
+                        ).take_all()))
+        )
+        assert a == b
+        # 'common' lives only in d00
+        kept = dict((r[0], r[1]) for r in a)
+        assert "common" in kept["d00"] and "common" not in kept["d01"]
+
+
+class TestRepetitionMetrics:
+    def _run(self, ray_session, texts):
+        from corpusaid_ray.stages.quality import repetition_fn
+
+        rows = [
+            {"repo": "r", "path": f"p{i}", "content": t}
+            for i, t in enumerate(texts)
+        ]
+        ds = _docs_ds(ray_session, rows, 2).map_batches(
+            repetition_fn, batch_format="pyarrow"
+        )
+        return sorted(ds.take_all(), key=lambda r: r["path"])
+
+    def test_known_answers(self, ray_session):
+        out = self._run(ray_session, ["the cat the cat sat", "a b c"])
+        r0 = out[0]
+        # bigrams: 'the cat'×2, 'cat the'×1, 'cat sat'×1 → top = 'the cat'
+        assert r0["n_words"] == 5
+        assert r0["top_bigram"] == "the cat"
+        assert r0["top_bigram_count"] == 2
+        assert r0["top_bigram_char_frac"] == 2 * 7 / len("the cat the cat sat")
+        assert r0["dup5gram_char_frac"] == 0.0
+        r1 = out[1]
+        # all bigram counts are 1 → tie broken to lexicographically smallest
+        assert r1["top_bigram"] == "a b"
+        assert r1["top_bigram_count"] == 1
+
+    def test_dup_5grams(self, ray_session):
+        body = "v w x y z"
+        text = body + " " + body + " " + body  # 5-gram 'v w x y z' ×3 + mixes
+        (r,) = self._run(ray_session, [text])
+        # every repeated 5-gram contributes (count-1)*len
+        assert r["dup5gram_char_frac"] > 0
+        # 'v w x y z' occurs 3 times → ≥ 2*9 chars from it alone
+        assert r["dup5gram_char_frac"] >= 2 * len(body) / len(text)
+
+    def test_degenerate_docs(self, ray_session):
+        out = self._run(ray_session, ["", "one", "  "])
+        for r in out:
+            assert r["n_words"] in (0, 1)
+            assert r["top_bigram_count"] == 0
+            assert r["top_bigram"] == ""
+            assert r["top_bigram_char_frac"] == 0.0
+            assert r["dup5gram_char_frac"] == 0.0
+
+
+class TestRepoQuotaSample:
+    def test_quota_and_determinism(self, ray_session):
+        from corpusaid_ray.stages.sampling import repo_quota_sample
+
+        rows = [
+            {"repo": f"r{i % 3}", "path": f"doc{i:03d}"} for i in range(60)
+        ]
+        out = repo_quota_sample(
+            _docs_ds(ray_session, rows, 4), n_per_repo=5
+        ).take_all()
+        per_repo: dict[str, list[str]] = {}
+        for r in out:
+            per_repo.setdefault(r["repo"], []).append(r["path"])
+        assert set(per_repo) == {"r0", "r1", "r2"}
+        assert all(len(v) == 5 for v in per_repo.values())
+
+        # matches the direct definition: 5 smallest (md5-prefix, path)
+        for repo, paths in per_repo.items():
+            expect = sorted(
+                (p for p in (r["path"] for r in rows)
+                 if rows[int(p[3:])]["repo"] == repo),
+                key=lambda p: (
+                    int(hashlib.md5(p.encode()).hexdigest()[:8], 16), p
+                ),
+            )[:5]
+            assert sorted(paths) == sorted(expect)
+
+        # input order / partitioning does not change the sample
+        out2 = repo_quota_sample(
+            _docs_ds(ray_session, rows[::-1], 7), n_per_repo=5
+        ).take_all()
+        assert sorted((r["repo"], r["path"]) for r in out) == sorted(
+            (r["repo"], r["path"]) for r in out2
+        )
+
+    def test_small_groups_untouched(self, ray_session):
+        from corpusaid_ray.stages.sampling import repo_quota_sample
+
+        rows = [{"repo": "solo", "path": "only"}]
+        out = repo_quota_sample(
+            _docs_ds(ray_session, rows, 1), n_per_repo=5
+        ).take_all()
+        assert [(r["repo"], r["path"]) for r in out] == [("solo", "only")]
