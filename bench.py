@@ -135,6 +135,18 @@ def run_bench() -> dict:
     queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
     extras["minhash_pairs"] = n
 
+    # --- corpus-wide line dedup (two-shuffle stressor: line-key groupby +
+    # doc reassembly; combiner bounds the exchange, so repeat mostly stresses
+    # the pre-shuffle explode) ---
+    from corpusaid_ray.stages.linedup import line_dedup
+
+    t0 = time.perf_counter()
+    n = line_dedup(
+        read_corpus(SF_DIR, parallelism=blocks, repeat=max(1, REPEAT // 4))
+    ).count()
+    queries["line_dedup"] = round(time.perf_counter() - t0, 3)
+    extras["line_dedup_docs"] = n
+
     # --- per-repo aggregates (partial-agg + small groupby) ---
     t0 = time.perf_counter()
     repo_stats(read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT)).count()
