@@ -862,6 +862,53 @@ def q_repo_quota_sample(sf_dir: str):
     ).select_columns(["repo", "path", "md5_rank"])
 
 
+def q_decontaminate(sf_dir: str):
+    """GPT-3-style benchmark decontamination: flag every training doc that
+    shares a word 8-gram with the eval split (md5-rank % 50 == 0 — the same
+    hash family as split_assign). The eval gram set is collected once
+    (bounded by eval size) and broadcast via ray.put; the training pass is
+    map-only, no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from corpusaid_ray.stages.decontaminate import (
+        collect_eval_grams, decontaminate,
+    )
+    from corpusaid_ray.stages.sampling import add_md5_rank
+
+    def side(want_eval: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = add_md5_rank(batch)
+            m = batch["md5_rank"].to_numpy(zero_copy_only=False) % 50 == 0
+            if not want_eval:
+                m = ~m
+            return batch.filter(pa.array(m)).drop_columns(["md5_rank"])
+
+        return _corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+    grams = collect_eval_grams(side(True), n=8)
+    ref = ray.put(grams)
+    return decontaminate(side(False), ref, n=8).select_columns(
+        ["repo", "path", "n_eval_grams_hit", "contaminated"]
+    )
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence-packing offsets via a distributed two-level prefix scan
+    (bucket sums → driver exclusive scan over one row per bucket → local
+    in-order cumsum per bucket): each doc's exclusive global word offset in
+    doc_id order and the 512-word training window it starts in."""
+    import ray.data
+
+    from corpusaid_ray.stages.packing import pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_sequences(ds, cap=512, bucket_docs=128)
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1112,6 +1159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "repetition_metrics": q_repetition_metrics,
         "repo_quota_sample": q_repo_quota_sample,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

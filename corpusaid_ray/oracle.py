@@ -774,6 +774,72 @@ FROM ranked
 QUALIFY row_number() OVER (PARTITION BY repo ORDER BY md5_rank, path) <= 5""")
 
 
+def _register_decontaminate() -> None:
+    """Benchmark-decontamination mirror: eval split = md5-rank % 50 == 0
+    (same hash family as split_assign), word 8-grams over the same explicit
+    whitespace class, distinct-gram semi-join, per-train-doc distinct hit
+    count. Engine side is broadcast-set + map-only; SQL expresses the same
+    overlap relationally."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    g8 = " || ' ' || ".join(f"w[t.i::INT + {j}]" for j in range(8))
+    ORACLE_SQL["decontaminate"] = with_corpus(f"""
+, words AS (
+  SELECT repo, path,
+         ('0x' || substr(md5(path), 1, 8))::UBIGINT % 50 = 0 AS is_eval,
+         list_filter(regexp_split_to_array(content, '{ws}'),
+                     t -> t != '') AS w
+  FROM corpus
+),
+eg AS (
+  SELECT DISTINCT {g8} AS g
+  FROM words, unnest(range(1, length(w) - 6)) AS t(i)
+  WHERE is_eval
+),
+tg AS (
+  SELECT DISTINCT path, {g8} AS g
+  FROM words, unnest(range(1, length(w) - 6)) AS t(i)
+  WHERE NOT is_eval
+),
+hits AS (
+  SELECT path, count(*)::BIGINT AS c
+  FROM tg JOIN eg USING (g)
+  GROUP BY path
+)
+SELECT wd.repo, wd.path,
+       coalesce(h.c, 0)::BIGINT AS n_eval_grams_hit,
+       coalesce(h.c, 0) > 0 AS contaminated
+FROM words wd LEFT JOIN hits h ON wd.path = h.path
+WHERE NOT wd.is_eval""")
+
+
+_register_decontaminate()
+
+
+# Sequence-packing mirror: the distributed two-level scan IS a window
+# prefix sum in doc_id order.
+def _register_pack_sequences() -> None:
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    ORACLE_SQL["pack_sequences"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         length(list_filter(regexp_split_to_array(text, '{ws}'),
+                            t -> t != ''))::BIGINT AS n_words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_words,
+         coalesce(sum(n_words) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS seq_offset
+  FROM w
+)
+SELECT doc_id, n_words, seq_offset, (seq_offset // 512)::BIGINT AS seq_id
+FROM s"""
+
+
+_register_pack_sequences()
+
+
 def _register_dedup_minhash() -> None:
     """FULL MinHash-LSH mirror — the entire detector re-derived in SQL:
     k=5 rolling shingle hashes (closed-form polynomial, HUGEINT mod 2^64),

@@ -1,0 +1,90 @@
+"""Benchmark decontamination (training-data-pipeline stage, no reference
+equivalent — SURVEY.md §2.5 additions).
+
+LLM training sets are scrubbed of evaluation-benchmark overlap by flagging
+any training document that shares a word n-gram with the eval set (GPT-3
+appendix C / PaLM-style 8-to-13-gram overlap). The eval side is inherently
+small (benchmarks are MBs, the corpus is TBs), so this is the canonical
+broadcast-small-side shape:
+
+1. the eval set's DISTINCT word n-grams are collected once on the driver
+   (bounded by eval size, NOT corpus size) and ``ray.put`` as one frozenset;
+2. every scoring task reads the broadcast set and counts, per training doc,
+   how many of ITS distinct n-grams appear in it — pandas C-level
+   ``isin`` over the exploded (row, gram) pairs, no Python per gram.
+
+No shuffle anywhere: one pass over the training side, map-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+
+def _doc_grams(col: pa.ChunkedArray | pa.Array, n: int):
+    """(row_id, gram) arrays of word n-grams per doc, space-joined."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = toks.flatten()
+    row_ids = np.repeat(np.arange(len(col), dtype="int64"), np.diff(offsets))
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    words, row_ids = words[keep], row_ids[keep]
+    if len(words) < n:
+        return np.empty(0, "int64"), np.empty(0, object)
+    same = row_ids[: len(row_ids) - n + 1] == row_ids[n - 1:]
+    g = words[: len(words) - n + 1].astype(object)
+    for j in range(1, n):
+        g = g + " " + words[j: len(words) - n + 1 + j].astype(object)
+    return row_ids[: len(row_ids) - n + 1][same], g[same]
+
+
+def collect_eval_grams(eval_ds, *, content_col: str = "content",
+                       n: int = 8) -> frozenset[str]:
+    """Driver-side distinct n-gram set of the (small) eval side. The
+    distinct-per-batch combiner runs distributed; only the union crosses to
+    the driver — bounded by the eval set's vocabulary, not the corpus."""
+    def grams(batch: pa.Table) -> pa.Table:
+        _, g = _doc_grams(batch[content_col], n)
+        return pa.table({"g": pa.array(sorted(set(g)), pa.string())})
+
+    out = eval_ds.map_batches(grams, batch_format="pyarrow").take_all()
+    return frozenset(r["g"] for r in out)
+
+
+def decontaminate(train_ds, eval_grams_ref, *, content_col: str = "content",
+                  n: int = 8):
+    """Adds ``n_eval_grams_hit`` (distinct overlapping n-grams) and
+    ``contaminated`` per training doc. ``eval_grams_ref`` is a
+    ``ray.ObjectRef`` to the frozenset (``ray.put`` once by the caller) or
+    the frozenset itself for local use."""
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        grams = (
+            ray.get(eval_grams_ref)
+            if isinstance(eval_grams_ref, ray.ObjectRef)
+            else eval_grams_ref
+        )
+        rows, g = _doc_grams(batch[content_col], n)
+        hits = np.zeros(len(batch), dtype="int64")
+        if len(g):
+            df = pd.DataFrame({"r": rows, "g": g}).drop_duplicates()
+            m = df["g"].isin(grams)
+            if m.any():
+                cnt = df.loc[m].groupby("r").size()
+                hits[cnt.index.to_numpy()] = cnt.to_numpy()
+        batch = batch.append_column("n_eval_grams_hit", pa.array(hits))
+        return batch.append_column(
+            "contaminated", pa.array(hits > 0, pa.bool_())
+        )
+
+    return train_ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,104 @@
+"""Sequence packing offsets via a distributed prefix scan (training-data-
+pipeline stage, no reference equivalent — SURVEY.md §2.5 additions).
+
+Training pipelines concatenate documents in a fixed order into fixed-size
+token windows ("sequence packing"). The assignment needs, per document, the
+EXCLUSIVE prefix sum of token counts over the global order — a sequential
+dependency. The classic two-level scan makes it distributed:
+
+1. bucket each doc by ``id // bucket_docs`` (contiguous id ranges);
+2. one small ``groupby(bucket).Sum`` — one row per bucket crosses to the
+   driver, bounded by ``n_docs / bucket_docs`` (raise ``bucket_docs`` as the
+   corpus grows; 10^10 docs / 10^6 = 10^4 rows);
+3. exclusive scan over bucket sums on the driver (the ONLY sequential step,
+   O(#buckets)), broadcast once via ``ray.put``;
+4. ``groupby(bucket).map_groups``: local in-order cumsum + bucket offset —
+   ~1 Python call per bucket (bounded), pandas-vectorized inside.
+
+SQL equivalent::
+
+    sum(n) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)
+
+Output per doc: its token count, its global exclusive offset, and
+``seq_id = offset // cap`` — the training window the document starts in.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+
+def word_counts(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Whitespace-word counts per row (Python ``str.split()`` semantics on
+    this corpus), vectorized via one Arrow RE2 split."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    nonempty = pc.greater(pc.utf8_length(toks.flatten()), 0).to_numpy(
+        zero_copy_only=False
+    ).astype("int64")
+    # count non-empty tokens per row: cumulative trick over the flat mask
+    csum = np.concatenate([[0], np.cumsum(nonempty)])
+    return csum[offsets[1:]] - csum[offsets[:-1]]
+
+
+def pack_sequences(ds, *, cap: int = 512, id_col: str = "doc_id",
+                   content_col: str = "text", bucket_docs: int = 4096):
+    """Assign every document its exclusive global word-offset (in ``id_col``
+    order) and the ``cap``-sized training window it starts in."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        nw = word_counts(batch[content_col])
+        bucket = pc.divide(ids, bucket_docs)  # int floor-div for int ids
+        return pa.table({
+            id_col: ids,
+            "n_words": pa.array(nw),
+            "bucket": bucket,
+        })
+
+    counted = ds.map_batches(counts, batch_format="pyarrow")
+
+    # small side: one (bucket, sum) row per bucket
+    sums = counted.groupby("bucket").aggregate(
+        Sum("n_words", alias_name="s")
+    ).take_all()
+    sums.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sums:
+        offsets[r["bucket"]] = acc
+        acc += int(r["s"] or 0)
+    off_ref = ray.put(offsets)
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "n_words": pd.Series(dtype="int64"),
+                "seq_offset": pd.Series(dtype="int64"),
+                "seq_id": pd.Series(dtype="int64"),
+            })
+        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(id_col, kind="mergesort")
+        n = g["n_words"].to_numpy()
+        excl = off + np.concatenate([[0], np.cumsum(n[:-1])]).astype("int64")
+        out = g[[id_col, "n_words"]].copy()
+        out["seq_offset"] = excl
+        out["seq_id"] = excl // cap
+        return out
+
+    return counted.groupby("bucket").map_groups(
+        local_scan, batch_format="pandas"
+    ).select_columns([id_col, "n_words", "seq_offset", "seq_id"])

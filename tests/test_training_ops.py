@@ -129,6 +129,96 @@ class TestRepetitionMetrics:
             assert r["dup5gram_char_frac"] == 0.0
 
 
+class TestDecontaminate:
+    def test_overlap_counts(self, ray_session):
+        from corpusaid_ray.stages.decontaminate import (
+            collect_eval_grams, decontaminate,
+        )
+
+        bench = "q r s t u v w x y z"  # 10 words → three 8-grams
+        eval_rows = [{"path": "e0", "content": bench}]
+        train_rows = [
+            # contains 'q..x' (the first 8-gram of bench) once
+            {"path": "t0", "content": "q r s t u v w x AA BB"},
+            # no overlap
+            {"path": "t1", "content": "a b c d e f g h i j"},
+            # full copy → all 3 eval grams hit
+            {"path": "t2", "content": bench},
+        ]
+        grams = collect_eval_grams(
+            _docs_ds(ray_session, eval_rows, 1), n=8
+        )
+        assert len(grams) == 3
+        out = {
+            r["path"]: r
+            for r in decontaminate(
+                _docs_ds(ray_session, train_rows, 2), grams, n=8
+            ).take_all()
+        }
+        assert out["t0"]["n_eval_grams_hit"] == 1 and out["t0"]["contaminated"]
+        assert out["t1"]["n_eval_grams_hit"] == 0 and not out["t1"]["contaminated"]
+        assert out["t2"]["n_eval_grams_hit"] == 3
+
+    def test_distinct_grams_counted_once(self, ray_session):
+        from corpusaid_ray.stages.decontaminate import decontaminate
+
+        # the hit 8-gram occurs twice in the train doc → still counts 1
+        body = "a b c d e f g h"
+        rows = [{"path": "t", "content": body + " " + body}]
+        out = decontaminate(
+            _docs_ds(ray_session, rows, 1), frozenset([body]), n=8
+        ).take_all()
+        assert out[0]["n_eval_grams_hit"] == 1
+
+
+class TestPackSequences:
+    def test_prefix_scan_matches_serial(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.packing import pack_sequences
+
+        rows = [
+            {"doc_id": i, "text": " ".join(["w"] * ((i * 7) % 11 + 1))}
+            for i in range(50)
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        out = sorted(
+            pack_sequences(ds, cap=10, content_col="text",
+                           bucket_docs=8).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        acc = 0
+        for i, r in enumerate(out):
+            nw = (i * 7) % 11 + 1
+            assert r["doc_id"] == i
+            assert r["n_words"] == nw
+            assert r["seq_offset"] == acc, (i, acc, r)
+            assert r["seq_id"] == acc // 10
+            acc += nw
+
+    def test_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.packing import pack_sequences
+
+        rows = [
+            {"doc_id": i, "text": " ".join(["x"] * (i % 5 + 1))}
+            for i in range(40)
+        ]
+
+        def run(rws, parts, buckets):
+            ds = ray.data.from_arrow(pa.Table.from_pylist(rws)).repartition(
+                parts
+            )
+            return sorted(
+                map(tuple, (r.values() for r in pack_sequences(
+                    ds, cap=7, content_col="text", bucket_docs=buckets
+                ).take_all()))
+            )
+
+        assert run(rows, 1, 4) == run(rows[::-1], 6, 16)
+
+
 class TestRepoQuotaSample:
     def test_quota_and_determinism(self, ray_session):
         from corpusaid_ray.stages.sampling import repo_quota_sample
