@@ -909,6 +909,14 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, cap=512, bucket_docs=128)
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking: overlapping 64-word windows at stride 48 per
+    doc (map-side explode, no shuffle; vectorized word→window assignment)."""
+    from corpusaid_ray.stages.chunking import chunk_docs
+
+    return chunk_docs(_corpus(sf_dir), chunk_words=64, overlap=16)
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1161,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_quota_sample": q_repo_quota_sample,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "chunk_docs": q_chunk_docs,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

@@ -840,6 +840,29 @@ FROM s"""
 _register_pack_sequences()
 
 
+# Context-window chunking mirror: one row per chunk start (stride 48,
+# window 64), 1-based inclusive list_slice = the engine's 0-based
+# [start, start+64) word window.
+def _register_chunk_docs() -> None:
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    ORACLE_SQL["chunk_docs"] = with_corpus(f"""
+, words AS (
+  SELECT path, list_filter(regexp_split_to_array(content, '{ws}'),
+                           t -> t != '') AS w
+  FROM corpus
+)
+SELECT path, (t.s // 48)::BIGINT AS chunk_id,
+       array_to_string(
+         list_slice(w, t.s::INT + 1,
+                    least(t.s::INT + 64, length(w)::INT)), ' '
+       ) AS chunk_text,
+       least(64, length(w) - t.s)::BIGINT AS n_chunk_words
+FROM words, unnest(range(0, length(w), 48)) AS t(s)""")
+
+
+_register_chunk_docs()
+
+
 def _register_dedup_minhash() -> None:
     """FULL MinHash-LSH mirror — the entire detector re-derived in SQL:
     k=5 rolling shingle hashes (closed-form polynomial, HUGEINT mod 2^64),

@@ -1,0 +1,108 @@
+"""Context-window document chunking (training-data-pipeline stage, no
+reference equivalent — SURVEY.md §2.5 additions).
+
+Long documents are split into overlapping fixed-size word windows before
+embedding or training (RAG / long-context preprocessing): chunk ``k``
+covers words ``[k·stride, k·stride + chunk_words)`` with
+``stride = chunk_words − overlap``, one chunk row per start position
+``< n_words``; empty documents produce no chunks.
+
+SQL equivalent::
+
+    unnest(range(0, n_words, stride)) AS start
+    → array_to_string(list_slice(words, start+1, start+chunk_words), ' ')
+
+Pure map-side explode — no shuffle; output rows ≈ input words × (1 +
+overlap/stride). Vectorized end-to-end: one Arrow RE2 split, numpy
+repeat/arange arithmetic to assign every word to each window containing
+it, and one pandas C-level groupby whose only Python is the final
+``' '.join`` per CHUNK (string construction, unavoidable and
+output-proportional).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+
+def chunk_docs(ds, *, chunk_words: int = 64, overlap: int = 16,
+               content_col: str = "content", key_col: str = "path"):
+    """Explode each doc into overlapping word windows:
+    ``(key, chunk_id, chunk_text, n_chunk_words)``."""
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    stride = chunk_words - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+        flat = toks.flatten()
+        row_ids = np.repeat(
+            np.arange(len(col), dtype="int64"), np.diff(offsets)
+        )
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        words, row_ids = words[keep], row_ids[keep]
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+
+        empty = pa.table({
+            key_col: pa.array([], pa.string()),
+            "chunk_id": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "n_chunk_words": pa.array([], pa.int64()),
+        })
+        if not len(words):
+            return empty
+
+        # word position within its doc
+        n_words = np.zeros(len(col), dtype="int64")
+        np.add.at(n_words, row_ids, 1)
+        doc_start = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+        pos = np.arange(len(words), dtype="int64") - doc_start[row_ids]
+
+        # chunks containing word pos p: k in [ceil((p-chunk+1)/stride), p//stride],
+        # clipped to valid starts (k*stride < n_words)
+        k_lo = np.maximum(
+            0, -(-(pos - chunk_words + 1) // stride)  # ceil div
+        )
+        k_hi = np.minimum(pos // stride,
+                          (n_words[row_ids] - 1) // stride)
+        reps = (k_hi - k_lo + 1).astype("int64")
+        w_rep = np.repeat(np.arange(len(words), dtype="int64"), reps)
+        # k index per repeated word: k_lo[w] + intra-run offset
+        run_starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        intra = np.arange(reps.sum(), dtype="int64") - np.repeat(
+            run_starts, reps
+        )
+        k = np.repeat(k_lo, reps) + intra
+
+        df = pd.DataFrame({
+            "r": row_ids[w_rep],
+            "k": k,
+            "p": pos[w_rep],
+            "w": words[w_rep],
+        }).sort_values(["r", "k", "p"], kind="mergesort")
+        agg = df.groupby(["r", "k"], sort=False)["w"].agg(
+            chunk_text=" ".join, n_chunk_words="size"
+        ).reset_index()
+        return pa.table({
+            key_col: pa.array(keys[agg["r"].to_numpy()], pa.string()),
+            "chunk_id": pa.array(agg["k"].to_numpy(), pa.int64()),
+            "chunk_text": pa.array(agg["chunk_text"], pa.string()),
+            "n_chunk_words": pa.array(
+                agg["n_chunk_words"].to_numpy().astype("int64")
+            ),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -219,6 +219,50 @@ class TestPackSequences:
         assert run(rows, 1, 4) == run(rows[::-1], 6, 16)
 
 
+class TestChunkDocs:
+    def test_windows_and_overlap(self, ray_session):
+        from corpusaid_ray.stages.chunking import chunk_docs
+
+        text = " ".join(f"w{i}" for i in range(10))
+        rows = [{"path": "a", "content": text}]
+        out = sorted(
+            chunk_docs(_docs_ds(ray_session, rows, 1), chunk_words=4,
+                       overlap=1).take_all(),
+            key=lambda r: r["chunk_id"],
+        )
+        # stride 3, starts 0,3,6,9 → windows [0:4),[3:7),[6:10),[9:10)
+        assert [r["chunk_text"] for r in out] == [
+            "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+        ]
+        assert [r["n_chunk_words"] for r in out] == [4, 4, 4, 1]
+        assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+
+    def test_short_and_empty_docs(self, ray_session):
+        from corpusaid_ray.stages.chunking import chunk_docs
+
+        rows = [
+            {"path": "short", "content": "only two"},
+            {"path": "empty", "content": "   "},
+        ]
+        out = chunk_docs(
+            _docs_ds(ray_session, rows, 1), chunk_words=4, overlap=1
+        ).take_all()
+        assert [(r["path"], r["chunk_text"]) for r in out] == [
+            ("short", "only two")
+        ]
+
+    def test_no_overlap(self, ray_session):
+        from corpusaid_ray.stages.chunking import chunk_docs
+
+        rows = [{"path": "a", "content": "a b c d e"}]
+        out = sorted(
+            chunk_docs(_docs_ds(ray_session, rows, 1), chunk_words=2,
+                       overlap=0).take_all(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk_text"] for r in out] == ["a b", "c d", "e"]
+
+
 class TestRepoQuotaSample:
     def test_quota_and_determinism(self, ray_session):
         from corpusaid_ray.stages.sampling import repo_quota_sample
