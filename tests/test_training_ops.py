@@ -263,6 +263,132 @@ class TestChunkDocs:
         assert [r["chunk_text"] for r in out] == ["a b", "c d", "e"]
 
 
+class TestRandomizedParity:
+    """Seeded random corpora vs serial pure-Python reference
+    implementations — exercises shapes the sf corpus doesn't (heavy dup
+    skew, tiny docs, unicode words, ragged line structure). One seeded
+    corpus per test (a Ray pipeline per hypothesis example would be too
+    slow); the seed is fixed so failures reproduce."""
+
+    @staticmethod
+    def _rand_corpus(seed, n_docs=80):
+        import random
+
+        rng = random.Random(seed)
+        vocab = ["alpha", "beta", "gamma", "déjà", "tok%d" % 7, "x"]
+        lines_pool = [
+            " ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+            for _ in range(25)
+        ]
+        docs = []
+        for i in range(n_docs):
+            n_lines = rng.randint(0, 8)
+            body = "\n".join(
+                rng.choice(lines_pool) if rng.random() < 0.6 else ""
+                for _ in range(n_lines)
+            )
+            docs.append({"path": f"p{i:03d}", "content": body})
+        return docs
+
+    def test_line_dedup_vs_serial(self, ray_session):
+        from corpusaid_ray.stages.linedup import line_dedup
+
+        docs = self._rand_corpus(1234)
+        seen: set[str] = set()
+        expect = {}
+        for d in sorted(docs, key=lambda d: d["path"]):
+            kept = []
+            for ln in d["content"].split("\n"):
+                if ln and ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            if kept:
+                expect[d["path"]] = ("\n".join(kept), len(kept))
+        got = {
+            r["path"]: (r["content_dedup"], r["lines_kept"])
+            for r in line_dedup(_docs_ds(ray_session, docs, 5)).take_all()
+        }
+        assert got == expect
+
+    def test_chunk_docs_vs_serial(self, ray_session):
+        from corpusaid_ray.stages.chunking import chunk_docs
+
+        docs = self._rand_corpus(99)
+        chunk, overlap = 5, 2
+        stride = chunk - overlap
+        expect = []
+        for d in docs:
+            w = d["content"].split()
+            for k, s in enumerate(range(0, len(w), stride)):
+                expect.append(
+                    (d["path"], k, " ".join(w[s: s + chunk]),
+                     len(w[s: s + chunk]))
+                )
+        got = [
+            (r["path"], r["chunk_id"], r["chunk_text"], r["n_chunk_words"])
+            for r in chunk_docs(
+                _docs_ds(ray_session, docs, 5), chunk_words=chunk,
+                overlap=overlap
+            ).take_all()
+        ]
+        assert sorted(got) == sorted(expect)
+
+    def test_pack_sequences_vs_serial(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.packing import pack_sequences
+
+        docs = self._rand_corpus(7)
+        rows = [
+            {"doc_id": i, "text": d["content"].replace("\n", " ")}
+            for i, d in enumerate(docs)
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+        got = sorted(
+            pack_sequences(ds, cap=9, content_col="text",
+                           bucket_docs=16).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+        acc = 0
+        for r, row in zip(got, rows):
+            nw = len(row["text"].split())
+            assert r["n_words"] == nw
+            assert r["seq_offset"] == acc
+            assert r["seq_id"] == acc // 9
+            acc += nw
+
+    def test_repetition_vs_serial(self, ray_session):
+        from collections import Counter
+
+        from corpusaid_ray.stages.quality import repetition_fn
+
+        docs = self._rand_corpus(55, n_docs=40)
+        ds = _docs_ds(ray_session, docs, 4).map_batches(
+            repetition_fn, batch_format="pyarrow"
+        )
+        got = {r["path"]: r for r in ds.take_all()}
+        for d in docs:
+            w = d["content"].split()
+            r = got[d["path"]]
+            assert r["n_words"] == len(w)
+            bigrams = Counter(
+                " ".join(w[i: i + 2]) for i in range(len(w) - 1)
+            )
+            if bigrams:
+                # tie-break: smallest gram among max counts
+                cands = [g for g in bigrams if bigrams[g] == max(bigrams.values())]
+                best = min(cands)
+                assert r["top_bigram"] == best
+                assert r["top_bigram_count"] == bigrams[best]
+            else:
+                assert r["top_bigram"] == "" and r["top_bigram_count"] == 0
+            fives = Counter(
+                " ".join(w[i: i + 5]) for i in range(len(w) - 4)
+            )
+            dup = sum((c - 1) * len(g) for g, c in fives.items() if c > 1)
+            assert r["dup5gram_char_frac"] == dup / max(len(d["content"]), 1)
+
+
 class TestRepoQuotaSample:
     def test_quota_and_determinism(self, ray_session):
         from corpusaid_ray.stages.sampling import repo_quota_sample
