@@ -917,6 +917,24 @@ def q_chunk_docs(sf_dir: str):
     return chunk_docs(_corpus(sf_dir), chunk_words=64, overlap=16)
 
 
+def q_hll_distinct_lines(sf_dir: str):
+    """Approximate distinct non-empty lines corpus-wide via HyperLogLog
+    (256 registers): batch-local register maxima → 256-row groupby → raw
+    estimate. Deterministic md5-based sketch, so the oracle re-derives the
+    identical registers and the float estimate matches bit-exactly."""
+    import pandas as pd
+
+    from corpusaid_ray.stages.linedup import _explode_lines
+    from corpusaid_ray.stages.sketch import hll_distinct
+
+    lines = _corpus(sf_dir).map_batches(
+        lambda b: _explode_lines(b, "content", "path"),
+        batch_format="pyarrow",
+    )
+    est = hll_distinct(lines, "line")
+    return pd.DataFrame({"distinct_estimate": [est]})
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1170,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
+        "hll_distinct_lines": q_hll_distinct_lines,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

@@ -863,6 +863,43 @@ FROM words, unnest(range(0, length(w), 48)) AS t(s)""")
 _register_chunk_docs()
 
 
+def _register_hll_distinct_lines() -> None:
+    """HyperLogLog mirror (``stages/sketch.py`` semantics): hash = first 16
+    md5 hex digits as UBIGINT, bucket = top 8 bits, rho = 1 + leading zeros
+    of the low 56 bits (via minimal-length ``bin()``), register max per
+    bucket, EXACT integer harmonic sum S = Σ 2^(64−reg) in HUGEINT (absent
+    buckets contribute 2^64), and the identical IEEE float chain for the
+    raw estimate — bit-equal to the engine."""
+    mask56 = (1 << 56) - 1
+    ORACLE_SQL["hll_distinct_lines"] = with_corpus(f"""
+, lns AS (
+  SELECT arr[t.i::INT] AS line
+  FROM (SELECT regexp_split_to_array(content, chr(10)) AS arr FROM corpus),
+       unnest(range(1, length(arr) + 1)) AS t(i)
+  WHERE arr[t.i::INT] != ''
+),
+h AS (SELECT ('0x' || substr(md5(line), 1, 16))::UBIGINT AS hv FROM lns),
+br AS (
+  SELECT (hv >> 56)::BIGINT AS bucket,
+         (CASE WHEN (hv & {mask56}::UBIGINT) = 0::UBIGINT THEN 57
+               ELSE 57 - length(bin(hv & {mask56}::UBIGINT))
+          END)::BIGINT AS rho
+  FROM h
+),
+reg AS (SELECT bucket, max(rho) AS r FROM br GROUP BY bucket),
+s AS (
+  SELECT (sum(1::HUGEINT << (64 - r))
+          + (256 - count(*))::HUGEINT * (1::HUGEINT << 64))::HUGEINT AS sv
+  FROM reg
+)
+SELECT ((0.7213 / (1.0 + 1.079/256.0)) * 65536.0) * 18446744073709551616.0
+       / sv::DOUBLE AS distinct_estimate
+FROM s""")
+
+
+_register_hll_distinct_lines()
+
+
 def _register_dedup_minhash() -> None:
     """FULL MinHash-LSH mirror — the entire detector re-derived in SQL:
     k=5 rolling shingle hashes (closed-form polynomial, HUGEINT mod 2^64),

@@ -1,0 +1,115 @@
+"""HyperLogLog approximate distinct count (Flajolet et al. 2007) as a
+two-phase Ray aggregate (training-data-pipeline stage; SURVEY.md §2.5
+additions).
+
+At 100 TB an exact ``unique()`` is an all-to-all shuffle of every distinct
+value; the HLL register table is 256 bytes regardless of cardinality. The
+distributed shape mirrors every other aggregate here: a batch-local partial
+(register maxima per batch — at most ``m`` rows cross the exchange per
+batch) → a tiny ``groupby(bucket).Max`` → the closed-form estimate on the
+driver from ≤ ``m`` rows.
+
+Determinism (and hence the DuckDB oracle mirror) is by construction:
+the value hash is the first 16 md5 hex digits (= DuckDB
+``('0x' || substr(md5(v), 1, 16))::UBIGINT``), bucket = top ``p`` bits,
+``rho`` = leading-zero rank of the remaining 56 bits, and the harmonic sum
+``S = Σ 2^(64 − register)`` is an EXACT integer (order-free), so the final
+float expression is a single identical IEEE chain on both sides. The raw
+estimate is reported without the small/large-range corrections (documented
+divergence from production HLL — corrections branch on the estimate and
+would not change the bit-exactness story, just add mirrored CASEs).
+
+Standard error ≈ 1.04/√256 ≈ 6.5 %.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+P_BITS = 8
+M = 1 << P_BITS                    # 256 registers
+_MASK56 = (1 << (64 - P_BITS)) - 1
+_ALPHA_EXPR = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0  # alpha_m * m^2
+
+# leading zeros within one byte, table-indexed
+_CLZ8 = np.zeros(256, dtype=np.int64)
+_CLZ8[0] = 8
+for _b in range(1, 256):
+    _CLZ8[_b] = 8 - _b.bit_length()
+
+
+def md5_u64(values: list[str]) -> np.ndarray:
+    """First 16 md5 hex digits as uint64 (hashlib releases the GIL per
+    call; the same hash family DuckDB parses with ``'0x' || substr``)."""
+    return np.fromiter(
+        (int(hashlib.md5(v.encode("utf-8")).hexdigest()[:16], 16)
+         for v in values),
+        dtype=np.uint64, count=len(values),
+    )
+
+
+def rho56(h: np.ndarray) -> np.ndarray:
+    """1 + leading-zero count of the low 56 bits (window of 56): in
+    1..57. Vectorized clz via a big-endian byte view + per-byte table."""
+    h56 = (h & np.uint64(_MASK56)).astype(">u8")
+    b = h56.view(np.uint8).reshape(-1, 8)
+    nz = b != 0
+    first = np.argmax(nz, axis=1)
+    anynz = nz.any(axis=1)
+    clz64 = np.where(
+        anynz,
+        first * 8 + _CLZ8[b[np.arange(len(b)), first]],
+        64,
+    )
+    # the window is 56 bits; a 64-bit clz of a <2^56 value is ≥ 8
+    return (clz64 - 8 + 1).astype("int64")
+
+
+def hll_partial(values: list[str]) -> pd.DataFrame:
+    """Batch-local register maxima: ≤ M rows out per batch."""
+    if not len(values):
+        return pd.DataFrame({
+            "bucket": pd.Series(dtype="int64"),
+            "rho": pd.Series(dtype="int64"),
+        })
+    h = md5_u64(values)
+    bucket = (h >> np.uint64(64 - P_BITS)).astype("int64")
+    r = rho56(h)
+    df = pd.DataFrame({"bucket": bucket, "rho": r})
+    return df.groupby("bucket", sort=False)["rho"].max().reset_index()
+
+
+def hll_estimate_from_registers(registers: dict[int, int]) -> float:
+    """Raw HLL estimate from (bucket → max rho); absent buckets count as
+    register 0. S is an exact Python int, so the result is order-free."""
+    s = sum(1 << (64 - r) for r in registers.values())
+    s += (M - len(registers)) * (1 << 64)
+    return (_ALPHA_EXPR * 18446744073709551616.0) / float(s)
+
+
+def hll_distinct(ds, col: str) -> float:
+    """Approximate count-distinct of ``ds[col]`` (streaming, two-phase;
+    only register rows ever cross the exchange)."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        df = hll_partial([v for v in vals if v is not None])
+        return pa.table({
+            "bucket": pa.array(df["bucket"].to_numpy(), pa.int64()),
+            "rho": pa.array(df["rho"].to_numpy(), pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="rho"))
+        .take_all()  # ≤ M rows by construction
+    )
+    return hll_estimate_from_registers(
+        {int(r["bucket"]): int(r["rho"]) for r in rows}
+    )

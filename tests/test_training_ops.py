@@ -389,6 +389,67 @@ class TestRandomizedParity:
             assert r["dup5gram_char_frac"] == dup / max(len(d["content"]), 1)
 
 
+class TestHllDistinct:
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.sketch import hll_distinct
+
+        n_distinct = 3000
+        rows = [{"v": f"value-{i % n_distinct}"} for i in range(9000)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        est = hll_distinct(ds.repartition(7), "v")
+        # 256 registers → stderr ≈ 6.5%; assert within 4 sigma
+        assert abs(est - n_distinct) / n_distinct < 0.26
+        # duplicates and partitioning leave the registers unchanged
+        est2 = hll_distinct(ds.repartition(2), "v")
+        ds_uniq = ray.data.from_arrow(pa.Table.from_pylist(
+            [{"v": f"value-{i}"} for i in range(n_distinct)]
+        )).repartition(5)
+        assert est == est2 == hll_distinct(ds_uniq, "v")
+
+    def test_matches_serial_reference(self, ray_session):
+        import hashlib
+
+        import ray.data
+
+        from corpusaid_ray.stages.sketch import (
+            M, hll_distinct, hll_estimate_from_registers,
+        )
+
+        vals = [f"doc {i} line" for i in range(500)]
+        regs: dict[int, int] = {}
+        for v in vals:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:16], 16)
+            b, rest = h >> 56, h & ((1 << 56) - 1)
+            rho = 57 - rest.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        expect = hll_estimate_from_registers(regs)
+        ds = ray.data.from_arrow(
+            pa.Table.from_pylist([{"v": v} for v in vals])
+        ).repartition(6)
+        assert hll_distinct(ds, "v") == expect
+        assert len(regs) <= M
+
+    def test_rho_vectorized_matches_bit_length(self, ray_session):
+        import numpy as np
+
+        from corpusaid_ray.stages.sketch import rho56
+
+        rng = np.random.default_rng(3)
+        samples = np.concatenate([
+            rng.integers(0, 1 << 56, 2000, dtype=np.uint64),
+            np.array([0, 1, (1 << 56) - 1, 1 << 55, 255, 256],
+                     dtype=np.uint64),
+        ])
+        got = rho56(samples)
+        expect = np.array(
+            [57 - int(x).bit_length() for x in (samples & ((1 << 56) - 1))],
+            dtype=np.int64,
+        )
+        assert (got == expect).all()
+
+
 class TestRepoQuotaSample:
     def test_quota_and_determinism(self, ray_session):
         from corpusaid_ray.stages.sampling import repo_quota_sample
