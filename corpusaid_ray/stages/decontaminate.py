@@ -60,28 +60,100 @@ def collect_eval_grams(eval_ds, *, content_col: str = "content",
     return frozenset(r["g"] for r in out)
 
 
+_P = np.uint64(1099511628211)  # FNV prime; uint64 wraparound folding
+
+
+def _word_arrays(col, n: int):
+    """(row_ids, words) of non-empty whitespace tokens, plus the per-gram
+    validity mask and word-hash fold — shared by both sides of the hash
+    pre-filter so train and eval compute identical gram hashes."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = toks.flatten()
+    row_ids = np.repeat(np.arange(len(col), dtype="int64"), np.diff(offsets))
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    return row_ids[keep], words[keep]
+
+
+def _gram_hashes(row_ids: np.ndarray, words: np.ndarray, n: int):
+    """(gram_start_indices, row, hash) of all word n-grams: a polynomial
+    fold over per-WORD siphashes — no gram strings are built here. Hashes
+    are process-deterministic (fixed-key ``hash_pandas_object``), so the
+    driver-computed eval hashes match worker-computed train hashes."""
+    if len(words) < n:
+        z = np.empty(0, "int64")
+        return z, z, np.empty(0, np.uint64)
+    wh = pd.util.hash_pandas_object(
+        pd.Series(words), index=False
+    ).to_numpy().astype(np.uint64)
+    same = row_ids[: len(row_ids) - n + 1] == row_ids[n - 1:]
+    g = wh[: len(wh) - n + 1].copy()
+    for j in range(1, n):
+        g = g * _P + wh[j: len(wh) - n + 1 + j]
+    idx = np.flatnonzero(same)
+    return idx, row_ids[idx], g[idx]
+
+
+def _join_grams(words: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
+    """Materialize gram strings only for the given start positions."""
+    g = words[starts].astype(object)
+    for j in range(1, n):
+        g = g + " " + words[starts + j].astype(object)
+    return g
+
+
 def decontaminate(train_ds, eval_grams_ref, *, content_col: str = "content",
                   n: int = 8):
     """Adds ``n_eval_grams_hit`` (distinct overlapping n-grams) and
     ``contaminated`` per training doc. ``eval_grams_ref`` is a
     ``ray.ObjectRef`` to the frozenset (``ray.put`` once by the caller) or
-    the frozenset itself for local use."""
+    the frozenset itself for local use.
+
+    Hot path: gram HASHES (numeric polynomial fold over word hashes) are
+    screened against the eval-side hash array first; the actual gram
+    strings — the expensive part at ~n string builds per word — are only
+    materialized for hash candidates, then string-confirmed against the
+    frozenset, so exactness is unaffected by hash collisions. Measured at
+    1M docs / 32 CPUs: 68 s (string-everything) → see BASELINE.md."""
     import ray
 
+    state: dict = {}
+
     def score(batch: pa.Table) -> pa.Table:
-        grams = (
-            ray.get(eval_grams_ref)
-            if isinstance(eval_grams_ref, ray.ObjectRef)
-            else eval_grams_ref
-        )
-        rows, g = _doc_grams(batch[content_col], n)
+        if "grams" not in state:
+            grams = (
+                ray.get(eval_grams_ref)
+                if isinstance(eval_grams_ref, ray.ObjectRef)
+                else eval_grams_ref
+            )
+            ev = list(grams)
+            ev_words = np.array(
+                [w for g in ev for w in g.split(" ")], dtype=object
+            )
+            ev_rows = np.repeat(np.arange(len(ev), dtype="int64"), n)
+            _, _, ehash = _gram_hashes(ev_rows, ev_words, n)
+            state["grams"] = grams
+            state["ehash"] = np.unique(ehash)
+        grams, ehash = state["grams"], state["ehash"]
+
         hits = np.zeros(len(batch), dtype="int64")
-        if len(g):
-            df = pd.DataFrame({"r": rows, "g": g}).drop_duplicates()
-            m = df["g"].isin(grams)
-            if m.any():
-                cnt = df.loc[m].groupby("r").size()
-                hits[cnt.index.to_numpy()] = cnt.to_numpy()
+        row_ids, words = _word_arrays(batch[content_col], n)
+        starts, grow, ghash = _gram_hashes(row_ids, words, n)
+        if len(ghash):
+            cand = np.isin(ghash, ehash)
+            if cand.any():
+                gstr = _join_grams(words, starts[cand], n)
+                df = pd.DataFrame(
+                    {"r": grow[cand], "g": gstr}
+                ).drop_duplicates()
+                m = df["g"].isin(grams)
+                if m.any():
+                    cnt = df.loc[m].groupby("r").size()
+                    hits[cnt.index.to_numpy()] = cnt.to_numpy()
         batch = batch.append_column("n_eval_grams_hit", pa.array(hits))
         return batch.append_column(
             "contaminated", pa.array(hits > 0, pa.bool_())
