@@ -935,6 +935,21 @@ def q_hll_distinct_lines(sf_dir: str):
     return pd.DataFrame({"distinct_estimate": [est]})
 
 
+CMS_PROBES = ["scan", "column", "window", "order", "sort", "join",
+              "merge", "key"]
+
+
+def q_cms_word_counts(sf_dir: str):
+    """Count-min-sketch frequency estimates for a fixed probe vocabulary:
+    d×w integer cells instead of a full word_freq shuffle; exchange and
+    driver sides are O(d·w) regardless of corpus size. Deterministic md5
+    row hashes + exact integer Sum merges → the oracle re-derives the
+    identical cells."""
+    from corpusaid_ray.stages.sketch import cms_word_counts
+
+    return cms_word_counts(_corpus(sf_dir), CMS_PROBES)
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1189,6 +1204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
         "hll_distinct_lines": q_hll_distinct_lines,
+        "cms_word_counts": q_cms_word_counts,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

@@ -900,6 +900,41 @@ FROM s""")
 _register_hll_distinct_lines()
 
 
+def _register_cms_word_counts() -> None:
+    """Count-min-sketch mirror (``stages/sketch.cms_word_counts``): exact
+    word counts re-hashed into the same d×w cells (md5 of 'j:word', first
+    16 hex as UBIGINT mod w), integer cell sums, min over the d rows per
+    probe. Identical cells ⇒ identical estimates."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    probes = ["scan", "column", "window", "order", "sort", "join",
+              "merge", "key"]
+    plist = ", ".join(sql_quote(p) for p in probes)
+    bucket = ("('0x' || substr(md5(j.j::VARCHAR || ':' || {v}), 1, 16))"
+              "::UBIGINT % 1024")
+    ORACLE_SQL["cms_word_counts"] = with_corpus(f"""
+, wrd AS (
+  SELECT unnest(list_filter(regexp_split_to_array(content, '{ws}'),
+                            t -> t != '')) AS w
+  FROM corpus
+),
+wc AS (SELECT w, count(*)::BIGINT AS c FROM wrd GROUP BY w),
+cells AS (
+  SELECT j.j AS j, {bucket.format(v='w')} AS bucket, sum(c)::BIGINT AS cnt
+  FROM wc, unnest(range(4)) AS j(j)
+  GROUP BY 1, 2
+),
+pb AS (
+  SELECT word, j.j AS j, {bucket.format(v='word')} AS bucket
+  FROM (SELECT unnest([{plist}]) AS word), unnest(range(4)) AS j(j)
+)
+SELECT pb.word, min(coalesce(cells.cnt, 0))::BIGINT AS est_count
+FROM pb LEFT JOIN cells ON pb.j = cells.j AND pb.bucket = cells.bucket
+GROUP BY pb.word""")
+
+
+_register_cms_word_counts()
+
+
 def _register_dedup_minhash() -> None:
     """FULL MinHash-LSH mirror — the entire detector re-derived in SQL:
     k=5 rolling shingle hashes (closed-form polynomial, HUGEINT mod 2^64),

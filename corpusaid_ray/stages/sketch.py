@@ -91,6 +91,73 @@ def hll_estimate_from_registers(registers: dict[int, int]) -> float:
     return (_ALPHA_EXPR * 18446744073709551616.0) / float(s)
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): approximate per-item
+# frequencies in d × w integer cells instead of a full word_freq shuffle.
+# Additive and deterministic (md5 row hashes, exact integer Sum merges), so
+# the oracle re-derives identical cells; estimates only ever OVER-count.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_bucket(j: int, word: str) -> int:
+    return int(
+        hashlib.md5(f"{j}:{word}".encode("utf-8")).hexdigest()[:16], 16
+    ) % CMS_W
+
+
+def cms_word_counts(ds, probes: list[str], *,
+                    content_col: str = "content") -> pd.DataFrame:
+    """Estimate whitespace-word frequencies for ``probes`` from one pass:
+    batch-local (row, bucket) partial counts (≤ d × w rows per batch) →
+    ``groupby.Sum`` over ≤ d × w cells → min-over-rows point estimates on
+    the driver. The exchange and driver sides are O(d·w), independent of
+    corpus size or vocabulary."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+        flat = toks.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        words = flat.filter(keep).to_numpy(zero_copy_only=False)
+        vc = pd.Series(words).value_counts()  # distinct vocab per batch
+        cells = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for w, c in vc.items():
+            for j in range(CMS_D):
+                cells[j, _cms_bucket(j, w)] += int(c)
+        jj, bb = np.nonzero(cells)
+        return pa.table({
+            "j": pa.array(jj.astype("int64")),
+            "bucket": pa.array(bb.astype("int64")),
+            "cnt": pa.array(cells[jj, bb]),
+        })
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["j", "bucket"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # ≤ d·w rows by construction
+    )
+    table = {(int(r["j"]), int(r["bucket"])): int(r["cnt"]) for r in rows}
+    est = [
+        min(table.get((j, _cms_bucket(j, w)), 0) for j in range(CMS_D))
+        for w in probes
+    ]
+    return pd.DataFrame({
+        "word": pd.array(probes, dtype="object"),
+        "est_count": pd.array(est, dtype="int64"),
+    })
+
+
 def hll_distinct(ds, col: str) -> float:
     """Approximate count-distinct of ``ds[col]`` (streaming, two-phase;
     only register rows ever cross the exchange)."""

@@ -450,6 +450,39 @@ class TestHllDistinct:
         assert (got == expect).all()
 
 
+class TestCmsWordCounts:
+    def test_overestimates_and_exact_on_sparse_vocab(self, ray_session):
+        from collections import Counter
+
+        from corpusaid_ray.stages.sketch import cms_word_counts
+
+        import random
+
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [
+            {"path": f"p{i}", "content": " ".join(rng.choices(vocab, k=20))}
+            for i in range(40)
+        ]
+        truth = Counter(w for d in docs for w in d["content"].split())
+        probes = vocab[:10] + ["never-seen"]
+        out = cms_word_counts(_docs_ds(ray_session, docs, 4), probes)
+        got = dict(zip(out["word"], out["est_count"]))
+        for w in probes:
+            assert got[w] >= truth[w]  # CMS never undercounts
+        # 30 words in 4×1024 cells → collisions vanishingly unlikely
+        assert all(got[w] == truth[w] for w in probes)
+        assert got["never-seen"] == 0
+
+    def test_partition_invariant(self, ray_session):
+        from corpusaid_ray.stages.sketch import cms_word_counts
+
+        docs = [{"path": f"p{i}", "content": "a b c a"} for i in range(20)]
+        a = cms_word_counts(_docs_ds(ray_session, docs, 1), ["a", "b"])
+        b = cms_word_counts(_docs_ds(ray_session, docs[::-1], 6), ["a", "b"])
+        assert a.equals(b)
+
+
 class TestRepoQuotaSample:
     def test_quota_and_determinism(self, ray_session):
         from corpusaid_ray.stages.sampling import repo_quota_sample
