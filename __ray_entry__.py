@@ -950,6 +950,33 @@ def q_cms_word_counts(sf_dir: str):
     return cms_word_counts(_corpus(sf_dir), CMS_PROBES)
 
 
+LANG_MIX = {"en": 10000, "fr": 7500, "es": 5000, "de": 5000, "zh": 2500}
+
+
+def q_lang_mix_sample(sf_dir: str):
+    """Data-mixing subsample: per-language keep fractions applied with the
+    content-stable md5 rank (en 100%, fr 75%, es/de 50%, zh 25%) — the
+    deterministic domain-reweighting step of a training-mix pipeline.
+    Map-only, stable across runs, cluster sizes and input order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.sampling import add_md5_rank
+
+    def keep(batch: pa.Table) -> pa.Table:
+        batch = add_md5_rank(batch)
+        rank = batch["md5_rank"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        thr = np.fromiter(
+            (LANG_MIX.get(l, 10000) for l in langs), dtype="int64",
+            count=len(langs),
+        )
+        m = rank % 10000 < thr
+        return batch.filter(pa.array(m)).select(["repo", "path", "lang"])
+
+    return _corpus(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1205,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "hll_distinct_lines": q_hll_distinct_lines,
         "cms_word_counts": q_cms_word_counts,
+        "lang_mix_sample": q_lang_mix_sample,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

@@ -935,6 +935,16 @@ GROUP BY pb.word""")
 _register_cms_word_counts()
 
 
+# Data-mixing subsample mirror: per-language md5-rank thresholds.
+ORACLE_SQL["lang_mix_sample"] = with_corpus("""
+SELECT repo, path, lang
+FROM corpus
+WHERE ('0x' || substr(md5(path), 1, 8))::UBIGINT % 10000 <
+      CASE lang WHEN 'en' THEN 10000 WHEN 'fr' THEN 7500
+                WHEN 'es' THEN 5000 WHEN 'de' THEN 5000
+                WHEN 'zh' THEN 2500 ELSE 10000 END""")
+
+
 def _register_dedup_minhash() -> None:
     """FULL MinHash-LSH mirror — the entire detector re-derived in SQL:
     k=5 rolling shingle hashes (closed-form polynomial, HUGEINT mod 2^64),
