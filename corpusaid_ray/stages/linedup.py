@@ -76,6 +76,12 @@ def _explode_lines(batch: pa.Table, content_col: str, key_col: str) -> pa.Table:
 
 def _pack_combine(df: pd.DataFrame) -> pd.DataFrame:
     """Pack the order key and keep the batch-local min occurrence per line."""
+    # a \x01 inside a key would shift the unpack split (same loud-failure
+    # contract as dedup_exact); corpus paths are ASCII printable
+    if df["path"].str.contains(_SEP).any():
+        raise ValueError(
+            "line_dedup: key column contains the \\x01 pack separator"
+        )
     df["_pack"] = (
         df["path"] + _SEP + df["line_no"].astype(str).str.zfill(_PAD)
     )
