@@ -147,6 +147,48 @@ def run_bench() -> dict:
     queries["line_dedup"] = round(time.perf_counter() - t0, 3)
     extras["line_dedup_docs"] = n
 
+    # --- benchmark decontamination (broadcast eval grams, map-only) ---
+    import numpy as np
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.decontaminate import (
+        collect_eval_grams, decontaminate,
+    )
+    from corpusaid_ray.stages.sampling import add_md5_rank
+
+    def _side(want_eval: bool, repeat: int = 1):
+        def fn(batch):
+            batch = add_md5_rank(batch)
+            m = batch["md5_rank"].to_numpy(zero_copy_only=False) % 50 == 0
+            if not want_eval:
+                m = ~m
+            return batch.filter(pa.array(m)).drop_columns(["md5_rank"])
+
+        return read_corpus(
+            SF_DIR, parallelism=blocks, repeat=repeat
+        ).map_batches(fn, batch_format="pyarrow")
+
+    t0 = time.perf_counter()
+    grams_ref = ray.put(collect_eval_grams(_side(True), n=8))
+    n = decontaminate(_side(False, repeat=REPEAT), grams_ref, n=8).count()
+    queries["decontaminate"] = round(time.perf_counter() - t0, 3)
+    extras["decontaminate_rows"] = n
+
+    # --- HLL distinct lines (≤256 register rows cross the exchange) ---
+    from corpusaid_ray.stages.linedup import _explode_lines
+    from corpusaid_ray.stages.sketch import hll_distinct
+
+    t0 = time.perf_counter()
+    lines = read_corpus(
+        SF_DIR, parallelism=blocks, repeat=REPEAT
+    ).map_batches(
+        lambda b: _explode_lines(b, "content", "path"),
+        batch_format="pyarrow",
+    )
+    est = hll_distinct(lines, "line")
+    queries["hll_distinct_lines"] = round(time.perf_counter() - t0, 3)
+    extras["hll_estimate"] = round(est, 1)
+
     # --- per-repo aggregates (partial-agg + small groupby) ---
     t0 = time.perf_counter()
     repo_stats(read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT)).count()
