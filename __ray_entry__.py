@@ -977,6 +977,15 @@ def q_lang_mix_sample(sf_dir: str):
     return _corpus(sf_dir).map_batches(keep, batch_format="pyarrow")
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted index over corpus terms (doc_freq ≥ 3 to bound the probe):
+    batch-local distinct (term, doc) incidences, coarse-salted term
+    grouping, comma-joined sorted postings."""
+    from corpusaid_ray.stages.index import inverted_index
+
+    return inverted_index(_corpus(sf_dir), min_df=3)
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1233,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_lines": q_hll_distinct_lines,
         "cms_word_counts": q_cms_word_counts,
         "lang_mix_sample": q_lang_mix_sample,
+        "inverted_index": q_inverted_index,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

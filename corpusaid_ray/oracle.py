@@ -935,6 +935,25 @@ GROUP BY pb.word""")
 _register_cms_word_counts()
 
 
+# Inverted-index mirror: distinct (word, path) incidences, per-word count
+# + comma-joined sorted postings, doc_freq >= 3.
+def _register_inverted_index() -> None:
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    ORACLE_SQL["inverted_index"] = with_corpus(f"""
+, inc AS (
+  SELECT DISTINCT path,
+         unnest(list_filter(regexp_split_to_array(content, '{ws}'),
+                            t -> t != '')) AS word
+  FROM corpus
+)
+SELECT word, count(*)::BIGINT AS doc_freq,
+       string_agg(path, ',' ORDER BY path) AS postings
+FROM inc GROUP BY word HAVING count(*) >= 3""")
+
+
+_register_inverted_index()
+
+
 # Data-mixing subsample mirror: per-language md5-rank thresholds.
 ORACLE_SQL["lang_mix_sample"] = with_corpus("""
 SELECT repo, path, lang

@@ -1,0 +1,96 @@
+"""Inverted-index construction (training-data / retrieval stage, no
+reference equivalent — SURVEY.md §2.5 additions).
+
+Builds term → postings (sorted document list) with document frequency —
+the retrieval-side artifact of a corpus pipeline (BM25 / term-lookup
+serving, contamination audits by term).
+
+Scale shape:
+1. batch-local distinct (word, path) pairs — one row per term-doc
+   incidence per batch crosses the exchange, never per occurrence;
+2. the wide step groups by a COARSE salt (hash(word) % 4096), not by the
+   term itself: Ray's ``map_groups`` costs ~1 Python call per group
+   (measured round-2 lesson), and natural-text vocabularies are 10^7+;
+   fine per-term grouping happens with pandas inside each coarse group;
+3. postings are emitted as a comma-joined sorted string so the result is
+   a flat, hashable, order-stable column (a list column would defeat the
+   driver's sort-based comparison and, at serving time, would be written
+   to parquet the same way).
+
+Ultra-common terms (stop-word-like) can be excluded with ``max_df`` —
+their postings lists are corpus-sized and belong in a different structure
+(bitmaps); the cut keeps the skew off the one hot reducer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+_COARSE = 4096
+
+
+def inverted_index(ds, *, content_col: str = "content",
+                   key_col: str = "path", min_df: int = 1,
+                   max_df: int | None = None):
+    """Term → (doc_freq, comma-joined sorted postings), terms with
+    ``min_df <= doc_freq`` (and ``<= max_df`` if given)."""
+
+    def incidences(batch: pa.Table) -> pa.Table:
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+        flat = toks.flatten()
+        row_ids = np.repeat(
+            np.arange(len(col), dtype="int64"), np.diff(offsets)
+        )
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"word": words[keep], "path": keys[row_ids[keep]]}
+        ).drop_duplicates()
+        df["part"] = (
+            pd.util.hash_pandas_object(df["word"], index=False).to_numpy()
+            % _COARSE
+        ).astype("int64")
+        return pa.table({
+            "word": pa.array(df["word"], pa.string()),
+            "path": pa.array(df["path"], pa.string()),
+            "part": pa.array(df["part"].to_numpy()),
+        })
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "word": pd.Series(dtype="object"),
+                "doc_freq": pd.Series(dtype="int64"),
+                "postings": pd.Series(dtype="object"),
+            })
+        g = g.drop_duplicates(["word", "path"]).sort_values(
+            ["word", "path"], kind="mergesort"
+        )
+        agg = g.groupby("word", sort=True)["path"].agg(
+            doc_freq="size", postings=",".join
+        ).reset_index()
+        agg["doc_freq"] = agg["doc_freq"].astype("int64")
+        agg = agg[agg["doc_freq"] >= min_df]
+        if max_df is not None:
+            agg = agg[agg["doc_freq"] <= max_df]
+        return agg
+
+    return (
+        ds.map_batches(incidences, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(build, batch_format="pandas")
+        .select_columns(["word", "doc_freq", "postings"])
+    )

@@ -483,6 +483,55 @@ class TestCmsWordCounts:
         assert a.equals(b)
 
 
+class TestInvertedIndex:
+    def test_postings_and_df_bounds(self, ray_session):
+        from corpusaid_ray.stages.index import inverted_index
+
+        rows = [
+            {"path": "b", "content": "cat dog cat"},
+            {"path": "a", "content": "cat bird"},
+            {"path": "c", "content": "dog"},
+        ]
+        out = {
+            r["word"]: r
+            for r in inverted_index(
+                _docs_ds(ray_session, rows, 2)
+            ).take_all()
+        }
+        # per-doc repeats collapse; postings sorted by path
+        assert out["cat"]["postings"] == "a,b"
+        assert out["cat"]["doc_freq"] == 2
+        assert out["dog"]["postings"] == "b,c"
+        assert out["bird"]["doc_freq"] == 1
+
+        capped = {
+            r["word"]
+            for r in inverted_index(
+                _docs_ds(ray_session, rows, 2), min_df=2, max_df=2
+            ).take_all()
+        }
+        assert capped == {"cat", "dog"}
+
+    def test_partition_invariant(self, ray_session):
+        from corpusaid_ray.stages.index import inverted_index
+
+        rows = [
+            {"path": f"p{i:02d}", "content": f"common tok{i % 4}"}
+            for i in range(16)
+        ]
+        a = sorted(
+            map(tuple, (r.values() for r in inverted_index(
+                _docs_ds(ray_session, rows, 1)).take_all()))
+        )
+        b = sorted(
+            map(tuple, (r.values() for r in inverted_index(
+                _docs_ds(ray_session, rows[::-1], 7)).take_all()))
+        )
+        assert a == b
+        common = [t for t in a if t[0] == "common"]
+        assert common[0][1] == 16
+
+
 class TestRepoQuotaSample:
     def test_quota_and_determinism(self, ray_session):
         from corpusaid_ray.stages.sampling import repo_quota_sample
