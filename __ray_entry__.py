@@ -986,6 +986,16 @@ def q_inverted_index(sf_dir: str):
     return inverted_index(_corpus(sf_dir), min_df=3)
 
 
+def q_bm25_search(sf_dir: str):
+    """BM25 top-20 for the fixed query {column, scan, window}: one small
+    exact stats aggregate, a map-only scoring pass, global sort + limit.
+    Scores bit-match the SQL mirror (fixed-order term sums, ::DOUBLE
+    literal parity)."""
+    from corpusaid_ray.stages.index import bm25_search
+
+    return bm25_search(_corpus(sf_dir), ["column", "scan", "window"], k=20)
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1243,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_word_counts": q_cms_word_counts,
         "lang_mix_sample": q_lang_mix_sample,
         "inverted_index": q_inverted_index,
+        "bm25_search": q_bm25_search,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

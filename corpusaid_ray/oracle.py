@@ -954,6 +954,57 @@ FROM inc GROUP BY word HAVING count(*) >= 3""")
 _register_inverted_index()
 
 
+def _register_bm25_search() -> None:
+    """BM25 mirror (``stages/index.bm25_search``): identical float chains —
+    bare SQL decimal literals are DECIMAL, so every constant carries
+    ``::DOUBLE``; per-term contributions are added in sorted term order;
+    ``ln`` is bit-identical to ``math.log`` (verified over 2k samples)."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    terms = sorted(["column", "scan", "window"])
+
+    def contrib(i: int) -> str:
+        return (
+            f"ln((st.n - st.df{i} + 0.5::DOUBLE) / (st.df{i} + 0.5::DOUBLE)"
+            f" + 1.0::DOUBLE)"
+            f" * (d.tf{i} * (1.2::DOUBLE + 1.0::DOUBLE)"
+            f" / (d.tf{i} + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE"
+            f" + 0.75::DOUBLE * d.dl / (st.total / st.n))))"
+        )
+
+    tf_cols = ",\n         ".join(
+        f"length(list_filter(w, t -> t = {sql_quote(t)}))::BIGINT AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN list_contains(w, {sql_quote(t)}) THEN 1 ELSE 0 "
+        f"END)::BIGINT AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    score = " + ".join(contrib(i) for i in range(len(terms)))
+    ORACLE_SQL["bm25_search"] = with_corpus(f"""
+, wrds AS (
+  SELECT path, list_filter(regexp_split_to_array(content, '{ws}'),
+                           t -> t != '') AS w
+  FROM corpus
+),
+st AS (
+  SELECT count(*)::BIGINT AS n, sum(length(w))::BIGINT AS total,
+         {df_cols}
+  FROM wrds
+),
+d AS (
+  SELECT path, length(w)::BIGINT AS dl,
+         {tf_cols}
+  FROM wrds
+),
+sc AS (SELECT d.path, {score} AS score FROM d, st)
+SELECT path, score FROM sc WHERE score > 0.0::DOUBLE
+ORDER BY score DESC, path LIMIT 20""")
+
+
+_register_bm25_search()
+
+
 # Data-mixing subsample mirror: per-language md5-rank thresholds.
 ORACLE_SQL["lang_mix_sample"] = with_corpus("""
 SELECT repo, path, lang

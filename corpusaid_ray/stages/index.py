@@ -34,6 +34,107 @@ from corpusaid_ray.stages.quality import WORD_SPLIT_RE
 _COARSE = 4096
 
 
+K1 = 1.2
+B = 0.75
+
+
+def bm25_search(ds, terms: list[str], *, k: int = 20,
+                content_col: str = "content", key_col: str = "path"):
+    """BM25-ranked top-``k`` documents for a fixed term list (Robertson &
+    Zaragoza 2009; k1=1.2, b=0.75).
+
+    Two passes, both streaming:
+    1. one small exact aggregate — N, Σdl, per-term document frequencies —
+       computed as batch partials summed driver-side (a handful of ints);
+    2. a map-only scoring pass (term frequencies via one vectorized word
+       explode per batch), keeping only matching docs, then a global
+       ``sort(score DESC, key)`` + ``limit(k)``.
+
+    Determinism note: every float is derived from exact integers through a
+    fixed expression shape, and per-term contributions are added in sorted
+    TERM order (never a data-order reduction), so the DuckDB oracle —
+    which writes the same chain with ``::DOUBLE`` literals (bare SQL
+    decimal literals are DECIMAL, not DOUBLE!) — matches bit-exactly,
+    including the ranking."""
+    import math
+
+    from corpusaid_ray.stages.quality import WORD_SPLIT_RE as _WS
+
+    terms = sorted(terms)
+
+    def _explode(batch: pa.Table):
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        toks = pc.split_pattern_regex(col, _WS)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+        flat = toks.flatten()
+        row_ids = np.repeat(
+            np.arange(len(col), dtype="int64"), np.diff(offsets)
+        )
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        return row_ids[keep], words[keep], len(col)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        row_ids, words, n = _explode(batch)
+        dl = np.zeros(n, dtype="int64")
+        np.add.at(dl, row_ids, 1)
+        out = {"n_docs": [n], "total_words": [int(dl.sum())]}
+        for i, t in enumerate(terms):
+            m = words == t
+            hit = np.zeros(n, dtype=bool)
+            hit[row_ids[m]] = True
+            out[f"df_{i}"] = [int(hit.sum())]
+        return pa.table({k2: pa.array(v, pa.int64())
+                         for k2, v in out.items()})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_words", alias_name="total_words"),
+        *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))],
+    )
+    n_docs = int(agg["n_docs"])
+    avgdl = int(agg["total_words"]) / n_docs
+    idf = [
+        math.log((n_docs - int(agg[f"df_{i}"]) + 0.5)
+                 / (int(agg[f"df_{i}"]) + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        row_ids, words, n = _explode(batch)
+        dl = np.zeros(n, dtype="int64")
+        np.add.at(dl, row_ids, 1)
+        total = np.zeros(n, dtype="float64")
+        for i, t in enumerate(terms):  # sorted-term order, both sides
+            tf = np.zeros(n, dtype="int64")
+            m = words == t
+            np.add.at(tf, row_ids[m], 1)
+            total = total + idf[i] * (
+                tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            )
+        keep = total > 0
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({
+            key_col: keys.filter(pa.array(keep)),
+            "score": pa.array(total[keep]),
+        })
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", key_col], descending=[True, False])
+        .limit(k)
+    )
+
+
 def inverted_index(ds, *, content_col: str = "content",
                    key_col: str = "path", min_df: int = 1,
                    max_df: int | None = None):

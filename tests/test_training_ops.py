@@ -532,6 +532,61 @@ class TestInvertedIndex:
         assert common[0][1] == 16
 
 
+class TestBm25Search:
+    def test_matches_serial_and_ranks_sensibly(self, ray_session):
+        import math
+
+        from corpusaid_ray.stages.index import B, K1, bm25_search
+
+        docs = [
+            {"path": "both", "content": "cat dog cat filler filler"},
+            {"path": "cat-heavy", "content": "cat cat cat cat"},
+            {"path": "one", "content": "dog filler filler filler"},
+            {"path": "none", "content": "filler filler"},
+        ]
+        terms = sorted(["cat", "dog"])
+        out = bm25_search(
+            _docs_ds(ray_session, docs, 2), terms, k=10
+        ).take_all()
+        got = {r["path"]: r["score"] for r in out}
+        assert "none" not in got  # zero-score docs dropped
+
+        # serial reference
+        toks = {d["path"]: d["content"].split() for d in docs}
+        n = len(docs)
+        avgdl = sum(len(w) for w in toks.values()) / n
+        expect = {}
+        for p, w in toks.items():
+            s = 0.0
+            for t in terms:
+                df = sum(1 for ww in toks.values() if t in ww)
+                tf = w.count(t)
+                s = s + math.log((n - df + 0.5) / (df + 0.5) + 1.0) * (
+                    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * len(w) / avgdl))
+                )
+            if s > 0:
+                expect[p] = s
+        assert got == expect
+        # ranking: ordered by score desc then path
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_partition_invariant(self, ray_session):
+        from corpusaid_ray.stages.index import bm25_search
+
+        docs = [
+            {"path": f"p{i:02d}", "content": f"alpha beta tok{i % 3}"}
+            for i in range(24)
+        ]
+        a = bm25_search(_docs_ds(ray_session, docs, 1), ["alpha"], k=5
+                        ).take_all()
+        b = bm25_search(_docs_ds(ray_session, docs[::-1], 6), ["alpha"], k=5
+                        ).take_all()
+        assert [(r["path"], r["score"]) for r in a] == [
+            (r["path"], r["score"]) for r in b
+        ]
+
+
 class TestRepoQuotaSample:
     def test_quota_and_determinism(self, ray_session):
         from corpusaid_ray.stages.sampling import repo_quota_sample
