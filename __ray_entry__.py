@@ -996,6 +996,16 @@ def q_bm25_search(sf_dir: str):
     return bm25_search(_corpus(sf_dir), ["column", "scan", "window"], k=20)
 
 
+def q_fingerprint_dup_pairs(sf_dir: str):
+    """Substring-level near-dup pairs: docs sharing ≥2 winnowing anchors
+    (any common ≥11-char substring guarantees one — the winnowing
+    guarantee). Salted fp buckets, partial pair counts, capped+logged
+    degenerate buckets."""
+    from corpusaid_ray.stages.neardup import fingerprint_dup_pairs
+
+    return fingerprint_dup_pairs(_corpus(sf_dir), min_shared=2)
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1254,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mix_sample": q_lang_mix_sample,
         "inverted_index": q_inverted_index,
         "bm25_search": q_bm25_search,
+        "fingerprint_dup_pairs": q_fingerprint_dup_pairs,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

@@ -1152,19 +1152,15 @@ SELECT path_a, path_b, hamming FROM cand WHERE hamming <= 3""")
 _register_dedup_simhash()
 
 
-def _register_fingerprint() -> None:
-    """Winnowing fingerprint mirror (Schleimer 2003, hashing.py semantics):
-    k=8 rolling hash with uint64 wraparound emulated as HUGEINT mod 2^64
-    (per-term products stay < 2^88, inside HUGEINT), window-4 sliding min,
-    distinct, xor-fold of v·FNV-prime mod 2^64 via ``bit_xor`` (the fold is
-    XOR — order-free — which is what makes it an aggregate). The power
-    constants POW^(7-j) mod 2^64 are embedded from the same Python
-    literal."""
+def _winnow_sel_cte() -> str:
+    """Shared winnowing CTE chain (cps → hs → sel): k=8 rolling hash with
+    uint64 wraparound emulated as HUGEINT mod 2^64 (per-term products stay
+    < 2^88, inside HUGEINT), window-4 sliding min. Used by both the
+    ``fingerprint`` fold and the ``fingerprint_dup_pairs`` self-join."""
     P, M = 1099511628211, 1 << 64
     consts = [pow(P, 7 - j, M) for j in range(8)]
     terms = " + ".join(f"cp[i+{j}]*{c}::HUGEINT" for j, c in enumerate(consts))
-    ORACLE_SQL["fingerprint"] = with_corpus(f"""
-, cps AS (
+    return f"""cps AS (
   SELECT repo, path,
          list_transform(range(1, length(content)+1),
                         i -> unicode(substr(content, i::INT, 1))::HUGEINT) AS cp,
@@ -1187,7 +1183,17 @@ sel AS (
                      i -> least(h[i], h[i+1], h[i+2], h[i+3]))
          END AS s
   FROM hs
-)
+)"""
+
+
+def _register_fingerprint() -> None:
+    """Winnowing fingerprint mirror (Schleimer 2003, hashing.py semantics):
+    shared winnow CTEs + distinct + xor-fold of v·FNV-prime mod 2^64 via
+    ``bit_xor`` (the fold is XOR — order-free — which is what makes it an
+    aggregate)."""
+    P, M = 1099511628211, 1 << 64
+    ORACLE_SQL["fingerprint"] = with_corpus(f"""
+, {_winnow_sel_cte()}
 SELECT repo, path,
        lpad(lower(hex(coalesce(bit_xor(
          ((v::HUGEINT * {P}) % {M})::UBIGINT
@@ -1197,6 +1203,30 @@ GROUP BY repo, path""")
 
 
 _register_fingerprint()
+
+
+# Substring-level near-dup mirror: shared winnow anchors, pair self-join.
+# The engine's deterministic bucket cap IS part of the spec and is mirrored:
+# each anchor keeps only its first 200 paths in path order before pairing
+# (ubiquitous substrings — 5 anchors exceed 200 docs at sf0.01 — would
+# otherwise quadratically dominate; the engine logs each truncation).
+def _register_fingerprint_dup_pairs() -> None:
+    ORACLE_SQL["fingerprint_dup_pairs"] = with_corpus(f"""
+, {_winnow_sel_cte()},
+fps0 AS (SELECT path, unnest(list_distinct(s)) AS v FROM sel),
+fps AS (
+  SELECT path, v FROM fps0
+  QUALIFY row_number() OVER (PARTITION BY v ORDER BY path) <= 200
+)
+SELECT a.path AS path_a, b.path AS path_b, count(*)::BIGINT AS shared
+FROM fps a JOIN fps b ON a.v = b.v AND a.path < b.path
+GROUP BY 1, 2
+HAVING count(*) >= 2""")
+
+
+_register_fingerprint_dup_pairs()
+
+
 
 
 ORACLE_SQL["top_docs"] = with_corpus("""

@@ -600,3 +600,98 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
         return df
 
     return uniq.map_batches(ensure_schema, batch_format="pandas")
+
+
+def fingerprint_dup_pairs(ds, *, key: str = "path",
+                          content_col: str = "content",
+                          min_shared: int = 2,
+                          max_bucket: int = MAX_BUCKET):
+    """Substring-level near-dup pairs via shared winnowing fingerprints —
+    the distributed-friendly stand-in for suffix-array substring dedup
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better"): any common substring of length ≥ k + window − 1 (= 11 chars
+    here) is GUARANTEED to yield a shared selected fingerprint (the
+    winnowing guarantee, Schleimer 2003), so docs sharing ≥ ``min_shared``
+    anchors share repeated spans.
+
+    Scale shape mirrors the LSH detectors: per-doc anchor sets exploded as
+    (fp, key) rows, bucketed by fp with the coarse-salt trick (fine
+    grouping in pandas inside ~4k shuffle keys), deterministic
+    ``max_bucket`` cap with logged truncation, per-batch partial pair
+    counts, then one salted pair-count groupby — never all-pairs, never
+    content in the shuffle."""
+    import pyarrow as pa
+
+    from corpusaid_ray.functions.hashing import winnow_fingerprints
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        texts = b[content_col].to_pylist()
+        keys = b[key].to_pylist()
+        out_fp: list[str] = []
+        out_key: list[str] = []
+        for p, t in zip(keys, texts):
+            fps = winnow_fingerprints(t if t is not None else "")
+            out_fp.extend(format(int(v), "016x") for v in fps)
+            out_key.extend([p] * len(fps))
+        df = pd.DataFrame({"fp": out_fp, key: out_key})
+        df["salt"] = (
+            pd.util.hash_pandas_object(df["fp"], index=False).to_numpy()
+            % SALT_BUCKETS
+        ).astype("int64")
+        return df
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def salted_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for fp, sub in g.groupby("fp", sort=True):
+            if len(sub) < 2:
+                continue
+            sub = _truncate_bucket(sub, key, max_bucket, f"fp={fp}")
+            paths = sub[key].to_numpy()  # sorted by _truncate_bucket ⇒ a < b
+            ii, jj = np.triu_indices(len(paths), k=1)
+            outs.append(
+                pd.DataFrame({"path_a": paths[ii], "path_b": paths[jj]})
+            )
+        if not outs:
+            return _empty_df(path_a="object", path_b="object")
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = exploded.groupby("salt").map_groups(
+        salted_pairs, batch_format="pandas"
+    )
+
+    # partial counts per batch (a pair surfaces once per shared fp); the
+    # global sum gathers per pair_salt so each group sums independently
+    def local_count(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_df(path_a="object", path_b="object",
+                             shared="int64", pair_salt="int64")
+        c = (
+            df.groupby(["path_a", "path_b"], sort=False)
+            .size().rename("shared").reset_index()
+        )
+        c["shared"] = c["shared"].astype("int64")
+        c["pair_salt"] = (
+            pd.util.hash_pandas_object(
+                c["path_a"] + "\x00" + c["path_b"], index=False
+            ).to_numpy()
+            % SALT_BUCKETS
+        ).astype("int64")
+        return c
+
+    counted = pairs.map_batches(local_count, batch_format="pandas")
+
+    def final_count(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _empty_df(path_a="object", path_b="object",
+                             shared="int64")
+        out = (
+            g.groupby(["path_a", "path_b"], sort=True)["shared"]
+            .sum().astype("int64").reset_index()
+        )
+        return out[out["shared"] >= min_shared]
+
+    return counted.groupby("pair_salt").map_groups(
+        final_count, batch_format="pandas"
+    ).select_columns(["path_a", "path_b", "shared"])

@@ -587,6 +587,51 @@ class TestBm25Search:
         ]
 
 
+class TestFingerprintDupPairs:
+    def test_shared_span_detected(self, ray_session):
+        from corpusaid_ray.stages.neardup import fingerprint_dup_pairs
+
+        span = "the quick brown fox jumps over the lazy dog again"
+        docs = [
+            {"path": "a", "content": "XX1 " + span + " YY1"},
+            {"path": "b", "content": "ZZ2 " + span + " WW2"},
+            {"path": "c", "content": "completely unrelated words here ok"},
+        ]
+        out = fingerprint_dup_pairs(
+            _docs_ds(ray_session, docs, 2), min_shared=2
+        ).take_all()
+        pairs = {(r["path_a"], r["path_b"]): r["shared"] for r in out}
+        # a,b share a 50-char span → many anchors; c pairs with nobody
+        assert ("a", "b") in pairs and pairs[("a", "b")] >= 2
+        assert not any("c" in p for p in pairs)
+
+    def test_matches_serial_reference(self, ray_session):
+        from collections import defaultdict
+
+        from corpusaid_ray.functions.hashing import winnow_fingerprints
+        from corpusaid_ray.stages.neardup import fingerprint_dup_pairs
+
+        docs = TestRandomizedParity._rand_corpus(21, n_docs=30)
+        owners = defaultdict(set)
+        for d in docs:
+            for v in winnow_fingerprints(d["content"]):
+                owners[int(v)].add(d["path"])
+        counts = defaultdict(int)
+        for paths in owners.values():
+            ps = sorted(paths)
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    counts[(ps[i], ps[j])] += 1
+        expect = {p: c for p, c in counts.items() if c >= 2}
+        got = {
+            (r["path_a"], r["path_b"]): r["shared"]
+            for r in fingerprint_dup_pairs(
+                _docs_ds(ray_session, docs, 4), min_shared=2
+            ).take_all()
+        }
+        assert got == expect
+
+
 class TestRepoQuotaSample:
     def test_quota_and_determinism(self, ray_session):
         from corpusaid_ray.stages.sampling import repo_quota_sample
