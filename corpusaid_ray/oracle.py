@@ -1206,17 +1206,17 @@ _register_fingerprint()
 
 
 # Substring-level near-dup mirror: shared winnow anchors, pair self-join.
-# The engine's deterministic bucket cap IS part of the spec and is mirrored:
-# each anchor keeps only its first 200 paths in path order before pairing
-# (ubiquitous substrings — 5 anchors exceed 200 docs at sf0.01 — would
-# otherwise quadratically dominate; the engine logs each truncation).
+# The engine's max_df anchor cut IS part of the spec and is mirrored:
+# anchors owned by more than 200 documents are dropped entirely before
+# pairing (ubiquitous substrings — 5 anchors exceed 200 docs at sf0.01 —
+# are boilerplate vocabulary, not dup signal; the engine logs each drop).
 def _register_fingerprint_dup_pairs() -> None:
     ORACLE_SQL["fingerprint_dup_pairs"] = with_corpus(f"""
 , {_winnow_sel_cte()},
 fps0 AS (SELECT path, unnest(list_distinct(s)) AS v FROM sel),
 fps AS (
   SELECT path, v FROM fps0
-  QUALIFY row_number() OVER (PARTITION BY v ORDER BY path) <= 200
+  QUALIFY count(*) OVER (PARTITION BY v) <= 200
 )
 SELECT a.path AS path_a, b.path AS path_b, count(*)::BIGINT AS shared
 FROM fps a JOIN fps b ON a.v = b.v AND a.path < b.path

@@ -605,7 +605,7 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
 def fingerprint_dup_pairs(ds, *, key: str = "path",
                           content_col: str = "content",
                           min_shared: int = 2,
-                          max_bucket: int = MAX_BUCKET):
+                          max_df: int = MAX_BUCKET):
     """Substring-level near-dup pairs via shared winnowing fingerprints —
     the distributed-friendly stand-in for suffix-array substring dedup
     (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
@@ -614,10 +614,17 @@ def fingerprint_dup_pairs(ds, *, key: str = "path",
     winnowing guarantee, Schleimer 2003), so docs sharing ≥ ``min_shared``
     anchors share repeated spans.
 
+    Anchors owned by more than ``max_df`` documents are DROPPED entirely
+    (with a logged count): an anchor that ubiquitous is boilerplate
+    vocabulary, not a duplication signal, and pairing on it is both noise
+    and a quadratic blow-up (measured at sf0.1: a 475-owner anchor alone
+    contributes ~112k pairs; the df cut took the stage from 314 s /
+    5.0M pairs to the rare-anchor core). Same stop-gram reasoning as
+    ``inverted_index``'s ``max_df``.
+
     Scale shape mirrors the LSH detectors: per-doc anchor sets exploded as
     (fp, key) rows, bucketed by fp with the coarse-salt trick (fine
-    grouping in pandas inside ~4k shuffle keys), deterministic
-    ``max_bucket`` cap with logged truncation, per-batch partial pair
+    grouping in pandas inside ~4k shuffle keys), per-batch partial pair
     counts, then one salted pair-count groupby — never all-pairs, never
     content in the shuffle."""
     import pyarrow as pa
@@ -647,8 +654,15 @@ def fingerprint_dup_pairs(ds, *, key: str = "path",
         for fp, sub in g.groupby("fp", sort=True):
             if len(sub) < 2:
                 continue
-            sub = _truncate_bucket(sub, key, max_bucket, f"fp={fp}")
-            paths = sub[key].to_numpy()  # sorted by _truncate_bucket ⇒ a < b
+            sub = sub.drop_duplicates(key)
+            if len(sub) > max_df:
+                log.warning(
+                    "fingerprint anchor dropped (fp=%s): %d owners > "
+                    "max_df=%d — boilerplate anchor, not a dup signal",
+                    fp, len(sub), max_df,
+                )
+                continue
+            paths = np.sort(sub[key].to_numpy())  # a < b orientation
             ii, jj = np.triu_indices(len(paths), k=1)
             outs.append(
                 pd.DataFrame({"path_a": paths[ii], "path_b": paths[jj]})
