@@ -273,3 +273,13 @@ def read_output(out_dir: str):
         if (d / MANIFEST).exists():
             files.extend(sorted(str(f) for f in d.glob("*.parquet")))
     return ray.data.read_parquet(files)
+
+
+def write_partitioned_by(ds, out_dir: str, key: str):
+    """Hive-partitioned sink: one ``key=value/`` directory per key value
+    (Ray's native ``partition_cols`` path — each task writes only its own
+    blocks, so the layout streams; no driver materialization). Use when
+    downstream consumers select by key (per-language exports, per-split
+    training shards); the checkpoint/resume story stays with the
+    ``PartWriter`` manifest sink, which partitions by shard id instead."""
+    ds.write_parquet(out_dir, partition_cols=[key])

@@ -675,3 +675,27 @@ class TestRepoQuotaSample:
             _docs_ds(ray_session, rows, 1), n_per_repo=5
         ).take_all()
         assert [(r["repo"], r["path"]) for r in out] == [("solo", "only")]
+
+
+class TestPartitionedSink:
+    def test_hive_layout_roundtrip(self, ray_session, tmp_path):
+        import ray.data
+
+        from corpusaid_ray.state.lineage import write_partitioned_by
+
+        rows = [
+            {"lang": ["en", "fr", "zh"][i % 3], "doc_id": i, "text": f"t{i}"}
+            for i in range(30)
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        out = str(tmp_path / "bykey")
+        write_partitioned_by(ds, out, "lang")
+
+        import os
+        dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+        assert dirs == ["lang=en", "lang=fr", "lang=zh"]
+
+        back = ray.data.read_parquet(out).take_all()
+        got = sorted((r["doc_id"], r["text"], r["lang"]) for r in back)
+        expect = sorted((r["doc_id"], r["text"], r["lang"]) for r in rows)
+        assert got == expect
