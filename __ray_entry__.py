@@ -1006,6 +1006,20 @@ def q_fingerprint_dup_pairs(sf_dir: str):
     return fingerprint_dup_pairs(_corpus(sf_dir), min_shared=2)
 
 
+def q_dedup_then_chunk(sf_dir: str):
+    """Composition proof: corpus-wide line dedup feeding context-window
+    chunking — two independent stages chained as plain Dataset transforms,
+    verified end-to-end by a single chained SQL mirror."""
+    from corpusaid_ray.stages.chunking import chunk_docs
+    from corpusaid_ray.stages.linedup import line_dedup
+
+    return chunk_docs(
+        line_dedup(_corpus(sf_dir)),
+        chunk_words=64, overlap=16,
+        content_col="content_dedup", key_col="path",
+    )
+
+
 def q_dup_groups(sf_dir: str):
     """Near-dup groups: MinHash-LSH pairs → exact verify → connected
     components with deterministic representatives (rows-only)."""
@@ -1265,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "bm25_search": q_bm25_search,
         "fingerprint_dup_pairs": q_fingerprint_dup_pairs,
+        "dedup_then_chunk": q_dedup_then_chunk,
         "ann_topk": q_ann_topk,
         "char_filter": q_char_filter,
         "regex_scrub": q_regex_scrub,

@@ -843,13 +843,12 @@ _register_pack_sequences()
 # Context-window chunking mirror: one row per chunk start (stride 48,
 # window 64), 1-based inclusive list_slice = the engine's 0-based
 # [start, start+64) word window.
-def _register_chunk_docs() -> None:
+def _chunk_sql(source_cte: str, text_col: str) -> str:
     ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
-    ORACLE_SQL["chunk_docs"] = with_corpus(f"""
-, words AS (
-  SELECT path, list_filter(regexp_split_to_array(content, '{ws}'),
+    return f"""words AS (
+  SELECT path, list_filter(regexp_split_to_array({text_col}, '{ws}'),
                            t -> t != '') AS w
-  FROM corpus
+  FROM {source_cte}
 )
 SELECT path, (t.s // 48)::BIGINT AS chunk_id,
        array_to_string(
@@ -857,10 +856,42 @@ SELECT path, (t.s // 48)::BIGINT AS chunk_id,
                     least(t.s::INT + 64, length(w)::INT)), ' '
        ) AS chunk_text,
        least(64, length(w) - t.s)::BIGINT AS n_chunk_words
-FROM words, unnest(range(0, length(w), 48)) AS t(s)""")
+FROM words, unnest(range(0, length(w), 48)) AS t(s)"""
+
+
+def _register_chunk_docs() -> None:
+    ORACLE_SQL["chunk_docs"] = with_corpus(
+        f", {_chunk_sql('corpus', 'content')}"
+    )
 
 
 _register_chunk_docs()
+
+
+# Composition mirror: the line-dedup CTEs feed the chunking CTEs — the
+# whole two-stage pipeline verified as one SQL statement.
+def _register_dedup_then_chunk() -> None:
+    ORACLE_SQL["dedup_then_chunk"] = with_corpus(f"""
+, lns AS (
+  SELECT path, t.i::BIGINT - 1 AS line_no, arr[t.i::INT] AS line
+  FROM (SELECT path, regexp_split_to_array(content, chr(10)) AS arr
+        FROM corpus),
+       unnest(range(1, length(arr) + 1)) AS t(i)
+  WHERE arr[t.i::INT] != ''
+),
+kept AS (
+  SELECT path, line_no, line
+  FROM lns
+  QUALIFY row_number() OVER (PARTITION BY line ORDER BY path, line_no) = 1
+),
+dedup AS (
+  SELECT path, string_agg(line, chr(10) ORDER BY line_no) AS content_dedup
+  FROM kept GROUP BY path
+),
+{_chunk_sql('dedup', 'content_dedup')}""")
+
+
+_register_dedup_then_chunk()
 
 
 def _register_hll_distinct_lines() -> None:
