@@ -32,6 +32,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "200"))
+# The sandbox has noisy neighbors (identical binaries measured 14.3s..19.8s
+# across one afternoon — see BASELINE.md), so the headline is a MEDIAN of
+# several back-to-back runs, and --scaling interleaves its legs.
+FLAGSHIP_RUNS = int(os.environ.get("GRAFT_FLAGSHIP_RUNS", "3"))
+FLAGSHIP_ONLY = os.environ.get("GRAFT_FLAGSHIP_ONLY", "") == "1"
 
 
 def _sf_from_dir(d: str) -> float:
@@ -105,17 +110,37 @@ def run_bench() -> dict:
     ppl_model = PerplexityModel.fit_from_documents(SF_DIR)
 
     # --- headline: flagship keep/drop + scrub over the repeated corpus ---
-    t0 = time.perf_counter()
-    ds = read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT)
-    ds = build(ds, langid_model=langid_model, perplexity_model=ppl_model)
-    totals = _consume_counting(ds)
-    headline = time.perf_counter() - t0
+    # median of FLAGSHIP_RUNS back-to-back runs (noise robustness)
+    import statistics
+
+    runs: list[float] = []
+    totals: dict[str, int] = {}
+    for _ in range(max(1, FLAGSHIP_RUNS)):
+        t0 = time.perf_counter()
+        ds = read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT)
+        ds = build(ds, langid_model=langid_model, perplexity_model=ppl_model)
+        totals = _consume_counting(ds)
+        runs.append(time.perf_counter() - t0)
+    headline = statistics.median(runs)
     queries["flagship"] = round(headline, 3)
+    extras["flagship_runs"] = [round(r, 3) for r in runs]
     extras["files"] = totals["files"]
     extras["mb"] = round(totals["bytes"] / 1e6, 1)
     extras["kept_frac"] = round(totals["kept"] / max(totals["files"], 1), 4)
     extras["files_per_sec"] = round(totals["files"] / headline, 1)
     extras["mb_per_sec"] = round(totals["bytes"] / 1e6 / headline, 2)
+
+    if FLAGSHIP_ONLY:  # fast path for interleaved --scaling legs
+        return {
+            "metric": "flagship keep/drop+scrub wall time (sf corpus ×%d)"
+            % REPEAT,
+            "value": queries["flagship"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": _sf_from_dir(SF_DIR),
+            "num_cpus": NCPU,
+            "extras": extras,
+        }
 
     # --- dedup_exact over the repeated corpus (groupby shuffle stressor) ---
     t0 = time.perf_counter()
@@ -228,9 +253,25 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(lo: int = 8, hi: int = 32, rounds: int = 3) -> dict:
+    """Interleaved lo/hi legs, median per leg (noise robustness).
+
+    Each leg is a fresh process running ONLY the flagship pipeline
+    (GRAFT_FLAGSHIP_ONLY=1, single timed run per process); the legs
+    alternate lo,hi,lo,hi,... so a transient noisy neighbor hits both
+    sides rather than deflating/inflating one. Efficiency is computed
+    from the per-leg medians; all samples + per-pair efficiencies are
+    reported so the spread is visible.
+    """
+    import statistics
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_FLAGSHIP_ONLY="1",
+            GRAFT_FLAGSHIP_RUNS="1",
+        )
         out = subprocess.run(
             [sys.executable, __file__],
             env=env,
@@ -240,19 +281,34 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    samples: dict[int, list[float]] = {lo: [], hi: []}
+    fps: dict[int, list[float]] = {lo: [], hi: []}
+    for _ in range(max(1, rounds)):
+        for ncpu in (lo, hi):
+            r = one(ncpu)
+            samples[ncpu].append(r["value"])
+            fps[ncpu].append(r["extras"]["files_per_sec"])
+    t_lo = statistics.median(samples[lo])
+    t_hi = statistics.median(samples[hi])
     eff = (t_lo / t_hi) / (hi / lo)  # 1.0 = linear scaling
+    per_pair = [
+        round((a / b) / (hi / lo), 3)
+        for a, b in zip(samples[lo], samples[hi])
+    ]
     return {
-        "metric": "scaling efficiency %d->%d cpus (flagship)" % (lo, hi),
+        "metric": "scaling efficiency %d->%d cpus (flagship, median of %d interleaved pairs)"
+        % (lo, hi, rounds),
         "value": round(eff, 3),
         "unit": "efficiency",
-        "sec_lo": t_lo,
-        "sec_hi": t_hi,
-        "files_per_sec_lo": r_lo["extras"]["files_per_sec"],
-        "files_per_sec_hi": r_hi["extras"]["files_per_sec"],
+        "sec_lo": round(t_lo, 3),
+        "sec_hi": round(t_hi, 3),
+        "samples_lo": [round(s, 3) for s in samples[lo]],
+        "samples_hi": [round(s, 3) for s in samples[hi]],
+        "per_pair_eff": per_pair,
+        "files_per_sec_lo": statistics.median(fps[lo]),
+        "files_per_sec_hi": statistics.median(fps[hi]),
         "cpus": [lo, hi],
-        "sf": r_lo["sf"],
+        "sf": _sf_from_dir(SF_DIR),
     }
 
 

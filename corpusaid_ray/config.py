@@ -214,6 +214,14 @@ def compile_pattern_builder(
         else:  # Specific Sequence
             pattern = rf"{s}.*?{re.escape(end)}"
         patterns.append(pattern)
+    if not patterns:
+        # no surviving row: '' (or '(?i)'/'\b()\b') compiles fine but the
+        # scrub would be a silent no-op — fail fast like the docstring says
+        # (the reference shows an error dialog and keeps the old pattern)
+        raise ConfigError(
+            "pattern builder produced no patterns (every row needs "
+            "non-empty start AND end)"
+        )
     final = "|".join(patterns)
     if whole_words:
         final = rf"\b({final})\b"

@@ -140,29 +140,65 @@ def read_corpus(sf_dir: str, *, parallelism: int = -1, repeat: int = 1):
     ``repeat > 1`` (bench tiers) deterministically replicates every corpus
     row with distinct ``path`` suffixes (``#rK``) — same content, so dedup
     stages face K-sized duplicate groups (a deliberate skew stressor).
+
+    The repeat path parallelizes over the REPLICA index, not the source
+    fragments: the sf documents table is ONE tiny parquet fragment, so a
+    fragment-parallel plan has a single read task trickling split-blocks to
+    the cluster (measured: map tasks ramped at ~8/s and held ~16 of 32
+    cores; see BASELINE.md r3). The derived base is built once, broadcast
+    via ``ray.put``, and ``repeat × slices`` independent tasks each emit one
+    suffixed copy — every task schedulable at t=0, zero-copy reads of the
+    shared base, no 200×-pandas-concat per task. At real scale (many
+    fragments, no repeat) the fragment-parallel path below is the right
+    plan; this branch exists exactly because bench replication is NOT the
+    real read shape.
     """
     import ray.data
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang"],
-        override_num_blocks=parallelism if parallelism > 0 else None,
-    )
-
     if repeat <= 1:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+            override_num_blocks=parallelism if parallelism > 0 else None,
+        )
         return ds.map_batches(derive_corpus_arrow, batch_format="pandas")
 
-    def derive_repeated(df: pd.DataFrame):
-        import pyarrow as pa
+    import math
 
-        base = derive_corpus_batch(df)
-        parts = []
-        for r in range(repeat):
-            p = base.copy()
-            p["path"] = p["path"] + f"#r{r}"
-            parts.append(p)
-        t = pa.Table.from_pandas(pd.concat(parts, ignore_index=True),
-                                 preserve_index=False)
-        return t.replace_schema_metadata(None)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
 
-    return ds.map_batches(derive_repeated, batch_format="pandas")
+    base_docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    base = pa.Table.from_pandas(
+        derive_corpus_batch(base_docs.to_pandas()), preserve_index=False
+    ).replace_schema_metadata(None)
+    base_ref = ray.put(base)
+    n_base = len(base)
+
+    # slice replicas further only when repeat alone can't fill the cluster
+    slices = max(1, math.ceil(max(parallelism, 1) / repeat))
+    bounds = [round(i * n_base / slices) for i in range(slices + 1)]
+    shards = ray.data.from_items(
+        [{"rep": r, "sl": s} for r in range(repeat) for s in range(slices)],
+        override_num_blocks=repeat * slices,
+    )
+    path_idx = base.column_names.index("path")
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        whole = ray.get(base_ref)  # zero-copy from the local object store
+        outs = []
+        reps = batch["rep"].to_pylist()
+        sls = batch["sl"].to_pylist()
+        for r, s in zip(reps, sls):
+            t = whole.slice(bounds[s], bounds[s + 1] - bounds[s])
+            suffixed = pc.binary_join_element_wise(
+                t["path"].combine_chunks(), f"#r{r}", ""
+            )
+            outs.append(t.set_column(path_idx, "path", suffixed))
+        return pa.concat_tables(outs) if len(outs) != 1 else outs[0]
+
+    return shards.map_batches(replicate, batch_format="pyarrow")

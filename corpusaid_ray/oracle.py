@@ -970,16 +970,27 @@ _register_cms_word_counts()
 # + comma-joined sorted postings, doc_freq >= 3.
 def _register_inverted_index() -> None:
     ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    # chunk mirrors stages/index.py postings_chunk=10_000: a term's sorted
+    # postings split into ≤10k-path rows, doc_freq = the term TOTAL on every
+    # chunk row (never splits at sf0.01 — pytest exercises the split with a
+    # tiny chunk size)
     ORACLE_SQL["inverted_index"] = with_corpus(f"""
 , inc AS (
   SELECT DISTINCT path,
          unnest(list_filter(regexp_split_to_array(content, '{ws}'),
                             t -> t != '')) AS word
   FROM corpus
+), ranked AS (
+  SELECT word, path,
+         count(*) OVER (PARTITION BY word) AS doc_freq,
+         ((row_number() OVER (PARTITION BY word ORDER BY path)) - 1) // 10000
+           AS chunk
+  FROM inc
 )
-SELECT word, count(*)::BIGINT AS doc_freq,
+SELECT word, doc_freq::BIGINT AS doc_freq, chunk::BIGINT AS chunk,
        string_agg(path, ',' ORDER BY path) AS postings
-FROM inc GROUP BY word HAVING count(*) >= 3""")
+FROM ranked WHERE doc_freq >= 3
+GROUP BY word, chunk, doc_freq""")
 
 
 _register_inverted_index()

@@ -22,11 +22,17 @@ def detect_and_decode(raw: bytes) -> str:
     neither detector ships in this environment, so the engine pins a
     deterministic heuristic of the same shape):
 
-    1. BOM sniff: UTF-8 / UTF-16 LE / UTF-16 BE BOMs win outright;
+    1. BOM sniff: UTF-32 LE/BE, UTF-8, UTF-16 LE/BE BOMs win outright
+       (UTF-32-LE must be checked before UTF-16-LE — its BOM
+       ``\\xff\\xfe\\x00\\x00`` starts with the UTF-16-LE BOM);
     2. strict UTF-8 decode succeeds → UTF-8;
     3. otherwise cp1252 (the usual Western single-byte guess),
        ``errors="replace"`` so undecodable bytes never fail the read.
     """
+    if raw.startswith(b"\xff\xfe\x00\x00") or raw.startswith(
+        b"\x00\x00\xfe\xff"
+    ):
+        return raw.decode("utf-32", errors="replace")
     if raw.startswith(b"\xef\xbb\xbf"):
         return raw.decode("utf-8-sig", errors="replace")
     if raw.startswith(b"\xff\xfe") or raw.startswith(b"\xfe\xff"):

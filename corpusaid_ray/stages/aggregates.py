@@ -19,12 +19,14 @@ from ray.data.aggregate import Count, Max, Sum
 
 
 def _bytes_words(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
+    # word counts via one Arrow RE2 split (packing.word_counts) — identical
+    # to Python str.split() on this corpus and ~an order of magnitude
+    # faster than the per-row Python loop it replaced (round-2 verdict #5)
+    from corpusaid_ray.stages.packing import word_counts
+
     arr = batch[col]
     nbytes = pc.binary_length(pc.cast(arr, pa.binary())).to_numpy(zero_copy_only=False)
-    words = np.fromiter(
-        (len(t.split()) for t in arr.to_pylist()), dtype="int64", count=len(batch)
-    )
-    return nbytes.astype("int64"), words
+    return nbytes.astype("int64"), word_counts(arr)
 
 
 def corpus_report(ds, col: str = "content") -> pd.DataFrame:

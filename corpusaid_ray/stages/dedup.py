@@ -33,6 +33,10 @@ def add_sha256(batch: pa.Table, source_col: str = "content") -> pa.Table:
 # "ab\x01…" < "abc…"). (\x00 would sort lower still, but numpy <U arrays
 # inside Ray's aggregate silently drop NUL characters.)
 _PACK_SEP = "\x01"
+# A null payload cell packs as this bare token (astype(str) would otherwise
+# bake the literal string 'None' into the output) and is restored to null in
+# unpack(). Values containing either control char fail loudly below.
+_NULL_TOKEN = "\x02"
 
 
 def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
@@ -104,18 +108,30 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         out = df[keys].copy()
+        if df[order_col].isna().any():
+            # null order values would sort differently here (packed-min)
+            # vs the map_groups fallback (sort_values puts NaN last) —
+            # refuse rather than silently pick a different winner
+            raise ValueError(
+                f"dedup_exact: order column {order_col!r} contains nulls; "
+                "use payload_cols=None (map_groups path) for such data"
+            )
         packed = df[order_col].astype(str)
         for c in [order_col, *pcols]:
-            # a \x01 inside a value would shift every later column on unpack
-            # — fail loudly; such data needs the map_groups path
-            if df[c].astype(str).str.contains(_PACK_SEP).any():
+            # a \x01 inside a value would shift every later column on
+            # unpack, and a \x02 would be mistaken for an encoded null —
+            # fail loudly; such data needs the map_groups path
+            s = df[c].astype(str)
+            if (s.str.contains(_PACK_SEP, regex=False).any()
+                    or s.str.contains(_NULL_TOKEN, regex=False).any()):
                 raise ValueError(
-                    f"dedup_exact: column {c!r} contains the \\x01 pack "
-                    "separator; pass payload_cols=None with non-string "
+                    f"dedup_exact: column {c!r} contains a \\x01/\\x02 "
+                    "control char; pass payload_cols=None with non-string "
                     "types (or use the map_groups path) for such data"
                 )
         for c in pcols:
-            packed = packed + _PACK_SEP + df[c].astype(str)
+            vals = df[c].astype(str).where(df[c].notna(), _NULL_TOKEN)
+            packed = packed + _PACK_SEP + vals
         out["_packed"] = packed
         return out
 
@@ -130,7 +146,11 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
         df = df.drop(columns=["_packed"])
         df[order_col] = parts[0] if len(df) else pd.Series(dtype="object")
         for i, c in enumerate(pcols, start=1):
-            df[c] = parts[i] if len(df) else pd.Series(dtype="object")
+            if len(df):
+                col = parts[i]
+                df[c] = col.where(col != _NULL_TOKEN, None)
+            else:
+                df[c] = pd.Series(dtype="object")
         cols = out_order or [*keys, order_col, *pcols]
         return df[[c for c in cols if c in df.columns]]
 

@@ -42,10 +42,17 @@ def hash_join(left, right, *, on: str, num_partitions: int = 32,
 
 
 def asof_join(left, right_df: pd.DataFrame, *, by: str, left_on: str,
-              right_on: str, direction: str = "backward"):
+              right_on: str, direction: str = "backward",
+              how: str = "inner"):
     """As-of join (Ray Data has no native one): for each left row, attach
     the nearest right row per ``by`` key with ``right_on <= left_on``
     (backward; "forward"/"nearest" per pandas semantics).
+
+    ``how="inner"`` (default) matches SQL ``ASOF JOIN``: left rows with no
+    qualifying right row are DROPPED. ``how="left"`` keeps them with null
+    right columns (pandas ``merge_asof`` semantics). The match test uses an
+    indicator column, not NaN-sniffing, so legitimately-null right values
+    don't drop rows.
 
     Broadcast shape: the right side (rate tables, dimension-update streams)
     is small by nature — ``ray.put`` once, each batch runs one vectorized
@@ -56,12 +63,18 @@ def asof_join(left, right_df: pd.DataFrame, *, by: str, left_on: str,
     """
     import ray
 
-    ref = ray.put(right_df.sort_values(right_on, kind="mergesort")
-                  .reset_index(drop=True))
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    _IND = "__asof_matched__"
+    right = right_df.sort_values(right_on, kind="mergesort").reset_index(
+        drop=True
+    )
+    right = right.assign(**{_IND: True})
+    ref = ray.put(right)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
         right = ray.get(ref)  # zero-copy from the local object store
-        return pd.merge_asof(
+        out = pd.merge_asof(
             batch.sort_values(left_on, kind="mergesort"),
             right,
             left_on=left_on,
@@ -69,6 +82,9 @@ def asof_join(left, right_df: pd.DataFrame, *, by: str, left_on: str,
             by=by,
             direction=direction,
         )
+        if how == "inner":
+            out = out[out[_IND].notna()]
+        return out.drop(columns=[_IND]).reset_index(drop=True)
 
     return left.map_batches(merge, batch_format="pandas")
 

@@ -370,6 +370,87 @@ def test_dedup_aggregate_equals_map_groups(ray_session):
     }
 
 
+def test_dedup_null_payload_roundtrip(ray_session):
+    """Null payload cells must survive the packed-Min path as real nulls
+    (not the literal string 'None' — ADVICE r2 medium), and a null ORDER
+    value must be refused loudly rather than silently re-ordered."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import dedup_exact
+
+    t = pa.table({
+        "repo": pa.array(["r1"] * 3, pa.string()),
+        "content_sha256": pa.array(["h", "h", "h2"], pa.string()),
+        "path": pa.array(["b", "a", "c"], pa.string()),
+        "commit": pa.array([None, None, "c3"], pa.string()),
+    })
+    out = dedup_exact(ray.data.from_arrow(t)).to_pandas().sort_values("path")
+    assert out.path.tolist() == ["a", "c"]
+    assert pd.isna(out.commit.iloc[0])        # null round-trips as null
+    assert out.commit.iloc[1] == "c3"
+    assert "None" not in out.commit.astype(str).iloc[1]
+
+    # null order value surviving the batch combiner → loud refusal
+    # (packed-min vs map_groups would disagree on the winner). The null row
+    # is alone in its group, so the combiner can't eliminate it first.
+    bad = pa.table({
+        "repo": pa.array(["r1"] * 2, pa.string()),
+        "content_sha256": pa.array(["h", "h2"], pa.string()),
+        "path": pa.array([None, "a"], pa.string()),
+        "commit": pa.array(["c1", "c2"], pa.string()),
+    })
+    with pytest.raises(Exception) as ei:
+        dedup_exact(ray.data.from_arrow(bad)).to_pandas()
+    assert "contains nulls" in str(ei.value)
+
+
+def test_pattern_builder_empty_fails_fast():
+    """Zero surviving rows → ConfigError (not a silent no-op scrub);
+    mirrors the reference's error dialog on an invalid result."""
+    import pytest
+
+    from corpusaid_ray.config import ConfigError, compile_pattern_builder
+
+    with pytest.raises(ConfigError, match="no patterns"):
+        compile_pattern_builder([])
+    with pytest.raises(ConfigError, match="no patterns"):
+        compile_pattern_builder(
+            [{"start": "", "end_type": "Specific Sequence", "end": "x",
+              "number_length": ""}],
+            whole_words=True, case_sensitive=False,
+        )
+
+
+def test_detect_and_decode_divergence_cases():
+    """Pins the heuristic's behavior on the cases where it can diverge
+    from a real detector (chardetng/charset_normalizer — not in env)."""
+    from corpusaid_ray.sources import detect_and_decode
+
+    # UTF-16 both endiannesses via explicit BOMs
+    assert detect_and_decode(b"\xff\xfe" + "héllo".encode("utf-16-le")) == "héllo"
+    assert detect_and_decode(b"\xfe\xff" + "héllo".encode("utf-16-be")) == "héllo"
+    # UTF-32-LE BOM starts with the UTF-16-LE BOM — must NOT decode as
+    # UTF-16 (would interleave NULs); utf-32 codec consumes its own BOM
+    assert detect_and_decode("héllo".encode("utf-32")) == "héllo"
+    assert detect_and_decode(b"\x00\x00\xfe\xff"
+                             + "hi".encode("utf-32-be")) == "hi"
+    # cp1252 high bytes (latin-1 compatible range)
+    assert detect_and_decode("café €".encode("cp1252")) == "café €"
+    # documented mis-detect: BOM-less UTF-16 text is NOT recognized — every
+    # other byte is NUL, strict UTF-8 fails on nothing (NUL is valid UTF-8),
+    # so it decodes as UTF-8 with embedded NULs. chardetng would get this
+    # right; the pinned heuristic does not.
+    raw = "hi".encode("utf-16-le")
+    assert detect_and_decode(raw) == "h\x00i\x00"
+    # documented mis-detect: KOI8-R bytes fall through to cp1252 mojibake
+    # (no failure, deterministic wrong-but-lossless decode)
+    koi8 = "привет".encode("koi8_r")
+    got = detect_and_decode(koi8)
+    assert isinstance(got, str) and len(got) == len(koi8)
+
+
 def test_hopping_window_membership(ray_session):
     """Every event lands in exactly size/hop windows; totals across windows
     equal ratio × per-event totals; windows match a pandas reference."""
@@ -474,18 +555,31 @@ def test_asof_join_backward_per_key(ray_session):
             "v": [10, 11, 20],
         }
     )
+    # how="left": row before any update for key 2 → kept with NaN
     out = (
         asof_join(ray.data.from_pandas(left), right, by="k", left_on="ts",
-                  right_on="uts")
+                  right_on="uts", how="left")
         .to_pandas()
         .sort_values(["k", "ts"])
     )
-    # row before any update for key 2 → no match (NaN); others pick latest ≤ ts
     got = out[["k", "v"]].to_numpy(dtype=float)
     assert got[0].tolist() == [1, 10.0]
     assert got[1].tolist() == [1, 11.0]
     assert got[2][0] == 2 and np.isnan(got[2][1])
     assert got[3].tolist() == [2, 20.0]
+    assert "__asof_matched__" not in out.columns
+
+    # default (inner, SQL ASOF JOIN semantics): the unmatched row is dropped
+    inner = (
+        asof_join(ray.data.from_pandas(left), right, by="k", left_on="ts",
+                  right_on="uts")
+        .to_pandas()
+        .sort_values(["k", "ts"])
+    )
+    assert len(inner) == 3
+    assert inner[["k", "v"]].to_numpy(dtype=float).tolist() == [
+        [1, 10.0], [1, 11.0], [2, 20.0]
+    ]
 
 
 def test_range_join_bands(ray_session):

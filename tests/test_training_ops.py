@@ -512,6 +512,39 @@ class TestInvertedIndex:
         }
         assert capped == {"cat", "dog"}
 
+    def test_postings_chunking_bounds_row_size(self, ray_session):
+        """A ubiquitous term must never produce one corpus-sized postings
+        row: with postings_chunk=4, a 10-doc term splits into 3 rows of
+        ≤4 sorted paths, each carrying the TOTAL doc_freq (round-2
+        verdict fix)."""
+        from corpusaid_ray.stages.index import inverted_index
+
+        rows = [
+            {"path": f"p{i:02d}", "content": "the sun" if i % 2 else "the"}
+            for i in range(10)
+        ]
+        out = inverted_index(
+            _docs_ds(ray_session, rows, 3), postings_chunk=4
+        ).take_all()
+        the = sorted(
+            (r for r in out if r["word"] == "the"), key=lambda r: r["chunk"]
+        )
+        assert [r["chunk"] for r in the] == [0, 1, 2]
+        assert all(r["doc_freq"] == 10 for r in the)
+        assert the[0]["postings"] == "p00,p01,p02,p03"
+        assert the[1]["postings"] == "p04,p05,p06,p07"
+        assert the[2]["postings"] == "p08,p09"
+        # reassembled = the unchunked postings list
+        joined = ",".join(r["postings"] for r in the)
+        assert joined == ",".join(f"p{i:02d}" for i in range(10))
+        sun = sorted(
+            (r for r in out if r["word"] == "sun"), key=lambda r: r["chunk"]
+        )
+        assert [r["chunk"] for r in sun] == [0, 1]
+        assert all(r["doc_freq"] == 5 for r in sun)
+        assert sun[0]["postings"] == "p01,p03,p05,p07"
+        assert sun[1]["postings"] == "p09"
+
     def test_partition_invariant(self, ray_session):
         from corpusaid_ray.stages.index import inverted_index
 
