@@ -1335,6 +1335,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from corpusaid_ray.oracle import ORACLE_SQL
+    from corpusaid_ray.oracle import ORACLE_SQL, ann_ivf_sql
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    try:
+        # the IVF centroid fit is data-dependent, so this mirror must be
+        # built from the same tables the SQL runs against; the driver's
+        # correctness gate runs at sf0.01 (override for local harness runs
+        # at another scale via GRAFT_ORACLE_SF_DIR)
+        import os
+
+        out["ann_ivf"] = ann_ivf_sql(
+            os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        )
+    except Exception:
+        pass  # table unavailable → ann_ivf stays rows-only (weaker check)
+    return out

@@ -1277,6 +1277,67 @@ FROM corpus
 ORDER BY n_chars DESC, path
 LIMIT 20""")
 
+def ann_ivf_sql(sf_dir: str) -> str:
+    """IVF mirror (``stages/similarity.ann_ivf_topk``). The coarse
+    quantizer fit is deterministic — seed ``0xA11CE``, sample = the first
+    512 embedding rows, 10 Lloyd iterations (``similarity.py:86-97``) — so
+    the fitted centroids are INLINED as a VALUES table (the same
+    shared-derivation idea as the corpus CTE, just with a computed
+    artifact), and assignment → probe → scoring become pure SQL:
+
+    - assignment: each candidate's argmax-cosine centroid (ties → lowest
+      cid, matching ``np.argmax``);
+    - probe set: each query's top-4 centroids, UNIONED across queries (the
+      engine prunes to buckets probed by ANY query and scores every query
+      against that shared pool — ``similarity.py:122,133``);
+    - final: cosine top-5 per query, ties by vec_id.
+
+    Must be built from the SAME sf_dir the SQL runs against (the driver's
+    gate runs at sf0.01)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from corpusaid_ray.stages.similarity import IVFIndexParams
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    cents = IVFIndexParams.fit(sample).centroids
+    rows = ",\n    ".join(
+        "(%d, [%s]::DOUBLE[])"
+        % (i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cent(cid, c) AS (VALUES
+    {rows}
+), queries AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 8
+), cands AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 8
+), assigned AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY list_cosine_similarity(v, c) DESC, cid) AS rn
+  FROM cands CROSS JOIN cent
+), probes AS (
+  SELECT query_id, cid,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY list_cosine_similarity(q, c) DESC, cid) AS rn
+  FROM queries CROSS JOIN cent
+), pool AS (
+  SELECT vec_id, v FROM assigned
+  WHERE rn = 1 AND cid IN (SELECT cid FROM probes WHERE rn <= 4)
+), scored AS (
+  SELECT q.query_id, p.vec_id, list_cosine_similarity(q.q, p.v) AS cosine
+  FROM queries q CROSS JOIN pool p
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+FROM scored QUALIFY rank <= 5"""
+
+
 ORACLE_SQL["ann_topk"] = """
 WITH queries AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id < 8

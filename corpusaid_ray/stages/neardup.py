@@ -483,11 +483,12 @@ def duplicate_groups(pairs_df: pd.DataFrame,
     """Connected components over verified duplicate pairs → (path, group_rep)
     where ``group_rep`` is the lexicographically-smallest member.
 
-    Union-find on the driver: safe because the input is the LSH-filtered
-    candidate-pair set, which is ≪ corpus by construction (the guide's
-    stated precondition). For adversarial corpora where pairs explode, the
-    distributed alternative is iterated min-label propagation via
-    ``groupby`` — O(diameter) shuffles.
+    Union-find on the driver: the small-input FAST PATH, safe because the
+    input is the LSH-filtered candidate-pair set, which is ≪ corpus by
+    construction (the guide's stated precondition). For adversarial corpora
+    where pairs explode (e.g. 30-40% dup rate at 100× scale), use
+    :func:`duplicate_groups_distributed` — same labeling (pytest-pinned
+    equal), O(log diameter) hash-partitioned rounds, nothing driver-sized.
     """
     parent: dict[str, str] = {}
 
@@ -507,6 +508,127 @@ def duplicate_groups(pairs_df: pd.DataFrame,
             parent[hi] = lo
     rows = sorted((x, find(x)) for x in parent)
     return pd.DataFrame(rows, columns=["path", "group_rep"])
+
+
+def duplicate_groups_distributed(pairs, cols: tuple[str, str] = ("path_a", "path_b"),
+                                 *, num_partitions: int = 16,
+                                 max_rounds: int = 64):
+    """Distributed connected components over duplicate pairs → Dataset
+    ``(path, group_rep)`` — the scale path of :func:`duplicate_groups` for
+    adversarial corpora whose pair set would OOM a driver union-find
+    (round-2 verdict item: 100× corpus at 30-40% dup rate).
+
+    Iterated MIN-LABEL PROPAGATION with a POINTER-JUMPING shortcut
+    (Shiloach-Vishkin style). State = a ``(node, label)`` dataset, label
+    monotonically non-increasing toward the component's lexicographic min.
+    Each round runs two hash-partitioned steps, one join per executed plan
+    (two chained joins in one Ray 2.49 plan spawn 2× aggregator actor sets
+    — measured round-2 lesson — so the state MATERIALIZES between steps;
+    it is pairs-sized, never corpus-sized):
+
+    1. relax: ``label(x) ← min(label(x), min label(y) over edges (x,y))``
+       — one join of the (static, symmetrized) edge list against labels +
+       one ``groupby(node).Min``;
+    2. hop: ``label(x) ← label(label(x))`` — one self-join (every label is
+       itself a node, so the inner join is total).
+
+    Hopping makes convergence O(log diameter) rounds instead of
+    O(diameter) — a 10^6-node path graph needs ~20 rounds, not 10^6.
+    Convergence test: labels only ever decrease, so the round loop stops
+    when a 64-bit content hash of the state is unchanged (a missed change
+    needs a hash-sum collision; collision probability ~2^-64 per round).
+
+    Output is identical to :func:`duplicate_groups` (pytest-pinned): both
+    label every node with its component's lexicographically smallest
+    member."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    a, b = cols
+    if isinstance(pairs, pd.DataFrame):
+        if not len(pairs):
+            return ray.data.from_pandas(
+                _empty_df(path="object", group_rep="object")
+            )
+        pairs = ray.data.from_pandas(pairs[[a, b]])
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        src = t[a].combine_chunks() if isinstance(t[a], pa.ChunkedArray) else t[a]
+        dst = t[b].combine_chunks() if isinstance(t[b], pa.ChunkedArray) else t[b]
+        return pa.table({
+            "src": pa.concat_arrays([src.cast(pa.string()), dst.cast(pa.string())]),
+            "dst": pa.concat_arrays([dst.cast(pa.string()), src.cast(pa.string())]),
+        })
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def signature(lab) -> int:
+        def part(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                pd.Series(
+                    t["node"].to_pandas().astype(str)
+                    + "\x01"
+                    + t["label"].to_pandas().astype(str)
+                ),
+                index=False,
+            ).to_numpy().astype("int64")
+            return pa.table({"sig": pa.array([int(h.sum())], pa.int64())})
+
+        out = lab.map_batches(part, batch_format="pyarrow").aggregate(
+            Sum("sig", alias_name="sig")
+        )
+        return int((out or {}).get("sig") or 0)
+
+    prev_sig = signature(labels)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # relax: neighbor labels flow along edges
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        # hop: label(x) <- label(label(x)) (pointer jumping)
+        parents = labels.map_batches(
+            lambda t: pa.table({"pnode": t["node"], "plabel": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = labels.join(
+            parents, join_type="inner", num_partitions=num_partitions,
+            on=("label",), right_on=("pnode",),
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["plabel"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        sig = signature(labels)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    log.info("duplicate_groups_distributed: converged in %d rounds", rounds)
+
+    return labels.map_batches(
+        lambda t: pa.table({"path": t["node"], "group_rep": t["label"]}),
+        batch_format="pyarrow",
+    )
 
 
 def ngram_jaccard_verify(pairs_df: pd.DataFrame, contents: dict[str, str],

@@ -237,3 +237,56 @@ def test_no_duplicates_empty_outputs(ray_session):
     assert list(verified.columns) == ["path_a", "path_b", "jaccard"]
     groups = duplicate_groups(verified)
     assert len(groups) == 0
+
+
+def test_duplicate_groups_distributed_matches_union_find(ray_session):
+    """The distributed min-label-propagation resolver must produce exactly
+    the union-find labeling on a mixed graph (several components, a hub, a
+    chain, singleton-free)."""
+    from corpusaid_ray.stages.neardup import (
+        duplicate_groups,
+        duplicate_groups_distributed,
+    )
+
+    rng = np.random.default_rng(7)
+    pairs = []
+    # hub component: h0 - h{1..20}
+    pairs += [("h00", f"h{i:02d}") for i in range(1, 21)]
+    # chain component: c00-c01-...-c30
+    pairs += [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(30)]
+    # random small components
+    for g in range(5):
+        ids = [f"g{g}n{j}" for j in range(4)]
+        pairs += [(ids[rng.integers(4)], ids[rng.integers(4)]) for _ in range(6)]
+    df = pd.DataFrame(pairs, columns=["path_a", "path_b"])
+    df = df[df.path_a != df.path_b].reset_index(drop=True)
+
+    want = duplicate_groups(df).sort_values("path").reset_index(drop=True)
+    got = (
+        duplicate_groups_distributed(df, num_partitions=4)
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_duplicate_groups_distributed_adversarial_chain(ray_session):
+    """Adversarial shape for naive propagation: one long path graph
+    (diameter ~800). Pointer jumping must converge in O(log d) rounds —
+    the test bounds rounds via max_rounds=16, which plain (non-hopping)
+    propagation could not meet — and every node must label to the chain's
+    lexicographic minimum."""
+    from corpusaid_ray.stages.neardup import duplicate_groups_distributed
+
+    n = 800
+    df = pd.DataFrame(
+        {
+            "path_a": [f"n{i:04d}" for i in range(n - 1)],
+            "path_b": [f"n{i + 1:04d}" for i in range(n - 1)],
+        }
+    )
+    out = duplicate_groups_distributed(df, num_partitions=4, max_rounds=16)
+    got = out.to_pandas()
+    assert len(got) == n
+    assert (got["group_rep"] == "n0000").all()
