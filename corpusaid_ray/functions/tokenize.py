@@ -51,8 +51,73 @@ yet you your yours yourself yourselves
 )
 
 
+class PinnedTokenizer:
+    """The engine's default backend: the pinned regex spec + frozen stop
+    list above. Fully deterministic, zero dependencies, SQL-mirrorable —
+    every oracle in this repo assumes it."""
+
+    name = "pinned"
+
+    def tokens(self, text: str) -> list[str]:
+        return TOKEN_RE.findall(text)
+
+    def stop_words(self) -> frozenset[str]:
+        return STOP_WORDS
+
+
+class SpacyTokenizer:
+    """Reference-exact backend (src/CorpusAid.py:166-176, 369-382): spaCy
+    ``en_core_web_sm`` with parser/NER disabled, sentencizer added,
+    ``max_length=2e8``, stop words from ``spacy.lang.en``. Only
+    constructible where spaCy + the model are installed (NOT this sandbox);
+    selecting it trades SQL-mirror parity for reference-exact token
+    boundaries — the documented §2.1 #14/#15 divergence, made structural."""
+
+    name = "spacy"
+
+    def __init__(self):
+        import spacy  # raises ImportError where unavailable
+        from spacy.lang.en.stop_words import STOP_WORDS as SPACY_STOPS
+
+        self._nlp = spacy.load(
+            "en_core_web_sm", disable=["parser", "ner"]
+        )
+        if "sentencizer" not in self._nlp.pipe_names:
+            self._nlp.add_pipe("sentencizer")
+        self._nlp.max_length = 200_000_000
+        self._stops = frozenset(SPACY_STOPS)
+
+    def tokens(self, text: str) -> list[str]:
+        return [t.text for t in self._nlp(text) if not t.is_space]
+
+    def stop_words(self) -> frozenset[str]:
+        return self._stops
+
+
+def get_tokenizer(backend: str | None = None):
+    """Tokenizer backend selection (round-2 verdict #8: the spaCy parity
+    gap is structural, not permanent). ``backend`` or
+    ``$CORPUSAID_TOKENIZER`` ∈ {"pinned", "spacy"}; unknown values and an
+    uninstallable spaCy FALL BACK to the pinned spec (logged), so the
+    engine never hard-fails on environment differences."""
+    import logging
+    import os
+
+    backend = backend or os.environ.get("CORPUSAID_TOKENIZER", "pinned")
+    if backend == "spacy":
+        try:
+            return SpacyTokenizer()
+        except Exception as ex:  # ImportError / missing model
+            logging.getLogger(__name__).warning(
+                "spaCy tokenizer unavailable (%s); falling back to the "
+                "pinned spec", ex,
+            )
+    return PinnedTokenizer()
+
+
 def word_tokenize(text: str) -> list[str]:
-    """Engine tokenizer (pinned spec above)."""
+    """Engine tokenizer (pinned spec above — the oracle-parity contract;
+    use :func:`get_tokenizer` for backend choice)."""
     return TOKEN_RE.findall(text)
 
 

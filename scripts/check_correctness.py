@@ -85,32 +85,40 @@ def main() -> int:
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    import time
+
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             ray_df = to_pandas(fn(sf_dir))
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
             failures += 1
             continue
+        q_sec = time.perf_counter() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(ray_df)} rows) [no oracle]")
+            print(f"ok   {name}: rows-only ({len(ray_df)} rows) "
+                  f"[no oracle] [{q_sec:.1f}s]")
             continue
+        t0 = time.perf_counter()
         try:
             sql_df = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
             failures += 1
             continue
+        o_sec = time.perf_counter() - t0
         problems = compare(name, ray_df, sql_df)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"ok   {name}: {len(ray_df)} rows, values match")
+            print(f"ok   {name}: {len(ray_df)} rows, values match "
+                  f"[q {q_sec:.1f}s / sql {o_sec:.1f}s]")
     ray.shutdown()
     return 1 if failures else 0
 

@@ -358,3 +358,37 @@ def test_pattern_builder_python_re2_parity_property():
         assert py == re2
 
     check()
+
+
+def test_tokenizer_backend_interface():
+    """get_tokenizer: pinned is the default AND the fallback when spaCy is
+    not installable (this sandbox); the spaCy path is exercised only where
+    importable (round-2 verdict #8)."""
+    from corpusaid_ray.functions.tokenize import (
+        STOP_WORDS,
+        TOKEN_RE,
+        get_tokenizer,
+    )
+
+    tk = get_tokenizer()
+    assert tk.name == "pinned"
+    assert tk.tokens("Don't stop-me, now!") == TOKEN_RE.findall(
+        "Don't stop-me, now!"
+    )
+    assert tk.stop_words() is STOP_WORDS
+
+    # explicit spacy request without spacy installed → pinned fallback
+    fb = get_tokenizer("spacy")
+    try:
+        import spacy  # noqa: F401
+
+        has_spacy = True
+    except ImportError:
+        has_spacy = False
+    if has_spacy:
+        assert fb.name in ("spacy", "pinned")  # model may still be absent
+    else:
+        assert fb.name == "pinned"
+
+    # unknown backend value → pinned
+    assert get_tokenizer("nonsense").name == "pinned"
