@@ -218,7 +218,10 @@ def run_checkpointed(sf_dir: str, out_dir: str, *, config=None,
     if not targets:
         return {"parts_written": [], "skipped": sorted(done), "rows": 0}
 
-    ds = read_corpus(sf_dir, repeat=repeat)
+    # parallelism: when repeat alone can't fill the cluster, the replica
+    # slicer in read_corpus splits each replica so ≥ 2×num_parts tasks exist
+    ds = read_corpus(sf_dir, parallelism=max(2 * num_parts, repeat),
+                     repeat=repeat)
     ds = ds.map_batches(lambda b: assign_part(b, num_parts), batch_format="pyarrow")
     target_arr = pa.array(sorted(targets), pa.int64())
     ds = ds.map_batches(
