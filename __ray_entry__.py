@@ -344,6 +344,22 @@ def q_events_percentiles(sf_dir: str):
     return group_percentiles(ds, key="event_type", value_col="value")
 
 
+def q_events_percentiles_dist(sf_dir: str):
+    """The DISTRIBUTED exact-percentile path (histogram + targeted bucket
+    selection — no one-reducer-per-key assumption). Bit-identical to
+    events_percentiles by construction; both share one SQL oracle."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import group_percentiles_distributed
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return group_percentiles_distributed(
+        ds, key="event_type", value_col="value"
+    )
+
+
 def q_top_users_per_type(sf_dir: str):
     """Per-group top-k: the 3 users with the highest total event value per
     event_type (two-phase partial sums, per-group pick, deterministic
@@ -1280,6 +1296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": q_multimodal_meta,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        # --- new in round 3 ---
+        "events_percentiles_dist": q_events_percentiles_dist,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -265,6 +265,10 @@ SELECT event_type, n,
        v[greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)] AS p99_micros
 FROM vals"""
 
+# The distributed percentile path is exact and bit-identical to the
+# single-reducer one — both verify against the SAME mirror.
+ORACLE_SQL["events_percentiles_dist"] = ORACLE_SQL["events_percentiles"]
+
 # Per-group top-k mirror: window rank over per-(type,user) sums,
 # deterministic tie-break on user_id.
 ORACLE_SQL["top_users_per_type"] = """

@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _bytes_words(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
@@ -180,6 +180,130 @@ def group_percentiles(ds, *, key: str, value_col: str,
         return pd.DataFrame(row)
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def group_percentiles_distributed(ds, *, key: str, value_col: str,
+                                  percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                                  num_buckets: int = 4096):
+    """Exact discrete percentiles per group WITHOUT
+    :func:`group_percentiles`' one-reducer-per-key assumption — the scale
+    path for low-cardinality keys over huge data (its docstring names this
+    exact design). Same output, same ceil-rank-of-sorted semantics,
+    bit-identical (shared pytest + the same SQL oracle).
+
+    Three bounded passes, no per-key materialization anywhere:
+
+    A. per-key ``(min, max, n)`` — one partial-agg groupby (keys rows);
+    B. per-(key, value-bucket) counts — batch combiner then groupby sum;
+       the driver builds cumulative histograms from ≤ keys × num_buckets
+       tiny rows and computes, per percentile, WHICH bucket holds the
+       answer and the offset inside it (pure integer math on the exact
+       micro-unit values, so no approximation is introduced);
+    C. one filtered pass over only the needed buckets (≤ keys × |p|
+       buckets, each ~n_key/num_buckets values) → per-bucket sort →
+       select the offset — ``map_groups`` groups are bucket-sized, never
+       key-sized.
+
+    Driver memory: O(keys × num_buckets) int rows. Raise ``num_buckets``
+    with data size to shrink pass-C groups; the histogram stays tiny.
+    """
+    import math
+
+    import ray
+
+    def to_micros(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key],
+            "v": np.floor(df[value_col].to_numpy() * 1_000_000).astype("int64"),
+        })
+
+    vals = ds.map_batches(to_micros, batch_format="pandas")
+
+    # pass A: per-key extent + count
+    ext = vals.groupby(key).aggregate(
+        Min("v", alias_name="vmin"), Max("v", alias_name="vmax"),
+        Count(alias_name="n"),
+    ).to_pandas()
+    extent = {
+        r[key]: (int(r["vmin"]), int(r["vmax"]), int(r["n"]))
+        for _, r in ext.iterrows()
+    }
+    ext_ref = ray.put(extent)
+
+    def bucket_of(df: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(ext_ref)
+        lo_map = {k2: v[0] for k2, v in e.items()}
+        hi_map = {k2: v[1] for k2, v in e.items()}
+        lo = df[key].map(lo_map).to_numpy("int64")   # cython dict lookup,
+        hi = df[key].map(hi_map).to_numpy("int64")   # no per-row lambda
+        width = np.maximum((hi - lo + num_buckets) // num_buckets, 1)
+        df = df.copy()
+        df["b"] = (df["v"].to_numpy("int64") - lo) // width
+        return df
+
+    # pass B: histogram (batch combiner bounds the exchange at
+    # ≤ keys × buckets rows per batch)
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = bucket_of(df).groupby([key, "b"], sort=False).size().rename("c")
+        return g.reset_index()
+
+    hist = (
+        vals.map_batches(hist_partial, batch_format="pandas")
+        .groupby([key, "b"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+
+    # driver: locate (bucket, within-bucket offset) per (key, percentile)
+    needed: dict[tuple, list[tuple[str, int]]] = {}
+    for k2, sub in hist.groupby(key):
+        sub = sub.sort_values("b")
+        buckets = sub["b"].to_numpy("int64")
+        counts = sub["c"].to_numpy("int64")
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        n = int(cum[-1])
+        for p in percentiles:
+            rank = max(math.ceil(p * n), 1)          # 1-based ceil rank
+            bi = int(np.searchsorted(cum, rank, side="left")) - 1
+            j = rank - int(cum[bi])                   # 1-based inside bucket
+            needed.setdefault((k2, int(buckets[bi])), []).append(
+                (f"p{int(p * 100)}_micros", j)
+            )
+    need_ref = ray.put(needed)
+
+    def keep_needed(df: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(need_ref)
+        df = bucket_of(df)
+        m = [(k2, b) in nd for k2, b in zip(df[key], df["b"])]
+        return df.loc[m, [key, "b", "v"]]
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(need_ref)
+        v = np.sort(g["v"].to_numpy("int64"), kind="stable")
+        k2, b = g[key].iloc[0], int(g["b"].iloc[0])
+        rows = [
+            {key: k2, "pcol": pcol, "val": int(v[j - 1])}
+            for pcol, j in nd[(k2, b)]
+        ]
+        return pd.DataFrame(rows, columns=[key, "pcol", "val"])
+
+    picked = (
+        vals.map_batches(keep_needed, batch_format="pandas")
+        .groupby([key, "b"])
+        .map_groups(select, batch_format="pandas")
+        .to_pandas()  # ≤ keys × |percentiles| rows
+    )
+
+    out_rows = []
+    for k2, sub in picked.groupby(key):
+        row = {key: k2, "n": extent[k2][2]}
+        row.update(dict(zip(sub["pcol"], sub["val"].astype("int64"))))
+        out_rows.append(row)
+    cols = [key, "n"] + [f"p{int(p * 100)}_micros" for p in percentiles]
+    out = pd.DataFrame(out_rows, columns=cols).sort_values(key)
+    return out.reset_index(drop=True).astype(
+        {c: "int64" for c in cols if c != key}
+    )
 
 
 def group_topk(ds, *, key: str, rank_col: str, by_col: str, k: int = 3):

@@ -1,10 +1,10 @@
 """Deduplication operators (north-rule + training-data-pipeline stages).
 
 Exact dedup: content-sha256, first-wins within a scope key. The wide step is
-one ``groupby`` on ``(scope, hash)`` — hash-partitioned, so duplicate groups
-co-locate regardless of which input fragment they came from; giant-repo skew
-does NOT concentrate on one reducer because the hash of *content* spreads a
-repo's rows across the keyspace (only truly identical content gathers).
+one ``groupby`` — hash-partitioned, so duplicate groups co-locate regardless
+of which input fragment they came from; giant-repo skew does NOT concentrate
+on one reducer because the hash of *content* spreads a repo's rows across
+the keyspace (only truly identical content gathers).
 
 At 100 TB: groups are tiny (duplicate cardinality), the shuffle payload can
 be pruned to key columns first (``select_columns``) and joined back if full
@@ -27,131 +27,79 @@ def add_sha256(batch: pa.Table, source_col: str = "content") -> pa.Table:
     return batch.append_column("content_sha256", pa.array(sha, pa.string()))
 
 
-# \x01 never occurs in path/commit/sha values; because it sorts below every
-# printable byte, min() over "order\x01payload..." picks exactly the
-# min-order row even when one order value prefixes another ("ab" < "abc" ⇒
-# "ab\x01…" < "abc…"). (\x00 would sort lower still, but numpy <U arrays
-# inside Ray's aggregate silently drop NUL characters.)
-_PACK_SEP = "\x01"
-# A null payload cell packs as this bare token (astype(str) would otherwise
-# bake the literal string 'None' into the output) and is restored to null in
-# unpack(). Values containing either control char fail loudly below.
-_NULL_TOKEN = "\x02"
+# Coarse shuffle-key cardinality (same lesson as stages/neardup.py
+# SALT_BUCKETS): grouping 10^6+ rows by long string keys through Ray's
+# sort-based aggregate is ~15× slower than grouping by a small int64
+# partition key and doing the exact fine grouping with pandas inside each
+# part (measured at 1M scattered-duplicate rows, 32 CPUs: packed-Min
+# aggregate 132 s vs this shape 8.5 s — see BASELINE.md r3). Scale note:
+# raise with cluster size (parts ≈ 16-64× total cores).
+DEFAULT_PARTS = 1024
 
 
 def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
                 hash_col: str = "content_sha256",
                 order_col: str = "path",
-                payload_cols: tuple[str, ...] | None = None):
+                payload_cols: tuple[str, ...] | None = None,
+                num_parts: int = DEFAULT_PARTS):
     """First-wins exact dedup: keep the row with min ``order_col`` per
     (scope, hash) group. Deterministic regardless of block order.
 
     SQL equivalent: ``QUALIFY row_number() OVER (PARTITION BY scope, hash
     ORDER BY order_col) = 1``.
 
-    Two-phase: a batch-local combiner (vectorized ``drop_duplicates`` keeping
-    the min-order row per key) runs BEFORE the groupby, so the all-to-all
-    shuffle moves at most one row per (key, batch) instead of every
-    duplicate — at bench scale (100× replicated corpus) this cuts the
-    shuffle payload ~100×. The final per-group pick is semantics-preserving
-    because min-of-mins = global min.
+    Shape (all semantics-preserving because min-of-mins = global min):
 
-    The final pick runs as a hash-partitioned ``Min`` AGGREGATE over the
-    order column with the remaining string payload packed behind a ``\\x01``
-    separator — no per-group Python at any group count (round-1 verdict
-    item; measured vs ``map_groups(head(1))`` at bench scale: see
-    BASELINE.md). ``payload_cols`` (non-key, non-order string columns to
-    carry) defaults to every other column when all are strings; non-string
-    payload schemas fall back to a per-group ``map_groups`` pick
-    automatically. Passing ``payload_cols=()`` explicitly DROPS all
-    non-key, non-order columns from the output.
+    1. batch-local combiner — vectorized ``drop_duplicates`` keeping the
+       min-order row per key, so the all-to-all moves at most one row per
+       (key, batch) instead of every duplicate. How much this collapses
+       depends on layout: co-located duplicates collapse ~group-size×,
+       scattered duplicates (the realistic web-scale case) pass through.
+    2. coarse-salted exchange — rows are grouped by
+       ``hash64(scope‖hash) % num_parts`` (process-deterministic pandas
+       siphash), an int64 key, NOT by the string key pair: Ray's
+       sort-based shuffle over long string keys was measured 15× slower
+       at 1M-row exchange volume, and ``map_groups`` costs ~1 Python call
+       per GROUP, so fine groups would also pay 10^5+ interpreter calls.
+       Every row of one (scope, hash) group lands in the same part.
+    3. exact fine grouping inside each part with pandas at C speed —
+       ``sort_values(order).drop_duplicates(keys)``.
+
+    Null/order semantics: null ``order_col`` values sort LAST (pandas
+    NaN-last) in both the combiner and the final pick, so a null-ordered
+    row wins only when its whole group is null-ordered; payload columns of
+    any type (including nulls) flow through untouched — there is no string
+    packing anywhere (the round-2 packed-Min shape corrupted null payloads
+    and is gone).
+
+    ``payload_cols``: ``None`` keeps every column; an explicit tuple keeps
+    only those non-key, non-order columns (``()`` drops all extras).
     """
-    import pyarrow as pa
-
-    from ray.data.aggregate import Min
-
     keys = [*scope_cols, hash_col]
 
+    if payload_cols is not None:
+        ds = ds.select_columns([*keys, order_col, *payload_cols])
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(order_col, kind="mergesort").drop_duplicates(
+        df = df.sort_values(order_col, kind="mergesort").drop_duplicates(
             keys, keep="first"
         )
+        salt_src = df[keys[0]].astype(str)
+        for k in keys[1:]:
+            salt_src = salt_src + "\x01" + df[k].astype(str)
+        df = df.assign(_part=(
+            pd.util.hash_pandas_object(salt_src, index=False).to_numpy()
+            % num_parts
+        ).astype("int64"))
+        return df
 
-    combined = ds.map_batches(combine, batch_format="pandas")
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").drop_duplicates(
+            keys, keep="first"
+        ).drop(columns=["_part"])
 
-    if payload_cols is None:
-        out_order = None
-        try:
-            schema = ds.schema()
-            others = [c for c in schema.names
-                      if c not in keys and c != order_col]
-            types = dict(zip(schema.names, schema.types))
-            if all(isinstance(types[c], pa.DataType)
-                   and pa.types.is_string(types[c]) for c in others):
-                payload_cols = tuple(others)
-                out_order = list(schema.names)
-            # else: non-string payload → map_groups fallback below
-        except Exception:
-            pass
-    else:
-        out_order = None
-
-    if payload_cols is None:
-        def first_by_order(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values(order_col, kind="mergesort").head(1)
-
-        return combined.groupby(keys).map_groups(
-            first_by_order, batch_format="pandas"
-        )
-
-    pcols = list(payload_cols)
-
-    def pack(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[keys].copy()
-        if df[order_col].isna().any():
-            # null order values would sort differently here (packed-min)
-            # vs the map_groups fallback (sort_values puts NaN last) —
-            # refuse rather than silently pick a different winner
-            raise ValueError(
-                f"dedup_exact: order column {order_col!r} contains nulls; "
-                "use payload_cols=None (map_groups path) for such data"
-            )
-        packed = df[order_col].astype(str)
-        for c in [order_col, *pcols]:
-            # a \x01 inside a value would shift every later column on
-            # unpack, and a \x02 would be mistaken for an encoded null —
-            # fail loudly; such data needs the map_groups path
-            s = df[c].astype(str)
-            if (s.str.contains(_PACK_SEP, regex=False).any()
-                    or s.str.contains(_NULL_TOKEN, regex=False).any()):
-                raise ValueError(
-                    f"dedup_exact: column {c!r} contains a \\x01/\\x02 "
-                    "control char; pass payload_cols=None with non-string "
-                    "types (or use the map_groups path) for such data"
-                )
-        for c in pcols:
-            vals = df[c].astype(str).where(df[c].notna(), _NULL_TOKEN)
-            packed = packed + _PACK_SEP + vals
-        out["_packed"] = packed
-        return out
-
-    agg = (
-        combined.map_batches(pack, batch_format="pandas")
-        .groupby(keys)
-        .aggregate(Min("_packed", alias_name="_packed"))
+    return (
+        ds.map_batches(combine, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(pick, batch_format="pandas")
     )
-
-    def unpack(df: pd.DataFrame) -> pd.DataFrame:
-        parts = df["_packed"].str.split(_PACK_SEP, expand=True)
-        df = df.drop(columns=["_packed"])
-        df[order_col] = parts[0] if len(df) else pd.Series(dtype="object")
-        for i, c in enumerate(pcols, start=1):
-            if len(df):
-                col = parts[i]
-                df[c] = col.where(col != _NULL_TOKEN, None)
-            else:
-                df[c] = pd.Series(dtype="object")
-        cols = out_order or [*keys, order_col, *pcols]
-        return df[[c for c in cols if c in df.columns]]
-
-    return agg.map_batches(unpack, batch_format="pandas")

@@ -15,7 +15,10 @@ SQL equivalent::
     QUALIFY row_number() OVER (PARTITION BY line ORDER BY path, line_no) = 1
     ... GROUP BY path: string_agg(line, chr(10) ORDER BY line_no)
 
-Scale shape (the two wide steps are both hash-partitioned groupbys):
+Scale shape (the two wide steps are both hash-partitioned groupbys on
+SMALL INT64 salt keys — grouping millions of rows by the line/path strings
+themselves through Ray's sort-based shuffle was measured ~4-15× slower;
+fine exact grouping happens with pandas inside each coarse part):
 
 1. explode — zero-copy Arrow ``split_pattern`` + numpy offsets; no Python
    per row.
@@ -23,17 +26,14 @@ Scale shape (the two wide steps are both hash-partitioned groupbys):
    batch, so the shuffle moves at most one row per (line, batch); on
    boilerplate-heavy corpora this shrinks the exchange by the duplication
    factor before it happens.
-3. global first-occurrence pick — ``groupby(line).aggregate(Min(pack))``
-   with the order key packed behind ``\\x01`` (same trick and rationale as
-   ``dedup.dedup_exact``): no per-group Python at web-scale group counts.
-   The group key here is the line TEXT (exact semantics, zero collision
-   risk, matches the oracle byte-for-byte); at 100 TB swap the key for
-   ``sha1(line)`` to bound key bytes in the shuffle — the pack already
-   carries everything needed downstream.
-4. reassembly — surviving lines only; fine per-``path`` grouping is done
-   with pandas INSIDE ~4096 coarse salted groups (measured round-2 lesson:
-   Ray ``map_groups`` costs ~1 Python call per group, so salt fine keys
-   coarse and group locally).
+3. global first-occurrence pick — ``groupby(hash64(line) % 4096)`` then an
+   exact per-line ``sort_values(path, line_no).drop_duplicates(line)``
+   inside the part. Every occurrence of one line lands in the same part
+   (the salt is a pure function of the line), so the pick is exact. The
+   line TEXT crosses the exchange because reassembly needs it anyway; at
+   100 TB the salt input can swap to ``sha1(line)`` to bound hashing cost
+   — the partitioning contract is unchanged.
+4. reassembly — surviving lines only, salted the same way by ``path``.
 """
 
 from __future__ import annotations
@@ -43,8 +43,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_SEP = "\x01"  # sorts below every printable byte; never in path/line_no
-_PAD = 12      # zero-pad width for line_no in the pack (10^12 lines/doc cap)
 _COARSE = 4096
 
 
@@ -74,56 +72,51 @@ def _explode_lines(batch: pa.Table, content_col: str, key_col: str) -> pa.Table:
     })
 
 
-def _pack_combine(df: pd.DataFrame) -> pd.DataFrame:
-    """Pack the order key and keep the batch-local min occurrence per line."""
-    # a \x01 inside a key would shift the unpack split (same loud-failure
-    # contract as dedup_exact); corpus paths are ASCII printable
-    if df["path"].str.contains(_SEP).any():
-        raise ValueError(
-            "line_dedup: key column contains the \\x01 pack separator"
-        )
-    df["_pack"] = (
-        df["path"] + _SEP + df["line_no"].astype(str).str.zfill(_PAD)
-    )
-    df = df.sort_values("_pack", kind="mergesort").drop_duplicates(
+def _salt(s: pd.Series) -> np.ndarray:
+    return (
+        pd.util.hash_pandas_object(s, index=False).to_numpy() % _COARSE
+    ).astype("int64")
+
+
+def _combine(df: pd.DataFrame) -> pd.DataFrame:
+    """Batch-local min-order occurrence per line + line-salt assignment."""
+    df = df.sort_values(["path", "line_no"], kind="mergesort").drop_duplicates(
         "line", keep="first"
     )
-    return df[["line", "_pack"]]
+    return df.assign(_part=_salt(df["line"]))
+
+
+def _pick_first(g: pd.DataFrame) -> pd.DataFrame:
+    """Exact global first occurrence per line within one salt part."""
+    if not len(g):
+        return pd.DataFrame({
+            "path": pd.Series(dtype="object"),
+            "line_no": pd.Series(dtype="int64"),
+            "line": pd.Series(dtype="object"),
+            "part": pd.Series(dtype="int64"),
+        })
+    g = g.sort_values(["path", "line_no"], kind="mergesort").drop_duplicates(
+        "line", keep="first"
+    )
+    return pd.DataFrame({
+        "path": g["path"],
+        "line_no": g["line_no"].astype("int64"),
+        "line": g["line"],
+        "part": _salt(g["path"]),
+    })
 
 
 def line_dedup(ds, *, content_col: str = "content", key_col: str = "path"):
     """Corpus-wide first-occurrence line dedup; returns one row per document
     that retains at least one line: ``(path, content_dedup, lines_kept)``."""
-    from ray.data.aggregate import Min
-
     exploded = ds.map_batches(
         lambda b: _explode_lines(b, content_col, key_col),
         batch_format="pyarrow",
-    ).map_batches(_pack_combine, batch_format="pandas")
+    ).map_batches(_combine, batch_format="pandas")
 
-    winners = exploded.groupby("line").aggregate(Min("_pack", alias_name="_pack"))
-
-    def unpack(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({
-                "path": pd.Series(dtype="object"),
-                "line_no": pd.Series(dtype="int64"),
-                "line": pd.Series(dtype="object"),
-                "part": pd.Series(dtype="int64"),
-            })
-        parts = df["_pack"].str.split(_SEP, expand=True)
-        out = pd.DataFrame({
-            "path": parts[0],
-            "line_no": parts[1].astype("int64"),
-            "line": df["line"],
-        })
-        out["part"] = (
-            pd.util.hash_pandas_object(out["path"], index=False).to_numpy()
-            % _COARSE
-        ).astype("int64")
-        return out
-
-    survivors = winners.map_batches(unpack, batch_format="pandas")
+    survivors = exploded.groupby("_part").map_groups(
+        _pick_first, batch_format="pandas"
+    )
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):

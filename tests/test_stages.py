@@ -371,11 +371,11 @@ def test_dedup_aggregate_equals_map_groups(ray_session):
 
 
 def test_dedup_null_payload_roundtrip(ray_session):
-    """Null payload cells must survive the packed-Min path as real nulls
-    (not the literal string 'None' — ADVICE r2 medium), and a null ORDER
-    value must be refused loudly rather than silently re-ordered."""
+    """Null payload cells must survive dedup as real nulls (not the literal
+    string 'None' — ADVICE r2 medium; the string-packing shape that caused
+    it is gone), and null ORDER values follow pandas NaN-last sorting: a
+    null-ordered row wins only when its whole group is null-ordered."""
     import pyarrow as pa
-    import pytest
     import ray.data
 
     from corpusaid_ray.stages.dedup import dedup_exact
@@ -392,18 +392,28 @@ def test_dedup_null_payload_roundtrip(ray_session):
     assert out.commit.iloc[1] == "c3"
     assert "None" not in out.commit.astype(str).iloc[1]
 
-    # null order value surviving the batch combiner → loud refusal
-    # (packed-min vs map_groups would disagree on the winner). The null row
-    # is alone in its group, so the combiner can't eliminate it first.
-    bad = pa.table({
-        "repo": pa.array(["r1"] * 2, pa.string()),
-        "content_sha256": pa.array(["h", "h2"], pa.string()),
-        "path": pa.array([None, "a"], pa.string()),
-        "commit": pa.array(["c1", "c2"], pa.string()),
+    # null order value: loses to any non-null order in its group (NaN-last)
+    nul = pa.table({
+        "repo": pa.array(["r1"] * 3, pa.string()),
+        "content_sha256": pa.array(["h", "h", "h2"], pa.string()),
+        "path": pa.array([None, "z", None], pa.string()),
+        "commit": pa.array(["c1", "c2", "c3"], pa.string()),
     })
-    with pytest.raises(Exception) as ei:
-        dedup_exact(ray.data.from_arrow(bad)).to_pandas()
-    assert "contains nulls" in str(ei.value)
+    out = dedup_exact(ray.data.from_arrow(nul)).to_pandas()
+    got = {(r.commit): r.path for r in out.itertuples()}
+    assert got["c2"] == "z"          # non-null order wins within group h
+    assert "c1" not in got
+    assert got["c3"] is None or pd.isna(got["c3"])  # all-null group kept
+
+    # non-string payload types flow through untouched (no packing)
+    typed = pa.table({
+        "repo": pa.array(["r"] * 2, pa.string()),
+        "content_sha256": pa.array(["h", "h"], pa.string()),
+        "path": pa.array(["b", "a"], pa.string()),
+        "stars": pa.array([7, 9], pa.int64()),
+    })
+    out = dedup_exact(ray.data.from_arrow(typed)).to_pandas()
+    assert len(out) == 1 and out.path.iloc[0] == "a" and int(out.stars.iloc[0]) == 9
 
 
 def test_pattern_builder_empty_fails_fast():
@@ -637,3 +647,41 @@ def test_group_topk_ties_and_ranks(ray_session):
     assert a["rank"].tolist() == [1, 2, 3]
     b = out[out.event_type == "b"].sort_values("rank")
     assert b.user_id.tolist() == [8, 9]  # k larger than group → all, tie by id
+
+
+def test_group_percentiles_distributed_equals_single_reducer(ray_session):
+    """The histogram+targeted-bucket percentile path must be bit-identical
+    to group_percentiles' per-key sort, including skewed and tiny groups,
+    constant-valued keys (zero-width extent), and n=1 keys."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles,
+        group_percentiles_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # big skewed group, a lognormal-ish tail
+    rows += [{"k": "big", "value": float(v)}
+             for v in np.exp(rng.normal(0, 2, size=5000))]
+    # small group
+    rows += [{"k": "small", "value": float(v)} for v in rng.normal(5, 1, 7)]
+    # constant group (vmin == vmax → width clamps to >= 1)
+    rows += [{"k": "const", "value": 3.25} for _ in range(50)]
+    # singleton
+    rows += [{"k": "one", "value": -2.5}]
+    ds = ray.data.from_items(rows)
+
+    want = (
+        group_percentiles(ds, key="k", value_col="value")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got = group_percentiles_distributed(
+        ds, key="k", value_col="value", num_buckets=64
+    )
+    pd.testing.assert_frame_equal(
+        got, want[got.columns].astype(got.dtypes.to_dict())
+    )
