@@ -1273,6 +1273,45 @@ def q_langid_scores(sf_dir: str):
     )
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink → source round-trip: documents out as partitioned NDJSON
+    (one file per block, resumable layout), read back with Arrow's native
+    NDJSON reader. The oracle reads the ORIGINAL parquet — a value-hash
+    match proves the interchange path is lossless, not merely self-
+    consistent."""
+    import tempfile
+
+    import ray.data
+
+    from corpusaid_ray.sources import read_jsonl, write_jsonl
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    write_jsonl(ds, out)
+    return read_jsonl(out, columns=["doc_id", "text", "lang"])
+
+
+def q_csv_roundtrip(sf_dir: str):
+    """CSV sink → source round-trip (embedded newlines/commas in text are
+    the hard part — writer quotes them, reader parses with
+    ``newlines_in_values=True``). Oracle reads the original parquet, so a
+    hash match proves losslessness."""
+    import tempfile
+
+    import ray.data
+
+    from corpusaid_ray.sources import read_csv_docs, write_csv_docs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out = tempfile.mkdtemp(prefix="csv_rt_", dir="/tmp")
+    write_csv_docs(ds, out)
+    return read_csv_docs(out).select_columns(["doc_id", "text", "lang"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness run has a budget and the r2
     # run stopped after the first 50 dict entries, leaving the tail with no
@@ -1298,6 +1337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         # --- new in round 3 ---
         "events_percentiles_dist": q_events_percentiles_dist,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -1369,3 +1369,14 @@ SELECT query_id, vec_id,
        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
 FROM scored
 QUALIFY rank <= 5"""
+
+
+# JSONL / CSV round-trips: the engine writes documents out through the
+# interchange sink and reads them back; the oracle reads the ORIGINAL
+# parquet, so a value-hash match proves the sink→source path is lossless.
+ORACLE_SQL["jsonl_roundtrip"] = (
+    "SELECT doc_id, text, lang FROM documents"
+)
+ORACLE_SQL["csv_roundtrip"] = (
+    "SELECT doc_id, text, lang FROM documents"
+)

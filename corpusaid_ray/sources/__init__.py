@@ -75,6 +75,55 @@ def read_text_dir(root: str, *, detect_encoding: bool = False):
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
+def read_jsonl(path: str, *, columns: list[str] | None = None):
+    """JSON-lines source → Dataset (one task per file; Arrow's native NDJSON
+    reader, no Python-object row path). ``columns`` prunes AFTER parse —
+    NDJSON has no column projection at the byte level (use Parquet for
+    read-side pruning at 100 TB); the prune still happens inside the read
+    task so only the requested columns enter the object store.
+
+    The reference ingests only ``.txt`` trees (``src/CorpusAid.py:721-825``);
+    JSONL is the interchange format every web-corpus pipeline needs next to
+    it (one doc per line, append-friendly, splittable per file).
+    """
+    import ray.data
+
+    ds = ray.data.read_json(path, file_extensions=["jsonl", "json"])
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_jsonl(ds, out_dir: str) -> None:
+    """JSON-lines sink: one ``.json`` NDJSON file per block under
+    ``out_dir`` (Ray's default partitioned layout — resumable, never one
+    giant file). Lossless for string/int columns (round-trip pinned in
+    tests)."""
+    ds.write_json(out_dir)
+
+
+def read_csv_docs(path: str):
+    """CSV source with embedded-newline tolerance: document text routinely
+    contains ``\\n``, which Arrow's parallel CSV chunker mis-splits by
+    default — ``newlines_in_values=True`` makes the parse correct (at the
+    cost of serial chunking WITHIN a file; keep files small-ish and rely on
+    file-level parallelism, or prefer Parquet/JSONL at scale)."""
+    import pyarrow.csv as pacsv
+    import ray.data
+
+    return ray.data.read_csv(
+        path,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        file_extensions=["csv"],
+    )
+
+
+def write_csv_docs(ds, out_dir: str) -> None:
+    """CSV sink (one file per block; Arrow writer quotes embedded
+    newlines/commas so :func:`read_csv_docs` round-trips losslessly)."""
+    ds.write_csv(out_dir)
+
+
 def preview(ds, limit_chars: int = 5000, n: int = 20):
     """Reference preview semantics: first ``limit_chars`` chars of the first
     ``n`` docs (``PREVIEW_CHAR_LIMIT=5000``, ``PREVIEW_BATCH_SIZE=20``;
