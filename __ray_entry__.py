@@ -1273,6 +1273,26 @@ def q_langid_scores(sf_dir: str):
     )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): fixed-point per-doc
+    log-likelihood-ratio sums over 64 hashed unigram buckets, target = the
+    'en' slice. Bounded deterministic driver fit (same pattern as the
+    langid/ppl fits) → broadcast 64 int64s → one map-only pass; weights are
+    exact integer sums so the full fit+weight chain mirrors bit-stably in
+    SQL."""
+    import ray.data
+
+    from corpusaid_ray.stages.dsir import dsir_weights, fit_dsir_logratios
+
+    lr = fit_dsir_logratios(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_weights(ds, lr).select_columns(
+        ["doc_id", "lang", "n_words", "dsir_weight_fp", "dsir_keep"]
+    )
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink → source round-trip: documents out as partitioned NDJSON
     (one file per block, resumable layout), read back with Arrow's native
@@ -1339,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percentiles_dist": q_events_percentiles_dist,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
+        "dsir_weights": q_dsir_weights,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

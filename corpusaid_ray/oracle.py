@@ -1380,3 +1380,58 @@ ORACLE_SQL["jsonl_roundtrip"] = (
 ORACLE_SQL["csv_roundtrip"] = (
     "SELECT doc_id, text, lang FROM documents"
 )
+
+
+def _dsir_sql() -> str:
+    """Full DSIR mirror: the bounded deterministic fit (target = first 1000
+    doc_id-ordered docs with lang='en', raw = first 1000 overall; add-1
+    smoothing over 64 md5 buckets) AND the per-doc fixed-point weight sum,
+    all in SQL. Exact-integer weights (floor(1e6·(ln p − ln q)) per bucket,
+    integer sums per doc) make the hash comparison bit-stable; DuckDB ln()
+    matches math.log bit-exactly (pinned by this row staying green)."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    b = "('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64"
+    return f"""
+WITH tgt AS MATERIALIZED (
+  SELECT text FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 1000
+), raw AS MATERIALIZED (
+  SELECT text FROM documents ORDER BY doc_id LIMIT 1000
+), tb AS MATERIALIZED (
+  SELECT ({b})::BIGINT AS b
+  FROM tgt, unnest(list_filter(regexp_split_to_array(text, '{ws}'),
+                               t -> t != '')) AS u(tok)
+), rb AS MATERIALIZED (
+  SELECT ({b})::BIGINT AS b
+  FROM raw, unnest(list_filter(regexp_split_to_array(text, '{ws}'),
+                               t -> t != '')) AS u(tok)
+), tc AS (SELECT b, count(*)::BIGINT AS c FROM tb GROUP BY b),
+rc AS (SELECT b, count(*)::BIGINT AS c FROM rb GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM tb) + 64 AS ttot,
+               (SELECT count(*) FROM rb) + 64 AS rtot),
+lr AS MATERIALIZED (
+  SELECT g.range::BIGINT AS b,
+         floor(1000000.0 * (
+             ln((coalesce(tc.c, 0) + 1)::DOUBLE / ttot::DOUBLE)
+           - ln((coalesce(rc.c, 0) + 1)::DOUBLE / rtot::DOUBLE)
+         ))::BIGINT AS lr
+  FROM range(0, 64) g
+  LEFT JOIN tc ON tc.b = g.range
+  LEFT JOIN rc ON rc.b = g.range
+  CROSS JOIN tot
+), occ AS (
+  SELECT doc_id, ({b})::BIGINT AS b
+  FROM documents, unnest(list_filter(regexp_split_to_array(text, '{ws}'),
+                                     t -> t != '')) AS u(tok)
+), agg AS (
+  SELECT occ.doc_id, count(*)::BIGINT AS n_words, sum(lr.lr)::BIGINT AS wfp
+  FROM occ JOIN lr USING (b)
+  GROUP BY occ.doc_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.wfp, 0)::BIGINT AS dsir_weight_fp,
+       coalesce(a.wfp, 0) > 0 AS dsir_keep
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
+
+
+ORACLE_SQL["dsir_weights"] = _dsir_sql()

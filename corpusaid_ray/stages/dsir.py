@@ -1,0 +1,174 @@
+"""DSIR-style importance weights over hashed unigram features.
+
+Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) scores every raw document by how target-like its hashed
+n-gram distribution is: fit bucketed unigram distributions ``p`` (target
+sample) and ``q`` (raw sample), then weight each document by
+``Σ_tokens log p[bucket(tok)]/q[bucket(tok)]`` and resample by weight.
+This module implements the weighting pass as a map-only Ray stage; the
+"select" step is any downstream filter/sampler over the weight column
+(``keep = weight > 0`` — more target-like than background — ships as the
+default here, quota/top-k sampling composes from `stages/sampling.py`).
+
+Determinism & oracle parity (every step mirrors exactly in DuckDB SQL):
+
+* tokenization: the pinned whitespace word split (`quality.WORD_SPLIT_RE`
+  == Python ``str.split()`` == the SQL ``regexp_split_to_array`` class
+  used by every word-gram oracle);
+* bucketing: ``int(md5(tok)[:8], 16) % n_buckets`` — the repo's standard
+  content-stable hash (SQL: ``('0x' || substr(md5(tok),1,8))::UBIGINT``);
+* the fit is a driver-side bounded deterministic sample (doc_id-ordered
+  prefix — same pattern as the langid/perplexity fits; at 100 TB the
+  sample is still O(n) on the driver and the fitted table is ``n_buckets``
+  int64s broadcast into the map tasks);
+* log-ratios are FIXED-POINT: ``floor(1e6 · (ln p_b − ln q_b))`` as int64,
+  so per-document weights are exact integer sums — order-free, immune to
+  float reduction order, and hash-comparable against SQL (DuckDB ``ln()``
+  matches ``math.log`` bit-exactly on this platform; pinned by the oracle
+  row staying green).
+
+Scale shape: fit once (bounded) → broadcast 64 int64s → one map_batches
+pass. Per batch the md5 is paid once per DISTINCT token (numpy
+``unique``/inverse + a per-process token→bucket cache across batches —
+Zipfian vocab makes the hit rate high); per-token work is a vectorized
+gather + ``bincount`` segment sum. No shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+N_BUCKETS = 64
+FP = 1_000_000  # fixed-point scale for log-ratios
+
+
+def _bucket(tok: str, n_buckets: int = N_BUCKETS) -> int:
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _flat_tokens(col: pa.ChunkedArray | pa.Array):
+    """One Arrow RE2 split over the batch → (distinct tokens, per-occurrence
+    distinct-index, row ids), empties removed. ``dictionary_encode`` keeps
+    the Python-string materialization bounded by the batch's DISTINCT
+    vocabulary, not its token count."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    row_ids = np.repeat(
+        np.arange(len(col), dtype="int64"), np.diff(offsets)
+    )
+    keep = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(keep)
+    row_ids = row_ids[keep.to_numpy(zero_copy_only=False)]
+    d = flat.dictionary_encode()
+    return (
+        d.dictionary.to_pylist(),
+        d.indices.to_numpy(zero_copy_only=False).astype("int64"),
+        row_ids,
+    )
+
+
+def _bucket_counts(texts: list[str], n_buckets: int) -> np.ndarray:
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for t in texts:
+        for tok in t.split():
+            counts[_bucket(tok, n_buckets)] += 1
+    return counts
+
+
+def fit_dsir_logratios(
+    sf_dir: str,
+    *,
+    target_lang: str = "en",
+    n: int = 1000,
+    n_buckets: int = N_BUCKETS,
+) -> np.ndarray:
+    """Fit fixed-point bucket log-ratios from two deterministic bounded
+    samples of ``documents.parquet``: target = first ``n`` docs (doc_id
+    order) with ``lang == target_lang``; raw = first ``n`` docs overall.
+    Add-1 smoothing on both sides so every bucket has a finite ratio.
+    Returns int64[n_buckets] of ``floor(1e6·(ln p_b − ln q_b))``."""
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).sort_by("doc_id")
+    raw_texts = t.column("text").to_pylist()[:n]
+    mask = pc.equal(t.column("lang"), target_lang)
+    tgt_texts = t.filter(mask).column("text").to_pylist()[:n]
+
+    tc = _bucket_counts(tgt_texts, n_buckets)
+    rc = _bucket_counts(raw_texts, n_buckets)
+    ttot = int(tc.sum()) + n_buckets
+    rtot = int(rc.sum()) + n_buckets
+    lr = np.empty(n_buckets, dtype=np.int64)
+    for b in range(n_buckets):
+        v = math.log((int(tc[b]) + 1) / ttot) - math.log((int(rc[b]) + 1) / rtot)
+        lr[b] = math.floor(v * FP)
+    return lr
+
+
+class DsirWeightFn:
+    """Actor-pool/map-task callable: per-batch vectorized DSIR weighting.
+    The token→bucket cache persists per worker process across batches."""
+
+    def __init__(self, lr_fp: np.ndarray, text_col: str = "text",
+                 n_buckets: int = N_BUCKETS):
+        self.lr = np.asarray(lr_fp, dtype=np.int64)
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+        self._cache: dict[str, int] = {}
+
+    def _buckets_for(self, uniq: list[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(uniq), dtype=np.int64)
+        nb = self.n_buckets
+        for i, tok in enumerate(uniq):
+            b = cache.get(tok)
+            if b is None:
+                b = _bucket(tok, nb)
+                cache[tok] = b
+            out[i] = b
+        if len(cache) > 2_000_000:  # bound worker memory on open vocab
+            cache.clear()
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        uniq, inv, row_ids = _flat_tokens(batch[self.text_col])
+        if len(uniq):
+            contrib = self.lr[self._buckets_for(uniq)[inv]]
+            # float64 bincount is exact for |sum| < 2^53 (each term ≤ ~5e6,
+            # so a doc would need >1e9 tokens to overflow exactness)
+            w = np.bincount(
+                row_ids, weights=contrib.astype(np.float64), minlength=nrows
+            ).astype(np.int64)
+            nw = np.bincount(row_ids, minlength=nrows).astype(np.int64)
+        else:
+            w = np.zeros(nrows, dtype=np.int64)
+            nw = np.zeros(nrows, dtype=np.int64)
+        return batch.append_column(
+            "n_words", pa.array(nw, pa.int64())
+        ).append_column(
+            "dsir_weight_fp", pa.array(w, pa.int64())
+        ).append_column(
+            "dsir_keep", pa.array(w > 0, pa.bool_())
+        )
+
+
+def dsir_weights(ds, lr_fp: np.ndarray, *, text_col: str = "text"):
+    """Map-only weighting pass: int64 fixed-point DSIR weight + keep flag
+    per document. ``lr_fp`` is the broadcast fitted table (64 int64s —
+    shipped in the task closure; tiny)."""
+    return ds.map_batches(
+        DsirWeightFn(lr_fp, text_col), batch_format="pyarrow"
+    )

@@ -732,3 +732,81 @@ class TestPartitionedSink:
         got = sorted((r["doc_id"], r["text"], r["lang"]) for r in back)
         expect = sorted((r["doc_id"], r["text"], r["lang"]) for r in rows)
         assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+class TestDsir:
+    def _serial_weights(self, texts, lr):
+        import hashlib
+
+        out = []
+        for t in texts:
+            w = 0
+            for tok in t.split():
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+                w += int(lr[b])
+            out.append(w)
+        return out
+
+    def test_matches_serial_and_block_invariant(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from corpusaid_ray.stages.dsir import DsirWeightFn, dsir_weights
+
+        rng = np.random.RandomState(7)
+        vocab = [f"w{i}" for i in range(50)] + ["héllo", "a,b", ""]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.randint(0, 30)))
+            for _ in range(200)
+        ]
+        lr = rng.randint(-2_000_000, 2_000_000, size=64).astype(np.int64)
+
+        expect = self._serial_weights(texts, lr)
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        for nblocks in (1, 7):
+            ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(
+                nblocks
+            )
+            got = {
+                r["doc_id"]: r["dsir_weight_fp"]
+                for r in dsir_weights(ds, lr).take_all()
+            }
+            assert [got[i] for i in range(len(texts))] == expect
+
+    def test_fit_separates_target_vocab(self, ray_session, tmp_path):
+        """A corpus where 'en' docs use a disjoint vocabulary: the fitted
+        log-ratios must assign positive weight to target-vocab docs and
+        negative to background-vocab docs."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from corpusaid_ray.stages.dsir import dsir_weights, fit_dsir_logratios
+
+        rng = np.random.RandomState(3)
+        en_vocab = [f"alpha{i}" for i in range(20)]
+        de_vocab = [f"beta{i}" for i in range(20)]
+        rows = []
+        for i in range(300):
+            lang = "en" if i % 2 == 0 else "de"
+            vocab = en_vocab if lang == "en" else de_vocab
+            rows.append(
+                {"doc_id": i, "lang": lang,
+                 "text": " ".join(rng.choice(vocab, size=20))}
+            )
+        pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+
+        lr = fit_dsir_logratios(str(tmp_path), target_lang="en", n=100)
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        out = dsir_weights(ds, lr).to_pandas()
+        by_lang = out.groupby("lang").dsir_weight_fp.mean()
+        assert by_lang["en"] > 0 > by_lang["de"]
+        assert (out[out.lang == "en"].dsir_keep).mean() > 0.95
+        assert (out[out.lang == "de"].dsir_keep).mean() < 0.05
