@@ -1293,6 +1293,22 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_bigram_lm(sf_dir: str):
+    """Corpus-wide exact bigram LM conditionals (top-5 continuations per
+    head with ≥10 total continuations): batch-local bigram combiner →
+    coarse int64-salted reduce (head-word salt, so each head's total and
+    top-k are part-local). Fixed-point probabilities (c·10⁶ // c_head) keep
+    the whole chain integer-exact."""
+    import ray.data
+
+    from corpusaid_ray.stages.ngram_lm import fit_bigram_lm
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return fit_bigram_lm(ds, top_k=5, min_head_count=10)
+
+
 def q_jsonl_roundtrip(sf_dir: str):
     """JSONL sink → source round-trip: documents out as partitioned NDJSON
     (one file per block, resumable layout), read back with Arrow's native
@@ -1360,6 +1376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "dsir_weights": q_dsir_weights,
+        "bigram_lm": q_bigram_lm,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

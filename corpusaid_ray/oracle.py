@@ -1435,3 +1435,37 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 
 
 ORACLE_SQL["dsir_weights"] = _dsir_sql()
+
+
+def _bigram_lm_sql() -> str:
+    """Exact bigram conditional mirror: adjacent in-document token pairs
+    (1-based list indexing, the decontaminate gram idiom), head totals,
+    top-5 continuations per head (count desc, token asc), fixed-point
+    probability via BIGINT floor division — integer-exact end to end.
+    `rnk` not `rank` (SQL keyword)."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    return f"""
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(text, '{ws}'), t -> t != '') AS w
+  FROM documents
+), big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM w, unnest(range(1, length(w))) AS t(i)
+), cnt AS (
+  SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY w1, w2
+), head AS (
+  SELECT w1, sum(c)::BIGINT AS c_head FROM cnt GROUP BY w1
+), ranked AS (
+  SELECT cnt.w1, cnt.w2, cnt.c, head.c_head,
+         row_number() OVER (PARTITION BY cnt.w1
+                            ORDER BY cnt.c DESC, cnt.w2 ASC) AS rnk
+  FROM cnt JOIN head USING (w1)
+  WHERE head.c_head >= 10
+)
+SELECT w1, w2, c, c_head,
+       ((c * 1000000) // c_head)::BIGINT AS p_fp,
+       rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= 5"""
+
+
+ORACLE_SQL["bigram_lm"] = _bigram_lm_sql()

@@ -1,0 +1,129 @@
+"""Distributed count-based bigram language-model fit.
+
+The engine's perplexity scorer (`stages/perplexity.py`) fits its char-LM on
+a bounded driver-side sample — fine for scoring, but a training-data
+pipeline also needs the CORPUS-WIDE n-gram statistics themselves (vocabulary
+conditionals for contamination screens, generation heuristics, LM-based
+filters). This stage computes exact bigram conditionals over the whole
+corpus as a Ray pipeline:
+
+1. **Combiner** (`map_batches`): one Arrow RE2 split per batch, adjacent
+   in-document token pairs via vectorized index shifts over the
+   dictionary-encoded flat token stream, batch-local ``(w1, w2) → count``
+   aggregation in pandas. At most one row per distinct in-batch bigram
+   crosses the exchange — the classic partial-agg bound.
+2. **Coarse-salted reduce**: shuffle on ``hash(w1) & 4095`` (head word
+   only, so every continuation of a head lands in the same part — the
+   per-head total and top-k are computable locally), exact pandas
+   fine-grouping inside each part. Same shape as the round-3 dedup rework:
+   ~4k integer shuffle keys regardless of vocabulary size, no per-group
+   Python calls, no string-keyed Ray aggregate.
+
+Outputs one row per surviving ``(w1, w2)``: count, head total, the add-0
+conditional as FIXED-POINT ``p_fp = c·10⁶ // c_head`` (exact integer — no
+float reduction order anywhere), and the rank of ``w2`` among the head's
+continuations (count desc, token asc). ``top_k`` bounds output to the
+useful high-probability tail; the full table is one flag away.
+
+The salt uses ``pd.util.hash_pandas_object`` (fixed siphash key —
+process-deterministic, established for pair salting in
+`stages/neardup.py`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from corpusaid_ray.stages.dsir import _flat_tokens
+
+SALT_MASK = 4095
+FP = 1_000_000
+
+
+def _empty_counts() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "salt": pd.Series(dtype="int64"),
+            "w1": pd.Series(dtype="object"),
+            "w2": pd.Series(dtype="object"),
+            "c": pd.Series(dtype="int64"),
+        }
+    )
+
+
+def count_bigrams_batch(batch: pa.Table, text_col: str = "text") -> pd.DataFrame:
+    """Batch-local bigram counts: (salt, w1, w2, c), one row per distinct
+    in-batch bigram."""
+    uniq, inv, row_ids = _flat_tokens(batch[text_col])
+    if len(inv) < 2:
+        return _empty_counts()
+    adjacent = row_ids[:-1] == row_ids[1:]
+    if not adjacent.any():
+        return _empty_counts()
+    w1_idx = inv[:-1][adjacent]
+    w2_idx = inv[1:][adjacent]
+    df = (
+        pd.DataFrame({"i1": w1_idx, "i2": w2_idx})
+        .value_counts()
+        .rename("c")
+        .reset_index()
+    )
+    lut = np.asarray(uniq, dtype=object)
+    w1 = pd.Series(lut[df["i1"].to_numpy()], dtype="object")
+    out = pd.DataFrame(
+        {
+            "salt": (
+                pd.util.hash_pandas_object(w1, index=False).to_numpy()
+                & SALT_MASK
+            ).astype("int64"),
+            "w1": w1,
+            "w2": pd.Series(lut[df["i2"].to_numpy()], dtype="object"),
+            "c": df["c"].astype("int64"),
+        }
+    )
+    return out
+
+
+def _empty_lm() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "w1": pd.Series(dtype="object"),
+            "w2": pd.Series(dtype="object"),
+            "c": pd.Series(dtype="int64"),
+            "c_head": pd.Series(dtype="int64"),
+            "p_fp": pd.Series(dtype="int64"),
+            "rnk": pd.Series(dtype="int64"),
+        }
+    )
+
+
+def fit_bigram_lm(ds, *, text_col: str = "text", top_k: int = 5,
+                  min_head_count: int = 1):
+    """Corpus-wide exact bigram conditionals, top-``top_k`` continuations
+    per head word (count desc, token asc), heads with fewer than
+    ``min_head_count`` total continuations dropped."""
+
+    def fine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_lm()
+        g = df.groupby(["w1", "w2"], sort=False, as_index=False)["c"].sum()
+        g["c_head"] = g.groupby("w1", sort=False)["c"].transform("sum")
+        g = g[g["c_head"] >= min_head_count]
+        if not len(g):
+            return _empty_lm()
+        g = g.sort_values(
+            ["w1", "c", "w2"], ascending=[True, False, True], kind="mergesort"
+        )
+        g["rnk"] = g.groupby("w1", sort=False).cumcount() + 1
+        g = g[g["rnk"] <= top_k].copy()
+        g["p_fp"] = (g["c"].astype("int64") * FP) // g["c_head"]
+        return g[["w1", "w2", "c", "c_head", "p_fp", "rnk"]].astype(
+            {"c": "int64", "c_head": "int64", "p_fp": "int64", "rnk": "int64"}
+        )
+
+    counts = ds.map_batches(
+        lambda b: count_bigrams_batch(b, text_col), batch_format="pyarrow"
+    )
+    return counts.groupby("salt").map_groups(fine, batch_format="pandas")

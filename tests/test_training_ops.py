@@ -810,3 +810,74 @@ class TestDsir:
         assert by_lang["en"] > 0 > by_lang["de"]
         assert (out[out.lang == "en"].dsir_keep).mean() > 0.95
         assert (out[out.lang == "de"].dsir_keep).mean() < 0.05
+
+
+# ---------------------------------------------------------------------------
+# distributed bigram LM fit
+# ---------------------------------------------------------------------------
+
+
+class TestBigramLM:
+    def _serial(self, texts, top_k, min_head):
+        from collections import Counter
+
+        cnt = Counter()
+        for t in texts:
+            w = t.split()
+            for a, b in zip(w, w[1:]):
+                cnt[(a, b)] += 1
+        heads = Counter()
+        for (a, _), c in cnt.items():
+            heads[a] += c
+        rows = []
+        for a in sorted(heads):
+            if heads[a] < min_head:
+                continue
+            conts = sorted(
+                ((b, c) for (x, b), c in cnt.items() if x == a),
+                key=lambda p: (-p[1], p[0]),
+            )[:top_k]
+            for r, (b, c) in enumerate(conts, 1):
+                rows.append((a, b, c, heads[a], c * 1_000_000 // heads[a], r))
+        return sorted(rows)
+
+    def test_matches_serial_and_block_invariant(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from corpusaid_ray.stages.ngram_lm import fit_bigram_lm
+
+        rng = np.random.RandomState(11)
+        vocab = [f"t{i}" for i in range(12)] + ["héllo", "x,y"]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.randint(0, 25)))
+            for _ in range(120)
+        ] + ["", "single"]
+        expect = self._serial(texts, top_k=3, min_head=2)
+        rows = [{"text": t} for t in texts]
+        for nblocks in (1, 5):
+            ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(
+                nblocks
+            )
+            got = fit_bigram_lm(ds, top_k=3, min_head_count=2).take_all()
+            got = sorted(
+                (r["w1"], r["w2"], r["c"], r["c_head"], r["p_fp"], r["rnk"])
+                for r in got
+            )
+            assert got == expect
+
+    def test_no_cross_document_bigrams(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from corpusaid_ray.stages.ngram_lm import fit_bigram_lm
+
+        # "a b" within docs only: the (b, a) pair across the doc boundary
+        # must NOT appear
+        ds = ray.data.from_arrow(
+            pa.Table.from_pylist([{"text": "a b"}, {"text": "a b"}])
+        )
+        got = fit_bigram_lm(ds, top_k=5, min_head_count=1).take_all()
+        pairs = {(r["w1"], r["w2"]): r["c"] for r in got}
+        assert pairs == {("a", "b"): 2}
