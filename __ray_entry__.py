@@ -1293,6 +1293,37 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_compression_metrics(sf_dir: str):
+    """Gopher-family compression-ratio signal: zlib(level 6) size per doc as
+    exact fixed-point ratio. Rows-only by design (no zlib in SQL);
+    pytest pins values against direct zlib calls."""
+    from corpusaid_ray.stages.quality import compression_metrics_fn
+
+    return (
+        _corpus(sf_dir)
+        .map_batches(compression_metrics_fn, batch_format="pyarrow")
+        .select_columns(
+            ["repo", "path", "n_bytes", "n_zlib_bytes", "zlib_ratio_fp"]
+        )
+    )
+
+
+def q_doc_length_percentiles(sf_dir: str):
+    """Per-language document-length percentiles via the DISTRIBUTED exact
+    path (histogram + targeted bucket selection): the corpus-curation
+    length-cut calibration step (e.g. Gopher's per-language length gates),
+    with 5 hot keys over the whole corpus — exactly the low-cardinality
+    shape the one-reducer-per-key op can't take at 100 TB."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import group_percentiles_distributed
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return group_percentiles_distributed(ds, key="lang", value_col="n_chars")
+
+
 def q_bigram_lm(sf_dir: str):
     """Corpus-wide exact bigram LM conditionals (top-5 continuations per
     head with ≥10 total continuations): batch-local bigram combiner →
@@ -1377,6 +1408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": q_csv_roundtrip,
         "dsir_weights": q_dsir_weights,
         "bigram_lm": q_bigram_lm,
+        "doc_length_percentiles": q_doc_length_percentiles,
+        "compression_metrics": q_compression_metrics,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

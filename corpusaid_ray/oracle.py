@@ -1469,3 +1469,19 @@ FROM ranked WHERE rnk <= 5"""
 
 
 ORACLE_SQL["bigram_lm"] = _bigram_lm_sql()
+
+
+# Per-language doc-length percentiles: same ceil-rank mirror as the events
+# percentiles, over documents.n_chars (int — micro-units still exact).
+ORACLE_SQL["doc_length_percentiles"] = """
+WITH vals AS (
+  SELECT lang,
+         list_sort(list(CAST(floor(n_chars * 1000000) AS BIGINT))) AS v,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY lang
+)
+SELECT lang, n,
+       v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS p50_micros,
+       v[greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)] AS p90_micros,
+       v[greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)] AS p99_micros
+FROM vals"""

@@ -121,12 +121,16 @@ def repo_dedup_stats(ds, key: str = "repo", hash_col: str = "content_sha256",
     )
 
 
-def repo_stats(ds, key: str = "repo", col: str = "content"):
+def repo_stats(ds, key: str = "repo", col: str = "content",
+               coalesce_blocks: int = 256):
     """Per-repo additive stats via partial-agg-then-groupby: the map side
     collapses each batch to ≤ |repos-in-batch| rows, so the all-to-all
     shuffle moves partials, not documents — giant-repo skew (40% of rows in
     one repo here) costs one reducer a few hundred partial rows, not 40% of
-    the corpus."""
+    the corpus. The tiny partial table is coalesced to ≤ ``coalesce_blocks``
+    blocks first: Ray's sort-shuffle makes one partition per input block,
+    so B partial blocks would cost O(B²) exchange objects (measured 5 s at
+    200 blocks → 70 s at 1000 for the same 92 groups, BASELINE.md r3)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         nbytes, words = _bytes_words(batch, col)
@@ -139,15 +143,16 @@ def repo_stats(ds, key: str = "repo", col: str = "content"):
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_bytes", alias_name="n_bytes"),
-            Sum("n_words", alias_name="n_words"),
-            Max("max_doc_bytes", alias_name="max_doc_bytes"),
-        )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if coalesce_blocks:
+        from corpusaid_ray.util import coalesce_blocks_down
+
+        partials, _ = coalesce_blocks_down(partials, coalesce_blocks)
+    return partials.groupby(key).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_bytes", alias_name="n_bytes"),
+        Sum("n_words", alias_name="n_words"),
+        Max("max_doc_bytes", alias_name="max_doc_bytes"),
     )
 
 

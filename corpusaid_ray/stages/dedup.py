@@ -41,7 +41,8 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
                 hash_col: str = "content_sha256",
                 order_col: str = "path",
                 payload_cols: tuple[str, ...] | None = None,
-                num_parts: int = DEFAULT_PARTS):
+                num_parts: int = DEFAULT_PARTS,
+                coalesce_blocks: int = 256):
     """First-wins exact dedup: keep the row with min ``order_col`` per
     (scope, hash) group. Deterministic regardless of block order.
 
@@ -74,6 +75,16 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
 
     ``payload_cols``: ``None`` keeps every column; an explicit tuple keeps
     only those non-key, non-order columns (``()`` drops all extras).
+
+    ``coalesce_blocks``: Ray's sort-based shuffle makes one partition per
+    INPUT BLOCK, so B combiner-output blocks cost O(B²) exchange objects —
+    measured 9.2 s at 200 blocks → 438 s at 1000 blocks for the same 4,706
+    groups (BASELINE.md r3). The combiner output is bounded (≤ one row per
+    key per batch), so it is merged DOWN to ≤ ``coalesce_blocks`` blocks
+    (never split up — tiny inputs pass through untouched) and re-combined
+    across merged blocks before the wide step, capping the exchange at
+    coalesce_blocks² regardless of input block count. At a bigger cluster
+    raise it (≈ 8× total cores).
     """
     keys = [*scope_cols, hash_col]
 
@@ -98,8 +109,11 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
             keys, keep="first"
         ).drop(columns=["_part"])
 
-    return (
-        ds.map_batches(combine, batch_format="pandas")
-        .groupby("_part")
-        .map_groups(pick, batch_format="pandas")
-    )
+    combined = ds.map_batches(combine, batch_format="pandas")
+    if coalesce_blocks:
+        from corpusaid_ray.util import coalesce_blocks_down
+
+        combined, merged = coalesce_blocks_down(combined, coalesce_blocks)
+        if merged:
+            combined = combined.map_batches(combine, batch_format="pandas")
+    return combined.groupby("_part").map_groups(pick, batch_format="pandas")

@@ -106,13 +106,27 @@ def _pick_first(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def line_dedup(ds, *, content_col: str = "content", key_col: str = "path"):
+def line_dedup(ds, *, content_col: str = "content", key_col: str = "path",
+               coalesce_blocks: int = 256):
     """Corpus-wide first-occurrence line dedup; returns one row per document
-    that retains at least one line: ``(path, content_dedup, lines_kept)``."""
+    that retains at least one line: ``(path, content_dedup, lines_kept)``.
+
+    ``coalesce_blocks`` bounds the sort-partition count of the wide steps:
+    Ray makes one partition per input block, so B combiner blocks cost
+    O(B²) exchange objects; the combiner output is small (≤ one row per
+    distinct line per batch), so coalescing + re-combining caps the
+    exchange regardless of input block count (same r3 lesson as
+    ``dedup_exact``, BASELINE.md)."""
     exploded = ds.map_batches(
         lambda b: _explode_lines(b, content_col, key_col),
         batch_format="pyarrow",
     ).map_batches(_combine, batch_format="pandas")
+    if coalesce_blocks:
+        from corpusaid_ray.util import coalesce_blocks_down
+
+        exploded, merged = coalesce_blocks_down(exploded, coalesce_blocks)
+        if merged:
+            exploded = exploded.map_batches(_combine, batch_format="pandas")
 
     survivors = exploded.groupby("_part").map_groups(
         _pick_first, batch_format="pandas"

@@ -161,3 +161,45 @@ def heuristics_fn(batch: pa.Table, source_col: str = "content_clean") -> pa.Tabl
     ]:
         batch = batch.append_column(name, pa.array(arr))
     return batch
+
+
+def compression_metrics_fn(batch: pa.Table, source_col: str = "content",
+                           level: int = 6) -> pa.Table:
+    """Gopher-style compression-ratio signal (Rae et al. 2021 use entropy
+    filters of this family; a low zlib ratio flags boilerplate/repetitious
+    text, a ~1.0 ratio flags high-entropy noise): per document,
+
+    - ``n_bytes``          raw UTF-8 byte length
+    - ``n_zlib_bytes``     ``zlib.compress(raw, 6)`` byte length (pinned
+                           level — part of the op's contract)
+    - ``zlib_ratio_fp``    ``n_zlib_bytes·10⁶ // max(n_bytes, 1)`` — exact
+                           int64 fixed-point, hash-stable across platforms
+                           with the same zlib (pinned by tests)
+
+    No SQL mirror exists (DuckDB has no zlib) — this op is pytest-verified
+    against direct zlib calls and ships as a rows-only query. The per-row
+    loop is C-speed (zlib releases the GIL per call); there is no
+    vectorized alternative for a compressor.
+    """
+    import zlib
+
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    raws = [
+        (v or "").encode("utf-8") for v in col.to_pylist()
+    ]
+    n_bytes = np.fromiter((len(r) for r in raws), dtype="int64",
+                          count=len(raws))
+    n_z = np.fromiter(
+        (len(zlib.compress(r, level)) for r in raws), dtype="int64",
+        count=len(raws),
+    )
+    ratio_fp = (n_z * 1_000_000) // np.maximum(n_bytes, 1)
+    return batch.append_column(
+        "n_bytes", pa.array(n_bytes, pa.int64())
+    ).append_column(
+        "n_zlib_bytes", pa.array(n_z, pa.int64())
+    ).append_column(
+        "zlib_ratio_fp", pa.array(ratio_fp, pa.int64())
+    )

@@ -171,9 +171,14 @@ def hll_distinct(ds, col: str) -> float:
             "rho": pa.array(df["rho"].to_numpy(), pa.int64()),
         })
 
+    from corpusaid_ray.util import coalesce_blocks_down
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # ≤ M rows per batch, but one sort partition per BLOCK: merge down so
+    # B input blocks don't cost O(B²) exchange objects (BASELINE.md r3)
+    partials, _ = coalesce_blocks_down(partials, 64)
     rows = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
+        partials.groupby("bucket")
         .aggregate(Max("rho", alias_name="rho"))
         .take_all()  # ≤ M rows by construction
     )

@@ -44,3 +44,28 @@ def char_chunks(lens, cap: int):
 # 14 s flagship). Small chunks keep temporaries heap-resident across
 # batches in long-lived Ray workers.
 SCORER_CHUNK_CHARS = 250_000
+
+
+def coalesce_blocks_down(ds, max_blocks: int):
+    """Bound the block count of a wide op's input WITHOUT splitting small
+    inputs.
+
+    Ray's sort-based shuffle (groupby / aggregate) creates one partition per
+    input block, so B blocks cost O(B²) exchange objects — measured at 5M
+    rows / 1000 blocks: dedup_exact 438 s, repo_stats 70 s, HLL 104 s vs
+    76 / 19 / 12 s after bounding (BASELINE.md r3). But an unconditional
+    ``repartition(n)`` SPLITS small inputs into n blocks and makes the tiny
+    case n× slower, so we must know the real block count first.
+
+    This helper is only for inputs already bounded by a combiner (partial
+    aggregates, dedup survivors): it materializes them — the following wide
+    op materializes its input anyway, so this adds no asymptotic memory —
+    and merges down only when the count exceeds ``max_blocks``.
+
+    Returns ``(dataset, merged: bool)``; when ``merged`` the caller should
+    re-run its combiner over the merged blocks to re-collapse rows.
+    """
+    mat = ds.materialize()
+    if mat.num_blocks() > max_blocks:
+        return mat.repartition(max_blocks), True
+    return mat, False

@@ -744,3 +744,24 @@ def test_csv_roundtrip_lossless(ray_session, tmp_path):
             assert g in ("", None)
         else:
             assert g == e
+
+
+def test_compression_metrics_exact():
+    import zlib
+
+    from corpusaid_ray.stages.quality import compression_metrics_fn
+
+    rows = ["abab" * 200, "x", "", "völlig zufällig: qzjw §±", "a\nb\nc"]
+    t = pa.table({"content": pa.array(rows, pa.string())})
+    out = compression_metrics_fn(t).to_pandas()
+    for i, s in enumerate(rows):
+        raw = s.encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        assert out.n_bytes[i] == len(raw)
+        assert out.n_zlib_bytes[i] == z
+        assert out.zlib_ratio_fp[i] == z * 1_000_000 // max(len(raw), 1)
+    # repetitious text compresses far better than mixed text
+    assert out.zlib_ratio_fp[0] < out.zlib_ratio_fp[3] / 10
+    # null flows through as empty
+    t2 = pa.table({"content": pa.array([None], pa.string())})
+    assert compression_metrics_fn(t2).to_pandas().n_bytes[0] == 0
