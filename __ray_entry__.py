@@ -1293,6 +1293,28 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (same
+    deterministic fit as ann_ivf), drop within-cluster vectors whose cosine
+    to a lower-id cluster member is ≥ 0.95. Map-only assignment + bounded
+    within-cluster matmuls; one groupby."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import IVFIndexParams, semantic_dedup
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    params = IVFIndexParams.fit(sample)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(ds, params, eps=0.95)
+
+
 def q_compression_metrics(sf_dir: str):
     """Gopher-family compression-ratio signal: zlib(level 6) size per doc as
     exact fixed-point ratio. Rows-only by design (no zlib in SQL);
@@ -1410,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": q_bigram_lm,
         "doc_length_percentiles": q_doc_length_percentiles,
         "compression_metrics": q_compression_metrics,
+        "semantic_dedup": q_semantic_dedup,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,
@@ -1475,9 +1498,11 @@ def oracle_sql() -> dict[str, str]:
         # at another scale via GRAFT_ORACLE_SF_DIR)
         import os
 
-        out["ann_ivf"] = ann_ivf_sql(
-            os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-        )
+        sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        out["ann_ivf"] = ann_ivf_sql(sf)
+        from corpusaid_ray.oracle import semdedup_sql
+
+        out["semantic_dedup"] = semdedup_sql(sf)
     except Exception:
-        pass  # table unavailable → ann_ivf stays rows-only (weaker check)
+        pass  # table unavailable → these stay rows-only (weaker check)
     return out

@@ -1485,3 +1485,49 @@ SELECT lang, n,
        v[greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)] AS p90_micros,
        v[greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)] AS p99_micros
 FROM vals"""
+
+
+def semdedup_sql(sf_dir: str, eps: float = 0.95) -> str:
+    """SemDeDup mirror (``stages/similarity.semantic_dedup``): the
+    deterministic centroid fit is inlined as a VALUES table (same shared-
+    derivation pattern as ``ann_ivf_sql``); assignment is argmax cosine
+    (ties → lowest cid), and a vector is dropped iff a lower-vec_id vector
+    in its cluster has cosine ≥ eps. Threshold decisions agree with the
+    engine's float64 matmul on this data (same guarantee the brute-force
+    ``embed_neardup`` oracle already pins); no floats appear in the output.
+    Must be built from the SAME sf_dir the SQL runs against."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from corpusaid_ray.stages.similarity import IVFIndexParams
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    cents = IVFIndexParams.fit(sample).centroids
+    rows = ",\n    ".join(
+        "(%d, [%s]::DOUBLE[])"
+        % (i, ", ".join(repr(float(x)) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cent(cid, c) AS (VALUES
+    {rows}
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assigned AS MATERIALIZED (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY list_cosine_similarity(v, c) DESC, cid) AS rn
+  FROM vecs CROSS JOIN cent
+  QUALIFY rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+   AND list_cosine_similarity(a.v, b.v) >= {eps}
+)
+SELECT a.vec_id, a.cid::BIGINT AS cid,
+       d.vec_id IS NULL AS semdedup_keep
+FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id"""

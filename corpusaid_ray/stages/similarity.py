@@ -160,3 +160,70 @@ def ann_topk(ds, queries: dict[int, np.ndarray], k: int = 5) -> pd.DataFrame:
     top = partial.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "vec_id", "rank"]]
+
+
+def assign_centroids(ds, params: "IVFIndexParams"):
+    """Broadcast-centroid assignment: each vector's argmax-cosine centroid
+    (ties → lowest cid, matching ``np.argmax``). One map-only pass."""
+    import ray
+
+    cents_ref = ray.put(params.centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("cid", pa.array([], pa.int64()))
+        cent = ray.get(cents_ref)  # zero-copy local object-store read
+        m = _normalize(_as_matrix(batch["embedding"]))
+        cid = np.argmax(m @ cent.T, axis=1).astype("int64")
+        return batch.append_column("cid", pa.array(cid, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, params: "IVFIndexParams", *, eps: float = 0.95,
+                   max_cluster: int = 20_000):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings, then mark within-cluster semantic duplicates — a vector is
+    DROPPED when another vector in its cluster has cosine ≥ ``eps`` and a
+    lower ``vec_id`` (deterministic keep-lowest-id rule; the paper keeps one
+    representative per ε-ball, the id rule pins WHICH one without a graph
+    closure).
+
+    Shape: broadcast-centroid assignment (map-only) → ``groupby(cid)`` →
+    within-cluster pairwise cosine in one numpy matmul. Pairwise work is
+    O(cluster²): the centroid count must scale with the corpus so clusters
+    stay bounded (the paper runs ~100k clusters at 100M+ points — fit with
+    larger k, same code path). Clusters above ``max_cluster`` fail loudly
+    rather than silently burning quadratic time.
+
+    Output: (vec_id, cid, semdedup_keep) for every input vector.
+    """
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype="int64"),
+                "cid": pd.Series(dtype="int64"),
+                "semdedup_keep": pd.Series(dtype="bool"),
+            })
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semantic_dedup cluster {int(g['cid'].iloc[0])} has "
+                f"{len(g)} vectors (> max_cluster={max_cluster}); refit "
+                "with more centroids so clusters stay bounded"
+            )
+        g = g.sort_values("vec_id", kind="mergesort")
+        m = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in g["embedding"]]))
+        sims = m @ m.T
+        # dup[i] = any j < i with cosine >= eps (strict lower triangle)
+        dup = (np.tril(sims >= eps, k=-1)).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(),
+            "cid": g["cid"].to_numpy(),
+            "semdedup_keep": ~dup,
+        })
+
+    return assign_centroids(ds, params).groupby("cid").map_groups(
+        dedup_cluster, batch_format="pandas"
+    )

@@ -765,3 +765,54 @@ def test_compression_metrics_exact():
     # null flows through as empty
     t2 = pa.table({"content": pa.array([None], pa.string())})
     assert compression_metrics_fn(t2).to_pandas().n_bytes[0] == 0
+
+
+def test_semantic_dedup_planted_duplicates(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import IVFIndexParams, semantic_dedup
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(40, 16)
+    rows = []
+    vid = 0
+    expect_drop = set()
+    for i in range(40):
+        rows.append({"vec_id": vid, "embedding": base[i].tolist()}); vid += 1
+    # planted near-copies of the first 10 vectors (tiny perturbation →
+    # cosine ≈ 1 ≥ 0.95): each must be dropped in favor of its lower-id twin
+    for i in range(10):
+        near = base[i] + rng.randn(16) * 1e-4
+        rows.append({"vec_id": vid, "embedding": near.tolist()})
+        expect_drop.add(vid); vid += 1
+
+    params = IVFIndexParams.fit(base, k=4)
+    for nblocks in (1, 6):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(nblocks)
+        out = {r["vec_id"]: r["semdedup_keep"]
+               for r in semantic_dedup(ds, params, eps=0.95).take_all()}
+        assert len(out) == 50
+        dropped = {v for v, keep in out.items() if not keep}
+        # every planted copy dropped; no original dropped unless two random
+        # gaussians collide (they don't at d=16: verified by construction)
+        assert expect_drop <= dropped
+        assert all(v >= 40 for v in dropped - expect_drop)
+
+
+def test_semantic_dedup_oversized_cluster_fails_loudly(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import IVFIndexParams, semantic_dedup
+
+    v = np.ones((30, 8))
+    rows = [{"vec_id": i, "embedding": (v[i] + i * 0.001).tolist()}
+            for i in range(30)]
+    params = IVFIndexParams.fit(v, k=1)
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    with pytest.raises(Exception, match="max_cluster"):
+        semantic_dedup(ds, params, eps=0.95, max_cluster=10).take_all()
