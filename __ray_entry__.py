@@ -1293,6 +1293,25 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+BLOCK_TERMS = ("slow", "dup", "forbidden")  # common / rare / absent
+
+
+def q_blocklist_screen(sf_dir: str):
+    """C4-style bad-words screen: per doc, distinct blocklist terms present
+    as whole words (case-insensitive) + drop flag. k vectorized RE2 kernels,
+    map-only."""
+    from corpusaid_ray.stages.quality import blocklist_screen_fn
+
+    return (
+        _corpus(sf_dir)
+        .map_batches(
+            lambda b: blocklist_screen_fn(b, BLOCK_TERMS),
+            batch_format="pyarrow",
+        )
+        .select_columns(["repo", "path", "n_blocked_terms", "blocked"])
+    )
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (same
     deterministic fit as ann_ivf), drop within-cluster vectors whose cosine
@@ -1433,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentiles": q_doc_length_percentiles,
         "compression_metrics": q_compression_metrics,
         "semantic_dedup": q_semantic_dedup,
+        "blocklist_screen": q_blocklist_screen,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -1531,3 +1531,20 @@ WITH cent(cid, c) AS (VALUES
 SELECT a.vec_id, a.cid::BIGINT AS cid,
        d.vec_id IS NULL AS semdedup_keep
 FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id"""
+
+
+def _blocklist_sql() -> str:
+    terms = ("slow", "dup", "forbidden")  # mirror __ray_entry__.BLOCK_TERMS
+    hits = " + ".join(
+        r"(CASE WHEN regexp_matches(content, '(?i)\b%s\b') THEN 1 ELSE 0 END)"
+        % t
+        for t in terms
+    )
+    return with_corpus(f"""
+SELECT repo, path,
+       ({hits})::BIGINT AS n_blocked_terms,
+       ({hits}) > 0 AS blocked
+FROM corpus""")
+
+
+ORACLE_SQL["blocklist_screen"] = _blocklist_sql()

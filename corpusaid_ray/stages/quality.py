@@ -203,3 +203,30 @@ def compression_metrics_fn(batch: pa.Table, source_col: str = "content",
     ).append_column(
         "zlib_ratio_fp", pa.array(ratio_fp, pa.int64())
     )
+
+
+def blocklist_screen_fn(batch: pa.Table, terms: tuple[str, ...],
+                        source_col: str = "content") -> pa.Table:
+    """C4-style bad-words screen (Raffel et al. 2020 §2.2 drop documents
+    containing any word from a blocklist): per document, the number of
+    DISTINCT blocklist terms present as whole words (case-insensitive) and
+    the resulting drop flag. One RE2 kernel per term — k vectorized passes
+    over the batch (k is small for real blocklists; at large k the same
+    loop swaps in a multi-pattern automaton library without changing the
+    stage shape)."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    n = np.zeros(batch.num_rows, dtype="int64")
+    for t in terms:
+        pat = r"(?i)\b" + _re.escape(t) + r"\b"
+        hit = pc.match_substring_regex(batch[source_col], pat)
+        n += pc.fill_null(hit, False).to_numpy(
+            zero_copy_only=False
+        ).astype("int64")
+    return batch.append_column(
+        "n_blocked_terms", pa.array(n, pa.int64())
+    ).append_column(
+        "blocked", pa.array(n > 0, pa.bool_())
+    )

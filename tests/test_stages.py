@@ -816,3 +816,23 @@ def test_semantic_dedup_oversized_cluster_fails_loudly(ray_session):
     ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
     with pytest.raises(Exception, match="max_cluster"):
         semantic_dedup(ds, params, eps=0.95, max_cluster=10).take_all()
+
+
+def test_blocklist_screen_word_boundaries():
+    from corpusaid_ray.stages.quality import blocklist_screen_fn
+
+    rows = [
+        "the slow query",          # hit: slow
+        "slowly does it",          # NO hit: boundary
+        "SLOW and dup here",       # 2 distinct terms, case-insensitive
+        "dup dup dup",             # distinct terms = 1, not occurrences
+        "clean text",              # none
+        "",                        # empty
+    ]
+    t = pa.table({"content": pa.array(rows, pa.string())})
+    out = blocklist_screen_fn(t, ("slow", "dup")).to_pandas()
+    assert out.n_blocked_terms.tolist() == [1, 0, 2, 1, 0, 0]
+    assert out.blocked.tolist() == [True, False, True, True, False, False]
+    # null content → not blocked
+    t2 = pa.table({"content": pa.array([None], pa.string())})
+    assert blocklist_screen_fn(t2, ("slow",)).to_pandas().blocked[0] == False
