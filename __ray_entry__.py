@@ -1293,6 +1293,97 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_seq_len_histogram(sf_dir: str):
+    """Sequence-length histogram for packing calibration: docs bucketed by
+    word count into width-16 bins (bin start inclusive), with per-bin doc
+    and word totals — the input you size ``pack_sequences``' cap from.
+    Batch-local partial histogram → tiny groupby (≤ bins × blocks rows cross
+    the exchange)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.packing import word_counts
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        nw = word_counts(batch["text"])
+        df = pd.DataFrame({"b": (nw // 16) * 16, "w": nw})
+        return df.groupby("b", as_index=False).agg(
+            n_docs=("w", "size"), n_words=("w", "sum")
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+        )
+    )
+
+
+def q_semantic_kept_corpus(sf_dir: str):
+    """Cross-modal composition: documents hash-joined to their embedding's
+    SemDeDup verdict (vec_id ≡ doc_id) → per-language kept/dropped counts.
+    Chains the embedding pipeline into the text pipeline with one
+    hash-partitioned join; the SQL mirror chains the same two derivations."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.stages.similarity import IVFIndexParams, semantic_dedup
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    params = IVFIndexParams.fit(sample)
+    verdicts = semantic_dedup(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        params, eps=0.95,
+    ).map_batches(
+        # rename_columns' Project op assumes Arrow blocks and breaks on the
+        # pandas blocks map_groups emits — rename in pandas instead
+        lambda df: df.rename(columns={"vec_id": "doc_id"})[
+            ["doc_id", "semdedup_keep"]
+        ],
+        batch_format="pandas",
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    joined = hash_join(docs, verdicts, on="doc_id", num_partitions=16)
+
+    def flag(batch):
+        import pyarrow as pa
+
+        kept = batch["semdedup_keep"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": batch["lang"],
+            "n_kept": pa.array(kept.astype("int64"), pa.int64()),
+            "n_dropped": pa.array((~kept).astype("int64"), pa.int64()),
+        })
+
+    return (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_dropped", alias_name="n_dropped"),
+        )
+    )
+
+
 BLOCK_TERMS = ("slow", "dup", "forbidden")  # common / rare / absent
 
 
@@ -1453,6 +1544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_metrics": q_compression_metrics,
         "semantic_dedup": q_semantic_dedup,
         "blocklist_screen": q_blocklist_screen,
+        "seq_len_histogram": q_seq_len_histogram,
+        "semantic_kept_corpus": q_semantic_kept_corpus,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,
@@ -1520,9 +1613,10 @@ def oracle_sql() -> dict[str, str]:
 
         sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
         out["ann_ivf"] = ann_ivf_sql(sf)
-        from corpusaid_ray.oracle import semdedup_sql
+        from corpusaid_ray.oracle import semantic_kept_sql, semdedup_sql
 
         out["semantic_dedup"] = semdedup_sql(sf)
+        out["semantic_kept_corpus"] = semantic_kept_sql(sf)
     except Exception:
         pass  # table unavailable → these stay rows-only (weaker check)
     return out

@@ -1548,3 +1548,25 @@ FROM corpus""")
 
 
 ORACLE_SQL["blocklist_screen"] = _blocklist_sql()
+
+
+# Sequence-length histogram: width-16 word-count bins with doc/word totals.
+ORACLE_SQL["seq_len_histogram"] = f"""
+WITH nw AS (SELECT {_word_count_sql('text')} AS n FROM documents)
+SELECT ((n // 16) * 16)::BIGINT AS b,
+       count(*)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_words
+FROM nw GROUP BY b"""
+
+
+def semantic_kept_sql(sf_dir: str) -> str:
+    """Chained mirror for the cross-modal composition: the full SemDeDup
+    derivation as a subquery, joined to documents on vec_id ≡ doc_id,
+    grouped per language."""
+    sem = semdedup_sql(sf_dir)
+    return f"""
+SELECT d.lang,
+       sum(CASE WHEN sd.semdedup_keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN sd.semdedup_keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+FROM ({sem}) sd JOIN documents d ON d.doc_id = sd.vec_id
+GROUP BY d.lang"""
