@@ -345,12 +345,22 @@ def test_pattern_builder_python_re2_parity_property():
         max_size=120,
     )
 
+    from hypothesis import assume
+
+    from corpusaid_ray.config import ConfigError
+
     @given(rows_strategy, text_strategy, st.booleans(), st.booleans())
     @settings(max_examples=60, deadline=None)
     def check(rows, text, whole_words, case_sensitive):
-        pat = compile_pattern_builder(
-            rows, whole_words=whole_words, case_sensitive=case_sensitive
-        )
+        try:
+            pat = compile_pattern_builder(
+                rows, whole_words=whole_words, case_sensitive=case_sensitive
+            )
+        except ConfigError:
+            # all-whitespace start/end strips to empty → every row skipped →
+            # the builder fails fast BY DESIGN (ADVICE r2 fix; covered by
+            # the fail-fast test in test_stages.py) — not a parity case
+            assume(False)
         py = re.compile(pat, re.DOTALL).sub("", text)
         re2 = pc.replace_substring_regex(
             pa.array([text]), pattern="(?s)" + pat, replacement=""
