@@ -219,6 +219,29 @@ def run_bench() -> dict:
     repo_stats(read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT)).count()
     queries["repo_stats"] = round(time.perf_counter() - t0, 3)
 
+    # --- DSIR importance weights (map-only; broadcast 64 int64 log-ratios;
+    # fit untimed like the langid/ppl models — once-per-cluster setup) ---
+    from corpusaid_ray.stages.dsir import dsir_weights, fit_dsir_logratios
+
+    lr = fit_dsir_logratios(SF_DIR)
+    t0 = time.perf_counter()
+    n = dsir_weights(
+        read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT),
+        lr, text_col="content",
+    ).count()
+    queries["dsir_weights"] = round(time.perf_counter() - t0, 3)
+
+    # --- corpus-wide bigram LM fit (combiner + head-salted reduce) ---
+    from corpusaid_ray.stages.ngram_lm import fit_bigram_lm
+
+    t0 = time.perf_counter()
+    n = fit_bigram_lm(
+        read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT),
+        text_col="content", top_k=5, min_head_count=10,
+    ).count()
+    queries["bigram_lm"] = round(time.perf_counter() - t0, 3)
+    extras["bigram_rows"] = n
+
     # --- event windows ---
     t0 = time.perf_counter()
     ev = ray.data.read_parquet(
