@@ -1293,6 +1293,33 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_cross_dedup(sf_dir: str):
+    """Incremental-crawl dedup: split the corpus by md5(path)%5 into an
+    'existing crawl' (20%) and an 'incoming crawl' (80%), then drop incoming
+    docs whose content sha256 already exists — a hash-partitioned LEFT ANTI
+    join on the key, no broadcast assumption."""
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.dedup import add_sha256, cross_dedup
+    from corpusaid_ray.stages.sampling import add_md5_rank
+
+    def side(existing: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = add_md5_rank(batch)
+            m = batch["md5_rank"].to_numpy(zero_copy_only=False) % 5 == 0
+            if not existing:
+                m = ~m
+            return add_sha256(
+                batch.filter(pa.array(m)).drop_columns(["md5_rank"])
+            )
+
+        return _corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+    return cross_dedup(side(False), side(True), num_partitions=16).select_columns(
+        ["repo", "path"]
+    )
+
+
 def q_seq_len_histogram(sf_dir: str):
     """Sequence-length histogram for packing calibration: docs bucketed by
     word count into width-16 bins (bin start inclusive), with per-bin doc
@@ -1545,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "blocklist_screen": q_blocklist_screen,
         "seq_len_histogram": q_seq_len_histogram,
+        "cross_dedup": q_cross_dedup,
         "semantic_kept_corpus": q_semantic_kept_corpus,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,

@@ -1570,3 +1570,21 @@ SELECT d.lang,
        sum(CASE WHEN sd.semdedup_keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
 FROM ({sem}) sd JOIN documents d ON d.doc_id = sd.vec_id
 GROUP BY d.lang"""
+
+
+# Incremental-crawl anti-join dedup: incoming (md5(path)%5 != 0) docs whose
+# content sha256 appears in the existing (md5(path)%5 == 0) slice are
+# dropped.
+ORACLE_SQL["cross_dedup"] = with_corpus("""
+, tagged AS (
+  SELECT repo, path, content,
+         ('0x' || substr(md5(path), 1, 8))::UBIGINT % 5 = 0 AS is_existing
+  FROM corpus
+)
+SELECT i.repo, i.path
+FROM tagged i
+WHERE NOT i.is_existing
+  AND NOT EXISTS (
+    SELECT 1 FROM tagged e
+    WHERE e.is_existing AND sha256(e.content) = sha256(i.content)
+  )""")

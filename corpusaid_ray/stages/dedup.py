@@ -117,3 +117,26 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
         if merged:
             combined = combined.map_batches(combine, batch_format="pandas")
     return combined.groupby("_part").map_groups(pick, batch_format="pandas")
+
+
+def cross_dedup(incoming, existing, *, key_col: str = "content_sha256",
+                num_partitions: int = 64):
+    """Incremental-crawl dedup: drop every ``incoming`` row whose key exists
+    ANYWHERE in the ``existing`` corpus — a hash-partitioned LEFT ANTI join
+    (one shuffle per side, each on the key). Anti-join semantics never
+    multiply rows, so the existing side needs no pre-dedup; prune it to the
+    key column before calling (its payload never moves). Self-duplicates
+    WITHIN incoming are kept — compose :func:`dedup_exact` for those.
+
+    At 100 TB the existing side is the previous crawl's key index — keys
+    only, ~32 B/row; both sides shuffle once on the same key, no broadcast
+    assumption (this is the escape hatch for when the existing set outgrows
+    a ``ray.put``-able membership structure like ``state/dedup_index``).
+    """
+    keys = existing.select_columns([key_col])
+    return incoming.join(
+        keys,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(key_col,),
+    )

@@ -836,3 +836,22 @@ def test_blocklist_screen_word_boundaries():
     # null content → not blocked
     t2 = pa.table({"content": pa.array([None], pa.string())})
     assert blocklist_screen_fn(t2, ("slow",)).to_pandas().blocked[0] == False
+
+
+def test_cross_dedup_anti_join(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import cross_dedup
+
+    existing = ray.data.from_arrow(pa.table({
+        "content_sha256": pa.array(["a", "b", "b"], pa.string()),
+    }))
+    incoming = ray.data.from_arrow(pa.table({
+        "path": pa.array(["p1", "p2", "p3", "p4"], pa.string()),
+        "content_sha256": pa.array(["a", "c", "b", "c"], pa.string()),
+    }))
+    out = cross_dedup(incoming, existing, num_partitions=4).take_all()
+    # 'a' and 'b' exist (dup keys on the existing side must not multiply);
+    # both 'c' rows survive (self-dups within incoming are kept)
+    assert sorted(r["path"] for r in out) == ["p2", "p4"]
