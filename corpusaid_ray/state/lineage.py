@@ -286,3 +286,42 @@ def write_partitioned_by(ds, out_dir: str, key: str):
     training shards); the checkpoint/resume story stays with the
     ``PartWriter`` manifest sink, which partitions by shard id instead."""
     ds.write_parquet(out_dir, partition_cols=[key])
+
+
+def export_training_shards(ds, out_dir: str, *, num_shards: int,
+                           key_col: str = "path", seed: str = "r3"):
+    """Training-ready export: a DETERMINISTIC global pseudo-shuffle into
+    ``num_shards`` Hive-partitioned shards.
+
+    Trainers want (a) documents decorrelated from crawl/source order and
+    (b) a reproducible layout a resumed job can recreate byte-for-byte.
+    A ``random_shuffle()`` gives (a) but not (b); instead each row gets
+    ``shard = md5(seed‖key) % num_shards`` and an intra-shard sort key
+    ``shuffle_rank = md5(seed‖key)`` — content-stable, independent of input
+    order, block layout and cluster size (the same hash-family argument as
+    ``split_assign``; under the md5 model this IS a uniform shuffle). One
+    map pass + one partitioned write; per-shard ORDER is imposed by the
+    trainer reading ``ORDER BY shuffle_rank`` (recorded in the schema), so
+    nothing here sorts globally.
+
+    Different ``seed`` → a fresh, uncorrelated shuffle (new epoch layouts).
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ranks = [
+            int(hashlib.md5((seed + k).encode("utf-8")).hexdigest()[:12], 16)
+            for k in batch[key_col].to_pylist()
+        ]
+        import numpy as np
+
+        r = np.asarray(ranks, dtype="int64")
+        return batch.append_column(
+            "shard", pa.array(r % num_shards, pa.int64())
+        ).append_column("shuffle_rank", pa.array(r, pa.int64()))
+
+    write_partitioned_by(
+        ds.map_batches(assign, batch_format="pyarrow"), out_dir, "shard"
+    )

@@ -180,3 +180,34 @@ def test_streaming_dedup_index(ray_session):
     idx2.restore(snap)
     b3 = dedup_stream_batch(idx2, mk_batch([("f", "z"), ("g", "new")]))
     assert b3["path"].to_pylist() == ["g"]
+
+
+def test_export_training_shards_deterministic_layout(ray_session, tmp_path):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.state.lineage import export_training_shards
+
+    rows = [{"path": f"p{i:03d}", "content": f"c{i}"} for i in range(200)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(7)
+    out = str(tmp_path / "shards")
+    export_training_shards(ds, out, num_shards=8, seed="epoch0")
+
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) == 8  # 200 rows over 8 md5 shards: all occupied
+
+    back = ray.data.read_parquet(out).take_all()
+    assert len(back) == 200
+    for r in back:
+        h = int(hashlib.md5(("epoch0" + r["path"]).encode()).hexdigest()[:12], 16)
+        assert int(r["shard"]) == h % 8
+        assert int(r["shuffle_rank"]) == h
+    # a different seed produces a different (decorrelated) layout
+    out2 = str(tmp_path / "shards2")
+    export_training_shards(ds, out2, num_shards=8, seed="epoch1")
+    b2 = {r["path"]: r["shard"] for r in ray.data.read_parquet(out2).take_all()}
+    b1 = {r["path"]: r["shard"] for r in back}
+    assert any(b1[p] != b2[p] for p in b1)
