@@ -1293,6 +1293,34 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_curated_sample(sf_dir: str):
+    """Composed curation recipe — the three-stage shape of a real
+    training-mix job in one pipeline: repo-scoped exact dedup (first-wins)
+    → DSIR keep (weight over content words > 0, fit shared with
+    dsir_weights) → per-repo md5-rank quota of 3. One chained SQL mirror
+    verifies the whole composition end-to-end."""
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.dedup import add_sha256, dedup_exact
+    from corpusaid_ray.stages.dsir import dsir_weights, fit_dsir_logratios
+    from corpusaid_ray.stages.sampling import repo_quota_sample
+
+    lr = fit_dsir_logratios(sf_dir)
+    dd = dedup_exact(
+        _corpus(sf_dir).map_batches(add_sha256, batch_format="pyarrow")
+    )
+    weighted = dsir_weights(dd, lr, text_col="content")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = batch["dsir_keep"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(m)).select(["repo", "path"])
+
+    kept = weighted.map_batches(keep, batch_format="pyarrow")
+    return repo_quota_sample(kept, n_per_repo=3).select_columns(
+        ["repo", "path"]
+    )
+
+
 def q_cross_dedup(sf_dir: str):
     """Incremental-crawl dedup: split the corpus by md5(path)%5 into an
     'existing crawl' (20%) and an 'incoming crawl' (80%), then drop incoming
@@ -1573,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_screen": q_blocklist_screen,
         "seq_len_histogram": q_seq_len_histogram,
         "cross_dedup": q_cross_dedup,
+        "curated_sample": q_curated_sample,
         "semantic_kept_corpus": q_semantic_kept_corpus,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,

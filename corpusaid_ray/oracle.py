@@ -1382,17 +1382,13 @@ ORACLE_SQL["csv_roundtrip"] = (
 )
 
 
-def _dsir_sql() -> str:
-    """Full DSIR mirror: the bounded deterministic fit (target = first 1000
-    doc_id-ordered docs with lang='en', raw = first 1000 overall; add-1
-    smoothing over 64 md5 buckets) AND the per-doc fixed-point weight sum,
-    all in SQL. Exact-integer weights (floor(1e6·(ln p − ln q)) per bucket,
-    integer sums per doc) make the hash comparison bit-stable; DuckDB ln()
-    matches math.log bit-exactly (pinned by this row staying green)."""
+def _dsir_lr_ctes() -> str:
+    """The DSIR fit as reusable CTEs (tgt/raw/tb/rb/tc/rc/tot/lr — mirrors
+    ``stages/dsir.fit_dsir_logratios`` exactly; shared by the dsir_weights
+    and curated_sample oracles so the fit text cannot drift)."""
     ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
     b = "('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64"
-    return f"""
-WITH tgt AS MATERIALIZED (
+    return f"""tgt AS MATERIALIZED (
   SELECT text FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 1000
 ), raw AS MATERIALIZED (
   SELECT text FROM documents ORDER BY doc_id LIMIT 1000
@@ -1418,7 +1414,20 @@ lr AS MATERIALIZED (
   LEFT JOIN tc ON tc.b = g.range
   LEFT JOIN rc ON rc.b = g.range
   CROSS JOIN tot
-), occ AS (
+)"""
+
+
+def _dsir_sql() -> str:
+    """Full DSIR mirror: the bounded deterministic fit (target = first 1000
+    doc_id-ordered docs with lang='en', raw = first 1000 overall; add-1
+    smoothing over 64 md5 buckets) AND the per-doc fixed-point weight sum,
+    all in SQL. Exact-integer weights (floor(1e6·(ln p − ln q)) per bucket,
+    integer sums per doc) make the hash comparison bit-stable; DuckDB ln()
+    matches math.log bit-exactly (pinned by this row staying green)."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    b = "('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64"
+    return f"""
+WITH {_dsir_lr_ctes()}, occ AS (
   SELECT doc_id, ({b})::BIGINT AS b
   FROM documents, unnest(list_filter(regexp_split_to_array(text, '{ws}'),
                                      t -> t != '')) AS u(tok)
@@ -1588,3 +1597,36 @@ WHERE NOT i.is_existing
     SELECT 1 FROM tagged e
     WHERE e.is_existing AND sha256(e.content) = sha256(i.content)
   )""")
+
+
+def _curated_sample_sql() -> str:
+    """Composed curation recipe mirror: repo-scoped exact dedup (first-wins)
+    → DSIR keep (weight over CONTENT words > 0; fit CTEs shared with the
+    dsir_weights oracle via ``_dsir_lr_ctes``) → per-repo md5-rank quota of
+    3 — three chained derivations, one SQL statement."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    b = "('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64"
+    return f"""
+WITH {corpus_cte()}, {_dsir_lr_ctes()}, dd AS MATERIALIZED (
+  SELECT repo, path, content FROM corpus
+  QUALIFY row_number() OVER (PARTITION BY repo, sha256(content)
+                             ORDER BY path) = 1
+), occ AS (
+  SELECT repo, path, ({b})::BIGINT AS b
+  FROM dd, unnest(list_filter(regexp_split_to_array(content, '{ws}'),
+                              t -> t != '')) AS u(tok)
+), agg AS (
+  SELECT repo, path, sum(lr.lr)::BIGINT AS wfp
+  FROM occ JOIN lr USING (b)
+  GROUP BY repo, path
+), kept AS (
+  SELECT dd.repo, dd.path
+  FROM dd LEFT JOIN agg ON agg.repo = dd.repo AND agg.path = dd.path
+  WHERE coalesce(agg.wfp, 0) > 0
+)
+SELECT repo, path FROM kept
+QUALIFY row_number() OVER (PARTITION BY repo
+    ORDER BY ('0x' || substr(md5(path), 1, 8))::UBIGINT, path) <= 3"""
+
+
+ORACLE_SQL["curated_sample"] = _curated_sample_sql()
