@@ -1293,6 +1293,123 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over lineitem (the largest table):
+    shipdate-filtered scan → batch-local partial sums (≤ |flag×status| rows
+    per batch cross the exchange) → tiny groupby. All money/qty sums are
+    exact int64 micro-units (floor(x·10⁶) per row, matching the SQL mirror
+    row-for-row)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = ship <= np.datetime64("1998-09-02")
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        ext = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        tax = batch["l_tax"].to_numpy(zero_copy_only=False)[m]
+        df = pd.DataFrame({
+            "l_returnflag": np.asarray(
+                batch["l_returnflag"].to_pylist(), dtype=object)[m],
+            "l_linestatus": np.asarray(
+                batch["l_linestatus"].to_pylist(), dtype=object)[m],
+            "q": np.floor(qty * 1_000_000).astype("int64"),
+            "b": np.floor(ext * 1_000_000).astype("int64"),
+            "d": np.floor(ext * (1.0 - disc) * 1_000_000).astype("int64"),
+            "c": np.floor(
+                ext * (1.0 - disc) * (1.0 + tax) * 1_000_000
+            ).astype("int64"),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_micros=("q", "sum"), sum_base_micros=("b", "sum"),
+            sum_disc_micros=("d", "sum"), sum_charge_micros=("c", "sum"),
+            count_order=("q", "size"),
+        )
+        return g
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_micros", alias_name="sum_qty_micros"),
+            Sum("sum_base_micros", alias_name="sum_base_micros"),
+            Sum("sum_disc_micros", alias_name="sum_disc_micros"),
+            Sum("sum_charge_micros", alias_name="sum_charge_micros"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+def q_supplier_by_region(sf_dir: str):
+    """Three-table rollup: supplier ⋈ nation ⋈ region → per-region supplier
+    count + total account balance. The dimension chain (25 + 5 rows) is
+    joined once on the driver and broadcast into the supplier scan — the
+    canonical small-side broadcast shape; no shuffle join anywhere."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import broadcast_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "s_nationkey"})
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    joined = broadcast_join(sup, dim, on="s_nationkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            bal=np.floor(
+                df["s_acctbal"].to_numpy() * 1_000_000
+            ).astype("int64")
+        )
+        return df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("bal", "size"), total_acctbal_micros=("bal", "sum")
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("total_acctbal_micros", alias_name="total_acctbal_micros"),
+        )
+    )
+
+
+def q_top_parts_per_brand(sf_dir: str):
+    """Per-brand top-3 parts by retail price (reuses the two-phase
+    per-group top-k aggregate over the part dimension; p_partkey is unique,
+    so the 'sum' phase is an exact micro-unit identity)."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import group_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_brand", "p_partkey", "p_retailprice"],
+    )
+    return group_topk(ds, key="p_brand", rank_col="p_partkey",
+                      by_col="p_retailprice", k=3)
+
+
 def q_curated_sample(sf_dir: str):
     """Composed curation recipe — the three-stage shape of a real
     training-mix job in one pipeline: repo-scoped exact dedup (first-wins)
@@ -1602,6 +1719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_len_histogram": q_seq_len_histogram,
         "cross_dedup": q_cross_dedup,
         "curated_sample": q_curated_sample,
+        "pricing_summary": q_pricing_summary,
+        "supplier_by_region": q_supplier_by_region,
+        "top_parts_per_brand": q_top_parts_per_brand,
         "semantic_kept_corpus": q_semantic_kept_corpus,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,

@@ -1630,3 +1630,49 @@ QUALIFY row_number() OVER (PARTITION BY repo
 
 
 ORACLE_SQL["curated_sample"] = _curated_sample_sql()
+
+
+# TPC-H Q1-shaped pricing summary over lineitem; all sums exact int64
+# micro-units (floor per row — identical to the engine's row math).
+ORACLE_SQL["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 1000000) AS BIGINT))::BIGINT
+           AS sum_qty_micros,
+       sum(CAST(floor(l_extendedprice * 1000000) AS BIGINT))::BIGINT
+           AS sum_base_micros,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000)
+           AS BIGINT))::BIGINT AS sum_disc_micros,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+           * 1000000) AS BIGINT))::BIGINT AS sum_charge_micros,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+# supplier ⋈ nation ⋈ region rollup (broadcast dimension chain).
+ORACLE_SQL["supplier_by_region"] = """
+SELECT r.r_name,
+       count(*)::BIGINT AS n_suppliers,
+       sum(CAST(floor(s.s_acctbal * 1000000) AS BIGINT))::BIGINT
+           AS total_acctbal_micros
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name"""
+
+
+# Per-brand top-3 parts by retail price (same two-phase top-k mirror shape
+# as top_users_per_type; p_partkey unique so the sum phase is an identity).
+ORACLE_SQL["top_parts_per_brand"] = """
+WITH sums AS (
+  SELECT p_brand, p_partkey,
+         sum(CAST(floor(p_retailprice * 1000000) AS BIGINT))::BIGINT
+             AS total_micros
+  FROM part GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, total_micros,
+       row_number() OVER (PARTITION BY p_brand
+                          ORDER BY total_micros DESC, p_partkey) AS rank
+FROM sums
+QUALIFY rank <= 3"""
