@@ -104,6 +104,51 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     return samples.reshape(-1, channels), rate, channels
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """uint8 (H,W,3) RGB → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR order, 4-byte row padding)."""
+    import struct
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"BMP encoder needs (H,W,3) RGB, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip+BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP → uint8 RGB array (H,W,3).
+    Bottom-up and top-down (negative height) row orders both handled; other
+    bit depths / compressions raise (plug a codec library for those)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP decoded here (got bpp={bpp}, "
+            f"compression={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.frombuffer(
+        payload, dtype=np.uint8, count=h * row_bytes, offset=off
+    ).reshape(h, row_bytes)
+    px = body[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return (px[::-1] if bottom_up else px).copy()
+
+
 def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize (pure numpy index mapping)."""
     h, w = pixels.shape[:2]
@@ -122,6 +167,8 @@ def decode_media(payload: bytes, media_type: str | None = None):
     container; plug PIL/ffmpeg here in a real deployment."""
     if payload[:2] in (b"P5", b"P6"):
         return {"kind": "image", "pixels": decode_pnm(payload)}
+    if payload[:2] == b"BM":
+        return {"kind": "image", "pixels": decode_bmp(payload)}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, rate, channels = decode_wav(payload)
         return {"kind": "audio", "samples": samples, "rate": rate,

@@ -855,3 +855,32 @@ def test_cross_dedup_anti_join(ray_session):
     # 'a' and 'b' exist (dup keys on the existing side must not multiply);
     # both 'c' rows survive (self-dups within incoming are kept)
     assert sorted(r["path"] for r in out) == ["p2", "p4"]
+
+
+def test_bmp_roundtrip_and_decode_media():
+    import numpy as np
+
+    from corpusaid_ray.stages.multimodal import (
+        decode_bmp, decode_media, encode_bmp,
+    )
+
+    rng = np.random.RandomState(9)
+    # odd width exercises the 4-byte row padding
+    for h, w in ((5, 7), (1, 1), (3, 4)):
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        raw = encode_bmp(px)
+        assert raw[:2] == b"BM"
+        back = decode_bmp(raw)
+        assert back.shape == (h, w, 3)
+        assert (back == px).all()
+        via_sniff = decode_media(raw)
+        assert via_sniff["kind"] == "image"
+        assert (via_sniff["pixels"] == px).all()
+
+    # non-24-bit rejected loudly, not silently misdecoded
+    import struct
+    bad = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    struct.pack_into("<H", bad, 28, 8)  # claim 8bpp
+    import pytest
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_bmp(bytes(bad))
