@@ -820,6 +820,46 @@ def q_image_features(sf_dir: str):
     )
 
 
+def q_bmp_features(sf_dir: str):
+    """REAL BMP decode path (24-bit BI_RGB codec added round 3): RGB
+    payloads synthesized in closed forms of doc_id (pixel
+    (doc_id+i+j+c) % 256 on the image_features grid), decoded by the same
+    actor-pool extractor — every decoded value oracle-verified."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from corpusaid_ray.stages.multimodal import encode_bmp, media_features
+
+    def synth(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0)
+        )
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            w, h = 8 + did % 5, 8 + did % 7
+            i = np.arange(h)[:, None, None]
+            j = np.arange(w)[None, :, None]
+            c = np.arange(3)[None, None, :]
+            payloads.append(
+                encode_bmp(((did + i + j + c) % 256).astype(np.uint8))
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return media_features(
+        ds.map_batches(synth, batch_format="pyarrow")
+    ).select_columns(
+        ["doc_id", "width", "height", "channels", "mean_intensity"]
+    )
+
+
 def q_audio_features(sf_dir: str):
     """REAL WAV decode path (stdlib ``wave`` in an actor pool): duration /
     rate / channels / RMS of deterministically synthesized PCM payloads —
@@ -1722,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "supplier_by_region": q_supplier_by_region,
         "top_parts_per_brand": q_top_parts_per_brand,
+        "bmp_features": q_bmp_features,
         "semantic_kept_corpus": q_semantic_kept_corpus,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,

@@ -1676,3 +1676,17 @@ SELECT p_brand, p_partkey, total_micros,
                           ORDER BY total_micros DESC, p_partkey) AS rank
 FROM sums
 QUALIFY rank <= 3"""
+
+
+# BMP decode mirror: closed-form RGB grid, mean over all H×W×3 values.
+ORACLE_SQL["bmp_features"] = """
+SELECT doc_id,
+       (8 + doc_id % 5)::BIGINT AS width,
+       (8 + doc_id % 7)::BIGINT AS height,
+       3::BIGINT AS channels,
+       list_avg(flatten(flatten(list_transform(range(8 + doc_id % 7),
+         i -> list_transform(range(8 + doc_id % 5),
+           j -> list_transform(range(3),
+                               c -> (doc_id + i + j + c) % 256))))))
+         AS mean_intensity
+FROM documents WHERE doc_id % 2 = 0"""
