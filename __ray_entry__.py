@@ -1450,6 +1450,19 @@ def q_top_parts_per_brand(sf_dir: str):
                       by_col="p_retailprice", k=3)
 
 
+def q_longest_docs(sf_dir: str):
+    """Global distributed sort as a user-facing op: the 100 longest
+    documents by (n_chars desc, doc_id asc — deterministic tie-break).
+    Exercises Ray's native range-partitioned Sort → limit; at scale this is
+    the 'take the extreme tail' pattern (length outlier audits)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+
+
 def q_curated_sample(sf_dir: str):
     """Composed curation recipe — the three-stage shape of a real
     training-mix job in one pipeline: repo-scoped exact dedup (first-wins)
@@ -1763,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_by_region": q_supplier_by_region,
         "top_parts_per_brand": q_top_parts_per_brand,
         "bmp_features": q_bmp_features,
+        "longest_docs": q_longest_docs,
         "semantic_kept_corpus": q_semantic_kept_corpus,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,

@@ -1690,3 +1690,10 @@ SELECT doc_id,
                                c -> (doc_id + i + j + c) % 256))))))
          AS mean_intensity
 FROM documents WHERE doc_id % 2 = 0"""
+
+
+# Global sort + limit: 100 longest docs, deterministic tie-break.
+ORACLE_SQL["longest_docs"] = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 100"""

@@ -884,3 +884,34 @@ def test_bmp_roundtrip_and_decode_media():
     import pytest
     with pytest.raises(NotImplementedError, match="24-bit"):
         decode_bmp(bytes(bad))
+
+
+def test_cross_dedup_randomized_vs_serial(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import cross_dedup
+
+    rng = np.random.RandomState(13)
+    keys = [f"k{i}" for i in range(30)]
+    existing_keys = [keys[i] for i in rng.choice(30, size=40)]      # dups in
+    incoming = [
+        {"path": f"p{i}", "content_sha256": keys[rng.randint(30)]}
+        for i in range(120)
+    ]
+    expect = sorted(
+        r["path"] for r in incoming
+        if r["content_sha256"] not in set(existing_keys)
+    )
+    ex = ray.data.from_arrow(pa.table(
+        {"content_sha256": pa.array(existing_keys, pa.string())}
+    )).repartition(5)
+    for nblocks in (1, 6):
+        inc = ray.data.from_arrow(
+            pa.Table.from_pylist(incoming)
+        ).repartition(nblocks)
+        got = sorted(
+            r["path"] for r in cross_dedup(inc, ex, num_partitions=4).take_all()
+        )
+        assert got == expect
