@@ -206,9 +206,16 @@ def inverted_index(ds, *, content_col: str = "content",
         agg["doc_freq"] = agg["doc_freq"].astype("int64")
         return agg[["word", "doc_freq", "chunk", "postings"]]
 
+    # incidence rows are real payload (not combiner-bounded), so the
+    # size-aware merge keeps ~128 MiB blocks at web scale while capping the
+    # O(blocks²) sort exchange when blocks are small and many (BASELINE.md
+    # r3: 380 s → measured post-fix at 5M docs / 1000 input blocks)
+    from corpusaid_ray.util import coalesce_blocks_down
+
+    inc = ds.map_batches(incidences, batch_format="pyarrow")
+    inc, _ = coalesce_blocks_down(inc, 256)
     return (
-        ds.map_batches(incidences, batch_format="pyarrow")
-        .groupby("part")
+        inc.groupby("part")
         .map_groups(build, batch_format="pandas")
         .select_columns(["word", "doc_freq", "chunk", "postings"])
     )

@@ -126,4 +126,19 @@ def fit_bigram_lm(ds, *, text_col: str = "text", top_k: int = 5,
     counts = ds.map_batches(
         lambda b: count_bigrams_batch(b, text_col), batch_format="pyarrow"
     )
+    # combiner output ≤ distinct in-batch bigrams; merge-only coalesce caps
+    # the O(blocks²) sort exchange, re-combining across merged blocks
+    from corpusaid_ray.util import coalesce_blocks_down
+
+    counts, merged = coalesce_blocks_down(counts, 256)
+    if merged:
+        def recombine(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return _empty_counts()
+            g = df.groupby(["salt", "w1", "w2"], sort=False, as_index=False)[
+                "c"
+            ].sum()
+            return g[["salt", "w1", "w2", "c"]]
+
+        counts = counts.map_batches(recombine, batch_format="pandas")
     return counts.groupby("salt").map_groups(fine, batch_format="pandas")

@@ -69,6 +69,11 @@ def pack_sequences(ds, *, cap: int = 512, id_col: str = "doc_id",
         })
 
     counted = ds.map_batches(counts, batch_format="pyarrow")
+    # skinny per-doc rows feed TWO wide ops; the size-aware merge caps the
+    # O(blocks²) sort exchange without oversizing blocks (BASELINE.md r3)
+    from corpusaid_ray.util import coalesce_blocks_down
+
+    counted, _ = coalesce_blocks_down(counted, 256)
 
     # small side: one (bucket, sum) row per bucket
     sums = counted.groupby("bucket").aggregate(

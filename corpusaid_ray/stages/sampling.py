@@ -57,6 +57,13 @@ def repo_quota_sample(ds, *, n_per_repo: int, scope_col: str = "repo",
         lambda b: add_md5_rank(b, key_col), batch_format="pyarrow"
     )
     combined = ranked.map_batches(head_n, batch_format="pandas")
+    # combiner output ≤ n × repos per batch; merge-only coalesce caps the
+    # O(blocks²) sort exchange, re-combining across merged blocks
+    from corpusaid_ray.util import coalesce_blocks_down
+
+    combined, merged = coalesce_blocks_down(combined, 256)
+    if merged:
+        combined = combined.map_batches(head_n, batch_format="pandas")
     return combined.groupby(scope_col).map_groups(
         head_n, batch_format="pandas"
     )

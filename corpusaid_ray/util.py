@@ -62,10 +62,21 @@ def coalesce_blocks_down(ds, max_blocks: int):
     op materializes its input anyway, so this adds no asymptotic memory —
     and merges down only when the count exceeds ``max_blocks``.
 
+    Merging is SIZE-AWARE: the target is
+    ``max(max_blocks, ceil(size_bytes / 128 MiB))`` so bounding the
+    partition count never creates oversized blocks — a genuinely large
+    intermediate (e.g. inverted-index incidences at web scale) keeps one
+    ~128 MiB block per partition, while a metadata-heavy sea of tiny blocks
+    merges down to ``max_blocks``.
+
     Returns ``(dataset, merged: bool)``; when ``merged`` the caller should
     re-run its combiner over the merged blocks to re-collapse rows.
     """
     mat = ds.materialize()
-    if mat.num_blocks() > max_blocks:
-        return mat.repartition(max_blocks), True
+    target = max(
+        max_blocks,
+        -(-(mat.size_bytes() or 0) // (128 * 1024 * 1024)),
+    )
+    if mat.num_blocks() > target:
+        return mat.repartition(target), True
     return mat, False
