@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from corpusaid_ray.util import grouped
+
 
 def _bytes_words(batch: pa.Table, col: str) -> tuple[np.ndarray, np.ndarray]:
     # word counts via one Arrow RE2 split (packing.word_counts) — identical
@@ -111,9 +113,9 @@ def repo_dedup_stats(ds, key: str = "repo", hash_col: str = "content_sha256",
             }
         )
 
-    per = rows.groupby([key, "salt"]).map_groups(per_salt, batch_format="pandas")
+    per = grouped(rows, [key, "salt"]).map_groups(per_salt, batch_format="pandas")
     return (
-        per.groupby(key)
+        grouped(per, key)
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
             Sum("n_distinct", alias_name="n_distinct_content"),
@@ -225,7 +227,7 @@ def group_percentiles_distributed(ds, *, key: str, value_col: str,
     vals = ds.map_batches(to_micros, batch_format="pandas")
 
     # pass A: per-key extent + count
-    ext = vals.groupby(key).aggregate(
+    ext = grouped(vals, key).aggregate(
         Min("v", alias_name="vmin"), Max("v", alias_name="vmax"),
         Count(alias_name="n"),
     ).to_pandas()
@@ -253,8 +255,8 @@ def group_percentiles_distributed(ds, *, key: str, value_col: str,
         return g.reset_index()
 
     hist = (
-        vals.map_batches(hist_partial, batch_format="pandas")
-        .groupby([key, "b"])
+        grouped(vals.map_batches(hist_partial, batch_format="pandas"),
+                [key, "b"])
         .aggregate(Sum("c", alias_name="c"))
         .to_pandas()
     )
@@ -293,8 +295,8 @@ def group_percentiles_distributed(ds, *, key: str, value_col: str,
         return pd.DataFrame(rows, columns=[key, "pcol", "val"])
 
     picked = (
-        vals.map_batches(keep_needed, batch_format="pandas")
-        .groupby([key, "b"])
+        grouped(vals.map_batches(keep_needed, batch_format="pandas"),
+                [key, "b"])
         .map_groups(select, batch_format="pandas")
         .to_pandas()  # ≤ keys × |percentiles| rows
     )
@@ -327,8 +329,8 @@ def group_topk(ds, *, key: str, rank_col: str, by_col: str, k: int = 3):
         )
 
     sums = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([key, rank_col])
+        grouped(ds.map_batches(partial, batch_format="pandas"),
+                [key, rank_col])
         .aggregate(Sum("v", alias_name="total_micros"))
     )
 

@@ -35,6 +35,7 @@ import pandas as pd
 import pyarrow as pa
 
 from corpusaid_ray.functions import hashing as H
+from corpusaid_ray.util import grouped
 
 log = logging.getLogger(__name__)
 
@@ -173,7 +174,7 @@ def _raw_candidate_pairs(ds, key: str, max_bucket: int):
             return _empty_df(path_a="object", path_b="object")
         return pd.concat(outs, ignore_index=True)
 
-    pairs = exploded.groupby(["band", "salt"]).map_groups(
+    pairs = grouped(exploded, ["band", "salt"]).map_groups(
         salted_pairs, batch_format="pandas"
     )
 
@@ -193,7 +194,7 @@ def _raw_candidate_pairs(ds, key: str, max_bucket: int):
         return df
 
     pairs = pairs.map_batches(local_dedup, batch_format="pandas")
-    return pairs.groupby("pair_salt").map_groups(
+    return grouped(pairs, "pair_salt").map_groups(
         lambda g: g.drop_duplicates(["path_a", "path_b"]).drop(
             columns=["pair_salt"]
         ),
@@ -385,7 +386,7 @@ def simhash_candidate_pairs(ds, *, key: str = "path", max_hamming: int = 3,
                              hamming="int64")
         return pd.concat(outs, ignore_index=True)
 
-    pairs = exploded.groupby(["chunk", "salt"]).map_groups(
+    pairs = grouped(exploded, ["chunk", "salt"]).map_groups(
         salted_pairs, batch_format="pandas"
     )
 
@@ -400,7 +401,7 @@ def simhash_candidate_pairs(ds, *, key: str = "path", max_hamming: int = 3,
         return df
 
     uniq = pairs.map_batches(local_dedup, batch_format="pandas")
-    uniq = uniq.groupby("pair_salt").map_groups(
+    uniq = grouped(uniq, "pair_salt").map_groups(
         lambda g: g.drop_duplicates(["path_a", "path_b"]).drop(
             columns=["pair_salt"]
         ),
@@ -709,7 +710,7 @@ def embedding_neardup_pairs(ds, *, dim: int, threshold: float = 0.95,
         )
 
     pairs = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    uniq = pairs.groupby(["vec_id_a", "vec_id_b"]).map_groups(
+    uniq = grouped(pairs, ["vec_id_a", "vec_id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
     # normalize the degenerate block a zero-row groupby emits (no columns at
@@ -793,7 +794,7 @@ def fingerprint_dup_pairs(ds, *, key: str = "path",
             return _empty_df(path_a="object", path_b="object")
         return pd.concat(outs, ignore_index=True)
 
-    pairs = exploded.groupby("salt").map_groups(
+    pairs = grouped(exploded, "salt").map_groups(
         salted_pairs, batch_format="pandas"
     )
 
@@ -828,6 +829,6 @@ def fingerprint_dup_pairs(ds, *, key: str = "path",
         )
         return out[out["shared"] >= min_shared]
 
-    return counted.groupby("pair_salt").map_groups(
+    return grouped(counted, "pair_salt").map_groups(
         final_count, batch_format="pandas"
     ).select_columns(["path_a", "path_b", "shared"])

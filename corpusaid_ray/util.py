@@ -80,3 +80,12 @@ def coalesce_blocks_down(ds, max_blocks: int):
     if mat.num_blocks() > target:
         return mat.repartition(target), True
     return mat, False
+
+
+def grouped(ds, keys, max_blocks: int = 256):
+    """``ds.groupby(keys)`` behind the size-aware block-count bound: every
+    wide op should pass through :func:`coalesce_blocks_down` first (the
+    sort materializes its input anyway, so the extra materialize is free;
+    the merge is the O(blocks²)-exchange cap measured in BASELINE.md r3)."""
+    ds, _ = coalesce_blocks_down(ds, max_blocks)
+    return ds.groupby(keys)
