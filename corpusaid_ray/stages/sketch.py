@@ -141,9 +141,11 @@ def cms_word_counts(ds, probes: list[str], *,
             "cnt": pa.array(cells[jj, bb]),
         })
 
+    from corpusaid_ray.util import grouped
+
     rows = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["j", "bucket"])
+        grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                ["j", "bucket"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .take_all()  # ≤ d·w rows by construction
     )

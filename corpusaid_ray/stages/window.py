@@ -20,6 +20,8 @@ import pyarrow as pa
 
 from ray.data.aggregate import Sum
 
+from corpusaid_ray.util import grouped
+
 
 def sessionize(ds, *, gap_minutes: int = 30, key: str = "user_id",
                ts_col: str = "ts", value_col: str = "value"):
@@ -91,8 +93,8 @@ def hopping_window(ds, *, size_minutes: int = 60, hop_minutes: int = 30,
         )
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([key, "window_start"])
+        grouped(ds.map_batches(partial, batch_format="pandas"),
+                [key, "window_start"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("sum_value_micros", alias_name="sum_value_micros"),
@@ -147,8 +149,8 @@ def tumbling_window(ds, *, size: str = "1h",
         return g
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([key, "window_start"])
+        grouped(ds.map_batches(partial, batch_format="pandas"),
+                [key, "window_start"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("sum_value_micros", alias_name="sum_value_micros"),
