@@ -45,6 +45,17 @@ def main(argv: list[str] | None = None) -> int:
     prev.add_argument("--detect-encoding", action="store_true")
     prev.add_argument("--num-cpus", type=int, default=None)
 
+    exp = sub.add_parser(
+        "export-shards",
+        help="deterministic md5 pseudo-shuffle into Hive-partitioned "
+             "training shards",
+    )
+    exp.add_argument("--sf-dir", required=True)
+    exp.add_argument("--out", required=True)
+    exp.add_argument("--num-shards", type=int, default=64)
+    exp.add_argument("--seed", default="epoch0")
+    exp.add_argument("--num-cpus", type=int, default=None)
+
     srch = sub.add_parser(
         "search",
         help="case-insensitive occurrence count of a literal term",
@@ -104,6 +115,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
             rows = preview(ds, limit_chars=args.limit_chars, n=args.n)
             print(json.dumps(rows))
+        elif args.cmd == "export-shards":
+            from corpusaid_ray.corpus import read_corpus
+            from corpusaid_ray.state.lineage import export_training_shards
+
+            export_training_shards(
+                read_corpus(args.sf_dir), args.out,
+                num_shards=args.num_shards, seed=args.seed,
+            )
+            print(json.dumps({"out": args.out, "num_shards": args.num_shards,
+                              "seed": args.seed}))
         elif args.cmd == "search":
             import pyarrow as pa
             import pyarrow.compute as pc
