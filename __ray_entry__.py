@@ -1665,6 +1665,44 @@ def q_compression_metrics(sf_dir: str):
     )
 
 
+def q_code_quality(sf_dir: str):
+    """StarCoder/BigCode-style source-code quality filters (Li et al. 2023
+    §3.2 — the public filter recipe for code corpora, the north rule's
+    payload): digit fraction, alpha-token fraction, comment-line fraction,
+    generated-file / XML-declaration banners, and the combined keep rule.
+    One vectorized map pass; every fraction is a single int/int division so
+    the DuckDB mirror compares bit-exactly."""
+    from corpusaid_ray.stages.quality import code_quality_fn
+
+    return (
+        _corpus(sf_dir)
+        .map_batches(code_quality_fn, batch_format="pyarrow")
+        .select_columns(
+            ["repo", "path", "n_chars", "max_line_len", "mean_line_len",
+             "frac_digits", "alpha_token_frac", "comment_line_frac",
+             "autogen_flag", "xml_flag", "code_keep"]
+        )
+    )
+
+
+def q_secrets_screen(sf_dir: str):
+    """Credential screen over the code corpus (BigCode PII pipeline /
+    detect-secrets rules): non-overlapping match counts per secret family
+    (AWS access keys, private-key blocks, API tokens) + has_secret flag.
+    The synthesized corpus plants AKIA... keys in motif 7, so the oracle
+    checks a non-trivial hit distribution."""
+    from corpusaid_ray.stages.quality import secrets_screen_fn
+
+    return (
+        _corpus(sf_dir)
+        .map_batches(secrets_screen_fn, batch_format="pyarrow")
+        .select_columns(
+            ["repo", "path", "aws_key_hits", "private_key_hits",
+             "api_token_hits", "has_secret"]
+        )
+    )
+
+
 def q_doc_length_percentiles(sf_dir: str):
     """Per-language document-length percentiles via the DISTRIBUTED exact
     path (histogram + targeted bucket selection): the corpus-curation
@@ -1778,6 +1816,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bmp_features": q_bmp_features,
         "longest_docs": q_longest_docs,
         "semantic_kept_corpus": q_semantic_kept_corpus,
+        "code_quality": q_code_quality,
+        "secrets_screen": q_secrets_screen,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -1559,6 +1559,82 @@ FROM corpus""")
 ORACLE_SQL["blocklist_screen"] = _blocklist_sql()
 
 
+def _code_quality_sql() -> str:
+    """Mirror of stages/quality.code_quality_fn, built from the SAME pattern
+    and threshold constants so the two sides cannot drift. Every fraction is
+    one int/int -> DOUBLE division on both sides (bit-exact compare)."""
+    from corpusaid_ray.stages.quality import (
+        ALPHA_TOKEN_FRAC_KEEP,
+        AUTOGEN_HEAD_CHARS,
+        AUTOGEN_RE,
+        COMMENT_LINE_RE,
+        FRAC_DIGITS_KEEP,
+        MAX_LINE_KEEP,
+        MEAN_LINE_KEEP,
+        XML_PREFIX,
+    )
+
+    toks = (
+        f"CASE WHEN trim(content, {WS_CHARS}) = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE regexp_split_to_array(trim(content, {WS_CHARS}), '\\s+') END"
+    )
+    return with_corpus(f"""
+, m AS (
+  SELECT repo, path,
+         length(content) AS n_chars,
+         list_max(list_transform(str_split(content, chr(10)), x -> length(x))) AS max_line_len,
+         list_sum(list_transform(str_split(content, chr(10)), x -> length(x)))::DOUBLE
+           / greatest(length(str_split(content, chr(10))), 1) AS mean_line_len,
+         length(regexp_replace(content, '[^0-9]', '', 'g'))::DOUBLE
+           / greatest(length(content), 1) AS frac_digits,
+         length(list_filter({toks}, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / greatest(length({toks}), 1) AS alpha_token_frac,
+         length(list_filter(str_split(content, chr(10)),
+                            x -> regexp_matches(x, {sql_quote(COMMENT_LINE_RE)})))::DOUBLE
+           / greatest(length(str_split(content, chr(10))), 1) AS comment_line_frac,
+         regexp_matches(lower(substr(content, 1, {AUTOGEN_HEAD_CHARS})),
+                        {sql_quote(AUTOGEN_RE)}) AS autogen_flag,
+         starts_with(content, {sql_quote(XML_PREFIX)}) AS xml_flag
+  FROM corpus
+)
+SELECT repo, path, n_chars, max_line_len, mean_line_len, frac_digits,
+       alpha_token_frac, comment_line_frac, autogen_flag, xml_flag,
+       (NOT autogen_flag AND NOT xml_flag
+        AND max_line_len <= {MAX_LINE_KEEP}
+        AND mean_line_len <= {MEAN_LINE_KEEP}
+        AND frac_digits <= {FRAC_DIGITS_KEEP}
+        AND alpha_token_frac >= {ALPHA_TOKEN_FRAC_KEEP}) AS code_keep
+FROM m""")
+
+
+ORACLE_SQL["code_quality"] = _code_quality_sql()
+
+
+def _secrets_screen_sql() -> str:
+    """Mirror of stages/quality.secrets_screen_fn from the same pattern
+    tuple; non-overlapping match counts agree between Arrow
+    count_substring_regex and DuckDB regexp_extract_all (both RE2)."""
+    from corpusaid_ray.stages.quality import SECRET_PATTERNS
+
+    cols = ",\n       ".join(
+        f"length(regexp_extract_all(content, {sql_quote(pat)}))::BIGINT AS {name}"
+        for name, pat in SECRET_PATTERNS
+    )
+    total = " + ".join(name for name, _ in SECRET_PATTERNS)
+    return with_corpus(f"""
+, m AS (
+  SELECT repo, path,
+       {cols}
+  FROM corpus
+)
+SELECT repo, path, {', '.join(n for n, _ in SECRET_PATTERNS)},
+       ({total}) > 0 AS has_secret
+FROM m""")
+
+
+ORACLE_SQL["secrets_screen"] = _secrets_screen_sql()
+
+
 # Sequence-length histogram: width-16 word-count bins with doc/word totals.
 ORACLE_SQL["seq_len_histogram"] = f"""
 WITH nw AS (SELECT {_word_count_sql('text')} AS n FROM documents)

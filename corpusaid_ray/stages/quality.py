@@ -205,6 +205,166 @@ def compression_metrics_fn(batch: pa.Table, source_col: str = "content",
     )
 
 
+# Code-filter constants (shared verbatim with the SQL mirror in oracle.py).
+DIGIT_RE = "[0-9]"
+ALPHA_RE = "[A-Za-z]"
+# Comment-leader detection: #, //, --, /* after optional ASCII indent.
+COMMENT_LINE_RE = r"^[ \t]*(#|//|--|/\*)"
+# Auto-generated-file markers, searched in the lowercased first 300 chars
+# (generators put the banner at the top of the file).
+AUTOGEN_RE = "auto-generated|automatically generated|do not edit|generated by"
+AUTOGEN_HEAD_CHARS = 300
+XML_PREFIX = "<?xml"
+
+# Keep-rule thresholds (StarCoder, Li et al. 2023 "StarCoder: may the source
+# be with you!" §3.2 / BigCode governance docs — public filter recipe):
+# drop long-line blobs (max>1000 or mean>100 — minified/data files), files
+# that are mostly digits (>0.5 — data dumps), files whose tokens are rarely
+# alphabetic (<0.25 — binary-ish/encoded blobs), auto-generated files and
+# XML-declaration files.
+MAX_LINE_KEEP = 1000
+MEAN_LINE_KEEP = 100.0
+FRAC_DIGITS_KEEP = 0.5
+ALPHA_TOKEN_FRAC_KEEP = 0.25
+
+
+def code_quality_fn(batch: pa.Table, source_col: str = "content") -> pa.Table:
+    """StarCoder/BigCode-style source-code quality filters (the north rule's
+    payload is a source-code corpus; these are the standard public filters
+    applied to one before LM training), per document:
+
+    - ``n_chars``            codepoint length
+    - ``max_line_len``       longest line (minified-blob detector)
+    - ``mean_line_len``      chars-in-lines / n_lines
+    - ``frac_digits``        decimal-digit chars / max(n_chars, 1)
+    - ``alpha_token_frac``   whitespace tokens containing >=1 [A-Za-z]
+                             / max(n_tokens, 1)
+    - ``comment_line_frac``  lines starting (after indent) with a comment
+                             leader / max(n_lines, 1)
+    - ``autogen_flag``       generated-file banner in the first 300 chars
+    - ``xml_flag``           content starts with ``<?xml``
+    - ``code_keep``          the conjunction of the keep thresholds above
+
+    Every definition is SQL-mirrorable; each fraction is a single int64 /
+    int64 -> float64 division on both sides, so values compare bit-exactly.
+    Fully vectorized: Arrow RE2 kernels + numpy ``add.at``/``reduceat``.
+    """
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype("int64")
+    n_chars_safe = np.maximum(n_chars, 1)
+    n_digits = pc.count_substring_regex(col, DIGIT_RE).to_numpy(
+        zero_copy_only=False
+    ).astype("int64")
+
+    # whitespace tokens (same split class as the word counts the oracle
+    # already mirrors); alpha tokens = tokens with >=1 ASCII letter
+    toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+    tok_offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    tok_flat = toks.flatten()
+    tok_rows = np.repeat(np.arange(n, dtype="int64"), np.diff(tok_offsets))
+    nonempty = pc.greater(pc.utf8_length(tok_flat), 0).to_numpy(
+        zero_copy_only=False
+    )
+    alpha_hit = pc.match_substring_regex(tok_flat, ALPHA_RE).to_numpy(
+        zero_copy_only=False
+    )
+    n_tokens = np.zeros(n, dtype="int64")
+    np.add.at(n_tokens, tok_rows[nonempty], 1)
+    n_alpha = np.zeros(n, dtype="int64")
+    np.add.at(n_alpha, tok_rows[nonempty & alpha_hit], 1)
+
+    # line stats + comment-leader lines
+    lines = pc.split_pattern(col, "\n")
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    n_lines = np.diff(offsets)
+    flat = lines.flatten()
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype("int64")
+    starts = offsets[:-1]
+    max_line = (
+        np.maximum.reduceat(flat_len, starts) if len(flat_len) else np.zeros(n, "int64")
+    )
+    sum_line = (
+        np.add.reduceat(flat_len, starts) if len(flat_len) else np.zeros(n, "int64")
+    )
+    comment_hit = pc.match_substring_regex(flat, COMMENT_LINE_RE).to_numpy(
+        zero_copy_only=False
+    )
+    line_rows = np.repeat(np.arange(n, dtype="int64"), n_lines)
+    n_comment = np.zeros(n, dtype="int64")
+    np.add.at(n_comment, line_rows[comment_hit], 1)
+
+    # utf8_slice_codeunits slices by codepoint (name is a historical
+    # misnomer) — matches DuckDB substr(content, 1, N) character semantics
+    head = pc.utf8_lower(pc.utf8_slice_codeunits(col, 0, AUTOGEN_HEAD_CHARS))
+    autogen = pc.match_substring_regex(head, AUTOGEN_RE).to_numpy(
+        zero_copy_only=False
+    )
+    xml = pc.starts_with(col, XML_PREFIX).to_numpy(zero_copy_only=False)
+
+    n_lines_safe = np.maximum(n_lines, 1)
+    n_tokens_safe = np.maximum(n_tokens, 1)
+    frac_digits = n_digits / n_chars_safe
+    alpha_token_frac = n_alpha / n_tokens_safe
+    mean_line = sum_line / n_lines_safe
+    keep = (
+        ~autogen
+        & ~xml
+        & (max_line <= MAX_LINE_KEEP)
+        & (mean_line <= MEAN_LINE_KEEP)
+        & (frac_digits <= FRAC_DIGITS_KEEP)
+        & (alpha_token_frac >= ALPHA_TOKEN_FRAC_KEEP)
+    )
+    for name, arr in [
+        ("n_chars", pa.array(n_chars, pa.int64())),
+        ("max_line_len", pa.array(max_line, pa.int64())),
+        ("mean_line_len", pa.array(mean_line, pa.float64())),
+        ("frac_digits", pa.array(frac_digits, pa.float64())),
+        ("alpha_token_frac", pa.array(alpha_token_frac, pa.float64())),
+        ("comment_line_frac", pa.array(n_comment / n_lines_safe, pa.float64())),
+        ("autogen_flag", pa.array(autogen, pa.bool_())),
+        ("xml_flag", pa.array(xml, pa.bool_())),
+        ("code_keep", pa.array(keep, pa.bool_())),
+    ]:
+        batch = batch.append_column(name, arr)
+    return batch
+
+
+# Secret/credential patterns (public corpora screen for these before
+# training — BigCode/StarCoder PII pipeline, detect-secrets rules). RE2-safe,
+# shared verbatim with the SQL mirror. Counts are non-overlapping matches on
+# both sides (Arrow count_substring_regex / DuckDB regexp_extract_all).
+SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("aws_key_hits", "AKIA[0-9A-Z]{16}"),
+    ("private_key_hits", "-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("api_token_hits", "(ghp_[0-9A-Za-z]{36}|xox[baprs]-[0-9A-Za-z-]{8,48})"),
+)
+
+
+def secrets_screen_fn(batch: pa.Table, source_col: str = "content") -> pa.Table:
+    """Credential screen: per document, the number of non-overlapping matches
+    of each secret pattern family and the resulting ``has_secret`` flag. One
+    RE2 count kernel per family — vectorized, no per-row Python."""
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    total = np.zeros(batch.num_rows, dtype="int64")
+    for name, pat in SECRET_PATTERNS:
+        c = pc.count_substring_regex(col, pat).to_numpy(
+            zero_copy_only=False
+        ).astype("int64")
+        total += c
+        batch = batch.append_column(name, pa.array(c, pa.int64()))
+    return batch.append_column(
+        "has_secret", pa.array(total > 0, pa.bool_())
+    )
+
+
 def blocklist_screen_fn(batch: pa.Table, terms: tuple[str, ...],
                         source_col: str = "content") -> pa.Table:
     """C4-style bad-words screen (Raffel et al. 2020 §2.2 drop documents
