@@ -1097,6 +1097,36 @@ def q_dup_groups(sf_dir: str):
     return duplicate_groups(verified)
 
 
+def q_neardup_kept_corpus(sf_dir: str):
+    """End-to-end fuzzy-dedup deliverable: MinHash-LSH candidates → exact
+    n-gram verify (Jaccard ≥ 0.8) → connected components → drop every group
+    member except the lexicographically-smallest, then stream the kept
+    corpus through a map-side anti-filter against the ``ray.put``-broadcast
+    drop set. The drop set is bounded by the verified pair set (the
+    documented LSH precondition); at adversarial dup rates swap in
+    ``duplicate_groups_distributed`` + the ``cross_dedup`` hash anti-join —
+    same output contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from corpusaid_ray.stages.neardup import duplicate_groups, ngram_duplicates
+
+    corpus = _corpus(sf_dir)
+    groups = duplicate_groups(ngram_duplicates(corpus, threshold=0.8))
+    drop = groups.path[groups.path != groups.group_rep].tolist()
+    drop_ref = ray.put(pa.array(sorted(drop), pa.string()))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch["path"], value_set=ray.get(drop_ref)))
+        return batch.filter(mask)
+
+    return (
+        corpus.map_batches(filt, batch_format="pyarrow")
+        .select_columns(["repo", "path", "lang"])
+    )
+
+
 def q_ttr_stats(sf_dir: str):
     """Type-token ratio per document (text-analysis suite; pinned
     tokenizer, ASCII documents table so the RE2 oracle agrees)."""
@@ -1818,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_kept_corpus": q_semantic_kept_corpus,
         "code_quality": q_code_quality,
         "secrets_screen": q_secrets_screen,
+        "neardup_kept_corpus": q_neardup_kept_corpus,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

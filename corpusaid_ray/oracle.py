@@ -673,6 +673,27 @@ reach AS (
 )
 SELECT u AS path, least(u, min(v)) AS group_rep FROM reach GROUP BY u"""
 
+# neardup_kept_corpus: the end-to-end fuzzy-dedup deliverable — dup_groups'
+# transitive closure chained into an anti-filter; only each group's
+# lexicographically-smallest member survives.
+ORACLE_SQL["neardup_kept_corpus"] = f"""WITH RECURSIVE {corpus_cte()},
+{_SHINGLE_PAIRS},
+pairs AS (SELECT path_a, path_b FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT path_a AS u, path_b AS v FROM pairs
+  UNION
+  SELECT path_b, path_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+grp AS (SELECT u AS path, least(u, min(v)) AS group_rep FROM reach GROUP BY u)
+SELECT c.repo, c.path, c.lang
+FROM corpus c LEFT JOIN grp g ON g.path = c.path
+WHERE g.path IS NULL OR g.path = g.group_rep"""
+
 # embed_neardup: brute-force cosine mirror of the hyperplane-LSH detector.
 # Exact because LSH only adds false NEGATIVES and the sf0.01 ground truth is
 # empty (verified by brute force) — any future pair the LSH finds is also in
