@@ -1401,10 +1401,17 @@ def q_pricing_summary(sf_dir: str):
         )
         return g
 
+    import pyarrow.compute as pc
+
+    # predicate pushed to the parquet scan: row groups past the shipdate cut
+    # never leave storage (row-level exact in pyarrow.dataset, so the
+    # map-side mask above is a no-op guard, kept for exactness-by-inspection)
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        filter=(pc.field("l_shipdate")
+                <= pa.scalar(np.datetime64("1998-09-02", "us"))),
     )
     return (
         ds.map_batches(partial, batch_format="pyarrow")
