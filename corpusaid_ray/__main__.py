@@ -56,6 +56,23 @@ def main(argv: list[str] | None = None) -> int:
     exp.add_argument("--seed", default="epoch0")
     exp.add_argument("--num-cpus", type=int, default=None)
 
+    cln = sub.add_parser(
+        "clean",
+        help="reference-semantics cleaning over a .txt tree → mirrored "
+             "cleaned tree (the reference's process-and-save flow; "
+             "immutable output instead of in-place + .bak)",
+    )
+    cln.add_argument("--text-dir", required=True)
+    cln.add_argument("--out", required=True)
+    cln.add_argument(
+        "--params",
+        help="JSON file with the reference's 19-parameter dict "
+             "(unknown keys rejected); omitted = all-off bypass "
+             "(content copied through unmodified, reference semantics)",
+    )
+    cln.add_argument("--detect-encoding", action="store_true")
+    cln.add_argument("--num-cpus", type=int, default=None)
+
     srch = sub.add_parser(
         "search",
         help="case-insensitive occurrence count of a literal term",
@@ -125,6 +142,27 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"out": args.out, "num_shards": args.num_shards,
                               "seed": args.seed}))
+        elif args.cmd == "clean":
+            from corpusaid_ray.config import PipelineConfig
+            from corpusaid_ray.sources import read_text_dir, write_text_dir
+            from corpusaid_ray.stages.clean import CleanAndHash
+
+            if args.params:
+                with open(args.params) as f:
+                    cfg = PipelineConfig.from_params(json.load(f))
+            else:
+                cfg = PipelineConfig()  # all-off bypass (reference semantics)
+            cleaned = read_text_dir(
+                args.text_dir, detect_encoding=args.detect_encoding
+            ).map_batches(
+                CleanAndHash,
+                fn_constructor_kwargs={"config": cfg},
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+            )
+            summary = write_text_dir(cleaned, args.out, root=args.text_dir)
+            summary["rule_version"] = cfg.rule_version
+            print(json.dumps(summary))
         elif args.cmd == "search":
             import pyarrow as pa
             import pyarrow.compute as pc

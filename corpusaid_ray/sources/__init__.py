@@ -75,6 +75,46 @@ def read_text_dir(root: str, *, detect_encoding: bool = False):
     return ds.map_batches(decode, batch_format="pyarrow")
 
 
+def write_text_dir(ds, out_dir: str, *, root: str,
+                   text_col: str = "content_clean",
+                   path_col: str = "path") -> dict:
+    """Distributed cleaned-text sink mirroring the input tree: each task
+    writes its batch's documents to ``out_dir/<path relative to root>``.
+
+    Immutable output — the reference saves in place with a ``.bak`` backup
+    (``src/CorpusAid.py:847-861``); this engine never mutates its input: the
+    cleaned tree IS the save, and a failed run just re-runs (idempotent
+    per-file writes). Returns ``{"n_docs", "n_bytes"}`` totals computed from
+    one metric row per batch — no driver-side row loop."""
+    root_norm = os.path.normpath(os.path.abspath(root))
+    out_norm = os.path.normpath(os.path.abspath(out_dir))
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        paths = batch[path_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        n_bytes = 0
+        for p, t in zip(paths, texts):
+            rel = os.path.relpath(os.path.normpath(p), root_norm)
+            if rel.startswith(".."):
+                raise ValueError(f"input path escapes root: {p!r}")
+            dest = os.path.join(out_norm, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            data = (t or "").encode("utf-8")
+            with open(dest, "wb") as f:
+                f.write(data)
+            n_bytes += len(data)
+        return pa.table({"n_docs": pa.array([len(paths)], pa.int64()),
+                         "n_bytes": pa.array([n_bytes], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    stats = ds.map_batches(write_batch, batch_format="pyarrow")
+    row = stats.aggregate(Sum("n_docs", alias_name="n_docs"),
+                          Sum("n_bytes", alias_name="n_bytes"))
+    return {"n_docs": int(row["n_docs"] or 0),
+            "n_bytes": int(row["n_bytes"] or 0)}
+
+
 def read_jsonl(path: str, *, columns: list[str] | None = None):
     """JSON-lines source → Dataset (one task per file; Arrow's native NDJSON
     reader, no Python-object row path). ``columns`` prunes AFTER parse —

@@ -120,6 +120,59 @@ def test_edge_rows_through_flagship(ray_session):
     assert len(out.loc["big.txt", "content_clean"]) > 0
 
 
+def test_cli_clean_tree(ray_session, tmp_path):
+    """`clean` subcommand: the reference's process-and-save flow — a .txt
+    tree cleaned under a reference param dict into a mirrored immutable
+    output tree, byte-identical to the serial reference chain."""
+    import json
+
+    from corpusaid_ray.__main__ import main
+    from tests.reference_impl import DocumentProcessor
+
+    src = tmp_path / "in"
+    (src / "sub").mkdir(parents=True)
+    docs = {
+        "a.txt": "Line one\nLine TWO  \n",
+        "sub/b.txt": "  MixedCase   and\nbreaks\n",
+        "sub/c.txt": "",
+    }
+    for rel, text in docs.items():
+        (src / rel).write_text(text, encoding="utf-8")
+
+    params = {"remove_break_lines": True, "lowercase": True,
+              "normalize_spacing": True}
+    pfile = tmp_path / "params.json"
+    pfile.write_text(json.dumps(params))
+    out = tmp_path / "out"
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["clean", "--text-dir", str(src), "--out", str(out),
+                     "--params", str(pfile)]) == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["n_docs"] == 3
+
+    proc = DocumentProcessor(params)
+    for rel, text in docs.items():
+        got = (out / rel).read_text(encoding="utf-8")
+        assert got == proc.process_file(text), rel
+        # input untouched (immutable-output contract)
+        assert (src / rel).read_text(encoding="utf-8") == text
+
+    # unknown param keys fail fast (from_params strictness)
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"no_such_param": True}))
+    import pytest
+
+    from corpusaid_ray.config import ConfigError
+
+    with pytest.raises(ConfigError):
+        main(["clean", "--text-dir", str(src), "--out", str(out),
+              "--params", str(bad)])
+
+
 def test_cli_preview_and_search(ray_session):
     """CLI subcommands mirroring the reference's preview pane and search box
     (main() reuses the already-initialised session)."""
