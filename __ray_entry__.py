@@ -456,6 +456,26 @@ def q_orders_price_bands(sf_dir: str):
     )
 
 
+def q_knn_graph(sf_dir: str):
+    """Exact cosine 3-NN graph over the embeddings table (semantic-dedup /
+    curriculum neighborhoods): corpus matrix broadcast once, every block
+    streams through a per-batch matmul + top-k — output rows are final per
+    batch, no driver merge. IVF-bucketed variant documented as the >10⁷-
+    vector scale path (stages/similarity.knn_graph)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import knn_graph
+
+    corpus = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_graph(ds, corpus, k=3)
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
@@ -1856,6 +1876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_quality": q_code_quality,
         "secrets_screen": q_secrets_screen,
         "neardup_kept_corpus": q_neardup_kept_corpus,
+        "knn_graph": q_knn_graph,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

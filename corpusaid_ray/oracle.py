@@ -698,6 +698,19 @@ WHERE g.path IS NULL OR g.path = g.group_rep"""
 # Exact because LSH only adds false NEGATIVES and the sf0.01 ground truth is
 # empty (verified by brute force) — any future pair the LSH finds is also in
 # the brute-force set.
+# knn_graph: exact 3-NN per vector, cosine desc / nbr_id asc tie-break —
+# all-pairs window mirror of the broadcast-matmul engine path.
+ORACLE_SQL["knn_graph"] = """
+SELECT a.vec_id, b.vec_id AS nbr_id,
+       row_number() OVER (
+         PARTITION BY a.vec_id
+         ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) DESC,
+                  b.vec_id
+       )::BIGINT AS rank
+FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+QUALIFY rank <= 3"""
+
 ORACLE_SQL["embed_neardup"] = """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine

@@ -162,6 +162,67 @@ def ann_topk(ds, queries: dict[int, np.ndarray], k: int = 5) -> pd.DataFrame:
     return top[["query_id", "vec_id", "rank"]]
 
 
+class BatchKnn:
+    """Per-batch exact KNN against the broadcast corpus matrix: each input
+    row emits its ``k`` nearest OTHER vectors by cosine (ties broken by
+    neighbor id). Output rows are final per batch — no driver merge: every
+    row is its own query, so the graph streams out block by block."""
+
+    def __init__(self, corpus_ref, k: int):
+        import ray
+
+        ids, mat = ray.get(corpus_ref)  # zero-copy from the local store
+        self.ids = ids
+        self.mat = mat  # already L2-normalized
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "nbr_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        m = _normalize(_as_matrix(batch["embedding"]))
+        sims = m @ self.mat.T  # (batch, N) — the one big vectorized op
+        out_v, out_n, out_r = [], [], []
+        for i, vid in enumerate(vids):
+            row = sims[i]
+            # deterministic order: cosine desc, nbr_id asc; self excluded
+            order = np.lexsort((self.ids, -row))
+            order = order[self.ids[order] != vid][: self.k]
+            out_v.extend([vid] * len(order))
+            out_n.extend(self.ids[order].tolist())
+            out_r.extend(range(1, len(order) + 1))
+        return pa.table({"vec_id": pa.array(out_v, pa.int64()),
+                         "nbr_id": pa.array(out_n, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64())})
+
+
+def knn_graph(ds, corpus_table: pa.Table, *, k: int = 3):
+    """Exact cosine KNN graph over an embedding column: broadcast the
+    normalized corpus matrix once (``ray.put``), stream every block through
+    :class:`BatchKnn`. Returns a Dataset ``(vec_id, nbr_id, rank)``.
+
+    Scale note: brute force is O(N²) similarity work and needs the corpus
+    matrix resident per node — exact and right up to ~10⁷ vectors of the
+    object-store budget. Past that, the IVF path is the scale shape:
+    ``assign_centroids`` → groupby(bucket) → within-bucket BatchKnn (plus
+    nprobe>1 bucket replication for recall), which bounds each task to one
+    bucket's matrix; recall-vs-exact then pins the tradeoff, as with
+    ``ann_ivf_topk``."""
+    import ray
+
+    ids = corpus_table["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    mat = _normalize(_as_matrix(corpus_table["embedding"]))
+    ref = ray.put((ids, mat))
+    return ds.map_batches(
+        BatchKnn,
+        fn_constructor_kwargs={"corpus_ref": ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 def assign_centroids(ds, params: "IVFIndexParams"):
     """Broadcast-centroid assignment: each vector's argmax-cosine centroid
     (ties → lowest cid, matching ``np.argmax``). One map-only pass."""

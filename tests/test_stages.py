@@ -818,6 +818,35 @@ def test_semantic_dedup_oversized_cluster_fails_loudly(ray_session):
         semantic_dedup(ds, params, eps=0.95, max_cluster=10).take_all()
 
 
+def test_knn_graph_planted_and_block_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import knn_graph
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 12)
+    # plant: vec 29 is a near-copy of vec 0 → each must be the other's 1-NN
+    vecs[29] = vecs[0] + rng.randn(12) * 1e-5
+    t = pa.table({"vec_id": pa.array(range(30), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs])})
+    expected = None
+    for nblocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = (knn_graph(ds, t, k=3).to_pandas()
+               .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+        assert len(out) == 90                       # 30 × k
+        assert (out.groupby("vec_id")["rank"].max() == 3).all()
+        nn = out[out["rank"] == 1].set_index("vec_id")["nbr_id"]
+        assert nn[0] == 29 and nn[29] == 0          # planted pair
+        assert not (out["vec_id"] == out["nbr_id"]).any()  # no self edges
+        if expected is None:
+            expected = out
+        else:
+            assert out.equals(expected)             # block-layout invariant
+
+
 def test_blocklist_screen_word_boundaries():
     from corpusaid_ray.stages.quality import blocklist_screen_fn
 
