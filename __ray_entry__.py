@@ -476,6 +476,25 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(ds, corpus, k=3)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed exact k-means over the embeddings table (K=8, 4 Lloyd
+    iterations): centroids broadcast per pass, map-side assign + K×D
+    partial-sum rows, tiny groupby reduce — the fit streams the whole
+    dataset every pass and only sufficient statistics reach the driver.
+    Fixed-point integer arithmetic end-to-end makes the fit bit-equal to
+    the oracle's unrolled-CTE mirror and invariant to block layout
+    (stages/kmeans.py)."""
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import assign_clusters, fit_kmeans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    model = fit_kmeans(ds, k=8, iters=4)
+    return assign_clusters(ds, model)
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
@@ -1877,6 +1896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "secrets_screen": q_secrets_screen,
         "neardup_kept_corpus": q_neardup_kept_corpus,
         "knn_graph": q_knn_graph,
+        "kmeans_clusters": q_kmeans_clusters,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

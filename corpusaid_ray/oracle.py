@@ -1807,3 +1807,57 @@ ORACLE_SQL["longest_docs"] = """
 SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id ASC
 LIMIT 100"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means mirror (stages/kmeans.py)
+# ---------------------------------------------------------------------------
+
+def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
+    """Unrolled Lloyd iterations over the fixed-point embedding table.
+
+    Mirrors ``stages/kmeans.fit_kmeans`` + ``assign_clusters``: coordinates
+    quantize as ``FLOOR(x*1e6 + 0.5)`` (the same IEEE double expression the
+    engine evaluates), assignment is argmin of exact integer
+    ``SUM(c*c) - 2*SUM(v*c)`` with ties to the lowest cluster id, the
+    centroid update is ``FLOOR(SUM(v)::DOUBLE / COUNT(*))`` (int64→double→
+    floor, IEEE-identical to numpy), and empty clusters carry the previous
+    centroid. Because every step is integer-or-IEEE-deterministic, the
+    unrolled CTE chain is bit-equal to the distributed fit regardless of the
+    engine's block layout."""
+    def assign(src: str, cents: str, alias: str) -> str:
+        return f"""{alias} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY SUM(c.c*c.c) - 2*SUM(e.v*c.c) ASC, c.cluster ASC) AS rn
+    FROM {src} e JOIN {cents} c USING (idx)
+    GROUP BY e.vec_id, c.cluster
+  ) WHERE rn = 1
+)"""
+
+    parts = [f"""ev AS MATERIALIZED (
+  SELECT vec_id, idx, CAST(FLOOR(val*1000000.0 + 0.5) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings)
+)""", f"""c0 AS (SELECT vec_id AS cluster, idx, v AS c FROM ev WHERE vec_id < {k})"""]
+    for i in range(1, iters + 1):
+        parts.append(assign("ev", f"c{i-1}", f"a{i}"))
+        parts.append(f"""u{i} AS MATERIALIZED (
+  SELECT a.cluster, e.idx,
+         CAST(FLOOR(SUM(e.v)::DOUBLE / COUNT(*)) AS BIGINT) AS c
+  FROM ev e JOIN a{i} a USING (vec_id)
+  GROUP BY a.cluster, e.idx
+)""")
+        parts.append(f"""c{i} AS (
+  SELECT cluster, idx, c FROM u{i}
+  UNION ALL
+  SELECT p.cluster, p.idx, p.c FROM c{i-1} p
+  WHERE p.cluster NOT IN (SELECT DISTINCT cluster FROM u{i})
+)""")
+    parts.append(assign("ev", f"c{iters}", "final_assign"))
+    return "WITH " + ",\n".join(parts) + "\nSELECT vec_id, cluster FROM final_assign"
+
+
+ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(8, 4)

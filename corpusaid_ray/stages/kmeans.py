@@ -1,0 +1,175 @@
+"""Distributed exact k-means (Lloyd's) over an embedding column.
+
+The IVF quantizer and SemDeDup both fit their centroids on a bounded
+driver-side SAMPLE (`stages/similarity.py:86-97`) — fine for a coarse
+quantizer, but the 100-TB curation path (cluster-balanced sampling,
+SemDeDup over the full corpus, cluster-level mixing weights) needs the fit
+itself to be distributed: every pass must stream the whole dataset, and the
+only thing that ever lands on the driver is the K×D sufficient-statistics
+table.
+
+Shape per Lloyd iteration (classic mini-reduce):
+
+1. **Broadcast** the current centroids once with ``ray.put``.
+2. **Assign + partial sums** (``map_batches``, pyarrow): each batch
+   computes squared-distance argmin against the broadcast centroids and
+   emits K×D partial rows ``(cluster, dim, s, n)`` — the member-vector
+   coordinate sums and member counts. At most K×D rows per batch cross the
+   wire regardless of batch size.
+3. **Streamed reduce**: the driver accumulates the bounded partials into a
+   K×D int64 array via ``iter_batches`` (one vectorized add per block —
+   O(K×D) driver memory, no shuffle; this is the root of an allreduce, and
+   a tree ``groupby(cluster, dim).sum()`` is a one-line swap if driver
+   ingress ever binds), and the new centroid is ``floor(S / N)`` (empty
+   clusters keep their previous centroid).
+
+Determinism / oracle exactness: all arithmetic is FIXED-POINT. Coordinates
+quantize once as ``floor(x·10⁶ + 0.5)`` (an IEEE double expression DuckDB
+evaluates bit-identically), distances compare as exact integer
+``‖c‖² − 2·x·c`` (the ‖x‖² term is constant per row and dropped), ties
+break to the lowest cluster id, and the centroid update divides exact
+integer sums (int64→double→floor, IEEE-identical in numpy and DuckDB). No
+float accumulates anywhere, so the fit is invariant to block boundaries,
+batch order and cluster size — the property the SQL mirror
+(`oracle.kmeans_sql`) relies on when it unrolls the same iterations as
+chained CTEs.
+
+Integer headroom: coordinate micros are ≤ 10⁶ for unit-scale embeddings,
+so dot terms are ≤ D·10¹² (int64-safe for D ≤ 10⁶) and a cluster's
+coordinate sum stays below 2⁶³ up to ~9·10¹² member rows — beyond that,
+shard the partial reduce by row-range and sum on the driver in Python ints.
+
+Init is the K lowest ``vec_id`` rows — deterministic and SQL-expressible
+(the same shared-derivation idea as the corpus CTE). Each iteration
+re-executes the input Dataset (Lloyd's is inherently multi-pass; re-reading
+beats materializing 100 TB of vectors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from corpusaid_ray.stages.similarity import _as_matrix
+
+FP = 1_000_000
+
+
+def _micro(m: np.ndarray) -> np.ndarray:
+    """Fixed-point quantize: floor(x·10⁶ + 0.5) — matches DuckDB
+    ``CAST(FLOOR(x*1e6 + 0.5) AS BIGINT)`` bit-for-bit (same IEEE ops)."""
+    return np.floor(m.astype(np.float64) * FP + 0.5).astype(np.int64)
+
+
+def _assign(em: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact integer squared-distance argmin; ties → lowest cluster id
+    (np.argmin first-occurrence == SQL ``ORDER BY score, cluster``)."""
+    # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; drop the per-row constant ‖x‖².
+    score = (cents * cents).sum(axis=1)[None, :] - 2 * (em @ cents.T)
+    return np.argmin(score, axis=1).astype(np.int64)
+
+
+class KMeansModel:
+    """Fitted centroids in micro units, ``(K, D) int64``."""
+
+    def __init__(self, centroids_micro: np.ndarray):
+        self.centroids_micro = centroids_micro
+
+    def centroids(self) -> np.ndarray:
+        return self.centroids_micro.astype(np.float64) / FP
+
+
+def _init_centroids(ds, vec_col: str, id_col: str, k: int) -> np.ndarray:
+    """The K lowest-id vectors, quantized (deterministic, mirrored by the
+    oracle's ``WHERE vec_id < K`` CTE)."""
+    import pyarrow.compute as pc
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch[id_col], pa.scalar(k)))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    if len(rows) < k:
+        raise ValueError(f"need >= {k} rows with {id_col} < {k} for init, got {len(rows)}")
+    return _micro(np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows]))
+
+
+def fit_kmeans(ds, *, k: int = 8, iters: int = 4, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> KMeansModel:
+    """Distributed Lloyd's: ``iters`` full passes, each a map-side
+    assign+partial-sum plus a K×D-row reduce. Returns the fitted model."""
+    import ray
+
+    cents = _init_centroids(ds, vec_col, id_col, k)
+    d = cents.shape[1]
+    dims = np.tile(np.arange(d, dtype=np.int64), k)
+    clusters = np.repeat(np.arange(k, dtype=np.int64), d)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            c = ray.get(ref)
+            if len(batch) == 0:
+                return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                                     "dim": pd.Series(dtype="int64"),
+                                     "s": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64")})
+            em = _micro(_as_matrix(batch[vec_col]))
+            a = _assign(em, c)
+            # per-cluster coordinate sums via one-hot matmul-free bincount
+            s = np.zeros((k, d), dtype=np.int64)
+            np.add.at(s, a, em)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            return pd.DataFrame({
+                "cluster": clusters,
+                "dim": dims,
+                "s": s.reshape(-1),
+                "n": np.repeat(n, d),
+            })
+
+        s_mat = np.zeros((k, d), dtype=np.int64)
+        n_vec = np.zeros(k, dtype=np.int64)
+        for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pandas", batch_size=None
+        ):
+            if not len(part):
+                continue
+            cl = part["cluster"].to_numpy()
+            dm = part["dim"].to_numpy()
+            np.add.at(s_mat, (cl, dm), part["s"].to_numpy())
+            # n is replicated across dims; count it once (dim == 0 rows)
+            head = dm == 0
+            np.add.at(n_vec, cl[head], part["n"].to_numpy()[head])
+        new = cents.copy()
+        nonempty = n_vec > 0
+        # floor(S/N) via IEEE double divide — bit-identical to the SQL mirror
+        new[nonempty] = np.floor(
+            s_mat[nonempty].astype(np.float64)
+            / n_vec[nonempty, None].astype(np.float64)
+        ).astype(np.int64)
+        cents = new
+
+    return KMeansModel(cents)
+
+
+def assign_clusters(ds, model: KMeansModel, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """Map-only final assignment: ``(id_col, cluster)`` per row."""
+    import ray
+
+    ref = ray.put(model.centroids_micro)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        em = _micro(_as_matrix(batch[vec_col]))
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(_assign(em, c)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
