@@ -1594,6 +1594,33 @@ def q_cross_dedup(sf_dir: str):
     )
 
 
+def q_cross_dedup_bloom(sf_dir: str):
+    """Same incremental-crawl dedup as ``cross_dedup``, via the Bloom-gated
+    no-shuffle path (stages/dedup.cross_dedup_bloom): broadcast bitmap →
+    map-only candidate scan → broadcast confirm — exact semantics (the
+    oracle is byte-for-byte the cross_dedup SQL), zero wide exchanges."""
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.dedup import add_sha256, cross_dedup_bloom
+    from corpusaid_ray.stages.sampling import add_md5_rank
+
+    def side(existing: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = add_md5_rank(batch)
+            m = batch["md5_rank"].to_numpy(zero_copy_only=False) % 5 == 0
+            if not existing:
+                m = ~m
+            return add_sha256(
+                batch.filter(pa.array(m)).drop_columns(["md5_rank"])
+            )
+
+        return _corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+    return cross_dedup_bloom(side(False), side(True)).select_columns(
+        ["repo", "path"]
+    )
+
+
 def q_seq_len_histogram(sf_dir: str):
     """Sequence-length histogram for packing calibration: docs bucketed by
     word count into width-16 bins (bin start inclusive), with per-bin doc
@@ -1897,6 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_kept_corpus": q_neardup_kept_corpus,
         "knn_graph": q_knn_graph,
         "kmeans_clusters": q_kmeans_clusters,
+        "cross_dedup_bloom": q_cross_dedup_bloom,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

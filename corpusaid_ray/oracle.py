@@ -1861,3 +1861,9 @@ def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
 
 
 ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(8, 4)
+
+
+# Bloom-gated cross-corpus dedup is semantics-identical to cross_dedup —
+# the bloom is a gate on an exact confirm, never a decision — so the two
+# queries share one mirror (that sharing IS the exactness claim).
+ORACLE_SQL["cross_dedup_bloom"] = ORACLE_SQL["cross_dedup"]

@@ -140,3 +140,135 @@ def cross_dedup(incoming, existing, *, key_col: str = "content_sha256",
         num_partitions=num_partitions,
         on=(key_col,),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated cross-corpus dedup (the no-shuffle scale path)
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(keys: pd.Series, m_bits: int, n_hashes: int):
+    """Kirsch–Mitzenmacher double hashing over the deterministic
+    ``hash_pandas_object`` siphash (the pair-salting hash established in
+    stages/neardup.py): pos_i = (h + i·(h|1)) mod m. Returns an
+    (n_hashes, N) uint64 position matrix — fully vectorized."""
+    import numpy as np
+
+    h = pd.util.hash_pandas_object(keys, index=False).to_numpy().astype(np.uint64)
+    h2 = h | np.uint64(1)
+    m = np.uint64(m_bits)
+    return np.stack([(h + np.uint64(i) * h2) % m for i in range(n_hashes)])
+
+
+def cross_dedup_bloom(incoming, existing, *, key_col: str = "content_sha256",
+                      m_bits: int = 1 << 23, n_hashes: int = 4):
+    """Exact incremental-crawl dedup WITHOUT shuffling either corpus — the
+    100-TB alternative to :func:`cross_dedup`'s hash-partitioned anti-join.
+
+    A Bloom filter has no false negatives, so it can GATE an exact check
+    without changing semantics:
+
+    1. **Build** (one streamed pass over ``existing``): each batch sets its
+       keys' bits in a local ``m_bits`` bitmap and emits ONE bitmap row;
+       bitmaps OR together in a small ``groupby(part)`` tree, the driver ORs
+       the ≤16 part bitmaps and broadcasts the result with ``ray.put``
+       (m/8 bytes — 1 MiB at the default — regardless of corpus size).
+    2. **Candidate scan** (map-only over ``incoming``): rows whose key
+       misses any bit are DEFINITELY new; the hits — true duplicates plus
+       ~fpp·|incoming| false positives — have their keys collected to the
+       driver (bounded by the overlap-plus-fpp assumption; size the filter
+       at ~14 bits/key for fpp ≈ 1e-3 at 4 hashes).
+    3. **Confirm** (map-only over ``existing``): keep only candidate keys
+       that actually occur in ``existing`` (broadcast candidate set), i.e.
+       strip the false positives. The confirmed-duplicate key set comes back
+       to the driver (≤ candidate set).
+    4. **Final filter** (map-only over ``incoming``): drop rows whose key is
+       in the confirmed set.
+
+    Each corpus streams twice, nothing wide moves: total exchange volume is
+    two bitmap trees plus the candidate key set, vs. ``cross_dedup``'s full
+    both-sides shuffle. Output is row-identical to ``cross_dedup`` (the
+    shared oracle proves it). Fall back to ``cross_dedup`` when the
+    candidate set would not fit a ``ray.put`` broadcast (heavy overlap)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from corpusaid_ray.util import grouped
+
+    words = m_bits // 64
+    reduce_parts = 16
+
+    def bloom_partial(batch: pa.Table) -> pd.DataFrame:
+        bm = np.zeros(words, dtype=np.uint64)
+        part = 0
+        if len(batch):
+            keys = batch[key_col].to_pandas()
+            pos = _bloom_positions(keys, m_bits, n_hashes)
+            np.bitwise_or.at(
+                bm,
+                (pos >> np.uint64(6)).astype(np.int64).reshape(-1),
+                np.uint64(1) << (pos & np.uint64(63)).reshape(-1),
+            )
+            part = int(pos[0, 0] % reduce_parts)
+        return pd.DataFrame({"part": [part], "bm": [bm.tobytes()]})
+
+    def or_group(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(words, dtype=np.uint64)
+        for b in df["bm"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame({"part": df["part"].iloc[:1],
+                             "bm": [acc.tobytes()]})
+
+    parts = (
+        grouped(existing.map_batches(bloom_partial, batch_format="pyarrow"),
+                "part", max_blocks=reduce_parts)
+        .map_groups(or_group, batch_format="pandas")
+        .take_all()
+    )
+    bloom = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        bloom |= np.frombuffer(r["bm"], dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def hits_mask(batch: pa.Table) -> "np.ndarray":
+        bm = ray.get(bloom_ref)
+        pos = _bloom_positions(batch[key_col].to_pandas(), m_bits, n_hashes)
+        ok = np.ones(len(batch), dtype=bool)
+        for i in range(n_hashes):
+            word = bm[(pos[i] >> np.uint64(6)).astype(np.int64)]
+            ok &= (word >> (pos[i] & np.uint64(63))) & np.uint64(1) != 0
+        return ok
+
+    def candidate_keys(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({key_col: pa.array([], pa.string())})
+        return pa.table({key_col: batch[key_col].filter(pa.array(hits_mask(batch)))})
+
+    cand = set(
+        r[key_col]
+        for r in incoming.map_batches(candidate_keys, batch_format="pyarrow")
+        .take_all()
+    )
+    if not cand:
+        return incoming
+    cand_ref = ray.put(cand)
+
+    def confirm(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        keep = pa.array([k in cs for k in batch[key_col].to_pylist()])
+        return pa.table({key_col: batch[key_col].filter(keep)})
+
+    confirmed = set(
+        r[key_col]
+        for r in existing.map_batches(confirm, batch_format="pyarrow").take_all()
+    )
+    conf_ref = ray.put(confirmed)
+
+    def final(batch: pa.Table) -> pa.Table:
+        cs = ray.get(conf_ref)
+        if not cs or not len(batch):
+            return batch
+        keep = pa.array([k not in cs for k in batch[key_col].to_pylist()])
+        return batch.filter(keep)
+
+    return incoming.map_batches(final, batch_format="pyarrow")

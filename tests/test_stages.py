@@ -999,3 +999,58 @@ def test_cross_dedup_randomized_vs_serial(ray_session):
             r["path"] for r in cross_dedup(inc, ex, num_partitions=4).take_all()
         )
         assert got == expect
+
+
+def test_cross_dedup_bloom_exact_even_with_false_positives(ray_session):
+    """The bloom gates an exact confirm, so output must equal cross_dedup's
+    even when the filter is saturated: m_bits=64 over 30 distinct keys
+    guarantees false positives, which the confirm pass must strip."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import cross_dedup_bloom
+
+    rng = np.random.RandomState(13)
+    keys = [f"k{i}" for i in range(30)]
+    existing_keys = [keys[i] for i in rng.choice(30, size=40)]
+    incoming = [
+        {"path": f"p{i}", "content_sha256": keys[rng.randint(30)]}
+        for i in range(120)
+    ]
+    expect = sorted(
+        r["path"] for r in incoming
+        if r["content_sha256"] not in set(existing_keys)
+    )
+    ex = ray.data.from_arrow(pa.table(
+        {"content_sha256": pa.array(existing_keys, pa.string())}
+    )).repartition(5)
+    for nblocks in (1, 6):
+        inc = ray.data.from_arrow(
+            pa.Table.from_pylist(incoming)
+        ).repartition(nblocks)
+        for m_bits in (64, 1 << 16):  # saturated and healthy filters
+            got = sorted(
+                r["path"]
+                for r in cross_dedup_bloom(inc, ex, m_bits=m_bits).take_all()
+            )
+            assert got == expect, (nblocks, m_bits)
+
+
+def test_cross_dedup_bloom_disjoint_corpora_no_confirm_cost(ray_session):
+    """Disjoint corpora: every incoming row survives (and with a healthy
+    filter the candidate set is empty, short-circuiting the confirm)."""
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import cross_dedup_bloom
+
+    ex = ray.data.from_arrow(pa.table(
+        {"content_sha256": pa.array([f"e{i}" for i in range(50)], pa.string())}
+    )).repartition(3)
+    inc = ray.data.from_arrow(pa.table({
+        "path": pa.array([f"p{i}" for i in range(40)], pa.string()),
+        "content_sha256": pa.array([f"n{i}" for i in range(40)], pa.string()),
+    })).repartition(4)
+    out = cross_dedup_bloom(inc, ex).take_all()
+    assert sorted(r["path"] for r in out) == sorted(f"p{i}" for i in range(40))
