@@ -1822,6 +1822,25 @@ def q_doc_length_percentiles(sf_dir: str):
     return group_percentiles_distributed(ds, key="lang", value_col="n_chars")
 
 
+def q_lm_doc_score(sf_dir: str):
+    """LM fluency filter signal: fit the corpus bigram LM (distributed,
+    same top-5/min-head-10 bounds as ``bigram_lm``), broadcast the fitted
+    conditional table once, then one map-only pass hash-joins every doc's
+    adjacent-bigram stream against it — per-doc bigram count, fixed-point
+    probability-mass sum, and integer average (stages/ngram_lm.score_docs_lm).
+    The oracle chains the fit SQL into a LEFT JOIN, so fit AND scoring are
+    verified end-to-end."""
+    import ray.data
+
+    from corpusaid_ray.stages.ngram_lm import fit_bigram_lm, score_docs_lm
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lm = fit_bigram_lm(ds, top_k=5, min_head_count=10).to_pandas()
+    return score_docs_lm(ds, lm)
+
+
 def q_bigram_lm(sf_dir: str):
     """Corpus-wide exact bigram LM conditionals (top-5 continuations per
     head with ≥10 total continuations): batch-local bigram combiner →
@@ -1925,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "kmeans_clusters": q_kmeans_clusters,
         "cross_dedup_bloom": q_cross_dedup_bloom,
+        "lm_doc_score": q_lm_doc_score,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

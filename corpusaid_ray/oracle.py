@@ -1867,3 +1867,41 @@ ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(8, 4)
 # the bloom is a gate on an exact confirm, never a decision — so the two
 # queries share one mirror (that sharing IS the exactness claim).
 ORACLE_SQL["cross_dedup_bloom"] = ORACLE_SQL["cross_dedup"]
+
+
+def _lm_doc_score_sql() -> str:
+    """Chained mirror for ``score_docs_lm``: the bigram-fit CTEs (identical
+    to ``bigram_lm``'s, same top-5 / min-head-10 bounds) feed a LEFT JOIN of
+    every document's adjacent bigram stream; unmatched bigrams contribute 0,
+    matching the engine's fillna(0) merge. Integer-exact throughout."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{ws}'), t -> t != '') AS w
+  FROM documents
+), big AS MATERIALIZED (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM w, unnest(range(1, length(w))) AS t(i)
+), cnt AS (
+  SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY w1, w2
+), head AS (
+  SELECT w1, sum(c)::BIGINT AS c_head FROM cnt GROUP BY w1
+), lm AS (
+  SELECT w1, w2, ((c * 1000000) // c_head)::BIGINT AS p_fp FROM (
+    SELECT cnt.w1, cnt.w2, cnt.c, head.c_head,
+           row_number() OVER (PARTITION BY cnt.w1
+                              ORDER BY cnt.c DESC, cnt.w2 ASC) AS rnk
+    FROM cnt JOIN head USING (w1)
+    WHERE head.c_head >= 10
+  ) WHERE rnk <= 5
+)
+SELECT b.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       COALESCE(sum(lm.p_fp), 0)::BIGINT AS sum_pfp,
+       (COALESCE(sum(lm.p_fp), 0) // count(*))::BIGINT AS avg_pfp
+FROM big b LEFT JOIN lm USING (w1, w2)
+GROUP BY b.doc_id"""
+
+
+ORACLE_SQL["lm_doc_score"] = _lm_doc_score_sql()

