@@ -1402,6 +1402,19 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_table_profile(sf_dir: str):
+    """Ingest validation: per-column row/null counts and canonical min/max
+    over the widest mixed-type table (lineitem) — one streamed pass,
+    O(columns × blocks) exchange (stages/profile.profile_table)."""
+    import ray.data
+
+    from corpusaid_ray.stages.profile import profile_table
+
+    return profile_table(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ).select_columns(["col_name", "n", "nulls", "min_repr", "max_repr"])
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary over lineitem (the largest table):
     shipdate-filtered scan → batch-local partial sums (≤ |flag×status| rows
@@ -1945,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "cross_dedup_bloom": q_cross_dedup_bloom,
         "lm_doc_score": q_lm_doc_score,
+        "table_profile": q_table_profile,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

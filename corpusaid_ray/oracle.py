@@ -1905,3 +1905,37 @@ GROUP BY b.doc_id"""
 
 
 ORACLE_SQL["lm_doc_score"] = _lm_doc_score_sql()
+
+
+def _profile_sql(table: str, cols: list[tuple[str, str]]) -> str:
+    """Mirror for ``stages/profile.profile_table``: one UNION ALL leg per
+    column, each computing the same canonical min/max repr the engine emits
+    (ints verbatim, doubles as FLOOR(min·10⁶) micro-units — floor is
+    monotonic so it commutes with MIN/MAX — timestamps as epoch_us,
+    strings lexicographic)."""
+    legs = []
+    for name, kind in cols:
+        if kind == "int":
+            lo, hi = f"CAST(MIN({name}) AS VARCHAR)", f"CAST(MAX({name}) AS VARCHAR)"
+        elif kind == "double":
+            lo = f"CAST(CAST(FLOOR(MIN({name}*1000000.0)) AS BIGINT) AS VARCHAR)"
+            hi = f"CAST(CAST(FLOOR(MAX({name}*1000000.0)) AS BIGINT) AS VARCHAR)"
+        elif kind == "ts":
+            lo = f"CAST(epoch_us(MIN({name})) AS VARCHAR)"
+            hi = f"CAST(epoch_us(MAX({name})) AS VARCHAR)"
+        else:  # string
+            lo, hi = f"MIN({name})", f"MAX({name})"
+        legs.append(f"""SELECT '{name}' AS col_name, count(*)::BIGINT AS n,
+       (count(*) - count({name}))::BIGINT AS nulls,
+       COALESCE({lo}, '') AS min_repr, COALESCE({hi}, '') AS max_repr
+FROM {table}""")
+    return "\nUNION ALL\n".join(legs)
+
+
+ORACLE_SQL["table_profile"] = _profile_sql("lineitem", [
+    ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+    ("l_linenumber", "int"), ("l_quantity", "double"),
+    ("l_extendedprice", "double"), ("l_discount", "double"),
+    ("l_tax", "double"), ("l_returnflag", "string"),
+    ("l_linestatus", "string"), ("l_shipdate", "ts"),
+])

@@ -1,0 +1,114 @@
+"""Table profiler: per-column data-quality stats in ONE streamed pass.
+
+A 100-TB ingest needs a validation step before the expensive stages run
+(schema drift, null explosions, out-of-range values). This op computes, for
+every column of any table: row count, null count, and min/max — in a single
+``map_batches`` pass emitting #columns partial rows per batch, then a tiny
+``groupby(col_name)`` reduce. Exchange volume is O(columns × blocks)
+regardless of table size; nothing wide moves.
+
+Min/max are emitted as a CANONICAL STRING REPR so one stable output schema
+covers every column type (and the oracle compare never sees NULLs or
+floats):
+
+- integers: ``str(min)`` — identical to SQL ``CAST(MIN(c) AS VARCHAR)``;
+- floats: micro-unit fixed point ``str(floor(min·10⁶))`` (floor is
+  monotonic, so the floor of the min equals the min of the floors — the
+  SQL mirror computes ``FLOOR(MIN(c*1e6))``);
+- timestamps: epoch microseconds as a string (Arrow ``timestamp[us] →
+  int64`` cast ≡ DuckDB ``epoch_us``);
+- strings: lexicographic min/max (ASCII-safe content, where Python,
+  Arrow and DuckDB UTF-8 binary collation agree).
+
+An all-null column profiles as ``('', '')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FP = 1_000_000
+
+
+def _col_min_max(col: pa.ChunkedArray | pa.Array) -> tuple[str, str]:
+    t = col.type
+    valid = col.drop_null()
+    if len(valid) == 0:
+        return "", ""
+    if pa.types.is_integer(t):
+        mm = pc.min_max(valid)
+        return str(mm["min"].as_py()), str(mm["max"].as_py())
+    if pa.types.is_floating(t):
+        v = valid.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        m = np.floor(v * FP)
+        return str(np.int64(m.min())), str(np.int64(m.max()))
+    if pa.types.is_timestamp(t):
+        v = (valid.combine_chunks() if isinstance(valid, pa.ChunkedArray)
+             else valid).cast(pa.int64())
+        mm = pc.min_max(v)
+        return str(mm["min"].as_py()), str(mm["max"].as_py())
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        mm = pc.min_max(valid)
+        return mm["min"].as_py(), mm["max"].as_py()
+    raise TypeError(f"profile_table: unsupported column type {t}")
+
+
+def profile_table(ds):
+    """One-pass per-column profile: ``(col_name, n, nulls, min_repr,
+    max_repr)`` — O(columns) output rows."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        names, ns, nulls, mins, maxs, kinds = [], [], [], [], [], []
+        for name in batch.column_names:
+            col = batch[name]
+            lo, hi = _col_min_max(col)
+            names.append(name)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            mins.append(lo)
+            maxs.append(hi)
+            kinds.append(
+                "str" if pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type) else "num"
+            )
+        return pd.DataFrame({
+            "col_name": pd.Series(names, dtype="object"),
+            "n": pd.Series(ns, dtype="int64"),
+            "nulls": pd.Series(nulls, dtype="int64"),
+            "min_repr": pd.Series(mins, dtype="object"),
+            "max_repr": pd.Series(maxs, dtype="object"),
+            "kind": pd.Series(kinds, dtype="object"),
+        })
+
+    def fine(df: pd.DataFrame) -> pd.DataFrame:
+        name = df["col_name"].iloc[0]
+        # '' marks an all-null batch slice: excluded from min/max unless
+        # every slice was empty. String compare of int reprs is NOT numeric
+        # order, so numeric reprs reduce via int keys (the explicit `kind`
+        # decides — a string column of digit strings must stay lexicographic).
+        present = df[(df["n"] - df["nulls"]) > 0]
+        if len(present):
+            if df["kind"].iloc[0] == "num":
+                lo = str(min(int(x) for x in present["min_repr"]))
+                hi = str(max(int(x) for x in present["max_repr"]))
+            else:
+                lo = present["min_repr"].min()
+                hi = present["max_repr"].max()
+        else:
+            lo = hi = ""
+        return pd.DataFrame({
+            "col_name": [name],
+            "n": [int(df["n"].sum())],
+            "nulls": [int(df["nulls"].sum())],
+            "min_repr": [lo],
+            "max_repr": [hi],
+        })
+
+    from corpusaid_ray.util import grouped
+
+    return grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), "col_name"
+    ).map_groups(fine, batch_format="pandas")

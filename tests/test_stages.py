@@ -1054,3 +1054,34 @@ def test_cross_dedup_bloom_disjoint_corpora_no_confirm_cost(ray_session):
     })).repartition(4)
     out = cross_dedup_bloom(inc, ex).take_all()
     assert sorted(r["path"] for r in out) == sorted(f"p{i}" for i in range(40))
+
+
+def test_profile_table_nulls_types_and_block_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.profile import profile_table
+
+    t = pa.table({
+        "i": pa.array([3, None, -7, 12], pa.int64()),
+        "f": pa.array([0.5, -1.25, None, 2.0], pa.float64()),
+        "s": pa.array(["b", "", None, "a"], pa.string()),
+        "all_null": pa.array([None] * 4, pa.string()),
+        "digits": pa.array(["10", "9", "2", "100"], pa.string()),
+    })
+    expect = {
+        "i": (4, 1, "-7", "12"),
+        "f": (4, 1, str(int(-1.25 * 1e6)), str(int(2.0 * 1e6))),
+        # lexicographic min of a string column includes the empty string
+        "s": (4, 1, "", "b"),
+        "all_null": (4, 4, "", ""),
+        # digit STRINGS stay lexicographic ('10' < '100' < '2' < '9')
+        "digits": (4, 0, "10", "9"),
+    }
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = {
+            r["col_name"]: (r["n"], r["nulls"], r["min_repr"], r["max_repr"])
+            for r in profile_table(ds).take_all()
+        }
+        assert got == expect, parts
