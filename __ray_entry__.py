@@ -1890,6 +1890,24 @@ def q_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(out, columns=["doc_id", "text", "lang"])
 
 
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC sink → source round-trip (sources.write_ipc/read_ipc):
+    full-fidelity Arrow interchange, one file per batch. The oracle reads
+    the ORIGINAL parquet, so a hash match proves losslessness."""
+    import tempfile
+
+    import ray.data
+
+    from corpusaid_ray.sources import read_ipc, write_ipc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out = tempfile.mkdtemp(prefix="ipc_rt_", dir="/tmp")
+    write_ipc(ds, out)
+    return read_ipc(out, columns=["doc_id", "text", "lang"])
+
+
 def q_csv_roundtrip(sf_dir: str):
     """CSV sink → source round-trip (embedded newlines/commas in text are
     the hard part — writer quotes them, reader parses with
@@ -1959,6 +1977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_dedup_bloom": q_cross_dedup_bloom,
         "lm_doc_score": q_lm_doc_score,
         "table_profile": q_table_profile,
+        "ipc_roundtrip": q_ipc_roundtrip,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

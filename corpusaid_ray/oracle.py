@@ -1939,3 +1939,6 @@ ORACLE_SQL["table_profile"] = _profile_sql("lineitem", [
     ("l_tax", "double"), ("l_returnflag", "string"),
     ("l_linestatus", "string"), ("l_shipdate", "ts"),
 ])
+
+
+ORACLE_SQL["ipc_roundtrip"] = "SELECT doc_id, text, lang FROM documents"

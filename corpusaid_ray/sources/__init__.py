@@ -174,3 +174,57 @@ def preview(ds, limit_chars: int = 5000, n: int = 20):
         {**r, "content": r["content"][:limit_chars]}
         for r in rows
     ]
+
+
+def write_ipc(ds, out_dir: str) -> dict:
+    """Arrow IPC (Feather v2) sink: one ``.arrow`` file per batch under
+    ``out_dir`` — the zero-parse interchange format between Arrow-native
+    engines (no text escaping, full type fidelity including nested lists
+    and binary, which JSONL/CSV lose or bloat). Per-task writes with metric
+    rows, same resumable partitioned layout as every other sink here."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    from ray.data.aggregate import Sum
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        dest = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.arrow")
+        with pa.OSFile(dest, "wb") as f:
+            with pa.ipc.new_file(f, batch.schema) as w:
+                w.write_table(batch)
+        return pa.table({"n_docs": pa.array([len(batch)], pa.int64()),
+                         "n_bytes": pa.array([os.path.getsize(dest)], pa.int64())})
+
+    stats = ds.map_batches(write_batch, batch_format="pyarrow")
+    row = stats.aggregate(Sum("n_docs", alias_name="n_docs"),
+                          Sum("n_bytes", alias_name="n_bytes"))
+    return {"n_docs": int(row["n_docs"] or 0),
+            "n_bytes": int(row["n_bytes"] or 0)}
+
+
+def read_ipc(path: str, *, columns: list[str] | None = None):
+    """Arrow IPC source: file-parallel read (one task per ``.arrow`` file),
+    each file memory-mapped and decoded zero-copy into its block. Column
+    projection happens inside the read task (IPC stores whole record
+    batches; use Parquet when byte-level column pruning matters)."""
+    import pyarrow as pa
+    import pyarrow.ipc
+    import ray.data
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = []
+        for raw in batch["bytes"].to_pylist():
+            t = pa.ipc.open_file(pa.BufferReader(raw)).read_all()
+            if columns is not None:
+                t = t.select(columns)
+            tables.append(t)
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return ray.data.read_binary_files(
+        path, file_extensions=["arrow"]
+    ).map_batches(decode, batch_format="pyarrow", batch_size=1)

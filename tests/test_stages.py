@@ -1085,3 +1085,28 @@ def test_profile_table_nulls_types_and_block_invariance(ray_session):
             for r in profile_table(ds).take_all()
         }
         assert got == expect, parts
+
+
+def test_ipc_roundtrip_preserves_nested_and_binary(ray_session, tmp_path):
+    """IPC keeps types JSONL/CSV can't: list<float> and binary columns
+    round-trip bit-exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.sources import read_ipc, write_ipc
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "vec": pa.array([[0.5, -1.0], [2.25, 3.5], [0.0, 0.125]],
+                        pa.list_(pa.float32())),
+        "blob": pa.array([b"\x00\xff", b"", b"ipc"], pa.binary()),
+        "text": pa.array(["a\nb", "c,d", None], pa.string()),
+    })
+    out = str(tmp_path / "ipc")
+    stats = write_ipc(ray.data.from_arrow(t).repartition(2), out)
+    assert stats["n_docs"] == 3
+    back = read_ipc(out).take_all()
+    back.sort(key=lambda r: r["id"])
+    assert [list(r["vec"]) for r in back] == [[0.5, -1.0], [2.25, 3.5], [0.0, 0.125]]
+    assert [r["blob"] for r in back] == [b"\x00\xff", b"", b"ipc"]
+    assert [r["text"] for r in back] == ["a\nb", "c,d", None]
