@@ -1870,6 +1870,21 @@ def q_lm_doc_score(sf_dir: str):
     return score_docs_lm(ds, lm)
 
 
+def q_oov_rates(sf_dir: str):
+    """Vocabulary-coverage diagnostics: fit the top-1000 corpus vocab
+    (combiner → groupby → deterministic sort/limit — only the survivors
+    reach the driver), broadcast it, then one map-only pass scores each
+    doc's OOV token fraction in fixed point (stages/vocab.py)."""
+    import ray.data
+
+    from corpusaid_ray.stages.vocab import fit_vocab, oov_rates
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return oov_rates(ds, fit_vocab(ds, top_n=1000))
+
+
 def q_bigram_lm(sf_dir: str):
     """Corpus-wide exact bigram LM conditionals (top-5 continuations per
     head with ≥10 total continuations): batch-local bigram combiner →
@@ -1995,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "ipc_roundtrip": q_ipc_roundtrip,
         "embedding_outliers": q_embedding_outliers,
+        "oov_rates": q_oov_rates,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

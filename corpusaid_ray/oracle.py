@@ -1985,3 +1985,33 @@ ORACLE_SQL["table_profile"] = _profile_sql("lineitem", [
 
 
 ORACLE_SQL["ipc_roundtrip"] = "SELECT doc_id, text, lang FROM documents"
+
+
+def _oov_rate_sql(top_n: int = 1000) -> str:
+    """Mirror for ``stages/vocab``: top-N vocab cut via row_number over
+    (count desc, token asc) — the engine's deterministic sort/limit — then
+    a LEFT JOIN per-doc OOV fraction in fixed point."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '{ws}'),
+                            t -> t != '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, count(*)::BIGINT AS c FROM w GROUP BY tok
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn FROM cnt
+  ) WHERE rn <= {top_n}
+)
+SELECT w.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       ((sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1000000)
+        // count(*))::BIGINT AS oov_fp
+FROM w LEFT JOIN vocab v ON w.tok = v.tok
+GROUP BY w.doc_id"""
+
+
+ORACLE_SQL["oov_rates"] = _oov_rate_sql(1000)

@@ -1,0 +1,96 @@
+"""Vocabulary-coverage (OOV rate) scoring — tokenizer-fit diagnostics.
+
+Before training a tokenizer (or after fixing one), a curation pipeline
+measures how well a bounded vocabulary covers each document: the per-doc
+out-of-vocabulary rate is both a quality signal (high-OOV docs are noise,
+wrong-language, or binary junk) and the calibration input for vocab sizing.
+
+Two stages, both bounded:
+
+1. **Vocab fit**: corpus-wide token counts (batch-local ``value_counts``
+   combiner → one string-keyed groupby over ≤ |batch vocab| rows per batch)
+   → global ``sort(count desc, token asc).limit(N)`` — only the N survivors
+   ever reach the driver, and the deterministic tie-break makes the cut
+   SQL-mirrorable (``row_number() ≤ N``).
+2. **Scoring** (map-only): broadcast the vocab as a frozenset; each doc
+   emits token count, OOV count and the fixed-point rate
+   ``n_oov·10⁶ // n_tokens``. Tokenless docs drop (mirroring SQL's
+   ``unnest`` of an empty list).
+
+Tokenization is the whitespace-split spec shared with the DSIR / bigram-LM
+family (``stages/dsir._flat_tokens``), not the word/punct regex of
+``word_freq`` — coverage is about what a whitespace-ish tokenizer sees.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from corpusaid_ray.stages.dsir import _flat_tokens
+
+FP = 1_000_000
+
+
+def fit_vocab(ds, *, top_n: int = 1000, text_col: str = "text") -> list[str]:
+    """Top-``top_n`` corpus tokens (count desc, token asc). Returns the
+    token list (≤ top_n strings on the driver — bounded by construction)."""
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        uniq, inv, _ = _flat_tokens(batch[text_col])
+        if not len(uniq):
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        c = np.bincount(inv, minlength=len(uniq))
+        return pd.DataFrame({"token": pd.Series(uniq, dtype="object"),
+                             "n": c.astype("int64")})
+
+    freq = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), "token"
+    ).aggregate(Sum("n", alias_name="n"))
+    top = freq.sort(["n", "token"], descending=[True, False]).limit(top_n)
+    return [r["token"] for r in top.take_all()]
+
+
+def oov_rates(ds, vocab: list[str], *, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Map-only OOV scoring against the broadcast vocabulary."""
+    import ray
+
+    vocab_ref = ray.put(frozenset(vocab))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vs = ray.get(vocab_ref)
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_oov": pa.array([], pa.int64()),
+            "oov_fp": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        uniq, inv, row_ids = _flat_tokens(batch[text_col])
+        if not len(inv):
+            return empty
+        # membership once per DISTINCT batch token, gathered per occurrence
+        known = np.array([t in vs for t in uniq], dtype=bool)
+        oov_occ = ~known[inv]
+        nrows = len(batch)
+        n_tok = np.bincount(row_ids, minlength=nrows).astype(np.int64)
+        n_oov = np.bincount(
+            row_ids[oov_occ], minlength=nrows
+        ).astype(np.int64)
+        has = n_tok > 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[has]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok[has]),
+            "n_oov": pa.array(n_oov[has]),
+            "oov_fp": pa.array(n_oov[has] * FP // n_tok[has]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

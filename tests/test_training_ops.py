@@ -1048,3 +1048,31 @@ def test_embedding_outliers_flags_planted_far_point(ray_session):
         # tight points must NOT be outliers
         assert not any(got[i]["is_outlier"] for i in range(30))
         assert all(got[i]["dist2_micro2"] >= 0 for i in got)
+
+
+class TestVocabOOV:
+    def test_fit_cut_and_rates_match_serial(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from corpusaid_ray.stages.vocab import fit_vocab, oov_rates
+
+        rows = [
+            {"doc_id": 0, "text": "a a a b b c"},
+            {"doc_id": 1, "text": "a b zz qq"},
+            {"doc_id": 2, "text": "zz zz zz"},
+            {"doc_id": 3, "text": ""},
+        ]
+        for parts in (1, 3):
+            ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+            # top-3 with tie-break: counts a=4, zz=4, b=3, c=1, qq=1 →
+            # (a,4)(zz,4)(b,3) — 'a' before 'zz' on the token tie
+            vocab = fit_vocab(ds, top_n=3)
+            assert vocab == ["a", "zz", "b"]
+            got = {r["doc_id"]: r for r in oov_rates(ds, vocab).take_all()}
+            assert 3 not in got  # tokenless doc drops
+            assert (got[0]["n_tokens"], got[0]["n_oov"]) == (6, 1)  # 'c'
+            assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 1)  # 'qq'
+            assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 0)
+            assert got[1]["oov_fp"] == 1_000_000 // 4
