@@ -1418,6 +1418,21 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_composition_rollup(sf_dir: str):
+    """Corpus-composition rollup: grand total, per-language, per-source and
+    joint doc/char counts from ONE streamed pass (all four grouping sets
+    partial-aggregated per batch, one tiny groupby —
+    stages/aggregates.rollup_counts)."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import rollup_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return rollup_counts(ds)
+
+
 def q_table_profile(sf_dir: str):
     """Ingest validation: per-column row/null counts and canonical min/max
     over the widest mixed-type table (lineitem) — one streamed pass,
@@ -2011,6 +2026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": q_ipc_roundtrip,
         "embedding_outliers": q_embedding_outliers,
         "oov_rates": q_oov_rates,
+        "composition_rollup": q_composition_rollup,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2015,3 +2015,20 @@ GROUP BY w.doc_id"""
 
 
 ORACLE_SQL["oov_rates"] = _oov_rate_sql(1000)
+
+
+# Rollup mirror: explicit UNION ALL per grouping set (transparent about the
+# level tags; GROUPING SETS would need GROUPING_ID gymnastics to match).
+ORACLE_SQL["composition_rollup"] = """
+SELECT 0::BIGINT AS grp_level, '' AS lang, '' AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+UNION ALL
+SELECT 1::BIGINT, lang, '', count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 2::BIGINT, '', source, count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM documents GROUP BY source
+UNION ALL
+SELECT 3::BIGINT, lang, source, count(*)::BIGINT, sum(n_chars)::BIGINT
+FROM documents GROUP BY lang, source"""

@@ -344,3 +344,49 @@ def group_topk(ds, *, key: str, rank_col: str, by_col: str, k: int = 3):
         return g
 
     return sums.groupby(key).map_groups(pick, batch_format="pandas")
+
+
+def rollup_counts(ds, *, keys: tuple[str, str] = ("lang", "source"),
+                  chars_col: str = "n_chars"):
+    """Multi-level rollup (SQL GROUPING SETS) in ONE pass: per-batch partial
+    counts for every grouping set — grand total (level 0), each single key
+    (1, 2), the full pair (3) — concatenated with '' filling the grouped-out
+    keys, then a single ``groupby(level, k1, k2)`` sum. The exchange moves
+    ≤ 4 × (distinct combos per batch) partial rows; the input streams once,
+    vs. four separate aggregations re-reading the corpus four times.
+
+    Output: ``(grp_level, <k1>, <k2>, n_docs, sum_chars)`` — the mixing
+    dashboard every curation run wants (per-language, per-source and joint
+    composition from one pass)."""
+    from ray.data.aggregate import Sum
+
+    k1, k2 = keys
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({
+            k1: df[k1].astype(str),
+            k2: df[k2].astype(str),
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "sum_chars": df[chars_col].to_numpy(dtype=np.int64),
+        })
+        outs = []
+        for level, gcols in ((0, []), (1, [k1]), (2, [k2]), (3, [k1, k2])):
+            if gcols:
+                g = base.groupby(gcols, sort=False, as_index=False)[
+                    ["n_docs", "sum_chars"]
+                ].sum()
+            else:
+                g = pd.DataFrame({"n_docs": [base["n_docs"].sum()],
+                                  "sum_chars": [base["sum_chars"].sum()]})
+            for c in (k1, k2):
+                if c not in g.columns:
+                    g[c] = ""
+            g["grp_level"] = np.int64(level)
+            outs.append(g[["grp_level", k1, k2, "n_docs", "sum_chars"]])
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["grp_level", k1, k2],
+    ).aggregate(Sum("n_docs", alias_name="n_docs"),
+                Sum("sum_chars", alias_name="sum_chars"))

@@ -1110,3 +1110,31 @@ def test_ipc_roundtrip_preserves_nested_and_binary(ray_session, tmp_path):
     assert [list(r["vec"]) for r in back] == [[0.5, -1.0], [2.25, 3.5], [0.0, 0.125]]
     assert [r["blob"] for r in back] == [b"\x00\xff", b"", b"ipc"]
     assert [r["text"] for r in back] == ["a\nb", "c,d", None]
+
+
+def test_rollup_counts_all_levels_block_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import rollup_counts
+
+    rows = [
+        {"lang": "en", "source": "web", "n_chars": 10},
+        {"lang": "en", "source": "code", "n_chars": 20},
+        {"lang": "fr", "source": "web", "n_chars": 5},
+        {"lang": "en", "source": "web", "n_chars": 1},
+    ]
+    expect = {
+        (0, "", ""): (4, 36),
+        (1, "en", ""): (3, 31), (1, "fr", ""): (1, 5),
+        (2, "", "web"): (3, 16), (2, "", "code"): (1, 20),
+        (3, "en", "web"): (2, 11), (3, "en", "code"): (1, 20),
+        (3, "fr", "web"): (1, 5),
+    }
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+        got = {
+            (r["grp_level"], r["lang"], r["source"]): (r["n_docs"], r["sum_chars"])
+            for r in rollup_counts(ds).take_all()
+        }
+        assert got == expect, parts
