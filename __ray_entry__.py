@@ -176,6 +176,19 @@ def q_dedup_exact(sf_dir: str):
     return dedup_exact(ds, scope_cols=("repo",))
 
 
+def q_dedup_normalized(sf_dir: str):
+    """Normalization-keyed "fuzzy-exact" dedup (CCNet/RefinedWeb tier):
+    lowercase → digit runs to '0' → strip punct → collapse ws, sha the
+    result, global first-wins — catches reformatted/version-drift copies
+    exact dedup misses, at exact-dedup cost (no pairwise work). Same
+    combiner + salted-groupby engine as dedup_exact."""
+    from corpusaid_ray.stages.dedup import add_normalized_sha, dedup_exact
+
+    ds = _corpus(sf_dir).map_batches(add_normalized_sha, batch_format="pyarrow")
+    ds = ds.select_columns(["repo", "path", "norm_sha256"])
+    return dedup_exact(ds, scope_cols=(), hash_col="norm_sha256")
+
+
 def q_repo_stats(sf_dir: str):
     from corpusaid_ray.stages.aggregates import repo_stats
 
@@ -329,6 +342,24 @@ def q_doc_tfidf(sf_dir: str):
                          "score": "float64", "rank": "int64"})
 
     return docs.map_batches(topk, batch_format="pandas")
+
+
+def q_doc_tfidf_joined(sf_dir: str):
+    """The NO-BROADCAST TF-IDF twin: DF hash-joined back onto the exploded
+    term stream (stages/index.tfidf_topk_joined) instead of a driver-side
+    map — the scale path when even the df≥2 vocab outgrows ``ray.put``.
+    Shares ``doc_tfidf``'s oracle verbatim: that sharing IS the equivalence
+    claim."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.index import tfidf_topk_joined
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return tfidf_topk_joined(docs, n_docs, k=3)
 
 
 def q_events_percentiles(sf_dir: str):
@@ -2027,6 +2058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": q_embedding_outliers,
         "oov_rates": q_oov_rates,
         "composition_rollup": q_composition_rollup,
+        "dedup_normalized": q_dedup_normalized,
+        "doc_tfidf_joined": q_doc_tfidf_joined,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -199,6 +199,46 @@ def run_bench() -> dict:
     queries["decontaminate"] = round(time.perf_counter() - t0, 3)
     extras["decontaminate_rows"] = n
 
+    # --- Bloom-gated cross-corpus dedup (broadcast bitmap + confirm; the
+    # no-shuffle incremental-crawl path — both corpora stream, nothing wide
+    # moves) over the repeated corpus, 20% existing / 80% incoming ---
+    from corpusaid_ray.stages.dedup import cross_dedup_bloom
+
+    def _crawl_side(existing: bool):
+        def fn(batch):
+            batch = add_md5_rank(batch)
+            m = batch["md5_rank"].to_numpy(zero_copy_only=False) % 5 == 0
+            if not existing:
+                m = ~m
+            return add_sha256(
+                batch.filter(pa.array(m)).drop_columns(["md5_rank"])
+            )
+
+        return read_corpus(
+            SF_DIR, parallelism=blocks, repeat=REPEAT
+        ).map_batches(fn, batch_format="pyarrow")
+
+    t0 = time.perf_counter()
+    n = cross_dedup_bloom(_crawl_side(False), _crawl_side(True)).count()
+    queries["cross_dedup_bloom"] = round(time.perf_counter() - t0, 3)
+    extras["bloom_kept_rows"] = n
+
+    # --- LM fluency scoring (map-only broadcast-table merge; the fit is the
+    # bigram_lm row below — scored here from a prefit table, like the
+    # langid/ppl model artifacts) ---
+    from corpusaid_ray.stages.ngram_lm import fit_bigram_lm, score_docs_lm
+
+    lm_table = fit_bigram_lm(
+        read_corpus(SF_DIR, parallelism=blocks),
+        text_col="content", top_k=5, min_head_count=10,
+    ).to_pandas()
+    t0 = time.perf_counter()
+    n = score_docs_lm(
+        read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT),
+        lm_table, text_col="content", id_col="path",
+    ).count()
+    queries["lm_doc_score"] = round(time.perf_counter() - t0, 3)
+
     # --- HLL distinct lines (≤256 register rows cross the exchange) ---
     from corpusaid_ray.stages.linedup import _explode_lines
     from corpusaid_ray.stages.sketch import hll_distinct

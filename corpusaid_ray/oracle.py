@@ -2032,3 +2032,32 @@ FROM documents GROUP BY source
 UNION ALL
 SELECT 3::BIGINT, lang, source, count(*)::BIGINT, sum(n_chars)::BIGINT
 FROM documents GROUP BY lang, source"""
+
+
+def _dedup_normalized_sql() -> str:
+    """Mirror for ``add_normalized_sha`` + global first-wins dedup, built
+    from the SAME RE2 pattern constants the engine compiles (one
+    definition, two evaluators)."""
+    from corpusaid_ray.stages.dedup import (
+        NORM_DIGIT_RUNS, NORM_STRIP_PUNCT, NORM_WS_RUNS,
+    )
+
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower(content), "
+        f"{sql_quote(NORM_DIGIT_RUNS)}, '0', 'g'), "
+        f"{sql_quote(NORM_STRIP_PUNCT)}, '', 'g'), "
+        f"{sql_quote(NORM_WS_RUNS)}, ' ', 'g'), ' ')"
+    )
+    return with_corpus(f"""
+SELECT repo, path, norm_sha256 FROM (
+  SELECT repo, path, sha256({norm}) AS norm_sha256 FROM corpus
+)
+QUALIFY row_number() OVER (PARTITION BY norm_sha256 ORDER BY path) = 1""")
+
+
+ORACLE_SQL["dedup_normalized"] = _dedup_normalized_sql()
+
+
+# Join-shaped TF-IDF is semantics-identical to the broadcast-map variant —
+# only the DF delivery mechanism differs — so the two share one mirror.
+ORACLE_SQL["doc_tfidf_joined"] = ORACLE_SQL["doc_tfidf"]

@@ -120,7 +120,7 @@ def dedup_exact(ds, scope_cols: tuple[str, ...] = ("repo",),
 
 
 def cross_dedup(incoming, existing, *, key_col: str = "content_sha256",
-                num_partitions: int = 64):
+                num_partitions: int | None = None):
     """Incremental-crawl dedup: drop every ``incoming`` row whose key exists
     ANYWHERE in the ``existing`` corpus — a hash-partitioned LEFT ANTI join
     (one shuffle per side, each on the key). Anti-join semantics never
@@ -133,6 +133,10 @@ def cross_dedup(incoming, existing, *, key_col: str = "content_sha256",
     assumption (this is the escape hatch for when the existing set outgrows
     a ``ray.put``-able membership structure like ``state/dedup_index``).
     """
+    if num_partitions is None:
+        from corpusaid_ray.util import join_partitions
+
+        num_partitions = join_partitions()
     keys = existing.select_columns([key_col])
     return incoming.join(
         keys,
@@ -272,3 +276,38 @@ def cross_dedup_bloom(incoming, existing, *, key_col: str = "content_sha256",
         return batch.filter(keep)
 
     return incoming.map_batches(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Normalization-keyed dedup (CCNet/RefinedWeb-style "fuzzy-exact")
+# ---------------------------------------------------------------------------
+
+# The aggressive-normalization spec, as RE2 pattern literals shared with the
+# oracle (the code_quality/secrets pattern-constant idiom: one definition,
+# two evaluators). ASCII classes only — RE2 in Arrow and RE2 in DuckDB
+# interpret them identically.
+NORM_DIGIT_RUNS = r"[0-9]+"          # any digit run → '0'
+NORM_STRIP_PUNCT = r"[^a-z0-9 \t\n\x0b\x0c\r]+"  # after lowercasing
+NORM_WS_RUNS = r"[ \t\n\x0b\x0c\r]+"  # collapse to single space
+
+
+def add_normalized_sha(batch: pa.Table, source_col: str = "content",
+                       out_col: str = "norm_sha256") -> pa.Table:
+    """Aggressive-normalization dedup key: lowercase → digit runs to '0' →
+    strip punctuation → collapse whitespace → trim → sha256. Catches the
+    near-exact duplicates exact dedup misses (reformatted copies, version
+    strings, punctuation drift) without any pairwise comparison — the cheap
+    tier between exact dedup and MinHash (CCNet §4.1 / RefinedWeb
+    normalize-then-hash). Fully vectorized: three RE2 kernels + lower/trim
+    over the Arrow column, one hashlib pass for the key."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    t = pc.utf8_lower(batch[source_col])
+    t = pc.replace_substring_regex(t, NORM_DIGIT_RUNS, "0")
+    t = pc.replace_substring_regex(t, NORM_STRIP_PUNCT, "")
+    t = pc.replace_substring_regex(t, NORM_WS_RUNS, " ")
+    t = pc.utf8_trim(t, " ")
+    sha = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in t.to_pylist()]
+    return batch.append_column(out_col, pa.array(sha, pa.string()))

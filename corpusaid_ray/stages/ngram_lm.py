@@ -186,8 +186,9 @@ def score_docs_lm(ds, lm_df: pd.DataFrame, *, text_col: str = "text",
             lm = ray.get(lm_ref)
             _LM_CACHE[key] = lm
         nrows = len(batch)
+        id_type = batch.schema.field(id_col).type
         empty = pa.table({
-            id_col: pa.array([], pa.int64()),
+            id_col: pa.array([], id_type),
             "n_bigrams": pa.array([], pa.int64()),
             "sum_pfp": pa.array([], pa.int64()),
             "avg_pfp": pa.array([], pa.int64()),
@@ -212,9 +213,11 @@ def score_docs_lm(ds, lm_df: pd.DataFrame, *, text_col: str = "text",
         np.add.at(total, m["row"].to_numpy(), pfp)
         n_big = np.bincount(pairs["row"].to_numpy(), minlength=nrows).astype(np.int64)
         has = n_big > 0
-        ids = batch[id_col].to_numpy(zero_copy_only=False)[has]
+        # id column passes through natively (any type — int keys at the
+        # gate, path strings in the bench)
+        ids = batch[id_col].filter(pa.array(has))
         return pa.table({
-            id_col: pa.array(ids, pa.int64()),
+            id_col: ids,
             "n_bigrams": pa.array(n_big[has]),
             "sum_pfp": pa.array(total[has]),
             "avg_pfp": pa.array(total[has] // n_big[has]),

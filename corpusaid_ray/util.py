@@ -89,3 +89,15 @@ def grouped(ds, keys, max_blocks: int = 256):
     the merge is the O(blocks²)-exchange cap measured in BASELINE.md r3)."""
     ds, _ = coalesce_blocks_down(ds, max_blocks)
     return ds.groupby(keys)
+
+
+def join_partitions(cap: int = 64) -> int:
+    """Partition count for ``Dataset.join``: each hash-shuffle partition is
+    an AGGREGATOR ACTOR holding a CPU slot, so requesting many more
+    partitions than cores DEADLOCKS a small cluster (measured: 32
+    partitions hang at num_cpus=4; ≤ 2× cores is safe). Size to
+    ``min(cap, 2 × cluster CPUs)`` — raise ``cap`` with cluster size."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, 2 * cpus))

@@ -1138,3 +1138,26 @@ def test_rollup_counts_all_levels_block_invariant(ray_session):
             for r in rollup_counts(ds).take_all()
         }
         assert got == expect, parts
+
+
+def test_dedup_normalized_collapses_reformatting_variants(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import add_normalized_sha, dedup_exact
+
+    rows = [
+        # same doc under version drift / punctuation / case / whitespace
+        {"path": "a", "content": "Release v1.2.3: Hello, World!"},
+        {"path": "b", "content": "release   v9.0.1 --- hello world"},
+        {"path": "c", "content": "RELEASE V4.5.67: HELLO WORLD"},
+        # genuinely different
+        {"path": "d", "content": "goodbye world"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    ds = ds.map_batches(add_normalized_sha, batch_format="pyarrow")
+    out = dedup_exact(
+        ds.select_columns(["path", "norm_sha256"]),
+        scope_cols=(), hash_col="norm_sha256",
+    ).take_all()
+    assert sorted(r["path"] for r in out) == ["a", "d"]  # first-wins by path

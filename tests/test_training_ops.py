@@ -1076,3 +1076,19 @@ class TestVocabOOV:
             assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 1)  # 'qq'
             assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 0)
             assert got[1]["oov_fp"] == 1_000_000 // 4
+
+
+def test_tfidf_joined_equals_broadcast_variant(ray_session):
+    """The join-shaped TF-IDF and the broadcast-map TF-IDF must produce
+    identical rows — same data, two shuffle strategies."""
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    a = e.queries()["doc_tfidf"](sf).to_pandas()
+    b = e.queries()["doc_tfidf_joined"](sf).to_pandas()
+    key = ["doc_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
