@@ -362,6 +362,22 @@ def q_doc_tfidf_joined(sf_dir: str):
     return tfidf_topk_joined(docs, n_docs, k=3)
 
 
+def q_event_anomalies(sf_dir: str):
+    """Streaming-quality monitor: flag events > 3σ from their type's mean
+    with the WHOLE rule in integers (milli quantize → per-type (n, Σx, Σx²)
+    streamed stats → |n·x − S| > isqrt(9(nQ − S²)) per row). Exact by the
+    integer identity d² > y ⇔ |d| > floor(√y) — no float boundary anywhere
+    (stages/anomaly.py)."""
+    import ray.data
+
+    from corpusaid_ray.stages.anomaly import fit_anomaly_stats, flag_anomalies
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return flag_anomalies(ds, fit_anomaly_stats(ds, k=3))
+
+
 def q_events_percentiles(sf_dir: str):
     """Exact discrete percentiles (p50/p90/p99, micro-units, ceil-rank
     selection) of event value per event_type."""
@@ -2060,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composition_rollup": q_composition_rollup,
         "dedup_normalized": q_dedup_normalized,
         "doc_tfidf_joined": q_doc_tfidf_joined,
+        "event_anomalies": q_event_anomalies,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2061,3 +2061,22 @@ ORACLE_SQL["dedup_normalized"] = _dedup_normalized_sql()
 # Join-shaped TF-IDF is semantics-identical to the broadcast-map variant —
 # only the DF delivery mechanism differs — so the two share one mirror.
 ORACLE_SQL["doc_tfidf_joined"] = ORACLE_SQL["doc_tfidf"]
+
+
+# Anomaly mirror: the squared k·σ form evaluated in HUGEINT — equivalent to
+# the engine's |n·x − S| > isqrt(k²(nQ − S²)) by the exact integer identity
+# d² > y ⇔ |d| > floor(√y).
+ORACLE_SQL["event_anomalies"] = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT)::HUGEINT AS x
+  FROM events
+), st AS (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s,
+         sum(x * x)::HUGEINT AS q
+  FROM ev GROUP BY event_type
+)
+SELECT ev.event_id, ev.event_type,
+       (st.n * ev.x - st.s) * (st.n * ev.x - st.s)
+         > 9 * (st.n * st.q - st.s * st.s) AS is_anomaly
+FROM ev JOIN st USING (event_type)"""

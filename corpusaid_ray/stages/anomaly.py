@@ -1,0 +1,109 @@
+"""Exact integer anomaly flags over an event stream (3σ rule, no floats).
+
+A streaming-quality monitor wants "flag events more than k standard
+deviations from their type's mean" — but mean/std are float quantities, and
+a float boundary comparison is exactly where an engine and its SQL mirror
+drift. This stage keeps the WHOLE rule in integers:
+
+- values quantize once to milli units, ``x = floor(v·10³ + 0.5)``;
+- per-type sufficient statistics ``(n, S=Σx, Q=Σx²)`` come from one
+  streamed pass (per-batch int64 partials, driver reduction in unbounded
+  Python ints);
+- the k·σ test rewrites without division or sqrt:
+
+      |x − S/n| > k·σ  ⇔  (n·x − S)² > k²·(n·Q − S²)
+
+  and since ``d = n·x − S`` is an integer,
+  ``d² > y ⇔ |d| > isqrt(y)`` (floor-sqrt) EXACTLY — so the per-row test
+  is one int64 subtraction and one comparison against a per-type constant
+  ``R = isqrt(k²·(nQ − S²))`` computed with ``math.isqrt``. The SQL mirror
+  evaluates the squared form directly in HUGEINT; the two are equivalent by
+  the isqrt identity, not by float luck.
+
+Integer headroom: per-row ``n·x`` must fit int64 — with milli units and
+|v| ≤ 10⁶ that allows n ≈ 10⁹ rows per event type; beyond that, compute d
+per-row in two int64 pieces or raise the stats to per-(type, shard) and
+union flags. The driver holds one (n, S, R) triple per event type.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MILLI = 1_000
+
+
+def _milli(v: np.ndarray) -> np.ndarray:
+    return np.floor(v.astype(np.float64) * MILLI + 0.5).astype(np.int64)
+
+
+def fit_anomaly_stats(ds, *, type_col: str = "event_type",
+                      value_col: str = "value", k: int = 3) -> dict:
+    """One streamed pass → ``{event_type: (n, S, R)}`` with exact Python-int
+    reduction on the driver (partial rows are per-batch per-type triples)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "t": batch[type_col].to_pandas(),
+            "x": _milli(batch[value_col].to_numpy(zero_copy_only=False)),
+        })
+        g = df.groupby("t", sort=False)["x"]
+        agg = pd.DataFrame({
+            "n": g.size().astype("int64"),
+            "s": g.sum().astype("int64"),
+            # int64 per-batch Σx²: |x| ≤ 10⁹ milli ⇒ x² ≤ 10¹⁸/batch-row;
+            # keep batches ≤ ~10⁴ rows of that magnitude (default blocks do)
+            "q": df.groupby("t", sort=False)["x"].apply(
+                lambda s: int((s.to_numpy() ** 2).sum())
+            ),
+        }).reset_index()
+        return agg.rename(columns={"t": "event_type"})
+
+    n: dict[str, int] = {}
+    s: dict[str, int] = {}
+    q: dict[str, int] = {}
+    for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pandas", batch_size=None
+    ):
+        for t, pn, ps, pq in zip(part["event_type"], part["n"], part["s"],
+                                 part["q"]):
+            n[t] = n.get(t, 0) + int(pn)
+            s[t] = s.get(t, 0) + int(ps)
+            q[t] = q.get(t, 0) + int(pq)
+    out = {}
+    for t in n:
+        var_scaled = n[t] * q[t] - s[t] * s[t]  # n²·var ≥ 0 (Cauchy–Schwarz)
+        out[t] = (n[t], s[t], math.isqrt(k * k * var_scaled))
+    return out
+
+
+def flag_anomalies(ds, stats: dict, *, type_col: str = "event_type",
+                   value_col: str = "value", id_col: str = "event_id"):
+    """Map-only flagging against the broadcast per-type constants."""
+    import ray
+
+    ref = ray.put(stats)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             type_col: pa.array([], pa.string()),
+                             "is_anomaly": pa.array([], pa.bool_())})
+        types = batch[type_col].to_pylist()
+        x = _milli(batch[value_col].to_numpy(zero_copy_only=False))
+        nn = np.array([st[t][0] for t in types], dtype=np.int64)
+        ss = np.array([st[t][1] for t in types], dtype=np.int64)
+        rr = np.array([st[t][2] for t in types], dtype=np.int64)
+        d = nn * x - ss
+        return pa.table({
+            id_col: batch[id_col],
+            type_col: batch[type_col],
+            "is_anomaly": pa.array(np.abs(d) > rr),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

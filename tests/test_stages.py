@@ -1161,3 +1161,37 @@ def test_dedup_normalized_collapses_reformatting_variants(ray_session):
         scope_cols=(), hash_col="norm_sha256",
     ).take_all()
     assert sorted(r["path"] for r in out) == ["a", "d"]  # first-wins by path
+
+
+def test_event_anomalies_exact_boundary_and_planted_outlier(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.anomaly import fit_anomaly_stats, flag_anomalies
+
+    # 20 tight values + one wild outlier in type 'a'; type 'b' constant
+    rows = [{"event_id": i, "event_type": "a", "value": 10.0 + (i % 3) * 0.01}
+            for i in range(20)]
+    rows.append({"event_id": 20, "event_type": "a", "value": 500.0})
+    rows += [{"event_id": 100 + i, "event_type": "b", "value": 7.0}
+             for i in range(5)]
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+        stats = fit_anomaly_stats(ds, k=3)
+        got = {r["event_id"]: r["is_anomaly"]
+               for r in flag_anomalies(ds, stats).take_all()}
+        assert got[20] is True
+        assert not any(got[i] for i in range(20))
+        assert not any(got[100 + i] for i in range(5))  # zero variance type
+
+    # serial check of the exact identity on type 'a'
+    xs = [round(r["value"] * 1000) for r in rows if r["event_type"] == "a"]
+    n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+    r_const = math.isqrt(9 * (n * q - s * s))
+    for r in rows:
+        if r["event_type"] != "a":
+            continue
+        x = round(r["value"] * 1000)
+        assert got[r["event_id"]] == (abs(n * x - s) > r_const)
