@@ -558,6 +558,26 @@ def q_embedding_outliers(sf_dir: str):
     return embedding_outliers(ds, model)
 
 
+def q_cluster_balanced_sample(sf_dir: str):
+    """Cluster-balanced curation sample: distributed k-means assignment →
+    keep the 10 smallest-(md5, id) vectors per cluster (two-phase head-n,
+    exchange bounded at n×K×blocks rows) — equal representation from every
+    embedding cluster (stages/kmeans.cluster_balanced_sample)."""
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import (
+        assign_clusters, cluster_balanced_sample, fit_kmeans,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    model = fit_kmeans(ds, k=8, iters=4)
+    return cluster_balanced_sample(
+        assign_clusters(ds, model), n_per_cluster=10
+    )
+
+
 def q_ann_topk(sf_dir: str):
     import numpy as np
     import pyarrow.compute as pc
@@ -2077,6 +2097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized": q_dedup_normalized,
         "doc_tfidf_joined": q_doc_tfidf_joined,
         "event_anomalies": q_event_anomalies,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

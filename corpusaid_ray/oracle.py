@@ -2080,3 +2080,22 @@ SELECT ev.event_id, ev.event_type,
        (st.n * ev.x - st.s) * (st.n * ev.x - st.s)
          > 9 * (st.n * st.q - st.s * st.s) AS is_anomaly
 FROM ev JOIN st USING (event_type)"""
+
+
+# Cluster-balanced sample: the Lloyd chain's final assignment ranked by the
+# same md5-prefix key the quota/split mirrors use, n per cluster.
+def _cluster_balanced_sample_sql(k: int = 8, iters: int = 4,
+                                 n_per: int = 10) -> str:
+    base = _kmeans_sql(k, iters)
+    head, _, _ = base.rpartition("\nSELECT vec_id, cluster FROM final_assign")
+    return head + f"""
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+             ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::UBIGINT,
+                      vec_id) AS rn
+  FROM final_assign
+) WHERE rn <= {n_per}"""
+
+
+ORACLE_SQL["cluster_balanced_sample"] = _cluster_balanced_sample_sql()

@@ -207,3 +207,40 @@ def embedding_outliers(ds, model: KMeansModel, *,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cluster_balanced_sample(assigned, *, n_per_cluster: int,
+                            id_col: str = "vec_id"):
+    """Cluster-balanced subsample over a ``(id, cluster)`` assignment: keep
+    the ``n_per_cluster`` rows with the smallest ``(md5(id), id)`` per
+    cluster — deterministic, order-independent, and exactly the
+    repo-quota-sample shape (batch-local head-n combiner bounds the
+    exchange at n × K × blocks rows). This is the "equal representation
+    from every embedding cluster" curation recipe the distributed fit
+    exists for."""
+    import hashlib
+
+    from corpusaid_ray.util import grouped
+
+    def rank(batch: pa.Table) -> pa.Table:
+        r = [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            for v in batch[id_col].to_pylist()
+        ]
+        return batch.append_column("md5_rank", pa.array(r, pa.int64()))
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (
+            df.sort_values(["cluster", "md5_rank", id_col], kind="mergesort")
+            .groupby("cluster", sort=False)
+            .head(n_per_cluster)
+        )
+
+    combined = assigned.map_batches(rank, batch_format="pyarrow").map_batches(
+        head_n, batch_format="pandas"
+    )
+    return grouped(combined, "cluster").map_groups(
+        head_n, batch_format="pandas"
+    ).select_columns([id_col, "cluster"])

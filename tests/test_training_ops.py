@@ -1092,3 +1092,41 @@ def test_tfidf_joined_equals_broadcast_variant(ray_session):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_cluster_balanced_sample_quota_and_determinism(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import (
+        assign_clusters, cluster_balanced_sample, fit_kmeans,
+    )
+
+    rows = TestKMeans._rows(n=60)
+    outs = []
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+        model = fit_kmeans(ds, k=3, iters=3)
+        got = cluster_balanced_sample(
+            assign_clusters(ds, model), n_per_cluster=4
+        ).take_all()
+        # quota respected per cluster
+        from collections import Counter
+
+        per = Counter(r["cluster"] for r in got)
+        assert all(v <= 4 for v in per.values())
+        outs.append(sorted((r["vec_id"], r["cluster"]) for r in got))
+    assert outs[0] == outs[1]  # layout-invariant
+    # serial expectation: per cluster, 4 smallest (md5, id)
+    _, assign = TestKMeans._serial(rows, k=3, iters=3)
+    by_cluster: dict[int, list] = {}
+    for vid, cl in enumerate(assign):
+        r = int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16)
+        by_cluster.setdefault(int(cl), []).append((r, vid))
+    expect = sorted(
+        (vid, cl)
+        for cl, lst in by_cluster.items()
+        for _, vid in sorted(lst)[:4]
+    )
+    assert outs[0] == expect
