@@ -378,6 +378,20 @@ def q_event_anomalies(sf_dir: str):
     return flag_anomalies(ds, fit_anomaly_stats(ds, k=3))
 
 
+def q_event_transitions(sf_dir: str):
+    """Funnel analysis: within-session (30-min gap) event-type transition
+    matrix — per-user ordered scan inside one groupby, local counts, tiny
+    (from, to) sum (stages/window.session_transitions)."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import session_transitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return session_transitions(ds)
+
+
 def q_events_percentiles(sf_dir: str):
     """Exact discrete percentiles (p50/p90/p99, micro-units, ceil-rank
     selection) of event value per event_type."""
@@ -2098,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_joined": q_doc_tfidf_joined,
         "event_anomalies": q_event_anomalies,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "event_transitions": q_event_transitions,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -73,6 +73,15 @@ def main(argv: list[str] | None = None) -> int:
     cln.add_argument("--detect-encoding", action="store_true")
     cln.add_argument("--num-cpus", type=int, default=None)
 
+    prof = sub.add_parser(
+        "profile",
+        help="one-pass per-column profile (n, nulls, canonical min/max) of "
+             "any parquet table — ingest validation",
+    )
+    prof.add_argument("--parquet", required=True,
+                      help="path to a parquet file or directory")
+    prof.add_argument("--num-cpus", type=int, default=None)
+
     srch = sub.add_parser(
         "search",
         help="case-insensitive occurrence count of a literal term",
@@ -163,6 +172,20 @@ def main(argv: list[str] | None = None) -> int:
             summary = write_text_dir(cleaned, args.out, root=args.text_dir)
             summary["rule_version"] = cfg.rule_version
             print(json.dumps(summary))
+        elif args.cmd == "profile":
+            import ray.data
+
+            from corpusaid_ray.stages.profile import profile_table
+
+            rows = profile_table(
+                ray.data.read_parquet(args.parquet)
+            ).take_all()
+            rows.sort(key=lambda r: r["col_name"])
+            print(json.dumps([
+                {k: r[k] for k in
+                 ("col_name", "n", "nulls", "min_repr", "max_repr")}
+                for r in rows
+            ]))
         elif args.cmd == "search":
             import pyarrow as pa
             import pyarrow.compute as pc

@@ -2099,3 +2099,18 @@ SELECT vec_id, cluster FROM (
 
 
 ORACLE_SQL["cluster_balanced_sample"] = _cluster_balanced_sample_sql()
+
+
+# Funnel transition matrix: lag window within (user, ts, type) order; the
+# 30-minute session break mirrors events_sessionize's gap rule.
+ORACLE_SQL["event_transitions"] = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS from_type,
+         (ts - lag(ts) OVER w) <= INTERVAL 30 MINUTE AS same_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+)
+SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
+FROM o WHERE same_session
+GROUP BY from_type, event_type"""

@@ -156,3 +156,46 @@ def tumbling_window(ds, *, size: str = "1h",
             Sum("sum_value_micros", alias_name="sum_value_micros"),
         )
     )
+
+
+def session_transitions(ds, *, gap_minutes: int = 30, key: str = "user_id",
+                        ts_col: str = "ts", type_col: str = "event_type"):
+    """Within-session event-type transition matrix (the funnel-analysis
+    aggregate): for each key, order events by time, break at gaps >
+    ``gap_minutes`` (the :func:`sessionize` rule), and count adjacent
+    ``(from_type, to_type)`` pairs across the whole stream. One
+    ``groupby(key)`` co-locates each key's history — the ordering
+    assumption lives inside the group, exactly like sessionize — and each
+    group emits its LOCAL transition counts, so the second (tiny) groupby
+    sums at most |types|² rows per key. Deterministic tie handling:
+    same-timestamp events order by (ts, event_type) in both evaluators.
+
+    Output: (from_type, to_type, n) — the corpus-wide funnel matrix."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, type_col], kind="mergesort")
+        same_session = ~(g[ts_col].diff() > gap)
+        same_session.iloc[:1] = False  # first row has no predecessor
+        prev = g[type_col].shift()
+        pairs = pd.DataFrame({
+            "from_type": prev[same_session],
+            "to_type": g[type_col][same_session],
+        })
+        if not len(pairs):
+            return pd.DataFrame({
+                "from_type": pd.Series(dtype="object"),
+                "to_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            })
+        out = pairs.value_counts().rename("n").reset_index()
+        return out.astype({"n": "int64"})
+
+    from corpusaid_ray.util import grouped
+
+    local = ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    return grouped(local, ["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )

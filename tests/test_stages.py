@@ -1195,3 +1195,35 @@ def test_event_anomalies_exact_boundary_and_planted_outlier(ray_session):
             continue
         x = round(r["value"] * 1000)
         assert got[r["event_id"]] == (abs(n * x - s) > r_const)
+
+
+def test_session_transitions_gap_and_counting(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.window import session_transitions
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20",  # u1 s0
+        "2024-01-01 02:00", "2024-01-01 02:05",                      # u1 s1
+        "2024-01-01 00:00", "2024-01-01 00:05",                      # u2
+    ])
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1, 2, 2],
+        "ts": ts,
+        "event_type": ["view", "click", "purchase", "view", "view",
+                       "view", "click"],
+    })
+    expect = {
+        ("view", "click"): 2,      # u1 s0 + u2
+        ("click", "purchase"): 1,  # u1 s0
+        ("view", "view"): 1,       # u1 s1
+        # NO (purchase, view): the 100-min gap breaks the session
+    }
+    for parts in (1, 3):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in session_transitions(ds).take_all()
+        }
+        assert got == expect, parts
