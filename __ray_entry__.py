@@ -1377,6 +1377,66 @@ def q_orders_by_nation(sf_dir: str):
     )
 
 
+def q_orders_high_qty_semi(sf_dir: str):
+    """LEFT SEMI join: orders having ≥1 high-quantity (≥48) lineitem —
+    existence filtering without multiplying rows (the join type dedup and
+    decontamination pipelines want). Native hash-partitioned
+    ``Dataset.join(left_semi)``."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from corpusaid_ray.stages.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    hi = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity"],
+            filter=pads.field("l_quantity") >= 48,
+        )
+        .select_columns(["l_orderkey"])
+        .rename_columns({"l_orderkey": "o_orderkey"})
+    )
+    return hash_join(orders, hi, on="o_orderkey", join_type="left_semi")
+
+
+def q_orders_left_outer_qty(sf_dir: str):
+    """LEFT OUTER join: every order keeps a row even when it has no
+    high-quantity lineitem (null side filled with -1 so the compare sees no
+    nullable ints) — the audit-join shape: 'which inputs produced no
+    output'."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from corpusaid_ray.stages.join import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    hi = (
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity"],
+            filter=pads.field("l_quantity") >= 48,
+        )
+        .select_columns(["l_orderkey", "l_linenumber"])
+        .rename_columns({"l_orderkey": "o_orderkey"})
+    )
+    joined = hash_join(orders, hi, on="o_orderkey", join_type="left_outer")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        ln = pc.fill_null(pc.cast(batch["l_linenumber"], pa.int64()), -1)
+        return batch.drop_columns(["l_linenumber"]).append_column(
+            "l_linenumber", ln
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def q_order_revenue_join(sf_dir: str):
     """Hash join (both sides large): lineitem ⨝ orders on orderkey via Ray's
     hash-partitioned join, then per-status revenue aggregates."""
@@ -2113,6 +2173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_anomalies": q_event_anomalies,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "event_transitions": q_event_transitions,
+        "orders_high_qty_semi": q_orders_high_qty_semi,
+        "orders_left_outer_qty": q_orders_left_outer_qty,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

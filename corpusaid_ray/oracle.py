@@ -2114,3 +2114,18 @@ WITH o AS (
 SELECT from_type, event_type AS to_type, count(*)::BIGINT AS n
 FROM o WHERE same_session
 GROUP BY from_type, event_type"""
+
+
+ORACLE_SQL["orders_high_qty_semi"] = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)"""
+
+
+ORACLE_SQL["orders_left_outer_qty"] = """
+SELECT o.o_orderkey, o.o_orderstatus,
+       COALESCE(l.l_linenumber, -1)::BIGINT AS l_linenumber
+FROM orders o
+LEFT JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+           WHERE l_quantity >= 48) l
+  ON l.l_orderkey = o.o_orderkey"""

@@ -30,9 +30,16 @@ def broadcast_join(ds, small_df: pd.DataFrame, *, on: str, how: str = "inner"):
     return ds.map_batches(merge, batch_format="pandas")
 
 
-def hash_join(left, right, *, on: str, num_partitions: int = 32,
+def hash_join(left, right, *, on: str, num_partitions: int | None = None,
               join_type: str = "inner"):
-    """Large ⨝ large via Ray's hash-partitioned join (one shuffle per side)."""
+    """Large ⨝ large via Ray's hash-partitioned join (one shuffle per side).
+    Partition count defaults to ``util.join_partitions()`` (≤ 2× cluster
+    CPUs — each partition is an aggregator actor; over-requesting deadlocks
+    small clusters, see BASELINE.md r3)."""
+    if num_partitions is None:
+        from corpusaid_ray.util import join_partitions
+
+        num_partitions = join_partitions()
     return left.join(
         right,
         join_type=join_type,
