@@ -1806,6 +1806,65 @@ def q_cross_dedup_bloom(sf_dir: str):
     )
 
 
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff (CDC for crawls): FULL OUTER join of two corpus
+    snapshots on path, classifying every row as added / removed / modified /
+    unchanged by presence and content-hash equality. The 'old' snapshot is
+    the md5%4==0 quarter with content swapped to a marker for half of it —
+    deterministic, so the oracle derives the same two sides. Exercises the
+    full_outer join type (the last of Ray's join family in this repo)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from corpusaid_ray.stages.dedup import add_sha256
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.stages.sampling import add_md5_rank
+
+    def snapshot(old: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = add_md5_rank(batch)
+            rank = batch["md5_rank"].to_numpy(zero_copy_only=False)
+            if old:
+                # old snapshot: md5%4 in {0,1,2} (3/4 of paths); %4==1 rows
+                # had different content last crawl
+                keep = rank % 4 != 3
+                batch = batch.filter(pa.array(keep))
+                rank = batch["md5_rank"].to_numpy(zero_copy_only=False)
+                content = pc.if_else(
+                    pa.array(rank % 4 == 1),
+                    pa.array(["<old-revision>"] * len(batch), pa.string()),
+                    batch["content"],
+                )
+                batch = batch.drop_columns(["content"]).append_column(
+                    "content", content
+                )
+            else:
+                # new snapshot: md5%4 in {1,2,3} (drops %4==0 = removed)
+                batch = batch.filter(pa.array(rank % 4 != 0))
+            return add_sha256(batch).select(["path", "content_sha256"])
+
+        return _corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+    new = snapshot(False).rename_columns({"content_sha256": "new_sha"})
+    old = snapshot(True).rename_columns({"content_sha256": "old_sha"})
+    joined = hash_join(new, old, on="path", join_type="full_outer")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        new_sha = pc.fill_null(batch["new_sha"], "")
+        old_sha = pc.fill_null(batch["old_sha"], "")
+        status = pc.if_else(
+            pc.equal(old_sha, ""), pa.scalar("added"),
+            pc.if_else(
+                pc.equal(new_sha, ""), pa.scalar("removed"),
+                pc.if_else(pc.equal(new_sha, old_sha),
+                           pa.scalar("unchanged"), pa.scalar("modified")),
+            ),
+        )
+        return pa.table({"path": batch["path"], "status": status})
+
+    return joined.map_batches(classify, batch_format="pyarrow")
+
+
 def q_seq_len_histogram(sf_dir: str):
     """Sequence-length histogram for packing calibration: docs bucketed by
     word count into width-16 bins (bin start inclusive), with per-bin doc
@@ -2175,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "orders_high_qty_semi": q_orders_high_qty_semi,
         "orders_left_outer_qty": q_orders_left_outer_qty,
+        "corpus_diff": q_corpus_diff,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

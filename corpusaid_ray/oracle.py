@@ -2129,3 +2129,26 @@ FROM orders o
 LEFT JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
            WHERE l_quantity >= 48) l
   ON l.l_orderkey = o.o_orderkey"""
+
+
+# Snapshot diff mirror: same md5-quarter split + marker-content derivation,
+# FULL OUTER join + presence/hash classification.
+ORACLE_SQL["corpus_diff"] = with_corpus("""
+, ranked AS (
+  SELECT path, content,
+         (('0x' || substr(md5(path), 1, 8))::UBIGINT % 4)::BIGINT AS r
+  FROM corpus
+), new_snap AS (
+  SELECT path, sha256(content) AS new_sha FROM ranked WHERE r != 0
+), old_snap AS (
+  SELECT path,
+         sha256(CASE WHEN r = 1 THEN '<old-revision>' ELSE content END)
+           AS old_sha
+  FROM ranked WHERE r != 3
+)
+SELECT COALESCE(n.path, o.path) AS path,
+       CASE WHEN o.path IS NULL THEN 'added'
+            WHEN n.path IS NULL THEN 'removed'
+            WHEN n.new_sha = o.old_sha THEN 'unchanged'
+            ELSE 'modified' END AS status
+FROM new_snap n FULL OUTER JOIN old_snap o ON n.path = o.path""")

@@ -136,3 +136,16 @@ def test_word_freq_and_ttr(ray_session):
     ttr = e.q_ttr_stats(SF_SMALL).to_pandas()
     assert ((ttr.ttr > 0) & (ttr.ttr <= 1)).all()
     assert (ttr.n_types <= ttr.n_tokens).all()
+
+
+def test_corpus_diff_covers_all_classes(ray_session):
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    rows = e.queries()["corpus_diff"]("/root/testdata/sf0.001").take_all()
+    c = Counter(r["status"] for r in rows)
+    # the md5-quarter derivation guarantees every class is non-empty
+    assert set(c) == {"added", "removed", "modified", "unchanged"}
+    # one row per path in the union of the two snapshots (paths unique)
+    assert len({r["path"] for r in rows}) == len(rows)
