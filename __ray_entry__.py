@@ -378,6 +378,24 @@ def q_event_anomalies(sf_dir: str):
     return flag_anomalies(ds, fit_anomaly_stats(ds, k=3))
 
 
+def q_user_event_pivot(sf_dir: str):
+    """Pivot: per-user event-type count matrix (the segmentation feature
+    table) — batch-local (user, type) counts into one coarse-salted
+    groupby with a vectorized pivot_table per part
+    (stages/aggregates.pivot_counts)."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import pivot_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        ds, key="user_id", col="event_type",
+        values=["click", "signup", "purchase", "error", "view"],
+    )
+
+
 def q_event_transitions(sf_dir: str):
     """Funnel analysis: within-session (30-min gap) event-type transition
     matrix — per-user ordered scan inside one groupby, local counts, tiny
@@ -2235,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_high_qty_semi": q_orders_high_qty_semi,
         "orders_left_outer_qty": q_orders_left_outer_qty,
         "corpus_diff": q_corpus_diff,
+        "user_event_pivot": q_user_event_pivot,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2152,3 +2152,14 @@ SELECT COALESCE(n.path, o.path) AS path,
             WHEN n.new_sha = o.old_sha THEN 'unchanged'
             ELSE 'modified' END AS status
 FROM new_snap n FULL OUTER JOIN old_snap o ON n.path = o.path""")
+
+
+# Pivot mirror: FILTER aggregates per fixed category.
+ORACLE_SQL["user_event_pivot"] = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+       count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+       count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
+FROM events GROUP BY user_id"""

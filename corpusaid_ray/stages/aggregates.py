@@ -390,3 +390,49 @@ def rollup_counts(ds, *, keys: tuple[str, str] = ("lang", "source"),
         ["grp_level", k1, k2],
     ).aggregate(Sum("n_docs", alias_name="n_docs"),
                 Sum("sum_chars", alias_name="sum_chars"))
+
+
+def pivot_counts(ds, *, key: str, col: str, values: list[str],
+                 prefix: str = "n_"):
+    """Pivot a categorical column into fixed count columns — one row per
+    ``key`` with ``prefix<value>`` counts (the feature-matrix shape scoring
+    and segmentation want). The category list is EXPLICIT (at web scale a
+    discovered pivot column set is a two-pass anti-pattern — the driver
+    would materialize a distinct scan first; pass the known vocabulary).
+
+    Shape: batch-local (key, col) counts → ONE coarse-salted groupby (the
+    dedup_exact int64-part trick: every row of a key lands in one part,
+    ~1k integer shuffle keys) → vectorized ``pivot_table`` inside each part
+    — no per-key Python calls, ≤ |key×col| partial rows per batch over the
+    exchange; unknown categories fail loudly rather than drop."""
+    known = set(values)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bad = set(df[col].unique()) - known
+        if bad:
+            raise ValueError(f"pivot_counts: unlisted categories {sorted(bad)}")
+        g = (
+            df.groupby([key, col], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["_part"] = (
+            pd.util.hash_pandas_object(g[key].astype(str), index=False)
+            .to_numpy() % 1024
+        ).astype("int64")
+        return g.astype({"n": "int64"})
+
+    def pivot_part(g: pd.DataFrame) -> pd.DataFrame:
+        wide = g.pivot_table(index=key, columns=col, values="n",
+                             aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({key: wide.index.to_numpy()})
+        for v in values:
+            out[f"{prefix}{v}"] = (
+                wide[v].to_numpy().astype("int64") if v in wide.columns
+                else np.zeros(len(wide), dtype="int64")
+            )
+        return out
+
+    return grouped(
+        ds.map_batches(partial, batch_format="pandas"), "_part"
+    ).map_groups(pivot_part, batch_format="pandas")

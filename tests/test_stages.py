@@ -1227,3 +1227,28 @@ def test_session_transitions_gap_and_counting(ray_session):
             for r in session_transitions(ds).take_all()
         }
         assert got == expect, parts
+
+
+def test_pivot_counts_fixed_columns_and_unknown_category(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import pivot_counts
+
+    rows = [
+        {"u": 1, "t": "a"}, {"u": 1, "t": "a"}, {"u": 1, "t": "b"},
+        {"u": 2, "t": "b"},
+    ]
+    for parts in (1, 3):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+        got = {r["u"]: (r["n_a"], r["n_b"], r["n_c"])
+               for r in pivot_counts(ds, key="u", col="t",
+                                     values=["a", "b", "c"]).take_all()}
+        assert got == {1: (2, 1, 0), 2: (0, 1, 0)}, parts
+
+    bad = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"u": 1, "t": "zz"}]
+    ))
+    with pytest.raises(Exception, match="unlisted"):
+        pivot_counts(bad, key="u", col="t", values=["a"]).take_all()
