@@ -396,6 +396,27 @@ def q_user_event_pivot(sf_dir: str):
     )
 
 
+def q_user_event_melt(sf_dir: str):
+    """Unpivot (melt): the per-user pivot matrix back to long form — pivot
+    and melt compose to a round-trip, both directions SQL-verified
+    (stages/aggregates.unpivot; map-only, no shuffle)."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import pivot_counts, unpivot
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    wide = pivot_counts(
+        ds, key="user_id", col="event_type",
+        values=["click", "signup", "purchase", "error", "view"],
+    )
+    return unpivot(
+        wide, key="user_id",
+        value_cols=["n_click", "n_signup", "n_purchase", "n_error", "n_view"],
+    )
+
+
 def q_event_transitions(sf_dir: str):
     """Funnel analysis: within-session (30-min gap) event-type transition
     matrix — per-user ordered scan inside one groupby, local counts, tiny
@@ -2254,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_left_outer_qty": q_orders_left_outer_qty,
         "corpus_diff": q_corpus_diff,
         "user_event_pivot": q_user_event_pivot,
+        "user_event_melt": q_user_event_melt,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

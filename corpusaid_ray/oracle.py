@@ -2163,3 +2163,20 @@ SELECT user_id,
        count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
        count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
 FROM events GROUP BY user_id"""
+
+
+# Unpivot mirror: chain the pivot mirror into UNPIVOT — pivot→melt
+# round-trips through SQL, verifying both directions.
+ORACLE_SQL["user_event_melt"] = """
+WITH wide AS (
+  SELECT user_id,
+         count(*) FILTER (event_type = 'click')::BIGINT    AS n_click,
+         count(*) FILTER (event_type = 'signup')::BIGINT   AS n_signup,
+         count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+         count(*) FILTER (event_type = 'error')::BIGINT    AS n_error,
+         count(*) FILTER (event_type = 'view')::BIGINT     AS n_view
+  FROM events GROUP BY user_id
+)
+SELECT user_id, variable, value
+FROM wide UNPIVOT (value FOR variable IN
+  (n_click, n_signup, n_purchase, n_error, n_view))"""

@@ -436,3 +436,18 @@ def pivot_counts(ds, *, key: str, col: str, values: list[str],
     return grouped(
         ds.map_batches(partial, batch_format="pandas"), "_part"
     ).map_groups(pivot_part, batch_format="pandas")
+
+
+def unpivot(ds, *, key: str, value_cols: list[str], var_name: str = "variable",
+            value_name: str = "value"):
+    """Unpivot (melt) fixed columns into (key, variable, value) rows — the
+    inverse of :func:`pivot_counts`, map-only and output-proportional (each
+    input row explodes into ``len(value_cols)`` rows inside the batch; no
+    shuffle at all)."""
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=[key], value_vars=value_cols,
+                      var_name=var_name, value_name=value_name)
+        return out
+
+    return ds.map_batches(melt, batch_format="pandas")
