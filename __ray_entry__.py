@@ -2105,6 +2105,43 @@ def q_doc_length_percentiles(sf_dir: str):
     return group_percentiles_distributed(ds, key="lang", value_col="n_chars")
 
 
+def q_length_quantile_filter(sf_dir: str):
+    """Dynamic quantile gate (Gopher-style per-language length cut with the
+    threshold LEARNED from the data): distributed exact per-language p10 of
+    doc length → broadcast {lang: threshold} → one map-only filter keeping
+    docs at/above their language's p10. Composes the distributed-percentile
+    stage into a filter; the oracle chains the ceil-rank SQL into the same
+    join+cut."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import group_percentiles_distributed
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    pct = group_percentiles_distributed(
+        ds.select_columns(["lang", "n_chars"]), key="lang",
+        value_col="n_chars", percentiles=(0.1,),
+    )
+    if hasattr(pct, "to_pandas"):  # Dataset or DataFrame depending on path
+        pct = pct.to_pandas()
+    thr = {r["lang"]: int(r["p10_micros"]) for _, r in pct.iterrows()}
+    thr_ref = ray.put(thr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = ray.get(thr_ref)
+        micros = batch["n_chars"].to_numpy(zero_copy_only=False) * 1_000_000
+        cuts = np.array([t[l] for l in batch["lang"].to_pylist()],
+                        dtype="int64")
+        return batch.filter(pa.array(micros >= cuts))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def q_lm_doc_score(sf_dir: str):
     """LM fluency filter signal: fit the corpus bigram LM (distributed,
     same top-5/min-head-10 bounds as ``bigram_lm``), broadcast the fitted
@@ -2276,6 +2313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q_corpus_diff,
         "user_event_pivot": q_user_event_pivot,
         "user_event_melt": q_user_event_melt,
+        "length_quantile_filter": q_length_quantile_filter,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2180,3 +2180,20 @@ WITH wide AS (
 SELECT user_id, variable, value
 FROM wide UNPIVOT (value FOR variable IN
   (n_click, n_signup, n_purchase, n_error, n_view))"""
+
+
+# Dynamic quantile gate: the per-language ceil-rank p10 chained into a
+# join + cut (same micro-unit semantics as doc_length_percentiles).
+ORACLE_SQL["length_quantile_filter"] = """
+WITH vals AS (
+  SELECT lang,
+         list_sort(list(CAST(floor(n_chars * 1000000) AS BIGINT))) AS v,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY lang
+), thr AS (
+  SELECT lang, v[greatest(CAST(ceil(0.1 * n) AS BIGINT), 1)] AS p10
+  FROM vals
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN thr USING (lang)
+WHERE CAST(floor(d.n_chars * 1000000) AS BIGINT) >= thr.p10"""
