@@ -2142,6 +2142,63 @@ def q_length_quantile_filter(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def q_length_rank(sf_dir: str):
+    """Corpus-wide window rank WITHOUT a global sort: the per-(lang, length)
+    count table (bounded by distinct values, not rows) reduces once, the
+    driver builds each language's cumulative distribution, broadcasts it,
+    and one map-only pass assigns every doc its exact DENSE RANK and
+    strictly-smaller count within its language — the rank/percentile
+    normalization step, shaped so no row ever moves (SQL mirror:
+    dense_rank() + a count-smaller window)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    counts = grouped(
+        ds.select_columns(["lang", "n_chars"]), ["lang", "n_chars"]
+    ).aggregate(Count(alias_name="c")).to_pandas()
+    # per-language CDF over distinct lengths (ascending)
+    cdf: dict[str, tuple] = {}
+    for lang, sub in counts.groupby("lang"):
+        sub = sub.sort_values("n_chars")
+        vals = sub["n_chars"].to_numpy("int64")
+        c = sub["c"].to_numpy("int64")
+        smaller = np.concatenate([[0], np.cumsum(c)[:-1]])
+        dense = np.arange(1, len(vals) + 1, dtype="int64")
+        cdf[lang] = (vals, dense, smaller)
+    cdf_ref = ray.put(cdf)
+
+    def rank(batch: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(cdf_ref)
+        dense = np.empty(len(batch), dtype="int64")
+        smaller = np.empty(len(batch), dtype="int64")
+        nc = batch["n_chars"].to_numpy("int64")
+        langs = batch["lang"].to_numpy()
+        for lang in pd.unique(langs):
+            m = langs == lang
+            vals, dn, sm = table[lang]
+            idx = np.searchsorted(vals, nc[m])
+            dense[m] = dn[idx]
+            smaller[m] = sm[idx]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy("int64"),
+            "lang": batch["lang"],
+            "n_chars": nc,
+            "dense_rank": dense,
+            "n_smaller": smaller,
+        })
+
+    return ds.map_batches(rank, batch_format="pandas")
+
+
 def q_lm_doc_score(sf_dir: str):
     """LM fluency filter signal: fit the corpus bigram LM (distributed,
     same top-5/min-head-10 bounds as ``bigram_lm``), broadcast the fitted
@@ -2314,6 +2371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": q_user_event_pivot,
         "user_event_melt": q_user_event_melt,
         "length_quantile_filter": q_length_quantile_filter,
+        "length_rank": q_length_rank,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

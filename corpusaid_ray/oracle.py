@@ -2197,3 +2197,15 @@ WITH vals AS (
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d JOIN thr USING (lang)
 WHERE CAST(floor(d.n_chars * 1000000) AS BIGINT) >= thr.p10"""
+
+
+# Rank-via-broadcast-CDF mirror: dense_rank ascending + strictly-smaller
+# count within language.
+ORACLE_SQL["length_rank"] = """
+SELECT doc_id, lang, n_chars,
+       dense_rank() OVER (PARTITION BY lang ORDER BY n_chars)::BIGINT
+         AS dense_rank,
+       (count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - count(*) OVER (PARTITION BY lang, n_chars))::BIGINT AS n_smaller
+FROM documents"""

@@ -149,3 +149,27 @@ def test_corpus_diff_covers_all_classes(ray_session):
     assert set(c) == {"added", "removed", "modified", "unchanged"}
     # one row per path in the union of the two snapshots (paths unique)
     assert len({r["path"] for r in rows}) == len(rows)
+
+
+def test_length_rank_ties_and_block_invariance(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    # planted ties: two langs, duplicate lengths
+    rows = [
+        {"doc_id": 0, "lang": "en", "n_chars": 10},
+        {"doc_id": 1, "lang": "en", "n_chars": 10},
+        {"doc_id": 2, "lang": "en", "n_chars": 25},
+        {"doc_id": 3, "lang": "fr", "n_chars": 5},
+        {"doc_id": 4, "lang": "fr", "n_chars": 7},
+        {"doc_id": 5, "lang": "fr", "n_chars": 7},
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "documents.parquet")
+    got = {r["doc_id"]: (r["dense_rank"], r["n_smaller"])
+           for r in e.queries()["length_rank"](str(d)).take_all()}
+    assert got == {0: (1, 0), 1: (1, 0), 2: (2, 2),
+                   3: (1, 0), 4: (2, 1), 5: (2, 1)}
