@@ -2071,6 +2071,32 @@ def q_code_quality(sf_dir: str):
     )
 
 
+def q_extract_secrets(sf_dir: str):
+    """Regex extraction to a long table: every AWS-key-shaped match in the
+    corpus as one (path, match, occurrence) row — the extraction operator
+    class (vs. scrub's replace and screen's flag), built from the SAME
+    pattern constant as secrets_screen so the three surfaces cannot drift.
+    Map-only explode; output is match-proportional."""
+    import pandas as pd
+    import ray
+
+    from corpusaid_ray.stages.quality import SECRET_PATTERNS
+
+    pat = SECRET_PATTERNS[0][1]  # AKIA[0-9A-Z]{16}
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        hits = df["content"].str.findall(pat)
+        n = hits.str.len().to_numpy()
+        out = pd.DataFrame({
+            "path": df["path"].repeat(n).to_numpy(),
+            "match": [m for lst in hits for m in lst],
+        })
+        out["occurrence"] = out.groupby("path", sort=False).cumcount() + 1
+        return out.astype({"occurrence": "int64"})
+
+    return _corpus(sf_dir).map_batches(extract, batch_format="pandas")
+
+
 def q_secrets_screen(sf_dir: str):
     """Credential screen over the code corpus (BigCode PII pipeline /
     detect-secrets rules): non-overlapping match counts per secret family
@@ -2372,6 +2398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_melt": q_user_event_melt,
         "length_quantile_filter": q_length_quantile_filter,
         "length_rank": q_length_rank,
+        "extract_secrets": q_extract_secrets,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

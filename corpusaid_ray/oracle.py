@@ -2209,3 +2209,21 @@ SELECT doc_id, lang, n_chars,
                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         - count(*) OVER (PARTITION BY lang, n_chars))::BIGINT AS n_smaller
 FROM documents"""
+
+
+def _extract_secrets_sql() -> str:
+    """Extraction mirror, same pattern constant as the screen mirror."""
+    from corpusaid_ray.stages.quality import SECRET_PATTERNS
+
+    pat = sql_quote(SECRET_PATTERNS[0][1])
+    return with_corpus(f"""
+, hits AS (
+  SELECT path, unnest(regexp_extract_all(content, {pat})) AS match,
+         generate_subscripts(regexp_extract_all(content, {pat}), 1)
+           AS occurrence
+  FROM corpus
+)
+SELECT path, match, occurrence::BIGINT AS occurrence FROM hits""")
+
+
+ORACLE_SQL["extract_secrets"] = _extract_secrets_sql()
