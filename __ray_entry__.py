@@ -1734,6 +1734,23 @@ def q_supplier_by_region(sf_dir: str):
     )
 
 
+def q_name_similarity_join(sf_dir: str):
+    """Blocked fuzzy join: part-name pairs within edit distance 2, blocked
+    on the first name token (the blocking key is part of the op's
+    semantics; the test suite cross-checks zero loss vs an unblocked join
+    on this corpus). Pair-vectorized Levenshtein DP inside each co-located
+    block (stages/fuzzy.edit_distance_pairs)."""
+    import ray.data
+
+    from corpusaid_ray.stages.fuzzy import edit_distance_pairs
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return edit_distance_pairs(parts, key_col="p_partkey",
+                               text_col="p_name", max_dist=2)
+
+
 def q_top_parts_per_brand(sf_dir: str):
     """Per-brand top-3 parts by retail price (reuses the two-phase
     per-group top-k aggregate over the part dimension; p_partkey is unique,
@@ -2399,6 +2416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantile_filter": q_length_quantile_filter,
         "length_rank": q_length_rank,
         "extract_secrets": q_extract_secrets,
+        "name_similarity_join": q_name_similarity_join,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2227,3 +2227,13 @@ SELECT path, match, occurrence::BIGINT AS occurrence FROM hits""")
 
 
 ORACLE_SQL["extract_secrets"] = _extract_secrets_sql()
+
+
+# Blocked fuzzy-join mirror: same blocking key, DuckDB levenshtein.
+ORACLE_SQL["name_similarity_join"] = """
+SELECT a.p_partkey AS a_p_partkey, b.p_partkey AS b_p_partkey,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM part a JOIN part b
+  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2"""

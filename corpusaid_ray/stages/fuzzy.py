@@ -1,0 +1,103 @@
+"""Blocked string-similarity join (edit distance ≤ k) — the fuzzy-join
+operator class (entity resolution over names/titles/paths).
+
+All-pairs edit distance is O(n²·len²) and never runs at scale; the standard
+shape is BLOCKING: a cheap deterministic key (here: the first
+whitespace-token) buckets candidates, and only within-bucket pairs pay the
+DP. The blocking key is PART OF THE OPERATOR'S SEMANTICS (pairs whose keys
+differ are not reported, even if their edit distance is within the
+threshold) — the oracle mirrors the same blocked definition, and the test
+suite cross-checks against an unblocked full join on the test corpus to
+show zero loss there. Pick a key whose within-threshold pairs provably
+share it (e.g. exact-match on a stable field) when completeness matters.
+
+The DP is VECTORIZED ACROSS PAIRS: one (P, lb+1) numpy row per DP step,
+so a bucket's whole pair set advances together — ~len² vector ops per
+bucket, no per-pair Python loops. Groups co-locate via ``groupby(block)``
+(few blocks ⇒ hot groups; salt by a second key char if a block outgrows a
+worker)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _lev_matrix(a: list[str], b: list[str]) -> np.ndarray:
+    """Levenshtein distance for aligned string lists, vectorized across
+    pairs (unit costs — matches DuckDB ``levenshtein``)."""
+    P = len(a)
+    la = np.array([len(s) for s in a], dtype=np.int64)
+    lb = np.array([len(s) for s in b], dtype=np.int64)
+    ma, mb = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.zeros((P, ma), dtype=np.uint32)
+    B = np.zeros((P, mb), dtype=np.uint32)
+    for i, s in enumerate(a):
+        A[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for i, s in enumerate(b):
+        B[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.broadcast_to(np.arange(mb + 1, dtype=np.int64), (P, mb + 1)).copy()
+    # keep the dp row needed by each pair's (la, lb) answer cell
+    out = np.where(la == 0, lb, -1)
+    for i in range(1, ma + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = (A[:, i - 1, None] != B).astype(np.int64)  # (P, mb)
+        for j in range(1, mb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub[:, j - 1],
+            )
+        done = la == i
+        if done.any():
+            out[done] = cur[done, lb[done]]
+        prev = cur
+    return out
+
+
+def edit_distance_pairs(ds, *, key_col: str, text_col: str,
+                        max_dist: int = 2):
+    """Within-block pairs with edit distance ≤ ``max_dist``. Block = first
+    whitespace token of ``text_col``. Output: (a_<key>, b_<key>, dist) with
+    a_key < b_key."""
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        first = pc.list_element(
+            pc.split_pattern(batch[text_col], " ", max_splits=1), 0
+        )
+        return batch.append_column("block", first)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_col, kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        empty = pd.DataFrame({
+            f"a_{key_col}": pd.Series(dtype=g[key_col].dtype),
+            f"b_{key_col}": pd.Series(dtype=g[key_col].dtype),
+            "dist": pd.Series(dtype="int64"),
+        })
+        if n < 2:
+            return empty
+        ia, ib = np.triu_indices(n, k=1)
+        texts = g[text_col].to_numpy()
+        # cheap exact length pre-filter: |la - lb| > k ⇒ dist > k
+        lens = np.array([len(s) for s in texts], dtype=np.int64)
+        keep = np.abs(lens[ia] - lens[ib]) <= max_dist
+        ia, ib = ia[keep], ib[keep]
+        if not len(ia):
+            return empty
+        d = _lev_matrix(list(texts[ia]), list(texts[ib]))
+        hit = d <= max_dist
+        keys = g[key_col].to_numpy()
+        return pd.DataFrame({
+            f"a_{key_col}": keys[ia[hit]],
+            f"b_{key_col}": keys[ib[hit]],
+            "dist": d[hit].astype("int64"),
+        })
+
+    from corpusaid_ray.util import grouped
+
+    blocked = ds.map_batches(add_block, batch_format="pyarrow")
+    return grouped(blocked, "block").map_groups(pairs, batch_format="pandas")

