@@ -1294,3 +1294,27 @@ def test_edit_distance_pairs_vs_serial_and_unblocked(ray_session):
     # blocking caveat is real: 'red bolt' vs 'rad bolt' (dist 1) is NOT
     # reported because the blocking keys differ
     assert (0, 1) not in out
+
+
+def test_cross_dedup_default_partitions_no_deadlock_small_cluster(ray_session):
+    """Regression: Dataset.join spawns one aggregator ACTOR per partition,
+    so the old num_partitions=64 default deadlocked a 4-CPU session. The
+    auto default (join_partitions() = min(cap, 2x CPUs)) must complete."""
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import cross_dedup
+    from corpusaid_ray.util import join_partitions
+
+    assert join_partitions() <= 2 * int(
+        __import__("ray").cluster_resources().get("CPU", 8)
+    )
+    ex = ray.data.from_arrow(pa.table(
+        {"content_sha256": pa.array(["a", "b"], pa.string())}
+    ))
+    inc = ray.data.from_arrow(pa.table({
+        "path": pa.array(["p1", "p2", "p3"], pa.string()),
+        "content_sha256": pa.array(["a", "c", "d"], pa.string()),
+    }))
+    out = cross_dedup(inc, ex).take_all()  # default partitions — must finish
+    assert sorted(r["path"] for r in out) == ["p2", "p3"]
