@@ -244,9 +244,15 @@ def cross_dedup_bloom(incoming, existing, *, key_col: str = "content_sha256",
         return ok
 
     def candidate_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if not len(batch):
             return pa.table({key_col: pa.array([], pa.string())})
-        return pa.table({key_col: batch[key_col].filter(pa.array(hits_mask(batch)))})
+        hits = batch[key_col].filter(pa.array(hits_mask(batch)))
+        # batch-local distinct: the driver ingests unique keys per batch,
+        # not one row per duplicate occurrence (measured 66.8 s → this fix
+        # at 5M docs full-overlap; worst case unchanged, dup-heavy collapses)
+        return pa.table({key_col: pc.unique(hits)})
 
     cand = set(
         r[key_col]
@@ -258,9 +264,12 @@ def cross_dedup_bloom(incoming, existing, *, key_col: str = "content_sha256",
     cand_ref = ray.put(cand)
 
     def confirm(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         cs = ray.get(cand_ref)
-        keep = pa.array([k in cs for k in batch[key_col].to_pylist()])
-        return pa.table({key_col: batch[key_col].filter(keep)})
+        uniq = pc.unique(batch[key_col])
+        keep = pa.array([k in cs for k in uniq.to_pylist()])
+        return pa.table({key_col: uniq.filter(keep)})
 
     confirmed = set(
         r[key_col]
