@@ -1862,6 +1862,37 @@ def q_cross_dedup_bloom(sf_dir: str):
     )
 
 
+def q_union_drifted(sf_dir: str):
+    """Schema-evolution union: two 'snapshots' with drifted schemas (one
+    lacks `source`, the other lacks `n_chars`) union by NAME with
+    null-filled gaps — the crawl-snapshot concatenation every long-lived
+    corpus needs (sources.union_by_name)."""
+    import ray.data
+
+    from corpusaid_ray.sources import union_by_name
+
+    a = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    b = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fix_nulls(batch: pa.Table) -> pa.Table:
+        # canonicalize nullable columns for the compare (no nullable-int
+        # float coercion in the harness): n_chars -> -1, source -> ''
+        n = pc.fill_null(batch["n_chars"], -1)
+        s = pc.fill_null(batch["source"], "")
+        return pa.table({
+            "doc_id": batch["doc_id"], "lang": batch["lang"],
+            "n_chars": n, "source": s,
+        })
+
+    return union_by_name(a, b).map_batches(fix_nulls, batch_format="pyarrow")
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff (CDC for crawls): FULL OUTER join of two corpus
     snapshots on path, classifying every row as added / removed / modified /
@@ -2412,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_left_outer_qty": q_orders_left_outer_qty,
         "corpus_diff": q_corpus_diff,
         "user_event_pivot": q_user_event_pivot,
+        "union_drifted": q_union_drifted,
         "user_event_melt": q_user_event_melt,
         "length_quantile_filter": q_length_quantile_filter,
         "length_rank": q_length_rank,

@@ -2237,3 +2237,9 @@ FROM part a JOIN part b
   ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
  AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 2"""
+
+
+ORACLE_SQL["union_drifted"] = """
+SELECT doc_id, lang, n_chars, '' AS source FROM documents
+UNION ALL
+SELECT doc_id, lang, -1::BIGINT AS n_chars, source FROM documents"""

@@ -228,3 +228,41 @@ def read_ipc(path: str, *, columns: list[str] | None = None):
     return ray.data.read_binary_files(
         path, file_extensions=["arrow"]
     ).map_batches(decode, batch_format="pyarrow", batch_size=1)
+
+
+def union_by_name(*datasets):
+    """Schema-evolution-tolerant union: aligns every input to the UNION of
+    all column names (missing columns null-filled with the type observed
+    where the column exists), then unions. At 100 TB, schema drift across
+    crawl snapshots is the norm — a strict ``Dataset.union`` of drifted
+    parquet would fail or silently misalign. Column order is canonical
+    (sorted) so the result is layout-stable."""
+    import pyarrow as pa
+
+    schemas = [ds.schema() for ds in datasets]
+    types: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for name, typ in zip(s.names, s.types):
+            if name in types and types[name] != typ:
+                raise TypeError(
+                    f"union_by_name: column {name!r} has conflicting types "
+                    f"{types[name]} vs {typ}"
+                )
+            types.setdefault(name, typ)
+    all_cols = sorted(types)
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = []
+        for name in all_cols:
+            if name in batch.column_names:
+                cols.append(batch[name])
+            else:
+                cols.append(pa.nulls(len(batch), types[name]))
+        return pa.table(dict(zip(all_cols, cols)))
+
+    aligned = [ds.map_batches(align, batch_format="pyarrow")
+               for ds in datasets]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

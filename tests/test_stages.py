@@ -1318,3 +1318,29 @@ def test_cross_dedup_default_partitions_no_deadlock_small_cluster(ray_session):
     }))
     out = cross_dedup(inc, ex).take_all()  # default partitions — must finish
     assert sorted(r["path"] for r in out) == ["p2", "p3"]
+
+
+def test_union_by_name_fills_and_rejects_conflicts(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from corpusaid_ray.sources import union_by_name
+
+    a = ray.data.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "x": pa.array(["p", "q"], pa.string()),
+    }))
+    b = ray.data.from_arrow(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "y": pa.array([7.5], pa.float64()),
+    }))
+    rows = sorted(union_by_name(a, b).take_all(), key=lambda r: r["id"])
+    assert rows == [
+        {"id": 1, "x": "p", "y": None},
+        {"id": 2, "x": "q", "y": None},
+        {"id": 3, "x": None, "y": 7.5},
+    ]
+    c = ray.data.from_arrow(pa.table({"id": pa.array(["s"], pa.string())}))
+    with pytest.raises(TypeError, match="conflicting"):
+        union_by_name(a, c)
