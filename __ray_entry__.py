@@ -995,6 +995,45 @@ def q_image_features(sf_dir: str):
     )
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling through the REAL RVID codec (raw RGB24
+    container — the honest stand-in for MP4/WebM, which need ffmpeg):
+    closed-form videos synthesized from doc_id (pixel
+    (doc_id + 7f + i + j + c) % 256, F = 2 + doc_id%3 frames, 10 fps),
+    every 2nd frame sampled by the actor-pool FrameSampler — frame index,
+    exact integer timestamp, dims and mean intensity all oracle-verified
+    (stages/multimodal.sample_frames)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from corpusaid_ray.stages.multimodal import encode_rvid, sample_frames
+
+    def synth(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 1)
+        )
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            nf, h, w = 2 + did % 3, 4 + did % 3, 4 + did % 2
+            f = np.arange(nf)[:, None, None, None]
+            i = np.arange(h)[None, :, None, None]
+            j = np.arange(w)[None, None, :, None]
+            c = np.arange(3)[None, None, None, :]
+            frames = ((did + 7 * f + i + j + c) % 256).astype(np.uint8)
+            payloads.append(encode_rvid(frames, fps=10))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(synth, batch_format="pyarrow")
+    return sample_frames(ds, every_n=2)
+
+
 def q_bmp_features(sf_dir: str):
     """REAL BMP decode path (24-bit BI_RGB codec added round 3): RGB
     payloads synthesized in closed forms of doc_id (pixel
@@ -2444,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": q_corpus_diff,
         "user_event_pivot": q_user_event_pivot,
         "union_drifted": q_union_drifted,
+        "video_frames": q_video_frames,
         "user_event_melt": q_user_event_melt,
         "length_quantile_filter": q_length_quantile_filter,
         "length_rank": q_length_rank,

@@ -2243,3 +2243,24 @@ ORACLE_SQL["union_drifted"] = """
 SELECT doc_id, lang, n_chars, '' AS source FROM documents
 UNION ALL
 SELECT doc_id, lang, -1::BIGINT AS n_chars, source FROM documents"""
+
+
+# Frame-sample mirror: the closed-form RVID grid, every 2nd frame, exact
+# integer timestamps (i·10⁶ // 10 fps) and list_avg means.
+ORACLE_SQL["video_frames"] = """
+WITH vids AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf, 4 + doc_id % 3 AS h,
+         4 + doc_id % 2 AS w
+  FROM documents WHERE doc_id % 2 = 1
+), sampled AS (
+  SELECT doc_id, h, w, unnest(range(0, nf::BIGINT, 2)) AS f FROM vids
+)
+SELECT doc_id, f::BIGINT AS frame_idx,
+       (f * 1000000 // 10)::BIGINT AS ts_micros,
+       h::BIGINT AS height, w::BIGINT AS width,
+       list_avg(flatten(flatten(list_transform(range(h),
+         i -> list_transform(range(w),
+           j -> list_transform(range(3),
+                c -> (doc_id + 7 * f + i + j + c) % 256))))))
+         AS mean_intensity
+FROM sampled"""

@@ -173,6 +173,9 @@ def decode_media(payload: bytes, media_type: str | None = None):
         samples, rate, channels = decode_wav(payload)
         return {"kind": "audio", "samples": samples, "rate": rate,
                 "channels": channels}
+    if payload[:4] == RVID_MAGIC:
+        frames, fps = decode_rvid(payload)
+        return {"kind": "video", "frames": frames, "fps": fps}
     raise NotImplementedError(
         f"media decode ({media_type or payload[:4]!r}) requires codec "
         "libraries not present in this container; see module docstring"
@@ -290,4 +293,99 @@ def multimodal_meta(ds, *, concurrency=(1, 4)):
         concurrency=concurrency,
         # media rows are large: small batches keep actor heaps bounded
         batch_size=256,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Raw video (RVID) codec + frame sampling
+# ---------------------------------------------------------------------------
+
+RVID_MAGIC = b"RVID"
+
+
+def encode_rvid(frames: np.ndarray, fps: int) -> bytes:
+    """Uncompressed video container (same honesty tier as the netpbm/BMP
+    codecs: a REAL format this engine fully owns — header + raw RGB24
+    frames): ``RVID | n_frames u32 | height u32 | width u32 | fps u32 |
+    frames (F·H·W·3 bytes)``. Plug ffmpeg here for MP4/WebM in a real
+    deployment; every downstream stage is container-agnostic."""
+    import struct
+
+    f, h, w, c = frames.shape
+    if c != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_rvid expects (F, H, W, 3) uint8")
+    return (RVID_MAGIC + struct.pack("<IIII", f, h, w, fps)
+            + frames.tobytes())
+
+
+def decode_rvid(payload: bytes) -> tuple[np.ndarray, int]:
+    """RVID → ((F, H, W, 3) uint8, fps)."""
+    import struct
+
+    if payload[:4] != RVID_MAGIC:
+        raise NotImplementedError("not an RVID payload")
+    f, h, w, fps = struct.unpack("<IIII", payload[4:20])
+    need = f * h * w * 3
+    body = np.frombuffer(payload, dtype=np.uint8, count=need, offset=20)
+    return body.reshape(f, h, w, 3), fps
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload → one row per SAMPLED frame
+    (every ``every_n``-th), with frame index, timestamp (micros, exact
+    ints: idx·10⁶//fps), dimensions and mean intensity (int sum / count —
+    the bit-exact division the image features use). Decode state belongs in
+    ``__init__`` (once per actor); a real deployment loads its codec/model
+    there. Output is sample-proportional — full frames never ship unless
+    asked (``emit_frames`` attaches each sampled frame as a PNM payload)."""
+
+    def __init__(self, every_n: int = 2, emit_frames: bool = False,
+                 id_col: str = "doc_id"):
+        self.every_n = every_n
+        self.emit_frames = emit_frames
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, ts, hs, ws, means = [], [], [], [], [], []
+        payloads: list[bytes] = []
+        for did, payload in zip(
+            batch[self.id_col].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames, fps = decode_rvid(payload)
+            f, h, w, _ = frames.shape
+            for i in range(0, f, self.every_n):
+                ids.append(did)
+                fidx.append(i)
+                ts.append(i * 1_000_000 // fps)
+                hs.append(h)
+                ws.append(w)
+                fr = frames[i]
+                means.append(int(fr.sum(dtype=np.int64)) / (h * w * 3))
+                if self.emit_frames:
+                    payloads.append(encode_pnm(fr.mean(axis=2).astype(np.uint8)))
+        out = {
+            self.id_col: pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "ts_micros": pa.array(ts, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "width": pa.array(ws, pa.int64()),
+            "mean_intensity": pa.array(means, pa.float64()),
+        }
+        if self.emit_frames:
+            out["frame_pnm"] = pa.array(payloads, pa.binary())
+        return pa.table(out)
+
+
+def sample_frames(ds, *, every_n: int = 2, emit_frames: bool = False,
+                  concurrency=(1, 4)):
+    """Video Dataset → sampled-frame rows (actor pool; small batches keep
+    per-actor decoded-frame memory bounded — raw video is the largest
+    payload class this engine carries)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n": every_n,
+                               "emit_frames": emit_frames},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=64,
     )

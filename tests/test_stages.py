@@ -1344,3 +1344,37 @@ def test_union_by_name_fills_and_rejects_conflicts(ray_session):
     c = ray.data.from_arrow(pa.table({"id": pa.array(["s"], pa.string())}))
     with pytest.raises(TypeError, match="conflicting"):
         union_by_name(a, c)
+
+
+def test_rvid_roundtrip_and_frame_sampler(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from corpusaid_ray.stages.multimodal import (
+        decode_media, decode_rvid, encode_rvid, sample_frames,
+    )
+
+    rng = np.random.RandomState(4)
+    frames = rng.randint(0, 256, size=(5, 3, 4, 3)).astype(np.uint8)
+    raw = encode_rvid(frames, fps=10)
+    back, fps = decode_rvid(raw)
+    assert fps == 10 and (back == frames).all()
+    via = decode_media(raw)
+    assert via["kind"] == "video" and (via["frames"] == frames).all()
+    with pytest.raises(NotImplementedError):
+        decode_rvid(b"MP4\x00junk")
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "payload": pa.array([raw], pa.binary()),
+    }))
+    rows = sample_frames(ds, every_n=2, emit_frames=True).take_all()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["ts_micros"] for r in rows] == [0, 200000, 400000]
+    for r in rows:
+        assert r["height"] == 3 and r["width"] == 4
+        fr = frames[r["frame_idx"]]
+        assert r["mean_intensity"] == int(fr.sum(dtype=np.int64)) / fr.size
+        assert r["frame_pnm"][:2] == b"P5"  # grayscale PNM thumb attached
