@@ -207,6 +207,33 @@ def q_lang_dist(sf_dir: str):
     return _corpus(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
+def q_ascii_fraction(sf_dir: str):
+    """Per-doc non-ASCII character stats (the wrong-encoding / wrong-script
+    quality gate): one RE2 count kernel over the Arrow column, fixed-point
+    fraction — map-only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        content = batch["content"]
+        n = pc.utf8_length(content)
+        non_ascii = pc.count_substring_regex(content, r"[^\x00-\x7f]")
+        frac_fp = pc.if_else(
+            pc.greater(n, 0),
+            pc.divide(pc.multiply(pc.cast(non_ascii, pa.int64()), 1_000_000),
+                      pc.cast(n, pa.int64())),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table({
+            "path": batch["path"],
+            "n_chars": pc.cast(n, pa.int64()),
+            "n_non_ascii": pc.cast(non_ascii, pa.int64()),
+            "non_ascii_fp": pc.cast(frac_fp, pa.int64()),
+        })
+
+    return _corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def q_token_stats(sf_dir: str):
     import ray.data
     import pyarrow as pa
@@ -2484,6 +2511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": q_user_event_pivot,
         "union_drifted": q_union_drifted,
         "video_frames": q_video_frames,
+        "ascii_fraction": q_ascii_fraction,
         "user_event_melt": q_user_event_melt,
         "length_quantile_filter": q_length_quantile_filter,
         "length_rank": q_length_rank,

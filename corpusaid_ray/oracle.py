@@ -2264,3 +2264,17 @@ SELECT doc_id, f::BIGINT AS frame_idx,
                 c -> (doc_id + 7 * f + i + j + c) % 256))))))
          AS mean_intensity
 FROM sampled"""
+
+
+# Non-ASCII fraction: codepoint counts (length = codepoints in both
+# evaluators on UTF-8 text), integer floor-div fixed point.
+ORACLE_SQL["ascii_fraction"] = with_corpus(r"""
+SELECT path,
+       length(content)::BIGINT AS n_chars,
+       length(regexp_replace(content, '[\x00-\x7f]', '', 'g'))::BIGINT
+         AS n_non_ascii,
+       CASE WHEN length(content) > 0
+            THEN (length(regexp_replace(content, '[\x00-\x7f]', '', 'g'))
+                  * 1000000) // length(content)
+            ELSE 0 END::BIGINT AS non_ascii_fp
+FROM corpus""")

@@ -173,3 +173,30 @@ def test_length_rank_ties_and_block_invariance(ray_session, tmp_path):
            for r in e.queries()["length_rank"](str(d)).take_all()}
     assert got == {0: (1, 0), 1: (1, 0), 2: (2, 2),
                    3: (1, 0), 4: (2, 1), 5: (2, 1)}
+
+
+def test_ascii_fraction_edges(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rows = [
+        {"doc_id": 0, "text": "plain ascii", "lang": "en",
+         "source": "s", "n_chars": 11},
+        {"doc_id": 5, "text": "café über", "lang": "fr",
+         "source": "s", "n_chars": 9},
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "documents.parquet")
+    got = {r["path"]: r for r in
+           e.queries()["ascii_fraction"](str(d)).take_all()}
+    vals = list(got.values())
+    by_id = {0: None, 5: None}
+    for r in vals:
+        # corpus derivation wraps text in motifs; the accented doc is the
+        # one with non-ascii chars
+        if r["n_non_ascii"] > 0:
+            assert r["non_ascii_fp"] == r["n_non_ascii"] * 1_000_000 // r["n_chars"]
+    assert sum(1 for r in vals if r["n_non_ascii"] >= 2) == 1
