@@ -189,6 +189,42 @@ def q_dedup_normalized(sf_dir: str):
     return dedup_exact(ds, scope_cols=(), hash_col="norm_sha256")
 
 
+def q_skew_report(sf_dir: str):
+    """Shuffle-key skew diagnostics: per-repo row share (fixed point) and
+    skew rank — the report you read BEFORE choosing groupby keys/salting
+    (the bigcorp/monorepo key owns ~40% of this corpus by construction).
+    Partial counts → tiny groupby → driver-free rank via the window mirror
+    shape (sorted in the same deterministic order both sides)."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("repo", sort=False, as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    counts = grouped(
+        _corpus(sf_dir).map_batches(partial, batch_format="pandas")
+        .select_columns(["repo", "n"]),
+        "repo",
+    ).aggregate(Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["n"].sum())
+        df = df.sort_values(["n", "repo"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+        df["share_fp"] = df["n"].to_numpy("int64") * 1_000_000 // total
+        df["skew_rank"] = df.index.to_numpy() + 1
+        return df[["repo", "n", "share_fp", "skew_rank"]].astype(
+            {"n": "int64", "share_fp": "int64", "skew_rank": "int64"}
+        )
+
+    # repos-cardinality table: one small block on purpose (rank is global)
+    return counts.repartition(1).map_batches(finish, batch_format="pandas")
+
+
 def q_repo_stats(sf_dir: str):
     from corpusaid_ray.stages.aggregates import repo_stats
 
@@ -2512,6 +2548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_drifted": q_union_drifted,
         "video_frames": q_video_frames,
         "ascii_fraction": q_ascii_fraction,
+        "skew_report": q_skew_report,
         "user_event_melt": q_user_event_melt,
         "length_quantile_filter": q_length_quantile_filter,
         "length_rank": q_length_rank,

@@ -2278,3 +2278,11 @@ SELECT path,
                   * 1000000) // length(content)
             ELSE 0 END::BIGINT AS non_ascii_fp
 FROM corpus""")
+
+
+ORACLE_SQL["skew_report"] = with_corpus("""
+, counts AS (SELECT repo, count(*)::BIGINT AS n FROM corpus GROUP BY repo)
+SELECT repo, n,
+       (n * 1000000 // (SELECT sum(n) FROM counts))::BIGINT AS share_fp,
+       row_number() OVER (ORDER BY n DESC, repo ASC)::BIGINT AS skew_rank
+FROM counts""")
