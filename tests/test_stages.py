@@ -1378,3 +1378,61 @@ def test_rvid_roundtrip_and_frame_sampler(ray_session):
         fr = frames[r["frame_idx"]]
         assert r["mean_intensity"] == int(fr.sum(dtype=np.int64)) / fr.size
         assert r["frame_pnm"][:2] == b"P5"  # grayscale PNM thumb attached
+
+
+def test_hypothesis_lev_matrix_vs_serial():
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    from corpusaid_ray.stages.fuzzy import _lev_matrix
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    word = st.text(alphabet="abcé ", max_size=8)
+
+    @given(st.lists(st.tuples(word, word), min_size=1, max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def check(pairs):
+        got = _lev_matrix([a for a, _ in pairs], [b for _, b in pairs])
+        assert list(got) == [lev(a, b) for a, b in pairs]
+
+    check()
+
+
+def test_hypothesis_bloom_dedup_is_set_difference(ray_session):
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import cross_dedup_bloom
+
+    key = st.text(alphabet="xyz", min_size=1, max_size=3)
+
+    @given(st.lists(key, max_size=25), st.lists(key, min_size=1, max_size=25),
+           st.sampled_from([64, 1 << 14]))
+    @settings(max_examples=15, deadline=None)
+    def check(existing, incoming, m_bits):
+        ex = ray.data.from_arrow(pa.table(
+            {"content_sha256": pa.array(existing or ["_none_"], pa.string())}
+        )).repartition(2)
+        inc = ray.data.from_arrow(pa.table({
+            "path": pa.array([f"p{i}" for i in range(len(incoming))],
+                             pa.string()),
+            "content_sha256": pa.array(incoming, pa.string()),
+        })).repartition(2)
+        got = sorted(r["path"] for r in
+                     cross_dedup_bloom(inc, ex, m_bits=m_bits).take_all())
+        exp = sorted(f"p{i}" for i, k in enumerate(incoming)
+                     if k not in set(existing or ["_none_"]))
+        assert got == exp
+
+    check()
