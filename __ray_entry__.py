@@ -189,6 +189,26 @@ def q_dedup_normalized(sf_dir: str):
     return dedup_exact(ds, scope_cols=(), hash_col="norm_sha256")
 
 
+def q_hll_lines_by_repo(sf_dir: str):
+    """Per-repo approximate distinct lines (the sketch twin of the exact
+    per-repo distinct): exchange bounded at repos × 256 register rows
+    REGARDLESS of line cardinality — the shape that survives a repo with
+    10⁹ distinct lines (stages/sketch.hll_distinct_by)."""
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.linedup import _explode_lines
+    from corpusaid_ray.stages.sketch import hll_distinct_by
+
+    lines = _corpus(sf_dir).map_batches(
+        lambda b: _explode_lines(b, "content", "repo"),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda b: pa.table({"repo": b["path"], "line": b["line"]}),
+        batch_format="pyarrow",
+    )
+    return hll_distinct_by(lines, key="repo", col="line")
+
+
 def q_skew_report(sf_dir: str):
     """Shuffle-key skew diagnostics: per-repo row share (fixed point) and
     skew rank — the report you read BEFORE choosing groupby keys/salting
@@ -2549,6 +2569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q_video_frames,
         "ascii_fraction": q_ascii_fraction,
         "skew_report": q_skew_report,
+        "hll_lines_by_repo": q_hll_lines_by_repo,
         "user_event_melt": q_user_event_melt,
         "length_quantile_filter": q_length_quantile_filter,
         "length_rank": q_length_rank,

@@ -2286,3 +2286,41 @@ SELECT repo, n,
        (n * 1000000 // (SELECT sum(n) FROM counts))::BIGINT AS share_fp,
        row_number() OVER (ORDER BY n DESC, repo ASC)::BIGINT AS skew_rank
 FROM counts""")
+
+
+def _register_hll_lines_by_repo() -> None:
+    """Grouped register mirror: the hll_distinct_lines derivation with the
+    repo key carried through and the estimate computed per repo from the
+    same exact HUGEINT register sums."""
+    mask56 = (1 << 56) - 1
+    ORACLE_SQL["hll_lines_by_repo"] = with_corpus(f"""
+, lns AS (
+  SELECT repo, arr[t.i::INT] AS line
+  FROM (SELECT repo, regexp_split_to_array(content, chr(10)) AS arr
+        FROM corpus),
+       unnest(range(1, length(arr) + 1)) AS t(i)
+  WHERE arr[t.i::INT] != ''
+),
+h AS (SELECT repo,
+             ('0x' || substr(md5(line), 1, 16))::UBIGINT AS hv FROM lns),
+br AS (
+  SELECT repo, (hv >> 56)::BIGINT AS bucket,
+         (CASE WHEN (hv & {mask56}::UBIGINT) = 0::UBIGINT THEN 57
+               ELSE 57 - length(bin(hv & {mask56}::UBIGINT))
+          END)::BIGINT AS rho
+  FROM h
+),
+reg AS (SELECT repo, bucket, max(rho) AS r FROM br GROUP BY repo, bucket),
+s AS (
+  SELECT repo,
+         (sum(1::HUGEINT << (64 - r))
+          + (256 - count(*))::HUGEINT * (1::HUGEINT << 64))::HUGEINT AS sv
+  FROM reg GROUP BY repo
+)
+SELECT repo,
+       ((0.7213 / (1.0 + 1.079/256.0)) * 65536.0) * 18446744073709551616.0
+       / sv::DOUBLE AS distinct_estimate
+FROM s""")
+
+
+_register_hll_lines_by_repo()

@@ -187,3 +187,49 @@ def hll_distinct(ds, col: str) -> float:
     return hll_estimate_from_registers(
         {int(r["bucket"]): int(r["rho"]) for r in rows}
     )
+
+
+def hll_distinct_by(ds, *, key: str, col: str) -> pd.DataFrame:
+    """Per-group approximate count-distinct — the sketch twin of the EXACT
+    per-group distinct (``aggregates.repo_dedup_stats``): that one's
+    exchange is O(distinct values); this one's is **O(groups × M)
+    regardless of cardinality** (M = 256 registers), the shape that holds
+    when a group has 10⁹ distinct members. Batch-local per-group register
+    maxima → one ``groupby(key, bucket)`` Max → per-group estimates from
+    exact integer register sums (the global ``hll_distinct`` math, applied
+    per key; same bit-exact-in-SQL property)."""
+    from ray.data.aggregate import Max
+
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for k, sub in df.groupby(key, sort=False):
+            p = hll_partial([v for v in sub[col] if v is not None])
+            if len(p):
+                p = p.copy()
+                p[key] = k
+                outs.append(p[[key, "bucket", "rho"]])
+        if not outs:
+            return pd.DataFrame({key: pd.Series(dtype="object"),
+                                 "bucket": pd.Series(dtype="int64"),
+                                 "rho": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    rows = (
+        grouped(ds.map_batches(partial, batch_format="pandas"),
+                [key, "bucket"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .take_all()  # ≤ groups × M rows by construction
+    )
+    regs: dict = {}
+    for r in rows:
+        regs.setdefault(r[key], {})[int(r["bucket"])] = int(r["rho"])
+    out = pd.DataFrame({
+        key: pd.array(sorted(regs), dtype="object"),
+        "distinct_estimate": pd.array(
+            [hll_estimate_from_registers(regs[k]) for k in sorted(regs)],
+            dtype="float64",
+        ),
+    })
+    return out

@@ -1130,3 +1130,26 @@ def test_cluster_balanced_sample_quota_and_determinism(ray_session):
         for _, vid in sorted(lst)[:4]
     )
     assert outs[0] == expect
+
+
+def test_hll_distinct_by_accuracy_and_invariance(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.sketch import hll_distinct_by
+
+    # raw HLL (no small-range linear-counting correction — the documented,
+    # SQL-mirrorable spec): accurate above ~2.5·M distinct (M=256), floored
+    # around α·M ≈ 180 below it
+    rows = []
+    for g, n in (("a", 2000), ("b", 700), ("c", 1)):
+        rows += [{"g": g, "v": f"{g}-{i % n}"} for i in range(4000)]
+    outs = []
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+        df = hll_distinct_by(ds, key="g", col="v")
+        est = dict(zip(df["g"], df["distinct_estimate"]))
+        outs.append(est)
+        assert abs(est["a"] - 2000) / 2000 < 0.2, est
+        assert abs(est["b"] - 700) / 700 < 0.25, est
+        assert est["c"] < 400  # raw small-range floor, far below group a
+    assert outs[0] == outs[1]  # register maxima are layout-invariant
