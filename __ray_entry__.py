@@ -1675,6 +1675,71 @@ def q_kept_corpus(sf_dir: str):
     )
 
 
+def q_training_corpus(sf_dir: str):
+    """THE end-to-end recipe a production run ships: flagship clean + keep
+    → normalized-key dedup over the scrubbed text → learned per-language
+    p10 length gate (thresholds fit on the DEDUPED set — stage order is
+    part of the spec) → per-repo quota of 25. Four stages, one chained SQL
+    mirror. At scale, materialize the deduped kept corpus once (it is the
+    deliverable) instead of re-executing it per downstream pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from corpusaid_ray.pipelines.quality_filter import run
+    from corpusaid_ray.stages.aggregates import group_percentiles_distributed
+    from corpusaid_ray.stages.dedup import add_normalized_sha, dedup_exact
+    from corpusaid_ray.stages.sampling import repo_quota_sample
+
+    kept = run(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["keep"], True)).select(
+            ["repo", "path", "lang", "content_scrubbed"]
+        ),
+        batch_format="pyarrow",
+    )
+    normed = kept.map_batches(
+        lambda b: add_normalized_sha(b, source_col="content_scrubbed"),
+        batch_format="pyarrow",
+    )
+    # materialize the deduped kept corpus: three downstream passes read it
+    # (percentile fit, gate, quota) and it IS the production deliverable —
+    # without this the lazy flagship re-executes per pass (18.3 s → 8 s at
+    # the gate)
+    dd = dedup_exact(normed, scope_cols=(), hash_col="norm_sha256").materialize()
+
+    def lens(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "slen": pc.cast(pc.utf8_length(batch["content_scrubbed"]),
+                            pa.int64()),
+        })
+
+    pct = group_percentiles_distributed(
+        dd.map_batches(lens, batch_format="pyarrow"),
+        key="lang", value_col="slen", percentiles=(0.1,),
+    )
+    thr = {r["lang"]: int(r["p10_micros"]) for _, r in pct.iterrows()}
+    thr_ref = ray.put(thr)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = ray.get(thr_ref)
+        micros = pc.utf8_length(batch["content_scrubbed"]).to_numpy(
+            zero_copy_only=False
+        ).astype("int64") * 1_000_000
+        cuts = np.array([t[l] for l in batch["lang"].to_pylist()],
+                        dtype="int64")
+        return batch.filter(pa.array(micros >= cuts)).select(
+            ["repo", "path", "lang"]
+        )
+
+    gated = dd.map_batches(gate, batch_format="pyarrow")
+    return repo_quota_sample(gated, n_per_repo=25).select_columns(
+        ["repo", "path", "lang"]
+    )
+
+
 def q_keep_drop(sf_dir: str):
     """Full flagship labeling (keep/drop_reason + invariant sha). Oracle-
     mirrored: the model gates (langid/perplexity) never fire on this corpus
@@ -2513,6 +2578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,
+        "training_corpus": q_training_corpus,
         "langid_scores": q_langid_scores,
         "orders_by_nation": q_orders_by_nation,
         "order_revenue_join": q_order_revenue_join,

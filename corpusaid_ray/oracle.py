@@ -2324,3 +2324,55 @@ FROM s""")
 
 
 _register_hll_lines_by_repo()
+
+
+def _register_training_corpus() -> None:
+    """End-to-end recipe mirror: the kept-corpus derivation chained through
+    normalized-key dedup (shared NORM constants), the learned per-language
+    p10 scrubbed-length gate (ceil-rank over the DEDUPED set — stage order
+    is part of the spec), and the per-repo md5 quota of 25."""
+    from corpusaid_ray.config import DEFAULT_SCRUB_RULES
+    from corpusaid_ray.stages.dedup import (
+        NORM_DIGIT_RUNS, NORM_STRIP_PUNCT, NORM_WS_RUNS,
+    )
+
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        "lower(content_scrubbed), "
+        f"{sql_quote(NORM_DIGIT_RUNS)}, '0', 'g'), "
+        f"{sql_quote(NORM_STRIP_PUNCT)}, '', 'g'), "
+        f"{sql_quote(NORM_WS_RUNS)}, ' ', 'g'), ' ')"
+    )
+    ORACLE_SQL["training_corpus"] = with_corpus(f"""
+, m AS (
+  SELECT repo, path, lang,
+         {_flagship_clean_sql('content')} AS content_clean,
+         {_HEUR_COLS}
+  FROM corpus
+), kept AS (
+  SELECT repo, path, lang,
+         {scrub_sql('content_clean', DEFAULT_SCRUB_RULES)}
+           AS content_scrubbed
+  FROM m WHERE ({_DROP_REASON_SQL}) = ''
+), dd AS (
+  SELECT repo, path, lang, content_scrubbed
+  FROM (SELECT *, sha256({norm}) AS k FROM kept)
+  QUALIFY row_number() OVER (PARTITION BY k ORDER BY path) = 1
+), vals AS (
+  SELECT lang,
+         list_sort(list(length(content_scrubbed)::BIGINT * 1000000)) AS v,
+         count(*)::BIGINT AS n
+  FROM dd GROUP BY lang
+), thr AS (
+  SELECT lang, v[greatest(CAST(ceil(0.1 * n) AS BIGINT), 1)] AS p10
+  FROM vals
+), gated AS (
+  SELECT dd.repo, dd.path, dd.lang FROM dd JOIN thr USING (lang)
+  WHERE length(content_scrubbed)::BIGINT * 1000000 >= thr.p10
+)
+SELECT repo, path, lang FROM gated
+QUALIFY row_number() OVER (PARTITION BY repo
+    ORDER BY ('0x' || substr(md5(path), 1, 8))::UBIGINT, path) <= 25""")
+
+
+_register_training_corpus()
