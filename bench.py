@@ -282,6 +282,64 @@ def run_bench() -> dict:
     queries["bigram_lm"] = round(time.perf_counter() - t0, 3)
     extras["bigram_rows"] = n
 
+    # --- end-to-end training recipe (flagship keep → normalized dedup →
+    # learned p10 length gate → per-repo quota) over the repeated corpus —
+    # the composed deliverable, one number ---
+    from corpusaid_ray.stages.aggregates import group_percentiles_distributed
+    from corpusaid_ray.stages.dedup import add_normalized_sha
+    from corpusaid_ray.stages.sampling import repo_quota_sample
+
+    t0 = time.perf_counter()
+    kept = build(
+        read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT),
+        langid_model=langid_model, perplexity_model=ppl_model,
+    ).map_batches(
+        lambda b: b.filter(pa.compute.equal(b["keep"], True)).select(
+            ["repo", "path", "lang", "content_scrubbed"]
+        ),
+        batch_format="pyarrow",
+    )
+    normed = kept.map_batches(
+        lambda b: add_normalized_sha(b, source_col="content_scrubbed"),
+        batch_format="pyarrow",
+    )
+    recipe_dd = dedup_exact(
+        normed, scope_cols=(), hash_col="norm_sha256"
+    ).materialize()
+    pct = group_percentiles_distributed(
+        recipe_dd.map_batches(
+            lambda b: pa.table({
+                "lang": b["lang"],
+                "slen": pa.compute.cast(
+                    pa.compute.utf8_length(b["content_scrubbed"]),
+                    pa.int64(),
+                ),
+            }),
+            batch_format="pyarrow",
+        ),
+        key="lang", value_col="slen", percentiles=(0.1,),
+    )
+    thr = {r["lang"]: int(r["p10_micros"]) for _, r in pct.iterrows()}
+    thr_ref = ray.put(thr)
+
+    def recipe_gate(batch: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        micros = pa.compute.utf8_length(batch["content_scrubbed"]).to_numpy(
+            zero_copy_only=False
+        ).astype("int64") * 1_000_000
+        cuts = np.array([t[l] for l in batch["lang"].to_pylist()],
+                        dtype="int64")
+        return batch.filter(pa.array(micros >= cuts)).select(
+            ["repo", "path", "lang"]
+        )
+
+    n = repo_quota_sample(
+        recipe_dd.map_batches(recipe_gate, batch_format="pyarrow"),
+        n_per_repo=25,
+    ).count()
+    queries["training_recipe"] = round(time.perf_counter() - t0, 3)
+    extras["recipe_rows"] = n
+
     # --- event windows ---
     t0 = time.perf_counter()
     ev = ray.data.read_parquet(
