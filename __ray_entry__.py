@@ -2479,6 +2479,34 @@ def q_lm_doc_score(sf_dir: str):
     return score_docs_lm(ds, lm)
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail corpus bucketing (Wenzek et al. 2020
+    §4.3 — the per-language LEARNED generalization of the reference's fixed
+    global quality gates): fit the corpus bigram LM, score every doc's
+    fluency in one map-only broadcast-join pass (lang carried map-locally —
+    no corpus-sized join to recover it), then label each doc with its
+    LANGUAGE's LM-score tercile: head = top third (most fluent), tail =
+    bottom. Terciles come from the distributed exact percentile path
+    (histogram + targeted bucket selection — no per-language
+    materialization); thresholds broadcast once; one labeling map. The
+    scored (doc_id, lang, avg_pfp) projection materializes once because
+    both the tercile fit and the labeling pass read it — text never flows
+    twice."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import bucket_by_group_terciles
+    from corpusaid_ray.stages.ngram_lm import fit_bigram_lm, score_docs_lm
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    lm = fit_bigram_lm(ds, top_k=5, min_head_count=10).to_pandas()
+    scored = score_docs_lm(ds, lm, carry_cols=("lang",)).select_columns(
+        ["doc_id", "lang", "avg_pfp"]
+    ).materialize()
+    return bucket_by_group_terciles(scored, key="lang", value_col="avg_pfp")
+
+
 def q_oov_rates(sf_dir: str):
     """Vocabulary-coverage diagnostics: fit the top-1000 corpus vocab
     (combiner → groupby → deterministic sort/limit — only the survivors
@@ -2641,6 +2669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_rank": q_length_rank,
         "extract_secrets": q_extract_secrets,
         "name_similarity_join": q_name_similarity_join,
+        "ccnet_buckets": q_ccnet_buckets,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -1912,11 +1912,11 @@ ORACLE_SQL["embedding_outliers"] = _kmeans_outliers_sql(8, 4)
 ORACLE_SQL["cross_dedup_bloom"] = ORACLE_SQL["cross_dedup"]
 
 
-def _lm_doc_score_sql() -> str:
-    """Chained mirror for ``score_docs_lm``: the bigram-fit CTEs (identical
-    to ``bigram_lm``'s, same top-5 / min-head-10 bounds) feed a LEFT JOIN of
-    every document's adjacent bigram stream; unmatched bigrams contribute 0,
-    matching the engine's fillna(0) merge. Integer-exact throughout."""
+def _lm_fit_ctes() -> str:
+    """The shared bigram-fit CTE prefix (identical bounds to
+    ``bigram_lm``'s mirror: top-5 continuations, min head count 10) —
+    prefix-reused by ``lm_doc_score`` and ``ccnet_buckets`` so the two
+    mirrors cannot drift."""
     ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
     return f"""
 WITH w AS (
@@ -1938,7 +1938,15 @@ WITH w AS (
     FROM cnt JOIN head USING (w1)
     WHERE head.c_head >= 10
   ) WHERE rnk <= 5
-)
+)"""
+
+
+def _lm_doc_score_sql() -> str:
+    """Chained mirror for ``score_docs_lm``: the bigram-fit CTEs (identical
+    to ``bigram_lm``'s, same top-5 / min-head-10 bounds) feed a LEFT JOIN of
+    every document's adjacent bigram stream; unmatched bigrams contribute 0,
+    matching the engine's fillna(0) merge. Integer-exact throughout."""
+    return _lm_fit_ctes() + """
 SELECT b.doc_id,
        count(*)::BIGINT AS n_bigrams,
        COALESCE(sum(lm.p_fp), 0)::BIGINT AS sum_pfp,
@@ -1948,6 +1956,42 @@ GROUP BY b.doc_id"""
 
 
 ORACLE_SQL["lm_doc_score"] = _lm_doc_score_sql()
+
+
+def _ccnet_buckets_sql() -> str:
+    """Chained mirror for ``aggregates.bucket_by_group_terciles`` over LM
+    doc scores (``__ray_entry__.q_ccnet_buckets``): the bigram-fit CTEs feed
+    per-doc ``avg_pfp``, per-language ceil-rank terciles pick the p33/p66
+    thresholds in micro-units, and the CASE reproduces the engine's strict
+    ``>`` down-bucket tie rule. The tercile ranks embed ``repr(1/3)`` /
+    ``repr(2/3)`` cast to DOUBLE so DuckDB evaluates the identical IEEE
+    product Python's ``math.ceil(p * n)`` sees."""
+    p1, p2 = repr(1 / 3), repr(2 / 3)
+    return _lm_fit_ctes() + f""", score AS (
+  SELECT b.doc_id, (COALESCE(sum(lm.p_fp), 0) // count(*))::BIGINT AS avg_pfp
+  FROM big b LEFT JOIN lm USING (w1, w2)
+  GROUP BY b.doc_id
+), wl AS (
+  SELECT s.doc_id, d.lang, s.avg_pfp
+  FROM score s JOIN documents d USING (doc_id)
+), vals AS (
+  SELECT lang, list_sort(list(avg_pfp * 1000000)) AS v,
+         count(*)::BIGINT AS n
+  FROM wl GROUP BY lang
+), thr AS (
+  SELECT lang,
+         v[greatest(CAST(ceil(CAST({p1} AS DOUBLE) * n) AS BIGINT), 1)] AS t1,
+         v[greatest(CAST(ceil(CAST({p2} AS DOUBLE) * n) AS BIGINT), 1)] AS t2
+  FROM vals
+)
+SELECT w.doc_id, w.lang, w.avg_pfp,
+       CASE WHEN w.avg_pfp * 1000000 > t.t2 THEN 'head'
+            WHEN w.avg_pfp * 1000000 > t.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM wl w JOIN thr t USING (lang)"""
+
+
+ORACLE_SQL["ccnet_buckets"] = _ccnet_buckets_sql()
 
 
 def _profile_sql(table: str, cols: list[tuple[str, str]]) -> str:

@@ -313,6 +313,54 @@ def group_percentiles_distributed(ds, *, key: str, value_col: str,
     )
 
 
+def bucket_by_group_terciles(ds, *, key: str, value_col: str,
+                             labels: tuple[str, str, str] = ("tail", "middle", "head")):
+    """CCNet-style per-group tercile bucketing (Wenzek et al. 2020 §4.3
+    assign head/middle/tail per language by LM-score terciles; the
+    reference's quality gates are global, this is the per-language learned
+    variant). Composes :func:`group_percentiles_distributed` — the exact
+    distributed percentile path, so no per-key materialization — into a
+    broadcast + one map-only labeling pass:
+
+    1. exact per-``key`` p33 (= ceil-rank at ``1/3``) and p66 (``2/3``)
+       of ``value_col`` in micro-units;
+    2. the ≤ |keys| × 2 threshold rows broadcast once via ``ray.put``;
+    3. one ``map_batches`` pass labels each row ``labels[2]`` ("head") when
+       ``value > p66``, ``labels[1]`` when ``value > p33``, else
+       ``labels[0]`` — strict ``>`` so ties fall DOWN-bucket
+       deterministically on both the engine and SQL sides.
+
+    The tercile ranks use the float literals ``1/3`` / ``2/3`` exactly as
+    Python computes them; the SQL mirror embeds ``repr(1/3)`` /
+    ``repr(2/3)`` cast to DOUBLE so both sides evaluate the identical IEEE
+    product before ``ceil``. Output: input columns + ``bucket``."""
+    import ray
+
+    pct = group_percentiles_distributed(
+        ds.select_columns([key, value_col]), key=key, value_col=value_col,
+        percentiles=(1 / 3, 2 / 3),
+    )
+    thr = {
+        r[key]: (int(r["p33_micros"]), int(r["p66_micros"]))
+        for _, r in pct.iterrows()
+    }
+    thr_ref = ray.put(thr)
+    lab_tail, lab_mid, lab_head = labels
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        micros = np.floor(df[value_col].to_numpy() * 1_000_000).astype("int64")
+        t1 = df[key].map({k: v[0] for k, v in t.items()}).to_numpy("int64")
+        t2 = df[key].map({k: v[1] for k, v in t.items()}).to_numpy("int64")
+        df = df.copy()
+        df["bucket"] = np.where(
+            micros > t2, lab_head, np.where(micros > t1, lab_mid, lab_tail)
+        )
+        return df
+
+    return ds.map_batches(label, batch_format="pandas")
+
+
 def group_topk(ds, *, key: str, rank_col: str, by_col: str, k: int = 3):
     """Per-group top-k: the k largest ``by_col`` totals per (key, rank_col)
     sub-group. Two-phase: partial (key, rank_col) sums inside map_batches →

@@ -155,7 +155,8 @@ _LM_CACHE: dict[str, pd.DataFrame] = {}
 
 
 def score_docs_lm(ds, lm_df: pd.DataFrame, *, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id",
+                  carry_cols: tuple[str, ...] = ()):
     """Map-only LM fluency scoring: each document's adjacent bigrams are
     hash-joined (pandas merge) against the broadcast fitted conditional
     table; unmatched bigrams contribute 0 (they fell below the fit's
@@ -170,7 +171,11 @@ def score_docs_lm(ds, lm_df: pd.DataFrame, *, text_col: str = "text",
     ``doc_tfidf`` broadcast (oracle-exact absence semantics). If vocabulary
     outgrows ``ray.put``, swap the broadcast merge for a hash join of the
     exploded bigram stream against the fit Dataset (the inverted-index
-    shape); scores are unchanged."""
+    shape); scores are unchanged.
+
+    ``carry_cols`` pass extra per-row columns (e.g. ``lang``) through to
+    the output untouched — map-local, so downstream grouped stages (the
+    CCNet tercile bucketer) need no corpus-sized join to recover them."""
     import ray
 
     lm_ref = ray.put(lm_df[["w1", "w2", "p_fp"]])
@@ -187,12 +192,15 @@ def score_docs_lm(ds, lm_df: pd.DataFrame, *, text_col: str = "text",
             _LM_CACHE[key] = lm
         nrows = len(batch)
         id_type = batch.schema.field(id_col).type
-        empty = pa.table({
+        empty_cols = {
             id_col: pa.array([], id_type),
             "n_bigrams": pa.array([], pa.int64()),
             "sum_pfp": pa.array([], pa.int64()),
             "avg_pfp": pa.array([], pa.int64()),
-        })
+        }
+        for c in carry_cols:
+            empty_cols[c] = pa.array([], batch.schema.field(c).type)
+        empty = pa.table(empty_cols)
         if nrows == 0:
             return empty
         uniq, inv, row_ids = _flat_tokens(batch[text_col])
@@ -215,12 +223,15 @@ def score_docs_lm(ds, lm_df: pd.DataFrame, *, text_col: str = "text",
         has = n_big > 0
         # id column passes through natively (any type — int keys at the
         # gate, path strings in the bench)
-        ids = batch[id_col].filter(pa.array(has))
-        return pa.table({
-            id_col: ids,
+        mask = pa.array(has)
+        out_cols = {
+            id_col: batch[id_col].filter(mask),
             "n_bigrams": pa.array(n_big[has]),
             "sum_pfp": pa.array(total[has]),
             "avg_pfp": pa.array(total[has] // n_big[has]),
-        })
+        }
+        for c in carry_cols:
+            out_cols[c] = batch[c].filter(mask)
+        return pa.table(out_cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -1153,3 +1153,70 @@ def test_hll_distinct_by_accuracy_and_invariance(ray_session):
         assert abs(est["b"] - 700) / 700 < 0.25, est
         assert est["c"] < 400  # raw small-range floor, far below group a
     assert outs[0] == outs[1]  # register maxima are layout-invariant
+
+
+class TestCcnetBuckets:
+    """bucket_by_group_terciles: per-group tercile labels, strict-> ties."""
+
+    def test_matches_serial_ceil_rank(self, ray_session):
+        import math
+
+        import ray.data
+
+        from corpusaid_ray.stages.aggregates import bucket_by_group_terciles
+
+        # planted ties: lang 'a' has many equal scores so the thresholds
+        # land ON tied values and the strict-> rule decides the bucket
+        rows = (
+            [{"doc_id": i, "lang": "a", "score": 5} for i in range(9)]
+            + [{"doc_id": 9 + i, "lang": "a", "score": 5 + i} for i in range(6)]
+            + [{"doc_id": 100 + i, "lang": "b", "score": i} for i in range(7)]
+        )
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+            got = {
+                r["doc_id"]: r["bucket"]
+                for r in bucket_by_group_terciles(
+                    ds, key="lang", value_col="score"
+                ).take_all()
+            }
+            # serial reference: ceil-rank terciles in micro-units, strict >
+            by_lang = {}
+            for r in rows:
+                by_lang.setdefault(r["lang"], []).append(r["score"] * 10**6)
+            thr = {}
+            for lang, vs in by_lang.items():
+                vs = sorted(vs)
+                n = len(vs)
+                t1 = vs[max(math.ceil((1 / 3) * n), 1) - 1]
+                t2 = vs[max(math.ceil((2 / 3) * n), 1) - 1]
+                thr[lang] = (t1, t2)
+            for r in rows:
+                t1, t2 = thr[r["lang"]]
+                v = r["score"] * 10**6
+                want = "head" if v > t2 else ("middle" if v > t1 else "tail")
+                assert got[r["doc_id"]] == want, r
+            # the planted-tie language must have ALL nine tied docs in one
+            # bucket (ties cannot straddle a boundary)
+            tied = {got[i] for i in range(9)}
+            assert len(tied) == 1
+
+    def test_carry_cols_pass_through(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.ngram_lm import fit_bigram_lm, score_docs_lm
+
+        rows = [
+            {"doc_id": i, "lang": "py" if i % 2 else "go",
+             "text": "a b a b a b"}
+            for i in range(8)
+        ]
+        rows.append({"doc_id": 8, "lang": "py", "text": "one"})  # 0 bigrams
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        lm = fit_bigram_lm(ds, top_k=5, min_head_count=1).to_pandas()
+        out = score_docs_lm(ds, lm, carry_cols=("lang",)).take_all()
+        got = {r["doc_id"]: r["lang"] for r in out}
+        # bigram-less doc excluded; carried lang matches the input row
+        assert 8 not in got and len(got) == 8
+        for i in range(8):
+            assert got[i] == ("py" if i % 2 else "go")
