@@ -1201,6 +1201,29 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(_corpus(sf_dir))
 
 
+def q_within_doc_dedup(sf_dir: str):
+    """Within-document repeated-line scrub (Gopher §A.1.1 self-repetition
+    at line granularity): repeats of a non-empty line AFTER its first
+    occurrence in the same doc are dropped; empty lines are structure and
+    survive, so repeat-free docs round-trip byte-identically. Map-local —
+    one map_batches pass, zero shuffles, |out| = |in|."""
+    from corpusaid_ray.stages.linedup import within_doc_line_dedup
+
+    return within_doc_line_dedup(_corpus(sf_dir))
+
+
+def q_boilerplate_lines(sf_dir: str):
+    """Corpus-frequency boilerplate scrub: non-empty lines occurring in
+    ≥10 documents (headers/footers/banners) are removed from EVERY doc —
+    line_dedup's complement (it keeps one copy; this keeps none). Line-DF
+    combiner bounds the exchange at one row per line×batch; only frequent
+    lines (bounded by the threshold) reach the driver for the broadcast;
+    one map-only scrub pass."""
+    from corpusaid_ray.stages.linedup import boilerplate_line_removal
+
+    return boilerplate_line_removal(_corpus(sf_dir), min_df=10)
+
+
 def q_repetition_metrics(sf_dir: str):
     """Gopher-style repetition filters per doc: top word-bigram coverage and
     duplicate word-5-gram character fraction (vectorized Arrow split + pandas
@@ -2670,6 +2693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_secrets": q_extract_secrets,
         "name_similarity_join": q_name_similarity_join,
         "ccnet_buckets": q_ccnet_buckets,
+        "within_doc_dedup": q_within_doc_dedup,
+        "boilerplate_lines": q_boilerplate_lines,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2420,3 +2420,57 @@ QUALIFY row_number() OVER (PARTITION BY repo
 
 
 _register_training_corpus()
+
+
+# Within-document repeated-line removal (``stages/linedup.
+# within_doc_line_dedup``): first occurrence per (doc, non-empty line)
+# survives, empty lines are structure and always survive; string_agg skips
+# the NULLs the CASE leaves for dropped lines, ORDER BY pos restores the
+# original line order. COALESCE pins the all-lines-removed edge to ''
+# (unreachable here — a doc's first line always survives — but pinned so
+# engine and mirror cannot drift on it).
+ORACLE_SQL["within_doc_dedup"] = with_corpus("""
+, lines AS (
+  SELECT path,
+         unnest(string_split(content, chr(10))) AS line,
+         generate_subscripts(string_split(content, chr(10)), 1) AS pos
+  FROM corpus
+), marked AS (
+  SELECT path, line, pos,
+         (line = ''
+          OR row_number() OVER (PARTITION BY path, line ORDER BY pos) = 1)
+           AS keep
+  FROM lines
+)
+SELECT path,
+       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY pos), '') AS content,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+FROM marked GROUP BY path""")
+
+
+def _boilerplate_lines_sql(min_df: int = 10) -> str:
+    """Mirror for ``stages/linedup.boilerplate_line_removal``: per-line
+    document frequency over non-empty lines, lines at df ≥ min_df removed
+    from every document (empties exempt)."""
+    return with_corpus(f"""
+, lines AS (
+  SELECT path,
+         unnest(string_split(content, chr(10))) AS line,
+         generate_subscripts(string_split(content, chr(10)), 1) AS pos
+  FROM corpus
+), freq AS (
+  SELECT line FROM lines WHERE line != ''
+  GROUP BY line HAVING count(DISTINCT path) >= {min_df}
+)
+SELECT l.path,
+       COALESCE(string_agg(
+         CASE WHEN l.line = '' OR f.line IS NULL THEN l.line END,
+         chr(10) ORDER BY l.pos), '') AS content,
+       sum(CASE WHEN l.line != '' AND f.line IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM lines l LEFT JOIN freq f ON l.line = f.line
+GROUP BY l.path""")
+
+
+ORACLE_SQL["boilerplate_lines"] = _boilerplate_lines_sql()

@@ -149,3 +149,140 @@ def line_dedup(ds, *, content_col: str = "content", key_col: str = "path",
     return survivors.groupby("part").map_groups(
         reassemble, batch_format="pandas"
     ).select_columns(["path", "content_dedup", "lines_kept"])
+
+
+def _lines_frame(batch: pa.Table, content_col: str):
+    """ALL lines of every row — empties included, they are document
+    structure (paragraph breaks, trailing newlines) and are exempt from the
+    within-doc ops. Returns (row, pos, line) as a pandas frame plus the
+    batch row count; one Arrow split, numpy offsets, no per-row Python."""
+    col = batch[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    lines = pc.split_pattern(col, "\n")
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = lines.flatten()
+    n_per_row = np.diff(offsets)
+    row_ids = np.repeat(np.arange(len(col), dtype="int64"), n_per_row)
+    pos = np.arange(len(flat), dtype="int64") - np.repeat(
+        offsets[:-1], n_per_row
+    )
+    return (
+        pd.DataFrame({
+            "row": row_ids,
+            "pos": pos,
+            "line": flat.to_pandas().to_numpy(dtype=object),
+        }),
+        len(col),
+    )
+
+
+def _reassemble_rows(batch: pa.Table, df: pd.DataFrame, keep: np.ndarray,
+                     nrows: int, key_col: str) -> pd.DataFrame:
+    """Rejoin kept lines per input row (original order — df is in explode
+    order and the boolean mask preserves it); every input row appears in
+    the output, all-lines-removed rows as ''."""
+    kept = df.loc[keep]
+    joined = kept.groupby("row", sort=True)["line"].agg("\n".join)
+    joined = joined.reindex(range(nrows), fill_value="")
+    removed = np.bincount(
+        df.loc[~keep, "row"].to_numpy(), minlength=nrows
+    ).astype("int64")
+    keys = batch[key_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pd.DataFrame({
+        key_col: keys.to_pandas().to_numpy(dtype=object),
+        "content": joined.to_numpy(dtype=object),
+        "n_removed": removed,
+    })
+
+
+def within_doc_line_dedup(ds, *, content_col: str = "content",
+                          key_col: str = "path"):
+    """Within-document repeated-line removal (the self-repetition scrub of
+    Gopher §A.1.1 / Dolma-style dedup at line granularity, applied INSIDE
+    each document): every repeat of a non-empty line after its first
+    occurrence in the same document is dropped; empty lines are structure
+    and survive verbatim, so documents without repeats round-trip
+    byte-identically. Entirely map-local — one ``map_batches`` pass, no
+    shuffle, output row count = input row count. Mirror:
+    ``oracle.ORACLE_SQL['within_doc_dedup']``.
+
+    Output: ``(key_col, content, n_removed)``."""
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        df, nrows = _lines_frame(batch, content_col)
+        empty = df["line"].to_numpy(dtype=object) == ""
+        dup = df.duplicated(["row", "line"]).to_numpy()
+        keep = ~dup | empty
+        return _reassemble_rows(batch, df, keep, nrows, key_col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def boilerplate_line_removal(ds, *, min_df: int = 10,
+                             content_col: str = "content",
+                             key_col: str = "path",
+                             coalesce_blocks: int = 256):
+    """Corpus-frequency boilerplate scrub (CCNet-adjacent: where
+    :func:`line_dedup` keeps ONE canonical copy of a repeated line, this
+    removes EVERY copy of a line frequent enough to be boilerplate —
+    headers, footers, license banners): a non-empty line occurring in
+    ≥ ``min_df`` documents is dropped from all documents.
+
+    Pass 1 (line DF): explode non-empty lines, batch-local distinct
+    ``(doc, line)`` then per-line partial counts (one row per line×batch
+    over the exchange), salted groupby sum, ``df ≥ min_df`` filter INSIDE
+    the salt part. Only FREQUENT lines reach the driver — bounded by
+    ``min_df`` (at web scale the candidate set shrinks as the threshold
+    grows; a top-N cap composes if a pathological corpus overflows it).
+    Pass 2: the frequent-line set broadcasts once via ``ray.put``; one
+    map-only pass drops those lines (empties exempt, all rows emitted).
+    Requires ``key_col`` unique per row (the corpus contract) so the
+    batch-partial distinct counts sum exactly.
+
+    Output: ``(key_col, content, n_removed)``."""
+    import ray
+
+    exploded = ds.map_batches(
+        lambda b: _explode_lines(b, content_col, key_col),
+        batch_format="pyarrow",
+    )
+
+    def partial_df(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates(["path", "line"])
+            .groupby("line", sort=False).size().rename("c").reset_index()
+        )
+        return g.assign(_part=_salt(g["line"]))
+
+    counts = exploded.map_batches(partial_df, batch_format="pandas")
+    if coalesce_blocks:
+        from corpusaid_ray.util import coalesce_blocks_down
+
+        counts, _ = coalesce_blocks_down(counts, coalesce_blocks)
+
+    def pick_frequent(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("line", sort=False)["c"].sum()
+        t = t[t >= min_df]
+        return pd.DataFrame({"line": t.index.to_numpy(dtype=object)})
+
+    freq = frozenset(
+        r["line"]
+        for r in counts.groupby("_part")
+        .map_groups(pick_frequent, batch_format="pandas")
+        .take_all()
+    )
+    freq_ref = ray.put(freq)
+
+    def scrub(batch: pa.Table) -> pd.DataFrame:
+        f = ray.get(freq_ref)
+        df, nrows = _lines_frame(batch, content_col)
+        lines = df["line"].to_numpy(dtype=object)
+        empty = lines == ""
+        keep = empty | ~df["line"].isin(f).to_numpy()
+        return _reassemble_rows(batch, df, keep, nrows, key_col)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

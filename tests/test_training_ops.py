@@ -1220,3 +1220,67 @@ class TestCcnetBuckets:
         assert 8 not in got and len(got) == 8
         for i in range(8):
             assert got[i] == ("py" if i % 2 else "go")
+
+
+class TestWithinDocLineDedup:
+    """within_doc_line_dedup: map-local self-repetition scrub."""
+
+    def _run(self, ray_session, rows, parts=3):
+        import ray.data
+
+        from corpusaid_ray.stages.linedup import within_doc_line_dedup
+
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+        return {
+            r["path"]: (r["content"], r["n_removed"])
+            for r in within_doc_line_dedup(ds).take_all()
+        }
+
+    def test_repeats_drop_structure_survives(self, ray_session):
+        rows = [
+            {"path": "a", "content": "x\ny\nx\n\nx\nz"},   # x repeats twice
+            {"path": "b", "content": "log\n" * 50},          # 50 identical
+            {"path": "c", "content": "one\n\n\ntwo\n"},      # empties kept
+        ]
+        got = self._run(ray_session, rows)
+        assert got["a"] == ("x\ny\n\nz", 2)
+        assert got["b"] == ("log\n", 49)       # trailing '' kept
+        assert got["c"] == ("one\n\n\ntwo\n", 0)  # byte round-trip
+
+    def test_every_row_emitted_any_layout(self, ray_session):
+        rows = [{"path": f"p{i}", "content": "a\na"} for i in range(7)]
+        for parts in (1, 7):
+            got = self._run(ray_session, rows, parts)
+            assert len(got) == 7
+            assert all(v == ("a", 1) for v in got.values())
+
+
+class TestBoilerplateLineRemoval:
+    """boilerplate_line_removal: DF-thresholded global line scrub."""
+
+    def test_threshold_and_exemptions(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.linedup import boilerplate_line_removal
+
+        header = "COPYRIGHT BANNER"
+        rows = [
+            {"path": f"p{i}", "content": f"{header}\nbody {i}\n"}
+            for i in range(5)
+        ]
+        rows.append({"path": "rare", "content": "unique\npair\n"})
+        rows.append({"path": "only_banner", "content": f"{header}\n{header}"})
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(
+                pa.Table.from_pylist(rows)
+            ).repartition(parts)
+            got = {
+                r["path"]: (r["content"], r["n_removed"])
+                for r in boilerplate_line_removal(ds, min_df=3).take_all()
+            }
+            # banner df=6 >= 3 -> removed everywhere; bodies unique -> kept
+            for i in range(5):
+                assert got[f"p{i}"] == (f"body {i}\n", 1)
+            assert got["rare"] == ("unique\npair\n", 0)
+            # doc of ONLY banner lines collapses to '' (both copies counted)
+            assert got["only_banner"] == ("", 2)
