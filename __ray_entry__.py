@@ -2355,6 +2355,27 @@ def q_extract_secrets(sf_dir: str):
     return _corpus(sf_dir).map_batches(extract, batch_format="pandas")
 
 
+def q_license_screen(sf_dir: str):
+    """License screen over the code corpus (The Stack / StarCoder keep only
+    permissively-licensed files): non-overlapping match counts per license
+    family (SPDX tag, MIT, Apache, BSD, GPL header phrases), the winning
+    family in declaration order, and the is_permissive keep flag. One RE2
+    count kernel per family, map-only. The synthesized corpus carries no
+    license banners (all rows 'none'/false at the gate — the oracle pins
+    the negative path); planted-fixture pytest covers every positive
+    family and the precedence rule."""
+    from corpusaid_ray.stages.quality import LICENSE_PATTERNS, license_screen_fn
+
+    return (
+        _corpus(sf_dir)
+        .map_batches(license_screen_fn, batch_format="pyarrow")
+        .select_columns(
+            ["repo", "path"] + [n for n, _ in LICENSE_PATTERNS]
+            + ["license_family", "is_permissive"]
+        )
+    )
+
+
 def q_secrets_screen(sf_dir: str):
     """Credential screen over the code corpus (BigCode PII pipeline /
     detect-secrets rules): non-overlapping match counts per secret family
@@ -2695,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "within_doc_dedup": q_within_doc_dedup,
         "boilerplate_lines": q_boilerplate_lines,
+        "license_screen": q_license_screen,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2474,3 +2474,38 @@ GROUP BY l.path""")
 
 
 ORACLE_SQL["boilerplate_lines"] = _boilerplate_lines_sql()
+
+
+def _license_screen_sql() -> str:
+    """Mirror of stages/quality.license_screen_fn from the same pattern
+    tuple (RE2 on both sides); family precedence re-derived as the same
+    declaration-order CASE chain; is_permissive = any MIT/Apache/BSD hit."""
+    from corpusaid_ray.stages.quality import (
+        LICENSE_PATTERNS,
+        PERMISSIVE_FAMILIES,
+    )
+
+    cols = ",\n       ".join(
+        f"length(regexp_extract_all(content, {sql_quote(pat)}))::BIGINT AS {name}"
+        for name, pat in LICENSE_PATTERNS
+    )
+    fam_case = "\n            ".join(
+        f"WHEN {name} > 0 THEN '{name.removesuffix('_hits')}'"
+        for name, _ in LICENSE_PATTERNS
+    )
+    perm = " OR ".join(f"{n} > 0" for n in PERMISSIVE_FAMILIES)
+    names = ", ".join(n for n, _ in LICENSE_PATTERNS)
+    return with_corpus(f"""
+, m AS (
+  SELECT repo, path,
+       {cols}
+  FROM corpus
+)
+SELECT repo, path, {names},
+       CASE {fam_case}
+            ELSE 'none' END AS license_family,
+       ({perm}) AS is_permissive
+FROM m""")
+
+
+ORACLE_SQL["license_screen"] = _license_screen_sql()

@@ -390,3 +390,51 @@ def blocklist_screen_fn(batch: pa.Table, terms: tuple[str, ...],
     ).append_column(
         "blocked", pa.array(n > 0, pa.bool_())
     )
+
+
+# License detection (code-corpus curation: The Stack / StarCoder keep only
+# permissively-licensed files; SPDX tags plus the canonical header phrases
+# of the big four license families). RE2-safe, shared verbatim with the SQL
+# mirror; counts are non-overlapping matches on both sides. Family
+# precedence = declaration order (SPDX tag wins over a prose header).
+LICENSE_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("spdx_hits", "SPDX-License-Identifier:[ \\t]*[A-Za-z0-9.+-]+"),
+    ("mit_hits", "Permission is hereby granted, free of charge"),
+    ("apache_hits", "Licensed under the Apache License"),
+    ("bsd_hits", "Redistribution and use in source and binary forms"),
+    ("gpl_hits", "GNU (Lesser |Affero )?General Public License"),
+)
+# families (by _hits column) considered permissive for the keep rule; SPDX
+# counts as permissive only when its id says so — this engine keeps the
+# conservative tag-level rule (spdx → inspect manually) so the flag never
+# overclaims.
+PERMISSIVE_FAMILIES = ("mit_hits", "apache_hits", "bsd_hits")
+
+
+def license_screen_fn(batch: pa.Table, source_col: str = "content") -> pa.Table:
+    """License screen: per document, non-overlapping match counts per
+    license-pattern family, the winning ``license_family`` (first family in
+    declaration order with a hit; ``none`` otherwise) and an
+    ``is_permissive`` flag (MIT/Apache/BSD header present). One RE2 count
+    kernel per family — vectorized, no per-row Python."""
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    counts = {}
+    for name, pat in LICENSE_PATTERNS:
+        c = pc.count_substring_regex(col, pat).to_numpy(
+            zero_copy_only=False
+        ).astype("int64")
+        counts[name] = c
+        batch = batch.append_column(name, pa.array(c, pa.int64()))
+    fam = np.select(
+        [counts[n] > 0 for n, _ in LICENSE_PATTERNS],
+        [n.removesuffix("_hits") for n, _ in LICENSE_PATTERNS],
+        default="none",
+    )
+    permissive = np.zeros(batch.num_rows, dtype=bool)
+    for n in PERMISSIVE_FAMILIES:
+        permissive |= counts[n] > 0
+    batch = batch.append_column("license_family", pa.array(fam, pa.string()))
+    return batch.append_column("is_permissive", pa.array(permissive, pa.bool_()))

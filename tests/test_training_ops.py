@@ -1284,3 +1284,51 @@ class TestBoilerplateLineRemoval:
             assert got["rare"] == ("unique\npair\n", 0)
             # doc of ONLY banner lines collapses to '' (both copies counted)
             assert got["only_banner"] == ("", 2)
+
+
+class TestLicenseScreen:
+    """license_screen_fn: planted positives for every family + precedence."""
+
+    def test_families_precedence_and_permissive(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.quality import license_screen_fn
+
+        rows = [
+            {"path": "spdx", "content":
+                "# SPDX-License-Identifier: MIT\ndef f(): pass"},
+            {"path": "mit", "content":
+                "Permission is hereby granted, free of charge, to any..."},
+            {"path": "apache", "content":
+                "Licensed under the Apache License, Version 2.0"},
+            {"path": "bsd", "content":
+                "Redistribution and use in source and binary forms, with"},
+            {"path": "gpl", "content":
+                "under the terms of the GNU General Public License"},
+            {"path": "lgpl", "content":
+                "the GNU Lesser General Public License as published"},
+            # precedence: SPDX tag wins over a prose MIT header
+            {"path": "both", "content":
+                "SPDX-License-Identifier: Apache-2.0\n"
+                "Permission is hereby granted, free of charge"},
+            {"path": "none", "content": "int main() { return 0; }"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        got = {
+            r["path"]: r
+            for r in ds.map_batches(
+                license_screen_fn, batch_format="pyarrow"
+            ).take_all()
+        }
+        want_family = {
+            "spdx": "spdx", "mit": "mit", "apache": "apache", "bsd": "bsd",
+            "gpl": "gpl", "lgpl": "gpl", "both": "spdx", "none": "none",
+        }
+        for path, fam in want_family.items():
+            assert got[path]["license_family"] == fam, path
+        assert got["mit"]["is_permissive"] and got["apache"]["is_permissive"]
+        assert got["bsd"]["is_permissive"] and got["both"]["is_permissive"]
+        assert not got["gpl"]["is_permissive"]
+        assert not got["spdx"]["is_permissive"]  # conservative tag rule
+        assert not got["none"]["is_permissive"]
+        assert got["both"]["spdx_hits"] == 1 and got["both"]["mit_hits"] == 1
