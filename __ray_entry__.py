@@ -2355,6 +2355,30 @@ def q_extract_secrets(sf_dir: str):
     return _corpus(sf_dir).map_batches(extract, batch_format="pandas")
 
 
+def q_gopher_rules(sf_dir: str):
+    """The complete Gopher document-quality rule set (Rae et al. 2021
+    A1.1) per doc: word/line stats, mean word length, alpha-word fraction,
+    the 8-word stop check, bullet/ellipsis line shares, symbol ratio —
+    every fraction exact int64 micros — and the conjunction keep flag.
+    min_words lowered 50→10 for this short-doc corpus (the stage default
+    keeps Gopher's 50); all other thresholds are the paper's. Map-only,
+    two RE2 splits + bincounts per batch."""
+    from corpusaid_ray.stages.quality import gopher_rules_fn
+
+    return (
+        _corpus(sf_dir)
+        .map_batches(
+            lambda b: gopher_rules_fn(b, min_words=10),
+            batch_format="pyarrow",
+        )
+        .select_columns([
+            "path", "n_words", "n_lines", "mean_word_len_micros",
+            "alpha_word_frac_micros", "stop_hits", "bullet_frac_micros",
+            "ellipsis_frac_micros", "symbol_ratio_micros", "gopher_keep",
+        ])
+    )
+
+
 def q_license_screen(sf_dir: str):
     """License screen over the code corpus (The Stack / StarCoder keep only
     permissively-licensed files): non-overlapping match counts per license
@@ -2717,6 +2741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "within_doc_dedup": q_within_doc_dedup,
         "boilerplate_lines": q_boilerplate_lines,
         "license_screen": q_license_screen,
+        "gopher_rules": q_gopher_rules,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2509,3 +2509,88 @@ FROM m""")
 
 
 ORACLE_SQL["license_screen"] = _license_screen_sql()
+
+
+def _gopher_rules_sql(min_words: int = 10, max_words: int = 100_000,
+                      min_stop_hits: int = 2) -> str:
+    """Mirror of stages/quality.gopher_rules_fn (Rae et al. 2021 A1.1):
+    word stats from the shared whitespace split, line stats from the lines
+    explode, symbol counts from the shared RE2 patterns; every fraction the
+    same int64 micro-unit division; the keep flag the same inclusive
+    conjunction. LEFT JOIN + COALESCE pins the zero-word edge."""
+    from corpusaid_ray.stages.quality import (
+        BULLET_PREFIXES,
+        ELLIPSIS_SUFFIXES,
+        GOPHER_STOP_WORDS,
+        SYMBOL_PATTERNS,
+    )
+
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    stops = ", ".join(sql_quote(s) for s in GOPHER_STOP_WORDS)
+    bullets = " OR ".join(
+        f"line LIKE {sql_quote(p + '%')}" for p in BULLET_PREFIXES
+    )
+    ellips = " OR ".join(
+        f"line LIKE {sql_quote('%' + s)}" for s in ELLIPSIS_SUFFIXES
+    )
+    syms = " + ".join(
+        f"length(regexp_extract_all(content, {sql_quote(p)}))"
+        for p in SYMBOL_PATTERNS
+    )
+    return with_corpus(f"""
+, w AS (
+  SELECT path,
+         unnest(list_filter(regexp_split_to_array(content, '{ws}'),
+                            t -> t != '')) AS tok
+  FROM corpus
+), wstat AS (
+  SELECT path, count(*)::BIGINT AS n_words,
+         sum(length(tok))::BIGINT AS sum_len,
+         sum(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+                  THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+         count(DISTINCT CASE WHEN tok IN ({stops}) THEN tok END)::BIGINT
+           AS stop_hits
+  FROM w GROUP BY path
+), l AS (
+  SELECT path, unnest(string_split(content, chr(10))) AS line FROM corpus
+), lstat AS (
+  SELECT path, count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN {bullets} THEN 1 ELSE 0 END)::BIGINT AS n_bullet,
+         sum(CASE WHEN {ellips} THEN 1 ELSE 0 END)::BIGINT AS n_ellip
+  FROM l GROUP BY path
+), m AS (
+  SELECT c.path,
+         COALESCE(w.n_words, 0) AS n_words,
+         l.n_lines,
+         COALESCE(w.sum_len, 0) * 1000000
+           // greatest(COALESCE(w.n_words, 0), 1) AS mean_word_len_micros,
+         COALESCE(w.n_alpha, 0) * 1000000
+           // greatest(COALESCE(w.n_words, 0), 1) AS alpha_word_frac_micros,
+         COALESCE(w.stop_hits, 0) AS stop_hits,
+         l.n_bullet * 1000000 // greatest(l.n_lines, 1) AS bullet_frac_micros,
+         l.n_ellip * 1000000 // greatest(l.n_lines, 1) AS ellipsis_frac_micros,
+         ({syms})::BIGINT * 1000000
+           // greatest(COALESCE(w.n_words, 0), 1) AS symbol_ratio_micros
+  FROM corpus c
+  LEFT JOIN wstat w USING (path)
+  JOIN lstat l USING (path)
+)
+SELECT path, n_words, n_lines,
+       mean_word_len_micros::BIGINT AS mean_word_len_micros,
+       alpha_word_frac_micros::BIGINT AS alpha_word_frac_micros,
+       stop_hits,
+       bullet_frac_micros::BIGINT AS bullet_frac_micros,
+       ellipsis_frac_micros::BIGINT AS ellipsis_frac_micros,
+       symbol_ratio_micros::BIGINT AS symbol_ratio_micros,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len_micros >= 3000000
+        AND mean_word_len_micros <= 10000000
+        AND symbol_ratio_micros <= 100000
+        AND bullet_frac_micros <= 900000
+        AND ellipsis_frac_micros <= 300000
+        AND alpha_word_frac_micros >= 800000
+        AND stop_hits >= {min_stop_hits}) AS gopher_keep
+FROM m""")
+
+
+ORACLE_SQL["gopher_rules"] = _gopher_rules_sql()

@@ -438,3 +438,121 @@ def license_screen_fn(batch: pa.Table, source_col: str = "content") -> pa.Table:
         permissive |= counts[n] > 0
     batch = batch.append_column("license_family", pa.array(fam, pa.string()))
     return batch.append_column("is_permissive", pa.array(permissive, pa.bool_()))
+
+
+# Gopher quality-rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1). The
+# stop list is Gopher's own 8-word English check (NOT the spaCy pinned list
+# in functions/tokenize.py — Gopher's rule wants exactly these); matches
+# are case-sensitive exact tokens, shared verbatim with the SQL mirror.
+GOPHER_STOP_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+BULLET_PREFIXES: tuple[str, ...] = ("- ", "* ", "• ")
+ELLIPSIS_SUFFIXES: tuple[str, ...] = ("...", "…")
+SYMBOL_PATTERNS: tuple[str, ...] = ("#", "\\.\\.\\.", "…")
+
+
+def gopher_rules_fn(batch: pa.Table, source_col: str = "content", *,
+                    min_words: int = 50, max_words: int = 100_000,
+                    min_stop_hits: int = 2) -> pa.Table:
+    """The full Gopher document-quality rule set (Rae et al. 2021 A1.1),
+    per document, every fraction exact int64 micro-units:
+
+    - ``n_words``                   whitespace tokens (str.split semantics)
+    - ``mean_word_len_micros``      Σ len(word) · 10⁶ // n_words
+    - ``alpha_word_frac_micros``    words containing ≥1 [A-Za-z]
+    - ``stop_hits``                 DISTINCT Gopher stop words present
+    - ``n_lines``, ``bullet_frac_micros``, ``ellipsis_frac_micros``
+                                    bullet-start / ellipsis-end line shares
+    - ``symbol_ratio_micros``       (# '#' + '...' + '…') · 10⁶ // n_words
+    - ``gopher_keep``               the conjunction Gopher ships: word count
+      in [min_words, max_words], mean word length in [3, 10], symbol ratio
+      ≤ 0.1, bullet lines ≤ 90%, ellipsis lines ≤ 30%, alpha words ≥ 80%,
+      stop hits ≥ min_stop_hits (all bounds inclusive on the keep side)
+
+    One Arrow RE2 split for words, one for lines, per-rule vectorized
+    kernels + numpy bincounts — no per-row Python anywhere."""
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    nrows = len(col)
+
+    toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = toks.flatten()
+    row_ids = np.repeat(np.arange(nrows, dtype="int64"), np.diff(offsets))
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype("int64")
+    nonempty = lens > 0
+    rid = row_ids[nonempty]
+    n_words = np.bincount(rid, minlength=nrows).astype("int64")
+    nw_safe = np.maximum(n_words, 1)
+    sum_len = np.bincount(
+        rid, weights=lens[nonempty], minlength=nrows
+    ).astype("int64")
+    alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha = np.bincount(
+        row_ids[nonempty & alpha], minlength=nrows
+    ).astype("int64")
+    stop_mask = pc.is_in(
+        flat, value_set=pa.array(GOPHER_STOP_WORDS)
+    ).to_numpy(zero_copy_only=False)
+    sdf = pd.DataFrame({
+        "row": row_ids[stop_mask],
+        "tok": flat.filter(pa.array(stop_mask)).to_numpy(zero_copy_only=False),
+    }).drop_duplicates()
+    stop_hits = np.bincount(
+        sdf["row"].to_numpy(), minlength=nrows
+    ).astype("int64")
+
+    lines = pc.split_pattern(col, "\n")
+    loff = lines.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    lflat = lines.flatten()
+    lrow = np.repeat(np.arange(nrows, dtype="int64"), np.diff(loff))
+    n_lines = np.diff(loff).astype("int64")
+    nl_safe = np.maximum(n_lines, 1)
+    bullet = np.zeros(len(lflat), dtype=bool)
+    for p in BULLET_PREFIXES:
+        bullet |= pc.starts_with(lflat, p).to_numpy(zero_copy_only=False)
+    ellip = np.zeros(len(lflat), dtype=bool)
+    for s in ELLIPSIS_SUFFIXES:
+        ellip |= pc.ends_with(lflat, s).to_numpy(zero_copy_only=False)
+    n_bullet = np.bincount(lrow[bullet], minlength=nrows).astype("int64")
+    n_ellip = np.bincount(lrow[ellip], minlength=nrows).astype("int64")
+
+    n_sym = np.zeros(nrows, dtype="int64")
+    for pat in SYMBOL_PATTERNS:
+        n_sym += pc.count_substring_regex(col, pat).to_numpy(
+            zero_copy_only=False
+        ).astype("int64")
+
+    mean_wl = sum_len * 1_000_000 // nw_safe
+    alpha_frac = n_alpha * 1_000_000 // nw_safe
+    bullet_frac = n_bullet * 1_000_000 // nl_safe
+    ellip_frac = n_ellip * 1_000_000 // nl_safe
+    sym_ratio = n_sym * 1_000_000 // nw_safe
+    keep = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= 3_000_000) & (mean_wl <= 10_000_000)
+        & (sym_ratio <= 100_000)
+        & (bullet_frac <= 900_000)
+        & (ellip_frac <= 300_000)
+        & (alpha_frac >= 800_000)
+        & (stop_hits >= min_stop_hits)
+    )
+    out = {c: batch[c] for c in batch.column_names if c != source_col}
+    out.update({
+        "n_words": pa.array(n_words),
+        "n_lines": pa.array(n_lines),
+        "mean_word_len_micros": pa.array(mean_wl),
+        "alpha_word_frac_micros": pa.array(alpha_frac),
+        "stop_hits": pa.array(stop_hits),
+        "bullet_frac_micros": pa.array(bullet_frac),
+        "ellipsis_frac_micros": pa.array(ellip_frac),
+        "symbol_ratio_micros": pa.array(sym_ratio),
+        "gopher_keep": pa.array(keep, pa.bool_()),
+    })
+    return pa.table(out)

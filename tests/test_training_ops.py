@@ -1332,3 +1332,49 @@ class TestLicenseScreen:
         assert not got["spdx"]["is_permissive"]  # conservative tag rule
         assert not got["none"]["is_permissive"]
         assert got["both"]["spdx_hits"] == 1 and got["both"]["mit_hits"] == 1
+
+
+class TestGopherRules:
+    """gopher_rules_fn: each rule trips on its planted fixture."""
+
+    def test_each_rule_trips(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.quality import gopher_rules_fn
+
+        good = ("the code and that of be to have with more words here now "
+                "plus some real alpha tokens making length fine") * 2
+        rows = [
+            {"path": "good", "content": good},
+            {"path": "too_short", "content": "the of and that"},
+            {"path": "long_words", "content":
+                "the of supercalifragilistic expialidocious " +
+                "antidisestablishmentarianism " * 20},
+            {"path": "symbols", "content":
+                "the of and that have " + "# " * 40},
+            {"path": "bullets", "content":
+                "the of and that have words\n" + "- item\n" * 60},
+            {"path": "ellipsis", "content":
+                "the of and that have words\n" + "trailing...\n" * 30},
+            {"path": "no_alpha", "content":
+                "the of " + "123 456 789 000 111 " * 10},
+            {"path": "no_stops", "content":
+                "alpha beta gamma delta epsilon zeta " * 10},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        got = {
+            r["path"]: r
+            for r in ds.map_batches(
+                lambda b: gopher_rules_fn(b, min_words=10),
+                batch_format="pyarrow",
+            ).take_all()
+        }
+        assert got["good"]["gopher_keep"]
+        assert got["good"]["stop_hits"] == 8
+        for p in ("too_short", "long_words", "symbols", "bullets",
+                  "ellipsis", "no_alpha", "no_stops"):
+            assert not got[p]["gopher_keep"], p
+        assert got["bullets"]["bullet_frac_micros"] > 900_000
+        assert got["ellipsis"]["ellipsis_frac_micros"] > 300_000
+        assert got["no_stops"]["stop_hits"] == 0
+        assert got["symbols"]["symbol_ratio_micros"] > 100_000
