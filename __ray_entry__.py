@@ -2626,6 +2626,32 @@ def q_jsonl_roundtrip(sf_dir: str):
     return read_jsonl(out, columns=["doc_id", "text", "lang"])
 
 
+def q_hive_partition_read(sf_dir: str):
+    """Partition-pruned read: documents written Hive-partitioned by lang
+    (write_partitioned_by — each task writes only its own blocks), then
+    ONLY the en/de partitions read back (read_hive_partitioned — the
+    unselected languages' bytes never leave storage; pytest proves it by
+    planting a corrupt foreign partition). The oracle reads the ORIGINAL
+    parquet WHERE lang IN ('en','de'), so pruning is proven lossless, not
+    merely self-consistent."""
+    import tempfile
+
+    import ray.data
+
+    from corpusaid_ray.sources import read_hive_partitioned
+    from corpusaid_ray.state.lineage import write_partitioned_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out = tempfile.mkdtemp(prefix="hive_rt_", dir="/tmp")
+    write_partitioned_by(ds, out, "lang")
+    return read_hive_partitioned(
+        out, key="lang", values=("en", "de"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+
 def q_ipc_roundtrip(sf_dir: str):
     """Arrow IPC sink → source round-trip (sources.write_ipc/read_ipc):
     full-fidelity Arrow interchange, one file per batch. The oracle reads
@@ -2742,6 +2768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": q_boilerplate_lines,
         "license_screen": q_license_screen,
         "gopher_rules": q_gopher_rules,
+        "hive_partition_read": q_hive_partition_read,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2594,3 +2594,11 @@ FROM m""")
 
 
 ORACLE_SQL["gopher_rules"] = _gopher_rules_sql()
+
+
+# Partition-pruned Hive read: the original table filtered to the two
+# selected partitions — a value-hash match proves directory-level pruning
+# loses nothing and restores the partition column exactly.
+ORACLE_SQL["hive_partition_read"] = (
+    "SELECT doc_id, text, lang FROM documents WHERE lang IN ('en', 'de')"
+)

@@ -266,3 +266,64 @@ def union_by_name(*datasets):
     for ds in aligned[1:]:
         out = out.union(ds)
     return out
+
+
+def read_hive_partitioned(root: str, *, key: str,
+                          values: tuple[str, ...] | None = None,
+                          columns: list[str] | None = None):
+    """Partition-PRUNED read of a Hive-layout directory tree
+    (``key=value/*.parquet``, the layout ``state.lineage.
+    write_partitioned_by`` emits): only the directories whose key value is
+    in ``values`` are ever opened — unselected partitions' bytes never
+    leave storage, which is the point of partitioning by a selective key
+    at 100 TB (a filter AFTER a full read scans everything; this prunes at
+    the listing). The partition column is restored from the directory name
+    (hive %-encoding unquoted), so round-trips are lossless.
+
+    ``values=None`` reads every partition (still via the explicit listing,
+    so a corrupt foreign file outside ``key=*`` dirs can't poison the
+    read)."""
+    from pathlib import Path
+    from urllib.parse import unquote
+
+    import pyarrow as pa
+    import ray.data
+
+    want = None if values is None else set(values)
+    parts = []
+    for d in sorted(Path(root).glob(f"{key}=*")):
+        val = unquote(d.name.split("=", 1)[1])
+        if want is not None and val not in want:
+            continue
+        files = sorted(str(f) for f in d.glob("*.parquet"))
+        if files:
+            parts.append((val, files))
+    if not parts:
+        raise FileNotFoundError(
+            f"no {key}= partitions under {root} match {values!r}"
+        )
+
+    def restore(val: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                key, pa.array([val] * len(batch), pa.string())
+            )
+        return fn
+
+    # the partition column lives in the directory NAME, not the files —
+    # strip it from the file-level projection and restore it afterwards
+    file_cols = (
+        None if columns is None else [c for c in columns if c != key]
+    )
+    datasets = [
+        ray.data.read_parquet(files, columns=file_cols).map_batches(
+            restore(val), batch_format="pyarrow"
+        )
+        for val, files in parts
+    ]
+    ds = datasets[0]
+    if len(datasets) > 1:
+        ds = ds.union(*datasets[1:])
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

@@ -1378,3 +1378,55 @@ class TestGopherRules:
         assert got["ellipsis"]["ellipsis_frac_micros"] > 300_000
         assert got["no_stops"]["stop_hits"] == 0
         assert got["symbols"]["symbol_ratio_micros"] > 100_000
+
+
+class TestHivePartitionedRead:
+    """read_hive_partitioned: directory-level pruning + lossless restore."""
+
+    def test_prunes_unselected_partitions(self, ray_session, tmp_path):
+        import ray.data
+
+        from corpusaid_ray.sources import read_hive_partitioned
+        from corpusaid_ray.state.lineage import write_partitioned_by
+
+        rows = [
+            {"doc_id": i, "lang": ["en", "de", "fr"][i % 3], "text": f"t{i}"}
+            for i in range(30)
+        ]
+        root = str(tmp_path / "hive")
+        write_partitioned_by(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), root, "lang"
+        )
+        # plant a CORRUPT file in an unselected partition: if pruning is
+        # real, the en/de read never opens it; a full read would explode
+        bad = tmp_path / "hive" / "lang=fr" / "corrupt.parquet"
+        bad.write_bytes(b"this is not a parquet file")
+        got = read_hive_partitioned(
+            root, key="lang", values=("en", "de"),
+            columns=["doc_id", "lang", "text"],
+        ).take_all()
+        want = [r for r in rows if r["lang"] != "fr"]
+        assert sorted(r["doc_id"] for r in got) == sorted(
+            r["doc_id"] for r in want
+        )
+        assert {r["lang"] for r in got} == {"en", "de"}
+        # restored partition values match the original rows exactly
+        by_id = {r["doc_id"]: r for r in rows}
+        for r in got:
+            assert r["lang"] == by_id[r["doc_id"]]["lang"]
+            assert r["text"] == by_id[r["doc_id"]]["text"]
+
+    def test_missing_partition_raises(self, ray_session, tmp_path):
+        import pytest as _pytest
+        import ray.data
+
+        from corpusaid_ray.sources import read_hive_partitioned
+        from corpusaid_ray.state.lineage import write_partitioned_by
+
+        rows = [{"doc_id": 1, "lang": "en", "text": "x"}]
+        root = str(tmp_path / "hive2")
+        write_partitioned_by(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), root, "lang"
+        )
+        with _pytest.raises(FileNotFoundError):
+            read_hive_partitioned(root, key="lang", values=("zz",))
