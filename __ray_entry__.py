@@ -2355,6 +2355,17 @@ def q_extract_secrets(sf_dir: str):
     return _corpus(sf_dir).map_batches(extract, batch_format="pandas")
 
 
+def q_gram_novelty(sf_dir: str):
+    """Per-doc word-8-gram novelty: fraction of a doc's distinct 8-grams
+    appearing in <2 docs corpus-wide — the boilerplate signal exact dedup
+    and pairwise near-dup both miss. Gram-salted DF (part-local exact) →
+    per-path partials → path-salted finish; exchange bounded at one row
+    per distinct (doc, gram), nothing driver-side."""
+    from corpusaid_ray.stages.decontaminate import gram_novelty
+
+    return gram_novelty(_corpus(sf_dir))
+
+
 def q_gopher_rules(sf_dir: str):
     """The complete Gopher document-quality rule set (Rae et al. 2021
     A1.1) per doc: word/line stats, mean word length, alpha-word fraction,
@@ -2769,6 +2780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "license_screen": q_license_screen,
         "gopher_rules": q_gopher_rules,
         "hive_partition_read": q_hive_partition_read,
+        "gram_novelty": q_gram_novelty,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -2602,3 +2602,35 @@ ORACLE_SQL["gopher_rules"] = _gopher_rules_sql()
 ORACLE_SQL["hive_partition_read"] = (
     "SELECT doc_id, text, lang FROM documents WHERE lang IN ('en', 'de')"
 )
+
+
+def _gram_novelty_sql(n: int = 8, min_share_df: int = 2) -> str:
+    """Mirror of stages/decontaminate.gram_novelty: the same distinct word
+    n-grams (shared whitespace class with the decontaminate mirror), exact
+    per-gram document frequency, novelty as the same integer micro
+    division."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    gn = " || ' ' || ".join(f"w[t.i::INT + {j}]" for j in range(n))
+    return with_corpus(f"""
+, words AS (
+  SELECT path,
+         list_filter(regexp_split_to_array(content, '{ws}'),
+                     t -> t != '') AS w
+  FROM corpus
+), tg AS (
+  SELECT DISTINCT path, {gn} AS g
+  FROM words, unnest(range(1, length(w) - {n - 2})) AS t(i)
+), df AS (
+  SELECT g, count(*)::BIGINT AS df FROM tg GROUP BY g
+)
+SELECT t.path,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN d.df >= {min_share_df} THEN 1 ELSE 0 END)::BIGINT
+         AS n_shared,
+       ((count(*) - sum(CASE WHEN d.df >= {min_share_df} THEN 1 ELSE 0 END))
+        * 1000000 // count(*))::BIGINT AS novelty_micros
+FROM tg t JOIN df d USING (g)
+GROUP BY t.path""")
+
+
+ORACLE_SQL["gram_novelty"] = _gram_novelty_sql()

@@ -160,3 +160,91 @@ def decontaminate(train_ds, eval_grams_ref, *, content_col: str = "content",
         )
 
     return train_ds.map_batches(score, batch_format="pyarrow")
+
+
+def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
+                 key_col: str = "path", min_share_df: int = 2,
+                 coalesce_blocks: int = 256):
+    """Per-document n-gram novelty (RefinedWeb-adjacent curation signal:
+    how much of a doc's content is unique to it): the fraction of a doc's
+    DISTINCT word n-grams that appear in fewer than ``min_share_df``
+    documents corpus-wide. Low novelty = near-boilerplate even when no
+    single doc duplicates it (the signal exact dedup and pairwise near-dup
+    both miss).
+
+    Shape (both wide steps move one row per distinct (doc, gram) — the
+    inverted-index exchange order, nothing driver-side):
+
+    1. map: distinct ``(path, gram)`` pairs per batch (shared
+       ``_doc_grams`` kernel with decontaminate, so gram semantics cannot
+       drift), salted by GRAM;
+    2. gram-salt parts: per-gram document frequency is part-local (every
+       occurrence of a gram lands in its part); each pair becomes
+       ``shared ∈ {0,1}``, then a per-path PARTIAL (count, shared-sum)
+       inside the part bounds the second exchange at one row per
+       path × part;
+    3. path-salt parts: partial sums → ``novelty_micros =
+       (n_grams - n_shared)·10⁶ // n_grams``.
+
+    Docs with < n words have no grams and are absent (same contract as
+    ``score_docs_lm``). Output: (path, n_grams, n_shared, novelty_micros).
+    """
+    from corpusaid_ray.stages.linedup import _salt
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        rows, grams = _doc_grams(batch[content_col], n)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"path": keys[rows], "g": grams}
+        ).drop_duplicates()
+        return df.assign(_part=_salt(df["g"]))
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+    if coalesce_blocks:
+        from corpusaid_ray.util import coalesce_blocks_down
+
+        pair_ds, _ = coalesce_blocks_down(pair_ds, coalesce_blocks)
+
+    def mark_and_partial(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "path": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "sh": pd.Series(dtype="int64"),
+                "_p2": pd.Series(dtype="int64"),
+            })
+        dfreq = g.groupby("g")["path"].transform("size")
+        shared = (dfreq >= min_share_df).astype("int64")
+        part = (
+            pd.DataFrame({"path": g["path"], "sh": shared})
+            .groupby("path", sort=False)["sh"]
+            .agg(n="size", sh="sum")
+            .reset_index()
+        )
+        part["n"] = part["n"].astype("int64")
+        part["sh"] = part["sh"].astype("int64")
+        return part.assign(_p2=_salt(part["path"]))
+
+    partials = pair_ds.groupby("_part").map_groups(
+        mark_and_partial, batch_format="pandas"
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "path": pd.Series(dtype="object"),
+                "n_grams": pd.Series(dtype="int64"),
+                "n_shared": pd.Series(dtype="int64"),
+                "novelty_micros": pd.Series(dtype="int64"),
+            })
+        a = g.groupby("path", sort=True)[["n", "sh"]].sum()
+        n_grams = a["n"].to_numpy("int64")
+        n_shared = a["sh"].to_numpy("int64")
+        return pd.DataFrame({
+            "path": a.index.to_numpy(dtype=object),
+            "n_grams": n_grams,
+            "n_shared": n_shared,
+            "novelty_micros": (n_grams - n_shared) * 1_000_000 // n_grams,
+        })
+
+    return partials.groupby("_p2").map_groups(finish, batch_format="pandas")

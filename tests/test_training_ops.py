@@ -1430,3 +1430,34 @@ class TestHivePartitionedRead:
         )
         with _pytest.raises(FileNotFoundError):
             read_hive_partitioned(root, key="lang", values=("zz",))
+
+
+class TestGramNovelty:
+    """gram_novelty: per-doc shared-8-gram fraction, layout-invariant."""
+
+    def test_planted_sharing(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.decontaminate import gram_novelty
+
+        shared = "one two three four five six seven eight"     # 1 gram
+        rows = [
+            {"path": "a", "content": shared},                   # shared w/ b
+            {"path": "b", "content": shared + " tail_b"},       # 2 grams
+            {"path": "c", "content":
+                "u1 u2 u3 u4 u5 u6 u7 u8 u9"},                  # 2 unique
+            {"path": "short", "content": "too few words"},      # no grams
+        ]
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+            got = {
+                r["path"]: r for r in gram_novelty(ds, n=8).take_all()
+            }
+            assert "short" not in got and len(got) == 3
+            assert got["a"]["n_grams"] == 1 and got["a"]["n_shared"] == 1
+            assert got["a"]["novelty_micros"] == 0
+            # b: gram1 shared with a, gram2 ("two...tail_b") unique
+            assert got["b"]["n_grams"] == 2 and got["b"]["n_shared"] == 1
+            assert got["b"]["novelty_micros"] == 500_000
+            assert got["c"]["n_grams"] == 2 and got["c"]["n_shared"] == 0
+            assert got["c"]["novelty_micros"] == 1_000_000
