@@ -199,11 +199,9 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
         ).drop_duplicates()
         return df.assign(_part=_salt(df["g"]))
 
-    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
-    if coalesce_blocks:
-        from corpusaid_ray.util import coalesce_blocks_down
+    from corpusaid_ray.util import grouped
 
-        pair_ds, _ = coalesce_blocks_down(pair_ds, coalesce_blocks)
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
 
     def mark_and_partial(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
@@ -225,7 +223,7 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
         part["sh"] = part["sh"].astype("int64")
         return part.assign(_p2=_salt(part["path"]))
 
-    partials = pair_ds.groupby("_part").map_groups(
+    partials = grouped(pair_ds, "_part", coalesce_blocks).map_groups(
         mark_and_partial, batch_format="pandas"
     )
 
@@ -247,4 +245,6 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
             "novelty_micros": (n_grams - n_shared) * 1_000_000 // n_grams,
         })
 
-    return partials.groupby("_p2").map_groups(finish, batch_format="pandas")
+    return grouped(partials, "_p2", coalesce_blocks).map_groups(
+        finish, batch_format="pandas"
+    )
