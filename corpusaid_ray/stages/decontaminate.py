@@ -191,25 +191,32 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
     """
     from corpusaid_ray.stages.linedup import _salt
 
-    def pairs(batch: pa.Table) -> pd.DataFrame:
+    def pairs(batch: pa.Table) -> pa.Table:
+        # Arrow-native output: the pair stream is the op's whole exchange
+        # volume, and shipping object-dtype pandas blocks through the sort
+        # measured 1.7× slower than Arrow string columns (BASELINE.md r3)
         rows, grams = _doc_grams(batch[content_col], n)
         keys = batch[key_col].to_numpy(zero_copy_only=False)
         df = pd.DataFrame(
             {"path": keys[rows], "g": grams}
         ).drop_duplicates()
-        return df.assign(_part=_salt(df["g"]))
+        return pa.table({
+            "path": pa.array(df["path"], pa.string()),
+            "g": pa.array(df["g"], pa.string()),
+            "_part": pa.array(_salt(df["g"])),
+        })
 
     from corpusaid_ray.util import grouped
 
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
 
-    def mark_and_partial(g: pd.DataFrame) -> pd.DataFrame:
+    def mark_and_partial(g: pd.DataFrame) -> pa.Table:
         if not len(g):
-            return pd.DataFrame({
-                "path": pd.Series(dtype="object"),
-                "n": pd.Series(dtype="int64"),
-                "sh": pd.Series(dtype="int64"),
-                "_p2": pd.Series(dtype="int64"),
+            return pa.table({
+                "path": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "sh": pa.array([], pa.int64()),
+                "_p2": pa.array([], pa.int64()),
             })
         dfreq = g.groupby("g")["path"].transform("size")
         shared = (dfreq >= min_share_df).astype("int64")
@@ -219,9 +226,12 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
             .agg(n="size", sh="sum")
             .reset_index()
         )
-        part["n"] = part["n"].astype("int64")
-        part["sh"] = part["sh"].astype("int64")
-        return part.assign(_p2=_salt(part["path"]))
+        return pa.table({
+            "path": pa.array(part["path"], pa.string()),
+            "n": pa.array(part["n"].to_numpy("int64")),
+            "sh": pa.array(part["sh"].to_numpy("int64")),
+            "_p2": pa.array(_salt(part["path"])),
+        })
 
     partials = grouped(pair_ds, "_part", coalesce_blocks).map_groups(
         mark_and_partial, batch_format="pandas"
