@@ -188,7 +188,17 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
 
     Docs with < n words have no grams and are absent (same contract as
     ``score_docs_lm``). Output: (path, n_grams, n_shared, novelty_micros).
-    """
+
+    Alternative for corpora where shared grams are RARE (the realistic web
+    case, unlike the ×N-replicated bench corpus where every gram is
+    shared): a first pass over int64 gram-hash partial counts (measured
+    3.4× cheaper than the string exchange) finds candidate-shared hashes,
+    broadcasts them, and only candidate grams' STRINGS enter the exact-DF
+    exchange — non-candidates are df=1 by construction and counted
+    map-side. Exact (string-confirmed, like ``decontaminate``'s
+    prefilter), with the candidate broadcast bounded by the true shared-
+    gram count; not the default because its win inverts when sharing is
+    dense."""
     from corpusaid_ray.stages.linedup import _salt
 
     def pairs(batch: pa.Table) -> pa.Table:
