@@ -2355,6 +2355,29 @@ def q_extract_secrets(sf_dir: str):
     return _corpus(sf_dir).map_batches(extract, batch_format="pandas")
 
 
+def q_target_mix_sample(sf_dir: str):
+    """Exact target-mixture sampling: solve the largest total T whose
+    per-language quotas (en 50% / de 30% / fr 20%, integer micros) all fit
+    their language's count — T = min n_l·10⁶ // w_l, q_l = T·w_l // 10⁶,
+    no float anywhere — then keep each language's q_l smallest
+    (md5-rank, doc_id) rows. The output MIX is the target by construction
+    (vs lang_mix_sample's rate-based draw). Languages outside the target
+    are dropped. Tiny count groupby + broadcast quota dict + head-n
+    combiner bound."""
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import target_mix_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = target_mix_sample(
+        ds, targets={"en": 500_000, "de": 300_000, "fr": 200_000},
+        group_col="lang", key_col="doc_id",
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
 def q_gram_novelty(sf_dir: str):
     """Per-doc word-8-gram novelty: fraction of a doc's distinct 8-grams
     appearing in <2 docs corpus-wide — the boilerplate signal exact dedup
@@ -2781,6 +2804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": q_gopher_rules,
         "hive_partition_read": q_hive_partition_read,
         "gram_novelty": q_gram_novelty,
+        "target_mix_sample": q_target_mix_sample,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

@@ -259,6 +259,27 @@ def run_bench() -> dict:
     repo_stats(read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT)).count()
     queries["repo_stats"] = round(time.perf_counter() - t0, 3)
 
+    # --- full Gopher A1.1 rule set (tier-core: the quality gate itself;
+    # two RE2 splits + bincounts per batch, map-only) ---
+    from corpusaid_ray.stages.quality import gopher_rules_fn
+
+    t0 = time.perf_counter()
+    read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT).map_batches(
+        lambda b: gopher_rules_fn(b, min_words=10), batch_format="pyarrow"
+    ).count()
+    queries["gopher_rules"] = round(time.perf_counter() - t0, 3)
+
+    # --- boilerplate-line removal (line-DF combiner → df≥10 broadcast →
+    # map-only scrub; the replicated corpus makes every line frequent —
+    # worst case for the broadcast) ---
+    from corpusaid_ray.stages.linedup import boilerplate_line_removal
+
+    t0 = time.perf_counter()
+    boilerplate_line_removal(
+        read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT), min_df=10
+    ).count()
+    queries["boilerplate_lines"] = round(time.perf_counter() - t0, 3)
+
     # --- DSIR importance weights (map-only; broadcast 64 int64 log-ratios;
     # fit untimed like the langid/ppl models — once-per-cluster setup) ---
     from corpusaid_ray.stages.dsir import dsir_weights, fit_dsir_logratios

@@ -2634,3 +2634,26 @@ GROUP BY t.path""")
 
 
 ORACLE_SQL["gram_novelty"] = _gram_novelty_sql()
+
+
+# Exact target-mixture sampling: the quota solve (T = min n·10⁶ // w,
+# q = T·w // 10⁶ — same integer arithmetic as the engine) chained into the
+# per-language md5-rank head-q pick. Same md5 family as split_assign.
+ORACLE_SQL["target_mix_sample"] = """
+WITH w(lang, wt) AS (VALUES ('en', 500000), ('de', 300000), ('fr', 200000)),
+cnt AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+), tt AS (
+  SELECT min(n * 1000000 // wt)::BIGINT AS t FROM cnt JOIN w USING (lang)
+), q AS (
+  SELECT lang, ((SELECT t FROM tt) * wt // 1000000)::BIGINT AS q FROM w
+), r AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::BIGINT
+           AS md5_rank
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM r JOIN q USING (lang)
+QUALIFY row_number() OVER (PARTITION BY r.lang
+                           ORDER BY r.md5_rank, r.doc_id) <= q.q"""

@@ -33,7 +33,7 @@ def add_md5_rank(batch: pa.Table, key_col: str = "path",
     """First 8 md5 hex digits of the key as int64 (hashlib releases the GIL
     per call; C-speed over the batch)."""
     ranks = [
-        int(hashlib.md5(p.encode("utf-8")).hexdigest()[:8], 16)
+        int(hashlib.md5(str(p).encode("utf-8")).hexdigest()[:8], 16)
         for p in batch[key_col].to_pylist()
     ]
     return batch.append_column(out_col, pa.array(ranks, pa.int64()))
@@ -66,4 +66,73 @@ def repo_quota_sample(ds, *, n_per_repo: int, scope_col: str = "repo",
         combined = combined.map_batches(head_n, batch_format="pandas")
     return combined.groupby(scope_col).map_groups(
         head_n, batch_format="pandas"
+    )
+
+
+def target_mix_sample(ds, *, targets: dict[str, int], group_col: str = "lang",
+                      key_col: str = "path"):
+    """Exact target-mixture sampling (the Dolma/Pile-style "hit these
+    source proportions" recipe step): given integer micro-weights per group
+    (``targets[g]``, summing to ≤ 10⁶), solve the LARGEST total sample T
+    whose per-group quotas ``q_g = T·w_g // 10⁶`` all fit their group
+    (``T = min_g n_g·10⁶ // w_g`` — pure integer, no float anywhere), then
+    keep each group's ``q_g`` smallest ``(md5_rank, key)`` rows. Groups
+    absent from ``targets`` are dropped.
+
+    Differs from ``lang_mix_sample`` (given per-group RATES, inexact
+    binomial-style counts) in that the quotas are SOLVED from the target
+    proportions and hit exactly — the output mix is the target mix by
+    construction.
+
+    Scale shape: group counts are one tiny partial-agg groupby; the quota
+    dict (|groups| ints) broadcasts via ``ray.put``; selection reuses the
+    head-n combiner bound — at most q × groups × batches rows shuffle."""
+    import ray
+
+    from corpusaid_ray.util import grouped
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False).size().rename("n")
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    cnt = (
+        grouped(ds.map_batches(cnt_partial, batch_format="pandas"), group_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = {r[group_col]: int(r["n"]) for _, r in cnt.iterrows()}
+    t_max = min(
+        (counts.get(g, 0) * 1_000_000) // w
+        for g, w in targets.items() if w > 0
+    )
+    quotas = {g: (t_max * w) // 1_000_000 for g, w in targets.items()}
+    q_ref = ray.put(quotas)
+
+    def quota_head(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        q = ray.get(q_ref)
+        df = df[df[group_col].isin(q)]
+        if not len(df):
+            return df
+        df = df.sort_values(
+            [group_col, "md5_rank", key_col], kind="mergesort"
+        )
+        cc = df.groupby(group_col, sort=False).cumcount().to_numpy()
+        lim = df[group_col].map(q).to_numpy()
+        return df[cc < lim]
+
+    ranked = ds.map_batches(
+        lambda b: add_md5_rank(b, key_col), batch_format="pyarrow"
+    )
+    combined = ranked.map_batches(quota_head, batch_format="pandas")
+    from corpusaid_ray.util import coalesce_blocks_down
+
+    combined, merged = coalesce_blocks_down(combined, 256)
+    if merged:
+        combined = combined.map_batches(quota_head, batch_format="pandas")
+    return combined.groupby(group_col).map_groups(
+        quota_head, batch_format="pandas"
     )

@@ -1461,3 +1461,47 @@ class TestGramNovelty:
             assert got["b"]["novelty_micros"] == 500_000
             assert got["c"]["n_grams"] == 2 and got["c"]["n_shared"] == 0
             assert got["c"]["novelty_micros"] == 1_000_000
+
+
+class TestTargetMixSample:
+    """target_mix_sample: solved quotas hit the target mix exactly."""
+
+    def test_exact_mix_and_determinism(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.sampling import target_mix_sample
+
+        rows = (
+            [{"doc_id": i, "lang": "en"} for i in range(100)]
+            + [{"doc_id": 1000 + i, "lang": "de"} for i in range(20)]
+            + [{"doc_id": 2000 + i, "lang": "fr"} for i in range(50)]
+            + [{"doc_id": 3000 + i, "lang": "ja"} for i in range(30)]
+        )
+        targets = {"en": 500_000, "de": 300_000, "fr": 200_000}
+        outs = []
+        for parts in (1, 5):
+            ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
+            out = target_mix_sample(
+                ds, targets=targets, group_col="lang", key_col="doc_id"
+            ).take_all()
+            outs.append(sorted(r["doc_id"] for r in out))
+            got = {}
+            for r in out:
+                got[r["lang"]] = got.get(r["lang"], 0) + 1
+            # binding group: de (20 docs / 0.3) -> T = 66; quotas 33/19/13
+            assert got == {"en": 33, "de": 19, "fr": 13}
+            assert "ja" not in got
+        assert outs[0] == outs[1]  # layout-invariant
+
+    def test_zero_count_target_group(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.sampling import target_mix_sample
+
+        rows = [{"doc_id": i, "lang": "en"} for i in range(10)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        out = target_mix_sample(
+            ds, targets={"en": 500_000, "de": 500_000},
+            group_col="lang", key_col="doc_id",
+        ).take_all()
+        assert out == []  # a missing target group forces T = 0
