@@ -1505,3 +1505,83 @@ class TestTargetMixSample:
             group_col="lang", key_col="doc_id",
         ).take_all()
         assert out == []  # a missing target group forces T = 0
+
+
+def test_hypothesis_within_doc_dedup_vs_serial(ray_session):
+    pytest.importorskip("hypothesis")
+    import ray.data
+    from hypothesis import given, settings, strategies as st
+
+    from corpusaid_ray.stages.linedup import within_doc_line_dedup
+
+    def serial(content):
+        out, seen, removed = [], set(), 0
+        for line in content.split("\n"):
+            if line == "" or line not in seen:
+                out.append(line)
+                if line:
+                    seen.add(line)
+            else:
+                removed += 1
+        return "\n".join(out), removed
+
+    line = st.text(alphabet="abé ", max_size=3)
+    doc = st.lists(line, max_size=8).map("\n".join)
+
+    @given(st.lists(doc, min_size=1, max_size=6))
+    @settings(max_examples=25, deadline=None)
+    def check(docs):
+        rows = [{"path": f"p{i}", "content": c} for i, c in enumerate(docs)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        got = {
+            r["path"]: (r["content"], r["n_removed"])
+            for r in within_doc_line_dedup(ds).take_all()
+        }
+        assert got == {
+            f"p{i}": serial(c) for i, c in enumerate(docs)
+        }
+
+    check()
+
+
+def test_hypothesis_boilerplate_removal_vs_serial(ray_session):
+    pytest.importorskip("hypothesis")
+    import ray.data
+    from hypothesis import given, settings, strategies as st
+
+    from corpusaid_ray.stages.linedup import boilerplate_line_removal
+
+    line = st.text(alphabet="xy", max_size=2)
+    doc = st.lists(line, max_size=6).map("\n".join)
+
+    @given(st.lists(doc, min_size=1, max_size=6),
+           st.integers(min_value=1, max_value=4))
+    @settings(max_examples=25, deadline=None)
+    def check(docs, min_df):
+        from collections import Counter
+
+        df = Counter()
+        for c in docs:
+            for ln in set(c.split("\n")):
+                if ln:
+                    df[ln] += 1
+        freq = {ln for ln, n in df.items() if n >= min_df}
+
+        def serial(content):
+            kept = [l for l in content.split("\n")
+                    if l == "" or l not in freq]
+            removed = sum(1 for l in content.split("\n")
+                          if l != "" and l in freq)
+            return "\n".join(kept), removed
+
+        rows = [{"path": f"p{i}", "content": c} for i, c in enumerate(docs)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        got = {
+            r["path"]: (r["content"], r["n_removed"])
+            for r in boilerplate_line_removal(ds, min_df=min_df).take_all()
+        }
+        assert got == {
+            f"p{i}": serial(c) for i, c in enumerate(docs)
+        }
+
+    check()
