@@ -1224,6 +1224,24 @@ def q_boilerplate_lines(sf_dir: str):
     return boilerplate_line_removal(_corpus(sf_dir), min_df=10)
 
 
+def q_scrub_recipe(sf_dir: str):
+    """Composed line-scrub recipe: within-doc repeated-line removal, THEN
+    corpus-frequency boilerplate removal over the already-self-deduped
+    text (order matters — self-repeats would otherwise inflate nothing,
+    but boilerplate DF is computed on content a trainer would actually
+    see). One map pass + one bounded DF pass; the oracle nests the two
+    mirrors so the composition is value-verified end-to-end."""
+    from corpusaid_ray.stages.linedup import (
+        boilerplate_line_removal,
+        within_doc_line_dedup,
+    )
+
+    step1 = within_doc_line_dedup(_corpus(sf_dir)).select_columns(
+        ["path", "content"]
+    )
+    return boilerplate_line_removal(step1, min_df=10)
+
+
 def q_repetition_metrics(sf_dir: str):
     """Gopher-style repetition filters per doc: top word-bigram coverage and
     duplicate word-5-gram character fraction (vectorized Arrow split + pandas
@@ -2805,6 +2823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hive_partition_read": q_hive_partition_read,
         "gram_novelty": q_gram_novelty,
         "target_mix_sample": q_target_mix_sample,
+        "scrub_recipe": q_scrub_recipe,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

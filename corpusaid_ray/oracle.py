@@ -2657,3 +2657,42 @@ SELECT r.doc_id, r.lang
 FROM r JOIN q USING (lang)
 QUALIFY row_number() OVER (PARTITION BY r.lang
                            ORDER BY r.md5_rank, r.doc_id) <= q.q"""
+
+
+# Composed scrub recipe: the within-doc-dedup mirror rebuilt as a CTE whose
+# output feeds the boilerplate-DF mirror — one nested chain, so the
+# composition (not just each stage) is value-verified.
+ORACLE_SQL["scrub_recipe"] = with_corpus("""
+, l1 AS (
+  SELECT path,
+         unnest(string_split(content, chr(10))) AS line,
+         generate_subscripts(string_split(content, chr(10)), 1) AS pos
+  FROM corpus
+), m1 AS (
+  SELECT path, line, pos,
+         (line = ''
+          OR row_number() OVER (PARTITION BY path, line ORDER BY pos) = 1)
+           AS keep
+  FROM l1
+), step1 AS (
+  SELECT path,
+         COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                             ORDER BY pos), '') AS content
+  FROM m1 GROUP BY path
+), l2 AS (
+  SELECT path,
+         unnest(string_split(content, chr(10))) AS line,
+         generate_subscripts(string_split(content, chr(10)), 1) AS pos
+  FROM step1
+), freq AS (
+  SELECT line FROM l2 WHERE line != ''
+  GROUP BY line HAVING count(DISTINCT path) >= 10
+)
+SELECT l.path,
+       COALESCE(string_agg(
+         CASE WHEN l.line = '' OR f.line IS NULL THEN l.line END,
+         chr(10) ORDER BY l.pos), '') AS content,
+       sum(CASE WHEN l.line != '' AND f.line IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM l2 l LEFT JOIN freq f ON l.line = f.line
+GROUP BY l.path""")
