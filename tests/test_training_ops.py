@@ -1448,10 +1448,11 @@ class TestGramNovelty:
                 "u1 u2 u3 u4 u5 u6 u7 u8 u9"},                  # 2 unique
             {"path": "short", "content": "too few words"},      # no grams
         ]
-        for parts in (1, 4):
+        for parts, pf in ((1, False), (4, False), (4, True)):
             ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
             got = {
-                r["path"]: r for r in gram_novelty(ds, n=8).take_all()
+                r["path"]: r
+                for r in gram_novelty(ds, n=8, prefilter=pf).take_all()
             }
             assert "short" not in got and len(got) == 3
             assert got["a"]["n_grams"] == 1 and got["a"]["n_shared"] == 1
