@@ -196,3 +196,36 @@ def test_cli_preview_and_search(ray_session):
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["total"] > 0 and len(out["top"]) == 5
     assert all(r["n_matches"] >= 1 for r in out["top"])
+
+
+def test_keep_drop_f1_and_sha_vs_independent_mirror(ray_session):
+    """The north rule's acceptance numbers, computed literally: F1 of the
+    engine's keep/drop labels against the INDEPENDENT SQL recomputation of
+    the label logic must be ≥ 0.99 (it is 1.0 — the two implementations
+    share only constants, not code), and the scrubbed-content sha256 must
+    match exactly per retained file."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    eng = e.queries()["keep_drop"](sf).to_pandas()
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    ref = con.execute(e.oracle_sql()["keep_drop"]).fetchdf()
+    m = eng.merge(ref, on="path", suffixes=("", "_ref"))
+    assert len(m) == len(eng) == len(ref)
+    tp = int((m.keep & m.keep_ref).sum())
+    fp = int((m.keep & ~m.keep_ref).sum())
+    fn = int((~m.keep & m.keep_ref).sum())
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.99, f"F1 {f1}"
+    assert f1 == 1.0  # measured: exact agreement
+    # sha256 equality per retained file (the per-row invariant)
+    kept = m[m.keep]
+    assert (kept.content_sha256 == kept.content_sha256_ref).all()
+    assert kept.keep.sum() > 0 and (~m.keep).sum() > 0  # both classes real
