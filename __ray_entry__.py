@@ -1157,6 +1157,50 @@ def q_bmp_features(sf_dir: str):
     )
 
 
+def q_png_features(sf_dir: str):
+    """REAL PNG decode path (stdlib zlib codec, round-3 session 3): the
+    same closed-form pixel grid as bmp_features, PNG-encoded — odd doc_ids,
+    alternating grayscale (doc_id % 4 == 1) and RGB; decoded by the same
+    actor-pool extractor, every decoded value oracle-verified."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from corpusaid_ray.stages.multimodal import encode_png, media_features
+
+    def synth(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 1)
+        )
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            w, h = 8 + did % 5, 8 + did % 7
+            i = np.arange(h)[:, None]
+            j = np.arange(w)[None, :]
+            if did % 4 == 1:  # grayscale
+                px = ((did + i + j) % 256).astype(np.uint8)
+            else:             # RGB
+                c = np.arange(3)[None, None, :]
+                px = ((did + i[:, :, None] + j[:, :, None] + c) % 256).astype(
+                    np.uint8
+                )
+            payloads.append(encode_png(px))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return media_features(
+        ds.map_batches(synth, batch_format="pyarrow")
+    ).select_columns(
+        ["doc_id", "width", "height", "channels", "mean_intensity"]
+    )
+
+
 def q_audio_features(sf_dir: str):
     """REAL WAV decode path (stdlib ``wave`` in an actor pool): duration /
     rate / channels / RMS of deterministically synthesized PCM payloads —
@@ -2824,6 +2868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty": q_gram_novelty,
         "target_mix_sample": q_target_mix_sample,
         "scrub_recipe": q_scrub_recipe,
+        "png_features": q_png_features,
         # --- green in CORRECTNESS_r02.json ---
         "corpus_table": q_corpus_table,
         "clean_basic": q_clean_basic,

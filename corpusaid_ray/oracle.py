@@ -2696,3 +2696,25 @@ SELECT l.path,
                 THEN 1 ELSE 0 END)::BIGINT AS n_removed
 FROM l2 l LEFT JOIN freq f ON l.line = f.line
 GROUP BY l.path""")
+
+
+# PNG decode mirror: same closed-form grid as bmp_features, grayscale for
+# doc_id % 4 == 1 and RGB otherwise, odd doc_ids only. Every decoded pixel
+# participates in the mean, so the whole zlib-inflate + unfilter path is
+# value-verified.
+ORACLE_SQL["png_features"] = """
+SELECT doc_id,
+       (8 + doc_id % 5)::BIGINT AS width,
+       (8 + doc_id % 7)::BIGINT AS height,
+       (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 3 END)::BIGINT AS channels,
+       CASE WHEN doc_id % 4 = 1 THEN
+         list_avg(flatten(list_transform(range(8 + doc_id % 7),
+           i -> list_transform(range(8 + doc_id % 5),
+                               j -> (doc_id + i + j) % 256))))
+       ELSE
+         list_avg(flatten(flatten(list_transform(range(8 + doc_id % 7),
+           i -> list_transform(range(8 + doc_id % 5),
+             j -> list_transform(range(3),
+                                 c -> (doc_id + i + j + c) % 256))))))
+       END AS mean_intensity
+FROM documents WHERE doc_id % 2 = 1"""

@@ -4,10 +4,12 @@ stage).
 Images/audio/video are carried as opaque ``binary`` payload columns with
 typed metadata extracted by actor-pool ``map_batches`` stages.
 ``decode_media`` REALLY decodes the formats the standard library covers —
-WAV (RIFF PCM via ``wave``) and binary netpbm images (P5 grayscale / P6
-RGB, pure numpy) — with resize (nearest-neighbor) and feature extraction
-(dims, mean intensity, duration, RMS) on top. Formats needing external
-codecs (PNG/JPEG/MP3/video) raise ``NotImplementedError`` with the reason;
+PNG (zlib inflate + full None/Sub/Up/Average/Paeth unfilter, 8-bit
+gray/RGB), WAV (RIFF PCM via ``wave``), binary netpbm (P5/P6), 24-bit BMP
+and RVID — with resize (nearest-neighbor) and feature extraction (dims,
+mean intensity, duration, RMS) on top. Formats needing external codecs
+(JPEG/MP3/real video containers) raise ``NotImplementedError`` with the
+reason;
 the Ray-side plumbing — schema, batch handling, actor signature, zero-copy
 binary slicing, output layout — is identical for all formats, so adding a
 codec is a one-function change.
@@ -157,14 +159,126 @@ def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return pixels[rows][:, cols]
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 (H,W) grayscale or (H,W,3) RGB → PNG (stdlib zlib; bit depth
+    8, non-interlaced, filter 0 on every scanline)."""
+    import struct
+    import zlib
+
+    if pixels.ndim == 2:
+        color_type, chans = 0, 1
+        body = pixels[:, :, None]
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        color_type, chans = 2, 3
+        body = pixels
+    else:
+        raise ValueError(f"PNG encoder needs (H,W) or (H,W,3), got {pixels.shape}")
+    h, w = body.shape[:2]
+    raw = np.zeros((h, 1 + w * chans), dtype=np.uint8)
+    raw[:, 1:] = body.reshape(h, w * chans)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array, (H,W) for grayscale or (H,W,3) for RGB — a REAL
+    stdlib-only decoder (zlib inflate + full unfilter: None/Sub/Up/Average/
+    Paeth), not a stub. Supported: bit depth 8, color types 0 (gray) and
+    2 (RGB), non-interlaced — the shapes this engine's encoder and common
+    screenshot/thumbnail tooling emit. Palette/alpha/16-bit/interlaced
+    raise with the reason (plug PIL for those). Sub/Up rows unfilter
+    vectorized (lane cumsum / row add); Average/Paeth fall back to the
+    per-byte spec loop only on rows that use them."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = []
+    while pos + 8 <= len(payload):
+        (ln,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color_type not in (0, 2) or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color_type={color_type} "
+                    f"interlace={interlace} needs a codec library; this "
+                    "decoder handles 8-bit gray/RGB non-interlaced"
+                )
+            chans = 1 if color_type == 0 else 3
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * chans
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline payload has wrong length")
+    rows = raw.reshape(h, stride)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int64)
+    out = np.zeros_like(data)
+    bpp = chans
+    for y in range(h):
+        f, cur = int(filters[y]), data[y]
+        prev = out[y - 1] if y else np.zeros_like(cur)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub: lane-wise cumsum
+            for c in range(bpp):
+                out[y, c::bpp] = np.cumsum(cur[c::bpp]) % 256
+        elif f == 2:  # Up
+            out[y] = (cur + prev) % 256
+        elif f == 3:  # Average — sequential by spec
+            for x in range(len(cur)):
+                left = out[y, x - bpp] if x >= bpp else 0
+                out[y, x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth — sequential by spec
+            for x in range(len(cur)):
+                a = out[y, x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                out[y, x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter {f} is not in the spec")
+    px = out.astype(np.uint8)
+    return px.reshape(h, w) if chans == 1 else px.reshape(h, w, 3)
+
+
 def decode_media(payload: bytes, media_type: str | None = None):
     """Decode a media payload by magic sniff. Returns
     ``{"kind": "image", "pixels": ndarray}`` or
     ``{"kind": "audio", "samples": ndarray, "rate": int, "channels": int}``.
 
-    Formats requiring external codecs (PNG/JPEG/MP3/video containers) raise
-    ``NotImplementedError`` — no image/video libraries ship in this
-    container; plug PIL/ffmpeg here in a real deployment."""
+    Real decoders: PNG (stdlib zlib, full unfilter), netpbm, 24-bit BMP,
+    WAV, RVID. Formats requiring external codecs (JPEG/MP3/real video
+    containers) raise ``NotImplementedError`` — plug PIL/ffmpeg here in a
+    real deployment."""
+    if payload[:8] == PNG_MAGIC:
+        return {"kind": "image", "pixels": decode_png(payload)}
     if payload[:2] in (b"P5", b"P6"):
         return {"kind": "image", "pixels": decode_pnm(payload)}
     if payload[:2] == b"BM":
