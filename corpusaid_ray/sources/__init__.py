@@ -51,22 +51,35 @@ def read_text_dir(root: str, *, detect_encoding: bool = False):
     fallback read path (``src/CorpusAid.py:131-146``); paths are normalized
     like ``Document.__init__`` (``:449``). ``detect_encoding=True`` switches
     to :func:`detect_and_decode` (the reference's detection path).
+
+    Gzip members (``.txt.gz``) are transparently inflated per file inside
+    the read task — web corpora ship compressed; detection is by content
+    magic (``1f 8b``), so a mislabeled file still decodes correctly.
     """
+    import gzip
+
     import ray.data
 
     ds = ray.data.read_binary_files(
         root,
         include_paths=True,
-        file_extensions=["txt", "TXT", "Txt"],
+        file_extensions=["txt", "TXT", "Txt", "gz", "GZ"],
     )
 
     def decode(batch: pa.Table) -> pa.Table:
-        paths = [os.path.normpath(p) for p in batch["path"].to_pylist()]
-        if detect_encoding:
-            texts = [detect_and_decode(b) for b in batch["bytes"].to_pylist()]
-        else:
-            texts = [b.decode("utf-8", errors="replace")
-                     for b in batch["bytes"].to_pylist()]
+        paths, texts = [], []
+        for p, b in zip(batch["path"].to_pylist(),
+                        batch["bytes"].to_pylist()):
+            low = p.lower()
+            if low.endswith(".gz") and not low.endswith(".txt.gz"):
+                continue  # only the reference's .txt tree (compressed or not)
+            if b[:2] == b"\x1f\x8b":
+                b = gzip.decompress(b)
+            paths.append(os.path.normpath(p))
+            texts.append(
+                detect_and_decode(b) if detect_encoding
+                else b.decode("utf-8", errors="replace")
+            )
         return pa.table(
             {"path": pa.array(paths, pa.string()),
              "content": pa.array(texts, pa.string())}

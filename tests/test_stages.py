@@ -1436,3 +1436,22 @@ def test_hypothesis_bloom_dedup_is_set_difference(ray_session):
         assert got == exp
 
     check()
+
+
+def test_read_text_dir_gzip_members(ray_session, tmp_path):
+    """.txt.gz members inflate transparently (content-magic detection);
+    plain .txt still reads; foreign .gz (non-.txt.gz) is skipped."""
+    import gzip
+
+    from corpusaid_ray.sources import read_text_dir
+
+    (tmp_path / "a.txt").write_text("plain té xt", encoding="utf-8")
+    (tmp_path / "b.txt.gz").write_bytes(
+        gzip.compress("gzipped cöntent".encode("utf-8"))
+    )
+    (tmp_path / "c.tar.gz").write_bytes(gzip.compress(b"not a txt tree"))
+    got = {
+        r["path"].split("/")[-1]: r["content"]
+        for r in read_text_dir(str(tmp_path)).take_all()
+    }
+    assert got == {"a.txt": "plain té xt", "b.txt.gz": "gzipped cöntent"}
