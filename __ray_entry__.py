@@ -2440,6 +2440,18 @@ def q_target_mix_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_jaccard_join(sf_dir: str):
+    """Exact threshold set-similarity self-join (prefix filtering, Bayardo
+    2007 / Xiao 2008): EVERY doc pair with distinct-word-token Jaccard
+    >= 0.7 — the completeness-guaranteed complement of the probabilistic
+    MinHash-LSH candidates. Hash-ordered prefixes bound the candidate
+    exchange; exact set-intersection verify over a candidate-only broadcast
+    LUT; threshold compare integer-exact on both sides."""
+    from corpusaid_ray.stages.simjoin import jaccard_similarity_join
+
+    return jaccard_similarity_join(_corpus(sf_dir), threshold=0.7)
+
+
 def q_gram_novelty(sf_dir: str):
     """Per-doc word-8-gram novelty: fraction of a doc's distinct 8-grams
     appearing in <2 docs corpus-wide — the boilerplate signal exact dedup
@@ -2793,6 +2805,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # top_docs, and the flagship deliverables) therefore run FIRST; the 50
     # entries already green in CORRECTNESS_r02.json follow.
     return {
+        # --- new in round 3, session 4 ---
+        "jaccard_join": q_jaccard_join,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -2718,3 +2718,37 @@ SELECT doc_id,
                                  c -> (doc_id + i + j + c) % 256))))))
        END AS mean_intensity
 FROM documents WHERE doc_id % 2 = 1"""
+
+
+def _jaccard_join_sql(t_micros: int = 700_000) -> str:
+    """Mirror of stages/simjoin.jaccard_similarity_join: ALL-PAIRS exact
+    distinct-word-token Jaccard (no prefix filter — SQL proves completeness
+    by brute force), same whitespace class, same integer-exact threshold
+    compare ``ni * 1e6 >= t_micros * nu``. Zero-token docs never appear
+    (they have no toks rows)."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    return with_corpus(f"""
+, toks AS (
+  SELECT DISTINCT path, tok FROM (
+    SELECT path,
+           unnest(list_filter(regexp_split_to_array(content, '{ws}'),
+                              t -> t != '')) AS tok
+    FROM corpus
+  )
+), sizes AS (
+  SELECT path, count(*)::BIGINT AS n FROM toks GROUP BY path
+), inter AS (
+  SELECT a.path AS pa, b.path AS pb, count(*)::BIGINT AS ni
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.path < b.path
+  GROUP BY 1, 2
+)
+SELECT pa AS path_a, pb AS path_b, ni AS n_inter,
+       (sa.n + sb.n - ni)::BIGINT AS n_union,
+       ni::DOUBLE / (sa.n + sb.n - ni)::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.path = pa
+JOIN sizes sb ON sb.path = pb
+WHERE ni * 1000000 >= {t_micros} * (sa.n + sb.n - ni)""")
+
+
+ORACLE_SQL["jaccard_join"] = _jaccard_join_sql()

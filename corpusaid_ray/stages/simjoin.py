@@ -1,0 +1,226 @@
+"""Exact threshold set-similarity self-join via prefix filtering.
+
+The COMPLETENESS-GUARANTEED complement of the LSH family in
+``stages/neardup.py``: MinHash-LSH candidate generation is probabilistic (a
+pair above threshold is missed with nonzero probability), while the prefix
+filter is a theorem (AllPairs — Bayardo et al., WWW 2007; PPJoin — Xiao et
+al., WWW 2008, both public). Semantics: over each document's set of DISTINCT
+whitespace word tokens (``quality.WORD_SPLIT_RE``, empty tokens dropped),
+report EVERY unordered pair with ``|A∩B| / |A∪B| >= threshold`` — no caps, no
+sampling, no probabilistic misses. Docs with zero tokens have no defined
+Jaccard and never pair.
+
+Why it's exact: fix any total order on the token universe — here
+``(uint64 token hash, token)``, deterministic across workers — and sort each
+doc's tokens by it. For a doc with ``n`` distinct tokens keep the first
+``p = n - ceil(t*n) + 1`` as its PREFIX. If ``J(A,B) >= t`` then the overlap
+``o`` satisfies ``o >= t * max(|A|,|B|)`` (union >= max), so fewer than
+``ceil(t*n)`` elements of either doc can follow its smallest common token —
+hence the smallest common token lies inside BOTH prefixes, and grouping
+prefix rows by token yields a candidate superset with zero misses.
+
+Distributed shape (conventions shared with ``neardup.py``):
+
+1. prefix explode — map-only: per doc, distinct tokens sorted by
+   (hash, token); emit light ``(tok, key, n)`` rows for prefix positions
+   only (~(1-t) of each doc's distinct tokens).
+2. candidate pairs — coarse-salted groupby on token (fine grouping at C
+   speed inside pandas), with the size filter ``|A| >= t * |B|`` applied at
+   pair formation (a necessary condition for ``J >= t``); salted pair dedup.
+3. exact verify — candidate-only corpus pass builds a broadcast
+   ``path -> frozenset(tokens)`` LUT (one ``ray.put``), then one map over
+   pair rows computes exact ``|A∩B|`` with C-speed set intersection. The
+   LUT is bounded by the CANDIDATE set, which is ≪ corpus whenever the
+   threshold is meaningful — the same documented precondition as
+   ``ngram_duplicates``; the escape hatch at adversarial candidate volumes
+   is a hash join of token rows restricted to candidate paths.
+
+Threshold compares are integer-exact on both sides: the engine and the SQL
+mirror both test ``n_inter * 1_000_000 >= t_micros * n_union``, so no float
+boundary can disagree. The reported ``jaccard`` double is the same IEEE
+division in numpy and DuckDB.
+
+Scale notes: prefix rows are hash-ordered, so a corpus-ubiquitous token
+lands in a doc's prefix only when its hash ranks in the doc's smallest
+``~(1-t)`` fraction — but group sizes are still data-dependent and this op
+is inherently output-proportional. The published mitigation (not needed at
+gate scale) is frequency ordering: broadcast the top-K most frequent tokens
+and order them LAST so they never enter short prefixes. A token group
+larger than ``_GROUP_WARN`` logs a warning (never truncates — exactness is
+the contract).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from corpusaid_ray.stages.decontaminate import _word_arrays
+from corpusaid_ray.stages.neardup import SALT_BUCKETS, _candidate_paths, _empty_df
+from corpusaid_ray.util import grouped
+
+logger = logging.getLogger(__name__)
+
+_GROUP_WARN = 20_000
+
+
+def _ceil_frac(n: np.ndarray, t_micros: int) -> np.ndarray:
+    """ceil(t * n) with t = t_micros / 1e6, integer-exact."""
+    return (n * t_micros + 999_999) // 1_000_000
+
+
+def _distinct_tokens(batch: pa.Table, key: str, content_col: str):
+    """Per doc: distinct non-empty word tokens sorted by (hash, token).
+    Returns (paths_per_tok, toks, n_per_tok, starts) — all rows grouped by
+    doc, plus each doc's distinct-token count aligned per row."""
+    row_ids, words = _word_arrays(batch[content_col], 1)
+    paths = batch[key].combine_chunks().to_numpy(zero_copy_only=False)
+    if len(words) == 0:
+        e = np.empty(0, object)
+        return e, e, np.empty(0, "int64"), np.empty(0, "int64")
+    # dedupe (row, word)
+    o = np.lexsort((words, row_ids))
+    r, w = row_ids[o], words[o]
+    keep = np.ones(len(r), bool)
+    keep[1:] = (r[1:] != r[:-1]) | (w[1:] != w[:-1])
+    r, w = r[keep], w[keep]
+    # canonical order inside each row: (hash, token)
+    wh = pd.util.hash_pandas_object(pd.Series(w), index=False).to_numpy()
+    o2 = np.lexsort((w, wh, r))
+    r, w = r[o2], w[o2]
+    starts = np.flatnonzero(np.r_[True, r[1:] != r[:-1]])
+    counts = np.diff(np.r_[starts, len(r)])
+    n_per_tok = np.repeat(counts, counts)
+    return paths[r], w, n_per_tok.astype("int64"), starts
+
+
+def jaccard_similarity_join(ds, *, key: str = "path",
+                            content_col: str = "content",
+                            threshold: float = 0.7):
+    """All pairs of docs with distinct-word-token Jaccard >= ``threshold``.
+    Output: (path_a, path_b, n_inter, n_union, jaccard), path_a < path_b.
+    Exact and complete — see module docstring for the prefix-filter proof
+    and the candidate-volume precondition."""
+    import ray
+
+    t_micros = int(round(threshold * 1_000_000))
+
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        paths, toks, n, starts = _distinct_tokens(batch, key, content_col)
+        if len(toks) == 0:
+            return pa.table({
+                "tok": pa.array([], pa.string()),
+                key: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "salt": pa.array([], pa.int64()),
+            })
+        pos = np.arange(len(toks), dtype="int64")
+        pos -= np.repeat(starts, np.diff(np.r_[starts, len(toks)]))
+        plen = n - _ceil_frac(n, t_micros) + 1
+        m = pos < plen
+        toks, paths, n = toks[m], paths[m], n[m]
+        salt = (
+            pd.util.hash_pandas_object(pd.Series(toks), index=False).to_numpy()
+            % SALT_BUCKETS
+        ).astype("int64")
+        return pa.table({
+            "tok": pa.array(toks, pa.string()),
+            key: pa.array(paths, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "salt": pa.array(salt, pa.int64()),
+        })
+
+    prefix_rows = ds.map_batches(prefix_explode, batch_format="pyarrow")
+
+    def salted_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for tok, sub in g.groupby("tok", sort=False):
+            if len(sub) < 2:
+                continue
+            if len(sub) > _GROUP_WARN:
+                logger.warning(
+                    "simjoin: token %r in %d prefixes (quadratic pair "
+                    "formation; consider frequency ordering)", tok, len(sub))
+            sub = sub.sort_values(["n", key], kind="mergesort")
+            paths = sub[key].to_numpy()
+            ns = sub["n"].to_numpy()
+            ii, jj = np.triu_indices(len(paths), k=1)
+            # size filter: J >= t needs |A| >= t*|B| (ns ascending: i <= j)
+            ok = ns[ii] * 1_000_000 >= t_micros * ns[jj]
+            ii, jj = ii[ok], jj[ok]
+            a, b = paths[ii], paths[jj]
+            swap = a > b  # canonical unordered pair
+            a, b = np.where(swap, b, a), np.where(swap, a, b)
+            outs.append(pd.DataFrame({"path_a": a, "path_b": b}))
+        if not outs:
+            return _empty_df(path_a="object", path_b="object")
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = grouped(prefix_rows, "salt").map_groups(
+        salted_pairs, batch_format="pandas")
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["path_a", "path_b"]).copy()
+        df["pair_salt"] = (
+            pd.util.hash_pandas_object(
+                df["path_a"] + "\x00" + df["path_b"], index=False
+            ).to_numpy() % SALT_BUCKETS
+        ).astype("int64")
+        return df
+
+    pairs = pairs.map_batches(local_dedup, batch_format="pandas")
+    pairs = grouped(pairs, "pair_salt").map_groups(
+        lambda g: g.drop_duplicates(["path_a", "path_b"]).drop(
+            columns=["pair_salt"]),
+        batch_format="pandas",
+    ).materialize()  # bounded by the candidate set (precondition above)
+
+    cand = _candidate_paths(pairs)
+    cand_arr = pa.array(cand, pa.string())
+
+    def token_sets(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch[key], value_set=cand_arr))
+        paths, toks, _, starts = _distinct_tokens(batch, key, content_col)
+        if len(toks) == 0:
+            return pa.table({key: pa.array([], pa.string()),
+                             "toks": pa.array([], pa.string())})
+        ends = np.r_[starts[1:], len(toks)]
+        # tokens contain no whitespace (split on the WS class), so "\n"-join
+        # is a lossless set serialization
+        return pa.table({
+            key: pa.array(paths[starts], pa.string()),
+            "toks": pa.array(
+                ["\n".join(toks[s:e]) for s, e in zip(starts, ends)],
+                pa.string()),
+        })
+
+    lut: dict[str, frozenset[str]] = {}
+    for b in ds.map_batches(token_sets, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for p, t in zip(b[key].to_pylist(), b["toks"].to_pylist()):
+            lut[p] = frozenset(t.split("\n"))
+    lut_ref = ray.put(lut)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sets = ray.get(lut_ref)
+        ni = np.empty(len(df), "int64")
+        nu = np.empty(len(df), "int64")
+        for i, (a, b) in enumerate(zip(df["path_a"], df["path_b"])):
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            ni[i] = inter
+            nu[i] = len(sa) + len(sb) - inter
+        out = pd.DataFrame({
+            "path_a": df["path_a"].to_numpy(),
+            "path_b": df["path_b"].to_numpy(),
+            "n_inter": ni,
+            "n_union": nu,
+            "jaccard": ni.astype("float64") / nu.astype("float64"),
+        })
+        return out[ni * 1_000_000 >= t_micros * nu]
+
+    return pairs.map_batches(verify, batch_format="pandas")

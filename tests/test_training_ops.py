@@ -1676,3 +1676,86 @@ class TestPngCodec:
             decode_png(bad)
         with _pytest.raises(ValueError):
             decode_png(b"not a png at all")
+
+
+class TestJaccardSimilarityJoin:
+    """Exact prefix-filter set-similarity join: COMPLETE vs brute force
+    (the LSH family can miss pairs; this one may not), invariant under
+    block layout, zero-token docs excluded."""
+
+    @staticmethod
+    def _brute(rows, t):
+        import itertools
+        import re
+
+        from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+        sets = {
+            r["path"]: frozenset(
+                w for w in re.split(WORD_SPLIT_RE, r["content"]) if w
+            )
+            for r in rows
+        }
+        out = set()
+        for (pa_, sa), (pb, sb) in itertools.combinations(
+            sorted(sets.items()), 2
+        ):
+            if not sa or not sb:
+                continue
+            ni = len(sa & sb)
+            nu = len(sa) + len(sb) - ni
+            if ni * 1_000_000 >= int(round(t * 1e6)) * nu:
+                out.add((pa_, pb, ni, nu))
+        return out
+
+    def _engine(self, ray, rows, t, parallelism=4):
+        from corpusaid_ray.stages.simjoin import jaccard_similarity_join
+
+        got = jaccard_similarity_join(
+            _docs_ds(ray, rows, parallelism), threshold=t
+        ).take_all()
+        return {
+            (r["path_a"], r["path_b"], r["n_inter"], r["n_union"])
+            for r in got
+        }
+
+    def test_complete_vs_brute_force(self, ray_session):
+        import random
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            {
+                "path": f"d{i:03d}",
+                "content": " ".join(
+                    rng.choices(vocab, k=rng.randint(0, 25))
+                ),
+            }
+            for i in range(80)
+        ]
+        # planted: exact dup pair, near pair, zero-token doc
+        rows += [
+            {"path": "dup_a", "content": "x y z q r"},
+            {"path": "dup_b", "content": "x y z q r"},
+            {"path": "near_a", "content": "a b c d e f g h i j"},
+            {"path": "near_b", "content": "a b c d e f g h i k"},
+            {"path": "empty", "content": " \t\n "},
+        ]
+        for t in (0.5, 0.7, 0.9):
+            want = self._brute(rows, t)
+            got = self._engine(ray_session, rows, t)
+            assert got == want, f"t={t}: {got ^ want}"
+        # the planted pairs actually exercise both classes
+        want = self._brute(rows, 0.7)
+        assert ("dup_a", "dup_b", 5, 5) in want
+        assert ("near_a", "near_b", 9, 11) in self._brute(rows, 0.5)
+        assert not any("empty" in p[:2] for p in want)
+
+    def test_block_layout_invariant(self, ray_session):
+        rows = [
+            {"path": f"p{i}", "content": f"alpha beta gamma t{i % 4}"}
+            for i in range(24)
+        ]
+        a = self._engine(ray_session, rows, 0.6, parallelism=1)
+        b = self._engine(ray_session, rows, 0.6, parallelism=7)
+        assert a == b and len(a) > 0
