@@ -2440,6 +2440,19 @@ def q_target_mix_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Guaranteed-exact distributed heavy hitters (words with count·k > N,
+    k=50): per-batch Misra-Gries summaries (≤ k+1 rows per batch over the
+    exchange) merge into a provably complete candidate superset (≤ k(k+1)
+    words by the mergeable-summaries bound), then an exact confirm pass
+    reports true counts — the exact twin of the probabilistic count-min
+    sketch. No vocabulary-sized state on the driver, exchange, or
+    broadcast."""
+    from corpusaid_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(_corpus(sf_dir), k=50)
+
+
 def q_jaccard_join(sf_dir: str):
     """Exact threshold set-similarity self-join (prefix filtering, Bayardo
     2007 / Xiao 2008): EVERY doc pair with distinct-word-token Jaccard
@@ -2807,6 +2820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- new in round 3, session 4 ---
         "jaccard_join": q_jaccard_join,
+        "heavy_hitters": q_heavy_hitters,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

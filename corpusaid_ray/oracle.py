@@ -2752,3 +2752,24 @@ WHERE ni * 1000000 >= {t_micros} * (sa.n + sb.n - ni)""")
 
 
 ORACLE_SQL["jaccard_join"] = _jaccard_join_sql()
+
+
+def _heavy_hitters_sql(k: int = 50) -> str:
+    """Mirror of stages/sketch.heavy_hitters: exact corpus-wide word counts,
+    threshold count·k > N — the same integer compare the engine's confirm
+    pass applies, so the Misra-Gries candidate machinery is verified by its
+    exact output."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    return with_corpus(f"""
+, toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(content, '{ws}'),
+                            t -> t != '')) AS word
+  FROM corpus
+), tot AS (SELECT count(*) AS n FROM toks)
+SELECT word, count(*)::BIGINT AS n_occurrences
+FROM toks, tot
+GROUP BY word, tot.n
+HAVING count(*) * {k} > tot.n""")
+
+
+ORACLE_SQL["heavy_hitters"] = _heavy_hitters_sql()

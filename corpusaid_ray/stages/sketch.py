@@ -233,3 +233,117 @@ def hll_distinct_by(ds, *, key: str, col: str) -> pd.DataFrame:
         ),
     })
     return out
+
+
+# ---------------------------------------------------------------------------
+# Guaranteed-exact distributed heavy hitters: Misra-Gries summaries
+# (Misra & Gries 1982) merged per the mergeable-summaries bound
+# (Agarwal et al., PODS 2012) into a PROVABLE candidate superset, then an
+# exact second pass confirms true counts. Unlike the count-min sketch above
+# (probabilistic overcount), the output here is EXACT: every word with
+# count * k > N is reported with its true count, and nothing else is.
+#
+# Why the candidate set is complete: a batch's summary is its exact word
+# counts MG-compressed to k entries — subtracting the (k+1)-th largest
+# count d_b from all. Since k+1 counts are >= d_b and they sum to <= N_b,
+# d_b <= N_b/(k+1); so for EVERY word (kept or dropped),
+# est_b >= true_b - N_b/(k+1). Summing across batches:
+# est_sum >= true - N/(k+1). A true heavy hitter (true > N/k) therefore has
+# est_sum > N/k - N/(k+1) = N/(k(k+1)) — and because Σ est_sum <= N, at
+# most k(k+1) words can clear that bar, so the candidate filter
+# ``est_sum * k * (k+1) > N`` is both COMPLETE and BOUNDED (<= k(k+1)
+# candidates regardless of corpus size or vocabulary).
+#
+# Exchange accounting at 100 TB: pass 1 ships <= k+1 rows per batch into
+# one small groupby; the candidate broadcast is <= k(k+1) words; pass 2
+# ships <= |candidates| rows per batch into a second small groupby. No
+# vocabulary-sized state anywhere — driver, exchange, or broadcast.
+# ---------------------------------------------------------------------------
+
+def _mg_compress(words: np.ndarray, counts: np.ndarray, k: int):
+    """Misra-Gries compression of exact (word, count) pairs to <= k entries:
+    subtract the (k+1)-th largest count from all, keep positives."""
+    if len(words) <= k:
+        return words, counts
+    # k-th largest (0-indexed k) via partition; subtract, keep > 0
+    d = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    kept = counts > d
+    return words[kept], counts[kept] - d
+
+
+def heavy_hitters(ds, *, content_col: str = "content", k: int = 50):
+    """Exact (word, n_occurrences) for every word whose corpus-wide token
+    count satisfies ``count * k > N`` (N = total non-empty WORD_SPLIT_RE
+    tokens). Two passes; see the block comment above for the completeness
+    proof and the exchange bounds."""
+    import pyarrow.compute as pc
+    import ray
+
+    from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+    from corpusaid_ray.util import grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.fill_null(col, ""), WORD_SPLIT_RE))
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        n_b = len(toks)
+        vc = toks.value_counts()
+        words = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy()
+        words, counts = _mg_compress(words, counts, k)
+        return pa.table({
+            "word": pa.array(list(words) + [""], pa.string()),
+            "est": pa.array(list(counts) + [n_b], pa.int64()),
+            "is_total": pa.array([False] * len(words) + [True]),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    import pandas as pd  # noqa: F811 (module-level alias)
+
+    totals = partials.filter(lambda r: r["is_total"])
+    n_total = int(sum(r["est"] for r in totals.take_all()))
+    if n_total == 0:
+        return ray.data.from_arrow(pa.table({
+            "word": pa.array([], pa.string()),
+            "n_occurrences": pa.array([], pa.int64())}))
+
+    summed = (
+        grouped(partials.filter(lambda r: not r["is_total"]), "word")
+        .sum("est")
+    )
+    cand_tbl = summed.filter(
+        lambda r: r["sum(est)"] * k * (k + 1) > n_total
+    ).take_all()  # <= k(k+1) rows by the pigeonhole bound above
+    cand = pa.array(sorted(r["word"] for r in cand_tbl), pa.string())
+    cand_ref = ray.put(cand)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cand_arr = ray.get(cand_ref)
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.fill_null(col, ""), WORD_SPLIT_RE))
+        toks = toks.filter(pc.is_in(toks, value_set=cand_arr))
+        vc = toks.value_counts()
+        return pa.table({
+            "word": vc.field("values").cast(pa.string()),
+            "cnt": vc.field("counts").cast(pa.int64()),
+        })
+
+    exact = grouped(
+        ds.map_batches(exact_partial, batch_format="pyarrow"), "word"
+    ).sum("cnt")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sum(cnt)"] * k > n_total]
+        return pd.DataFrame({
+            "word": df["word"].astype(object),
+            "n_occurrences": df["sum(cnt)"].astype("int64"),
+        }).reset_index(drop=True)
+
+    return exact.map_batches(finish, batch_format="pandas")

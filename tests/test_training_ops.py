@@ -1759,3 +1759,60 @@ class TestJaccardSimilarityJoin:
         a = self._engine(ray_session, rows, 0.6, parallelism=1)
         b = self._engine(ray_session, rows, 0.6, parallelism=7)
         assert a == b and len(a) > 0
+
+
+class TestHeavyHitters:
+    """Misra-Gries → exact confirm: output equals a serial exact count at
+    every k, including a k small enough that per-batch summaries drop most
+    words (the compression path actually fires)."""
+
+    @staticmethod
+    def _serial(rows, k):
+        import re
+        from collections import Counter
+
+        from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+        c: Counter = Counter()
+        for r in rows:
+            c.update(w for w in re.split(WORD_SPLIT_RE, r["content"]) if w)
+        n = sum(c.values())
+        return {(w, v) for w, v in c.items() if v * k > n}
+
+    def test_matches_exact_count(self, ray_session):
+        import random
+
+        from corpusaid_ray.stages.sketch import heavy_hitters
+
+        rng = random.Random(7)
+        # skewed zipf-ish corpus: a few hot words + a long unique tail,
+        # scattered across blocks so no single batch sees the true counts
+        rows = []
+        for i in range(60):
+            words = (["hot"] * rng.randint(3, 8)
+                     + ["warm"] * rng.randint(1, 4)
+                     + [f"tail{i}_{j}" for j in range(rng.randint(5, 15))])
+            rng.shuffle(words)
+            rows.append({"path": f"d{i}", "content": " ".join(words)})
+        for k in (3, 10, 40):
+            want = self._serial(rows, k)
+            got = {
+                (r["word"], r["n_occurrences"])
+                for r in heavy_hitters(
+                    _docs_ds(ray_session, rows, 8), k=k
+                ).take_all()
+            }
+            assert got == want, f"k={k}"
+        assert any(w == "hot" for w, _ in self._serial(rows, 10))
+
+    def test_mg_compress_bound(self):
+        import numpy as np
+
+        from corpusaid_ray.stages.sketch import _mg_compress
+
+        words = np.array([f"w{i}" for i in range(100)], object)
+        counts = np.arange(1, 101, dtype=np.int64)
+        kw, kc = _mg_compress(words, counts, 10)
+        assert len(kw) <= 10
+        # every kept estimate undercounts by exactly the (k+1)-th largest
+        assert (kc == counts[-len(kc):] - 90).all()
