@@ -2440,6 +2440,29 @@ def q_target_mix_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_bpe_token_stats(sf_dir: str):
+    """Tokenizer-piece count estimation (packing / cost budgeting): per doc,
+    the number of pieces under the pinned RE2-compatible BPE pre-tokenizer
+    (``functions/tokenize.BPE_PRETOKEN_RE`` — GPT-2-style, lookahead-free)
+    plus the whitespace-run word count. One RE2 count kernel per column,
+    map-only; the mirror uses the identical pattern through DuckDB's RE2."""
+    import pyarrow.compute as pc_
+
+    from corpusaid_ray.functions.tokenize import BPE_PRETOKEN_RE
+
+    def fn(batch):
+        col = batch["content"]
+        return batch.select(["path"]).append_column(
+            "n_bpe_pieces",
+            pc_.count_substring_regex(col, BPE_PRETOKEN_RE).cast("int64"),
+        ).append_column(
+            "n_words",
+            pc_.count_substring_regex(col, r"\S+").cast("int64"),
+        )
+
+    return _corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def q_heavy_hitters(sf_dir: str):
     """Guaranteed-exact distributed heavy hitters (words with count·k > N,
     k=50): per-batch Misra-Gries summaries (≤ k+1 rows per batch over the
@@ -2821,6 +2844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in round 3, session 4 ---
         "jaccard_join": q_jaccard_join,
         "heavy_hitters": q_heavy_hitters,
+        "bpe_token_stats": q_bpe_token_stats,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -145,3 +145,14 @@ def count_words_whitespace(text: str) -> int:
     ``word_tokenization`` is enabled (src/CorpusAid.py:1800-1802) and the
     post-process report (src/CorpusAid.py:3098-3118)."""
     return len(text.split())
+
+
+# BPE-style pre-tokenizer (token-count estimation for packing/cost budgets).
+# The GPT-2 pre-tokenizer pattern (Radford et al. 2019, public) uses a
+# negative lookahead RE2 cannot express, so the engine pins this
+# RE2-COMPATIBLE variant — contractions, space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace runs — used VERBATIM by both the Arrow
+# kernel and the DuckDB mirror (both RE2), so counts are identical by
+# construction. This estimates tokenizer-piece counts; it is NOT a byte-pair
+# merge (no vocab), which is the documented boundary.
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"

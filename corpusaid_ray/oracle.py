@@ -2773,3 +2773,19 @@ HAVING count(*) * {k} > tot.n""")
 
 
 ORACLE_SQL["heavy_hitters"] = _heavy_hitters_sql()
+
+
+def _bpe_token_stats_sql() -> str:
+    """Mirror of q_bpe_token_stats: the SAME pinned RE2 pattern (imported,
+    not retyped) through DuckDB's RE2 — counts identical by construction."""
+    from corpusaid_ray.functions.tokenize import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return with_corpus(f"""
+SELECT path,
+       length(regexp_extract_all(content, '{pat}'))::BIGINT AS n_bpe_pieces,
+       length(regexp_extract_all(content, '\\S+'))::BIGINT AS n_words
+FROM corpus""")
+
+
+ORACLE_SQL["bpe_token_stats"] = _bpe_token_stats_sql()

@@ -1816,3 +1816,42 @@ class TestHeavyHitters:
         assert len(kw) <= 10
         # every kept estimate undercounts by exactly the (k+1)-th largest
         assert (kc == counts[-len(kc):] - 90).all()
+
+
+class TestBpePretokenCount:
+    """The pinned RE2-compatible BPE pre-tokenizer: the Arrow count kernel
+    must agree with Python re.findall on the same pattern, and the pattern's
+    piece boundaries must match the hand-derived GPT-2-style segmentation on
+    representative text (contractions, space-prefixed runs, digit runs,
+    punctuation runs)."""
+
+    CASES = {
+        "I've got 42 apples, don't I?": [
+            "I", "'ve", " got", " 42", " apples", ",", " don", "'t",
+            " I", "?",
+        ],
+        "hello  world": ["hello", "  ", "world"],
+        "": [],
+        "x3.14y": ["x", "3", ".", "14", "y"],
+    }
+
+    def test_pieces_match_hand_segmentation(self):
+        import re
+
+        from corpusaid_ray.functions.tokenize import BPE_PRETOKEN_RE
+
+        for text, want in self.CASES.items():
+            assert re.findall(BPE_PRETOKEN_RE, text) == want, repr(text)
+
+    def test_arrow_kernel_agrees_with_re(self):
+        import re
+
+        import pyarrow.compute as pc
+
+        from corpusaid_ray.functions.tokenize import BPE_PRETOKEN_RE
+
+        texts = list(self.CASES) + ["'ll 're 'xx", "über café 北京", "a" * 500]
+        got = pc.count_substring_regex(
+            pa.array(texts), BPE_PRETOKEN_RE
+        ).to_pylist()
+        assert got == [len(re.findall(BPE_PRETOKEN_RE, t)) for t in texts]
