@@ -2463,6 +2463,45 @@ def q_bpe_token_stats(sf_dir: str):
     return _corpus(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary induction (Sennrich 2016): the first 8
+    learned merges over the documents' word-frequency table. One corpus
+    pass reduces to (token, n); every merge iteration is vocab-bounded
+    (pair-count partials → small groupby → per-block argmax, ≤ 1 row per
+    block on the driver). Mirror recomputes the fit with chained
+    MATERIALIZED CTEs + one recursive CTE per merge (`oracle._bpe_chain`).
+    All-integer counts and pinned codepoint tie-breaks make the fit
+    block-layout invariant — see `stages/bpe.py` docstring."""
+    import pyarrow as pa_
+    import ray.data
+
+    from corpusaid_ray.stages.bpe import fit_bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    merges, _ = fit_bpe(ds, num_merges=8)
+    assert len(merges) == 8, "corpus ran out of pairs before 8 merges"
+    return pa_.Table.from_pylist(merges)
+
+
+def q_bpe_encode(sf_dir: str):
+    """The corpus-sized APPLY pass: per-doc piece counts under the 8
+    merges learned by `q_bpe_merges` at the same sf. Map-only over docs
+    with a batch-local token→pieces cache; the merge table ships in the
+    closure. The mirror joins doc tokens onto the fit chain's final seg
+    table (fit's successive applications ≡ encode-in-rank-order, so
+    seg{8} IS the per-word encoding)."""
+    import ray.data
+
+    from corpusaid_ray.stages.bpe import bpe_piece_counts, fit_bpe
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    merges, _ = fit_bpe(docs, num_merges=8)
+    pairs = [(m["left_sym"], m["right_sym"]) for m in merges]
+    return bpe_piece_counts(docs, pairs)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Guaranteed-exact distributed heavy hitters (words with count·k > N,
     k=50): per-batch Misra-Gries summaries (≤ k+1 rows per batch over the
@@ -2845,6 +2884,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join": q_jaccard_join,
         "heavy_hitters": q_heavy_hitters,
         "bpe_token_stats": q_bpe_token_stats,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

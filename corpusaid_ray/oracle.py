@@ -2789,3 +2789,80 @@ FROM corpus""")
 
 
 ORACLE_SQL["bpe_token_stats"] = _bpe_token_stats_sql()
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE vocabulary induction mirror (stages/bpe.py)
+# ---------------------------------------------------------------------------
+
+def _bpe_chain(num_merges: int) -> str:
+    """The WITH RECURSIVE body recomputing ``stages/bpe.fit_bpe`` exactly:
+    word-frequency table → codepoint segmentation with the ``</w>`` marker
+    → per merge k an exact pair count (list_zip of the two shifted slices),
+    the (count DESC, left, right) argmax (binary collation == Python
+    codepoint order), and a recursive CTE stepping an index over each
+    word's symbol list with the same greedy left-to-right non-overlap the
+    engine's ``_merge_word`` scan uses. Every chained CTE is MATERIALIZED —
+    DuckDB inlines CTEs by reference, and seg{k} is referenced four times
+    by iteration k+1, so un-materialized chaining is exponential."""
+    parts = [r"""
+words AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS token
+        FROM documents)
+  GROUP BY token),
+seg0 AS MATERIALIZED (
+  SELECT token, n,
+         list_append(cp[1:len(cp)-1], cp[len(cp)] || '</w>') AS segs
+  FROM (SELECT token, n, regexp_extract_all(token, '.') AS cp FROM words))"""]
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        parts.append(f"""
+pc{k} AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, sum(n)::BIGINT AS cnt
+  FROM (SELECT n, unnest(list_zip(segs[1:len(segs)-1], segs[2:len(segs)])) AS z
+        FROM seg{p})
+  GROUP BY 1, 2),
+best{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1),
+app{k} AS (
+  SELECT s.token, 1::BIGINT AS i, []::VARCHAR[] AS out FROM seg{p} s
+  UNION ALL
+  SELECT a.token,
+    CASE WHEN a.i < len(s.segs) AND s.segs[a.i] = b.l AND s.segs[a.i+1] = b.r
+         THEN a.i + 2 ELSE a.i + 1 END,
+    CASE WHEN a.i < len(s.segs) AND s.segs[a.i] = b.l AND s.segs[a.i+1] = b.r
+         THEN list_append(a.out, b.l || b.r)
+         ELSE list_append(a.out, s.segs[a.i]) END
+  FROM app{k} a JOIN seg{p} s USING (token) CROSS JOIN best{k} b
+  WHERE a.i <= len(s.segs)),
+seg{k} AS MATERIALIZED (
+  SELECT a.token, s.n, a.out AS segs
+  FROM app{k} a JOIN seg{p} s USING (token)
+  WHERE a.i = len(s.segs) + 1)""")
+    return "WITH RECURSIVE " + ",".join(parts)
+
+
+def _bpe_merges_sql(num_merges: int = 8) -> str:
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS rank, l AS left_sym, r AS right_sym, "
+        f"cnt AS pair_count FROM best{k}"
+        for k in range(1, num_merges + 1))
+    return f"{_bpe_chain(num_merges)}\n{sel}\nORDER BY rank"
+
+
+def _bpe_encode_sql(num_merges: int = 8) -> str:
+    """Per-doc piece counts under the learned merges. The fit's final seg
+    table IS the encoding of every corpus word (encode-in-rank-order ==
+    the fit's successive applications, same ops in the same order), so the
+    corpus-sized apply pass mirrors as one join on seg{M} lengths."""
+    return f"""{_bpe_chain(num_merges)}
+SELECT t.doc_id, sum(len(s.segs))::BIGINT AS n_pieces
+FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS token
+      FROM documents) t
+JOIN seg{num_merges} s USING (token)
+GROUP BY t.doc_id"""
+
+
+ORACLE_SQL["bpe_merges"] = _bpe_merges_sql(8)
+ORACLE_SQL["bpe_encode"] = _bpe_encode_sql(8)

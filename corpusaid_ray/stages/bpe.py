@@ -1,0 +1,230 @@
+"""Distributed BPE vocabulary induction (Sennrich et al. 2016, public).
+
+The tokenizer-TRAINING op a training-data engine needs: learn the first N
+byte-pair-encoding merges from a corpus. The classic scale reduction (from
+the original subword-nmt algorithm) is that BPE never needs the corpus
+during the merge loop — only the WORD-FREQUENCY TABLE:
+
+1. **One corpus pass** reduces the documents to ``(token, n)`` — the same
+   batch-local Counter combiner + small groupby as ``q_word_freq``
+   (≤ |batch vocab| rows per batch cross the exchange, never one row per
+   occurrence). This is the only stage that ever touches corpus-sized data.
+2. Each token is segmented into codepoints, the last suffixed with the
+   ``</w>`` end-of-word marker (Sennrich's word-boundary symbol), stored as
+   a SPACE-JOINED string — tokens match ``\\w+|[^\\w\\s]`` so no symbol can
+   contain whitespace, making the join/split lossless and the blocks plain
+   Arrow strings (no object lists).
+3. **Merge loop over the vocab-sized table** (N iterations, each one
+   bounded exchange): per batch, adjacent symbol pairs are extracted with
+   one flatten + two array shifts (no per-symbol Python) and pre-summed
+   into ``(left_sym, right_sym, n)`` partials; a small
+   ``groupby(pair).sum`` (through :func:`util.grouped`) yields exact global
+   pair counts; a per-block argmax leaves ≤ 1 row per block for the driver
+   to pick the winner — driver state is O(blocks), never O(pairs).
+4. The winning pair is applied map-only: an exact literal substring
+   containment test (``" l r "`` in the space-padded repr — exact because
+   symbols contain no spaces) prefilters the few words containing the
+   pair; only those run the left-to-right non-overlapping merge scan. The
+   table re-materializes per iteration (it is vocab-bounded; chaining lazy
+   lineage would re-run all previous merges each pass).
+
+Determinism / oracle exactness: counts are exact integers, the argmax
+tie-breaks on (count DESC, left, right) with Python codepoint order ==
+DuckDB binary-collation UTF-8 order, and the merge scan is the standard
+greedy left-to-right non-overlap — the identical semantics the SQL mirror
+(`oracle._bpe_merges_sql`) recomputes per merge with a recursive CTE
+stepping an index over each word's symbol list. Nothing floats, so the fit
+is invariant to block boundaries and batch order.
+
+At 100 TB: the corpus is read once; every merge iteration moves at most
+the distinct-adjacent-pair table (vocab-scale, ~10⁸ rows at web scale —
+a small shuffle), and the driver holds one row per block. Encoding the
+corpus under the learned merges is a separate map-only pass
+(:func:`bpe_piece_counts`).
+
+Reference scope: the reference app has no tokenizer training; this is a
+beyond-reference training-data operator (SURVEY.md §2 extension family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+EOW = "</w>"
+
+
+def _word_table(ds, text_col: str):
+    """Corpus → exact ``(token, n)`` frequency table (the one corpus-sized
+    pass; batch-local Counter combiner bounds the exchange)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df[text_col]:
+            c.update(TOKEN_RE.findall(t))
+        return pd.DataFrame({"token": list(c.keys()), "n": list(c.values())})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return grouped(parts, "token").aggregate(Sum("n", alias_name="n"))
+
+
+def _init_segs(df: pd.DataFrame) -> pd.DataFrame:
+    """token → space-joined codepoint symbols, last one marked ``</w>``."""
+    df = df.copy()
+    df["syms"] = [" ".join(list(t[:-1]) + [t[-1] + EOW]) for t in df["token"]]
+    return df
+
+
+def _pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Batch-local exact pair counts: flatten all symbol lists, shift once,
+    mask word boundaries, weight by word count — no per-symbol Python."""
+    sym_lists = [s.split(" ") for s in df["syms"]]
+    lens = np.fromiter((len(s) for s in sym_lists), dtype=np.int64,
+                       count=len(sym_lists))
+    if len(lens) == 0 or (lens <= 1).all():
+        return pd.DataFrame({"left_sym": pd.Series([], dtype=str),
+                             "right_sym": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype=np.int64)})
+    flat = np.concatenate([np.asarray(s, dtype=object) for s in sym_lists])
+    # position i pairs with i+1 unless i is a word's last symbol
+    ends = np.cumsum(lens) - 1                      # last index of each word
+    keep = np.ones(len(flat) - 1, dtype=bool)
+    keep[ends[ends < len(flat) - 1]] = False
+    w = np.repeat(df["n"].to_numpy(np.int64), lens)[:-1][keep]
+    part = pd.DataFrame({"left_sym": flat[:-1][keep],
+                         "right_sym": flat[1:][keep], "n": w})
+    out = part.groupby(["left_sym", "right_sym"], as_index=False,
+                       sort=False)["n"].sum()
+    out["left_sym"] = out["left_sym"].astype(str)
+    out["right_sym"] = out["right_sym"].astype(str)
+    return out
+
+
+def _block_top1(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-block winner after the exact pair groupby: the global argmax is
+    the argmax of block winners, so the driver ingests ≤ 1 row per block."""
+    if df.empty:
+        return df
+    return df.sort_values(["n", "left_sym", "right_sym"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(1)
+
+
+def _top_pair(seg_ds):
+    """Exact global best pair: (max count, then lexicographic min pair)."""
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    parts = seg_ds.map_batches(_pair_partials, batch_format="pandas")
+    counts = grouped(parts, ["left_sym", "right_sym"]).aggregate(
+        Sum("n", alias_name="n"))
+    winners = counts.map_batches(_block_top1, batch_format="pandas").take_all()
+    if not winners:
+        return None
+    best = min(winners,
+               key=lambda r: (-r["n"], r["left_sym"], r["right_sym"]))
+    return best["left_sym"], best["right_sym"], int(best["n"])
+
+
+def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge — the exact semantics the
+    oracle's recursive CTE steps through per word."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _apply_merge(df: pd.DataFrame, left: str, right: str) -> pd.DataFrame:
+    """Map-only merge application with an exact containment prefilter:
+    symbols contain no spaces, so ``" left right "`` appearing in the
+    space-padded repr ⇔ the pair occurs — only those rows run the scan."""
+    df = df.copy()
+    padded = " " + df["syms"] + " "
+    hit = padded.str.contains(" " + left + " " + right + " ", regex=False)
+    if hit.any():
+        df.loc[hit, "syms"] = [
+            " ".join(_merge_word(s.split(" "), left, right))
+            for s in df.loc[hit, "syms"]
+        ]
+    return df
+
+
+def fit_bpe(ds, *, text_col: str = "text", num_merges: int = 8):
+    """Learn the first ``num_merges`` BPE merges from a document Dataset.
+
+    Returns ``(merges, seg_ds)``: ``merges`` is a list of
+    ``{rank, left_sym, right_sym, pair_count}`` (rank is 1-based merge
+    order) and ``seg_ds`` the final segmented word-frequency table
+    ``(token, n, syms)`` under the learned vocabulary. Runs out of pairs
+    (vocabulary fully merged) → stops early with fewer rows; callers that
+    mirror a fixed-depth oracle should assert ``len(merges) == num_merges``.
+    """
+    seg = _word_table(ds, text_col).map_batches(
+        _init_segs, batch_format="pandas").materialize()
+    merges: list[dict] = []
+    for rank in range(1, num_merges + 1):
+        best = _top_pair(seg)
+        if best is None:
+            break
+        left, right, cnt = best
+        merges.append({"rank": rank, "left_sym": left, "right_sym": right,
+                       "pair_count": cnt})
+        seg = seg.map_batches(
+            lambda df, l=left, r=right: _apply_merge(df, l, r),
+            batch_format="pandas").materialize()
+    return merges, seg
+
+
+def encode_word(token: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode ONE word under an ordered merge list (merge-rank priority,
+    each applied greedily left-to-right — subword-nmt apply semantics for
+    an ordered merge table)."""
+    syms = list(token[:-1]) + [token[-1] + EOW] if token else []
+    for left, right in merges:
+        if len(syms) < 2:
+            break
+        syms = _merge_word(syms, left, right)
+    return syms
+
+
+def bpe_piece_counts(ds, merges: list[tuple[str, str]], *,
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-sized APPLY pass: per-doc piece count under a learned merge
+    table. Map-only; the merge list is tiny and ships in the closure. Each
+    batch encodes its distinct tokens once (batch-local cache) and sums
+    counts per doc — per-batch work is O(batch distinct tokens × merges)."""
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+
+        def doc_pieces(text: str) -> int:
+            total = 0
+            for t in TOKEN_RE.findall(text):
+                got = cache.get(t)
+                if got is None:
+                    got = cache[t] = len(encode_word(t, merges))
+                total += got
+            return total
+
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_pieces": np.fromiter((doc_pieces(t) for t in df[text_col]),
+                                    dtype=np.int64, count=len(df)),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

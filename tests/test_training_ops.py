@@ -1855,3 +1855,99 @@ class TestBpePretokenCount:
             pa.array(texts), BPE_PRETOKEN_RE
         ).to_pylist()
         assert got == [len(re.findall(BPE_PRETOKEN_RE, t)) for t in texts]
+
+
+class TestBpeFit:
+    """Distributed BPE induction equals a clean-room serial Sennrich loop
+    (dict-based, no shared code with the stage) on a planted corpus, is
+    invariant to block layout, and the encode pass equals per-word serial
+    encoding."""
+
+    ROWS = [
+        {"doc_id": i, "text": t}
+        for i, t in enumerate([
+            "the cat sat on the mat",
+            "the cats sat",
+            "low lower lowest",
+            "newer newest new",
+            "the the the widest wider wide",
+            "a I a I x",  # single-char words: no pairs beyond c+</w>
+        ])
+    ]
+
+    @classmethod
+    def _serial(cls, rows, num_merges):
+        import re
+        from collections import Counter
+
+        tok = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+        wf: Counter = Counter()
+        for r in rows:
+            wf.update(tok.findall(r["text"]))
+        segs = {w: tuple(list(w[:-1]) + [w[-1] + "</w>"]) for w in wf}
+        merges = []
+        for rank in range(1, num_merges + 1):
+            pc: Counter = Counter()
+            for w, n in wf.items():
+                s = segs[w]
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] += n
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, c))
+            for w in wf:
+                s, out, i = segs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = tuple(out)
+        return merges, segs
+
+    def test_matches_serial_and_layout_invariant(self, ray_session):
+        from corpusaid_ray.stages.bpe import fit_bpe
+
+        want, _ = self._serial(self.ROWS, 6)
+        for parallelism in (1, 5):
+            merges, _ = fit_bpe(
+                _docs_ds(ray_session, self.ROWS, parallelism), num_merges=6
+            )
+            got = [
+                (m["rank"], m["left_sym"], m["right_sym"], m["pair_count"])
+                for m in merges
+            ]
+            assert got == want, parallelism
+        assert len(want) == 6
+
+    def test_encode_matches_fit_segmentation(self, ray_session):
+        import re
+
+        from corpusaid_ray.stages.bpe import bpe_piece_counts, fit_bpe
+
+        tok = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+        merges, _ = fit_bpe(_docs_ds(ray_session, self.ROWS), num_merges=6)
+        pairs = [(m["left_sym"], m["right_sym"]) for m in merges]
+        _, segs = self._serial(self.ROWS, 6)
+        want = {
+            r["doc_id"]: sum(len(segs[t]) for t in tok.findall(r["text"]))
+            for r in self.ROWS
+        }
+        got = {
+            r["doc_id"]: r["n_pieces"]
+            for r in bpe_piece_counts(
+                _docs_ds(ray_session, self.ROWS), pairs
+            ).take_all()
+        }
+        assert got == want
+
+    def test_runs_dry_stops_early(self, ray_session):
+        # every word one codepoint → zero adjacent pairs ever
+        from corpusaid_ray.stages.bpe import fit_bpe
+
+        rows = [{"doc_id": 0, "text": "a b c a b"}]
+        merges, _ = fit_bpe(_docs_ds(ray_session, rows, 1), num_merges=4)
+        assert merges == []
