@@ -2502,6 +2502,33 @@ def q_bpe_encode(sf_dir: str):
     return bpe_piece_counts(docs, pairs)
 
 
+def q_pagerank(sf_dir: str):
+    """Similarity-graph centrality: int64 fixed-point PageRank (4 power
+    iterations, damping 85/100) over the exact cosine 3-NN graph — the
+    representative-document signal (which docs the semantic neighborhood
+    keeps pointing at). Every iteration is a keyed exchange (contribution
+    join → gather groupby → apply join); scores never land on the driver
+    or in a broadcast, because at 100 TB the score table is corpus-sized.
+    Bit-equal to the SQL mirror because nothing floats
+    (`stages/pagerank.py`; mirror `oracle._pagerank_sql` reuses the
+    knn_graph oracle as its edge CTE)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.pagerank import pagerank
+    from corpusaid_ray.stages.similarity import knn_graph
+
+    corpus = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    edges = knn_graph(ds, corpus, k=3)
+    out = pagerank(edges, src_col="vec_id", dst_col="nbr_id", iters=4)
+    return out.map_batches(
+        lambda df: df.rename(columns={"node": "vec_id"}),
+        batch_format="pandas")
+
+
 def q_heavy_hitters(sf_dir: str):
     """Guaranteed-exact distributed heavy hitters (words with count·k > N,
     k=50): per-batch Misra-Gries summaries (≤ k+1 rows per batch over the
@@ -2886,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": q_bpe_token_stats,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "pagerank": q_pagerank,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

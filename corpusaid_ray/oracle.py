@@ -2866,3 +2866,44 @@ GROUP BY t.doc_id"""
 
 ORACLE_SQL["bpe_merges"] = _bpe_merges_sql(8)
 ORACLE_SQL["bpe_encode"] = _bpe_encode_sql(8)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank mirror (stages/pagerank.py)
+# ---------------------------------------------------------------------------
+
+def _pagerank_sql(iters: int = 4, damping_pct: int = 85) -> str:
+    """Mirror of q_pagerank: the knn_graph oracle (prefix reuse — the edge
+    derivation cannot drift from the already-verified query) feeds the same
+    int64 fixed-point power iterations unrolled as MATERIALIZED CTEs. All
+    divisions are ``//`` on non-negative BIGINTs, so every intermediate is
+    bit-equal to the engine's numpy int64 arithmetic by construction."""
+    scale = 10**12
+    parts = [f"""
+edges AS MATERIALIZED (
+  SELECT vec_id AS src, nbr_id AS dst FROM ({ORACLE_SQL["knn_graph"]})),
+deg AS MATERIALIZED (
+  SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT v AS node
+  FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+pr0 AS MATERIALIZED (
+  SELECT node, ({scale} // nn.n)::BIGINT AS pr FROM nodes, nn)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f"""
+inc{k} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.pr // d.outdeg)::BIGINT AS s
+  FROM edges e JOIN pr{p} p ON e.src = p.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst),
+pr{k} AS MATERIALIZED (
+  SELECT m.node,
+         (({scale} * {100 - damping_pct}) // (100 * nn.n)
+          + ({damping_pct} * coalesce(i.s, 0)) // 100)::BIGINT AS pr
+  FROM nodes m CROSS JOIN nn LEFT JOIN inc{k} i ON m.node = i.node)""")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT node AS vec_id, pr AS pr_fp FROM pr{iters}")
+
+
+ORACLE_SQL["pagerank"] = _pagerank_sql(4, 85)

@@ -1,0 +1,135 @@
+"""Distributed fixed-point PageRank (Page et al. 1999, public) over an
+edge Dataset — similarity-graph centrality for representative-document
+selection (rank docs by how central they sit in the KNN semantic graph;
+the curation twin of near-dup clustering: instead of dropping redundant
+docs, surface the most-referenced ones).
+
+Shape per power iteration (the Pregel-style exchange — every step is a
+keyed shuffle, never a broadcast, because the score table is CORPUS-sized
+at 100 TB and can never land on the driver or in a ``ray.put``):
+
+1. **Contribution join**: ``edges (src, dst, outdeg) ⨝ scores (src, pr)``
+   — hash-partitioned ``Dataset.join`` through
+   :func:`util.join_partitions` — then a map computes per-edge
+   ``contrib = pr // outdeg``.
+2. **Gather**: ``groupby(dst).sum(contrib)`` (through :func:`util.grouped`)
+   — the incoming-mass table, ≤ one row per node.
+3. **Apply**: ``nodes LEFT OUTER ⨝ incoming``; missing mass coalesces to 0
+   and the new score is ``teleport + (damping_pct · inc) // 100``.
+
+Everything is INT64 FIXED-POINT (scores scaled by ``SCALE = 10¹²``), all
+divisions are floor divisions of non-negative ints, so the result is
+bit-equal across block layouts, join orders and engines — the property the
+SQL mirror (`oracle._pagerank_sql`) relies on when it unrolls the same
+iterations as chained MATERIALIZED CTEs. Overflow headroom: total mass
+≤ SCALE + N (each node's floor teleport), so ``damping_pct · inc`` stays
+≤ 10¹⁴ ≪ 2⁶³.
+
+Semantics pinned (documented divergence from the textbook formulation):
+dangling nodes (no out-edges) DROP their mass rather than redistributing
+it — the teleport term keeps every score positive, and a KNN graph has no
+dangling nodes (every vector emits exactly k edges). Node set = distinct
+sources ∪ destinations.
+
+Reference scope: beyond-reference training-data operator (the reference
+app has no graph analytics); SURVEY.md §2 extension family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SCALE = 10**12
+
+
+def pagerank(edges, *, src_col: str, dst_col: str, iters: int = 4,
+             damping_pct: int = 85):
+    """PageRank over an edge Dataset. Returns a Dataset
+    ``(node, pr_fp)`` — int64 fixed-point scores (× 10⁻¹² for the float
+    value). ``damping_pct`` is the integer damping factor (85 = 0.85)."""
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import drop_empty_blocks, grouped, join_partitions
+
+    def to_src_dst(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df[src_col].astype(np.int64),
+                             "dst": df[dst_col].astype(np.int64)})
+
+    e = edges.map_batches(to_src_dst, batch_format="pandas")
+    deg = grouped(e, "src").count()  # (src, count())
+
+    def deg_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df["src"].astype(np.int64),
+                             "outdeg": df["count()"].astype(np.int64)})
+
+    # every aggregate output must pass drop_empty_blocks before a join —
+    # sort-shuffle blocks can be zero-column empties that crash acero
+    deg = drop_empty_blocks(deg.map_batches(deg_cols, batch_format="pandas"))
+
+    # node set = sources ∪ destinations (exact distinct via groupby)
+    both = e.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": pd.concat([df["src"], df["dst"]]).unique()}),
+        batch_format="pandas")
+    nodes = drop_empty_blocks(grouped(both, "node").count().map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].astype(np.int64)}),
+        batch_format="pandas"))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda df: df.assign(pr_fp=np.int64(0)), batch_format="pandas")
+
+    # each join partition is an aggregator ACTOR; 13 joins of a small graph
+    # at the CPU-sized default spin up hundreds of actors of pure overhead.
+    # Size to the data (≈100k nodes per partition), capped by the CPU rule.
+    nparts = max(2, min(join_partitions(), n_nodes // 100_000 + 2))
+    # edges with outdeg attached once — reused every iteration
+    ew = drop_empty_blocks(
+        e.join(deg, join_type="inner", num_partitions=nparts, on=("src",)))
+
+    init_pr = SCALE // n_nodes
+    teleport = (SCALE * (100 - damping_pct)) // (100 * n_nodes)
+
+    scores = nodes.map_batches(
+        lambda df: pd.DataFrame({"src": df["node"],
+                                 "pr": np.int64(init_pr)}),
+        batch_format="pandas").materialize()  # from nodes: no empties
+
+    # nodes as zero-mass contribution rows, unioned into every gather so
+    # the groupby emits EXACTLY one row per node — replaces a per-iteration
+    # LEFT OUTER apply-join (and its aggregator-actor spin-up) with a free
+    # union into the shuffle that already runs
+    zero_rows = nodes.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].astype(np.int64),
+                                 "c": np.zeros(len(df), np.int64)}),
+        batch_format="pandas").materialize()
+
+    for _ in range(iters):
+        contrib = ew.join(scores, join_type="inner",
+                          num_partitions=nparts, on=("src",)).map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["dst"].astype(np.int64),
+                "c": df["pr"].to_numpy(np.int64)
+                     // df["outdeg"].to_numpy(np.int64),
+            }), batch_format="pandas")
+        inc = grouped(contrib.union(zero_rows), "node").aggregate(
+            Sum("c", alias_name="c"))
+
+        def apply(df: pd.DataFrame) -> pd.DataFrame:
+            inc_v = df["c"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "src": df["node"].astype(np.int64),
+                "pr": teleport + (damping_pct * inc_v) // 100,
+            })
+
+        # scores feeds next iteration's join: scrub aggregate-output
+        # empties (drop_empty_blocks also materializes, keeping each
+        # iteration's lineage flat)
+        scores = drop_empty_blocks(
+            inc.map_batches(apply, batch_format="pandas"))
+
+    return scores.map_batches(
+        lambda df: pd.DataFrame({"node": df["src"].astype(np.int64),
+                                 "pr_fp": df["pr"].astype(np.int64)}),
+        batch_format="pandas")

@@ -101,3 +101,25 @@ def join_partitions(cap: int = 64) -> int:
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(2, min(cap, 2 * cpus))
+
+
+def drop_empty_blocks(ds):
+    """Make a Dataset safe as a ``Dataset.join`` input: sort-based
+    groupby/aggregate outputs can contain ZERO-COLUMN empty blocks, and a
+    join partition holding one crashes in ``pa.Table.join`` ("No match or
+    multiple matches for key field reference" — the empty block has no key
+    field; ``map_batches`` never sees empty blocks, so it cannot repair
+    them). Materializes (aggregates already have) and rebuilds from the
+    non-empty block REFS — object-store references only, nothing is pulled
+    to the driver."""
+    import ray
+    import ray.data
+
+    mat = ds.materialize()
+    refs = [ref
+            for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks
+            if meta.num_rows]
+    if not refs:
+        return mat
+    return ray.data.from_arrow_refs(refs)

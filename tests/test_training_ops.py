@@ -1951,3 +1951,65 @@ class TestBpeFit:
         rows = [{"doc_id": 0, "text": "a b c a b"}]
         merges, _ = fit_bpe(_docs_ds(ray_session, rows, 1), num_merges=4)
         assert merges == []
+
+
+class TestPagerank:
+    """Fixed-point PageRank equals a serial integer reference (same pinned
+    arithmetic) on a planted digraph — including a dangling node (appears
+    only as a destination: keeps teleport + gathered mass, contributes
+    nothing) — and is invariant to block layout."""
+
+    EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (2, 1), (5, 1), (1, 6)]
+
+    @classmethod
+    def _serial(cls, edges, iters):
+        from corpusaid_ray.stages.pagerank import SCALE
+
+        nodes = sorted({x for e in edges for x in e})
+        n = len(nodes)
+        outdeg: dict = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        pr = {v: SCALE // n for v in nodes}
+        tele = (SCALE * 15) // (100 * n)
+        for _ in range(iters):
+            inc = {v: 0 for v in nodes}
+            for s, d in edges:
+                inc[d] += pr[s] // outdeg[s]
+            pr = {v: tele + (85 * inc[v]) // 100 for v in nodes}
+        return pr
+
+    def test_matches_serial_and_layout_invariant(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.pagerank import pagerank
+
+        t = pa.Table.from_pylist(
+            [{"a": s, "b": d} for s, d in self.EDGES])
+        want = self._serial(self.EDGES, 4)
+        for par in (1, 4):
+            ds = ray.data.from_arrow(t).repartition(par)
+            got = {
+                r["node"]: r["pr_fp"]
+                for r in pagerank(ds, src_col="a", dst_col="b",
+                                  iters=4).take_all()
+            }
+            assert got == want, par
+        # the dangling node is present and holds more than bare teleport
+        n = len(want)
+        from corpusaid_ray.stages.pagerank import SCALE
+        assert want[6] > (SCALE * 15) // (100 * n)
+
+    def test_mass_conservation_bound(self, ray_session):
+        # without dangling nodes total mass stays within N of SCALE
+        # (each node's floor() loses < 1 unit per term)
+        import ray.data
+
+        from corpusaid_ray.stages.pagerank import SCALE, pagerank
+
+        edges = [(1, 2), (2, 3), (3, 1)]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pylist([{"a": s, "b": d} for s, d in edges]))
+        got = pagerank(ds, src_col="a", dst_col="b", iters=6).take_all()
+        total = sum(r["pr_fp"] for r in got)
+        assert abs(total - SCALE) < 20 * len(got)
