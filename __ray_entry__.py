@@ -2502,6 +2502,50 @@ def q_bpe_encode(sf_dir: str):
     return bpe_piece_counts(docs, pairs)
 
 
+def q_ols_length_model(sf_dir: str):
+    """Exact distributed OLS (chars ~ words) via integer sufficient
+    statistics: one streaming pass reduces the corpus to five integers
+    (O(blocks) driver ingress, the kmeans mini-reduce root), closed-form
+    coefficients as exact integer ratios emitted in micro fixed-point with
+    TRUNCATING division (DuckDB ``//`` semantics — the engine adapts).
+    `stages/regression.py`."""
+    import pyarrow as pa_
+    import ray.data
+
+    from corpusaid_ray.stages.regression import fit_ols
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "n_chars"])
+    n, slope_micro, intercept_micro = fit_ols(ds)
+    return pa_.table({
+        "n_docs": pa_.array([n], pa_.int64()),
+        "slope_micro": pa_.array([slope_micro], pa_.int64()),
+        "intercept_micro": pa_.array([intercept_micro], pa_.int64()),
+    })
+
+
+def q_ols_outliers(sf_dir: str):
+    """The curation signal from the length model: top 20 docs by absolute
+    residual (chars far off the corpus-wide chars-per-word trend — binary
+    junk / tables / minified blobs). Fit (five driver ints) → map-only
+    residual pass → global top-k sort on |res_micro| with doc_id
+    tie-break."""
+    import pyarrow.compute as pc_
+    import ray.data
+
+    from corpusaid_ray.stages.regression import fit_ols, residuals
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+    _, slope_micro, intercept_micro = fit_ols(ds)
+    res = residuals(ds, slope_micro, intercept_micro)
+    ranked = res.map_batches(
+        lambda t: t.append_column("abs_res", pc_.abs(t["res_micro"])),
+        batch_format="pyarrow",
+    ).sort(["abs_res", "doc_id"], descending=[True, False]).limit(20)
+    return ranked.select_columns(["doc_id", "res_micro"])
+
+
 def q_pagerank(sf_dir: str):
     """Similarity-graph centrality: int64 fixed-point PageRank (4 power
     iterations, damping 85/100) over the exact cosine 3-NN graph — the
@@ -2914,6 +2958,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "pagerank": q_pagerank,
+        "ols_length_model": q_ols_length_model,
+        "ols_outliers": q_ols_outliers,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -2907,3 +2907,38 @@ pr{k} AS MATERIALIZED (
 
 
 ORACLE_SQL["pagerank"] = _pagerank_sql(4, 85)
+
+
+# ---------------------------------------------------------------------------
+# Exact OLS via integer sufficient statistics (stages/regression.py)
+# ---------------------------------------------------------------------------
+
+_OLS_STATS = r"""
+s AS MATERIALIZED (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(x::HUGEINT * x)::HUGEINT AS sxx,
+         sum(x::HUGEINT * y)::HUGEINT AS sxy
+  FROM (SELECT length(regexp_extract_all(text, '\S+'))::BIGINT AS x,
+               n_chars::BIGINT AS y
+        FROM documents)),
+m AS MATERIALIZED (
+  SELECT n::BIGINT AS n_docs,
+         (((n*sxy - sx*sy) * 1000000) // (n*sxx - sx*sx))::BIGINT
+           AS slope_micro,
+         (((sy*sxx - sx*sxy) * 1000000) // (n*sxx - sx*sx))::BIGINT
+           AS intercept_micro
+  FROM s)"""
+
+# HUGEINT // truncates toward zero — the engine's trunc_div pins the SAME
+# semantics (Python // floors, so the engine adapts, not the SQL).
+ORACLE_SQL["ols_length_model"] = f"WITH {_OLS_STATS}\nSELECT * FROM m"
+
+ORACLE_SQL["ols_outliers"] = f"""WITH {_OLS_STATS}
+SELECT doc_id,
+       (y * 1000000 - (m.slope_micro * x + m.intercept_micro))::BIGINT
+         AS res_micro
+FROM (SELECT doc_id, length(regexp_extract_all(text, '\\S+'))::BIGINT AS x,
+             n_chars::BIGINT AS y
+      FROM documents), m
+ORDER BY abs(res_micro) DESC, doc_id
+LIMIT 20"""

@@ -1,0 +1,104 @@
+"""Exact distributed simple linear regression via integer sufficient
+statistics — the statistical-model twin of the k-means fit: ONE streaming
+pass reduces the corpus to five integers ``(n, Σx, Σy, Σx², Σxy)``, the
+driver combines them in arbitrary-precision Python ints, and the
+closed-form OLS solution comes out as exact integer ratios:
+
+    slope     = (n·Σxy − Σx·Σy) / den,   den = n·Σx² − (Σx)²  (≥ 0)
+    intercept = (Σy·Σx² − Σx·Σxy) / den
+
+Both are emitted in micro fixed-point via TRUNCATING division
+(``trunc_div`` — toward zero, pinned because DuckDB's ``//`` truncates
+while Python's floors; the engine matches DuckDB, not the other way
+round, so the SQL mirror can stay a plain ``//`` over HUGEINT casts).
+
+The curation signal is the RESIDUAL pass: a second map-only pass scores
+``res_micro = y·10⁶ − (slope_micro·x + intercept_micro)`` per doc — docs
+whose target is far off the corpus-wide linear trend (e.g. characters vs
+words: binary junk, tables, minified blobs have anomalous chars-per-word).
+``slope_micro``/``intercept_micro`` are data-scale-free magnitudes, so the
+residual arithmetic stays comfortably inside int64 at any corpus size;
+the sufficient-statistic PARTIALS are int64 per batch (documented bound:
+batch_rows·x·y < 2⁶³) and exact unbounded Python ints on the driver.
+
+At 100 TB: the fit moves five integers per batch to the driver — O(blocks)
+driver ingress, the same mini-reduce root as ``stages/kmeans``; the
+residual pass is map-only with five ints in the closure.
+
+Beyond-reference training-data operator (SURVEY.md §2 extension family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+FP = 1_000_000
+
+
+def trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero (DuckDB ``//`` semantics;
+    Python's ``//`` floors, which differs for negative numerators)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _word_count_col(tbl: pa.Table, text_col: str) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    return pc.count_substring_regex(
+        tbl[text_col], r"\S+").cast("int64").to_numpy(zero_copy_only=False)
+
+
+def fit_ols(ds, *, text_col: str = "text", y_col: str = "n_chars"):
+    """One-pass exact OLS of ``y_col`` on x = whitespace-run word count.
+
+    Returns ``(n, slope_micro, intercept_micro)`` — plain Python ints.
+    Raises on a degenerate design (constant x: den = 0)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = _word_count_col(tbl, text_col)
+        y = tbl[y_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    n = sx = sy = sxx = sxy = 0  # exact unbounded Python ints
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        n += int(pa.compute.sum(b["n"]).as_py() or 0)
+        sx += int(pa.compute.sum(b["sx"]).as_py() or 0)
+        sy += int(pa.compute.sum(b["sy"]).as_py() or 0)
+        sxx += int(pa.compute.sum(b["sxx"]).as_py() or 0)
+        sxy += int(pa.compute.sum(b["sxy"]).as_py() or 0)
+    den = n * sxx - sx * sx
+    if den == 0:
+        raise ValueError("fit_ols: degenerate design (constant word count)")
+    slope_micro = trunc_div((n * sxy - sx * sy) * FP, den)
+    intercept_micro = trunc_div((sy * sxx - sx * sxy) * FP, den)
+    return n, slope_micro, intercept_micro
+
+
+def residuals(ds, slope_micro: int, intercept_micro: int, *,
+              text_col: str = "text", y_col: str = "n_chars",
+              id_col: str = "doc_id"):
+    """Map-only residual scoring: ``res_micro = y·10⁶ − (slope_micro·x +
+    intercept_micro)`` per doc (int64 throughout — the coefficients are
+    scale-free). Returns a Dataset ``(id_col, res_micro)``."""
+    s, b = int(slope_micro), int(intercept_micro)
+
+    def score(tbl: pa.Table) -> pa.Table:
+        x = _word_count_col(tbl, text_col)
+        y = tbl[y_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        res = y * FP - (s * x + b)
+        return pa.table({
+            id_col: tbl[id_col],
+            "res_micro": pa.array(res, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

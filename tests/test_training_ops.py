@@ -2013,3 +2013,76 @@ class TestPagerank:
         got = pagerank(ds, src_col="a", dst_col="b", iters=6).take_all()
         total = sum(r["pr_fp"] for r in got)
         assert abs(total - SCALE) < 20 * len(got)
+
+
+class TestOlsSufficientStats:
+    """Exact OLS: engine coefficients equal a Fraction-exact serial
+    computation under the pinned truncating division — including a planted
+    NEGATIVE-slope corpus (where Python's floor and DuckDB's trunc
+    division disagree, so the pinning is load-bearing) — and the fit is
+    block-layout invariant."""
+
+    @staticmethod
+    def _rows(slope_sign):
+        # y ≈ sign*5*x + 40000 + deterministic jitter; x = word count
+        rows = []
+        for i in range(40):
+            x = 3 + (i * 7) % 23
+            y = slope_sign * 5 * x + 40000 + ((i * 13) % 11) - 5
+            rows.append({"doc_id": i, "text": " ".join(["w"] * x),
+                         "n_chars": y})
+        return rows
+
+    @staticmethod
+    def _serial(rows):
+        from fractions import Fraction
+
+        from corpusaid_ray.stages.regression import FP, trunc_div
+
+        xs = [len(r["text"].split()) for r in rows]
+        ys = [r["n_chars"] for r in rows]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = n * sxx - sx * sx
+        slope = trunc_div((n * sxy - sx * sy) * FP, den)
+        inter = trunc_div((sy * sxx - sx * sxy) * FP, den)
+        # sanity: micro fixed-point is within 1 unit of the exact rational
+        assert abs(slope - Fraction((n * sxy - sx * sy) * FP, den)) <= 1
+        return slope, inter
+
+    def test_fit_exact_and_layout_invariant(self, ray_session):
+        from corpusaid_ray.stages.regression import fit_ols
+
+        for sign in (1, -1):
+            rows = self._rows(sign)
+            want = self._serial(rows)
+            for par in (1, 7):
+                _, s, b = fit_ols(_docs_ds(ray_session, rows, par))
+                assert (s, b) == want, (sign, par)
+            assert (want[0] < 0) == (sign < 0)
+
+    def test_trunc_div_matches_duckdb(self):
+        import duckdb
+
+        from corpusaid_ray.stages.regression import trunc_div
+
+        con = duckdb.connect()
+        for a in (-7, -1, 0, 1, 7, -1000001, 999999):
+            for b in (2, 3, 1000000):
+                got = con.execute(f"SELECT {a}::HUGEINT // {b}").fetchone()[0]
+                assert trunc_div(a, b) == got, (a, b)
+
+    def test_residuals_formula(self, ray_session):
+        from corpusaid_ray.stages.regression import (FP, fit_ols, residuals)
+
+        rows = self._rows(1)
+        _, s, b = fit_ols(_docs_ds(ray_session, rows))
+        got = {
+            r["doc_id"]: r["res_micro"]
+            for r in residuals(_docs_ds(ray_session, rows), s, b).take_all()
+        }
+        for r in rows:
+            x = len(r["text"].split())
+            assert got[r["doc_id"]] == r["n_chars"] * FP - (s * x + b)
