@@ -267,9 +267,14 @@ def tfidf_topk_joined(docs, n_docs: int, *, k: int = 3,
         return pd.DataFrame({"token": g["token"],
                              "df": g["size"].astype("int64")})
 
-    df_ds = grouped(
+    from corpusaid_ray.util import drop_empty_blocks
+
+    # aggregate outputs can hold zero-column empty blocks that crash a
+    # downstream Dataset.join (util.drop_empty_blocks docstring) — this
+    # path only worked by layout luck before
+    df_ds = drop_empty_blocks(grouped(
         tf_ds.map_batches(df_partial, batch_format="pandas"), "token"
-    ).aggregate(Sum("df", alias_name="df"))
+    ).aggregate(Sum("df", alias_name="df")))
 
     joined = tf_ds.join(
         df_ds, join_type="inner", num_partitions=num_partitions,

@@ -35,7 +35,11 @@ def hash_join(left, right, *, on: str, num_partitions: int | None = None,
     """Large ⨝ large via Ray's hash-partitioned join (one shuffle per side).
     Partition count defaults to ``util.join_partitions()`` (≤ 2× cluster
     CPUs — each partition is an aggregator actor; over-requesting deadlocks
-    small clusters, see BASELINE.md r3)."""
+    small clusters, see BASELINE.md r3).
+
+    CAUTION: a side that comes from ``groupby().aggregate(...)`` can carry
+    zero-column EMPTY blocks that crash the per-partition ``pa.Table.join``
+    — pass such inputs through ``util.drop_empty_blocks`` first."""
     if num_partitions is None:
         from corpusaid_ray.util import join_partitions
 

@@ -2086,3 +2086,41 @@ class TestOlsSufficientStats:
         for r in rows:
             x = len(r["text"].split())
             assert got[r["doc_id"]] == r["n_chars"] * FP - (s * x + b)
+
+
+class TestDropEmptyBlocks:
+    """Regression for the aggregate-output → Dataset.join crash: sort-based
+    groupby/aggregate can emit a ZERO-COLUMN empty block, which the join's
+    per-partition pa.Table.join rejects ("No match ... for key field").
+    drop_empty_blocks rebuilds from the non-empty refs and the join works."""
+
+    def test_join_after_aggregate(self, ray_session):
+        import ray
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        from corpusaid_ray.util import drop_empty_blocks
+
+        t = pa.Table.from_pylist(
+            [{"node": 1, "c": 5}, {"node": 1, "c": 2}, {"node": 2, "c": 1}])
+        inc = (ray.data.from_arrow(t).repartition(2)
+               .groupby("node").aggregate(Sum("c", alias_name="c")))
+        clean = drop_empty_blocks(inc)
+        for ref in clean.iter_internal_ref_bundles():
+            for _, meta in ref.blocks:
+                assert meta.num_rows > 0
+        nodes = ray.data.from_arrow(
+            pa.table({"node": pa.array([1, 2, 3], pa.int64())}))
+        j = nodes.join(clean, join_type="left_outer", num_partitions=4,
+                       on=("node",))
+        got = {r["node"]: r["c"] for r in j.take_all()}
+        assert got == {1: 7, 2: 1, 3: None}
+
+    def test_all_empty_passthrough(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.util import drop_empty_blocks
+
+        ds = ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64())}))
+        assert drop_empty_blocks(ds).count() == 0
