@@ -2546,6 +2546,21 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_ols_by_lang(sf_dir: str):
+    """Per-language length models (group-wise exact OLS): the sufficient-
+    statistics pattern under a groupby — one partial row per (lang × batch)
+    over the exchange, coefficients derived in a final map with the pinned
+    trunc_div; degenerate groups excluded on both sides
+    (`stages/regression.fit_ols_by_group`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.regression import fit_ols_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text", "n_chars"])
+    return fit_ols_by_group(ds, group_col="lang")
+
+
 def q_pagerank(sf_dir: str):
     """Similarity-graph centrality: int64 fixed-point PageRank (4 power
     iterations, damping 85/100) over the exact cosine 3-NN graph — the
@@ -2960,6 +2975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "ols_length_model": q_ols_length_model,
         "ols_outliers": q_ols_outliers,
+        "ols_by_lang": q_ols_by_lang,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -2942,3 +2942,22 @@ FROM (SELECT doc_id, length(regexp_extract_all(text, '\\S+'))::BIGINT AS x,
       FROM documents), m
 ORDER BY abs(res_micro) DESC, doc_id
 LIMIT 20"""
+
+
+ORACLE_SQL["ols_by_lang"] = r"""
+WITH g AS MATERIALIZED (
+  SELECT lang, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy,
+         sum(x::HUGEINT * x)::HUGEINT AS sxx,
+         sum(x::HUGEINT * y)::HUGEINT AS sxy
+  FROM (SELECT lang, length(regexp_extract_all(text, '\S+'))::BIGINT AS x,
+               n_chars::BIGINT AS y
+        FROM documents)
+  GROUP BY lang)
+SELECT lang, n::BIGINT AS n_docs,
+       (((n*sxy - sx*sy) * 1000000) // (n*sxx - sx*sx))::BIGINT
+         AS slope_micro,
+       (((sy*sxx - sx*sxy) * 1000000) // (n*sxx - sx*sx))::BIGINT
+         AS intercept_micro
+FROM g
+WHERE n*sxx - sx*sx != 0"""

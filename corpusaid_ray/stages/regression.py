@@ -102,3 +102,60 @@ def residuals(ds, slope_micro: int, intercept_micro: int, *,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def fit_ols_by_group(ds, *, group_col: str = "lang",
+                     text_col: str = "text", y_col: str = "n_chars"):
+    """Group-wise exact OLS: the same five sufficient statistics keyed by
+    ``group_col`` — per-batch pandas pre-aggregation bounds the exchange at
+    one row per (group × batch), then one small groupby sums them and a
+    final map derives each group's coefficients with the pinned
+    ``trunc_div``. Degenerate groups (constant x: den = 0) are EXCLUDED —
+    pinned semantics, mirrored by the SQL's ``WHERE den != 0``.
+
+    Partial sums are int64 (documented bound: a group's Σxy must stay
+    < 2⁶³; swap the aggregate to per-range shards + Python-int driver sums
+    past ~10¹⁸, as with kmeans). Returns a Dataset
+    ``(group_col, n_docs, slope_micro, intercept_micro)``."""
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(tbl: pa.Table) -> pd.DataFrame:
+        x = _word_count_col(tbl, text_col)
+        y = tbl[y_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "g": tbl[group_col].to_pandas(),
+            "n": np.ones(len(x), np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "sxy": x * y,
+        })
+        out = df.groupby("g", sort=False, as_index=False).sum()
+        return out.rename(columns={"g": group_col})
+
+    sums = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), group_col
+    ).aggregate(*(Sum(c, alias_name=c) for c in ("n", "sx", "sy",
+                                                 "sxx", "sxy")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples(index=False):
+            n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+            sxx, sxy = int(r.sxx), int(r.sxy)
+            den = n * sxx - sx * sx
+            if den == 0:
+                continue
+            rows.append({
+                group_col: getattr(r, group_col),
+                "n_docs": n,
+                "slope_micro": trunc_div((n * sxy - sx * sy) * FP, den),
+                "intercept_micro": trunc_div((sy * sxx - sx * sxy) * FP,
+                                             den),
+            })
+        return pd.DataFrame(
+            rows, columns=[group_col, "n_docs", "slope_micro",
+                           "intercept_micro"]).astype(
+            {"n_docs": "int64", "slope_micro": "int64",
+             "intercept_micro": "int64"}, errors="ignore")
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -2124,3 +2124,43 @@ class TestDropEmptyBlocks:
         ds = ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64())}))
         assert drop_empty_blocks(ds).count() == 0
+
+
+class TestOlsByGroup:
+    """Group-wise OLS equals per-group serial fits; degenerate groups
+    (constant x) are excluded; layout-invariant."""
+
+    def test_matches_per_group_serial(self, ray_session):
+        from corpusaid_ray.stages.regression import (FP, fit_ols_by_group,
+                                                     trunc_div)
+
+        rows = []
+        for g, sign in (("a", 1), ("b", -2)):
+            for i in range(30):
+                x = 2 + (i * 5) % 17
+                rows.append({"doc_id": len(rows), "lang": g,
+                             "text": " ".join(["w"] * x),
+                             "n_chars": sign * 3 * x + 1000 + (i % 7)})
+        # degenerate group: constant word count
+        rows += [{"doc_id": len(rows) + j, "lang": "z",
+                  "text": "w w w", "n_chars": 10 + j} for j in range(5)]
+
+        def serial(grp):
+            xs = [len(r["text"].split()) for r in rows if r["lang"] == grp]
+            ys = [r["n_chars"] for r in rows if r["lang"] == grp]
+            n, sx, sy = len(xs), sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            den = n * sxx - sx * sx
+            return (trunc_div((n * sxy - sx * sy) * FP, den),
+                    trunc_div((sy * sxx - sx * sxy) * FP, den))
+
+        for par in (1, 6):
+            got = {
+                r["lang"]: (r["slope_micro"], r["intercept_micro"])
+                for r in fit_ols_by_group(
+                    _docs_ds(ray_session, rows, par)).take_all()
+            }
+            assert set(got) == {"a", "b"}, par  # "z" excluded (den=0)
+            for g in ("a", "b"):
+                assert got[g] == serial(g), (g, par)
