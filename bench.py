@@ -361,6 +361,36 @@ def run_bench() -> dict:
     queries["training_recipe"] = round(time.perf_counter() - t0, 3)
     extras["recipe_rows"] = n
 
+    # --- distributed BPE induction (one corpus pass → word table, then 8
+    # vocab-bounded merge iterations; stresses the iterative small-shuffle
+    # path) ---
+    from corpusaid_ray.stages.bpe import fit_bpe
+
+    t0 = time.perf_counter()
+    merges, _ = fit_bpe(
+        read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT),
+        text_col="content", num_merges=8,
+    )
+    queries["bpe_fit"] = round(time.perf_counter() - t0, 3)
+    extras["bpe_merges"] = len(merges)
+
+    # --- fixed-point PageRank over the cosine 3-NN graph (per-iteration
+    # keyed exchange: contribution join + gather groupby) ---
+    import pyarrow.parquet as pq
+
+    from corpusaid_ray.stages.pagerank import pagerank
+    from corpusaid_ray.stages.similarity import knn_graph
+
+    t0 = time.perf_counter()
+    emb_tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    emb_ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+    n = pagerank(knn_graph(emb_ds, emb_tbl, k=3),
+                 src_col="vec_id", dst_col="nbr_id", iters=4).count()
+    queries["pagerank_knn"] = round(time.perf_counter() - t0, 3)
+    extras["pagerank_nodes"] = n
+
     # --- event windows ---
     t0 = time.perf_counter()
     ev = ray.data.read_parquet(

@@ -163,7 +163,36 @@ def _apply_merge(df: pd.DataFrame, left: str, right: str) -> pd.DataFrame:
     return df
 
 
-def fit_bpe(ds, *, text_col: str = "text", num_merges: int = 8):
+def _fit_driver(seg_df: pd.DataFrame, num_merges: int):
+    """Driver-side merge loop over the already-reduced word table: the
+    SAME pair counting, (count DESC, left, right) argmax and greedy
+    ``_merge_word`` scan as the distributed path — pytest pins path
+    equality — just without per-iteration Ray ops."""
+    from collections import Counter
+
+    toks = list(seg_df["token"])
+    ns = [int(v) for v in seg_df["n"]]
+    segs = [s.split(" ") for s in seg_df["syms"]]
+    merges: list[dict] = []
+    for rank in range(1, num_merges + 1):
+        pc: Counter = Counter()
+        for syms, n in zip(segs, ns):
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append({"rank": rank, "left_sym": left, "right_sym": right,
+                       "pair_count": int(cnt)})
+        segs = [_merge_word(s, left, right)
+                if left in s and right in s else s for s in segs]
+    out = pd.DataFrame({"token": toks, "n": pd.Series(ns, dtype="int64"),
+                        "syms": [" ".join(s) for s in segs]})
+    return merges, out
+
+
+def fit_bpe(ds, *, text_col: str = "text", num_merges: int = 8,
+            driver_vocab_cap: int = 200_000):
     """Learn the first ``num_merges`` BPE merges from a document Dataset.
 
     Returns ``(merges, seg_ds)``: ``merges`` is a list of
@@ -172,10 +201,24 @@ def fit_bpe(ds, *, text_col: str = "text", num_merges: int = 8):
     ``(token, n, syms)`` under the learned vocabulary. Runs out of pairs
     (vocabulary fully merged) → stops early with fewer rows; callers that
     mirror a fixed-depth oracle should assert ``len(merges) == num_merges``.
+
+    When the materialized word table has ≤ ``driver_vocab_cap`` rows the
+    merge loop runs on the DRIVER over the already-reduced table (the
+    dup_groups union-find precedent: the distributed loop's per-iteration
+    Ray ops are pure overhead below the cap — measured 60.6 s → corpus-pass
+    cost at a 31-word vocab). The distributed loop (vocab-bounded shuffles,
+    O(blocks) driver rows per argmax) is the ≥ cap path; pytest pins the
+    two paths identical. Set ``driver_vocab_cap=0`` to force distributed.
     """
+    import ray.data
+
     seg = _word_table(ds, text_col).map_batches(
         _init_segs, batch_format="pandas").materialize()
-    merges: list[dict] = []
+    if seg.count() <= driver_vocab_cap:
+        seg_df = seg.to_pandas()
+        merges, out = _fit_driver(seg_df, num_merges)
+        return merges, ray.data.from_pandas(out)
+    merges = []
     for rank in range(1, num_merges + 1):
         best = _top_pair(seg)
         if best is None:

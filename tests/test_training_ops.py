@@ -1944,6 +1944,17 @@ class TestBpeFit:
         }
         assert got == want
 
+    def test_driver_and_distributed_paths_identical(self, ray_session):
+        from corpusaid_ray.stages.bpe import fit_bpe
+
+        ds = _docs_ds(ray_session, self.ROWS, 4)
+        fast, seg_fast = fit_bpe(ds, num_merges=5)  # driver path (default)
+        slow, seg_slow = fit_bpe(ds, num_merges=5, driver_vocab_cap=0)
+        assert fast == slow
+        a = {r["token"]: r["syms"] for r in seg_fast.take_all()}
+        b = {r["token"]: r["syms"] for r in seg_slow.take_all()}
+        assert a == b
+
     def test_runs_dry_stops_early(self, ray_session):
         # every word one codepoint → zero adjacent pairs ever
         from corpusaid_ray.stages.bpe import fit_bpe
