@@ -44,10 +44,19 @@ SCALE = 10**12
 
 
 def pagerank(edges, *, src_col: str, dst_col: str, iters: int = 4,
-             damping_pct: int = 85):
+             damping_pct: int = 85, driver_node_cap: int = 500_000):
     """PageRank over an edge Dataset. Returns a Dataset
     ``(node, pr_fp)`` — int64 fixed-point scores (× 10⁻¹² for the float
-    value). ``damping_pct`` is the integer damping factor (85 = 0.85)."""
+    value). ``damping_pct`` is the integer damping factor (85 = 0.85).
+
+    Below ``driver_node_cap`` nodes the power iterations run on the DRIVER
+    over the collected (src, dst, outdeg) edge list (the dup_groups
+    union-find precedent — per-iteration join + groupby Ray ops are pure
+    overhead on a small graph; measured 20.4 s → ~3 s at 500 nodes). The
+    arithmetic is the same int64 fixed-point either way and pytest pins the
+    paths identical; ``driver_node_cap=0`` forces the distributed loop,
+    which is the ≥ cap scale path (corpus-sized score table, keyed
+    exchanges only)."""
     from ray.data.aggregate import Sum
 
     from corpusaid_ray.util import drop_empty_blocks, grouped, join_partitions
@@ -56,16 +65,7 @@ def pagerank(edges, *, src_col: str, dst_col: str, iters: int = 4,
         return pd.DataFrame({"src": df[src_col].astype(np.int64),
                              "dst": df[dst_col].astype(np.int64)})
 
-    e = edges.map_batches(to_src_dst, batch_format="pandas")
-    deg = grouped(e, "src").count()  # (src, count())
-
-    def deg_cols(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"src": df["src"].astype(np.int64),
-                             "outdeg": df["count()"].astype(np.int64)})
-
-    # every aggregate output must pass drop_empty_blocks before a join —
-    # sort-shuffle blocks can be zero-column empties that crash acero
-    deg = drop_empty_blocks(deg.map_batches(deg_cols, batch_format="pandas"))
+    e = edges.map_batches(to_src_dst, batch_format="pandas").materialize()
 
     # node set = sources ∪ destinations (exact distinct via groupby)
     both = e.map_batches(
@@ -84,12 +84,43 @@ def pagerank(edges, *, src_col: str, dst_col: str, iters: int = 4,
     # at the CPU-sized default spin up hundreds of actors of pure overhead.
     # Size to the data (≈100k nodes per partition), capped by the CPU rule.
     nparts = max(2, min(join_partitions(), n_nodes // 100_000 + 2))
-    # edges with outdeg attached once — reused every iteration
-    ew = drop_empty_blocks(
-        e.join(deg, join_type="inner", num_partitions=nparts, on=("src",)))
 
     init_pr = SCALE // n_nodes
     teleport = (SCALE * (100 - damping_pct)) // (100 * n_nodes)
+
+    if n_nodes <= driver_node_cap:
+        import ray.data
+
+        node_ids = np.sort(np.concatenate(
+            [b["node"].to_numpy(np.int64)
+             for b in nodes.iter_batches(batch_format="pandas")]))
+        idx = {v: i for i, v in enumerate(node_ids)}
+        e_df = pd.concat(
+            list(e.iter_batches(batch_format="pandas")), ignore_index=True)
+        src_i = e_df["src"].map(idx).to_numpy(np.int64)
+        dst_i = e_df["dst"].map(idx).to_numpy(np.int64)
+        outdeg = np.bincount(src_i, minlength=n_nodes).astype(np.int64)
+        pr = np.full(n_nodes, init_pr, np.int64)
+        for _ in range(iters):
+            contrib = pr[src_i] // outdeg[src_i]
+            inc = np.zeros(n_nodes, np.int64)
+            np.add.at(inc, dst_i, contrib)
+            pr = teleport + (damping_pct * inc) // 100
+        return ray.data.from_pandas(pd.DataFrame(
+            {"node": node_ids, "pr_fp": pr}))
+
+    deg = grouped(e, "src").count()  # (src, count())
+
+    def deg_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df["src"].astype(np.int64),
+                             "outdeg": df["count()"].astype(np.int64)})
+
+    # every aggregate output must pass drop_empty_blocks before a join —
+    # sort-shuffle blocks can be zero-column empties that crash acero
+    deg = drop_empty_blocks(deg.map_batches(deg_cols, batch_format="pandas"))
+    # edges with outdeg attached once — reused every iteration
+    ew = drop_empty_blocks(
+        e.join(deg, join_type="inner", num_partitions=nparts, on=("src",)))
 
     scores = nodes.map_batches(
         lambda df: pd.DataFrame({"src": df["node"],

@@ -2011,6 +2011,22 @@ class TestPagerank:
         from corpusaid_ray.stages.pagerank import SCALE
         assert want[6] > (SCALE * 15) // (100 * n)
 
+    def test_driver_and_distributed_paths_identical(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.pagerank import pagerank
+
+        t = pa.Table.from_pylist(
+            [{"a": s, "b": d} for s, d in self.EDGES])
+        ds = ray.data.from_arrow(t).repartition(3)
+        fast = {r["node"]: r["pr_fp"]
+                for r in pagerank(ds, src_col="a", dst_col="b",
+                                  iters=4).take_all()}
+        slow = {r["node"]: r["pr_fp"]
+                for r in pagerank(ds, src_col="a", dst_col="b", iters=4,
+                                  driver_node_cap=0).take_all()}
+        assert fast == slow and fast == self._serial(self.EDGES, 4)
+
     def test_mass_conservation_bound(self, ray_session):
         # without dangling nodes total mass stays within N of SCALE
         # (each node's floor() loses < 1 unit per term)
