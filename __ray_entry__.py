@@ -2546,6 +2546,20 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_mad_outliers(sf_dir: str):
+    """Robust doc-length outliers: median/MAD gate (50% breakdown point —
+    survives the giant docs that inflate a 3-sigma rule until nothing
+    flags). Two bounded-histogram exact-percentile reductions + one
+    map-only integer flag pass (`stages/anomaly.mad_outliers`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.anomaly import mad_outliers
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    return mad_outliers(ds, k=3)
+
+
 def q_ols_by_lang(sf_dir: str):
     """Per-language length models (group-wise exact OLS): the sufficient-
     statistics pattern under a groupby — one partial row per (lang × batch)
@@ -2976,6 +2990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols_length_model": q_ols_length_model,
         "ols_outliers": q_ols_outliers,
         "ols_by_lang": q_ols_by_lang,
+        "mad_outliers": q_mad_outliers,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

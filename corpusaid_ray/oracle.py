@@ -2961,3 +2961,21 @@ SELECT lang, n::BIGINT AS n_docs,
          AS intercept_micro
 FROM g
 WHERE n*sxx - sx*sx != 0"""
+
+
+# Median/MAD robust outlier mirror (stages/anomaly.mad_outliers): both
+# medians are the repo's pinned ceil-rank-of-sorted semantics; the flag is
+# the pure integer comparison |x − med| > 3·MAD.
+ORACLE_SQL["mad_outliers"] = """
+WITH med AS MATERIALIZED (
+  SELECT v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS m
+  FROM (SELECT list_sort(list(n_chars::BIGINT)) AS v,
+               count(*)::BIGINT AS n
+        FROM documents)),
+devs AS MATERIALIZED (
+  SELECT doc_id, abs(n_chars::BIGINT - med.m) AS d FROM documents, med),
+mad AS MATERIALIZED (
+  SELECT v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS m
+  FROM (SELECT list_sort(list(d)) AS v, count(*)::BIGINT AS n FROM devs))
+SELECT doc_id, d AS abs_dev, (d > 3 * mad.m) AS is_outlier
+FROM devs, mad"""

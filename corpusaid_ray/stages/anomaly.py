@@ -107,3 +107,55 @@ def flag_anomalies(ds, stats: dict, *, type_col: str = "event_type",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mad_outliers(ds, *, value_col: str = "n_chars", id_col: str = "doc_id",
+                 k: int = 3):
+    """Robust outlier gate: median / MAD instead of mean / σ — the 3σ rule
+    above breaks when the distribution is skewed or already polluted by the
+    outliers it is hunting (a few giant docs inflate σ until nothing
+    flags); the median and the median-absolute-deviation have a 50%
+    breakdown point (Hampel 1974, public).
+
+    Exact integers end-to-end: both medians are the ceil-rank-of-sorted
+    percentile the repo already pins (``aggregates.
+    group_percentiles_distributed``, the bounded-histogram scale path — no
+    per-key materialization), the deviations are int64, and the flag is
+    the pure integer comparison ``|x − med| > k·MAD`` (MAD = 0 collapses
+    to "any deviation flags" — pinned, mirrored). No consistency constant
+    (1.4826·MAD ≈ σ) is applied: k is calibrated against raw MAD on both
+    sides, so no float appears anywhere.
+
+    Shape: two bounded-histogram percentile reductions + one map-only
+    flagging pass. Returns ``(id_col, abs_dev, is_outlier)``."""
+    from corpusaid_ray.stages.aggregates import group_percentiles_distributed
+
+    def _const_key(df: pd.DataFrame, transform) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": np.repeat("all", len(df)),
+            "v": transform(df[value_col].to_numpy(np.int64)),
+        })
+
+    p = group_percentiles_distributed(
+        ds.map_batches(lambda df: _const_key(df, lambda v: v),
+                       batch_format="pandas"),
+        key="g", value_col="v", percentiles=(0.5,))
+    med_micros = int(p["p50_micros"].iloc[0])
+    assert med_micros % 1_000_000 == 0  # integer inputs → integral median
+    med = med_micros // 1_000_000
+
+    p2 = group_percentiles_distributed(
+        ds.map_batches(lambda df: _const_key(df, lambda v: np.abs(v - med)),
+                       batch_format="pandas"),
+        key="g", value_col="v", percentiles=(0.5,))
+    mad = int(p2["p50_micros"].iloc[0]) // 1_000_000
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.abs(df[value_col].to_numpy(np.int64) - med)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "abs_dev": d,
+            "is_outlier": d > k * mad,
+        })
+
+    return ds.map_batches(flag, batch_format="pandas")

@@ -2191,3 +2191,50 @@ class TestOlsByGroup:
             assert set(got) == {"a", "b"}, par  # "z" excluded (den=0)
             for g in ("a", "b"):
                 assert got[g] == serial(g), (g, par)
+
+
+class TestMadOutliers:
+    """Median/MAD gate equals a serial ceil-rank reference, flags a planted
+    giant doc that a 3-sigma rule would miss on the same data, and is
+    layout-invariant."""
+
+    @staticmethod
+    def _serial(vals, k=3):
+        def med(xs):
+            s = sorted(xs)
+            import math
+            return s[max(math.ceil(0.5 * len(s)), 1) - 1]
+
+        m = med(vals)
+        devs = [abs(v - m) for v in vals]
+        mad = med(devs)
+        return [(d, d > k * mad) for d in devs]
+
+    def test_matches_serial_and_catches_planted(self, ray_session):
+        from corpusaid_ray.stages.anomaly import mad_outliers
+
+        # tight cluster + one giant: MAD stays small, sigma explodes
+        vals = [100 + (i % 7) for i in range(60)] + [10_000_000]
+        rows = [{"doc_id": i, "n_chars": v} for i, v in enumerate(vals)]
+        want = {i: fl for i, (_, fl) in enumerate(self._serial(vals))}
+        for par in (1, 5):
+            got = {
+                r["doc_id"]: r["is_outlier"]
+                for r in mad_outliers(
+                    _docs_ds(ray_session, rows, par)).take_all()
+            }
+            assert got == want, par
+        assert got[60] is True or got[60] == True  # noqa: E712
+        # sigma-based rule on the same data would NOT flag the cluster edge
+        import statistics
+        sd = statistics.pstdev(vals)
+        assert abs(106 - statistics.mean(vals)) < 3 * sd  # sigma blind spot
+
+    def test_zero_mad_flags_any_deviation(self, ray_session):
+        from corpusaid_ray.stages.anomaly import mad_outliers
+
+        vals = [5] * 10 + [6]
+        rows = [{"doc_id": i, "n_chars": v} for i, v in enumerate(vals)]
+        got = {r["doc_id"]: r["is_outlier"]
+               for r in mad_outliers(_docs_ds(ray_session, rows, 1)).take_all()}
+        assert got == {**{i: False for i in range(10)}, 10: True}
