@@ -2546,6 +2546,34 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (Rabin-style rolling-hash cuts, LBFS
+    2001): shift-robust chunk boundaries from a position-local mod-M
+    window hash — the storage-dedup / crawl-delta primitive. One map-only
+    pass; all texts in a batch flatten into one codepoint array
+    (`stages/cdc.py`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.cdc import cdc_chunks
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return cdc_chunks(ds)
+
+
+def q_cdc_stats(sf_dir: str):
+    """Corpus chunk-dedup profile over the content-defined chunks: total
+    vs distinct chunk counts (the storage-dedup ratio) via
+    hash-partitioned distinct groupbys — never a driver set."""
+    import ray.data
+
+    from corpusaid_ray.stages.cdc import cdc_dedup_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return cdc_dedup_stats(ds)
+
+
 def q_mad_outliers(sf_dir: str):
     """Robust doc-length outliers: median/MAD gate (50% breakdown point —
     survives the giant docs that inflate a 3-sigma rule until nothing
@@ -2991,6 +3019,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols_outliers": q_ols_outliers,
         "ols_by_lang": q_ols_by_lang,
         "mad_outliers": q_mad_outliers,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_stats": q_cdc_stats,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

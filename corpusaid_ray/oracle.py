@@ -2979,3 +2979,54 @@ mad AS MATERIALIZED (
   FROM (SELECT list_sort(list(d)) AS v, count(*)::BIGINT AS n FROM devs))
 SELECT doc_id, d AS abs_dev, (d > 3 * mad.m) AS is_outlier
 FROM devs, mad"""
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking mirror (stages/cdc.py)
+# ---------------------------------------------------------------------------
+
+def _cdc_chunks_chain() -> str:
+    """Recompute the chunking exactly: per 1-based window start i, the
+    8-term polynomial hash with NESTED mod reduction in the engine's
+    add-then-reduce order (sum of raw terms would overflow BIGINT; each
+    (code%M)·power < M² < 2⁶³ stays exact), qualifying cuts at i+7,
+    DISTINCT cuts ∪ doc end, chunks via lag() windows."""
+    from corpusaid_ray.stages.cdc import D, L, M, POWERS
+
+    expr = "0"
+    for j in range(L):
+        term = (f"(ord(substr(text, i + {j}, 1))::BIGINT % {M})"
+                f" * {POWERS[j]}")
+        expr = f"(({expr}) + {term}) % {M}"
+    return f"""
+pos AS MATERIALIZED (
+  SELECT doc_id, text, t.i::BIGINT AS i
+  FROM documents, unnest(range(1, greatest(length(text) - {L - 2}, 1)))
+       AS t(i)),
+h AS MATERIALIZED (
+  SELECT doc_id, i, {expr} AS hv FROM pos),
+allc AS MATERIALIZED (
+  SELECT DISTINCT doc_id, cut FROM (
+    SELECT doc_id, i + {L - 1} AS cut FROM h WHERE hv % {D} = 0
+    UNION ALL
+    SELECT doc_id, length(text)::BIGINT FROM documents
+    WHERE length(text) > 0)),
+chunks AS MATERIALIZED (
+  SELECT doc_id,
+         row_number() OVER w - 1 AS chunk_idx,
+         substr(text, coalesce(lag(cut) OVER w, 0) + 1,
+                (cut - coalesce(lag(cut) OVER w, 0))::INT) AS chunk
+  FROM allc JOIN documents USING (doc_id)
+  WINDOW w AS (PARTITION BY doc_id ORDER BY cut))"""
+
+
+ORACLE_SQL["cdc_chunks"] = (
+    "WITH " + _cdc_chunks_chain()
+    + "\nSELECT doc_id, chunk_idx::BIGINT AS chunk_idx, chunk FROM chunks")
+
+ORACLE_SQL["cdc_stats"] = (
+    "WITH " + _cdc_chunks_chain() + """
+SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS total_chunks,
+       count(DISTINCT chunk)::BIGINT AS distinct_chunks
+FROM chunks""")

@@ -1,0 +1,129 @@
+"""Content-defined chunking (Rabin-style rolling-hash boundaries —
+Muthitacharoen et al., LBFS, SOSP 2001, public): split every document at
+positions where a polynomial hash of the trailing L-codepoint window is
+0 mod D. Unlike fixed-size blocks, the cut points move WITH the content,
+so inserting one byte near the top of a near-duplicate document shifts
+every fixed block but almost no content-defined chunk — the primitive
+behind shift-robust storage dedup and delta-compression of crawl
+snapshots.
+
+Pinned semantics (both engine and SQL mirror, exactly):
+
+- codepoint stream (not bytes); window length L = 8;
+- window hash ``h(i) = Σ_j code[i+j] · B^(L−1−j) mod M`` with
+  ``B = 1,000,003`` and ``M = 2³¹ − 1`` — every product is reduced mod M,
+  so intermediates stay < M² < 2⁶³ (int64-exact in numpy AND plain BIGINT
+  arithmetic in DuckDB, no HUGEINT needed);
+- a qualifying window (``h % D == 0``, D = 64 → expected ~64-codepoint
+  chunks) cuts AFTER its last codepoint; cut positions are set-deduped and
+  the document end is always a cut; no min/max chunk bounds (bounds would
+  make each cut depend on the previous one — sequential — while this rule
+  is position-local and therefore map-only AND mirrorable);
+- chunks are the codepoint substrings between consecutive cuts; an empty
+  document yields zero chunks.
+
+Distributed shape: one map-only pass emits ``(doc_id, chunk_idx, chunk)``
+rows — per batch, all texts flatten into ONE uint32 codepoint array
+(the ``stages/langid`` trick) and the hash is 8 shifted multiply-adds
+mod M over the whole array, no per-position Python. Corpus-level dedup
+stats are then a hash-partitioned distinct count over chunk strings.
+
+Beyond-reference training-data operator (SURVEY.md §2 extension family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+L = 8
+B = 1_000_003
+M = 2_147_483_647  # 2^31 - 1
+D = 64
+
+# B^(L-1-j) mod M for j = 0..L-1 (highest power first, matching the SQL)
+POWERS = [pow(B, L - 1 - j, M) for j in range(L)]
+
+
+def _chunk_batch(df: pd.DataFrame, text_col: str,
+                 id_col: str) -> pd.DataFrame:
+    texts = df[text_col].tolist()
+    if not texts:
+        return pd.DataFrame({id_col: df[id_col], "chunk_idx": [],
+                             "chunk": []})
+    flat = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    lens = np.fromiter((len(t) for t in texts), np.int64, count=len(texts))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+
+    # h[p] = hash of window starting at global position p (mod-M exact)
+    n = len(flat)
+    ids_out, idx_out, chunk_out = [], [], []
+    if n >= L:
+        acc = np.zeros(n - L + 1, np.int64)
+        for j in range(L):
+            acc = (acc + flat[j:n - L + 1 + j] * POWERS[j]) % M
+        cut_mask = acc % D == 0
+    else:
+        cut_mask = np.zeros(0, bool)
+
+    for k, (doc_id, tlen) in enumerate(zip(df[id_col], lens)):
+        start = offs[k]
+        if tlen == 0:
+            continue
+        if tlen >= L:
+            # window starts local i (0-based) valid in [0, tlen-L];
+            # a cut lands AFTER local position i+L-1 → cut offset i+L
+            local = np.flatnonzero(cut_mask[start:start + tlen - L + 1])
+            cuts = sorted(set((local + L).tolist()) | {int(tlen)})
+        else:
+            cuts = [int(tlen)]
+        text = texts[k]
+        prev = 0
+        for ci, c in enumerate(cuts):
+            ids_out.append(doc_id)
+            idx_out.append(ci)
+            chunk_out.append(text[prev:c])
+            prev = c
+    return pd.DataFrame({
+        id_col: pd.Series(ids_out),
+        "chunk_idx": pd.Series(idx_out, dtype="int64"),
+        "chunk": pd.Series(chunk_out, dtype="object"),
+    })
+
+
+def cdc_chunks(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Map-only chunking pass → Dataset ``(id_col, chunk_idx, chunk)``."""
+    return ds.map_batches(
+        lambda df: _chunk_batch(df, text_col, id_col),
+        batch_format="pandas")
+
+
+def cdc_dedup_stats(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus chunk-dedup profile: one row ``(n_docs, total_chunks,
+    distinct_chunks)`` — the distinct count is a hash-partitioned groupby
+    over chunk strings (batch-local ``unique`` combiner bounds the
+    exchange), never a driver set."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+    from corpusaid_ray.util import grouped
+
+    chunks = cdc_chunks(ds, text_col=text_col, id_col=id_col).materialize()
+    total = chunks.count()
+    n_docs = grouped(
+        chunks.map_batches(
+            lambda df: pd.DataFrame({id_col: df[id_col].unique()}),
+            batch_format="pandas"), id_col
+    ).count().count()
+    distinct = grouped(
+        chunks.map_batches(
+            lambda df: pd.DataFrame({"chunk": df["chunk"].unique()}),
+            batch_format="pandas"), "chunk"
+    ).count().count()
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_chunks": pa.array([total], pa.int64()),
+        "distinct_chunks": pa.array([distinct], pa.int64()),
+    })

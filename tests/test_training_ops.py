@@ -2238,3 +2238,71 @@ class TestMadOutliers:
         got = {r["doc_id"]: r["is_outlier"]
                for r in mad_outliers(_docs_ds(ray_session, rows, 1)).take_all()}
         assert got == {**{i: False for i in range(10)}, 10: True}
+
+
+class TestCdcChunking:
+    """Content-defined chunking: equals a serial reference (same pinned
+    hash), survives unicode / short / empty docs, is layout-invariant, and
+    exhibits the property it exists for — a one-char insertion near the
+    top of a long doc leaves most chunks identical (any fixed-size blocker
+    would shift every block)."""
+
+    @staticmethod
+    def _serial(text):
+        from corpusaid_ray.stages.cdc import B, D, L, M
+
+        n = len(text)
+        if n == 0:
+            return []
+        cuts = set()
+        for i in range(max(n - L + 1, 0)):
+            h = 0
+            for j in range(L):
+                h = (h + (ord(text[i + j]) % M) * pow(B, L - 1 - j, M)) % M
+            if h % D == 0:
+                cuts.add(i + L)
+        cuts.add(n)
+        out, prev = [], 0
+        for c in sorted(cuts):
+            out.append(text[prev:c])
+            prev = c
+        return out
+
+    def test_matches_serial_and_layout_invariant(self, ray_session):
+        from corpusaid_ray.stages.cdc import cdc_chunks
+
+        import random
+        rng = random.Random(11)
+        rows = [
+            {"doc_id": 0, "text": ""},
+            {"doc_id": 1, "text": "short"},                   # < L
+            {"doc_id": 2, "text": "über café 北京 — ürk " * 20},  # unicode
+        ] + [
+            {"doc_id": 3 + i,
+             "text": "".join(rng.choice("abcdefg \n") for _ in range(400))}
+            for i in range(10)
+        ]
+        want = {
+            (r["doc_id"], i): c
+            for r in rows
+            for i, c in enumerate(self._serial(r["text"]))
+        }
+        for par in (1, 5):
+            got = {
+                (r["doc_id"], r["chunk_idx"]): r["chunk"]
+                for r in cdc_chunks(
+                    _docs_ds(ray_session, rows, par)).take_all()
+            }
+            assert got == want, par
+        assert not any(k[0] == 0 for k in want)  # empty doc → no chunks
+
+    def test_shift_robustness(self):
+        import random
+        rng = random.Random(23)
+        base = "".join(rng.choice("abcdefgh ") for _ in range(4000))
+        shifted = base[:5] + "X" + base[5:]
+        a, b = self._serial(base), self._serial(shifted)
+        common = len(set(a) & set(b))
+        # all but the chunks around the edit survive the insertion
+        assert common >= len(a) - 3
+        assert len(a) > 20  # the doc actually chunked
