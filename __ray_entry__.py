@@ -2546,6 +2546,20 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_range_partition(sf_dir: str):
+    """Balanced range partitioner: exact decile cut points (bounded-
+    histogram percentile reduction) broadcast into one map-only strict-
+    compare assignment — contiguous, balanced partitions for globally
+    sorted shard export (`stages/sampling.range_partition_assign`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import range_partition_assign
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    return range_partition_assign(ds, num_parts=10)
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking (Rabin-style rolling-hash cuts, LBFS
     2001): shift-robust chunk boundaries from a position-local mod-M
@@ -3021,6 +3035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": q_mad_outliers,
         "cdc_chunks": q_cdc_chunks,
         "cdc_stats": q_cdc_stats,
+        "range_partition": q_range_partition,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3030,3 +3030,23 @@ SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
        count(*)::BIGINT AS total_chunks,
        count(DISTINCT chunk)::BIGINT AS distinct_chunks
 FROM chunks""")
+
+
+def _range_partition_sql(num_parts: int = 10) -> str:
+    """Mirror of q_range_partition: ceil-rank decile cut points, then the
+    pinned strict-compare assignment part_id = |{cuts < x}| (multiset —
+    duplicate cut values collapse empty ranges identically)."""
+    cut_exprs = ", ".join(
+        f"v[greatest(CAST(ceil({k}/{num_parts}.0 * n) AS BIGINT), 1)]"
+        for k in range(1, num_parts))
+    return f"""
+WITH vals AS MATERIALIZED (
+  SELECT list_sort(list(n_chars::BIGINT)) AS v, count(*)::BIGINT AS n
+  FROM documents),
+cuts AS MATERIALIZED (SELECT unnest([{cut_exprs}]) AS c FROM vals)
+SELECT doc_id, n_chars::BIGINT AS value,
+       (SELECT count(*) FROM cuts WHERE c < d.n_chars)::BIGINT AS part_id
+FROM (SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents) d"""
+
+
+ORACLE_SQL["range_partition"] = _range_partition_sql(10)

@@ -136,3 +136,54 @@ def target_mix_sample(ds, *, targets: dict[str, int], group_col: str = "lang",
     return combined.groupby(group_col).map_groups(
         quota_head, batch_format="pandas"
     )
+
+
+def range_partition_assign(ds, *, value_col: str = "n_chars",
+                           id_col: str = "doc_id", num_parts: int = 10):
+    """Balanced range partitioner: the pre-sort primitive for balanced
+    shard export — learn exact (k/num_parts)-quantile cut points of
+    ``value_col`` with the bounded-histogram percentile reduction
+    (`aggregates.group_percentiles_distributed`, ceil-rank semantics, no
+    per-key materialization), then assign each row
+    ``part_id = |{cuts c : x > c}|`` in one map-only pass (ties go LEFT —
+    strict compare, pinned; duplicate cut values count as a multiset, so
+    a heavily-skewed value collapses the empty ranges on both sides
+    identically). Output partitions are contiguous in ``value_col`` and
+    balanced to within the duplicate-value mass — exactly what a
+    downstream per-partition sort + write needs for a globally sorted,
+    evenly sized corpus export.
+
+    Returns ``(id_col, value, part_id)``. num_parts must keep the
+    ``p{int(p·100)}_micros`` names distinct (≤ 100 and divisor-friendly;
+    the default 10 uses deciles)."""
+    import numpy as np
+    import pandas as pd
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+
+    qs = tuple(k / num_parts for k in range(1, num_parts))
+    names = [f"p{int(p * 100)}_micros" for p in qs]
+    assert len(set(names)) == len(names), "non-distinct percentile names"
+
+    pct = group_percentiles_distributed(
+        ds.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df[value_col].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v", percentiles=qs)
+    cuts = np.sort(np.array(
+        [int(pct[c].iloc[0]) // 1_000_000 for c in names], dtype=np.int64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[value_col].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "value": x,
+            # count of cuts < x == searchsorted left (multiset-exact)
+            "part_id": np.searchsorted(cuts, x, side="left").astype("int64"),
+        })
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -2306,3 +2306,39 @@ class TestCdcChunking:
         # all but the chunks around the edit survive the insertion
         assert common >= len(a) - 3
         assert len(a) > 20  # the doc actually chunked
+
+
+class TestRangePartition:
+    """Balanced range partitioner: partitions are contiguous in the value,
+    balanced on distinct-valued data, ties go left (strict compare), and
+    the assignment is layout-invariant."""
+
+    def test_balanced_and_contiguous(self, ray_session):
+        from corpusaid_ray.stages.sampling import range_partition_assign
+
+        rows = [{"doc_id": i, "n_chars": 1000 + 13 * ((i * 37) % 200)}
+                for i in range(200)]
+        for par in (1, 6):
+            out = range_partition_assign(
+                _docs_ds(ray_session, rows, par), num_parts=10).take_all()
+            by_part: dict = {}
+            for r in out:
+                by_part.setdefault(r["part_id"], []).append(r["value"])
+            # contiguous ranges: max of part k <= min of part k+1
+            ks = sorted(by_part)
+            assert ks == list(range(10))
+            for a, b in zip(ks, ks[1:]):
+                assert max(by_part[a]) <= min(by_part[b])
+            sizes = [len(by_part[k]) for k in ks]
+            assert max(sizes) - min(sizes) <= 2, sizes
+
+    def test_skewed_duplicates_collapse_left(self, ray_session):
+        from corpusaid_ray.stages.sampling import range_partition_assign
+
+        # 90% identical values: most cuts equal that value; ties go left
+        rows = ([{"doc_id": i, "n_chars": 50} for i in range(90)]
+                + [{"doc_id": 90 + i, "n_chars": 100 + i} for i in range(10)])
+        out = range_partition_assign(
+            _docs_ds(ray_session, rows, 3), num_parts=10).take_all()
+        dup_parts = {r["part_id"] for r in out if r["value"] == 50}
+        assert dup_parts == {0}  # all duplicates land in one partition
