@@ -2546,6 +2546,22 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_decayed_user_score(sf_dir: str):
+    """Recency-weighted user activity: half-life-decayed value sums where
+    the decay weight is the INTEGER ``2^20 >> (age_days // 4)`` — a bit
+    shift halves per half-life, so no float ``0.5^(age/h)`` boundary can
+    drift between engine and mirror. One tiny max-ts aggregate + per-batch
+    per-user partials + small groupby (`stages/window.decayed_user_score`).
+    """
+    import ray.data
+
+    from corpusaid_ray.stages.window import decayed_user_score
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    return decayed_user_score(ds)
+
+
 def q_range_partition(sf_dir: str):
     """Balanced range partitioner: exact decile cut points (bounded-
     histogram percentile reduction) broadcast into one map-only strict-
@@ -3036,6 +3052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q_cdc_chunks,
         "cdc_stats": q_cdc_stats,
         "range_partition": q_range_partition,
+        "decayed_user_score": q_decayed_user_score,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3050,3 +3050,16 @@ FROM (SELECT doc_id, n_chars::BIGINT AS n_chars FROM documents) d"""
 
 
 ORACLE_SQL["range_partition"] = _range_partition_sql(10)
+
+
+# Half-life-decayed user activity mirror (stages/window.decayed_user_score):
+# the decay weight is the INTEGER 2^20 >> (age_days // half_life), so no
+# float 0.5^(age/h) boundary exists to drift.
+ORACLE_SQL["decayed_user_score"] = """
+WITH mx AS MATERIALIZED (SELECT max(epoch_ms(ts))::BIGINT AS tmax FROM events)
+SELECT user_id,
+       sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)
+           * (1048576 >> least(((mx.tmax - epoch_ms(ts)) // 86400000) // 4,
+                               30)))::BIGINT AS decayed_score
+FROM events, mx
+GROUP BY user_id"""

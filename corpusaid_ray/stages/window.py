@@ -199,3 +199,67 @@ def session_transitions(ds, *, gap_minutes: int = 30, key: str = "user_id",
     return grouped(local, ["from_type", "to_type"]).aggregate(
         Sum("n", alias_name="n")
     )
+
+
+def decayed_user_score(ds, *, half_life_days: int = 4, max_shift: int = 30):
+    """Recency-weighted (half-life-decayed) per-user activity score, exact
+    integers end-to-end: exponential decay is normally a float
+    ``0.5^(age/h)``, which is exactly where an engine and its mirror
+    drift — instead the weight is the INTEGER ``2²⁰ >> (age_days //
+    half_life_days)`` (a bit shift halves per half-life step, capped at
+    ``max_shift``), values quantize to millis with the anomaly stage's
+    ``floor(v·10³ + 0.5)``, and ages floor-divide epoch-ms differences.
+
+    Shape: one tiny max-ts aggregate, then per-batch per-user partial sums
+    (one row per user × batch over the exchange) into a small groupby.
+    Int64 bound: |v_milli| · 2²⁰ · events_per_user < 2⁶³ — holds to ~10⁶
+    events/user at |v| ≤ 10⁶.
+
+    Returns ``(user_id, decayed_score)``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    SCALE_POW = 20
+    MS_DAY = 86_400_000
+
+    def ts_ms(tbl: pa.Table) -> np.ndarray:
+        return (tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 1_000)
+
+    # NB: iter_batches COMBINES the 1-row partial blocks into multi-row
+    # batches — reduce over the whole column, never b["m"][0]
+    tmax_ms = max(
+        int(pc.max(b["m"]).as_py())
+        for b in ds.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [int(ts_ms(t).max())], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")
+        if len(b)
+    )
+
+    def partial(tbl: pa.Table) -> pd.DataFrame:
+        vm = np.floor(
+            tbl["value"].to_numpy(zero_copy_only=False) * 1_000 + 0.5
+        ).astype(np.int64)
+        age = (tmax_ms - ts_ms(tbl)) // MS_DAY
+        shift = np.minimum(age // half_life_days, max_shift)
+        w = (1 << SCALE_POW) >> shift
+        df = pd.DataFrame({
+            "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+            "s": vm * w,
+        })
+        return df.groupby("user_id", sort=False, as_index=False)["s"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = grouped(parts, "user_id").aggregate(Sum("s", alias_name="s"))
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "decayed_score": df["s"].astype("int64"),
+        }), batch_format="pandas")

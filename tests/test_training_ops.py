@@ -2342,3 +2342,41 @@ class TestRangePartition:
             _docs_ds(ray_session, rows, 3), num_parts=10).take_all()
         dup_parts = {r["part_id"] for r in out if r["value"] == 50}
         assert dup_parts == {0}  # all duplicates land in one partition
+
+
+class TestDecayedUserScore:
+    """Integer half-life decay equals a serial reference and is invariant
+    to block layout — the layout case regresses a real bug: the global
+    max-ts reduce read only the first row of each iter_batches batch,
+    silently dropping block maxima once Ray combined the 1-row partials."""
+
+    def test_matches_serial_and_layout_invariant(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from corpusaid_ray.stages.window import decayed_user_score
+
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        for i in range(200):
+            rows.append({
+                "user_id": i % 7,
+                "ts": base + dt.timedelta(hours=3 * i, seconds=i),
+                "value": ((i * 17) % 40) / 3.0 - 2.0,
+            })
+        tmax = max(r["ts"] for r in rows)
+        tmax_ms = int(tmax.timestamp() * 1000)
+        want: dict = {}
+        import math
+        for r in rows:
+            vm = math.floor(r["value"] * 1000 + 0.5)
+            age = (tmax_ms - int(r["ts"].timestamp() * 1000)) // 86_400_000
+            w = (1 << 20) >> min(age // 4, 30)
+            want[r["user_id"]] = want.get(r["user_id"], 0) + vm * w
+        t = pa.Table.from_pylist(rows)
+        for par in (1, 6):
+            ds = ray.data.from_arrow(t).repartition(par)
+            got = {r["user_id"]: r["decayed_score"]
+                   for r in decayed_user_score(ds).take_all()}
+            assert got == want, par
