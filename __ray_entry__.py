@@ -2546,6 +2546,20 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_quantization_audit(sf_dir: str):
+    """Int8 embedding-quantization error audit: per-vector symmetric-
+    quantization worst-dimension reconstruction error, exact integers
+    end-to-end (micro quantize → integer scale → truncating divisions) —
+    map-only (`stages/similarity.quantization_audit`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import quantization_audit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return quantization_audit(ds)
+
+
 def q_decayed_user_score(sf_dir: str):
     """Recency-weighted user activity: half-life-decayed value sums where
     the decay weight is the INTEGER ``2^20 >> (age_days // 4)`` — a bit
@@ -3053,6 +3067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_stats": q_cdc_stats,
         "range_partition": q_range_partition,
         "decayed_user_score": q_decayed_user_score,
+        "quantization_audit": q_quantization_audit,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3063,3 +3063,25 @@ SELECT user_id,
                                30)))::BIGINT AS decayed_score
 FROM events, mx
 GROUP BY user_id"""
+
+
+# Int8 quantization audit mirror (stages/similarity.quantization_audit):
+# micro quantize → integer scale → both divisions truncate (DuckDB //).
+ORACLE_SQL["quantization_audit"] = """
+WITH em AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        e -> CAST(floor(e * 1000000 + 0.5) AS BIGINT)) AS xm
+  FROM embeddings),
+s AS MATERIALIZED (
+  SELECT vec_id, xm,
+         list_aggregate(list_transform(xm, v -> abs(v)), 'max') AS sc
+  FROM em)
+SELECT vec_id, sc AS scale_micro,
+       CASE WHEN sc = 0 THEN 0
+            ELSE list_aggregate(
+                   list_transform(
+                     xm, v -> abs(v - ((v * 127 // sc) * sc // 127))),
+                   'max')
+       END::BIGINT AS max_err_micro
+FROM s"""

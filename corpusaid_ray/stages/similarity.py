@@ -288,3 +288,41 @@ def semantic_dedup(ds, params: "IVFIndexParams", *, eps: float = 0.95,
     return assign_centroids(ds, params).groupby("cid").map_groups(
         dedup_cluster, batch_format="pandas"
     )
+
+
+def quantization_audit(ds, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """Int8 quantization error audit (the vector-DB compression check):
+    per vector, symmetric int8 quantization ``q = trunc(x·127 / max|x|)``
+    and the worst-dimension reconstruction error — all in exact integers so
+    the mirror cannot drift: coordinates quantize once to micros
+    ``floor(x·10⁶ + 0.5)`` (the kmeans/IEEE-identical expression), the
+    scale is the integer ``max|x_micro|``, and both divisions TRUNCATE
+    toward zero (DuckDB ``//``; numpy sign·(abs // b)). Zero vectors pin
+    to ``q = 0, err = 0``.
+
+    Map-only; returns ``(id_col, scale_micro, max_err_micro)`` — feed the
+    err distribution to a percentile/MAD gate to pick which vectors CAN'T
+    be compressed to int8 safely."""
+    import numpy as np
+    import pyarrow as pa
+
+    def tdiv(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.sign(a) * (np.abs(a) // b)
+
+    def audit(tbl: pa.Table) -> pa.Table:
+        m = _as_matrix(tbl[vec_col]).astype(np.float64)
+        xm = np.floor(m * 1_000_000 + 0.5).astype(np.int64)
+        scale = np.abs(xm).max(axis=1)
+        safe = np.maximum(scale, 1)[:, None]
+        q = tdiv(xm * 127, safe)
+        deq = tdiv(q * scale[:, None], np.int64(127))
+        err = np.abs(xm - deq).max(axis=1)
+        err[scale == 0] = 0
+        return pa.table({
+            id_col: tbl[id_col],
+            "scale_micro": pa.array(scale, pa.int64()),
+            "max_err_micro": pa.array(err, pa.int64()),
+        })
+
+    return ds.map_batches(audit, batch_format="pyarrow")

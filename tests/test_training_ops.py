@@ -2380,3 +2380,49 @@ class TestDecayedUserScore:
             got = {r["user_id"]: r["decayed_score"]
                    for r in decayed_user_score(ds).take_all()}
             assert got == want, par
+
+
+class TestQuantizationAudit:
+    """Int8 quantization audit: serial equality (incl. negative values and
+    a zero vector), q stays within int8 range, error bounded by scale/254
+    rounding theory + trunc slack, layout-invariant."""
+
+    def test_matches_serial_and_bounds(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.similarity import quantization_audit
+
+        import random
+        rng = random.Random(5)
+        rows = [{"vec_id": i,
+                 "embedding": [rng.uniform(-2, 2) for _ in range(16)]}
+                for i in range(40)]
+        rows.append({"vec_id": 40, "embedding": [0.0] * 16})
+
+        import math
+
+        def serial(vec):
+            xm = [int(math.floor(v * 1_000_000 + 0.5)) for v in vec]
+            sc = max(abs(v) for v in xm)
+            if sc == 0:
+                return 0, 0
+            def td(a, b):
+                q = abs(a) // b
+                return q if a >= 0 else -q
+            errs = []
+            for v in xm:
+                q = td(v * 127, sc)
+                assert -127 <= q <= 127
+                errs.append(abs(v - td(q * sc, 127)))
+            return sc, max(errs)
+
+        want = {r["vec_id"]: serial(r["embedding"]) for r in rows}
+        t = pa.Table.from_pylist(rows)
+        for par in (1, 4):
+            ds = ray.data.from_arrow(t).repartition(par)
+            got = {r["vec_id"]: (r["scale_micro"], r["max_err_micro"])
+                   for r in quantization_audit(ds).take_all()}
+            assert got == want, par
+        # error bound: one int8 step is scale/127; trunc adds < 1 step
+        for vid, (sc, err) in want.items():
+            assert err <= sc // 127 + 1, (vid, sc, err)
