@@ -2546,6 +2546,20 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_funnel_reach(sf_dir: str):
+    """Ordered funnel (view → click → purchase): per user the earliest
+    in-order stage times (strict-after chaining) and the stage count
+    reached — per-user history co-located by one groupby, three vectorized
+    masked mins per group (`stages/window.funnel_reach`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import funnel_reach
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return funnel_reach(ds)
+
+
 def q_quantization_audit(sf_dir: str):
     """Int8 embedding-quantization error audit: per-vector symmetric-
     quantization worst-dimension reconstruction error, exact integers
@@ -3068,6 +3082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition": q_range_partition,
         "decayed_user_score": q_decayed_user_score,
         "quantization_audit": q_quantization_audit,
+        "funnel_reach": q_funnel_reach,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

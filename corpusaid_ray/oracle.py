@@ -3085,3 +3085,33 @@ SELECT vec_id, sc AS scale_micro,
                    'max')
        END::BIGINT AS max_err_micro
 FROM s"""
+
+
+# Ordered funnel mirror (stages/window.funnel_reach): chained strict-after
+# mins, unreached stages canonicalized to -1.
+ORACLE_SQL["funnel_reach"] = """
+WITH s1 AS MATERIALIZED (
+  SELECT user_id, min(epoch_ms(ts))::BIGINT AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS MATERIALIZED (
+  SELECT e.user_id, min(epoch_ms(e.ts))::BIGINT AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1
+  GROUP BY e.user_id),
+s3 AS MATERIALIZED (
+  SELECT e.user_id, min(epoch_ms(e.ts))::BIGINT AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t2
+  GROUP BY e.user_id)
+SELECT u.user_id,
+       coalesce(s1.t1, -1) AS t1_ms,
+       coalesce(s2.t2, -1) AS t2_ms,
+       coalesce(s3.t3, -1) AS t3_ms,
+       (CASE WHEN s3.t3 IS NOT NULL THEN 3
+             WHEN s2.t2 IS NOT NULL THEN 2
+             WHEN s1.t1 IS NOT NULL THEN 1
+             ELSE 0 END)::BIGINT AS reached_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)"""

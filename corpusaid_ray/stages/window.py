@@ -263,3 +263,53 @@ def decayed_user_score(ds, *, half_life_days: int = 4, max_shift: int = 30):
             "user_id": df["user_id"].astype("int64"),
             "decayed_score": df["s"].astype("int64"),
         }), batch_format="pandas")
+
+
+def funnel_reach(ds, stages: tuple[str, str, str] = ("view", "click",
+                                                     "purchase")):
+    """Ordered funnel analysis: per user, the earliest time each funnel
+    stage was reached IN ORDER — ``t1 = min ts(stage1)``, ``t2 = min
+    ts(stage2) with ts > t1`` (STRICT, pinned), ``t3`` likewise after t2 —
+    and the stage count reached. The product-analytics op
+    ``event_transitions`` doesn't cover: transitions count adjacent pairs,
+    a funnel requires the stages in order with arbitrary gaps.
+
+    Distributed shape: one ``groupby(user).map_groups`` — a user's history
+    is co-located (the sessionize/rolling precondition, documented there);
+    per-group work is three vectorized masked mins. Timestamps compare and
+    emit as epoch-ms int64 (``us // 1000`` floor, the decayed-score
+    convention); unreached stages emit −1 (the left-outer null
+    canonicalization precedent).
+
+    Returns ``(user_id, t1_ms, t2_ms, t3_ms, reached_stage)``."""
+    import numpy as np
+    import pandas as pd
+
+    from corpusaid_ray.util import grouped
+
+    s1, s2, s3 = stages
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        # normalize to ns first (pandas may carry us resolution from Arrow)
+        ts = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() \
+            // 1_000_000
+        et = g["event_type"].to_numpy()
+
+        def first_after(stage, lo):
+            m = (et == stage) & (ts > lo) if lo is not None else (et == stage)
+            return int(ts[m].min()) if m.any() else None
+
+        t1 = first_after(s1, None)
+        t2 = first_after(s2, t1) if t1 is not None else None
+        t3 = first_after(s3, t2) if t2 is not None else None
+        reached = 3 if t3 is not None else 2 if t2 is not None \
+            else 1 if t1 is not None else 0
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "t1_ms": [t1 if t1 is not None else -1],
+            "t2_ms": [t2 if t2 is not None else -1],
+            "t3_ms": [t3 if t3 is not None else -1],
+            "reached_stage": [reached],
+        }).astype("int64")
+
+    return grouped(ds, "user_id").map_groups(per_user, batch_format="pandas")

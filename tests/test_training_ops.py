@@ -2426,3 +2426,49 @@ class TestQuantizationAudit:
         # error bound: one int8 step is scale/127; trunc adds < 1 step
         for vid, (sc, err) in want.items():
             assert err <= sc // 127 + 1, (vid, sc, err)
+
+
+class TestFunnelReach:
+    """Strict-after funnel chaining: a user whose click PRECEDES every
+    view must not count the click (order matters); partial reach and
+    layout invariance pinned."""
+
+    def test_ordering_semantics(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from corpusaid_ray.stages.window import funnel_reach
+
+        t0 = dt.datetime(2024, 5, 1)
+
+        def ev(u, typ, minutes):
+            return {"user_id": u, "event_type": typ,
+                    "ts": t0 + dt.timedelta(minutes=minutes)}
+
+        rows = [
+            # u0: full funnel in order
+            ev(0, "view", 0), ev(0, "click", 5), ev(0, "purchase", 9),
+            # u1: click BEFORE any view — strict-after must ignore it
+            ev(1, "click", 0), ev(1, "view", 5), ev(1, "purchase", 9),
+            # u2: view only
+            ev(2, "view", 1),
+            # u3: unrelated events only
+            ev(3, "error", 2),
+            # u4: purchase before click — stops at 2
+            ev(4, "view", 0), ev(4, "purchase", 1), ev(4, "click", 3),
+        ]
+        t = pa.Table.from_pylist(rows)
+        for par in (1, 4):
+            ds = ray.data.from_arrow(t).repartition(par)
+            got = {r["user_id"]: r["reached_stage"]
+                   for r in funnel_reach(ds).take_all()}
+            assert got == {0: 3, 1: 1, 2: 1, 3: 0, 4: 2}, par
+        out = {r["user_id"]: r for r in funnel_reach(
+            ray.data.from_arrow(t)).take_all()}
+        ms = lambda m: int((t0 + dt.timedelta(minutes=m)).timestamp() * 1000)
+        assert (out[0]["t1_ms"], out[0]["t2_ms"], out[0]["t3_ms"]) == (
+            ms(0), ms(5), ms(9))
+        assert out[1]["t2_ms"] == -1  # the early click never counts
+        assert out[3] == {"user_id": 3, "t1_ms": -1, "t2_ms": -1,
+                          "t3_ms": -1, "reached_stage": 0}
