@@ -2546,6 +2546,26 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_triangle_counts(sf_dir: str):
+    """Per-node triangle participation over the cosine 3-NN graph — the
+    local-density signal (a doc whose neighbors are mutual neighbors sits
+    in a tight near-dup cluster). Wedge self-join + close join on the
+    undirected edge closure (`stages/pagerank.triangle_counts`); mirror
+    reuses the knn_graph oracle as its edge CTE."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.pagerank import triangle_counts
+    from corpusaid_ray.stages.similarity import knn_graph
+
+    corpus = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    edges = knn_graph(ds, corpus, k=3)
+    return triangle_counts(edges, src_col="vec_id", dst_col="nbr_id")
+
+
 def q_funnel_reach(sf_dir: str):
     """Ordered funnel (view → click → purchase): per user the earliest
     in-order stage times (strict-after chaining) and the stage count
@@ -3083,6 +3103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_score": q_decayed_user_score,
         "quantization_audit": q_quantization_audit,
         "funnel_reach": q_funnel_reach,
+        "triangle_counts": q_triangle_counts,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3115,3 +3115,28 @@ FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN s1 USING (user_id)
 LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)"""
+
+
+# Per-node triangle participation mirror (stages/pagerank.triangle_counts):
+# undirected closure of the verified knn_graph oracle, wedge self-join with
+# b < c, close on (b, c) — each triangle a<b<c closes exactly one wedge.
+def _triangle_counts_sql() -> str:
+    return f"""
+WITH eu AS MATERIALIZED (
+  SELECT DISTINCT least(vec_id, nbr_id) AS a,
+                  greatest(vec_id, nbr_id) AS b
+  FROM ({ORACLE_SQL["knn_graph"]})
+  WHERE vec_id != nbr_id),
+tri AS MATERIALIZED (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM eu e1
+  JOIN eu e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN eu e3 ON e3.a = e1.b AND e3.b = e2.b)
+SELECT node, count(*)::BIGINT AS n_triangles
+FROM (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node"""
+
+
+ORACLE_SQL["triangle_counts"] = _triangle_counts_sql()

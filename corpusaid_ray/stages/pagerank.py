@@ -164,3 +164,84 @@ def pagerank(edges, *, src_col: str, dst_col: str, iters: int = 4,
         lambda df: pd.DataFrame({"node": df["src"].astype(np.int64),
                                  "pr_fp": df["pr"].astype(np.int64)}),
         batch_format="pandas")
+
+
+def triangle_counts(edges, *, src_col: str, dst_col: str,
+                    driver_edge_cap: int = 2_000_000):
+    """Per-node triangle participation over the UNDIRECTED closure of an
+    edge Dataset (each a→b contributes edge {a,b}) — the local-density
+    signal: a doc whose semantic neighbors are also neighbors of each
+    other sits in a tight near-duplicate cluster; an isolated bridge node
+    does not. Classic wedge-closing shape (node-iterator join):
+
+    1. canonicalize + dedup edges as ``(a, b), a < b`` (groupby);
+    2. WEDGES: self-join on the low endpoint ``a`` with ``b < c`` — the
+       per-node wedge count is C(deg, 2), bounded here by the KNN degree
+       ≤ 2k by construction (for unbounded-degree graphs, split hot nodes
+       first — the max_df-cut precedent);
+    3. CLOSE: join wedges against edges on ``(b, c)``; each triangle
+       a<b<c closes exactly one wedge, so no over-counting;
+    4. explode each triangle to its 3 corners → groupby count.
+
+    Below ``driver_edge_cap`` edges the same steps run on the driver in
+    numpy/pandas (house fast-path pattern, pytest-pinned identical);
+    the distributed path is the ≥ cap scale shape. Returns
+    ``(node, n_triangles)`` for nodes in ≥ 1 triangle."""
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import (drop_empty_blocks, grouped,
+                                    join_partitions)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src_col].to_numpy(np.int64)
+        d = df[dst_col].to_numpy(np.int64)
+        out = pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+        return out[out["a"] != out["b"]].drop_duplicates()
+
+    e = edges.map_batches(canon, batch_format="pandas")
+    eu = drop_empty_blocks(grouped(e, ["a", "b"]).count().map_batches(
+        lambda df: df[["a", "b"]].astype("int64"), batch_format="pandas"))
+
+    n_edges = eu.count()
+    if n_edges <= driver_edge_cap:
+        import ray.data
+
+        df = pd.concat(list(eu.iter_batches(batch_format="pandas")),
+                       ignore_index=True)
+        wed = df.merge(df.rename(columns={"b": "c"}), on="a")
+        wed = wed[wed["b"] < wed["c"]]
+        tri = wed.merge(df.rename(columns={"a": "b", "b": "c"}),
+                        on=["b", "c"])
+        corners = pd.concat([tri["a"], tri["b"], tri["c"]])
+        counts = corners.value_counts().sort_index()
+        return ray.data.from_pandas(pd.DataFrame({
+            "node": counts.index.to_numpy(np.int64),
+            "n_triangles": counts.to_numpy(np.int64),
+        }))
+
+    nparts = max(2, min(join_partitions(), n_edges // 500_000 + 2))
+    right = eu.map_batches(
+        lambda df: df.rename(columns={"b": "c"}), batch_format="pandas")
+    wedges = eu.join(right, join_type="inner", num_partitions=nparts,
+                     on=("a",)).map_batches(
+        lambda df: df[df["b"] < df["c"]][["a", "b", "c"]],
+        batch_format="pandas")
+    closer = eu.map_batches(
+        lambda df: df.rename(columns={"a": "b", "b": "c"}),
+        batch_format="pandas")
+    tri = drop_empty_blocks(wedges).join(
+        drop_empty_blocks(closer), join_type="inner",
+        num_partitions=nparts, on=("b", "c"))
+    corners = tri.map_batches(
+        lambda df: pd.DataFrame({
+            "node": np.concatenate([df["a"].to_numpy(np.int64),
+                                    df["b"].to_numpy(np.int64),
+                                    df["c"].to_numpy(np.int64)]),
+            "one": np.ones(3 * len(df), np.int64),
+        }).groupby("node", as_index=False, sort=False)["one"].sum(),
+        batch_format="pandas")
+    out = grouped(corners, "node").aggregate(Sum("one", alias_name="n"))
+    return out.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
+                                 "n_triangles": df["n"].astype("int64")}),
+        batch_format="pandas")

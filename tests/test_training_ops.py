@@ -2472,3 +2472,34 @@ class TestFunnelReach:
         assert out[1]["t2_ms"] == -1  # the early click never counts
         assert out[3] == {"user_id": 3, "t1_ms": -1, "t2_ms": -1,
                           "t3_ms": -1, "reached_stage": 0}
+
+
+class TestTriangleCounts:
+    """Wedge-close triangle counting: exact per-node counts on a planted
+    graph (one 4-clique = 4 triangles, each corner in 3; a pendant edge in
+    none), direction/duplicate edges collapse, both paths identical."""
+
+    # 4-clique {1,2,3,4} + pendant 4-5 + disconnected edge 6-7;
+    # mixed directions and a duplicate edge to exercise canonicalization
+    EDGES = [(1, 2), (2, 1), (1, 3), (3, 4), (1, 4), (2, 3), (4, 2),
+             (2, 4), (4, 5), (6, 7)]
+    WANT = {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_planted_and_paths_identical(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.pagerank import triangle_counts
+
+        t = pa.Table.from_pylist(
+            [{"s": a, "d": b} for a, b in self.EDGES])
+        for par in (1, 4):
+            ds = ray.data.from_arrow(t).repartition(par)
+            fast = {r["node"]: r["n_triangles"]
+                    for r in triangle_counts(
+                        ds, src_col="s", dst_col="d").take_all()}
+            slow = {r["node"]: r["n_triangles"]
+                    for r in triangle_counts(
+                        ds, src_col="s", dst_col="d",
+                        driver_edge_cap=0).take_all()}
+            assert fast == self.WANT, par
+            assert slow == self.WANT, par
