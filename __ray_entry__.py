@@ -2546,6 +2546,55 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_mad_outliers_by_lang(sf_dir: str):
+    """Per-language robust length gate: each language gets its own
+    median/MAD (a normal English length can be an outlier for German) —
+    group-keyed ceil-rank medians, tiny per-group tables in the flag map's
+    closure (`stages/anomaly.mad_outliers_by_group`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.anomaly import mad_outliers_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return mad_outliers_by_group(ds, k=3)
+
+
+def q_funnel_latency(sf_dir: str):
+    """Time-to-convert: among users who completed the funnel, the exact
+    ceil-rank p50/p90 of (purchase_ts − first_view_ts) — composes the
+    funnel chaining with the bounded-histogram percentile reduction; the
+    mirror nests the funnel CTEs into the list-sort rank SQL."""
+    import pandas as pd
+    import pyarrow as pa_
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+    from corpusaid_ray.stages.window import funnel_reach
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    reached = funnel_reach(ev).filter(
+        lambda r: r["reached_stage"] == 3)
+    lat = reached.map_batches(
+        lambda df: pd.DataFrame({
+            "g": ["all"] * len(df),
+            "v": (df["t3_ms"] - df["t1_ms"]).astype("int64"),
+        }), batch_format="pandas")
+    n_conv = lat.count()
+    pct = group_percentiles_distributed(
+        lat, key="g", value_col="v", percentiles=(0.5, 0.9))
+    return pa_.table({
+        "n_converted": pa_.array([n_conv], pa_.int64()),
+        "p50_ms": pa_.array([int(pct["p50_micros"].iloc[0]) // 1_000_000],
+                            pa_.int64()),
+        "p90_ms": pa_.array([int(pct["p90_micros"].iloc[0]) // 1_000_000],
+                            pa_.int64()),
+    })
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-node triangle participation over the cosine 3-NN graph — the
     local-density signal (a doc whose neighbors are mutual neighbors sits
@@ -3104,6 +3153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantization_audit": q_quantization_audit,
         "funnel_reach": q_funnel_reach,
         "triangle_counts": q_triangle_counts,
+        "funnel_latency": q_funnel_latency,
+        "mad_outliers_by_lang": q_mad_outliers_by_lang,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

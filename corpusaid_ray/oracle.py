@@ -3140,3 +3140,50 @@ GROUP BY node"""
 
 
 ORACLE_SQL["triangle_counts"] = _triangle_counts_sql()
+
+
+# Funnel conversion-latency mirror: the same funnel chain as the verified
+# funnel_reach mirror, nested into the ceil-rank percentile SQL.
+def _funnel_latency_sql() -> str:
+    chain = """
+WITH s1 AS MATERIALIZED (
+  SELECT user_id, min(epoch_ms(ts))::BIGINT AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS MATERIALIZED (
+  SELECT e.user_id, min(epoch_ms(e.ts))::BIGINT AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1
+  GROUP BY e.user_id),
+s3 AS MATERIALIZED (
+  SELECT e.user_id, min(epoch_ms(e.ts))::BIGINT AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t2
+  GROUP BY e.user_id),
+lat AS MATERIALIZED (
+  SELECT s3.t3 - s1.t1 AS v FROM s3 JOIN s1 USING (user_id)),
+agg AS (SELECT list_sort(list(v)) AS lv, count(*)::BIGINT AS n FROM lat)"""
+    return chain + """
+SELECT n AS n_converted,
+       lv[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS p50_ms,
+       lv[greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)] AS p90_ms
+FROM agg"""
+
+
+ORACLE_SQL["funnel_latency"] = _funnel_latency_sql()
+
+
+ORACLE_SQL["mad_outliers_by_lang"] = """
+WITH med AS MATERIALIZED (
+  SELECT lang, v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS m
+  FROM (SELECT lang, list_sort(list(n_chars::BIGINT)) AS v,
+               count(*)::BIGINT AS n
+        FROM documents GROUP BY lang)),
+devs AS MATERIALIZED (
+  SELECT doc_id, d.lang, abs(n_chars::BIGINT - med.m) AS dv
+  FROM documents d JOIN med USING (lang)),
+mad AS MATERIALIZED (
+  SELECT lang, v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS m
+  FROM (SELECT lang, list_sort(list(dv)) AS v, count(*)::BIGINT AS n
+        FROM devs GROUP BY lang))
+SELECT doc_id, devs.lang, dv AS abs_dev, (dv > 3 * mad.m) AS is_outlier
+FROM devs JOIN mad USING (lang)"""

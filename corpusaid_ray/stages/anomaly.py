@@ -159,3 +159,46 @@ def mad_outliers(ds, *, value_col: str = "n_chars", id_col: str = "doc_id",
         })
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def mad_outliers_by_group(ds, *, group_col: str = "lang",
+                          value_col: str = "n_chars",
+                          id_col: str = "doc_id", k: int = 3):
+    """Group-wise median/MAD gate: each group gets its OWN robust center
+    and spread (a length that is normal for one language is an outlier for
+    another) — same pinned ceil-rank medians as :func:`mad_outliers`, keyed
+    by ``group_col``; the per-group (median, MAD) tables are
+    group-cardinality-sized and ship in the flagging map's closure.
+    Returns ``(id_col, group_col, abs_dev, is_outlier)``."""
+    from corpusaid_ray.stages.aggregates import group_percentiles_distributed
+
+    def keyed(df: pd.DataFrame, med: dict | None) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.int64)
+        if med is not None:
+            v = np.abs(v - df[group_col].map(med).to_numpy(np.int64))
+        return pd.DataFrame({"g": df[group_col], "v": v})
+
+    p1 = group_percentiles_distributed(
+        ds.map_batches(lambda df: keyed(df, None), batch_format="pandas"),
+        key="g", value_col="v", percentiles=(0.5,))
+    med = {r["g"]: int(r["p50_micros"]) // 1_000_000
+           for _, r in p1.iterrows()}
+
+    p2 = group_percentiles_distributed(
+        ds.map_batches(lambda df: keyed(df, med), batch_format="pandas"),
+        key="g", value_col="v", percentiles=(0.5,))
+    mad = {r["g"]: int(r["p50_micros"]) // 1_000_000
+           for _, r in p2.iterrows()}
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.abs(df[value_col].to_numpy(np.int64)
+                   - df[group_col].map(med).to_numpy(np.int64))
+        thr = df[group_col].map(mad).to_numpy(np.int64) * k
+        return pd.DataFrame({
+            id_col: df[id_col],
+            group_col: df[group_col],
+            "abs_dev": d,
+            "is_outlier": d > thr,
+        })
+
+    return ds.map_batches(flag, batch_format="pandas")

@@ -2503,3 +2503,27 @@ class TestTriangleCounts:
                         driver_edge_cap=0).take_all()}
             assert fast == self.WANT, par
             assert slow == self.WANT, par
+
+
+class TestMadByGroup:
+    """Per-group MAD: each group is gated by its OWN median/MAD — a value
+    normal in one group flags in another; layout-invariant."""
+
+    def test_groups_gate_independently(self, ray_session):
+        from corpusaid_ray.stages.anomaly import mad_outliers_by_group
+
+        rows = (
+            [{"doc_id": i, "lang": "short", "n_chars": 100 + (i % 5)}
+             for i in range(30)]
+            + [{"doc_id": 100 + i, "lang": "long", "n_chars": 9000 + (i % 5)}
+               for i in range(30)]
+            # 9000 chars: wildly outlying for "short", normal for "long"
+            + [{"doc_id": 999, "lang": "short", "n_chars": 9000}]
+        )
+        for par in (1, 4):
+            got = {r["doc_id"]: r["is_outlier"]
+                   for r in mad_outliers_by_group(
+                       _docs_ds(ray_session, rows, par)).take_all()}
+            assert got[999] is True or got[999] == True  # noqa: E712
+            assert not any(got[100 + i] for i in range(30)), par
+            assert not any(got[i] for i in range(30)), par
