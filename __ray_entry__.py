@@ -2546,6 +2546,22 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_dup_span_scrub(sf_dir: str):
+    """Exact duplicated-substring SPAN removal (Lee 2022 substring dedup,
+    word-granular 8-grams, corpus-wide multiplicity ≥ 2): removes the
+    boilerplate ITSELF from otherwise-unique docs — the dedup family's
+    missing granularity between line dedup and doc dedup. No broadcast:
+    dup grams stay a table, coverage arrives by hash join
+    (`stages/decontaminate.dup_span_scrub`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.decontaminate import dup_span_scrub
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dup_span_scrub(ds, n=8, min_count=2)
+
+
 def q_mad_outliers_by_lang(sf_dir: str):
     """Per-language robust length gate: each language gets its own
     median/MAD (a normal English length can be an outlier for German) —
@@ -3155,6 +3171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": q_triangle_counts,
         "funnel_latency": q_funnel_latency,
         "mad_outliers_by_lang": q_mad_outliers_by_lang,
+        "dup_span_scrub": q_dup_span_scrub,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3187,3 +3187,51 @@ mad AS MATERIALIZED (
         FROM devs GROUP BY lang))
 SELECT doc_id, devs.lang, dv AS abs_dev, (dv > 3 * mad.m) AS is_outlier
 FROM devs JOIN mad USING (lang)"""
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span removal mirror (stages/decontaminate.dup_span_scrub)
+# ---------------------------------------------------------------------------
+
+def _dup_span_scrub_sql(n: int = 8, min_count: int = 2) -> str:
+    """Recompute the span scrub: same whitespace tokenization and space-
+    joined grams as the decontaminate mirrors, occurrence counts WITH
+    multiplicity, covered word positions via unnest(range(pos, pos+n)),
+    reassembly with ORDER BY string_agg; docs with nothing removed (or no
+    grams at all) fall through the LEFT JOIN with kept_text = all words."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    gn = " || ' ' || ".join(f"w[t.i::INT + {j}]" for j in range(n))
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{ws}'), t -> t != '') AS w
+  FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id, t.i::BIGINT - 1 AS pos, {gn} AS g
+  FROM words, unnest(range(1, length(w) - {n - 2})) AS t(i)),
+dup AS MATERIALIZED (
+  SELECT g FROM (SELECT g, count(*)::BIGINT AS c FROM grams GROUP BY g)
+  WHERE c >= {min_count}),
+cover AS MATERIALIZED (
+  SELECT DISTINCT doc_id, p.j::BIGINT AS widx
+  FROM (SELECT doc_id, pos FROM grams JOIN dup USING (g)) s,
+       unnest(range(s.pos, s.pos + {n})) AS p(j)),
+wordrows AS MATERIALIZED (
+  SELECT doc_id, t.i::BIGINT - 1 AS widx, w[t.i::INT] AS word
+  FROM words, unnest(range(1, length(w) + 1)) AS t(i)),
+surv AS MATERIALIZED (
+  SELECT wr.doc_id, wr.widx, wr.word
+  FROM wordrows wr LEFT JOIN cover c
+       ON wr.doc_id = c.doc_id AND wr.widx = c.widx
+  WHERE c.widx IS NULL),
+agg AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(word, ' ' ORDER BY widx) AS kept_text
+  FROM surv GROUP BY doc_id)
+SELECT w.doc_id, length(w.w)::BIGINT AS n_words,
+       (length(w.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(a.kept_text, '') AS kept_text
+FROM words w LEFT JOIN agg a USING (doc_id)"""
+
+
+ORACLE_SQL["dup_span_scrub"] = _dup_span_scrub_sql(8, 2)

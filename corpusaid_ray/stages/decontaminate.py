@@ -397,3 +397,148 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
     return grouped(partials, "_p2", coalesce_blocks).map_groups(
         finish, batch_format="pandas"
     )
+
+
+def _doc_gram_positions(col, id_vals: np.ndarray, n: int):
+    """(doc_id, word_pos, gram) of all word n-grams WITH their start
+    positions (0-based word index within the doc) — the positional variant
+    of :func:`_doc_grams`, same tokenization, same space-joined grams."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = toks.flatten()
+    row_ids = np.repeat(np.arange(len(col), dtype="int64"), np.diff(offsets))
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    words, row_ids = words[keep], row_ids[keep]
+    if len(words) < n:
+        z = np.empty(0, "int64")
+        return z, z, np.empty(0, object)
+    # row_ids is sorted → position within row = index − first index of row
+    firsts = np.searchsorted(row_ids, row_ids, side="left")
+    pos = np.arange(len(row_ids), dtype="int64") - firsts
+    same = row_ids[: len(row_ids) - n + 1] == row_ids[n - 1:]
+    g = words[: len(words) - n + 1].astype(object)
+    for j in range(1, n):
+        g = g + " " + words[j: len(words) - n + 1 + j].astype(object)
+    head = slice(0, len(row_ids) - n + 1)
+    return (id_vals[row_ids[head][same]], pos[head][same], g[same])
+
+
+def _split_words(col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row non-empty word lists as (flat words, row offsets) — the
+    reassembly-side twin of the gram tokenization."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = toks.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    words = flat.to_numpy(zero_copy_only=False)[keep]
+    lens = np.array([keep[offsets[i]:offsets[i + 1]].sum()
+                     for i in range(len(offsets) - 1)], dtype="int64")
+    return words, np.concatenate([[0], np.cumsum(lens)])
+
+
+def dup_span_scrub(ds, *, content_col: str = "text", id_col: str = "doc_id",
+                   n: int = 8, min_count: int = 2):
+    """Exact duplicated-substring SPAN removal (the Lee et al. 2022
+    "Deduplicating Training Data" substring dedup, word-granular): every
+    word position covered by an n-gram occurring ≥ ``min_count`` times
+    CORPUS-WIDE (with multiplicity — within-doc repetition counts) is
+    removed; docs are reassembled from the surviving words joined by
+    single spaces (whitespace-normalizing, pinned — like the tokenizer
+    surfaces). This removes the boilerplate ITSELF from otherwise-unique
+    docs — doc-level dedup and pairwise near-dup both keep it.
+
+    Distributed shape (no broadcast anywhere — the duplicated-gram table
+    is corpus-scaled in the worst case):
+
+    1. gram-count partials → ``groupby(gram).sum`` → dup grams (c ≥ 2);
+    2. positional gram rows ⨝ dup grams (hash join on the gram) →
+       ``(doc, pos)`` duplicated starts;
+    3. ``groupby(doc)`` packs each doc's starts into one row (doc-bounded);
+    4. documents LEFT OUTER ⨝ packed starts → map-only coverage mask +
+       reassembly.
+
+    Returns ``(id_col, n_words, n_removed, kept_text)`` for every doc."""
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import (drop_empty_blocks, grouped,
+                                    join_partitions)
+
+    def count_partial(tbl: pa.Table) -> pd.DataFrame:
+        _, g = _doc_grams(tbl[content_col], n)
+        if not len(g):
+            return pd.DataFrame({"g": pd.Series([], dtype=str),
+                                 "c": pd.Series([], dtype="int64")})
+        s = pd.Series(g).value_counts()
+        return pd.DataFrame({"g": s.index.astype(str),
+                             "c": s.to_numpy("int64")})
+
+    counts = grouped(ds.map_batches(count_partial, batch_format="pyarrow"),
+                     "g").aggregate(Sum("c", alias_name="c"))
+    dup = drop_empty_blocks(counts.map_batches(
+        lambda df: df[df["c"] >= min_count][["g"]].astype({"g": str}),
+        batch_format="pandas"))
+
+    def pos_rows(tbl: pa.Table) -> pd.DataFrame:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        d, p, g = _doc_gram_positions(tbl[content_col], ids, n)
+        return pd.DataFrame({id_col: d.astype("int64"),
+                             "pos": p.astype("int64"),
+                             "g": pd.Series(g, dtype="object").astype(str)})
+
+    nparts = join_partitions()
+    gp = drop_empty_blocks(
+        ds.map_batches(pos_rows, batch_format="pyarrow"))
+    starts = gp.join(dup, join_type="inner", num_partitions=nparts,
+                     on=("g",))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: [int(g[id_col].iloc[0])],
+            "starts": [",".join(map(str, sorted(g["pos"].tolist())))],
+        })
+
+    packed = drop_empty_blocks(
+        grouped(starts.map_batches(
+            lambda df: df[[id_col, "pos"]], batch_format="pandas"),
+            id_col).map_groups(pack, batch_format="pandas"))
+
+    docs = ds.map_batches(
+        lambda t: t.select([id_col, content_col]), batch_format="pyarrow")
+    joined = docs.join(packed, join_type="left_outer",
+                       num_partitions=nparts, on=(id_col,))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        col = pa.array(df[content_col].tolist(), pa.string())
+        words, offs = _split_words(col)
+        out_n, out_rm, out_txt = [], [], []
+        for i in range(len(df)):
+            w = words[offs[i]:offs[i + 1]]
+            nw = len(w)
+            s = df["starts"].iloc[i]
+            if isinstance(s, str) and s:
+                starts_i = np.array(s.split(","), dtype="int64")
+                mask = np.zeros(nw, bool)
+                idx = (starts_i[:, None]
+                       + np.arange(n, dtype="int64")[None, :]).ravel()
+                mask[idx] = True
+                kept = w[~mask]
+            else:
+                kept = w
+            out_n.append(nw)
+            out_rm.append(nw - len(kept))
+            out_txt.append(" ".join(kept))
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "n_words": pd.Series(out_n, dtype="int64"),
+            "n_removed": pd.Series(out_rm, dtype="int64"),
+            "kept_text": pd.Series(out_txt, dtype="object"),
+        })
+
+    return joined.map_batches(rebuild, batch_format="pandas")

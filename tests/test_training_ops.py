@@ -2527,3 +2527,37 @@ class TestMadByGroup:
             assert got[999] is True or got[999] == True  # noqa: E712
             assert not any(got[100 + i] for i in range(30)), par
             assert not any(got[i] for i in range(30)), par
+
+
+class TestDupSpanScrub:
+    """Exact duplicated-span removal: a planted 8-gram shared by two docs
+    is cut from BOTH while their unique text survives; within-doc
+    repetition counts toward the multiplicity; short docs pass through
+    whitespace-normalized; layout-invariant."""
+
+    BOILER = "one two three four five six seven eight"  # exactly 8 words
+
+    def test_planted_spans(self, ray_session):
+        from corpusaid_ray.stages.decontaminate import dup_span_scrub
+
+        rows = [
+            {"doc_id": 0, "text": f"alpha beta {self.BOILER} gamma delta"},
+            {"doc_id": 1, "text": f"epsilon {self.BOILER} zeta"},
+            # within-doc repetition: the repeated 8-gram self-duplicates
+            {"doc_id": 2, "text": f"{self.BOILER} {self.BOILER}"},
+            {"doc_id": 3, "text": "tiny  doc\nonly"},        # < 8 words
+            {"doc_id": 4, "text": "u1 u2 u3 u4 u5 u6 u7 u8 u9"},  # unique
+        ]
+        for par in (1, 4):
+            got = {r["doc_id"]: r for r in dup_span_scrub(
+                _docs_ds(ray_session, rows, par)).take_all()}
+            assert got[0]["kept_text"] == "alpha beta gamma delta", par
+            assert got[0]["n_removed"] == 8
+            assert got[1]["kept_text"] == "epsilon zeta"
+            # doc 2 is nothing but the duplicated gram — fully removed
+            assert got[2]["kept_text"] == ""
+            assert got[2]["n_removed"] == 16
+            assert got[3] == {"doc_id": 3, "n_words": 3, "n_removed": 0,
+                              "kept_text": "tiny doc only"}
+            assert got[4]["n_removed"] == 0
+            assert got[4]["kept_text"] == rows[4]["text"]
