@@ -1455,3 +1455,76 @@ def test_read_text_dir_gzip_members(ray_session, tmp_path):
         for r in read_text_dir(str(tmp_path)).take_all()
     }
     assert got == {"a.txt": "plain té xt", "b.txt.gz": "gzipped cöntent"}
+
+
+def test_hypothesis_cdc_kernel_vs_serial():
+    pytest.importorskip("hypothesis")
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from corpusaid_ray.stages.cdc import B, D, L, M, _chunk_batch
+
+    def serial(text):
+        n = len(text)
+        if n == 0:
+            return []
+        cuts = set()
+        for i in range(max(n - L + 1, 0)):
+            h = 0
+            for j in range(L):
+                h = (h + (ord(text[i + j]) % M)
+                     * pow(B, L - 1 - j, M)) % M
+            if h % D == 0:
+                cuts.add(i + L)
+        cuts.add(n)
+        out, prev = [], 0
+        for c in sorted(cuts):
+            out.append(text[prev:c])
+            prev = c
+        return out
+
+    texts = st.lists(
+        st.text(alphabet=st.characters(codec="utf-8",
+                                       blacklist_categories=("Cs",)),
+                max_size=60),
+        min_size=1, max_size=8)
+
+    @given(texts)
+    @settings(max_examples=50, deadline=None)
+    def check(ts):
+        df = pd.DataFrame({"doc_id": range(len(ts)), "text": ts})
+        got = _chunk_batch(df, "text", "doc_id")
+        want = [(i, j, c) for i, t in enumerate(ts)
+                for j, c in enumerate(serial(t))]
+        assert list(zip(got["doc_id"], got["chunk_idx"],
+                        got["chunk"])) == want
+
+    check()
+
+
+def test_hypothesis_gram_positions_vs_serial():
+    pytest.importorskip("hypothesis")
+    import re
+
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from corpusaid_ray.stages.decontaminate import _doc_gram_positions
+    from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+    docs = st.lists(
+        st.text(alphabet="ab c\t\n", max_size=60), min_size=1, max_size=6)
+
+    @given(docs, st.integers(min_value=2, max_value=4))
+    @settings(max_examples=50, deadline=None)
+    def check(ts, n):
+        ids = np.arange(100, 100 + len(ts), dtype="int64")
+        d, p, g = _doc_gram_positions(pa.array(ts, pa.string()), ids, n)
+        want = []
+        for k, t in enumerate(ts):
+            w = [x for x in re.split(WORD_SPLIT_RE, t) if x]
+            for i in range(max(len(w) - n + 1, 0)):
+                want.append((100 + k, i, " ".join(w[i:i + n])))
+        assert list(zip(d, p, g)) == want
+
+    check()
