@@ -2546,6 +2546,40 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_bpe_drift(sf_dir: str):
+    """Tokenizer-drift monitor: fit BPE independently on the two doc_id-
+    parity halves of the corpus (stand-ins for successive crawl
+    snapshots) and rank-align the merge tables with a same-pair flag —
+    the check that tells you when a new crawl shifts subword statistics
+    enough to warrant retokenization. Two fits (driver fast path), tiny
+    join on rank; the mirror runs two namespaced fit chains in one WITH."""
+    import pyarrow as pa_
+    import ray.data
+
+    from corpusaid_ray.stages.bpe import fit_bpe
+
+    def half(parity: int):
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).filter(lambda r: r["doc_id"] % 2 == parity)
+
+    ma, _ = fit_bpe(half(0), num_merges=8)
+    mb, _ = fit_bpe(half(1), num_merges=8)
+    assert len(ma) == 8 and len(mb) == 8
+    rows = []
+    for x, y in zip(ma, mb):
+        rows.append({
+            "rank": x["rank"],
+            "left_a": x["left_sym"], "right_a": x["right_sym"],
+            "count_a": x["pair_count"],
+            "left_b": y["left_sym"], "right_b": y["right_sym"],
+            "count_b": y["pair_count"],
+            "same_pair": (x["left_sym"], x["right_sym"])
+                         == (y["left_sym"], y["right_sym"]),
+        })
+    return pa_.Table.from_pylist(rows)
+
+
 def q_dup_span_scrub(sf_dir: str):
     """Exact duplicated-substring SPAN removal (Lee 2022 substring dedup,
     word-granular 8-grams, corpus-wide multiplicity ≥ 2): removes the
@@ -3172,6 +3206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_latency": q_funnel_latency,
         "mad_outliers_by_lang": q_mad_outliers_by_lang,
         "dup_span_scrub": q_dup_span_scrub,
+        "bpe_drift": q_bpe_drift,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

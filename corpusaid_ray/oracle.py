@@ -2795,7 +2795,7 @@ ORACLE_SQL["bpe_token_stats"] = _bpe_token_stats_sql()
 # Distributed BPE vocabulary induction mirror (stages/bpe.py)
 # ---------------------------------------------------------------------------
 
-def _bpe_chain(num_merges: int) -> str:
+def _bpe_chain(num_merges: int, prefix: str = "", where: str = "") -> str:
     """The WITH RECURSIVE body recomputing ``stages/bpe.fit_bpe`` exactly:
     word-frequency table → codepoint segmentation with the ``</w>`` marker
     → per merge k an exact pair count (list_zip of the two shifted slices),
@@ -2804,29 +2804,35 @@ def _bpe_chain(num_merges: int) -> str:
     word's symbol list with the same greedy left-to-right non-overlap the
     engine's ``_merge_word`` scan uses. Every chained CTE is MATERIALIZED —
     DuckDB inlines CTEs by reference, and seg{k} is referenced four times
-    by iteration k+1, so un-materialized chaining is exponential."""
-    parts = [r"""
-words AS MATERIALIZED (
+    by iteration k+1, so un-materialized chaining is exponential.
+
+    ``prefix`` namespaces every CTE (so two chains can share one WITH —
+    the snapshot-drift mirror); ``where`` filters the documents feeding
+    the word table. Returns the body WITHOUT the leading WITH keyword."""
+    w = f"WHERE {where}" if where else ""
+    parts = [f"""
+{prefix}words AS MATERIALIZED (
   SELECT token, count(*)::BIGINT AS n
-  FROM (SELECT unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS token
-        FROM documents)
+  FROM (SELECT unnest(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS token
+        FROM documents {w})
   GROUP BY token),
-seg0 AS MATERIALIZED (
+{prefix}seg0 AS MATERIALIZED (
   SELECT token, n,
          list_append(cp[1:len(cp)-1], cp[len(cp)] || '</w>') AS segs
-  FROM (SELECT token, n, regexp_extract_all(token, '.') AS cp FROM words))"""]
+  FROM (SELECT token, n, regexp_extract_all(token, '.') AS cp
+        FROM {prefix}words))"""]
     for k in range(1, num_merges + 1):
         p = k - 1
         parts.append(f"""
-pc{k} AS MATERIALIZED (
+{prefix}pc{k} AS MATERIALIZED (
   SELECT z[1] AS l, z[2] AS r, sum(n)::BIGINT AS cnt
   FROM (SELECT n, unnest(list_zip(segs[1:len(segs)-1], segs[2:len(segs)])) AS z
-        FROM seg{p})
+        FROM {prefix}seg{p})
   GROUP BY 1, 2),
-best{k} AS MATERIALIZED (
-  SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1),
-app{k} AS (
-  SELECT s.token, 1::BIGINT AS i, []::VARCHAR[] AS out FROM seg{p} s
+{prefix}best{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM {prefix}pc{k} ORDER BY cnt DESC, l, r LIMIT 1),
+{prefix}app{k} AS (
+  SELECT s.token, 1::BIGINT AS i, []::VARCHAR[] AS out FROM {prefix}seg{p} s
   UNION ALL
   SELECT a.token,
     CASE WHEN a.i < len(s.segs) AND s.segs[a.i] = b.l AND s.segs[a.i+1] = b.r
@@ -2834,13 +2840,14 @@ app{k} AS (
     CASE WHEN a.i < len(s.segs) AND s.segs[a.i] = b.l AND s.segs[a.i+1] = b.r
          THEN list_append(a.out, b.l || b.r)
          ELSE list_append(a.out, s.segs[a.i]) END
-  FROM app{k} a JOIN seg{p} s USING (token) CROSS JOIN best{k} b
+  FROM {prefix}app{k} a JOIN {prefix}seg{p} s USING (token)
+  CROSS JOIN {prefix}best{k} b
   WHERE a.i <= len(s.segs)),
-seg{k} AS MATERIALIZED (
+{prefix}seg{k} AS MATERIALIZED (
   SELECT a.token, s.n, a.out AS segs
-  FROM app{k} a JOIN seg{p} s USING (token)
+  FROM {prefix}app{k} a JOIN {prefix}seg{p} s USING (token)
   WHERE a.i = len(s.segs) + 1)""")
-    return "WITH RECURSIVE " + ",".join(parts)
+    return ",".join(parts)
 
 
 def _bpe_merges_sql(num_merges: int = 8) -> str:
@@ -2848,7 +2855,7 @@ def _bpe_merges_sql(num_merges: int = 8) -> str:
         f"SELECT {k}::BIGINT AS rank, l AS left_sym, r AS right_sym, "
         f"cnt AS pair_count FROM best{k}"
         for k in range(1, num_merges + 1))
-    return f"{_bpe_chain(num_merges)}\n{sel}\nORDER BY rank"
+    return f"WITH RECURSIVE {_bpe_chain(num_merges)}\n{sel}\nORDER BY rank"
 
 
 def _bpe_encode_sql(num_merges: int = 8) -> str:
@@ -2856,7 +2863,7 @@ def _bpe_encode_sql(num_merges: int = 8) -> str:
     table IS the encoding of every corpus word (encode-in-rank-order ==
     the fit's successive applications, same ops in the same order), so the
     corpus-sized apply pass mirrors as one join on seg{M} lengths."""
-    return f"""{_bpe_chain(num_merges)}
+    return f"""WITH RECURSIVE {_bpe_chain(num_merges)}
 SELECT t.doc_id, sum(len(s.segs))::BIGINT AS n_pieces
 FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS token
       FROM documents) t
@@ -3235,3 +3242,28 @@ FROM words w LEFT JOIN agg a USING (doc_id)"""
 
 
 ORACLE_SQL["dup_span_scrub"] = _dup_span_scrub_sql(8, 2)
+
+
+def _bpe_drift_sql(num_merges: int = 8) -> str:
+    """Tokenizer-drift mirror: two namespaced fit chains (doc_id parity
+    halves) in ONE WITH RECURSIVE, rank-joined merge tables with a
+    same-pair flag."""
+    a = _bpe_chain(num_merges, prefix="a_", where="doc_id % 2 = 0")
+    b = _bpe_chain(num_merges, prefix="b_", where="doc_id % 2 = 1")
+    ranks_a = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS rank, l, r, cnt FROM a_best{k}"
+        for k in range(1, num_merges + 1))
+    ranks_b = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS rank, l, r, cnt FROM b_best{k}"
+        for k in range(1, num_merges + 1))
+    return f"""WITH RECURSIVE {a},{b},
+ma AS ({ranks_a}),
+mb AS ({ranks_b})
+SELECT ma.rank,
+       ma.l AS left_a, ma.r AS right_a, ma.cnt AS count_a,
+       mb.l AS left_b, mb.r AS right_b, mb.cnt AS count_b,
+       (ma.l = mb.l AND ma.r = mb.r) AS same_pair
+FROM ma JOIN mb USING (rank)"""
+
+
+ORACLE_SQL["bpe_drift"] = _bpe_drift_sql(8)
