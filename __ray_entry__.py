@@ -2632,9 +2632,14 @@ def q_bpe_drift(sf_dir: str):
     from corpusaid_ray.stages.bpe import fit_bpe
 
     def half(parity: int):
+        import pyarrow.compute as pc_
+
         return ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).filter(lambda r: r["doc_id"] % 2 == parity)
+        ).map_batches(
+            lambda t: t.filter(pc_.equal(
+                pc_.bit_wise_and(t["doc_id"], 1), parity)),
+            batch_format="pyarrow")
 
     ma, _ = fit_bpe(half(0), num_merges=8)
     mb, _ = fit_bpe(half(1), num_merges=8)
