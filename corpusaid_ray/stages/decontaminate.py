@@ -470,27 +470,37 @@ def dup_span_scrub(ds, *, content_col: str = "text", id_col: str = "doc_id",
     from corpusaid_ray.util import (drop_empty_blocks, grouped,
                                     join_partitions)
 
-    def count_partial(tbl: pa.Table) -> pd.DataFrame:
+    # every exchange below carries ARROW string blocks — pandas object
+    # blocks through the same gram groupby measured 31 s vs 2.9 s at 5k
+    # docs (the session-2 wide-op lesson, re-learned here)
+    def count_partial(tbl: pa.Table) -> pa.Table:
         _, g = _doc_grams(tbl[content_col], n)
         if not len(g):
-            return pd.DataFrame({"g": pd.Series([], dtype=str),
-                                 "c": pd.Series([], dtype="int64")})
+            return pa.table({"g": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
         s = pd.Series(g).value_counts()
-        return pd.DataFrame({"g": s.index.astype(str),
-                             "c": s.to_numpy("int64")})
+        return pa.table({"g": pa.array(s.index.astype(str)),
+                         "c": pa.array(s.to_numpy("int64"))})
 
     counts = grouped(ds.map_batches(count_partial, batch_format="pyarrow"),
                      "g").aggregate(Sum("c", alias_name="c"))
     dup = drop_empty_blocks(counts.map_batches(
-        lambda df: df[df["c"] >= min_count][["g"]].astype({"g": str}),
-        batch_format="pandas"))
+        lambda t: t.filter(pa.compute.greater_equal(t["c"], min_count))
+                   .select(["g"]),
+        batch_format="pyarrow"))
 
-    def pos_rows(tbl: pa.Table) -> pd.DataFrame:
+    def pos_rows(tbl: pa.Table) -> pa.Table:
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        id_type = tbl.schema.field(id_col).type
         d, p, g = _doc_gram_positions(tbl[content_col], ids, n)
-        return pd.DataFrame({id_col: d.astype("int64"),
-                             "pos": p.astype("int64"),
-                             "g": pd.Series(g, dtype="object").astype(str)})
+        if not len(d):
+            return pa.table({id_col: pa.array([], id_type),
+                             "pos": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string())})
+        # id dtype preserved (int doc_id or string path both work)
+        return pa.table({id_col: pa.array(list(d), id_type),
+                         "pos": pa.array(p, pa.int64()),
+                         "g": pa.array(list(g), pa.string())})
 
     nparts = join_partitions()
     gp = drop_empty_blocks(
@@ -498,16 +508,26 @@ def dup_span_scrub(ds, *, content_col: str = "text", id_col: str = "doc_id",
     starts = gp.join(dup, join_type="inner", num_partitions=nparts,
                      on=("g",))
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            id_col: [int(g[id_col].iloc[0])],
-            "starts": [",".join(map(str, sorted(g["pos"].tolist())))],
-        })
+    # pack per-doc starts under COARSE SALT parts (the house pattern:
+    # per-doc map_groups pays Ray's per-group overhead 1×/doc — measured
+    # 59.8 s at 5k docs; one pandas groupby per ~256th of the key space
+    # does the same work vectorized)
+    def add_salt(df: pd.DataFrame) -> pa.Table:
+        salt = (pd.util.hash_pandas_object(
+            df[id_col], index=False).to_numpy() % 256).astype("int64")
+        return pa.table({id_col: pa.array(df[id_col].tolist()),
+                         "pos": pa.array(df["pos"].to_numpy("int64")),
+                         "_part": pa.array(salt)})
+
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.sort_values([id_col, "pos"], kind="mergesort")
+             .groupby(id_col, sort=False)["pos"]
+             .agg(lambda x: ",".join(map(str, x))))
+        return pd.DataFrame({id_col: s.index, "starts": s.to_numpy()})
 
     packed = drop_empty_blocks(
-        grouped(starts.map_batches(
-            lambda df: df[[id_col, "pos"]], batch_format="pandas"),
-            id_col).map_groups(pack, batch_format="pandas"))
+        grouped(starts.map_batches(add_salt, batch_format="pandas"),
+                "_part").map_groups(pack_part, batch_format="pandas"))
 
     docs = ds.map_batches(
         lambda t: t.select([id_col, content_col]), batch_format="pyarrow")
@@ -535,7 +555,7 @@ def dup_span_scrub(ds, *, content_col: str = "text", id_col: str = "doc_id",
             out_rm.append(nw - len(kept))
             out_txt.append(" ".join(kept))
         return pd.DataFrame({
-            id_col: df[id_col].astype("int64"),
+            id_col: df[id_col],
             "n_words": pd.Series(out_n, dtype="int64"),
             "n_removed": pd.Series(out_rm, dtype="int64"),
             "kept_text": pd.Series(out_txt, dtype="object"),
