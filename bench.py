@@ -391,6 +391,19 @@ def run_bench() -> dict:
     queries["pagerank_knn"] = round(time.perf_counter() - t0, 3)
     extras["pagerank_nodes"] = n
 
+    # --- exact duplicated-span removal (un-replicated: replication makes
+    # every interior gram duplicated — the op's adversarial worst case,
+    # not its bench shape; the corpus's own dup structure is the input) ---
+    from corpusaid_ray.stages.decontaminate import dup_span_scrub
+
+    t0 = time.perf_counter()
+    n = dup_span_scrub(
+        read_corpus(SF_DIR, parallelism=blocks),
+        content_col="content", id_col="path",
+    ).count()
+    queries["dup_span_scrub"] = round(time.perf_counter() - t0, 3)
+    extras["span_scrub_docs"] = n
+
     # --- event windows ---
     t0 = time.perf_counter()
     ev = ray.data.read_parquet(
