@@ -2546,6 +2546,21 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_global_rank(sf_dir: str):
+    """Exact global row_number rank (ORDER BY n_chars, doc_id) WITHOUT a
+    global sort: range-partition cut points make partitions contiguous in
+    the value, so rank = smaller-partitions size sum + local rank — the
+    mechanism behind globally sorted shard export
+    (`stages/sampling.global_rank_via_ranges`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import global_rank_via_ranges
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    return global_rank_via_ranges(ds, num_parts=10)
+
+
 def q_cdc_crawl_delta(sf_dir: str):
     """Crawl-delta storage estimate: how many of the new snapshot's
     content-defined chunks (and codepoints) already exist in the previous
@@ -3286,6 +3301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_scrub": q_dup_span_scrub,
         "bpe_drift": q_bpe_drift,
         "cdc_crawl_delta": q_cdc_crawl_delta,
+        "global_rank": q_global_rank,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

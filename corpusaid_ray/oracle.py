@@ -3298,3 +3298,9 @@ SELECT (SELECT count(*) FROM nd)::BIGINT AS new_chunks,
 
 
 ORACLE_SQL["cdc_crawl_delta"] = _cdc_crawl_delta_sql()
+
+
+ORACLE_SQL["global_rank"] = """
+SELECT doc_id, n_chars::BIGINT AS value,
+       row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS global_rank
+FROM documents"""

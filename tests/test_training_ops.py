@@ -2596,3 +2596,27 @@ class TestCdcCrawlDelta:
         assert 0 < out["reused_chunks"] <= out["new_chunks"]
         assert 0 < out["reused_cp"] <= out["new_cp"]
         assert out["reused_chunks"] > out["new_chunks"] // 2
+
+
+class TestGlobalRankViaRanges:
+    """Rank without a global sort equals a serial row_number — including
+    under heavy duplicate skew (all duplicates share one partition, local
+    tie-break completes the order) — and is layout-invariant."""
+
+    def test_matches_serial(self, ray_session):
+        from corpusaid_ray.stages.sampling import global_rank_via_ranges
+
+        rows = ([{"doc_id": i, "n_chars": 500 + 7 * ((i * 31) % 90)}
+                 for i in range(150)]
+                + [{"doc_id": 1000 + i, "n_chars": 42} for i in range(40)])
+        want = {
+            r["doc_id"]: rank
+            for rank, r in enumerate(
+                sorted(rows, key=lambda r: (r["n_chars"], r["doc_id"])),
+                start=1)
+        }
+        for par in (1, 6):
+            got = {r["doc_id"]: r["global_rank"]
+                   for r in global_rank_via_ranges(
+                       _docs_ds(ray_session, rows, par)).take_all()}
+            assert got == want, par
