@@ -2546,6 +2546,20 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Retention triangle: users cohorted by first-event epoch-week,
+    distinct-active counts per (cohort_week, week_offset) with cohort
+    sizes riding the offset-0 cells — all exact epoch-ms floor integers
+    (`stages/window.retention_cohorts`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import retention_cohorts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
 def q_global_rank(sf_dir: str):
     """Exact global row_number rank (ORDER BY n_chars, doc_id) WITHOUT a
     global sort: range-partition cut points make partitions contiguous in
@@ -3302,6 +3316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_drift": q_bpe_drift,
         "cdc_crawl_delta": q_cdc_crawl_delta,
         "global_rank": q_global_rank,
+        "retention_cohorts": q_retention_cohorts,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3304,3 +3304,22 @@ ORACLE_SQL["global_rank"] = """
 SELECT doc_id, n_chars::BIGINT AS value,
        row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS global_rank
 FROM documents"""
+
+
+# Retention cohort mirror (stages/window.retention_cohorts): epoch-ms
+# floor arithmetic; offset-0 distinct count IS the cohort size.
+ORACLE_SQL["retention_cohorts"] = """
+WITH c AS MATERIALIZED (
+  SELECT user_id, min(epoch_ms(ts))::BIGINT AS t0
+  FROM events GROUP BY user_id),
+act AS MATERIALIZED (
+  SELECT DISTINCT e.user_id,
+         (c.t0 // 604800000)::BIGINT AS cohort_week,
+         ((epoch_ms(e.ts) - c.t0) // 604800000)::BIGINT AS week_offset
+  FROM events e JOIN c USING (user_id)),
+cnt AS MATERIALIZED (
+  SELECT cohort_week, week_offset, count(*)::BIGINT AS n_active
+  FROM act GROUP BY cohort_week, week_offset)
+SELECT a.cohort_week, a.week_offset, a.n_active, z.n_active AS cohort_size
+FROM cnt a JOIN cnt z
+  ON a.cohort_week = z.cohort_week AND z.week_offset = 0"""

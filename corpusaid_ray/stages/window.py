@@ -313,3 +313,60 @@ def funnel_reach(ds, stages: tuple[str, str, str] = ("view", "click",
         }).astype("int64")
 
     return grouped(ds, "user_id").map_groups(per_user, batch_format="pandas")
+
+
+def retention_cohorts(ds, *, week_ms: int = 604_800_000):
+    """Retention cohort analysis: users cohort by the epoch-week of their
+    FIRST event; each later event marks its user active in week_offset =
+    floor((ts − first_ts) / week). Output one row per (cohort_week,
+    week_offset): distinct active users plus the cohort's size — the
+    classic retention triangle, all exact integers (epoch-ms floor
+    arithmetic; no rates, so nothing floats).
+
+    Shape: one ``groupby(user)`` co-locates each user's history (the
+    sessionize precondition); each group emits its distinct
+    (cohort_week, week_offset) rows — ≤ weeks-per-user per user — and a
+    small ``groupby`` counts them; cohort sizes ride the same exchange as
+    offset-0 rows (every user is active in their own first week, so
+    ``n_active at offset 0 == cohort_size`` — pinned and exploited:
+    cohort_size is joined from the offset-0 counts, no second pass).
+
+    Returns ``(cohort_week, week_offset, n_active, cohort_size)``."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("datetime64[ns]").astype("int64").to_numpy() \
+            // 1_000_000
+        t0 = int(ts.min())
+        cohort = t0 // week_ms
+        offs = np.unique((ts - t0) // week_ms)
+        return pd.DataFrame({
+            "cohort_week": np.full(len(offs), cohort, np.int64),
+            "week_offset": offs.astype(np.int64),
+            "n": np.ones(len(offs), np.int64),
+        })
+
+    cells = grouped(ds, "user_id").map_groups(per_user,
+                                              batch_format="pandas")
+    counts = grouped(cells, ["cohort_week", "week_offset"]).aggregate(
+        Sum("n", alias_name="n_active"))
+
+    # the cell table is (cohorts × offsets)-sized — tiny; offset-0 rows
+    # ARE the cohort sizes
+    sizes = {int(r["cohort_week"]): int(r["n_active"])
+             for r in counts.take_all() if r["week_offset"] == 0}
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_week": df["cohort_week"].astype("int64"),
+            "week_offset": df["week_offset"].astype("int64"),
+            "n_active": df["n_active"].astype("int64"),
+            "cohort_size": df["cohort_week"].map(sizes).astype("int64"),
+        })
+
+    return counts.map_batches(finish, batch_format="pandas")

@@ -2620,3 +2620,48 @@ class TestGlobalRankViaRanges:
                    for r in global_rank_via_ranges(
                        _docs_ds(ray_session, rows, par)).take_all()}
             assert got == want, par
+
+
+class TestRetentionCohorts:
+    """Planted cohorts: two cohorts a week apart, known activity pattern;
+    offset-0 equals cohort size; dropped-off users vanish from later
+    offsets; layout-invariant."""
+
+    def test_planted(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from corpusaid_ray.stages.window import retention_cohorts
+
+        week = dt.timedelta(days=7)
+        # align base to an exact epoch-week boundary so the planted
+        # cohort arithmetic is stable
+        base_ms = (int(dt.datetime(2024, 1, 1).timestamp() * 1000)
+                   // 604_800_000) * 604_800_000
+        base = dt.datetime.fromtimestamp(base_ms / 1000)
+        rows = []
+        # cohort A: users 1-3 start week 0; user 1 active weeks 0,1,2;
+        # user 2 weeks 0,1; user 3 week 0 only
+        for u, weeks in ((1, (0, 1, 2)), (2, (0, 1)), (3, (0,))):
+            for w in weeks:
+                rows.append({"user_id": u, "ts": base + w * week})
+        # cohort B: users 4-5 start week 1; both active weeks 1,2 (off 0,1)
+        for u in (4, 5):
+            for w in (1, 2):
+                rows.append({"user_id": u, "ts": base + w * week})
+        t = pa.Table.from_pylist(rows)
+        want = {
+            # (cohort_week, offset): (n_active, cohort_size)
+            (0, 0): (3, 3), (0, 1): (2, 3), (0, 2): (1, 3),
+            (1, 0): (2, 2), (1, 1): (2, 2),
+        }
+        cw0 = base_ms // 604_800_000
+        for par in (1, 4):
+            ds = ray.data.from_arrow(t).repartition(par)
+            got = {
+                (r["cohort_week"] - cw0, r["week_offset"]):
+                    (r["n_active"], r["cohort_size"])
+                for r in retention_cohorts(ds).take_all()
+            }
+            assert got == want, par
