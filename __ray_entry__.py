@@ -2546,6 +2546,50 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_winsorized_length(sf_dir: str):
+    """Winsorized corpus length stats: doc lengths CLAMPED to the exact
+    ceil-rank [p5, p95] before summing — the robust mean companion to the
+    MAD gate (outliers stop dominating the average without dropping
+    rows). One percentile reduction + one map-only clamp + integer sums;
+    the mean stays an exact (sum, n) integer pair so nothing floats."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa_
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+    pct = group_percentiles_distributed(
+        ds.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df["n_chars"].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v", percentiles=(0.05, 0.95))
+    lo = int(pct["p5_micros"].iloc[0]) // 1_000_000
+    hi = int(pct["p95_micros"].iloc[0]) // 1_000_000
+
+    n = s = 0
+    for b in ds.map_batches(
+            lambda df: pd.DataFrame({
+                "n": [len(df)],
+                "s": [int(np.clip(df["n_chars"].to_numpy(np.int64),
+                                  lo, hi).sum())],
+            }), batch_format="pandas").iter_batches(batch_format="pandas"):
+        n += int(b["n"].sum())
+        s += int(b["s"].sum())
+    return pa_.table({
+        "n_docs": pa_.array([n], pa_.int64()),
+        "lo": pa_.array([lo], pa_.int64()),
+        "hi": pa_.array([hi], pa_.int64()),
+        "winsorized_sum": pa_.array([s], pa_.int64()),
+    })
+
+
 def q_retention_cohorts(sf_dir: str):
     """Retention triangle: users cohorted by first-event epoch-week,
     distinct-active counts per (cohort_week, week_offset) with cohort
@@ -3317,6 +3361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_crawl_delta": q_cdc_crawl_delta,
         "global_rank": q_global_rank,
         "retention_cohorts": q_retention_cohorts,
+        "winsorized_length": q_winsorized_length,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3323,3 +3323,18 @@ cnt AS MATERIALIZED (
 SELECT a.cohort_week, a.week_offset, a.n_active, z.n_active AS cohort_size
 FROM cnt a JOIN cnt z
   ON a.cohort_week = z.cohort_week AND z.week_offset = 0"""
+
+
+# Winsorized length mirror: ceil-rank [p5, p95] clamp + integer sum.
+ORACLE_SQL["winsorized_length"] = """
+WITH vals AS MATERIALIZED (
+  SELECT list_sort(list(n_chars::BIGINT)) AS v, count(*)::BIGINT AS n
+  FROM documents),
+b AS MATERIALIZED (
+  SELECT n, v[greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)] AS lo,
+            v[greatest(CAST(ceil(0.95 * n) AS BIGINT), 1)] AS hi
+  FROM vals)
+SELECT b.n AS n_docs, b.lo, b.hi,
+       (SELECT sum(least(greatest(n_chars::BIGINT, b.lo), b.hi))
+        FROM documents)::BIGINT AS winsorized_sum
+FROM b"""
