@@ -2546,6 +2546,16 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_containment_join(sf_dir: str):
+    """Directed containment self-join (|A∩B|/|A| ≥ 0.8): the quote /
+    wholesale-inclusion detector symmetric Jaccard misses by construction
+    — exact and complete via the containment prefix theorem (A-side
+    prefixes × B-side full postings; `stages/simjoin.containment_join`)."""
+    from corpusaid_ray.stages.simjoin import containment_join
+
+    return containment_join(_corpus(sf_dir), threshold=0.8)
+
+
 def q_winsorized_length(sf_dir: str):
     """Winsorized corpus length stats: doc lengths CLAMPED to the exact
     ceil-rank [p5, p95] before summing — the robust mean companion to the
@@ -3362,6 +3372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": q_global_rank,
         "retention_cohorts": q_retention_cohorts,
         "winsorized_length": q_winsorized_length,
+        "containment_join": q_containment_join,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

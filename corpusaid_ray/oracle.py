@@ -3338,3 +3338,33 @@ SELECT b.n AS n_docs, b.lo, b.hi,
        (SELECT sum(least(greatest(n_chars::BIGINT, b.lo), b.hi))
         FROM documents)::BIGINT AS winsorized_sum
 FROM b"""
+
+
+def _containment_join_sql(t_micros: int = 800_000) -> str:
+    """Mirror of stages/simjoin.containment_join: brute-force directed
+    all-pairs containment (SQL proves completeness without the prefix
+    filter), same whitespace class, integer compare ni·1e6 ≥ t·|A|."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    return with_corpus(f"""
+, toks AS (
+  SELECT DISTINCT path, tok FROM (
+    SELECT path,
+           unnest(list_filter(regexp_split_to_array(content, '{ws}'),
+                              t -> t != '')) AS tok
+    FROM corpus
+  )
+), sizes AS (
+  SELECT path, count(*)::BIGINT AS n FROM toks GROUP BY path
+), inter AS (
+  SELECT a.path AS pa, b.path AS pb, count(*)::BIGINT AS ni
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.path != b.path
+  GROUP BY 1, 2
+)
+SELECT pa AS path_a, pb AS path_b, ni AS n_inter, sa.n AS n_a,
+       ni::DOUBLE / sa.n::DOUBLE AS containment
+FROM inter
+JOIN sizes sa ON sa.path = pa
+WHERE ni * 1000000 >= {t_micros} * sa.n""")
+
+
+ORACLE_SQL["containment_join"] = _containment_join_sql()

@@ -224,3 +224,146 @@ def jaccard_similarity_join(ds, *, key: str = "path",
         return out[ni * 1_000_000 >= t_micros * nu]
 
     return pairs.map_batches(verify, batch_format="pandas")
+
+
+def containment_join(ds, *, key: str = "path",
+                     content_col: str = "content",
+                     threshold: float = 0.8):
+    """Directed CONTAINMENT self-join: every ordered pair (A, B) with
+    ``|A∩B| / |A| >= threshold`` — the asymmetric complement of
+    :func:`jaccard_similarity_join` that symmetric similarity misses by
+    construction (a short doc quoted wholesale inside a long one has high
+    containment but low Jaccard). Exact and complete.
+
+    Prefix theorem (containment variant): if the containment holds, the
+    overlap is ≥ ceil(t·|A|), so A's canonical-order prefix of
+    ``|A| − ceil(t·|A|) + 1`` tokens must hold a common token — but B gets
+    NO prefix bound (the common token merely has to be somewhere in B), so
+    the B side contributes its FULL posting rows. The candidate exchange is
+    therefore inverted-index-sized (one row per (doc, distinct token)),
+    bounded by A-side prefixes on the pair-forming side; size filter at
+    formation: ``|B| ≥ ceil(t·|A|)``. Verification is the same
+    candidate-only broadcast-LUT exact set intersection, with the integer
+    compare ``ni·10⁶ ≥ t_micros·|A|`` on both engine and SQL sides.
+
+    Output: ``(path_a, path_b, n_inter, n_a, containment)`` where path_a
+    is the CONTAINED document; both directions report independently."""
+    import ray
+
+    t_micros = int(round(threshold * 1_000_000))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        paths, toks, n, starts = _distinct_tokens(batch, key, content_col)
+        if len(toks) == 0:
+            return pa.table({
+                "tok": pa.array([], pa.string()),
+                key: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "is_pref": pa.array([], pa.bool_()),
+                "salt": pa.array([], pa.int64()),
+            })
+        pos = np.arange(len(toks), dtype="int64")
+        pos -= np.repeat(starts, np.diff(np.r_[starts, len(toks)]))
+        plen = n - _ceil_frac(n, t_micros) + 1
+        salt = (
+            pd.util.hash_pandas_object(pd.Series(toks), index=False)
+            .to_numpy() % SALT_BUCKETS
+        ).astype("int64")
+        return pa.table({
+            "tok": pa.array(toks, pa.string()),
+            key: pa.array(paths, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "is_pref": pa.array(pos < plen, pa.bool_()),
+            "salt": pa.array(salt, pa.int64()),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+
+    def salted_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for tok, sub in g.groupby("tok", sort=False):
+            pref = sub[sub["is_pref"]]
+            if not len(pref) or len(sub) < 2:
+                continue
+            if len(sub) > _GROUP_WARN:
+                logger.warning(
+                    "containment_join: token %r in %d postings (quadratic "
+                    "pair formation)", tok, len(sub))
+            pa_ = pref[key].to_numpy()
+            na = pref["n"].to_numpy()
+            pb_ = sub[key].to_numpy()
+            nb = sub["n"].to_numpy()
+            ii, jj = np.meshgrid(np.arange(len(pa_)), np.arange(len(pb_)),
+                                 indexing="ij")
+            ii, jj = ii.ravel(), jj.ravel()
+            ok = (pa_[ii] != pb_[jj]) & (
+                nb[jj] >= _ceil_frac(na[ii], t_micros))
+            outs.append(pd.DataFrame({"path_a": pa_[ii[ok]],
+                                      "path_b": pb_[jj[ok]]}))
+        if not outs:
+            return _empty_df(path_a="object", path_b="object")
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = grouped(rows, "salt").map_groups(
+        salted_pairs, batch_format="pandas")
+
+    def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["path_a", "path_b"]).copy()
+        df["pair_salt"] = (
+            pd.util.hash_pandas_object(
+                df["path_a"] + "\x00" + df["path_b"], index=False
+            ).to_numpy() % SALT_BUCKETS
+        ).astype("int64")
+        return df
+
+    pairs = pairs.map_batches(local_dedup, batch_format="pandas")
+    pairs = grouped(pairs, "pair_salt").map_groups(
+        lambda g: g.drop_duplicates(["path_a", "path_b"]).drop(
+            columns=["pair_salt"]),
+        batch_format="pandas",
+    ).materialize()
+
+    cand = _candidate_paths(pairs)
+    cand_arr = pa.array(cand, pa.string())
+
+    def token_sets(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch[key], value_set=cand_arr))
+        paths, toks, _, starts = _distinct_tokens(batch, key, content_col)
+        if len(toks) == 0:
+            return pa.table({key: pa.array([], pa.string()),
+                             "toks": pa.array([], pa.string())})
+        ends = np.r_[starts[1:], len(toks)]
+        return pa.table({
+            key: pa.array(paths[starts], pa.string()),
+            "toks": pa.array(
+                ["\n".join(toks[s:e]) for s, e in zip(starts, ends)],
+                pa.string()),
+        })
+
+    import ray as _ray
+
+    lut: dict[str, frozenset[str]] = {}
+    for b in ds.map_batches(token_sets, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for p, t in zip(b[key].to_pylist(), b["toks"].to_pylist()):
+            lut[p] = frozenset(t.split("\n"))
+    lut_ref = _ray.put(lut)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        sets = ray.get(lut_ref)
+        ni = np.empty(len(df), "int64")
+        na = np.empty(len(df), "int64")
+        for i, (a, b) in enumerate(zip(df["path_a"], df["path_b"])):
+            sa, sb = sets[a], sets[b]
+            ni[i] = len(sa & sb)
+            na[i] = len(sa)
+        out = pd.DataFrame({
+            "path_a": df["path_a"].to_numpy(),
+            "path_b": df["path_b"].to_numpy(),
+            "n_inter": ni,
+            "n_a": na,
+            "containment": ni.astype("float64") / na.astype("float64"),
+        })
+        return out[ni * 1_000_000 >= t_micros * na]
+
+    return pairs.map_batches(verify, batch_format="pandas")

@@ -2665,3 +2665,72 @@ class TestRetentionCohorts:
                 for r in retention_cohorts(ds).take_all()
             }
             assert got == want, par
+
+
+class TestContainmentJoin:
+    """Containment prefix filter is COMPLETE vs brute force at several
+    thresholds, and catches the asymmetric case Jaccard misses: a short
+    doc quoted wholesale inside a long one."""
+
+    @staticmethod
+    def _brute(rows, t):
+        import math
+        import re
+
+        from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+
+        sets = {
+            r["path"]: frozenset(
+                w for w in re.split(WORD_SPLIT_RE, r["content"]) if w)
+            for r in rows
+        }
+        out = set()
+        tm = int(round(t * 1_000_000))
+        for a, sa in sets.items():
+            if not sa:
+                continue
+            for b, sb in sets.items():
+                if a == b:
+                    continue
+                ni = len(sa & sb)
+                if ni * 1_000_000 >= tm * len(sa):
+                    out.add((a, b, ni, len(sa)))
+        return out
+
+    def test_complete_and_asymmetric(self, ray_session):
+        import random
+
+        import ray.data
+
+        from corpusaid_ray.stages.simjoin import containment_join
+
+        rng = random.Random(17)
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(25):
+            k = rng.randint(5, 25)
+            rows.append({"path": f"d{i}",
+                         "content": " ".join(rng.sample(vocab, k))})
+        # the quote case: d_small entirely inside d_big's vocabulary
+        small = rng.sample(vocab, 6)
+        rows.append({"path": "d_small", "content": " ".join(small)})
+        rows.append({"path": "d_big",
+                     "content": " ".join(small + rng.sample(
+                         [v for v in vocab if v not in small], 30))})
+        t = pa.Table.from_pylist(rows)
+        for thr in (0.6, 0.8, 0.95):
+            want = self._brute(rows, thr)
+            ds = ray.data.from_arrow(t).repartition(4)
+            got = {
+                (r["path_a"], r["path_b"], r["n_inter"], r["n_a"])
+                for r in containment_join(ds, threshold=thr).take_all()
+            }
+            assert got == want, thr
+        # the quote pair is found at 0.95 containment...
+        assert any(a == "d_small" and b == "d_big" for a, b, *_ in
+                   self._brute(rows, 0.95))
+        # ...while its Jaccard is far below any meaningful threshold
+        sa = frozenset(small)
+        sb = {w for r in rows if r["path"] == "d_big"
+              for w in r["content"].split()}
+        assert len(sa & sb) / len(sa | sb) < 0.25
