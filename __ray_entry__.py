@@ -2546,6 +2546,51 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_hll_snapshot_union(sf_dir: str):
+    """Sketch MERGEABILITY made explicit: each crawl snapshot (the pinned
+    doc_id%4 derivation) sketches its distinct lines independently; the
+    union estimate comes from the elementwise register max — the O(M)
+    combine that lets every node/snapshot sketch without coordination.
+    Registers are bit-exact in SQL, so all three estimates value-match
+    (`stages/sketch.hll_registers` / `hll_union_estimates`)."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+    import ray.data
+
+    from corpusaid_ray.stages.linedup import _explode_lines
+    from corpusaid_ray.stages.sketch import (hll_registers,
+                                             hll_union_estimates)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def snap_lines(old: bool):
+        def fn(tbl: pa_.Table) -> pa_.Table:
+            r = pc_.bit_wise_and(tbl["doc_id"], 3)
+            if old:
+                tbl = tbl.filter(pc_.not_equal(r, 3))
+                r2 = pc_.bit_wise_and(tbl["doc_id"], 3)
+                text = pc_.if_else(
+                    pc_.equal(r2, 1),
+                    pa_.scalar("<old-revision>", pa_.string()),
+                    tbl["text"])
+                tbl = tbl.drop_columns(["text"]).append_column("text", text)
+            else:
+                tbl = tbl.filter(pc_.not_equal(r, 0))
+            return _explode_lines(tbl, "text", "doc_id")
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    reg_old = hll_registers(snap_lines(True), "line")
+    reg_new = hll_registers(snap_lines(False), "line")
+    est_old, est_new, est_union = hll_union_estimates(reg_old, reg_new)
+    return pa_.table({
+        "est_old": pa_.array([est_old], pa_.float64()),
+        "est_new": pa_.array([est_new], pa_.float64()),
+        "est_union": pa_.array([est_union], pa_.float64()),
+    })
+
+
 def q_containment_join(sf_dir: str):
     """Directed containment self-join (|A∩B|/|A| ≥ 0.8): the quote /
     wholesale-inclusion detector symmetric Jaccard misses by construction
@@ -3373,6 +3418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "winsorized_length": q_winsorized_length,
         "containment_join": q_containment_join,
+        "hll_snapshot_union": q_hll_snapshot_union,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

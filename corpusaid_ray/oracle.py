@@ -3368,3 +3368,50 @@ WHERE ni * 1000000 >= {t_micros} * sa.n""")
 
 
 ORACLE_SQL["containment_join"] = _containment_join_sql()
+
+
+def _hll_reg_chain(prefix: str, source: str) -> str:
+    """Register chain of the hll_distinct_lines mirror, namespaced over a
+    (doc_id, text) relation — registers are bit-exact, so snapshot
+    sketches and their elementwise-max union mirror exactly."""
+    mask56 = (1 << 56) - 1
+    return f"""
+{prefix}lns AS MATERIALIZED (
+  SELECT arr[t.i::INT] AS line
+  FROM (SELECT regexp_split_to_array(text, chr(10)) AS arr FROM {source}),
+       unnest(range(1, length(arr) + 1)) AS t(i)
+  WHERE arr[t.i::INT] != ''),
+{prefix}h AS MATERIALIZED (
+  SELECT ('0x' || substr(md5(line), 1, 16))::UBIGINT AS hv
+  FROM {prefix}lns),
+{prefix}reg AS MATERIALIZED (
+  SELECT (hv >> 56)::BIGINT AS bucket,
+         max((CASE WHEN (hv & {mask56}::UBIGINT) = 0::UBIGINT THEN 57
+              ELSE 57 - length(bin(hv & {mask56}::UBIGINT)) END)::BIGINT)
+           AS r
+  FROM {prefix}h GROUP BY bucket)"""
+
+
+def _hll_est_select(reg: str) -> str:
+    return f"""(SELECT ((0.7213 / (1.0 + 1.079/256.0)) * 65536.0)
+        * 18446744073709551616.0
+        / (SELECT (sum(1::HUGEINT << (64 - r))
+                   + (256 - count(*))::HUGEINT * (1::HUGEINT << 64))::DOUBLE
+           FROM {reg}))"""
+
+
+ORACLE_SQL["hll_snapshot_union"] = f"""
+WITH ranked AS MATERIALIZED (
+  SELECT doc_id, text, doc_id % 4 AS rr FROM documents),
+old_src AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN rr = 1 THEN '<old-revision>' ELSE text END AS text
+  FROM ranked WHERE rr != 3),
+new_src AS MATERIALIZED (
+  SELECT doc_id, text FROM ranked WHERE rr != 0),{_hll_reg_chain("o_", "old_src")},{_hll_reg_chain("n_", "new_src")},
+u_reg AS MATERIALIZED (
+  SELECT bucket, max(r) AS r
+  FROM (SELECT * FROM o_reg UNION ALL SELECT * FROM n_reg)
+  GROUP BY bucket)
+SELECT {_hll_est_select("o_reg")} AS est_old,
+       {_hll_est_select("n_reg")} AS est_new,
+       {_hll_est_select("u_reg")} AS est_union"""

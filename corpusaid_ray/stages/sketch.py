@@ -347,3 +347,39 @@ def heavy_hitters(ds, *, content_col: str = "content", k: int = 50):
         }).reset_index(drop=True)
 
     return exact.map_batches(finish, batch_format="pandas")
+
+
+def hll_registers(ds, col: str) -> dict[int, int]:
+    """The register TABLE behind :func:`hll_distinct` — exposed because
+    registers are the MERGEABLE artifact: elementwise max of two sketches
+    is the sketch of the union (the property that lets every node/snapshot
+    sketch independently and a coordinator combine in O(M))."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        df = hll_partial([v for v in vals if v is not None])
+        return pa.table({
+            "bucket": pa.array(df["bucket"].to_numpy(), pa.int64()),
+            "rho": pa.array(df["rho"].to_numpy(), pa.int64()),
+        })
+
+    from corpusaid_ray.util import coalesce_blocks_down
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials, _ = coalesce_blocks_down(partials, 64)
+    rows = (partials.groupby("bucket")
+            .aggregate(Max("rho", alias_name="rho")).take_all())
+    return {int(r["bucket"]): int(r["rho"]) for r in rows}
+
+
+def hll_union_estimates(reg_a: dict[int, int],
+                        reg_b: dict[int, int]) -> tuple[float, float, float]:
+    """(est_a, est_b, est_union) — union via elementwise register max."""
+    merged = dict(reg_a)
+    for b, r in reg_b.items():
+        if r > merged.get(b, 0):
+            merged[b] = r
+    return (hll_estimate_from_registers(reg_a),
+            hll_estimate_from_registers(reg_b),
+            hll_estimate_from_registers(merged))

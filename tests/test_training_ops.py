@@ -2734,3 +2734,27 @@ class TestContainmentJoin:
         sb = {w for r in rows if r["path"] == "d_big"
               for w in r["content"].split()}
         assert len(sa & sb) / len(sa | sb) < 0.25
+
+
+class TestHllUnion:
+    """Register mergeability: union of two sketches equals the sketch of
+    the concatenated data EXACTLY (register level, not approximately) —
+    the property that lets snapshots sketch independently."""
+
+    def test_union_equals_joint_sketch(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.sketch import (hll_registers,
+                                                 hll_union_estimates,
+                                                 hll_estimate_from_registers)
+
+        a_rows = [{"line": f"a{i}"} for i in range(300)]
+        b_rows = [{"line": f"b{i}"} for i in range(200)] + a_rows[:100]
+        da = ray.data.from_arrow(pa.Table.from_pylist(a_rows)).repartition(3)
+        db = ray.data.from_arrow(pa.Table.from_pylist(b_rows)).repartition(2)
+        dj = ray.data.from_arrow(
+            pa.Table.from_pylist(a_rows + b_rows)).repartition(4)
+        ra, rb = hll_registers(da, "line"), hll_registers(db, "line")
+        rj = hll_registers(dj, "line")
+        _, _, est_union = hll_union_estimates(ra, rb)
+        assert est_union == hll_estimate_from_registers(rj)
