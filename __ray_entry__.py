@@ -2546,6 +2546,52 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_cms_snapshot_merge(sf_dir: str):
+    """The additive-mergeability twin of the HLL union: each snapshot
+    builds its count-min sketch independently; cell-wise ADD is exactly
+    the sketch of the concatenation — which is how the mirror computes the
+    merged estimates (from the concatenated snapshots), cross-checking the
+    engine's merge-of-independent-sketches path
+    (`stages/sketch.cms_cells` / `cms_merge` / `cms_probe`)."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+    import ray.data
+
+    from corpusaid_ray.stages.sketch import cms_cells, cms_merge, cms_probe
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def snap(old: bool):
+        def fn(tbl: pa_.Table) -> pa_.Table:
+            r = pc_.bit_wise_and(tbl["doc_id"], 3)
+            if old:
+                tbl = tbl.filter(pc_.not_equal(r, 3))
+                r2 = pc_.bit_wise_and(tbl["doc_id"], 3)
+                text = pc_.if_else(
+                    pc_.equal(r2, 1),
+                    pa_.scalar("<old-revision>", pa_.string()),
+                    tbl["text"])
+                tbl = tbl.drop_columns(["text"]).append_column("text", text)
+            else:
+                tbl = tbl.filter(pc_.not_equal(r, 0))
+            return tbl
+
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    probes = ["scan", "column", "window", "order", "sort", "join",
+              "merge", "key"]
+    c_old = cms_cells(snap(True), content_col="text")
+    c_new = cms_cells(snap(False), content_col="text")
+    merged = cms_merge(c_old, c_new)
+    return pa_.table({
+        "word": pa_.array(probes, pa_.string()),
+        "est_old": pa_.array(cms_probe(c_old, probes), pa_.int64()),
+        "est_new": pa_.array(cms_probe(c_new, probes), pa_.int64()),
+        "est_merged": pa_.array(cms_probe(merged, probes), pa_.int64()),
+    })
+
+
 def q_hll_snapshot_union(sf_dir: str):
     """Sketch MERGEABILITY made explicit: each crawl snapshot (the pinned
     doc_id%4 derivation) sketches its distinct lines independently; the
@@ -3419,6 +3465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_length": q_winsorized_length,
         "containment_join": q_containment_join,
         "hll_snapshot_union": q_hll_snapshot_union,
+        "cms_snapshot_merge": q_cms_snapshot_merge,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

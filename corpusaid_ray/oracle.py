@@ -3415,3 +3415,56 @@ u_reg AS MATERIALIZED (
 SELECT {_hll_est_select("o_reg")} AS est_old,
        {_hll_est_select("n_reg")} AS est_new,
        {_hll_est_select("u_reg")} AS est_union"""
+
+
+def _cms_snapshot_merge_sql() -> str:
+    """Mirror of q_cms_snapshot_merge: per-snapshot cell chains (same d×w
+    hashing as the verified cms_word_counts mirror) and — the additivity
+    cross-check — the MERGED estimates computed from the cells of the
+    CONCATENATED snapshots, which the engine instead produces by cell-wise
+    adding two independently-built sketches."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    probes = ["scan", "column", "window", "order", "sort", "join",
+              "merge", "key"]
+    plist = ", ".join(sql_quote(p) for p in probes)
+    bucket = ("('0x' || substr(md5(j.j::VARCHAR || ':' || {v}), 1, 16))"
+              "::UBIGINT % 1024")
+
+    def cells(prefix: str, source: str) -> str:
+        return f"""
+{prefix}wrd AS MATERIALIZED (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '{ws}'),
+                            t -> t != '')) AS w
+  FROM {source}),
+{prefix}wc AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS c FROM {prefix}wrd GROUP BY w),
+{prefix}cells AS MATERIALIZED (
+  SELECT j.j AS j, {bucket.format(v='w')} AS bucket, sum(c)::BIGINT AS cnt
+  FROM {prefix}wc, unnest(range(4)) AS j(j)
+  GROUP BY 1, 2)"""
+
+    return f"""
+WITH ranked AS MATERIALIZED (
+  SELECT doc_id, text, doc_id % 4 AS rr FROM documents),
+old_src AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN rr = 1 THEN '<old-revision>' ELSE text END AS text
+  FROM ranked WHERE rr != 3),
+new_src AS MATERIALIZED (
+  SELECT doc_id, text FROM ranked WHERE rr != 0),
+both_src AS MATERIALIZED (
+  SELECT * FROM old_src UNION ALL SELECT * FROM new_src),{cells("o_", "old_src")},{cells("n_", "new_src")},{cells("m_", "both_src")},
+pb AS MATERIALIZED (
+  SELECT word, j.j AS j, {bucket.format(v='word')} AS bucket
+  FROM (SELECT unnest([{plist}]) AS word), unnest(range(4)) AS j(j))
+SELECT pb.word,
+       min(coalesce(o_cells.cnt, 0))::BIGINT AS est_old,
+       min(coalesce(n_cells.cnt, 0))::BIGINT AS est_new,
+       min(coalesce(m_cells.cnt, 0))::BIGINT AS est_merged
+FROM pb
+LEFT JOIN o_cells ON pb.j = o_cells.j AND pb.bucket = o_cells.bucket
+LEFT JOIN n_cells ON pb.j = n_cells.j AND pb.bucket = n_cells.bucket
+LEFT JOIN m_cells ON pb.j = m_cells.j AND pb.bucket = m_cells.bucket
+GROUP BY pb.word"""
+
+
+ORACLE_SQL["cms_snapshot_merge"] = _cms_snapshot_merge_sql()

@@ -383,3 +383,58 @@ def hll_union_estimates(reg_a: dict[int, int],
     return (hll_estimate_from_registers(reg_a),
             hll_estimate_from_registers(reg_b),
             hll_estimate_from_registers(merged))
+
+
+def cms_cells(ds, *, content_col: str = "text") -> dict[tuple[int, int], int]:
+    """The cell table behind :func:`cms_word_counts` — exposed because CMS
+    cells are ADDITIVELY mergeable: cell-wise SUM of two sketches is the
+    sketch of the concatenation (the count twin of the HLL register max)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.quality import WORD_SPLIT_RE
+    from corpusaid_ray.util import grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        toks = pc.split_pattern_regex(col, WORD_SPLIT_RE)
+        flat = toks.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        words = flat.filter(keep).to_numpy(zero_copy_only=False)
+        vc = pd.Series(words).value_counts()
+        cells = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        for w, c in vc.items():
+            for j in range(CMS_D):
+                cells[j, _cms_bucket(j, w)] += int(c)
+        jj, bb = np.nonzero(cells)
+        return pa.table({
+            "j": pa.array(jj.astype("int64")),
+            "bucket": pa.array(bb.astype("int64")),
+            "cnt": pa.array(cells[jj, bb]),
+        })
+
+    rows = (grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                    ["j", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt")).take_all())
+    return {(int(r["j"]), int(r["bucket"])): int(r["cnt"]) for r in rows}
+
+
+def cms_probe(table: dict[tuple[int, int], int],
+              probes: list[str]) -> list[int]:
+    """Point estimates (min over rows) from a cell table."""
+    return [
+        min(table.get((j, _cms_bucket(j, w)), 0) for j in range(CMS_D))
+        for w in probes
+    ]
+
+
+def cms_merge(a: dict[tuple[int, int], int],
+              b: dict[tuple[int, int], int]) -> dict[tuple[int, int], int]:
+    """Cell-wise ADD — sketch of the concatenation, exactly."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    return out

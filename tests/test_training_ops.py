@@ -2758,3 +2758,20 @@ class TestHllUnion:
         rj = hll_registers(dj, "line")
         _, _, est_union = hll_union_estimates(ra, rb)
         assert est_union == hll_estimate_from_registers(rj)
+
+
+class TestCmsMerge:
+    """Additive mergeability: cell-wise sum of two independent sketches
+    equals the sketch of the concatenation EXACTLY (cell level)."""
+
+    def test_merge_equals_joint(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.sketch import cms_cells, cms_merge
+
+        a = [{"text": "x y z x " * 5} for _ in range(20)]
+        b = [{"text": "y q r " * 3} for _ in range(15)]
+        da = ray.data.from_arrow(pa.Table.from_pylist(a)).repartition(3)
+        db = ray.data.from_arrow(pa.Table.from_pylist(b)).repartition(2)
+        dj = ray.data.from_arrow(pa.Table.from_pylist(a + b)).repartition(4)
+        assert cms_merge(cms_cells(da), cms_cells(db)) == cms_cells(dj)
