@@ -482,8 +482,11 @@ def dup_span_scrub(ds, *, content_col: str = "text", id_col: str = "doc_id",
         return pa.table({"g": pa.array(s.index.astype(str)),
                          "c": pa.array(s.to_numpy("int64"))})
 
+    # tighter block bound than grouped()'s 256 default: the gram sort's
+    # O(blocks²) exchange dominates at high input block counts (measured
+    # 33.5 s at 128 blocks vs 26.4 s at 64, same data)
     counts = grouped(ds.map_batches(count_partial, batch_format="pyarrow"),
-                     "g").aggregate(Sum("c", alias_name="c"))
+                     "g", max_blocks=64).aggregate(Sum("c", alias_name="c"))
     dup = drop_empty_blocks(counts.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(t["c"], min_count))
                    .select(["g"]),
@@ -527,7 +530,8 @@ def dup_span_scrub(ds, *, content_col: str = "text", id_col: str = "doc_id",
 
     packed = drop_empty_blocks(
         grouped(starts.map_batches(add_salt, batch_format="pandas"),
-                "_part").map_groups(pack_part, batch_format="pandas"))
+                "_part", max_blocks=64).map_groups(
+            pack_part, batch_format="pandas"))
 
     docs = ds.map_batches(
         lambda t: t.select([id_col, content_col]), batch_format="pyarrow")
