@@ -2546,6 +2546,24 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_knn_classify(sf_dir: str):
+    """Leave-one-out 3-NN label prediction over the embeddings (majority
+    vote, ties to smallest label — pinned): the weak-supervision sanity
+    check of how label-consistent the embedding neighborhood is
+    (`stages/similarity.knn_classify`)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import knn_classify
+
+    corpus = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_classify(ds, corpus, k=3)
+
+
 def q_cms_snapshot_merge(sf_dir: str):
     """The additive-mergeability twin of the HLL union: each snapshot
     builds its count-min sketch independently; cell-wise ADD is exactly
@@ -3466,6 +3484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_join": q_containment_join,
         "hll_snapshot_union": q_hll_snapshot_union,
         "cms_snapshot_merge": q_cms_snapshot_merge,
+        "knn_classify": q_knn_classify,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3468,3 +3468,27 @@ GROUP BY pb.word"""
 
 
 ORACLE_SQL["cms_snapshot_merge"] = _cms_snapshot_merge_sql()
+
+
+def _knn_classify_sql(k: int = 3) -> str:
+    """Mirror of q_knn_classify: the verified knn_graph oracle joined onto
+    neighbor labels, per-vector majority with the pinned
+    (count DESC, label) tie-break, compared to the true label."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, nbr_id FROM ({ORACLE_SQL["knn_graph"]})),
+votes AS MATERIALIZED (
+  SELECT e.vec_id, l.label::BIGINT AS lab, count(*)::BIGINT AS n
+  FROM e JOIN embeddings l ON e.nbr_id = l.vec_id
+  GROUP BY e.vec_id, l.label),
+win AS MATERIALIZED (
+  SELECT vec_id, lab AS pred_label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY n DESC, lab) AS rk
+  FROM votes QUALIFY rk = 1)
+SELECT w.vec_id, w.pred_label, t.label::BIGINT AS true_label,
+       (w.pred_label = t.label::BIGINT) AS correct
+FROM win w JOIN embeddings t ON w.vec_id = t.vec_id"""
+
+
+ORACLE_SQL["knn_classify"] = _knn_classify_sql(3)

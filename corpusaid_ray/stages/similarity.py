@@ -326,3 +326,67 @@ def quantization_audit(ds, *, vec_col: str = "embedding",
         })
 
     return ds.map_batches(audit, batch_format="pyarrow")
+
+
+def knn_classify(ds, corpus_table: pa.Table, *, k: int = 3):
+    """K-NN majority-vote label prediction (leave-one-out over the corpus):
+    each vector's label is predicted from its k nearest OTHER vectors'
+    labels — majority count, ties to the smallest label id (pinned). The
+    weak-supervision sanity check: how label-consistent is the embedding
+    neighborhood?
+
+    Shape: the exact :func:`knn_graph` edges (its ≤10⁷-vector brute-force
+    envelope applies) hash-join the label table on the neighbor id, then
+    one salted-part pandas pass does the per-vector majority fully
+    vectorized (count rows sorted by (vec, −n, label); first row per vec
+    wins — no per-group Python). Returns
+    ``(vec_id, pred_label, true_label, correct)``."""
+    import pandas as pd
+
+    from corpusaid_ray.util import (drop_empty_blocks, grouped,
+                                    join_partitions)
+
+    labels = pa.table({
+        "nbr_id": corpus_table["vec_id"],
+        "nbr_label": corpus_table["label"].cast(pa.int64()),
+    })
+    true_map = dict(zip(
+        corpus_table["vec_id"].to_pylist(),
+        corpus_table["label"].cast(pa.int64()).to_pylist()))
+
+    import ray
+    import ray.data
+
+    edges = knn_graph(ds, corpus_table, k=k)
+    lab_ds = ray.data.from_arrow(labels)
+    joined = drop_empty_blocks(edges.map_batches(
+        lambda t: t.select(["vec_id", "nbr_id"]),
+        batch_format="pyarrow")).join(
+        lab_ds, join_type="inner",
+        num_partitions=join_partitions(), on=("nbr_id",))
+
+    def salt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["vec_id", "nbr_label"]].copy()
+        out["_part"] = (out["vec_id"].to_numpy(np.int64) % 64)
+        return out
+
+    true_ref = ray.put(true_map)
+
+    def majority(g: pd.DataFrame) -> pd.DataFrame:
+        tm = ray.get(true_ref)
+        cnt = (g.groupby(["vec_id", "nbr_label"], sort=False)
+               .size().rename("n").reset_index())
+        cnt = cnt.sort_values(["vec_id", "n", "nbr_label"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        win = cnt.drop_duplicates("vec_id")
+        vec = win["vec_id"].to_numpy(np.int64)
+        pred = win["nbr_label"].to_numpy(np.int64)
+        true = np.array([tm[v] for v in vec], np.int64)
+        return pd.DataFrame({
+            "vec_id": vec, "pred_label": pred, "true_label": true,
+            "correct": pred == true,
+        })
+
+    return grouped(joined.map_batches(salt, batch_format="pandas"),
+                   "_part").map_groups(majority, batch_format="pandas")

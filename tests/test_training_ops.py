@@ -2775,3 +2775,35 @@ class TestCmsMerge:
         db = ray.data.from_arrow(pa.Table.from_pylist(b)).repartition(2)
         dj = ray.data.from_arrow(pa.Table.from_pylist(a + b)).repartition(4)
         assert cms_merge(cms_cells(da), cms_cells(db)) == cms_cells(dj)
+
+
+class TestKnnClassify:
+    """Planted clusters: tight same-label neighborhoods predict correctly;
+    an isolated opposite-label point surrounded by the other cluster is
+    mispredicted (leave-one-out excludes its own label); tie-break pinned
+    to the smallest label."""
+
+    def test_planted_clusters(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.similarity import knn_classify
+
+        rows = []
+        # cluster 0 near (1, 0), cluster 1 near (0, 1); 6 points each
+        for i in range(6):
+            rows.append({"vec_id": i, "label": 0,
+                         "embedding": [1.0, 0.01 * i, 0.0]})
+            rows.append({"vec_id": 10 + i, "label": 1,
+                         "embedding": [0.01 * i, 1.0, 0.0]})
+        # the infiltrator: label 1 but sitting inside cluster 0
+        rows.append({"vec_id": 99, "label": 1,
+                     "embedding": [1.0, 0.015, 0.0]})
+        t = pa.Table.from_pylist(rows)
+        ds = ray.data.from_arrow(t.select(["vec_id", "embedding"]))
+        out = {r["vec_id"]: r for r in knn_classify(ds, t, k=3).take_all()}
+        assert out[99]["pred_label"] == 0 and not out[99]["correct"]
+        for i in range(6):
+            assert out[10 + i]["pred_label"] == 1 and out[10 + i]["correct"]
+        # cluster-0 members may see the infiltrator as a neighbor, but a
+        # majority of 3 still votes 0
+        assert all(out[i]["pred_label"] == 0 for i in range(6))
