@@ -2546,6 +2546,58 @@ def q_ols_outliers(sf_dir: str):
     return ranked.select_columns(["doc_id", "res_micro"])
 
 
+def q_cluster_purity(sf_dir: str):
+    """Cluster–label purity (the clustering-evaluation contingency): the
+    fixed-point k-means assignment joined with labels, per-cluster member
+    counts and majority label (ties to smallest label — pinned). Batch
+    combiner bounds the exchange at ≤ K×labels rows per batch; the driver
+    holds the K×labels contingency. Mirror chains the unrolled Lloyd
+    oracle into a QUALIFY majority."""
+    import pandas as pd
+    import pyarrow as pa_
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.kmeans import assign_clusters, fit_kmeans
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    model = fit_kmeans(ds, k=8, iters=4)
+    assigned = assign_clusters(ds, model)
+
+    lab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "label"])
+    lab_map = dict(zip(lab["vec_id"].to_pylist(),
+                       lab["label"].cast(pa_.int64()).to_pylist()))
+    lab_ref = ray.put(lab_map)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lab_ref)
+        df = df.assign(lab=df["vec_id"].map(m))
+        g = df.groupby(["cluster", "lab"], sort=False).size().rename("n")
+        return g.reset_index().astype("int64")
+
+    cells = grouped(assigned.map_batches(partial, batch_format="pandas"),
+                    ["cluster", "lab"]).aggregate(Sum("n", alias_name="n"))
+    rows = cells.take_all()  # ≤ K × |labels| rows
+    df = pd.DataFrame(rows)
+    tot = df.groupby("cluster")["n"].sum()
+    win = (df.sort_values(["cluster", "n", "lab"],
+                          ascending=[True, False, True], kind="mergesort")
+           .drop_duplicates("cluster"))
+    return pa_.table({
+        "cid": pa_.array(win["cluster"].to_numpy("int64")),
+        "n_members": pa_.array(
+            tot.loc[win["cluster"]].to_numpy("int64")),
+        "majority_label": pa_.array(win["lab"].to_numpy("int64")),
+        "n_majority": pa_.array(win["n"].to_numpy("int64")),
+    })
+
+
 def q_knn_classify(sf_dir: str):
     """Leave-one-out 3-NN label prediction over the embeddings (majority
     vote, ties to smallest label — pinned): the weak-supervision sanity
@@ -3485,6 +3537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_snapshot_union": q_hll_snapshot_union,
         "cms_snapshot_merge": q_cms_snapshot_merge,
         "knn_classify": q_knn_classify,
+        "cluster_purity": q_cluster_purity,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

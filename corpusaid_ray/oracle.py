@@ -3492,3 +3492,30 @@ FROM win w JOIN embeddings t ON w.vec_id = t.vec_id"""
 
 
 ORACLE_SQL["knn_classify"] = _knn_classify_sql(3)
+
+
+def _cluster_purity_sql(k: int = 8, iters: int = 4) -> str:
+    """Mirror of q_cluster_purity: the unrolled Lloyd chain's head (prefix
+    reuse with _kmeans_sql — identical CTE text, so the fit cannot drift)
+    chained into the label contingency and a QUALIFY majority with the
+    pinned (count DESC, label) tie-break."""
+    base = _kmeans_sql(k, iters)
+    head, _, _ = base.rpartition("\nSELECT vec_id, cluster FROM final_assign")
+    return f"""{head},
+v AS MATERIALIZED (
+  SELECT fa.cluster, e.label::BIGINT AS lab, count(*)::BIGINT AS n
+  FROM final_assign fa JOIN embeddings e USING (vec_id)
+  GROUP BY fa.cluster, e.label),
+tot AS MATERIALIZED (
+  SELECT cluster, sum(n)::BIGINT AS n_members FROM v GROUP BY cluster),
+win AS MATERIALIZED (
+  SELECT cluster, lab, n,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n DESC, lab) AS rk
+  FROM v QUALIFY rk = 1)
+SELECT w.cluster AS cid, t.n_members, w.lab AS majority_label,
+       w.n AS n_majority
+FROM win w JOIN tot t USING (cluster)"""
+
+
+ORACLE_SQL["cluster_purity"] = _cluster_purity_sql(8, 4)

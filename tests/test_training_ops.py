@@ -2807,3 +2807,26 @@ class TestKnnClassify:
         # cluster-0 members may see the infiltrator as a neighbor, but a
         # majority of 3 still votes 0
         assert all(out[i]["pred_label"] == 0 for i in range(6))
+
+
+class TestClusterPurity:
+    """The purity report is internally consistent at sf0.001 (via the real
+    query): every cluster's majority count is <= member count, members sum
+    to the corpus, and majority labels are valid labels."""
+
+    def test_consistency(self, ray_session):
+        import __ray_entry__ as entry
+
+        out = entry.q_cluster_purity("/root/testdata/sf0.001").to_pylist()
+        assert len(out) >= 1
+        total = sum(r["n_members"] for r in out)
+        import pyarrow.parquet as pq
+        n_vecs = pq.read_metadata(
+            "/root/testdata/sf0.001/embeddings.parquet").num_rows
+        assert total == n_vecs
+        labels = set(pq.read_table(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["label"])["label"].to_pylist())
+        for r in out:
+            assert 1 <= r["n_majority"] <= r["n_members"]
+            assert r["majority_label"] in labels
