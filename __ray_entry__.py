@@ -2598,6 +2598,64 @@ def q_cluster_purity(sf_dir: str):
     })
 
 
+def q_rand_index(sf_dir: str):
+    """Exact Rand index between the k-means clustering and the labels —
+    pair-counting agreement, ALL integers (a = Σ C(n_ij,2) within-cell
+    pairs; agree = C(N,2) − Σ C(cluster,2) − Σ C(label,2) + 2a; the micro
+    ratio is one truncating division of positives). The contingency cells
+    come from the same combiner shape as `q_cluster_purity`; the driver
+    holds K×labels integers."""
+    import pandas as pd
+    import pyarrow as pa_
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.kmeans import assign_clusters, fit_kmeans
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    model = fit_kmeans(ds, k=8, iters=4)
+    assigned = assign_clusters(ds, model)
+
+    lab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "label"])
+    lab_map = dict(zip(lab["vec_id"].to_pylist(),
+                       lab["label"].cast(pa_.int64()).to_pylist()))
+    lab_ref = ray.put(lab_map)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lab_ref)
+        df = df.assign(lab=df["vec_id"].map(m))
+        g = df.groupby(["cluster", "lab"], sort=False).size().rename("n")
+        return g.reset_index().astype("int64")
+
+    cells = pd.DataFrame(
+        grouped(assigned.map_batches(partial, batch_format="pandas"),
+                ["cluster", "lab"]).aggregate(
+            Sum("n", alias_name="n")).take_all())
+
+    def c2(x: int) -> int:
+        return x * (x - 1) // 2
+
+    n_total = int(cells["n"].sum())
+    a = int(sum(c2(int(v)) for v in cells["n"]))
+    sc = int(sum(c2(int(v))
+                 for v in cells.groupby("cluster")["n"].sum()))
+    sl = int(sum(c2(int(v)) for v in cells.groupby("lab")["n"].sum()))
+    n_pairs = c2(n_total)
+    agree = n_pairs - sc - sl + 2 * a
+    return pa_.table({
+        "n_pairs": pa_.array([n_pairs], pa_.int64()),
+        "agree_pairs": pa_.array([agree], pa_.int64()),
+        "rand_micro": pa_.array([agree * 1_000_000 // n_pairs],
+                                pa_.int64()),
+    })
+
+
 def q_knn_classify(sf_dir: str):
     """Leave-one-out 3-NN label prediction over the embeddings (majority
     vote, ties to smallest label — pinned): the weak-supervision sanity
@@ -3538,6 +3596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_snapshot_merge": q_cms_snapshot_merge,
         "knn_classify": q_knn_classify,
         "cluster_purity": q_cluster_purity,
+        "rand_index": q_rand_index,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3519,3 +3519,31 @@ FROM win w JOIN tot t USING (cluster)"""
 
 
 ORACLE_SQL["cluster_purity"] = _cluster_purity_sql(8, 4)
+
+
+def _rand_index_sql(k: int = 8, iters: int = 4) -> str:
+    """Mirror of q_rand_index: the Lloyd chain head (prefix reuse) into
+    pure integer pair counting — agree = C(N,2) − ΣC(cluster,2) −
+    ΣC(label,2) + 2·ΣC(cell,2)."""
+    base = _kmeans_sql(k, iters)
+    head, _, _ = base.rpartition("\nSELECT vec_id, cluster FROM final_assign")
+    return f"""{head},
+v AS MATERIALIZED (
+  SELECT fa.cluster, e.label::BIGINT AS lab, count(*)::BIGINT AS n
+  FROM final_assign fa JOIN embeddings e USING (vec_id)
+  GROUP BY fa.cluster, e.label),
+s AS MATERIALIZED (
+  SELECT (SELECT sum(n) FROM v)::BIGINT AS nt,
+         (SELECT sum(n*(n-1)//2) FROM v)::BIGINT AS a,
+         (SELECT sum(m*(m-1)//2)
+          FROM (SELECT sum(n) AS m FROM v GROUP BY cluster))::BIGINT AS sc,
+         (SELECT sum(m*(m-1)//2)
+          FROM (SELECT sum(n) AS m FROM v GROUP BY lab))::BIGINT AS sl)
+SELECT (nt*(nt-1)//2)::BIGINT AS n_pairs,
+       (nt*(nt-1)//2 - sc - sl + 2*a)::BIGINT AS agree_pairs,
+       ((nt*(nt-1)//2 - sc - sl + 2*a) * 1000000
+        // (nt*(nt-1)//2))::BIGINT AS rand_micro
+FROM s"""
+
+
+ORACLE_SQL["rand_index"] = _rand_index_sql(8, 4)

@@ -2830,3 +2830,37 @@ class TestClusterPurity:
         for r in out:
             assert 1 <= r["n_majority"] <= r["n_members"]
             assert r["majority_label"] in labels
+
+
+class TestRandIndex:
+    """Pair-counting identity check on a hand-computable contingency:
+    identical partitions give RI = 1, the crossed partition matches the
+    hand formula."""
+
+    @staticmethod
+    def _ri(cells):
+        def c2(x):
+            return x * (x - 1) // 2
+
+        n = sum(cells.values())
+        a = sum(c2(v) for v in cells.values())
+        rows: dict = {}
+        cols: dict = {}
+        for (ci, lj), v in cells.items():
+            rows[ci] = rows.get(ci, 0) + v
+            cols[lj] = cols.get(lj, 0) + v
+        sc = sum(c2(v) for v in rows.values())
+        sl = sum(c2(v) for v in cols.values())
+        return c2(n) - sc - sl + 2 * a, c2(n)
+
+    def test_identities(self):
+        # identical partitions: every cell diagonal → RI = 1
+        agree, npairs = self._ri({(0, 0): 5, (1, 1): 7})
+        assert agree == npairs
+        # fully crossed 2x2 with equal cells: hand formula
+        agree, npairs = self._ri({(0, 0): 2, (0, 1): 2,
+                                  (1, 0): 2, (1, 1): 2})
+        n = 8
+        assert npairs == n * (n - 1) // 2 == 28
+        # a = 4 cells * C(2,2)=1 → 4; sc = sl = 2 * C(4,2) = 12
+        assert agree == 28 - 12 - 12 + 2 * 4
