@@ -2598,6 +2598,48 @@ def q_cluster_purity(sf_dir: str):
     })
 
 
+def q_length_gini(sf_dir: str):
+    """Corpus concentration: the exact Gini coefficient of doc lengths —
+    how unequal the corpus's byte budget is across documents (a skew
+    diagnostic for mixing/sharding). Composes the no-global-sort rank:
+    Gini numerator Σ(2·rank − n − 1)·x over ranked rows (map partials →
+    driver ints), denominator n·Σx; emitted as exact integers plus one
+    truncating micro division."""
+    import pandas as pd
+    import pyarrow as pa_
+    import ray.data
+
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.stages.sampling import global_rank_via_ranges
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    ranked = global_rank_via_ranges(ds, num_parts=10)
+
+    n = sx = num = 0
+    for b in ranked.map_batches(
+            lambda df: pd.DataFrame({
+                "n": [len(df)],
+                "sx": [int(df["value"].sum())],
+                "num": [int((df["global_rank"].to_numpy("int64") * 2
+                             * df["value"].to_numpy("int64")).sum())],
+            }), batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        n += int(b["n"].sum())
+        sx += int(b["sx"].sum())
+        num += int(b["num"].sum())
+    # Σ(2i − n − 1)x = 2Σi·x − (n+1)Σx
+    gnum = num - (n + 1) * sx
+    gden = n * sx
+    return pa_.table({
+        "n_docs": pa_.array([n], pa_.int64()),
+        "gini_num": pa_.array([gnum], pa_.int64()),
+        "gini_den": pa_.array([gden], pa_.int64()),
+        "gini_micro": pa_.array([trunc_div(gnum * 1_000_000, gden)],
+                                pa_.int64()),
+    })
+
+
 def q_rand_index(sf_dir: str):
     """Exact Rand index between the k-means clustering and the labels —
     pair-counting agreement, ALL integers (a = Σ C(n_ij,2) within-cell
@@ -3597,6 +3639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": q_knn_classify,
         "cluster_purity": q_cluster_purity,
         "rand_index": q_rand_index,
+        "length_gini": q_length_gini,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

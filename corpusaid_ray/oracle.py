@@ -3547,3 +3547,21 @@ FROM s"""
 
 
 ORACLE_SQL["rand_index"] = _rand_index_sql(8, 4)
+
+
+# Exact Gini mirror: row_number rank (same (value, doc_id) order as the
+# verified global_rank), integer numerator/denominator, truncating micro.
+ORACLE_SQL["length_gini"] = """
+WITH r AS MATERIALIZED (
+  SELECT n_chars::BIGINT AS x,
+         row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS rk
+  FROM documents),
+s AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         sum(2 * rk * x)::BIGINT AS num2
+  FROM r)
+SELECT n AS n_docs,
+       (num2 - (n + 1) * sx)::BIGINT AS gini_num,
+       (n * sx)::BIGINT AS gini_den,
+       ((num2 - (n + 1) * sx) * 1000000 // (n * sx))::BIGINT AS gini_micro
+FROM s"""

@@ -2864,3 +2864,33 @@ class TestRandIndex:
         assert npairs == n * (n - 1) // 2 == 28
         # a = 4 cells * C(2,2)=1 → 4; sc = sl = 2 * C(4,2) = 12
         assert agree == 28 - 12 - 12 + 2 * 4
+
+
+class TestLengthGini:
+    """Gini identities via the real query over planted parquet: equal
+    lengths give Gini ~ 0; one doc holding nearly everything approaches
+    (n-1)/n."""
+
+    @staticmethod
+    def _run(rows):
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.Table.from_pylist(rows),
+                           os.path.join(d, "documents.parquet"))
+            return entry.q_length_gini(d).to_pylist()[0]
+
+    def test_identities(self, ray_session):
+        equal = self._run(
+            [{"doc_id": i, "n_chars": 500} for i in range(40)])
+        assert equal["gini_num"] == 0 and equal["gini_micro"] == 0
+        skewed = self._run(
+            [{"doc_id": i, "n_chars": 1} for i in range(19)]
+            + [{"doc_id": 99, "n_chars": 1_000_000}])
+        # → (n-1)/n = 0.95 as lengths concentrate in one doc
+        assert 0.94 < skewed["gini_micro"] / 1e6 < 0.951
