@@ -2598,6 +2598,67 @@ def q_cluster_purity(sf_dir: str):
     })
 
 
+def q_adjusted_rand(sf_dir: str):
+    """Exact Adjusted Rand Index (chance-corrected clustering agreement)
+    as integer rationals: multiplying the standard form through by C(N,2)
+    and 2 gives num = 2·(C·a − sc·sl), den = C·(sc+sl) − 2·sc·sl with
+    a = ΣC(cell,2), sc/sl the cluster/label pair sums, C = C(N,2) — all
+    exact int64-safe integers at gate scale (Python ints on the driver),
+    plus one truncating micro division (ARI can be negative — trunc_div
+    handles sign like DuckDB //)."""
+    import pandas as pd
+    import pyarrow as pa_
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.kmeans import assign_clusters, fit_kmeans
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    model = fit_kmeans(ds, k=8, iters=4)
+    assigned = assign_clusters(ds, model)
+
+    lab = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "label"])
+    lab_map = dict(zip(lab["vec_id"].to_pylist(),
+                       lab["label"].cast(pa_.int64()).to_pylist()))
+    lab_ref = ray.put(lab_map)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lab_ref)
+        df = df.assign(lab=df["vec_id"].map(m))
+        g = df.groupby(["cluster", "lab"], sort=False).size().rename("n")
+        return g.reset_index().astype("int64")
+
+    cells = pd.DataFrame(
+        grouped(assigned.map_batches(partial, batch_format="pandas"),
+                ["cluster", "lab"]).aggregate(
+            Sum("n", alias_name="n")).take_all())
+
+    def c2(x: int) -> int:
+        return x * (x - 1) // 2
+
+    n_total = int(cells["n"].sum())
+    a = int(sum(c2(int(v)) for v in cells["n"]))
+    sc = int(sum(c2(int(v))
+                 for v in cells.groupby("cluster")["n"].sum()))
+    sl = int(sum(c2(int(v)) for v in cells.groupby("lab")["n"].sum()))
+    cn2 = c2(n_total)
+    num = 2 * (cn2 * a - sc * sl)
+    den = cn2 * (sc + sl) - 2 * sc * sl
+    return pa_.table({
+        "ari_num": pa_.array([num], pa_.int64()),
+        "ari_den": pa_.array([den], pa_.int64()),
+        "ari_micro": pa_.array([trunc_div(num * 1_000_000, den)],
+                               pa_.int64()),
+    })
+
+
 def q_length_gini(sf_dir: str):
     """Corpus concentration: the exact Gini coefficient of doc lengths —
     how unequal the corpus's byte budget is across documents (a skew
@@ -3640,6 +3701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_purity": q_cluster_purity,
         "rand_index": q_rand_index,
         "length_gini": q_length_gini,
+        "adjusted_rand": q_adjusted_rand,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

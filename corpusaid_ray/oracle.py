@@ -3565,3 +3565,30 @@ SELECT n AS n_docs,
        (n * sx)::BIGINT AS gini_den,
        ((num2 - (n + 1) * sx) * 1000000 // (n * sx))::BIGINT AS gini_micro
 FROM s"""
+
+
+def _adjusted_rand_sql(k: int = 8, iters: int = 4) -> str:
+    """ARI mirror: the Lloyd chain head into the integer rational form
+    num = 2(C·a − sc·sl), den = C(sc+sl) − 2·sc·sl (C = C(N,2))."""
+    base = _kmeans_sql(k, iters)
+    head, _, _ = base.rpartition("\nSELECT vec_id, cluster FROM final_assign")
+    return f"""{head},
+v AS MATERIALIZED (
+  SELECT fa.cluster, e.label::BIGINT AS lab, count(*)::BIGINT AS n
+  FROM final_assign fa JOIN embeddings e USING (vec_id)
+  GROUP BY fa.cluster, e.label),
+s AS MATERIALIZED (
+  SELECT (SELECT sum(n) FROM v)::BIGINT AS nt,
+         (SELECT sum(n*(n-1)//2) FROM v)::BIGINT AS a,
+         (SELECT sum(m*(m-1)//2)
+          FROM (SELECT sum(n) AS m FROM v GROUP BY cluster))::BIGINT AS sc,
+         (SELECT sum(m*(m-1)//2)
+          FROM (SELECT sum(n) AS m FROM v GROUP BY lab))::BIGINT AS sl)
+SELECT (2 * ((nt*(nt-1)//2) * a - sc * sl))::BIGINT AS ari_num,
+       ((nt*(nt-1)//2) * (sc + sl) - 2 * sc * sl)::BIGINT AS ari_den,
+       ((2 * ((nt*(nt-1)//2) * a - sc * sl)) * 1000000
+        // ((nt*(nt-1)//2) * (sc + sl) - 2 * sc * sl))::BIGINT AS ari_micro
+FROM s"""
+
+
+ORACLE_SQL["adjusted_rand"] = _adjusted_rand_sql(8, 4)

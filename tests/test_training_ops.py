@@ -2894,3 +2894,38 @@ class TestLengthGini:
             + [{"doc_id": 99, "n_chars": 1_000_000}])
         # → (n-1)/n = 0.95 as lengths concentrate in one doc
         assert 0.94 < skewed["gini_micro"] / 1e6 < 0.951
+
+
+class TestAdjustedRand:
+    """ARI rational identities: identical partitions give num == den
+    (ARI = 1); independent-looking crossed cells give ARI ≈ 0 (num = 0
+    for the perfectly balanced cross)."""
+
+    @staticmethod
+    def _ari(cells):
+        def c2(x):
+            return x * (x - 1) // 2
+
+        n = sum(cells.values())
+        a = sum(c2(v) for v in cells.values())
+        rows: dict = {}
+        cols: dict = {}
+        for (ci, lj), v in cells.items():
+            rows[ci] = rows.get(ci, 0) + v
+            cols[lj] = cols.get(lj, 0) + v
+        sc = sum(c2(v) for v in rows.values())
+        sl = sum(c2(v) for v in cols.values())
+        cn2 = c2(n)
+        return 2 * (cn2 * a - sc * sl), cn2 * (sc + sl) - 2 * sc * sl
+
+    def test_identities(self):
+        num, den = self._ari({(0, 0): 5, (1, 1): 7})
+        assert num == den != 0  # identical partitions → ARI = 1
+        # balanced cross: finite-sample ARI is slightly NEGATIVE (a = 12 <
+        # E[a] = sc·sl/C ≈ 13.6), near zero — and exercises the negative-
+        # numerator truncating division path
+        num, den = self._ari({(0, 0): 3, (0, 1): 3,
+                              (1, 0): 3, (1, 1): 3})
+        assert num < 0 < den and abs(num) * 10 <= den
+        from corpusaid_ray.stages.regression import trunc_div
+        assert trunc_div(num * 1_000_000, den) == -100000
