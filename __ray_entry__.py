@@ -2598,6 +2598,56 @@ def q_cluster_purity(sf_dir: str):
     })
 
 
+def q_lorenz_deciles(sf_dir: str):
+    """The Lorenz curve behind the Gini: cumulative doc-length share at
+    each rank decile — which fraction of the byte budget the smallest
+    10%, 20%, ... of docs hold. No global sort: the range-partition rank
+    buckets into deciles map-side (``decile = (rank−1)·10 // n``), ten
+    partial sums cross the exchange, the driver cumulates ten integers;
+    shares are truncating micro divisions."""
+    import pandas as pd
+    import pyarrow as pa_
+    import ray.data
+
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.stages.sampling import global_rank_via_ranges
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    ranked = global_rank_via_ranges(ds, num_parts=10).materialize()
+    n = ranked.count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dec = ((df["global_rank"].to_numpy("int64") - 1) * 10) // n
+        out = pd.DataFrame({"decile": dec,
+                            "x": df["value"].to_numpy("int64")})
+        g = out.groupby("decile", as_index=False)["x"].sum()
+        g["n"] = out.groupby("decile").size().to_numpy("int64")
+        return g.astype("int64")
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    sums = {int(r["decile"]): (int(r["x"]), int(r["n"]))
+            for r in grouped(
+                ranked.map_batches(partial, batch_format="pandas"),
+                "decile").aggregate(
+                Sum("x", alias_name="x"),
+                Sum("n", alias_name="n")).take_all()}
+    total = sum(v[0] for v in sums.values())
+    cum_x = cum_n = 0
+    rows = []
+    for d in range(10):
+        x, c = sums.get(d, (0, 0))
+        cum_x += x
+        cum_n += c
+        rows.append({"decile": d + 1, "cum_docs": cum_n,
+                     "cum_share_micro": trunc_div(cum_x * 1_000_000,
+                                                  total)})
+    return pa_.Table.from_pylist(rows)
+
+
 def q_adjusted_rand(sf_dir: str):
     """Exact Adjusted Rand Index (chance-corrected clustering agreement)
     as integer rationals: multiplying the standard form through by C(N,2)
@@ -3702,6 +3752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rand_index": q_rand_index,
         "length_gini": q_length_gini,
         "adjusted_rand": q_adjusted_rand,
+        "lorenz_deciles": q_lorenz_deciles,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

@@ -3592,3 +3592,23 @@ FROM s"""
 
 
 ORACLE_SQL["adjusted_rand"] = _adjusted_rand_sql(8, 4)
+
+
+# Lorenz decile mirror: row_number rank bucketed by the same integer
+# arithmetic, window cumulative sums, truncating micro shares.
+ORACLE_SQL["lorenz_deciles"] = """
+WITH r AS MATERIALIZED (
+  SELECT n_chars::BIGINT AS x,
+         row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS rk
+  FROM documents),
+n AS MATERIALIZED (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS tot
+                   FROM r),
+d AS MATERIALIZED (
+  SELECT ((rk - 1) * 10) // n.n AS decile, sum(x)::BIGINT AS x,
+         count(*)::BIGINT AS c
+  FROM r, n GROUP BY 1)
+SELECT (decile + 1)::BIGINT AS decile,
+       (sum(c) OVER w)::BIGINT AS cum_docs,
+       ((sum(x) OVER w) * 1000000 // n.tot)::BIGINT AS cum_share_micro
+FROM d, n
+WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)"""

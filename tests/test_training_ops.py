@@ -2929,3 +2929,37 @@ class TestAdjustedRand:
         assert num < 0 < den and abs(num) * 10 <= den
         from corpusaid_ray.stages.regression import trunc_div
         assert trunc_div(num * 1_000_000, den) == -100000
+
+
+class TestLorenzDeciles:
+    """Lorenz identities via the real query: the curve is monotone, ends
+    at exactly 1.0 (and n docs), and sits BELOW the diagonal for skewed
+    data while matching it for equal lengths."""
+
+    @staticmethod
+    def _run(rows):
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.Table.from_pylist(rows),
+                           os.path.join(d, "documents.parquet"))
+            return entry.q_lorenz_deciles(d).to_pylist()
+
+    def test_identities(self, ray_session):
+        equal = self._run(
+            [{"doc_id": i, "n_chars": 300} for i in range(50)])
+        shares = [r["cum_share_micro"] for r in equal]
+        assert shares[-1] == 1_000_000 and equal[-1]["cum_docs"] == 50
+        for k, s in enumerate(shares, start=1):
+            assert abs(s - k * 100_000) <= 1  # diagonal (trunc slack)
+        skewed = self._run(
+            [{"doc_id": i, "n_chars": 10} for i in range(45)]
+            + [{"doc_id": 100 + i, "n_chars": 100_000} for i in range(5)])
+        s2 = [r["cum_share_micro"] for r in skewed]
+        assert s2 == sorted(s2) and s2[-1] == 1_000_000
+        assert s2[8] < 500_000  # bottom 90% holds well under half
