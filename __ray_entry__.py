@@ -2598,6 +2598,20 @@ def q_cluster_purity(sf_dir: str):
     })
 
 
+def q_iqr_outliers(sf_dir: str):
+    """Tukey-fence doc-length outliers (the third robust gate beside 3σ
+    and MAD): exact ceil-rank quartiles, and the half-step multiplies
+    through so the flag is a DIVISION-FREE integer compare
+    (`stages/anomaly.iqr_outliers`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.anomaly import iqr_outliers
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    return iqr_outliers(ds)
+
+
 def q_lorenz_deciles(sf_dir: str):
     """The Lorenz curve behind the Gini: cumulative doc-length share at
     each rank decile — which fraction of the byte budget the smallest
@@ -3753,6 +3767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_gini": q_length_gini,
         "adjusted_rand": q_adjusted_rand,
         "lorenz_deciles": q_lorenz_deciles,
+        "iqr_outliers": q_iqr_outliers,
         # --- unchecked in r2 (verified locally; must reach the driver) ---
         "keep_drop": q_keep_drop,
         "kept_corpus": q_kept_corpus,

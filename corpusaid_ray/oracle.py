@@ -3612,3 +3612,19 @@ SELECT (decile + 1)::BIGINT AS decile,
        ((sum(x) OVER w) * 1000000 // n.tot)::BIGINT AS cum_share_micro
 FROM d, n
 WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)"""
+
+
+# Tukey-fence mirror: ceil-rank quartiles, division-free doubled compare.
+ORACLE_SQL["iqr_outliers"] = """
+WITH vals AS MATERIALIZED (
+  SELECT list_sort(list(n_chars::BIGINT)) AS v, count(*)::BIGINT AS n
+  FROM documents),
+q AS MATERIALIZED (
+  SELECT v[greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)] AS q1,
+         v[greatest(CAST(ceil(0.75 * n) AS BIGINT), 1)] AS q3
+  FROM vals)
+SELECT doc_id, n_chars::BIGINT AS value,
+       (2 * n_chars::BIGINT < 2 * q.q1 - 3 * (q.q3 - q.q1)
+        OR 2 * n_chars::BIGINT > 2 * q.q3 + 3 * (q.q3 - q.q1))
+         AS is_outlier
+FROM documents, q"""

@@ -202,3 +202,37 @@ def mad_outliers_by_group(ds, *, group_col: str = "lang",
         })
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def iqr_outliers(ds, *, value_col: str = "n_chars", id_col: str = "doc_id"):
+    """Tukey-fence outlier gate — the third member of the robust family
+    (integer 3σ, median/MAD, and now IQR): flag values outside
+    ``[Q1 − 1.5·IQR, Q3 + 1.5·IQR]`` with Q1/Q3 the exact ceil-rank
+    p25/p75. The half-step multiplies through: ``2·x < 2·Q1 − 3·IQR`` or
+    ``2·x > 2·Q3 + 3·IQR`` — a pure integer comparison, NO division
+    anywhere (not even a truncating one). One bounded-histogram percentile
+    reduction + a map-only flag. Returns ``(id_col, value, is_outlier)``.
+    """
+    from corpusaid_ray.stages.aggregates import group_percentiles_distributed
+
+    pct = group_percentiles_distributed(
+        ds.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df[value_col].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v", percentiles=(0.25, 0.75))
+    q1 = int(pct["p25_micros"].iloc[0]) // 1_000_000
+    q3 = int(pct["p75_micros"].iloc[0]) // 1_000_000
+    iqr = q3 - q1
+    lo2, hi2 = 2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        x2 = df[value_col].to_numpy(np.int64) * 2
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "value": df[value_col].astype("int64"),
+            "is_outlier": (x2 < lo2) | (x2 > hi2),
+        })
+
+    return ds.map_batches(flag, batch_format="pandas")

@@ -2963,3 +2963,33 @@ class TestLorenzDeciles:
         s2 = [r["cum_share_micro"] for r in skewed]
         assert s2 == sorted(s2) and s2[-1] == 1_000_000
         assert s2[8] < 500_000  # bottom 90% holds well under half
+
+
+class TestIqrOutliers:
+    """Tukey fences equal a serial ceil-rank reference and flag a planted
+    extreme; the fence compare is division-free so odd IQRs (where a
+    1.5x float fence would sit between integers) decide identically."""
+
+    def test_matches_serial(self, ray_session):
+        import math
+
+        from corpusaid_ray.stages.anomaly import iqr_outliers
+
+        # odd IQR on purpose: fences land on half-integers
+        vals = [100 + (i % 7) for i in range(60)] + [1_000_000, 3]
+        rows = [{"doc_id": i, "n_chars": v} for i, v in enumerate(vals)]
+
+        s = sorted(vals)
+        n = len(s)
+        q1 = s[max(math.ceil(0.25 * n), 1) - 1]
+        q3 = s[max(math.ceil(0.75 * n), 1) - 1]
+        lo2, hi2 = 2 * q1 - 3 * (q3 - q1), 2 * q3 + 3 * (q3 - q1)
+        want = {i: (2 * v < lo2 or 2 * v > hi2)
+                for i, v in enumerate(vals)}
+        for par in (1, 5):
+            got = {r["doc_id"]: r["is_outlier"]
+                   for r in iqr_outliers(
+                       _docs_ds(ray_session, rows, par)).take_all()}
+            assert got == want, par
+        assert want[60] and want[61]  # both planted extremes flagged
+        assert not any(want[i] for i in range(60))
