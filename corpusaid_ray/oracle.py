@@ -3628,3 +3628,100 @@ SELECT doc_id, n_chars::BIGINT AS value,
         OR 2 * n_chars::BIGINT > 2 * q.q3 + 3 * (q.q3 - q.q1))
          AS is_outlier
 FROM documents, q"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID mirror (stages/langid.py) — the hashed char-1..3-gram
+# multinomial NB, fit + argmax prediction, recomputed entirely in SQL.
+# ---------------------------------------------------------------------------
+
+def _langid_sql() -> str:
+    """Full NB mirror: fit on the doc_id-ordered 2000-doc sample of
+    ``documents`` (grams hashed exactly as ``langid._ngram_hashes``: int64
+    polynomial c1·P1+c2 / (c1·P1+c2)·P2+c3 mod D=32768 — all terms
+    < 2⁶³, so BIGINT arithmetic is exact), add-1-smoothed log-probs cast
+    to REAL to match the engine's float32 table, then per-doc argmax over
+    the per-class float64 sums on the flagship-cleaned corpus content.
+
+    ONLY the discrete surface (lang_pred / lang_match) is emitted: the sum
+    order of the float64 accumulation differs between ``np.bincount`` and
+    SQL ``SUM`` in the last ulps, which is argmax-irrelevant on this model
+    (measured class margins are ≫ 1 nat) but would never hash-match as a
+    float column. Empty cleaned docs take classes[0] (min class, engine
+    ``predict_batch`` default) with no gram rows — mirrored by the outer
+    left join + coalesce."""
+    from corpusaid_ray.stages.langid import D, _P1, _P2
+
+    p1, p2 = int(_P1), int(_P2)
+
+    def grams(src: str, key: str) -> str:
+        """One row per (key, hashed gram) occurrence of ``src``'s txt."""
+        c = "ord(substr(txt, i::INT{off}, 1))::BIGINT"
+        c1, c2, c3 = (c.format(off=""), c.format(off=" + 1"),
+                      c.format(off=" + 2"))
+        return f"""(
+    SELECT {key}, {c1} % {D} AS g
+    FROM {src}_pos
+    UNION ALL
+    SELECT {key}, ({c1} * {p1} + {c2}) % {D} AS g
+    FROM {src}_pos WHERE i + 1 <= n
+    UNION ALL
+    SELECT {key}, (({c1} * {p1} + {c2}) * {p2} + {c3}) % {D} AS g
+    FROM {src}_pos WHERE i + 2 <= n)"""
+
+    clean = _flagship_clean_sql("content")
+    return f"""WITH {corpus_cte()},
+m AS MATERIALIZED (
+  SELECT repo, path, lang, {clean} AS txt FROM corpus),
+train AS MATERIALIZED (
+  SELECT lang, text AS txt
+  FROM (SELECT lang, text, doc_id FROM documents ORDER BY doc_id LIMIT 2000)),
+cls AS MATERIALIZED (
+  SELECT lang AS c, row_number() OVER (ORDER BY lang) - 1 AS li
+  FROM (SELECT DISTINCT lang FROM train)),
+prior AS MATERIALIZED (
+  SELECT c, li,
+         CAST(ln(greatest(cnt, 1)::DOUBLE
+                 / greatest((SELECT count(*) FROM train), 1)) AS REAL)
+           AS lp0
+  FROM cls LEFT JOIN (SELECT lang AS c, count(*)::BIGINT AS cnt
+                      FROM train GROUP BY 1) t USING (c)),
+train_pos AS MATERIALIZED (
+  SELECT lang, txt, t.i::BIGINT AS i, length(txt)::BIGINT AS n
+  FROM train, unnest(range(1, length(txt) + 1)) AS t(i)),
+tg AS MATERIALIZED (SELECT c, g, count(*)::DOUBLE AS cnt
+                    FROM {grams('train', 'lang AS c')} GROUP BY 1, 2),
+tot AS MATERIALIZED (
+  SELECT c, (coalesce(sum(cnt), 0) + {D})::DOUBLE AS tot
+  FROM cls LEFT JOIN tg USING (c) GROUP BY 1),
+score_pos AS MATERIALIZED (
+  SELECT path, txt, t.i::BIGINT AS i, length(txt)::BIGINT AS n
+  FROM m, unnest(range(1, length(txt) + 1)) AS t(i)),
+sg AS MATERIALIZED (SELECT path, g, count(*)::BIGINT AS k
+                    FROM {grams('score', 'path')} GROUP BY 1, 2),
+lp AS MATERIALIZED (
+  SELECT og.g, cls.c, cls.li,
+         CAST(ln((coalesce(tg.cnt, 0) + 1.0) / tot.tot) AS REAL) AS lp
+  FROM (SELECT DISTINCT g FROM sg) og
+  CROSS JOIN cls
+  LEFT JOIN tg ON tg.c = cls.c AND tg.g = og.g
+  JOIN tot ON tot.c = cls.c),
+sc AS MATERIALIZED (
+  SELECT sg.path, lp.c, lp.li,
+         sum(sg.k * CAST(lp.lp AS DOUBLE)) AS s
+  FROM sg JOIN lp USING (g) GROUP BY 1, 2, 3),
+best AS MATERIALIZED (
+  SELECT path, c AS pred,
+         row_number() OVER (PARTITION BY path
+                            ORDER BY CAST(p.lp0 AS DOUBLE) + sc.s DESC,
+                                     sc.li ASC) AS rn
+  FROM sc JOIN prior p USING (c, li))
+SELECT m.repo, m.path, m.lang,
+       coalesce(b.pred, (SELECT c FROM cls WHERE li = 0)) AS lang_pred,
+       m.lang = coalesce(b.pred, (SELECT c FROM cls WHERE li = 0))
+         AS lang_match
+FROM m LEFT JOIN (SELECT path, pred FROM best WHERE rn = 1) b
+  ON b.path = m.path"""
+
+
+ORACLE_SQL["langid_scores"] = _langid_sql()
