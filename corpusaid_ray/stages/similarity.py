@@ -198,21 +198,36 @@ class BatchKnn:
                          "rank": pa.array(out_r, pa.int64())})
 
 
-def knn_graph(ds, corpus_table: pa.Table, *, k: int = 3):
-    """Exact cosine KNN graph over an embedding column: broadcast the
-    normalized corpus matrix once (``ray.put``), stream every block through
-    :class:`BatchKnn`. Returns a Dataset ``(vec_id, nbr_id, rank)``.
+# Above this many vectors, knn_graph auto-switches from the broadcast
+# brute-force matmul (O(N²) work, full matrix resident per node) to the
+# IVF-bucketed path (per-task work bounded by one bucket's matrix).
+KNN_BRUTE_CAP = 2_000_000
 
-    Scale note: brute force is O(N²) similarity work and needs the corpus
-    matrix resident per node — exact and right up to ~10⁷ vectors of the
-    object-store budget. Past that, the IVF path is the scale shape:
-    ``assign_centroids`` → groupby(bucket) → within-bucket BatchKnn (plus
-    nprobe>1 bucket replication for recall), which bounds each task to one
-    bucket's matrix; recall-vs-exact then pins the tradeoff, as with
-    ``ann_ivf_topk``."""
+
+def knn_graph(ds, corpus_table: pa.Table, *, k: int = 3,
+              brute_cap: int = KNN_BRUTE_CAP, nprobe: int = 2):
+    """Cosine KNN graph over an embedding column. Returns a Dataset
+    ``(vec_id, nbr_id, rank)``.
+
+    Two shapes behind one call (the repo's driver-fast-path pattern,
+    inverted — exact below the cap, bucketed above it):
+
+    - ``N ≤ brute_cap``: EXACT — broadcast the normalized corpus matrix once
+      (``ray.put``), stream every block through :class:`BatchKnn` (O(N²)
+      similarity work; right up to ~10⁶–10⁷ vectors of object-store budget).
+    - ``N > brute_cap``: IVF-bucketed APPROXIMATE — fit a coarse quantizer
+      on a bounded deterministic sample, then :func:`knn_graph_ivf`: each
+      task sees one bucket's matrix only, so per-task memory/compute no
+      longer grows with N. Recall < 1 by design; pytest pins bucketed ==
+      brute on separated data plus a recall floor on uniform data.
+    """
     import ray
 
     ids = corpus_table["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    if len(ids) > brute_cap:
+        mat = _as_matrix(corpus_table["embedding"])
+        params = _fit_quantizer_for(mat)
+        return knn_graph_ivf(ds, params, k=k, nprobe=nprobe)
     mat = _normalize(_as_matrix(corpus_table["embedding"]))
     ref = ray.put((ids, mat))
     return ds.map_batches(
@@ -221,6 +236,139 @@ def knn_graph(ds, corpus_table: pa.Table, *, k: int = 3):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def _fit_quantizer_for(mat: np.ndarray, *, target_bucket: int = 4096,
+                       sample_n: int = 65_536) -> "IVFIndexParams":
+    """Coarse quantizer sized so buckets average ``target_bucket`` vectors:
+    deterministic seeded sample (the fit itself seeds 0xA11CE), centroid
+    count ``ceil(N / target_bucket)`` clamped to [4, sample size]."""
+    n = len(mat)
+    n_cent = int(min(max(4, -(-n // target_bucket)), min(n, sample_n)))
+    if n > sample_n:
+        rng = np.random.default_rng(0x5EED)
+        mat = mat[np.sort(rng.choice(n, size=sample_n, replace=False))]
+    return IVFIndexParams.fit(mat, k=n_cent)
+
+
+def knn_graph_ivf(ds, params: "IVFIndexParams", *, k: int = 3,
+                  nprobe: int = 2):
+    """IVF-bucketed KNN graph — the 100-TB shape: NOTHING is broadcast but
+    the centroid matrix, and no task ever sees more than one bucket.
+
+    Plan (all streaming, one shuffle + one small exchange):
+
+    1. corpus legs: every vector lands in its argmax-cosine bucket
+       (map-only, ``role=0``);
+    2. query legs: every vector is REPLICATED into its ``nprobe`` nearest
+       buckets (map-only, ``role=1``) — replication factor is nprobe, not N;
+    3. ``groupby(cid)``: within each bucket one numpy matmul scores that
+       bucket's query legs against its corpus legs and emits per-leg top-k
+       candidates (≤ nprobe·k rows per vector leave the shuffle);
+    4. salted per-vector merge keeps the global top-k by (cosine desc,
+       nbr_id asc) and assigns ranks. Buckets partition the corpus, so a
+       neighbor can only appear via one bucket — no candidate dedup needed.
+
+    Deterministic: fixed fit seed, stable argsorts, pinned tie-breaks."""
+    import ray
+
+    from corpusaid_ray.util import grouped
+
+    cents_ref = ray.put(params.centroids)
+
+    def legs(batch: pa.Table) -> pa.Table:
+        """Corpus leg (role 0, argmax bucket) + nprobe query legs (role 1)
+        per vector, emitted from ONE pass over the block."""
+        empty = pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float64())),
+            "cid": pa.array([], pa.int64()),
+            "role": pa.array([], pa.int8()),
+        })
+        if len(batch) == 0:
+            return empty
+        cent = ray.get(cents_ref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        m = _normalize(_as_matrix(batch["embedding"]))
+        sims = m @ cent.T  # (B, K)
+        npb = min(nprobe, sims.shape[1])
+        probe = np.argsort(-sims, axis=1, kind="stable")[:, :npb]  # col 0 = argmax
+        roles = np.zeros((len(vids), npb + 1), dtype=np.int8)
+        roles[:, 1:] = 1
+        # per-row legs: [corpus leg @ argmax bucket, nprobe query legs]
+        cids = np.concatenate([probe[:, :1], probe], axis=1)
+        reps = npb + 1
+        d = m.shape[1]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vids, reps), pa.int64()),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(np.arange(len(vids) * reps + 1) * d, pa.int32()),
+                pa.array(np.repeat(m, reps, axis=0).ravel(), pa.float64())),
+            "cid": pa.array(cids.reshape(-1), pa.int64()),
+            "role": pa.array(roles.reshape(-1), pa.int8()),
+        })
+
+    def bucket_knn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "vec_id": pd.Series(dtype="int64"),
+            "nbr_id": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        })
+        if not len(g):
+            return empty
+        is_corpus = g["role"].to_numpy() == 0
+        corpus = g[is_corpus]
+        queries = g[~is_corpus]
+        if not len(corpus) or not len(queries):
+            return empty
+        cm = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in corpus["embedding"]])
+        qm = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in queries["embedding"]])
+        cids_ = corpus["vec_id"].to_numpy(np.int64)
+        qids_ = queries["vec_id"].to_numpy(np.int64)
+        sims = qm @ cm.T  # legs are already normalized
+        out_v, out_n, out_c = [], [], []
+        for i in range(len(qids_)):
+            row = sims[i]
+            order = np.lexsort((cids_, -row))
+            order = order[cids_[order] != qids_[i]][:k]
+            out_v.extend([qids_[i]] * len(order))
+            out_n.extend(cids_[order].tolist())
+            out_c.extend(row[order].tolist())
+        return pd.DataFrame({
+            "vec_id": np.asarray(out_v, np.int64),
+            "nbr_id": np.asarray(out_n, np.int64),
+            "cosine": np.asarray(out_c, np.float64),
+        })
+
+    cand = grouped(ds.map_batches(legs, batch_format="pyarrow"),
+                   "cid").map_groups(bucket_knn, batch_format="pandas")
+
+    def salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = df["vec_id"].to_numpy(np.int64) % 64
+        return df
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype="int64"),
+                "nbr_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+            })
+        g = g.sort_values(["vec_id", "cosine", "nbr_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("vec_id", sort=True).head(k)
+        rank = top.groupby("vec_id").cumcount().to_numpy(np.int64) + 1
+        return pd.DataFrame({
+            "vec_id": top["vec_id"].to_numpy(np.int64),
+            "nbr_id": top["nbr_id"].to_numpy(np.int64),
+            "rank": rank,
+        })
+
+    return grouped(cand.map_batches(salt, batch_format="pandas"),
+                   "_part").map_groups(final_topk, batch_format="pandas")
 
 
 def assign_centroids(ds, params: "IVFIndexParams"):

@@ -847,6 +847,52 @@ def test_knn_graph_planted_and_block_invariant(ray_session):
             assert out.equals(expected)             # block-layout invariant
 
 
+def test_knn_graph_ivf_matches_brute_and_autoswitches(ray_session):
+    """The above-cap IVF path (knn_graph_ivf) must equal the brute path
+    exactly on separated data — including through the knn_graph(brute_cap=)
+    auto-switch — and hold a recall floor on uniform data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import (_as_matrix,
+                                                 _fit_quantizer_for,
+                                                 knn_graph, knn_graph_ivf)
+
+    rng = np.random.RandomState(7)
+    base = np.zeros((4, 16))
+    for j in range(4):
+        base[j, j * 4:(j + 1) * 4] = 1.0
+    vecs = np.vstack([base[j] + rng.randn(10, 16) * 0.05 for j in range(4)])
+    t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs])})
+    expected = None
+    for nblocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        brute = (knn_graph(ds, t, k=3).to_pandas()
+                 .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+        ivf = (knn_graph(ds, t, k=3, brute_cap=5).to_pandas()
+               .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+        assert len(ivf) == 120 and brute.equals(ivf)   # bucketed == exact
+        assert not (ivf["vec_id"] == ivf["nbr_id"]).any()
+        if expected is None:
+            expected = ivf
+        else:
+            assert ivf.equals(expected)                # block-layout invariant
+
+    # recall floor on uniform random vectors (approximate by design)
+    rv = rng.randn(300, 8)
+    t2 = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                   "embedding": pa.array([v.tolist() for v in rv])})
+    ds2 = ray.data.from_arrow(t2).repartition(4)
+    brute2 = knn_graph(ds2, t2, k=5).to_pandas()
+    params = _fit_quantizer_for(_as_matrix(t2["embedding"]), target_bucket=40)
+    ivf2 = knn_graph_ivf(ds2, params, k=5, nprobe=4).to_pandas()
+    bs = set(map(tuple, brute2[["vec_id", "nbr_id"]].to_numpy()))
+    iv = set(map(tuple, ivf2[["vec_id", "nbr_id"]].to_numpy()))
+    assert len(bs & iv) / len(bs) >= 0.9   # measured 0.962 at seed 7
+
+
 def test_blocklist_screen_word_boundaries():
     from corpusaid_ray.stages.quality import blocklist_screen_fn
 
