@@ -438,9 +438,12 @@ def _split_words(col) -> tuple[np.ndarray, np.ndarray]:
     flat = toks.flatten()
     keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
     words = flat.to_numpy(zero_copy_only=False)[keep]
-    lens = np.array([keep[offsets[i]:offsets[i + 1]].sum()
-                     for i in range(len(offsets) - 1)], dtype="int64")
-    return words, np.concatenate([[0], np.cumsum(lens)])
+    # per-row kept-word counts without a Python loop: prefix-sum the keep
+    # mask once, difference at the row offsets (np.add.reduceat chokes on
+    # zero-length rows — equal consecutive offsets — so cumsum is the
+    # branch-free form)
+    csum = np.concatenate([[0], np.cumsum(keep, dtype="int64")])
+    return words, csum[offsets]
 
 
 def dup_span_scrub(ds, *, content_col: str = "text", id_col: str = "doc_id",

@@ -222,10 +222,38 @@ def within_doc_line_dedup(ds, *, content_col: str = "content",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _explode_all_lines(batch: pa.Table, content_col: str,
+                       key_col: str) -> pa.Table:
+    """EVERY line of every row — empties included (document structure that
+    reassembly must preserve). Arrow split + numpy offsets, no per-row
+    Python. Columns: (line, path, pos)."""
+    col = batch[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    lines = pc.split_pattern(col, "\n")
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = lines.flatten()
+    n_per_row = np.diff(offsets)
+    row_ids = np.repeat(np.arange(len(col), dtype="int64"), n_per_row)
+    pos = np.arange(len(flat), dtype="int64") - np.repeat(
+        offsets[:-1], n_per_row
+    )
+    keys = batch[key_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pa.table({
+        "line": flat,
+        "path": keys.take(pa.array(row_ids)),
+        "pos": pa.array(pos),
+    })
+
+
 def boilerplate_line_removal(ds, *, min_df: int = 10,
                              content_col: str = "content",
                              key_col: str = "path",
-                             coalesce_blocks: int = 256):
+                             coalesce_blocks: int = 256,
+                             broadcast_cap: int = 1_000_000):
     """Corpus-frequency boilerplate scrub (CCNet-adjacent: where
     :func:`line_dedup` keeps ONE canonical copy of a repeated line, this
     removes EVERY copy of a line frequent enough to be boilerplate —
@@ -235,11 +263,18 @@ def boilerplate_line_removal(ds, *, min_df: int = 10,
     Pass 1 (line DF): explode non-empty lines, batch-local distinct
     ``(doc, line)`` then per-line partial counts (one row per line×batch
     over the exchange), salted groupby sum, ``df ≥ min_df`` filter INSIDE
-    the salt part. Only FREQUENT lines reach the driver — bounded by
-    ``min_df`` (at web scale the candidate set shrinks as the threshold
-    grows; a top-N cap composes if a pathological corpus overflows it).
-    Pass 2: the frequent-line set broadcasts once via ``ray.put``; one
-    map-only pass drops those lines (empties exempt, all rows emitted).
+    the salt part. The frequent set stays a distributed Dataset; its SIZE
+    (one count) picks the pass-2 shape:
+
+    - ``≤ broadcast_cap``: the set broadcasts once via ``ray.put`` and one
+      map-only pass drops those lines — the fast common case (boilerplate
+      sets are small at any real ``min_df``).
+    - ``> broadcast_cap`` (pathological corpus): NO driver set, no
+      broadcast — every line (empties included) left-outer hash-joins the
+      frequent set on the line text, then a salted per-document groupby
+      reassembles kept lines in position order. Same two-wide-op shape as
+      :func:`line_dedup`; pytest pins join == broadcast.
+
     Requires ``key_col`` unique per row (the corpus contract) so the
     batch-partial distinct counts sum exactly.
 
@@ -269,20 +304,67 @@ def boilerplate_line_removal(ds, *, min_df: int = 10,
         t = t[t >= min_df]
         return pd.DataFrame({"line": t.index.to_numpy(dtype=object)})
 
-    freq = frozenset(
-        r["line"]
-        for r in counts.groupby("_part")
-        .map_groups(pick_frequent, batch_format="pandas")
-        .take_all()
+    freq_ds = counts.groupby("_part").map_groups(
+        pick_frequent, batch_format="pandas"
+    ).materialize()  # small by min_df construction; object-store resident
+
+    if freq_ds.count() <= broadcast_cap:
+        freq = frozenset(r["line"] for r in freq_ds.take_all())
+        freq_ref = ray.put(freq)
+
+        def scrub(batch: pa.Table) -> pd.DataFrame:
+            f = ray.get(freq_ref)
+            df, nrows = _lines_frame(batch, content_col)
+            lines = df["line"].to_numpy(dtype=object)
+            empty = lines == ""
+            keep = empty | ~df["line"].isin(f).to_numpy()
+            return _reassemble_rows(batch, df, keep, nrows, key_col)
+
+        return ds.map_batches(scrub, batch_format="pyarrow")
+
+    # --- above-cap join path: the frequent set never leaves the cluster ---
+    from corpusaid_ray.util import (drop_empty_blocks, grouped,
+                                    join_partitions)
+
+    lines = ds.map_batches(
+        lambda b: _explode_all_lines(b, content_col, key_col),
+        batch_format="pyarrow",
     )
-    freq_ref = ray.put(freq)
+    marked = freq_ds.map_batches(
+        lambda t: t.append_column(
+            "_boiler", pa.array(np.ones(len(t), dtype=bool))),
+        batch_format="pyarrow",
+    )
+    joined = drop_empty_blocks(lines).join(
+        drop_empty_blocks(marked), join_type="left_outer",
+        num_partitions=join_partitions(), on=("line",),
+    )
 
-    def scrub(batch: pa.Table) -> pd.DataFrame:
-        f = ray.get(freq_ref)
-        df, nrows = _lines_frame(batch, content_col)
-        lines = df["line"].to_numpy(dtype=object)
-        empty = lines == ""
-        keep = empty | ~df["line"].isin(f).to_numpy()
-        return _reassemble_rows(batch, df, keep, nrows, key_col)
+    def salt_by_path(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = _salt(df["path"])
+        return df
 
-    return ds.map_batches(scrub, batch_format="pyarrow")
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                key_col: pd.Series(dtype="object"),
+                "content": pd.Series(dtype="object"),
+                "n_removed": pd.Series(dtype="int64"),
+            })
+        g = g.sort_values(["path", "pos"], kind="mergesort")
+        lines_ = g["line"].to_numpy(dtype=object)
+        boiler = g["_boiler"].notna().to_numpy() & (lines_ != "")
+        paths = g["path"].drop_duplicates().to_numpy(dtype=object)
+        joined_ = (g.loc[~boiler].groupby("path", sort=True)["line"]
+                   .agg("\n".join).reindex(paths, fill_value=""))
+        removed = (g.loc[boiler].groupby("path", sort=True).size()
+                   .reindex(paths, fill_value=0))
+        return pd.DataFrame({
+            key_col: paths,
+            "content": joined_.to_numpy(dtype=object),
+            "n_removed": removed.to_numpy(dtype="int64"),
+        })
+
+    return grouped(joined.map_batches(salt_by_path, batch_format="pandas"),
+                   "_part").map_groups(reassemble, batch_format="pandas")

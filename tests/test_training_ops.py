@@ -1285,6 +1285,38 @@ class TestBoilerplateLineRemoval:
             # doc of ONLY banner lines collapses to '' (both copies counted)
             assert got["only_banner"] == ("", 2)
 
+    def test_join_path_equals_broadcast_path(self, ray_session):
+        """broadcast_cap=0 forces the above-cap hash-join shape (no driver
+        set, no ray.put) — outputs must be identical to the broadcast path
+        on every row, across block layouts."""
+        import ray.data
+
+        from corpusaid_ray.stages.linedup import boilerplate_line_removal
+
+        header = "COPYRIGHT BANNER"
+        rows = [
+            {"path": f"p{i}", "content": f"{header}\nbody {i}\n\nmid\n{header}"}
+            for i in range(5)
+        ]
+        rows.append({"path": "rare", "content": "unique\npair\n"})
+        rows.append({"path": "only_banner", "content": f"{header}\n{header}"})
+        rows.append({"path": "empty", "content": ""})
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(
+                pa.Table.from_pylist(rows)
+            ).repartition(parts)
+            want = {
+                r["path"]: (r["content"], r["n_removed"])
+                for r in boilerplate_line_removal(ds, min_df=3).take_all()
+            }
+            got = {
+                r["path"]: (r["content"], r["n_removed"])
+                for r in boilerplate_line_removal(
+                    ds, min_df=3, broadcast_cap=0).take_all()
+            }
+            assert got == want
+            assert len(got) == len(rows)
+
 
 class TestLicenseScreen:
     """license_screen_fn: planted positives for every family + precedence."""
