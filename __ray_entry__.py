@@ -1786,11 +1786,21 @@ def q_training_corpus(sf_dir: str):
         lambda b: add_normalized_sha(b, source_col="content_scrubbed"),
         batch_format="pyarrow",
     )
-    # materialize the deduped kept corpus: three downstream passes read it
+    # checkpoint the deduped kept corpus: three downstream passes read it
     # (percentile fit, gate, quota) and it IS the production deliverable —
     # without this the lazy flagship re-executes per pass (18.3 s → 8 s at
-    # the gate)
-    dd = dedup_exact(normed, scope_cols=(), hash_col="norm_sha256").materialize()
+    # the gate). Below the row-hint cap this is an object-store
+    # materialize; above it the corpus STREAMS to a parquet checkpoint and
+    # re-reads (lineage.cache_for_reuse — nothing driver- or store-resident)
+    import pyarrow.parquet as pq
+
+    from corpusaid_ray.state.lineage import cache_for_reuse
+
+    n_hint = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    dd = cache_for_reuse(
+        dedup_exact(normed, scope_cols=(), hash_col="norm_sha256"),
+        n_hint=n_hint,
+    )
 
     def lens(batch: pa.Table) -> pa.Table:
         return pa.table({

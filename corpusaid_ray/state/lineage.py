@@ -278,6 +278,29 @@ def read_output(out_dir: str):
     return ray.data.read_parquet(files)
 
 
+def cache_for_reuse(ds, *, n_hint: int, cap: int = 2_000_000,
+                    out_dir: str | None = None):
+    """Checkpoint a Dataset that several downstream passes re-read.
+
+    Below ``cap`` (an input-row HINT known without executing — e.g. parquet
+    metadata row counts): ``materialize()`` pins the blocks in the object
+    store, the cheapest reuse at bench scale. Above it — the 100-TB shape —
+    the dataset STREAMS to a parquet checkpoint once (``write_parquet``,
+    per-task files, no driver or object-store residency) and downstream
+    passes re-read from disk; a killed run re-reads the finished files via
+    the manifest sink instead of recomputing. pytest pins both paths to
+    identical results."""
+    if n_hint <= cap:
+        return ds.materialize()
+    import tempfile
+
+    import ray.data
+
+    out = out_dir or tempfile.mkdtemp(prefix="corpusaid_ckpt_")
+    ds.write_parquet(out)
+    return ray.data.read_parquet(out)
+
+
 def write_partitioned_by(ds, out_dir: str, key: str):
     """Hive-partitioned sink: one ``key=value/`` directory per key value
     (Ray's native ``partition_cols`` path — each task writes only its own

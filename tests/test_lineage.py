@@ -211,3 +211,50 @@ def test_export_training_shards_deterministic_layout(ray_session, tmp_path):
     b2 = {r["path"]: r["shard"] for r in ray.data.read_parquet(out2).take_all()}
     b1 = {r["path"]: r["shard"] for r in back}
     assert any(b1[p] != b2[p] for p in b1)
+
+
+def test_cache_for_reuse_parquet_path_equals_materialize(ray_session, tmp_path):
+    """cache_for_reuse: the above-cap parquet-spill path must hand back the
+    same rows as the object-store materialize path, and the checkpoint dir
+    must actually hold the streamed files (nothing recomputes on re-read)."""
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.state.lineage import cache_for_reuse
+
+    t = pa.table({
+        "k": pa.array(range(40), pa.int64()),
+        "v": pa.array([f"row {i}" for i in range(40)]),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    mat = cache_for_reuse(ds, n_hint=40, cap=1_000)          # materialize
+    out = str(tmp_path / "ckpt")
+    spill = cache_for_reuse(ds, n_hint=40, cap=0, out_dir=out)  # parquet
+    a = sorted(mat.take_all(), key=lambda r: r["k"])
+    b = sorted(spill.take_all(), key=lambda r: r["k"])
+    assert a == b
+    import glob
+
+    assert glob.glob(out + "/*.parquet")                      # really spilled
+
+
+def test_training_corpus_same_through_parquet_checkpoint(ray_session, monkeypatch):
+    """q_training_corpus must return identical rows whichever checkpoint
+    shape cache_for_reuse picks (the 100-TB parquet path vs materialize)."""
+    import corpusaid_ray.state.lineage as lineage
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    want = sorted(
+        map(tuple, e.q_training_corpus(sf).to_pandas().itertuples(index=False))
+    )
+    orig = lineage.cache_for_reuse
+    monkeypatch.setattr(
+        lineage, "cache_for_reuse",
+        lambda ds, *, n_hint, cap=2_000_000, out_dir=None: orig(
+            ds, n_hint=n_hint, cap=0, out_dir=out_dir),
+    )
+    got = sorted(
+        map(tuple, e.q_training_corpus(sf).to_pandas().itertuples(index=False))
+    )
+    assert got == want and len(got) > 0
