@@ -2682,7 +2682,14 @@ def q_adjusted_rand(sf_dir: str):
     a = ΣC(cell,2), sc/sl the cluster/label pair sums, C = C(N,2) — all
     exact int64-safe integers at gate scale (Python ints on the driver),
     plus one truncating micro division (ARI can be negative — trunc_div
-    handles sign like DuckDB //)."""
+    handles sign like DuckDB //).
+
+    Int64 bound: C(N,2)·a grows like N⁴, so the EMITTED num/den pair
+    overflows pa.int64 near N ≈ 10⁶ vectors (the SQL mirror's BIGINT
+    casts share the bound — engine and oracle fail together, loudly via
+    pa.array overflow, never silently). Past that scale keep ari_micro
+    only (compute num/den as Python ints and emit the ratio), or widen
+    to a decimal128 pair; the driver-side math itself never wraps."""
     import pandas as pd
     import pyarrow as pa_
     import pyarrow.parquet as pq
@@ -2742,7 +2749,12 @@ def q_length_gini(sf_dir: str):
     diagnostic for mixing/sharding). Composes the no-global-sort rank:
     Gini numerator Σ(2·rank − n − 1)·x over ranked rows (map partials →
     driver ints), denominator n·Σx; emitted as exact integers plus one
-    truncating micro division."""
+    truncating micro division.
+
+    Int64 bounds: the per-batch partial is overflow-proof (object-dtype
+    fallback above the provable-safe cap); the EMITTED gini_num/gini_den
+    pair requires n·Σx < 2^63 — ~10¹⁰ docs at 1 KB mean — past which
+    only gini_micro (a bounded ratio) remains faithful."""
     import pandas as pd
     import pyarrow as pa_
     import ray.data
@@ -2754,18 +2766,34 @@ def q_length_gini(sf_dir: str):
                                columns=["doc_id", "n_chars"])
     ranked = global_rank_via_ranges(ds, num_parts=10)
 
+    def partial(df):
+        # rank·2·value per element approaches 2·N·max_len: the int64 fast
+        # path runs only when (2·rank_max·val_max·rows) < 2^63 provably
+        # can't wrap; otherwise the exact object-dtype (Python-int) dot.
+        # The exact partial crosses as an int64 (hi, lo) pair, base 2^62.
+        r = df["global_rank"].to_numpy("int64")
+        v = df["value"].to_numpy("int64")
+        if len(df) == 0:
+            s = 0
+        elif 2 * int(r.max()) * max(int(v.max()), 1) * len(df) < 2 ** 63:
+            s = int((r * 2 * v).sum())
+        else:
+            s = int((r.astype(object) * 2 * v.astype(object)).sum())
+        return pd.DataFrame({
+            "n": [len(df)],
+            "sx": [int(v.sum()) if len(df) else 0],
+            "num_hi": [s // (2 ** 62)],
+            "num_lo": [s % (2 ** 62)],
+        })
+
     n = sx = num = 0
     for b in ranked.map_batches(
-            lambda df: pd.DataFrame({
-                "n": [len(df)],
-                "sx": [int(df["value"].sum())],
-                "num": [int((df["global_rank"].to_numpy("int64") * 2
-                             * df["value"].to_numpy("int64")).sum())],
-            }), batch_format="pandas").iter_batches(
+            partial, batch_format="pandas").iter_batches(
             batch_format="pandas"):
         n += int(b["n"].sum())
         sx += int(b["sx"].sum())
-        num += int(b["num"].sum())
+        num += sum(int(h) * 2 ** 62 + int(lo)
+                   for h, lo in zip(b["num_hi"], b["num_lo"]))
     # Σ(2i − n − 1)x = 2Σi·x − (n+1)Σx
     gnum = num - (n + 1) * sx
     gden = n * sx
@@ -2784,7 +2812,11 @@ def q_rand_index(sf_dir: str):
     pairs; agree = C(N,2) − Σ C(cluster,2) − Σ C(label,2) + 2a; the micro
     ratio is one truncating division of positives). The contingency cells
     come from the same combiner shape as `q_cluster_purity`; the driver
-    holds K×labels integers."""
+    holds K×labels integers.
+
+    Int64 bound: the emitted pair counts grow like N² (C(N,2) ≈ 5·10¹⁷
+    at N = 10⁹), so int64 emission holds to ~10⁹ vectors; past that emit
+    the micro ratio only — see q_adjusted_rand's note for the pattern."""
     import pandas as pd
     import pyarrow as pa_
     import pyarrow.parquet as pq
@@ -3194,6 +3226,13 @@ def q_funnel_latency(sf_dir: str):
             "v": (df["t3_ms"] - df["t1_ms"]).astype("int64"),
         }), batch_format="pandas")
     n_conv = lat.count()
+    if n_conv == 0:
+        # canonical empty-funnel row, mirrored by the SQL's coalesce(-1)
+        return pa_.table({
+            "n_converted": pa_.array([0], pa_.int64()),
+            "p50_ms": pa_.array([-1], pa_.int64()),
+            "p90_ms": pa_.array([-1], pa_.int64()),
+        })
     pct = group_percentiles_distributed(
         lat, key="g", value_col="v", percentiles=(0.5, 0.9))
     return pa_.table({

@@ -3176,8 +3176,8 @@ lat AS MATERIALIZED (
 agg AS (SELECT list_sort(list(v)) AS lv, count(*)::BIGINT AS n FROM lat)"""
     return chain + """
 SELECT n AS n_converted,
-       lv[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS p50_ms,
-       lv[greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)] AS p90_ms
+       coalesce(lv[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)], -1) AS p50_ms,
+       coalesce(lv[greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)], -1) AS p90_ms
 FROM agg"""
 
 

@@ -234,14 +234,21 @@ def decayed_user_score(ds, *, half_life_days: int = 4, max_shift: int = 30):
 
     # NB: iter_batches COMBINES the 1-row partial blocks into multi-row
     # batches — reduce over the whole column, never b["m"][0]
-    tmax_ms = max(
+    tmax_parts = [
         int(pc.max(b["m"]).as_py())
         for b in ds.map_batches(
             lambda t: pa.table({"m": pa.array(
-                [int(ts_ms(t).max())], pa.int64())}),
+                [int(ts_ms(t).max())] if len(t) else [], pa.int64())}),
             batch_format="pyarrow").iter_batches(batch_format="pyarrow")
         if len(b)
-    )
+    ]
+    if not tmax_parts:  # empty input (or all blocks filtered upstream)
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "decayed_score": pa.array([], pa.int64()),
+        }))
+    tmax_ms = max(tmax_parts)
 
     def partial(tbl: pa.Table) -> pd.DataFrame:
         vm = np.floor(

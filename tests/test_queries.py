@@ -200,3 +200,61 @@ def test_ascii_fraction_edges(ray_session, tmp_path):
         if r["n_non_ascii"] > 0:
             assert r["non_ascii_fp"] == r["n_non_ascii"] * 1_000_000 // r["n_chars"]
     assert sum(1 for r in vals if r["n_non_ascii"] >= 2) == 1
+
+
+def test_funnel_latency_empty_funnel_matches_oracle(ray_session, tmp_path):
+    """Zero users complete the funnel: the engine must emit the canonical
+    (0, -1, -1) row instead of raising, and the SQL mirror's coalesce(-1)
+    must agree (the r3-ADVICE engine/oracle empty-edge divergence)."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [
+        {"user_id": 0, "event_type": "view",
+         "ts": t0 + dt.timedelta(minutes=0)},
+        {"user_id": 0, "event_type": "click",
+         "ts": t0 + dt.timedelta(minutes=5)},
+        # u1's purchase precedes any view/click — strict-after blocks it
+        {"user_id": 1, "event_type": "purchase",
+         "ts": t0 + dt.timedelta(minutes=1)},
+        {"user_id": 1, "event_type": "view",
+         "ts": t0 + dt.timedelta(minutes=2)},
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "events.parquet")
+
+    got = e.queries()["funnel_latency"](str(d)).to_pandas()
+    assert got.iloc[0].to_dict() == {
+        "n_converted": 0, "p50_ms": -1, "p90_ms": -1}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.execute(e.oracle_sql()["funnel_latency"]).fetch_df()
+    assert got.astype("int64").equals(want.astype("int64"))
+
+
+def test_decayed_user_score_empty_input(ray_session):
+    """Empty events input returns an empty (user_id, decayed_score)
+    dataset instead of raising ValueError on the max-ts reduce (the
+    r3-ADVICE empty-edge)."""
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.window import decayed_user_score
+
+    empty = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    }))
+    out = decayed_user_score(empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"user_id", "decayed_score"}

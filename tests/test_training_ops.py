@@ -2397,13 +2397,18 @@ class TestDecayedUserScore:
                 "ts": base + dt.timedelta(hours=3 * i, seconds=i),
                 "value": ((i * 17) % 40) / 3.0 - 2.0,
             })
+        # Arrow reads the naive planted timestamps as UTC; mirror that
+        # convention here (a local-tz .timestamp() would skew on any
+        # non-UTC host)
+        utc_ms = lambda d: int(
+            d.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
         tmax = max(r["ts"] for r in rows)
-        tmax_ms = int(tmax.timestamp() * 1000)
+        tmax_ms = utc_ms(tmax)
         want: dict = {}
         import math
         for r in rows:
             vm = math.floor(r["value"] * 1000 + 0.5)
-            age = (tmax_ms - int(r["ts"].timestamp() * 1000)) // 86_400_000
+            age = (tmax_ms - utc_ms(r["ts"])) // 86_400_000
             w = (1 << 20) >> min(age // 4, 30)
             want[r["user_id"]] = want.get(r["user_id"], 0) + vm * w
         t = pa.Table.from_pylist(rows)
@@ -2498,7 +2503,9 @@ class TestFunnelReach:
             assert got == {0: 3, 1: 1, 2: 1, 3: 0, 4: 2}, par
         out = {r["user_id"]: r for r in funnel_reach(
             ray.data.from_arrow(t)).take_all()}
-        ms = lambda m: int((t0 + dt.timedelta(minutes=m)).timestamp() * 1000)
+        # naive planted timestamps are UTC to Arrow — compare in UTC
+        ms = lambda m: int((t0 + dt.timedelta(minutes=m)).replace(
+            tzinfo=dt.timezone.utc).timestamp() * 1000)
         assert (out[0]["t1_ms"], out[0]["t2_ms"], out[0]["t3_ms"]) == (
             ms(0), ms(5), ms(9))
         assert out[1]["t2_ms"] == -1  # the early click never counts
@@ -2669,9 +2676,14 @@ class TestRetentionCohorts:
         week = dt.timedelta(days=7)
         # align base to an exact epoch-week boundary so the planted
         # cohort arithmetic is stable
-        base_ms = (int(dt.datetime(2024, 1, 1).timestamp() * 1000)
-                   // 604_800_000) * 604_800_000
-        base = dt.datetime.fromtimestamp(base_ms / 1000)
+        # all epoch math in UTC: Arrow reads the naive planted wall times
+        # as UTC, so derive the week-aligned base the same way (a local
+        # fromtimestamp would shift the boundary on non-UTC hosts)
+        base_ms = (int(dt.datetime(
+            2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000)
+            // 604_800_000) * 604_800_000
+        base = dt.datetime.fromtimestamp(
+            base_ms / 1000, tz=dt.timezone.utc).replace(tzinfo=None)
         rows = []
         # cohort A: users 1-3 start week 0; user 1 active weeks 0,1,2;
         # user 2 weeks 0,1; user 3 week 0 only
