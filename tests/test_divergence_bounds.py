@@ -1,0 +1,144 @@
+"""Divergence bounds for the two documented env-constrained deviations
+(round-3 verdict item 7): stdlib-vs-bs4 HTML stripping on broken markup,
+and pinned-regex-vs-spaCy tokenization.
+
+bs4 and spaCy are absent in this container, so these tests do two jobs:
+
+1. ALWAYS: pin the engine's behavior on a pathological broken-markup
+   corpus as golden values — any drift in stdlib ``html.parser`` across
+   Python versions (or an accidental edit to the stripper) surfaces here,
+   and the golden outputs double as documentation of exactly what the
+   engine does to each malformation class.
+2. OPPORTUNISTICALLY (auto-skip when the library / model is missing):
+   run the real cross-library parity comparison. The bs4 check allows
+   divergence ONLY on an explicitly enumerated ambiguous set (CDATA /
+   comment-adjacent node typing differs between bs4 releases); anything
+   outside that set failing parity is a real bug. The spaCy check
+   asserts parity on plain prose and asserts the KNOWN divergence
+   classes (contractions, hyphenated compounds) actually diverge the
+   documented way — bounding the deviation instead of hand-waving it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# --------------------------------------------------------------------------
+# Broken-markup corpus: name -> (input, pinned stdlib strip_html output).
+# The golden column documents the malformation handling:
+#   - unclosed/mis-nested/stray tags: tags drop, character data survives
+#   - bare "<" before a letter OPENS a tag and swallows text to the next
+#     ">" (the documented lossy case — "a<b and c > d" loses "and c")
+#   - undecodable entities pass through literally; valid refs decode
+#   - comments / CDATA / processing instructions / declarations drop
+#   - script & style CONTENT IS KEPT (bs4 get_text() behavior)
+#   - a quoted attribute that never closes, or EOF inside a tag, falls
+#     back to emitting the raw text
+# --------------------------------------------------------------------------
+BROKEN_MARKUP = {
+    "unclosed_tags": ("<p>alpha <b>beta <i>gamma", "alpha beta gamma"),
+    "misnested": ("<b><i>bold-italic</b></i> tail", "bold-italic tail"),
+    "bare_lt": ("threshold a<b and c > d done", "threshold a d done"),
+    "bad_entity": ("fish &chips; &amp; &unknown; &#x41; &#65; end",
+                   "fish &chips; & &unknown; A A end"),
+    "comment": ("pre<!-- hidden <b>x</b> -->post", "prepost"),
+    "cdata": ("a<![CDATA[ raw <tag> ]]>b", "ab"),
+    "script_style": ("<script>if(a<b){x&&y}</script><style>p>q{}</style>tail",
+                     "if(a<b){x&&y}p>q{}tail"),
+    "unclosed_attr": ('<a href="broken target>link text</a> after',
+                      '<a href="broken target>link text after'),
+    "stray_close": ("text</p></div> more", "text more"),
+    "processing_instr": ("x<?php echo 1 ?>y", "xy"),
+    "decl": ("<!DOCTYPE html><html>body</html>", "body"),
+    "truncated_tag": ("cut off <a href=", "cut off <a href="),
+    "nested_angle": ("<p title='<b>'>content</p>", "content"),
+    "double_amp": ("a && b &&& c", "a && b &&& c"),
+    "numeric_overflow": ("big &#x110000; char", "big � char"),
+}
+
+# Cases where bs4's node typing is release-dependent (CDATA/comment/PI/decl
+# become Comment/CData/Declaration objects whose inclusion in get_text()
+# has changed across bs4 versions). Divergence is PERMITTED here and only
+# here; everything else must match the stdlib stripper byte-for-byte.
+BS4_AMBIGUOUS = {"cdata", "comment", "processing_instr", "decl",
+                 "truncated_tag", "unclosed_attr"}
+
+
+class TestHtmlStripDivergenceBounds:
+    def test_stdlib_golden_pin(self):
+        """The engine's handling of every malformation class is pinned —
+        a Python-version drift in html.parser fails loudly here."""
+        from corpusaid_ray.functions.textops import strip_html
+
+        got = {name: strip_html(src)
+               for name, (src, _) in BROKEN_MARKUP.items()}
+        want = {name: exp for name, (_, exp) in BROKEN_MARKUP.items()}
+        assert got == want
+
+    def test_bs4_parity_bounded(self):
+        """When bs4 is installed: byte parity with get_text() everywhere
+        except the enumerated ambiguous set (whose divergences are
+        reported in the failure message if they appear elsewhere)."""
+        bs4 = pytest.importorskip("bs4")
+        from corpusaid_ray.functions.textops import strip_html
+
+        diverged = {}
+        for name, (src, _) in BROKEN_MARKUP.items():
+            ours = strip_html(src)
+            theirs = bs4.BeautifulSoup(src, "html.parser").get_text()
+            if ours != theirs:
+                diverged[name] = (ours, theirs)
+        out_of_bounds = {k: v for k, v in diverged.items()
+                         if k not in BS4_AMBIGUOUS}
+        assert not out_of_bounds, (
+            f"stdlib stripper diverges from bs4 OUTSIDE the documented "
+            f"ambiguous set: {out_of_bounds}")
+
+
+# --------------------------------------------------------------------------
+# spaCy tokenizer parity (opt-in): plain prose must match the pinned
+# regex spec token-for-token; the documented divergence classes must
+# actually diverge (else the deviation note in tokenize.py is stale).
+# --------------------------------------------------------------------------
+PLAIN_PROSE = [
+    "the quick brown fox jumps over the lazy dog",
+    "a corpus of 120 documents , each reviewed twice .",
+    "numbers like 42 and words like aardvark mix freely",
+]
+# (input, why it diverges)
+KNOWN_DIVERGENT = [
+    ("don't stop believing", "spaCy keeps do + n't; pinned splits on '"),
+    ("state-of-the-art results", "spaCy keeps the hyphenated compound"),
+    ("the U.S. economy grew", "spaCy keeps U.S. as one token"),
+]
+
+
+class TestTokenizerDivergenceBounds:
+    def test_pinned_golden_pin(self):
+        from corpusaid_ray.functions.tokenize import PinnedTokenizer
+
+        tok = PinnedTokenizer()
+        assert tok.tokens("don't stop") == ["don", "'", "t", "stop"]
+        assert tok.tokens("state-of-the-art") == [
+            "state", "-", "of", "-", "the", "-", "art"]
+        assert tok.tokens("U.S. grew") == ["U", ".", "S", ".", "grew"]
+        for text in PLAIN_PROSE:
+            assert tok.tokens(text) == text.split(), text
+
+    def test_spacy_parity_and_documented_divergence(self):
+        pytest.importorskip("spacy")
+        from corpusaid_ray.functions.tokenize import (
+            PinnedTokenizer, SpacyTokenizer,
+        )
+
+        try:
+            sp = SpacyTokenizer()
+        except Exception as ex:  # model not downloadable here
+            pytest.skip(f"spaCy model unavailable: {ex}")
+        pinned = PinnedTokenizer()
+        for text in PLAIN_PROSE:
+            assert sp.tokens(text) == pinned.tokens(text), text
+        for text, why in KNOWN_DIVERGENT:
+            assert sp.tokens(text) != pinned.tokens(text), (
+                f"documented divergence vanished ({why}): {text!r} — "
+                f"update tokenize.py's deviation note")
