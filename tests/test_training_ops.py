@@ -2601,6 +2601,37 @@ class TestDupSpanScrub:
             assert got[4]["n_removed"] == 0
             assert got[4]["kept_text"] == rows[4]["text"]
 
+    def test_join_path_equals_broadcast_path(self, ray_session):
+        """broadcast_cap=0 forces the above-cap join shape; it must be
+        row-identical to the default broadcast map-only pass on a corpus
+        exercising cross-doc spans, within-doc repetition, short docs,
+        and overlapping duplicated grams — across block layouts."""
+        from corpusaid_ray.stages.decontaminate import dup_span_scrub
+
+        boiler = "one two three four five six seven eight"
+        nine = boiler + " nine"  # 9 words → two overlapping dup 8-grams
+        rows = [
+            {"doc_id": 0, "text": f"alpha beta {boiler} gamma delta"},
+            {"doc_id": 1, "text": f"epsilon {nine} zeta"},
+            {"doc_id": 2, "text": f"{boiler} {boiler}"},
+            {"doc_id": 3, "text": "tiny  doc\nonly"},
+            {"doc_id": 4, "text": "u1 u2 u3 u4 u5 u6 u7 u8 u9"},
+            {"doc_id": 5, "text": f"head {nine} tail"},
+        ]
+        for par in (1, 4):
+            ds = _docs_ds(ray_session, rows, par)
+            bcast = sorted(dup_span_scrub(ds).take_all(),
+                           key=lambda r: r["doc_id"])
+            joined = sorted(
+                dup_span_scrub(ds, broadcast_cap=0).take_all(),
+                key=lambda r: r["doc_id"])
+            assert bcast == joined, par
+        # overlap sanity on whichever path: doc 5's "nine" block is
+        # covered by both 8-grams → 9 words removed, head/tail survive
+        got5 = {r["doc_id"]: r for r in bcast}[5]
+        assert got5["kept_text"] == "head tail"
+        assert got5["n_removed"] == 9
+
 
 class TestCdcCrawlDelta:
     """The number the shift-robust chunking exists for: an edited doc's
