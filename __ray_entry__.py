@@ -3466,6 +3466,30 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_c4_rules(sf_dir: str):
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2 — the Colossal
+    Clean Crawled Corpus heuristics) per doc: the three-part line filter
+    (rstrip'd terminal punctuation, ≥5 whitespace words, no
+    case-insensitive ``javascript`` word) with kept-text reassembly, the
+    [.!?]-count sentence proxy for the ≥3-sentences page rule, and the
+    lorem-ipsum / curly-brace / bad-word raw-page screens — every
+    fraction exact int64 micros, ``c4_keep`` the paper's conjunction.
+    Map-only: one Arrow line split, one RE2 word split, bincounts, and
+    ``pc.binary_join`` reassembly per batch (no reference equivalent —
+    north-rule quality-filter family beside ``gopher_rules``)."""
+    from corpusaid_ray.stages.quality import c4_rules_fn
+
+    return (
+        _corpus(sf_dir)
+        .map_batches(c4_rules_fn, batch_format="pyarrow")
+        .select_columns([
+            "path", "n_lines", "n_kept_lines", "kept_char_frac_micros",
+            "n_sentences", "has_lorem_ipsum", "has_brace", "has_bad_word",
+            "c4_keep", "kept_text",
+        ])
+    )
+
+
 def q_license_screen(sf_dir: str):
     """License screen over the code corpus (The Stack / StarCoder keep only
     permissively-licensed files): non-overlapping match counts per license
@@ -3948,6 +3972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_stats": q_ttr_stats,
         "word_freq": q_word_freq,
         "events_sessionize": q_events_sessionize,
+        "c4_rules": q_c4_rules,
     }
 
 def oracle_sql() -> dict[str, str]:

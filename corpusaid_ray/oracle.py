@@ -3725,3 +3725,65 @@ FROM m LEFT JOIN (SELECT path, pred FROM best WHERE rn = 1) b
 
 
 ORACLE_SQL["langid_scores"] = _langid_sql()
+
+
+def _c4_rules_sql(min_words_per_line: int = 5, min_sentences: int = 3) -> str:
+    """Mirror of ``stages/quality.c4_rules_fn`` (Raffel et al. 2020 §2.2):
+    the same line-keep conjunction (rstrip'd terminal punctuation, ≥5
+    whitespace words, no case-insensitive ``javascript`` word), kept-text
+    reassembly in original line order, the [.!?] sentence proxy, and the
+    three raw-page screens; every fraction the same int64 micro division.
+    The empty-kept edge pins to '' via COALESCE on both sides."""
+    from corpusaid_ray.stages.quality import (
+        C4_BAD_RE,
+        C4_JS_RE,
+        C4_LOREM_RE,
+        C4_RSTRIP,
+        C4_TERMINAL_PUNCT,
+    )
+
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    terms = ", ".join(sql_quote(p) for p in C4_TERMINAL_PUNCT)
+    return with_corpus(f"""
+, l AS (
+  SELECT path,
+         unnest(string_split(content, chr(10))) AS line,
+         generate_subscripts(string_split(content, chr(10)), 1) AS pos
+  FROM corpus
+), lk AS (
+  SELECT path, line, pos,
+         (right(rtrim(line, {sql_quote(C4_RSTRIP)}), 1) IN ({terms})
+          AND length(list_filter(regexp_split_to_array(line, '{ws}'),
+                                 t -> t != '')) >= {min_words_per_line}
+          AND NOT regexp_matches(line, {sql_quote(C4_JS_RE)})) AS keep
+  FROM l
+), pagel AS (
+  SELECT path,
+         count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
+         sum(CASE WHEN keep THEN length(line) ELSE 0 END)::BIGINT
+           AS kept_chars,
+         COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                             ORDER BY pos), '') AS kept_text
+  FROM lk GROUP BY path
+)
+SELECT c.path,
+       p.n_lines,
+       p.n_kept_lines,
+       p.kept_chars * 1000000
+         // greatest(length(c.content), 1) AS kept_char_frac_micros,
+       length(regexp_extract_all(p.kept_text, '[.!?]'))::BIGINT
+         AS n_sentences,
+       regexp_matches(c.content, {sql_quote(C4_LOREM_RE)}) AS has_lorem_ipsum,
+       contains(c.content, '{{') AS has_brace,
+       regexp_matches(c.content, {sql_quote(C4_BAD_RE)}) AS has_bad_word,
+       (length(regexp_extract_all(p.kept_text, '[.!?]')) >= {min_sentences}
+        AND NOT regexp_matches(c.content, {sql_quote(C4_LOREM_RE)})
+        AND NOT contains(c.content, '{{')
+        AND NOT regexp_matches(c.content, {sql_quote(C4_BAD_RE)}))
+         AS c4_keep,
+       p.kept_text
+FROM corpus c JOIN pagel p USING (path)""")
+
+
+ORACLE_SQL["c4_rules"] = _c4_rules_sql()

@@ -556,3 +556,112 @@ def gopher_rules_fn(batch: pa.Table, source_col: str = "content", *,
         "gopher_keep": pa.array(keep, pa.bool_()),
     })
     return pa.table(out)
+
+
+# C4 cleaning-rule constants (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2 — the
+# Colossal Clean Crawled Corpus heuristics). TERMINAL_PUNCT is the paper's
+# set (period, exclamation, question mark, closing quote); the bad-word
+# screen is a pinned deterministic subsample of the LDNOOBW list the paper
+# cites (the full list is env-external; the subsample keeps the rule's
+# shape and is shared verbatim with the SQL mirror). Trailing-whitespace
+# strip before the terminal-punct check is pinned to Python str.rstrip()'s
+# ASCII members that can occur inside a line.
+C4_TERMINAL_PUNCT: tuple[str, ...] = (".", "!", "?", '"')
+C4_BAD_WORDS: tuple[str, ...] = ("porn", "nsfw", "xxx", "erotic")
+C4_RSTRIP = " \t\r\x0b\x0c"
+C4_JS_RE = r"(?i)\bjavascript\b"
+C4_BAD_RE = r"(?i)\b(" + "|".join(C4_BAD_WORDS) + r")\b"
+C4_LOREM_RE = r"(?i)lorem ipsum"
+
+
+def c4_rules_fn(batch: pa.Table, source_col: str = "content", *,
+                min_words_per_line: int = 5,
+                min_sentences: int = 3) -> pa.Table:
+    """The C4 cleaning rule set (Raffel et al. 2020 §2.2) per document —
+    the line filter plus the page filters, exact integers throughout:
+
+    Line keep (all three): rstrip'd line ends in terminal punctuation;
+    ≥ ``min_words_per_line`` whitespace words; no ``javascript`` word
+    (case-insensitive). ``kept_text`` is the kept lines rejoined.
+
+    Page columns: ``n_lines`` / ``n_kept_lines``; ``kept_char_frac_micros``
+    (kept-line codepoints ·10⁶ // max(total codepoints, 1));
+    ``n_sentences`` — occurrences of ``[.!?]`` in kept_text (the paper's
+    "at least 3 sentences" rule, pinned to this deterministic proxy);
+    ``has_lorem_ipsum`` / ``has_brace`` / ``has_bad_word`` page screens
+    over the RAW page; ``c4_keep`` = n_sentences ≥ min_sentences AND none
+    of the three screens fired.
+
+    Fully vectorized: one Arrow line split, one RE2 word split over the
+    flat line array, bincounts per rule, and kept-text reassembly via a
+    rebuilt ListArray + ``pc.binary_join`` — no per-row Python anywhere."""
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    nrows = len(col)
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype("int64")
+
+    lines = pc.split_pattern(col, "\n")
+    loff = lines.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    lflat = lines.flatten()
+    lrow = np.repeat(np.arange(nrows, dtype="int64"), np.diff(loff))
+    n_lines = np.diff(loff).astype("int64")
+
+    stripped = pc.utf8_rtrim(lflat, characters=C4_RSTRIP)
+    term = np.zeros(len(lflat), dtype=bool)
+    for p in C4_TERMINAL_PUNCT:
+        term |= pc.ends_with(stripped, p).to_numpy(zero_copy_only=False)
+
+    toks = pc.split_pattern_regex(lflat, WORD_SPLIT_RE)
+    toff = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    tflat = toks.flatten()
+    trow = np.repeat(np.arange(len(lflat), dtype="int64"), np.diff(toff))
+    tok_ok = pc.greater(pc.utf8_length(tflat), 0).to_numpy(zero_copy_only=False)
+    wc = np.bincount(trow[tok_ok], minlength=len(lflat)).astype("int64")
+
+    no_js = ~pc.match_substring_regex(lflat, C4_JS_RE).to_numpy(
+        zero_copy_only=False)
+    keep_line = term & (wc >= min_words_per_line) & no_js
+
+    n_kept = np.bincount(lrow[keep_line], minlength=nrows).astype("int64")
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype("int64")
+    kept_chars = np.bincount(
+        lrow[keep_line], weights=llen[keep_line], minlength=nrows
+    ).astype("int64")
+    kept_frac = kept_chars * 1_000_000 // np.maximum(n_chars, 1)
+
+    kept_offsets = np.concatenate(
+        [np.zeros(1, dtype="int64"), np.cumsum(n_kept)])
+    kept_flat = lflat.filter(pa.array(keep_line))
+    if isinstance(kept_flat, pa.ChunkedArray):
+        kept_flat = kept_flat.combine_chunks()
+    kept_list = pa.ListArray.from_arrays(
+        pa.array(kept_offsets, pa.int32()), kept_flat)
+    kept_text = pc.binary_join(kept_list, "\n")
+
+    n_sent = pc.count_substring_regex(kept_text, "[.!?]").to_numpy(
+        zero_copy_only=False).astype("int64")
+    has_lorem = pc.match_substring_regex(col, C4_LOREM_RE).to_numpy(
+        zero_copy_only=False)
+    has_brace = pc.match_substring(col, "{").to_numpy(zero_copy_only=False)
+    has_bad = pc.match_substring_regex(col, C4_BAD_RE).to_numpy(
+        zero_copy_only=False)
+    keep = ((n_sent >= min_sentences)
+            & ~has_lorem & ~has_brace & ~has_bad)
+
+    out = {c: batch[c] for c in batch.column_names if c != source_col}
+    out.update({
+        "n_lines": pa.array(n_lines),
+        "n_kept_lines": pa.array(n_kept),
+        "kept_char_frac_micros": pa.array(kept_frac),
+        "n_sentences": pa.array(n_sent),
+        "has_lorem_ipsum": pa.array(has_lorem, pa.bool_()),
+        "has_brace": pa.array(has_brace, pa.bool_()),
+        "has_bad_word": pa.array(has_bad, pa.bool_()),
+        "c4_keep": pa.array(keep, pa.bool_()),
+        "kept_text": kept_text if isinstance(kept_text, pa.Array)
+        else kept_text.combine_chunks(),
+    })
+    return pa.table(out)

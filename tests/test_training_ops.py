@@ -1412,6 +1412,64 @@ class TestGopherRules:
         assert got["symbols"]["symbol_ratio_micros"] > 100_000
 
 
+class TestC4Rules:
+    """c4_rules_fn: each published rule trips on its planted fixture."""
+
+    def test_each_rule_trips(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.quality import c4_rules_fn
+
+        three = ("This is a perfectly fine sentence here.\n"
+                 "Another good long sentence follows right here!\n"
+                 "And a third complete sentence ends this one?")
+        rows = [
+            {"path": "good", "content": three},
+            # the js LINE drops but the page keeps (3 sentences remain)
+            {"path": "js_line", "content":
+                "Enable JavaScript to view this page.\n" + three},
+            # quote-terminal lines count (C4's 4th terminal mark)
+            {"path": "quoted", "content":
+                'He said the words "we are all done here."\n' + three},
+            {"path": "two_sentences", "content":
+                "This is a perfectly fine sentence here.\n"
+                "Another good long sentence follows right here!"},
+            {"path": "short_lines", "content": "Too short.\nTiny!\nNope?"},
+            {"path": "no_terminal", "content":
+                "this line has plenty of words but no ending\n"
+                "same here also lacking any punctuation mark"},
+            {"path": "brace", "content": three + "\nint main() {"},
+            {"path": "lorem", "content":
+                three + "\nLorem Ipsum dolor sit amet filler."},
+            {"path": "bad_word", "content":
+                three + "\nThis extra sentence mentions NSFW content."},
+            {"path": "rstrip", "content":
+                "Trailing spaces after the terminal period still pass.   \n"
+                + three},
+            {"path": "empty", "content": ""},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        got = {r["path"]: r for r in ds.map_batches(
+            c4_rules_fn, batch_format="pyarrow").take_all()}
+        assert got["good"]["c4_keep"] and got["good"]["n_sentences"] == 3
+        assert got["good"]["kept_text"] == rows[0]["content"]
+        assert got["js_line"]["c4_keep"]
+        assert got["js_line"]["n_kept_lines"] == 3  # js line dropped
+        assert "JavaScript" not in got["js_line"]["kept_text"]
+        assert got["quoted"]["n_kept_lines"] == 4
+        assert not got["two_sentences"]["c4_keep"]  # only 2 sentences
+        assert got["short_lines"]["n_kept_lines"] == 0  # <5 words/line
+        assert got["no_terminal"]["n_kept_lines"] == 0
+        assert not got["brace"]["c4_keep"] and got["brace"]["has_brace"]
+        assert not got["lorem"]["c4_keep"] and got["lorem"]["has_lorem_ipsum"]
+        assert not got["bad_word"]["c4_keep"] and got["bad_word"]["has_bad_word"]
+        assert got["bad_word"]["n_sentences"] == 4  # screen, not line rule
+        assert got["rstrip"]["n_kept_lines"] == 4  # rstrip before the check
+        assert not got["empty"]["c4_keep"]
+        assert got["empty"]["kept_text"] == ""
+        assert got["empty"]["n_lines"] == 1  # split('') -> ['']
+
+
 class TestHivePartitionedRead:
     """read_hive_partitioned: directory-level pruning + lossless restore."""
 
