@@ -263,6 +263,21 @@ def q_lang_dist(sf_dir: str):
     return _corpus(sf_dir).groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-reweighted language-sampling plan (XLM-R / mT5,
+    Conneau et al. 2020 §3.1, α = 0.5): per-language counts → isqrt
+    weights → integer micro shares and quotas for a 1000-doc budget.
+    One tiny partial-agg groupby; everything downstream is |langs| rows
+    (`stages/sampling.temperature_mix_plan`)."""
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import temperature_mix_plan
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang"])
+    return temperature_mix_plan(ds, group_col="lang", total_target=1_000)
+
+
 def q_ascii_fraction(sf_dir: str):
     """Per-doc non-ASCII character stats (the wrong-encoding / wrong-script
     quality gate): one RE2 count kernel over the Arrow column, fixed-point
@@ -3973,6 +3988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq": q_word_freq,
         "events_sessionize": q_events_sessionize,
         "c4_rules": q_c4_rules,
+        "temperature_mix": q_temperature_mix,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -3787,3 +3787,27 @@ FROM corpus c JOIN pagel p USING (path)""")
 
 
 ORACLE_SQL["c4_rules"] = _c4_rules_sql()
+
+
+# Temperature-reweighted language-sampling plan (Conneau et al. 2020
+# §3.1, α = 0.5): mirror of ``stages/sampling.temperature_mix_plan``.
+# floor(sqrt(n)) here equals the engine's math.isqrt(n) for
+# n < ~9·10¹⁵ (double sqrt of an exactly-representable int only
+# mis-floors once 1/(2·isqrt(n)) drops under half an ulp), far past any
+# per-language document count; the share/quota divisions are the same
+# int64 // on both sides.
+ORACLE_SQL["temperature_mix"] = """
+WITH g AS (
+  SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight
+  FROM g
+), s AS (
+  SELECT greatest(sum(weight), 1)::BIGINT AS sw FROM w
+)
+SELECT lang, n_docs, weight,
+       (weight * 1000000 // sw)::BIGINT AS share_micros,
+       (weight * 1000 // sw)::BIGINT AS quota
+FROM w, s
+ORDER BY lang"""

@@ -229,3 +229,54 @@ def global_rank_via_ranges(ds, *, value_col: str = "n_chars",
 
     return grouped(parts, "part_id").map_groups(local,
                                                 batch_format="pandas")
+
+
+def temperature_mix_plan(ds, *, group_col: str = "lang",
+                         total_target: int = 1_000):
+    """Temperature-reweighted multilingual sampling PLAN (the XLM-R /
+    mT5 recipe, Conneau et al. 2020 §3.1: sample languages ∝ p_i^α with
+    α = 0.5 to up-weight low-resource tails), in exact integers: per-group
+    doc counts n_g reduce to weights w_g = isqrt(n_g) (√ via
+    ``math.isqrt`` — exact for any int; the SQL mirror's
+    ``floor(sqrt(·))`` agrees for n < ~9·10¹⁵, far past any per-language
+    doc count), then ``share_micros = w·10⁶ // Σw`` and the sampling
+    quota ``q_g = w·total_target // Σw`` — no float anywhere, so the
+    plan is bit-stable across layouts and engines.
+
+    Scale shape: one tiny partial-agg groupby (|groups| rows cross the
+    exchange); the isqrt/share/quota arithmetic runs on the |groups|-row
+    result — the only driver-side state. Pairs with
+    ``target_mix_sample`` (feed it the quotas) for the selection pass.
+
+    Returns a pyarrow Table ``(group_col, n_docs, weight, share_micros,
+    quota)`` sorted by group."""
+    import math
+
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_col, sort=False).size().rename(
+            "n").reset_index()
+
+    cnt = (
+        grouped(ds.map_batches(cnt_partial, batch_format="pandas"),
+                group_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(group_col, kind="mergesort")
+    )
+    n_docs = [int(v) for v in cnt["n"]]
+    weights = [math.isqrt(v) for v in n_docs]
+    sw = max(sum(weights), 1)
+    return pa.table({
+        group_col: pa.array(list(cnt[group_col]), pa.string()),
+        "n_docs": pa.array(n_docs, pa.int64()),
+        "weight": pa.array(weights, pa.int64()),
+        "share_micros": pa.array(
+            [w * 1_000_000 // sw for w in weights], pa.int64()),
+        "quota": pa.array(
+            [w * total_target // sw for w in weights], pa.int64()),
+    })

@@ -1554,6 +1554,38 @@ class TestGramNovelty:
             assert got["c"]["novelty_micros"] == 1_000_000
 
 
+class TestTemperatureMix:
+    """temperature_mix_plan: exact isqrt arithmetic + the α=0.5 tail
+    up-weighting the op exists for."""
+
+    def test_exact_plan_and_tail_upweight(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.sampling import temperature_mix_plan
+
+        rows = (
+            [{"doc_id": i, "lang": "en"} for i in range(100)]
+            + [{"doc_id": 1_000 + i, "lang": "de"} for i in range(25)]
+            + [{"doc_id": 2_000 + i, "lang": "fr"} for i in range(4)]
+            + [{"doc_id": 3_000, "lang": "sw"}]
+        )
+        for par in (1, 5):
+            ds = ray.data.from_arrow(
+                pa.Table.from_pylist(rows)).repartition(par)
+            t = temperature_mix_plan(ds, total_target=1_000).to_pylist()
+            got = {r["lang"]: r for r in t}
+            # weights = isqrt(counts) exactly; Σw = 10+5+2+1 = 18
+            assert [got[g]["weight"] for g in ("en", "de", "fr", "sw")] \
+                == [10, 5, 2, 1]
+            assert got["en"]["share_micros"] == 10 * 1_000_000 // 18
+            assert got["sw"]["quota"] == 1 * 1_000 // 18
+            # the point of α=0.5: tail languages sample ABOVE their raw
+            # share, the head below it
+            assert got["sw"]["share_micros"] > 1 * 1_000_000 // 130
+            assert got["en"]["share_micros"] < 100 * 1_000_000 // 130
+            assert [r["lang"] for r in t] == sorted(r["lang"] for r in t)
+
+
 class TestTargetMixSample:
     """target_mix_sample: solved quotas hit the target mix exactly."""
 
