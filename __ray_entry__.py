@@ -3203,6 +3203,19 @@ def q_dup_span_scrub(sf_dir: str):
     return dup_span_scrub(ds, n=8, min_count=2)
 
 
+def q_c4_span_dedup(sf_dir: str):
+    """C4's duplicate three-sentence-span removal (Raffel 2020 §2.2):
+    the occurrence with the globally smallest (path, pos) keeps, every
+    other occurrence's sentences are removed and the doc rebuilt — the
+    KEEP-ONE complement of `dup_span_scrub`'s scrub-all (Lee 2022).
+    Counted-broadcast fast path under the cap, hash-join + salted-pack
+    shape above it (`stages/decontaminate.c4_span_dedup`)."""
+    from corpusaid_ray.stages.decontaminate import c4_span_dedup
+
+    return c4_span_dedup(_corpus(sf_dir), content_col="content",
+                         id_col="path")
+
+
 def q_mad_outliers_by_lang(sf_dir: str):
     """Per-language robust length gate: each language gets its own
     median/MAD (a normal English length can be an outlier for German) —
@@ -3989,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q_events_sessionize,
         "c4_rules": q_c4_rules,
         "temperature_mix": q_temperature_mix,
+        "c4_span_dedup": q_c4_span_dedup,
     }
 
 def oracle_sql() -> dict[str, str]:

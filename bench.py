@@ -269,6 +269,17 @@ def run_bench() -> dict:
     ).count()
     queries["gopher_rules"] = round(time.perf_counter() - t0, 3)
 
+    # --- full C4 §2.2 rule set (the other tier-core published gate;
+    # line split + word split + bincounts + binary_join reassembly,
+    # map-only) ---
+    from corpusaid_ray.stages.quality import c4_rules_fn
+
+    t0 = time.perf_counter()
+    read_corpus(SF_DIR, parallelism=blocks, repeat=REPEAT).map_batches(
+        c4_rules_fn, batch_format="pyarrow"
+    ).count()
+    queries["c4_rules"] = round(time.perf_counter() - t0, 3)
+
     # --- boilerplate-line removal (line-DF combiner → df≥10 broadcast →
     # map-only scrub; the replicated corpus makes every line frequent —
     # worst case for the broadcast) ---

@@ -3811,3 +3811,68 @@ SELECT lang, n_docs, weight,
        (weight * 1000 // sw)::BIGINT AS quota
 FROM w, s
 ORDER BY lang"""
+
+
+def _c4_span_dedup_sql(span: int = 3) -> str:
+    """Mirror of ``stages/decontaminate.c4_span_dedup`` (Raffel 2020
+    §2.2 keep-one span dedup): the shared sentence rule (split on
+    terminator runs, drop the trailing segment, trim, non-empty), spans
+    via window leads, keeper = min(path ␁ zero-padded pos), covered
+    positions from every non-keeper occurrence via UNION ALL offsets,
+    rebuild by ordered string_agg. chr(1) is the engine's _KEY_SEP."""
+    from corpusaid_ray.stages.decontaminate import (
+        C4_SENT_SPLIT_RE,
+        C4_SENT_STRIP,
+    )
+
+    strip = ("' '" + " || chr(9) || chr(13) || chr(10)"
+             " || chr(11) || chr(12)")
+    leads = " || ' ' || ".join(
+        ["s"] + [f"lead(s, {j}) OVER w" for j in range(1, span)])
+    offs = "\nUNION ALL\n".join(
+        f"SELECT path, pos + {j} AS cpos FROM loser" for j in range(span))
+    return with_corpus(f"""
+, segs AS (
+  SELECT path,
+         trim(unnest(l[1:len(l)-1]), {strip}) AS s,
+         generate_subscripts(l[1:len(l)-1], 1) AS ord
+  FROM (SELECT path,
+               regexp_split_to_array(content,
+                                     {sql_quote(C4_SENT_SPLIT_RE)}) AS l
+        FROM corpus)
+), sent AS (
+  SELECT path, s,
+         row_number() OVER (PARTITION BY path ORDER BY ord) - 1 AS pos
+  FROM segs WHERE s != ''
+), sp AS (
+  SELECT path, pos, {leads} AS span,
+         path || chr(1) || lpad(pos::VARCHAR, 12, '0') AS k
+  FROM sent
+  WINDOW w AS (PARTITION BY path ORDER BY pos)
+  QUALIFY lead(s, {span - 1}) OVER w IS NOT NULL
+), dup AS (
+  SELECT span, min(k) AS keeper FROM sp
+  GROUP BY span HAVING count(*) >= 2
+), loser AS (
+  SELECT sp.path, sp.pos FROM sp JOIN dup USING (span)
+  WHERE sp.k != dup.keeper
+), cover AS (
+  SELECT DISTINCT path, cpos FROM ({offs})
+), per_doc AS (
+  SELECT s.path,
+         count(*)::BIGINT AS n_sentences,
+         sum(CASE WHEN c.cpos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_removed,
+         COALESCE(string_agg(CASE WHEN c.cpos IS NULL THEN s.s END,
+                             chr(10) ORDER BY s.pos), '') AS kept_text
+  FROM sent s LEFT JOIN cover c ON c.path = s.path AND c.cpos = s.pos
+  GROUP BY s.path
+)
+SELECT c.path,
+       COALESCE(p.n_sentences, 0)::BIGINT AS n_sentences,
+       COALESCE(p.n_removed, 0)::BIGINT AS n_removed,
+       COALESCE(p.kept_text, '') AS kept_text
+FROM corpus c LEFT JOIN per_doc p USING (path)""")
+
+
+ORACLE_SQL["c4_span_dedup"] = _c4_span_dedup_sql()

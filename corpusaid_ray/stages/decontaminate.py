@@ -640,3 +640,255 @@ def dup_span_scrub(ds, *, content_col: str = "text", id_col: str = "doc_id",
         })
 
     return joined.map_batches(rebuild, batch_format="pandas")
+
+
+# --- C4 three-sentence-span dedup (Raffel et al. 2020 §2.2) -------------
+
+# Pinned sentence rule, shared verbatim with the SQL mirror: split on
+# terminator runs, DROP the final segment (text after the last terminator
+# is not a sentence), strip ASCII whitespace, keep non-empty. RE2-safe on
+# both sides (no lookbehind anywhere).
+C4_SENT_SPLIT_RE = "[.!?]+"
+C4_SENT_STRIP = " \t\r\n\x0b\x0c"
+# keeper-key separator; corpus paths never contain control chars
+_KEY_SEP = "\x01"
+
+
+def _doc_sentence_rows(col, n_rows: int):
+    """(row_id, pos, sentence) arrays under the pinned C4 sentence rule;
+    pos is the 0-based index among the row's kept sentences."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    segs = pc.split_pattern_regex(col, C4_SENT_SPLIT_RE)
+    offs = segs.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = segs.flatten()
+    rows = np.repeat(np.arange(n_rows, dtype="int64"), np.diff(offs))
+    is_last = np.zeros(len(flat), dtype=bool)
+    is_last[offs[1:] - 1] = True
+    trimmed = pc.utf8_trim(flat, C4_SENT_STRIP)
+    nonempty = pc.greater(pc.utf8_length(trimmed), 0).to_numpy(
+        zero_copy_only=False)
+    keep = nonempty & ~is_last
+    sents = trimmed.to_numpy(zero_copy_only=False)[keep]
+    rows = rows[keep]
+    counts = np.bincount(rows, minlength=n_rows).astype("int64")
+    cum = np.concatenate([np.zeros(1, dtype="int64"), np.cumsum(counts)])
+    pos = np.arange(len(rows), dtype="int64") - cum[rows]
+    return rows, pos, sents, counts
+
+
+def _span_arrays(rows, pos, sents, ids, span: int):
+    """(key, span_text, row_id, pos) for every in-doc ``span``-sentence
+    window; key = id ␁ zero-padded pos (the global keeper order)."""
+    m = len(sents)
+    if m < span:
+        return (np.empty(0, object), np.empty(0, object),
+                np.empty(0, "int64"), np.empty(0, "int64"))
+    same = rows[: m - span + 1] == rows[span - 1:]
+    g = sents[: m - span + 1].astype(object)
+    for j in range(1, span):
+        g = g + " " + sents[j: m - span + 1 + j].astype(object)
+    r = rows[: m - span + 1][same]
+    p = pos[: m - span + 1][same]
+    g = g[same]
+    keys = (ids[r].astype(object) + _KEY_SEP
+            + np.char.zfill(p.astype("U12"), 12).astype(object))
+    return keys, g, r, p
+
+
+def c4_span_dedup(ds, *, content_col: str = "text", id_col: str = "doc_id",
+                  span: int = 3, broadcast_cap: int = 2_000_000):
+    """C4's duplicate three-sentence-span removal (Raffel et al. 2020
+    §2.2: "we removed all but one of any three-sentence span occurring
+    more than once") — the KEEP-ONE complement of ``dup_span_scrub``
+    (Lee 2022 scrubs EVERY occurrence).
+
+    Pinned semantics: sentences per the shared split rule; spans are
+    in-doc windows of ``span`` consecutive sentences joined by ' '; the
+    occurrence with the globally smallest ``(id, pos)`` keeps; every
+    OTHER occurrence of a duplicated span marks its sentences covered;
+    covered sentences are removed and the doc is rebuilt from the
+    survivors joined by newline.
+
+    Adaptive shape, same as ``dup_span_scrub``: phase 0 counts
+    duplicated spans and their keeper keys (partial combiner → one
+    groupby over DISTINCT spans). At or below ``broadcast_cap`` the
+    (span → keeper-key) map broadcasts once as two plasma-resident
+    Arrow arrays and the dedup is a single map-only pass (pc.index_in
+    probe + vectorized mask + ListArray/binary_join rebuild — no
+    per-row Python). Above the cap nothing broadcasts: span rows hash-
+    join the dup table, non-keeper occurrences pack per doc under
+    coarse salt, and a left-outer rejoin rebuilds — cost ∝ duplicated-
+    occurrence volume. Both paths pytest-pinned row-identical.
+
+    Returns ``(id_col, n_sentences, n_removed, kept_text)``."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from corpusaid_ray.util import (drop_empty_blocks, grouped,
+                                    join_partitions)
+
+    def span_partial(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [str(v) for v in tbl[id_col].to_pylist()], dtype=object)
+        rows, pos, sents, _ = _doc_sentence_rows(tbl[content_col], len(tbl))
+        keys, g, _, _ = _span_arrays(rows, pos, sents, ids, span)
+        if not len(g):
+            return pa.table({"s": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.string())})
+        df = pd.DataFrame({"s": g, "k": keys})
+        agg = df.groupby("s", sort=False)["k"].agg(["count", "min"])
+        return pa.table({
+            "s": pa.array(agg.index.to_numpy(dtype=object), pa.string()),
+            "c": pa.array(agg["count"].to_numpy("int64")),
+            "k": pa.array(agg["min"].to_numpy(dtype=object), pa.string()),
+        })
+
+    counts = grouped(
+        ds.map_batches(span_partial, batch_format="pyarrow"),
+        "s", max_blocks=64,
+    ).aggregate(Sum("c", alias_name="c"), Min("k", alias_name="k"))
+    dup = drop_empty_blocks(counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c"], 2)).select(["s", "k"]),
+        batch_format="pyarrow")).materialize()
+    n_dup = dup.count()
+
+    def finish(tbl: pa.Table, covered_mask, rows, counts_per_row,
+               sents) -> pa.Table:
+        n_rows = len(tbl)
+        n_removed = np.bincount(
+            rows[covered_mask], minlength=n_rows).astype("int64") \
+            if len(rows) else np.zeros(n_rows, dtype="int64")
+        kept_counts = counts_per_row - n_removed
+        kept_offsets = np.concatenate(
+            [np.zeros(1, dtype="int64"), np.cumsum(kept_counts)])
+        kept_flat = pa.array(sents[~covered_mask] if len(rows)
+                             else np.empty(0, object), pa.string())
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(kept_offsets, pa.int32()), kept_flat)
+        kept_text = pc.binary_join(kept_list, "\n")
+        return pa.table({
+            id_col: tbl[id_col],
+            "n_sentences": pa.array(counts_per_row),
+            "n_removed": pa.array(n_removed),
+            "kept_text": kept_text if isinstance(kept_text, pa.Array)
+            else kept_text.combine_chunks(),
+        })
+
+    if n_dup <= broadcast_cap:
+        if n_dup:
+            tabs = [t for t in ray.get(dup.to_arrow_refs())]
+            cat = pa.concat_tables(tabs).combine_chunks()
+            s_arr = cat.column("s").combine_chunks()
+            k_arr = cat.column("k").combine_chunks()
+        else:
+            s_arr = pa.array([], pa.string())
+            k_arr = pa.array([], pa.string())
+        ref = ray.put((s_arr, k_arr))
+
+        def dedup_batch(tbl: pa.Table) -> pa.Table:
+            sset, kset = ray.get(ref)
+            ids = np.asarray(
+                [str(v) for v in tbl[id_col].to_pylist()], dtype=object)
+            rows, pos, sents, counts_per_row = _doc_sentence_rows(
+                tbl[content_col], len(tbl))
+            keys, g, r, p = _span_arrays(rows, pos, sents, ids, span)
+            covered = np.zeros(len(sents), dtype=bool)
+            if len(g) and len(sset):
+                idx = pc.index_in(pa.array(list(g), pa.string()),
+                                  value_set=sset)
+                idxnp = idx.to_numpy(zero_copy_only=False)
+                hit = ~np.isnan(idxnp.astype("float64")) \
+                    if idxnp.dtype != object else np.array(
+                        [v is not None for v in idxnp])
+                if hit.any():
+                    keeper = np.asarray(kset.take(
+                        pa.array(idxnp[hit].astype("int64"))
+                    ).to_pylist(), dtype=object)
+                    loser = keys[hit] != keeper
+                    if loser.any():
+                        base_rows = r[hit][loser]
+                        base_pos = p[hit][loser]
+                        # absolute index of sentence (row,pos) in sents:
+                        cum = np.concatenate(
+                            [np.zeros(1, dtype="int64"),
+                             np.cumsum(counts_per_row)])
+                        for j in range(span):
+                            covered[cum[base_rows]
+                                    + base_pos + j] = True
+            return finish(tbl, covered, np.repeat(
+                np.arange(len(tbl), dtype="int64"), counts_per_row),
+                counts_per_row, sents)
+
+        return ds.map_batches(dedup_batch, batch_format="pyarrow")
+
+    # ---- join path (above-cap): nothing broadcasts
+    def span_rows(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [str(v) for v in tbl[id_col].to_pylist()], dtype=object)
+        id_type = tbl.schema.field(id_col).type
+        rows, pos, sents, _ = _doc_sentence_rows(tbl[content_col], len(tbl))
+        keys, g, r, p = _span_arrays(rows, pos, sents, ids, span)
+        raw_ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        if not len(g):
+            return pa.table({id_col: pa.array([], id_type),
+                             "pos": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.string()),
+                             "mykey": pa.array([], pa.string())})
+        return pa.table({id_col: pa.array(list(raw_ids[r]), id_type),
+                         "pos": pa.array(p, pa.int64()),
+                         "s": pa.array(list(g), pa.string()),
+                         "mykey": pa.array(list(keys), pa.string())})
+
+    nparts = join_partitions()
+    sp = drop_empty_blocks(ds.map_batches(span_rows, batch_format="pyarrow"))
+    hits = sp.join(dup, join_type="inner", num_partitions=nparts, on=("s",))
+    losers = drop_empty_blocks(hits.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["mykey"], t["k"])))
+                   .select([id_col, "pos"]),
+        batch_format="pyarrow"))
+
+    def add_salt(df: pd.DataFrame) -> pa.Table:
+        salt = (pd.util.hash_pandas_object(
+            df[id_col], index=False).to_numpy() % 256).astype("int64")
+        return pa.table({id_col: pa.array(df[id_col].tolist()),
+                         "pos": pa.array(df["pos"].to_numpy("int64")),
+                         "_part": pa.array(salt)})
+
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.sort_values([id_col, "pos"], kind="mergesort")
+             .groupby(id_col, sort=False)["pos"]
+             .agg(lambda x: ",".join(map(str, x))))
+        return pd.DataFrame({id_col: s.index, "starts": s.to_numpy()})
+
+    packed = drop_empty_blocks(
+        grouped(losers.map_batches(add_salt, batch_format="pandas"),
+                "_part", max_blocks=64).map_groups(
+            pack_part, batch_format="pandas"))
+
+    docs = ds.map_batches(
+        lambda t: t.select([id_col, content_col]), batch_format="pyarrow")
+    joined = docs.join(packed, join_type="left_outer",
+                       num_partitions=nparts, on=(id_col,))
+
+    def rebuild(df: pd.DataFrame) -> pa.Table:
+        tbl = pa.table({id_col: pa.array(df[id_col].tolist()),
+                        content_col: pa.array(
+                            df[content_col].tolist(), pa.string())})
+        rows, pos, sents, counts_per_row = _doc_sentence_rows(
+            tbl[content_col], len(tbl))
+        covered = np.zeros(len(sents), dtype=bool)
+        cum = np.concatenate([np.zeros(1, dtype="int64"),
+                              np.cumsum(counts_per_row)])
+        starts_col = df["starts"].tolist()
+        for i, sval in enumerate(starts_col):
+            if isinstance(sval, str) and sval:
+                st = np.array(sval.split(","), dtype="int64")
+                for j in range(span):
+                    covered[cum[i] + st + j] = True
+        out = finish(tbl, covered, rows, counts_per_row, sents)
+        return out.select([id_col, "n_sentences", "n_removed", "kept_text"])
+
+    return joined.map_batches(rebuild, batch_format="pandas")

@@ -2723,6 +2723,66 @@ class TestDupSpanScrub:
         assert got5["n_removed"] == 9
 
 
+class TestC4SpanDedup:
+    """c4_span_dedup: C4 keep-one semantics, both execution paths."""
+
+    BOILER = "Alpha beta gamma. Delta epsilon zeta! Eta theta iota?"
+
+    def rows(self):
+        return [
+            {"doc_id": "a", "text": "Unique one here. " + self.BOILER
+             + " Tail sentence stays."},
+            {"doc_id": "b", "text": self.BOILER + " Another unique closer."},
+            {"doc_id": "c", "text": "Fully unique doc. With two sentences."},
+            {"doc_id": "d", "text": ""},
+            {"doc_id": "e", "text": "No terminator at all"},
+            {"doc_id": "f", "text": self.BOILER},
+        ]
+
+    def test_keep_one_and_path_equality(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.decontaminate import c4_span_dedup
+
+        for par in (1, 4):
+            ds = ray.data.from_arrow(
+                pa.Table.from_pylist(self.rows())).repartition(par)
+            bcast = sorted(c4_span_dedup(ds).take_all(),
+                           key=lambda r: r["doc_id"])
+            joined = sorted(
+                c4_span_dedup(ds, broadcast_cap=0).take_all(),
+                key=lambda r: r["doc_id"])
+            assert bcast == joined, par
+        got = {r["doc_id"]: r for r in bcast}
+        # doc a holds the span at pos 1 and "a" < "b" < "f": a keeps it
+        assert got["a"]["n_removed"] == 0
+        assert "Alpha beta gamma" in got["a"]["kept_text"]
+        # b and f lose all three covered sentences, survivors remain
+        assert got["b"]["n_removed"] == 3
+        assert got["b"]["kept_text"] == "Another unique closer"
+        assert got["f"]["n_removed"] == 3 and got["f"]["kept_text"] == ""
+        # unique docs untouched; empty/no-terminator docs have 0 sentences
+        assert got["c"]["n_removed"] == 0 and got["c"]["n_sentences"] == 2
+        assert got["d"]["n_sentences"] == 0 and got["d"]["kept_text"] == ""
+        assert got["e"]["n_sentences"] == 0  # trailing segment dropped
+
+    def test_within_doc_repetition_keeps_first(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.decontaminate import c4_span_dedup
+
+        # the same span twice INSIDE one doc: first occurrence keeps,
+        # second's sentences are removed
+        doc = (self.BOILER + " Bridge sentence sits here. " + self.BOILER)
+        ds = ray.data.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": "solo", "text": doc}]))
+        (got,) = c4_span_dedup(ds).take_all()
+        assert got["n_sentences"] == 7
+        assert got["n_removed"] == 3
+        assert got["kept_text"] == ("Alpha beta gamma\nDelta epsilon zeta\n"
+                                    "Eta theta iota\nBridge sentence sits here")
+
+
 class TestCdcCrawlDelta:
     """The number the shift-robust chunking exists for: an edited doc's
     new snapshot reuses almost all old chunks, a fresh doc reuses none."""
