@@ -1315,6 +1315,23 @@ def q_repetition_metrics(sf_dir: str):
     ])
 
 
+def q_paragraph_repetition(sf_dir: str):
+    """Gopher A1's paragraph-level repetition filters — duplicate-
+    paragraph fraction and duplicate-paragraph CHARACTER fraction —
+    completing the repetition family beside the word-gram and line
+    tiers. Map-only: one Arrow \\n\\n split, one trim, one pandas
+    C-level duplicated() over (row, para); int64 micro fractions
+    (`stages/quality.paragraph_repetition_fn`)."""
+    from corpusaid_ray.stages.quality import paragraph_repetition_fn
+
+    return _corpus(sf_dir).map_batches(
+        paragraph_repetition_fn, batch_format="pyarrow"
+    ).select_columns([
+        "path", "n_paras", "dup_para_frac_micros",
+        "dup_para_char_frac_micros",
+    ])
+
+
 def q_repo_quota_sample(sf_dir: str):
     """Per-domain quota sampling (C4/RefinedWeb-style host caps): keep the 5
     docs with the smallest (md5-rank, path) per repo — deterministic across
@@ -4003,6 +4020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_rules": q_c4_rules,
         "temperature_mix": q_temperature_mix,
         "c4_span_dedup": q_c4_span_dedup,
+        "paragraph_repetition": q_paragraph_repetition,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -3876,3 +3876,42 @@ FROM corpus c LEFT JOIN per_doc p USING (path)""")
 
 
 ORACLE_SQL["c4_span_dedup"] = _c4_span_dedup_sql()
+
+
+# Gopher A1 paragraph-level repetition (mirror of
+# ``stages/quality.paragraph_repetition_fn``): same \n\n split, same
+# trim set, duplicate = occurrence beyond the first per (path, para) in
+# document order, same int64 micro divisions, 0/0 edges pinned by the
+# LEFT JOIN + COALESCE.
+ORACLE_SQL["paragraph_repetition"] = with_corpus("""
+, praw AS (
+  SELECT path,
+         trim(unnest(string_split(content, chr(10) || chr(10))),
+              ' ' || chr(9) || chr(13) || chr(10) || chr(11) || chr(12))
+           AS para,
+         generate_subscripts(string_split(content, chr(10) || chr(10)), 1)
+           AS pos
+  FROM corpus
+), p AS (
+  SELECT path, para, pos,
+         row_number() OVER (PARTITION BY path, para ORDER BY pos) > 1
+           AS is_dup
+  FROM praw WHERE para != ''
+), agg AS (
+  SELECT path,
+         count(*)::BIGINT AS n_paras,
+         sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+         sum(length(para))::BIGINT AS tot_chars,
+         sum(CASE WHEN is_dup THEN length(para) ELSE 0 END)::BIGINT
+           AS dup_chars
+  FROM p GROUP BY path
+)
+SELECT c.path,
+       COALESCE(a.n_paras, 0)::BIGINT AS n_paras,
+       (COALESCE(a.n_dup, 0) * 1000000
+        // greatest(COALESCE(a.n_paras, 0), 1))::BIGINT
+         AS dup_para_frac_micros,
+       (COALESCE(a.dup_chars, 0) * 1000000
+        // greatest(COALESCE(a.tot_chars, 0), 1))::BIGINT
+         AS dup_para_char_frac_micros
+FROM corpus c LEFT JOIN agg a USING (path)""")

@@ -665,3 +665,59 @@ def c4_rules_fn(batch: pa.Table, source_col: str = "content", *,
         else kept_text.combine_chunks(),
     })
     return pa.table(out)
+
+
+# paragraph split + strip rule, shared verbatim with the SQL mirror
+PARA_SPLIT = "\n\n"
+PARA_STRIP = " \t\r\n\x0b\x0c"
+
+
+def paragraph_repetition_fn(batch: pa.Table,
+                            source_col: str = "content") -> pa.Table:
+    """Gopher A1's paragraph-level repetition filters (Rae et al. 2021,
+    Table A1 — the two the line/word families don't cover), per doc:
+
+    - ``n_paras``                 non-empty trimmed ``\\n\\n`` segments
+    - ``dup_para_frac_micros``    1 − distinct/n as int64 micros
+                                  (occurrences beyond each first ÷ n)
+    - ``dup_para_char_frac_micros`` chars inside those duplicate
+                                  occurrences ÷ total paragraph chars
+
+    Both fractions are single int64 micro divisions; a doc with no
+    paragraphs pins to 0/0 → 0. Vectorized: one Arrow split, one trim,
+    one pandas C-level ``duplicated`` over (row, para) — no per-row
+    Python."""
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    nrows = len(col)
+
+    paras = pc.split_pattern(col, PARA_SPLIT)
+    poff = paras.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    pflat = pc.utf8_trim(paras.flatten(), PARA_STRIP)
+    prow = np.repeat(np.arange(nrows, dtype="int64"), np.diff(poff))
+    keep = pc.greater(pc.utf8_length(pflat), 0).to_numpy(
+        zero_copy_only=False)
+    ptxt = pflat.to_numpy(zero_copy_only=False)[keep]
+    prow = prow[keep]
+    plen = pc.utf8_length(pflat).to_numpy(
+        zero_copy_only=False).astype("int64")[keep]
+
+    n_paras = np.bincount(prow, minlength=nrows).astype("int64")
+    tot_chars = np.bincount(
+        prow, weights=plen, minlength=nrows).astype("int64")
+    dup = pd.DataFrame({"r": prow, "p": ptxt}).duplicated().to_numpy()
+    n_dup = np.bincount(prow[dup], minlength=nrows).astype("int64")
+    dup_chars = np.bincount(
+        prow[dup], weights=plen[dup], minlength=nrows).astype("int64")
+
+    out = {c: batch[c] for c in batch.column_names if c != source_col}
+    out.update({
+        "n_paras": pa.array(n_paras),
+        "dup_para_frac_micros": pa.array(
+            n_dup * 1_000_000 // np.maximum(n_paras, 1)),
+        "dup_para_char_frac_micros": pa.array(
+            dup_chars * 1_000_000 // np.maximum(tot_chars, 1)),
+    })
+    return pa.table(out)

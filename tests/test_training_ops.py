@@ -1412,6 +1412,38 @@ class TestGopherRules:
         assert got["symbols"]["symbol_ratio_micros"] > 100_000
 
 
+class TestParagraphRepetition:
+    """paragraph_repetition_fn: exact micro fractions on planted repeats."""
+
+    def test_fractions(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.quality import paragraph_repetition_fn
+
+        rows = [
+            {"path": "a", "content":
+                "para one here\n\npara two\n\npara one here\n\npara one here"},
+            {"path": "b", "content": "single paragraph only"},
+            {"path": "c", "content": ""},
+            # empty / whitespace-only segments are structure, not paras
+            {"path": "d", "content": "x\n\n\n\nx\n\n  \n\ny"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        got = {r["path"]: r for r in ds.map_batches(
+            paragraph_repetition_fn, batch_format="pyarrow").take_all()}
+        a = got["a"]
+        assert a["n_paras"] == 4
+        assert a["dup_para_frac_micros"] == 2 * 1_000_000 // 4
+        assert a["dup_para_char_frac_micros"] == 26 * 1_000_000 // 47
+        assert got["b"]["dup_para_frac_micros"] == 0
+        assert got["c"]["n_paras"] == 0
+        assert got["c"]["dup_para_char_frac_micros"] == 0
+        d = got["d"]
+        assert d["n_paras"] == 3
+        assert d["dup_para_frac_micros"] == 1 * 1_000_000 // 3
+        assert d["dup_para_char_frac_micros"] == 1 * 1_000_000 // 3
+
+
 class TestC4Rules:
     """c4_rules_fn: each published rule trips on its planted fixture."""
 
