@@ -1315,6 +1315,21 @@ def q_repetition_metrics(sf_dir: str):
     ])
 
 
+def q_card_screen(sf_dir: str):
+    """Luhn-validated credit-card (PAN) screen — checksum PII detection
+    beyond what regex rules can express: maximal 13–19-digit runs
+    validated by ISO/IEC 7812 Luhn, exact integer math. Map-only; the
+    only Python loop is over the 7 candidate lengths
+    (`stages/scrub.luhn_card_screen_fn`)."""
+    from corpusaid_ray.stages.scrub import luhn_card_screen_fn
+
+    return _corpus(sf_dir).map_batches(
+        luhn_card_screen_fn, batch_format="pyarrow"
+    ).select_columns([
+        "path", "n_card_candidates", "n_luhn_valid", "has_valid_card",
+    ])
+
+
 def q_paragraph_repetition(sf_dir: str):
     """Gopher A1's paragraph-level repetition filters — duplicate-
     paragraph fraction and duplicate-paragraph CHARACTER fraction —
@@ -4021,6 +4036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "c4_span_dedup": q_c4_span_dedup,
         "paragraph_repetition": q_paragraph_repetition,
+        "card_screen": q_card_screen,
     }
 
 def oracle_sql() -> dict[str, str]:

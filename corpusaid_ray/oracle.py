@@ -3915,3 +3915,37 @@ SELECT c.path,
         // greatest(COALESCE(a.tot_chars, 0), 1))::BIGINT
          AS dup_para_char_frac_micros
 FROM corpus c LEFT JOIN agg a USING (path)""")
+
+
+# Luhn-validated credit-card screen (mirror of
+# ``stages/scrub.luhn_card_screen_fn``): the same maximal-digit-run
+# candidate rule (regexp_extract_all('[0-9]+') + length 13–19) and the
+# same ISO/IEC 7812 checksum — char i (1-based from the left) sits at
+# right-index length-i, doubled when that is odd, minus 9 above 9,
+# valid iff the sum ≡ 0 mod 10. Pure integer math on both sides.
+ORACLE_SQL["card_screen"] = with_corpus("""
+, cand AS (
+  SELECT path, unnest(regexp_extract_all(content, '[0-9]+')) AS num
+  FROM corpus
+), c2 AS (
+  SELECT path, num FROM cand WHERE length(num) BETWEEN 13 AND 19
+), scored AS (
+  SELECT path,
+         (list_sum(list_transform(range(1, length(num) + 1), i ->
+            CASE WHEN (length(num) - i) % 2 = 1
+                 THEN CASE WHEN 2 * CAST(num[i] AS INT) > 9
+                           THEN 2 * CAST(num[i] AS INT) - 9
+                           ELSE 2 * CAST(num[i] AS INT) END
+                 ELSE CAST(num[i] AS INT) END)) % 10 = 0) AS valid
+  FROM c2
+), agg AS (
+  SELECT path,
+         count(*)::BIGINT AS n_card_candidates,
+         sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT AS n_luhn_valid
+  FROM scored GROUP BY path
+)
+SELECT c.path,
+       COALESCE(a.n_card_candidates, 0)::BIGINT AS n_card_candidates,
+       COALESCE(a.n_luhn_valid, 0)::BIGINT AS n_luhn_valid,
+       COALESCE(a.n_luhn_valid, 0) > 0 AS has_valid_card
+FROM corpus c LEFT JOIN agg a USING (path)""")

@@ -51,3 +51,62 @@ def make_scrub_fn(
         return batch
 
     return scrub
+
+
+def luhn_card_screen_fn(batch: pa.Table,
+                        source_col: str = "content") -> pa.Table:
+    """Checksum-validated credit-card (PAN) screen — the PII tier regex
+    alone can't express: candidates are MAXIMAL digit runs of length
+    13–19 (the pinned rule, shared with the SQL mirror's
+    ``regexp_extract_all('[0-9]+')`` + length filter, so engine and
+    oracle see exactly the same candidate set), validated by the Luhn
+    checksum (ISO/IEC 7812: right-to-left, double every second digit,
+    subtract 9 above 9, total ≡ 0 mod 10). Pure integer math.
+
+    Emits per doc: ``n_card_candidates`` (digit runs 13–19 long),
+    ``n_luhn_valid`` (candidates passing Luhn) and ``has_valid_card``.
+
+    Vectorized: one RE2 split into digit runs, numpy digit matrices per
+    candidate length (≤7 tiny groups per batch) — the only Python loop
+    is over the 7 possible lengths, never over rows or candidates."""
+    import numpy as np
+
+    col = batch[source_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    nrows = len(col)
+
+    runs = pc.split_pattern_regex(col, "[^0-9]+")
+    roff = runs.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    rflat = runs.flatten()
+    rrow = np.repeat(np.arange(nrows, dtype="int64"), np.diff(roff))
+    rlen = pc.utf8_length(rflat).to_numpy(
+        zero_copy_only=False).astype("int64")
+    cand = (rlen >= 13) & (rlen <= 19)
+    cand_rows = rrow[cand]
+    cand_strs = rflat.to_numpy(zero_copy_only=False)[cand]
+    cand_lens = rlen[cand]
+
+    n_cand = np.bincount(cand_rows, minlength=nrows).astype("int64")
+    valid = np.zeros(len(cand_strs), dtype=bool)
+    for L in range(13, 20):
+        sel = cand_lens == L
+        if not sel.any():
+            continue
+        digits = (np.asarray(cand_strs[sel], dtype=f"U{L}")
+                  .view("U1").reshape(-1, L).astype("int64"))
+        right_idx = (L - 1) - np.arange(L, dtype="int64")
+        doubled = np.where(right_idx % 2 == 1, digits * 2, digits)
+        doubled = np.where(doubled > 9, doubled - 9, doubled)
+        valid[sel] = doubled.sum(axis=1) % 10 == 0
+    n_valid = np.bincount(
+        cand_rows[valid], minlength=nrows).astype("int64")
+
+    out = {c: batch[c] for c in batch.column_names if c != source_col}
+    out.update({
+        "n_card_candidates": pa.array(n_cand),
+        "n_luhn_valid": pa.array(n_valid),
+        "has_valid_card": pa.array(n_valid > 0, pa.bool_()),
+    })
+    return pa.table(out)

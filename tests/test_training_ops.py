@@ -1412,6 +1412,39 @@ class TestGopherRules:
         assert got["symbols"]["symbol_ratio_micros"] > 100_000
 
 
+class TestLuhnCardScreen:
+    """luhn_card_screen_fn: checksum truth on known PANs and the pinned
+    maximal-run candidate rule."""
+
+    def test_luhn_and_candidate_rule(self, ray_session):
+        import ray.data
+
+        from corpusaid_ray.stages.scrub import luhn_card_screen_fn
+
+        rows = [
+            {"path": "visa", "content": "pay 4532015112830366 now"},
+            {"path": "amex", "content":
+                "cards 371449635398431 and 371449635398432"},
+            {"path": "mc", "content": "mc 5555555555554444 ok"},
+            {"path": "short", "content": "123456789012 only 12 digits"},
+            {"path": "long", "content": "12345678901234567890 twenty"},
+            {"path": "split", "content": "4532 0151 1283 0366 spaced"},
+            {"path": "none", "content": "no digits"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        got = {r["path"]: r for r in ds.map_batches(
+            luhn_card_screen_fn, batch_format="pyarrow").take_all()}
+        assert got["visa"]["n_luhn_valid"] == 1
+        assert got["amex"]["n_card_candidates"] == 2
+        assert got["amex"]["n_luhn_valid"] == 1  # +1 digit breaks Luhn
+        assert got["mc"]["has_valid_card"]
+        # pinned rule: candidates are MAXIMAL runs of 13-19 digits
+        assert got["short"]["n_card_candidates"] == 0
+        assert got["long"]["n_card_candidates"] == 0
+        assert got["split"]["n_card_candidates"] == 0  # separators split runs
+        assert not got["none"]["has_valid_card"]
+
+
 class TestParagraphRepetition:
     """paragraph_repetition_fn: exact micro fractions on planted repeats."""
 
