@@ -1315,6 +1315,38 @@ def q_repetition_metrics(sf_dir: str):
     ])
 
 
+def q_quality_ensemble(sf_dir: str):
+    """The two published rule families fused into ONE map pass —
+    Gopher A1.1 and C4 §2.2 run on the same in-memory batch (no second
+    read, no exchange), conjoined into a single keep with a pinned
+    drop-reason priority (gopher before c4). This is the tier's
+    deliverable shape: a multi-family keep/drop gate as one fused
+    operator."""
+    import pyarrow as pa_
+
+    from corpusaid_ray.stages.quality import c4_rules_fn, gopher_rules_fn
+
+    def fused(batch: pa_.Table) -> pa_.Table:
+        g = gopher_rules_fn(batch, min_words=10)
+        c = c4_rules_fn(batch)
+        gk = g["gopher_keep"].combine_chunks()
+        ck = c["c4_keep"].combine_chunks()
+        keep = pa_.compute.and_(gk, ck)
+        reason = pa_.compute.if_else(
+            pa_.compute.invert(gk), pa_.scalar("gopher"),
+            pa_.compute.if_else(pa_.compute.invert(ck),
+                                pa_.scalar("c4"), pa_.scalar("")))
+        return pa_.table({
+            "path": batch["path"],
+            "gopher_keep": gk,
+            "c4_keep": ck,
+            "keep": keep,
+            "drop_reason": reason,
+        })
+
+    return _corpus(sf_dir).map_batches(fused, batch_format="pyarrow")
+
+
 def q_card_screen(sf_dir: str):
     """Luhn-validated credit-card (PAN) screen — checksum PII detection
     beyond what regex rules can express: maximal 13–19-digit runs
@@ -4037,6 +4069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_span_dedup": q_c4_span_dedup,
         "paragraph_repetition": q_paragraph_repetition,
         "card_screen": q_card_screen,
+        "quality_ensemble": q_quality_ensemble,
     }
 
 def oracle_sql() -> dict[str, str]:

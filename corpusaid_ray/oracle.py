@@ -3949,3 +3949,19 @@ SELECT c.path,
        COALESCE(a.n_luhn_valid, 0)::BIGINT AS n_luhn_valid,
        COALESCE(a.n_luhn_valid, 0) > 0 AS has_valid_card
 FROM corpus c LEFT JOIN agg a USING (path)""")
+
+
+# Fused quality ensemble: the gopher_rules and c4_rules mirrors composed
+# on path — DuckDB allows WITH inside a derived table, so each family's
+# verified mirror is reused verbatim; the keep conjunction and the
+# gopher-before-c4 drop-reason priority are pinned on both sides.
+ORACLE_SQL["quality_ensemble"] = f"""
+SELECT g.path,
+       g.gopher_keep,
+       c.c4_keep,
+       (g.gopher_keep AND c.c4_keep) AS keep,
+       CASE WHEN NOT g.gopher_keep THEN 'gopher'
+            WHEN NOT c.c4_keep THEN 'c4'
+            ELSE '' END AS drop_reason
+FROM ({_gopher_rules_sql()}) g
+JOIN ({_c4_rules_sql()}) c USING (path)"""
