@@ -429,6 +429,20 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT 50"""
 
+# tfdf_terms: exact tf/df burstiness rational — integer micro division on
+# both sides, total order (tfdf_micros DESC, token ASC) so the LIMIT cut is
+# deterministic across engines.
+ORACLE_SQL["tfdf_terms"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS token
+  FROM documents)
+SELECT token, count(*)::BIGINT AS tf,
+       count(DISTINCT doc_id)::BIGINT AS df,
+       (count(*) * 1000000 // count(DISTINCT doc_id))::BIGINT AS tfdf_micros
+FROM tok GROUP BY token
+ORDER BY tfdf_micros DESC, token
+LIMIT 50"""
+
 ORACLE_SQL["events_sessionize"] = """
 WITH ordered AS (
   SELECT user_id, ts, value,
@@ -693,6 +707,26 @@ grp AS (SELECT u AS path, least(u, min(v)) AS group_rep FROM reach GROUP BY u)
 SELECT c.repo, c.path, c.lang
 FROM corpus c LEFT JOIN grp g ON g.path = c.path
 WHERE g.path IS NULL OR g.path = g.group_rep"""
+
+# dup_cluster_hist: the dedup audit histogram — the dup_groups transitive
+# closure reduced to (cluster_size, n_clusters).
+ORACLE_SQL["dup_cluster_hist"] = f"""WITH RECURSIVE {corpus_cte()},
+{_SHINGLE_PAIRS},
+pairs AS (SELECT path_a, path_b FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT path_a AS u, path_b AS v FROM pairs
+  UNION
+  SELECT path_b, path_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+grp AS (SELECT u AS path, least(u, min(v)) AS group_rep FROM reach GROUP BY u),
+gsizes AS (SELECT group_rep, count(*) AS cluster_size FROM grp GROUP BY group_rep)
+SELECT cluster_size::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters
+FROM gsizes GROUP BY cluster_size"""
 
 # embed_neardup: brute-force cosine mirror of the hyperplane-LSH detector.
 # Exact because LSH only adds false NEGATIVES and the sf0.01 ground truth is

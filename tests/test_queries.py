@@ -138,6 +138,41 @@ def test_word_freq_and_ttr(ray_session):
     assert (ttr.n_types <= ttr.n_tokens).all()
 
 
+def test_dup_cluster_hist_consistency(ray_session):
+    """Histogram mass equals the groups frame it reduces: every cluster has
+    ≥2 members (singletons never enter dup_groups) and Σ size·count = rows."""
+    import __ray_entry__ as e
+    from corpusaid_ray.stages.neardup import duplicate_groups, ngram_duplicates
+
+    hist = e.q_dup_cluster_hist(SF_SMALL)
+    groups = duplicate_groups(
+        ngram_duplicates(e._corpus(SF_SMALL), threshold=0.8)
+    )
+    assert (hist.cluster_size >= 2).all()
+    assert int((hist.cluster_size * hist.n_clusters).sum()) == len(groups)
+    assert int(hist.n_clusters.sum()) == groups.group_rep.nunique()
+
+
+def test_tfdf_terms_burstiness_ranking(ray_session, tmp_path):
+    """tf/df micro rational: a token repeated 60× inside one doc outranks a
+    token appearing once in each of 50 docs; exact integer division."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as e
+
+    rows = [{"doc_id": 0, "text": "burst " * 60, "lang": "en"}]
+    rows += [{"doc_id": i, "text": "common word", "lang": "en"}
+             for i in range(1, 51)]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "documents.parquet")
+    out = e.q_tfdf_terms(str(d)).to_pandas().set_index("token")
+    assert out.loc["burst", "tfdf_micros"] == 60 * 1_000_000
+    assert out.loc["common", "tfdf_micros"] == 1_000_000
+    assert out.tfdf_micros.is_monotonic_decreasing
+    assert list(out.index)[0] == "burst"
+
+
 def test_corpus_diff_covers_all_classes(ray_session):
     from collections import Counter
 
