@@ -3958,6 +3958,22 @@ def q_tfdf_terms(sf_dir: str):
     return agg.sort(["tfdf_micros", "token"], descending=[True, False]).limit(50)
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary-growth checkpoints: distinct-token count after
+    each decile of the global token stream (`stages/vocab.vocab_growth` —
+    two-level exclusive scan for doc offsets, hash-join + Min groupby for
+    first occurrences, searchsorted decile histogram; the driver holds 10
+    ints)."""
+    import ray.data
+
+    from corpusaid_ray.stages.vocab import vocab_growth
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return vocab_growth(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4138,6 +4154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_ensemble": q_quality_ensemble,
         "dup_cluster_hist": q_dup_cluster_hist,
         "tfdf_terms": q_tfdf_terms,
+        "vocab_growth": q_vocab_growth,
     }
 
 def oracle_sql() -> dict[str, str]:

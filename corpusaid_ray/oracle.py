@@ -429,6 +429,41 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT 50"""
 
+# vocab_growth: Heaps'-law checkpoints — window exclusive prefix sum gives
+# each doc its global token offset (doc_id order, 1-based in-doc positions),
+# min(off + i) per token is the first occurrence, LEFT JOIN on fp ≤ boundary
+# counts the vocabulary at each decile of the total token budget.
+ORACLE_SQL["vocab_growth"] = r"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS toks
+  FROM documents
+),
+cnts AS MATERIALIZED (SELECT doc_id, length(toks)::BIGINT AS n FROM tok),
+offs AS MATERIALIZED (
+  SELECT doc_id,
+         (sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n)::BIGINT
+           AS off
+  FROM cnts
+),
+pos AS MATERIALIZED (
+  SELECT doc_id, unnest(toks) AS token,
+         generate_subscripts(toks, 1)::BIGINT AS i
+  FROM tok
+),
+firsts AS MATERIALIZED (
+  SELECT p.token, min(o.off + p.i) AS fp
+  FROM pos p JOIN offs o USING (doc_id) GROUP BY p.token
+),
+tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS t FROM cnts),
+deciles AS (
+  SELECT k::BIGINT AS decile, (tot.t * k // 10)::BIGINT AS token_budget
+  FROM range(1, 11) r(k), tot
+)
+SELECT d.decile, d.token_budget, count(f.token)::BIGINT AS vocab_size
+FROM deciles d LEFT JOIN firsts f ON f.fp <= d.token_budget
+GROUP BY d.decile, d.token_budget
+ORDER BY d.decile"""
+
 # tfdf_terms: exact tf/df burstiness rational — integer micro division on
 # both sides, total order (tfdf_micros DESC, token ASC) so the LIMIT cut is
 # deterministic across engines.

@@ -94,3 +94,150 @@ def oov_rates(ds, vocab: list[str], *, text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def vocab_growth(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 deciles: int = 10, bucket_docs: int = 4096) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth checkpoints: distinct-token count after
+    each decile of the global token stream (docs in ``id_col`` order,
+    1-based positions within a doc).
+
+    The growth curve is the tokenizer/vocab-sizing diagnostic: sub-linear
+    growth (Heaps 1978) says when a vocab cap stops paying; a curve that
+    keeps climbing flags an unconverged crawl or heavy non-text noise.
+
+    Distributed shape (nothing corpus-sized anywhere):
+
+    1. per-doc token counts bucketed by ``id_col // bucket_docs`` → one
+       (bucket, sum) row per bucket → driver prefix-sums O(buckets) ints
+       (the ``pack_sequences`` two-level exclusive-scan shape);
+    2. per-bucket local scan assigns each doc its exclusive global token
+       offset — no global sort;
+    3. a second map pass emits each doc's DISTINCT tokens with their first
+       in-doc position (dict built right-to-left so the leftmost index
+       wins, C-speed) — Σ per-doc distinct rows, ≪ the token stream;
+    4. hash ``Dataset.join`` on ``id_col`` attaches offsets, global first
+       position per token is one string-keyed ``Min`` groupby;
+    5. per-batch ``searchsorted`` histogram over the 10 decile boundaries
+       → ``deciles`` partial rows per batch → tiny groupby; the driver
+       cumsums ``deciles`` ints.
+
+    Boundary semantics (mirrored in SQL): ``boundary_k = T*k // deciles``,
+    ``vocab_k = #{first_pos ≤ boundary_k}`` with ``first_pos = doc_offset +
+    in-doc index``.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+    from corpusaid_ray.util import (coalesce_blocks_down, drop_empty_blocks,
+                                    join_partitions)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = np.fromiter(
+            (len(TOKEN_RE.findall(t)) for t in batch[text_col].to_pylist()),
+            dtype=np.int64, count=len(batch),
+        )
+        return pa.table({
+            id_col: ids,
+            "n_toks": pa.array(n),
+            "bucket": pc.divide(ids, bucket_docs),
+        })
+
+    counted = ds.map_batches(counts, batch_format="pyarrow")
+    counted, _ = coalesce_blocks_down(counted, 256)
+
+    sums = counted.groupby("bucket").aggregate(
+        Sum("n_toks", alias_name="s")
+    ).take_all()
+    sums.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    total = 0
+    for r in sums:
+        offsets[int(r["bucket"])] = total
+        total += int(r["s"] or 0)
+    off_ref = ray.put(offsets)
+
+    def local_scan(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "doc_off": pd.Series(dtype="int64"),
+            })
+        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(id_col, kind="mergesort")
+        n = g["n_toks"].to_numpy()
+        excl = off + np.concatenate([[0], np.cumsum(n[:-1])]).astype("int64")
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "doc_off": excl,
+        })
+
+    offs = drop_empty_blocks(
+        counted.groupby("bucket").map_groups(local_scan, batch_format="pandas")
+    )
+
+    def first_pos(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        toks_out: list[str] = []
+        idx_out: list[int] = []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = TOKEN_RE.findall(t)
+            # right-to-left build: the LEFTMOST (first) index wins
+            seen = dict(zip(toks[::-1], range(len(toks), 0, -1)))
+            ids_out.extend([did] * len(seen))
+            toks_out.extend(seen.keys())
+            idx_out.extend(seen.values())
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "token": pa.array(toks_out, pa.string()),
+            "i": pa.array(idx_out, pa.int64()),
+        })
+
+    fp = ds.map_batches(first_pos, batch_format="pyarrow").join(
+        offs, join_type="inner", num_partitions=join_partitions(),
+        on=(id_col,),
+    )
+
+    def gpos(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": batch["token"],
+            "g": pc.add(batch["doc_off"], batch["i"]),
+        })
+
+    firsts = fp.map_batches(gpos, batch_format="pyarrow").groupby(
+        "token"
+    ).aggregate(Min("g", alias_name="fp"))
+
+    bounds = np.array(
+        [total * k // deciles for k in range(1, deciles + 1)], dtype=np.int64
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        f = batch["fp"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bounds, f, side="left")
+        c = np.bincount(idx, minlength=deciles).astype("int64")
+        return pa.table({
+            "decile": pa.array(np.arange(1, deciles + 1, dtype=np.int64)),
+            "c": pa.array(c[:deciles]),
+        })
+
+    rows = firsts.map_batches(hist, batch_format="pyarrow").groupby(
+        "decile"
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+    per = {int(r["decile"]): int(r["c"] or 0) for r in rows}
+    acc = 0
+    vocab = []
+    for k in range(1, deciles + 1):
+        acc += per.get(k, 0)
+        vocab.append(acc)
+    return pd.DataFrame({
+        "decile": np.arange(1, deciles + 1, dtype=np.int64),
+        "token_budget": bounds,
+        "vocab_size": np.array(vocab, dtype=np.int64),
+    })

@@ -153,6 +153,34 @@ def test_dup_cluster_hist_consistency(ray_session):
     assert int(hist.n_clusters.sum()) == groups.group_rep.nunique()
 
 
+def test_vocab_growth_hand_computed(ray_session, tmp_path):
+    """Heaps checkpoints on a 10-token planted stream: offsets, 1-based
+    first positions and the ≤-boundary rule all land exactly; bucket-size
+    (block-layout) invariance pins the two-level scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from corpusaid_ray.stages.vocab import vocab_growth
+
+    rows = [
+        {"doc_id": 0, "text": "a b a"},        # tokens 1-3, firsts a@1 b@2
+        {"doc_id": 1, "text": "b c"},          # tokens 4-5, first c@5
+        {"doc_id": 2, "text": "d d d d d"},    # tokens 6-10, first d@6
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), d / "documents.parquet")
+    ds = ray.data.read_parquet(str(d / "documents.parquet"))
+    out = vocab_growth(ds)
+    assert list(out.token_budget) == list(range(1, 11))
+    assert list(out.vocab_size) == [1, 2, 2, 2, 3, 4, 4, 4, 4, 4]
+    tiny = vocab_growth(
+        ray.data.read_parquet(str(d / "documents.parquet")).repartition(3),
+        bucket_docs=1,
+    )
+    assert list(tiny.vocab_size) == list(out.vocab_size)
+
+
 def test_tfdf_terms_burstiness_ranking(ray_session, tmp_path):
     """tf/df micro rational: a token repeated 60× inside one doc outranks a
     token appearing once in each of 50 docs; exact integer division."""
