@@ -3974,6 +3974,40 @@ def q_vocab_growth(sf_dir: str):
     return vocab_growth(ds)
 
 
+def q_kcenter_coreset(sf_dir: str):
+    """Greedy k-center diversity coreset (Gonzalez 1985) over the embedding
+    table: the 8 chosen centers with the exact integer covering radius² at
+    each selection (`stages/coreset.kcenter_coreset`). k map passes + an
+    O(blocks)-row argmax reduce per round; the quantized table is
+    materialized once for reuse across rounds (swap for the lineage parquet
+    checkpoint past object-store scale, the q_training_corpus pattern)."""
+    import ray.data
+
+    from corpusaid_ray.stages.coreset import kcenter_coreset
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kcenter_coreset(ds, k=8)
+
+
+def q_kcenter_assign(sf_dir: str):
+    """Nearest-chosen-center assignment for every vector (exact integer
+    argmin, ties to the earliest-selected center) — the partition a
+    diversity-sampled training mix reads per-center quotas from
+    (`stages/coreset.kcenter_assign`, one map-only pass with the 8 centers
+    broadcast once)."""
+    import ray.data
+
+    from corpusaid_ray.stages.coreset import kcenter_assign, kcenter_coreset
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    coreset = kcenter_coreset(ds, k=8)
+    return kcenter_assign(ds, coreset)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4155,6 +4189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_hist": q_dup_cluster_hist,
         "tfdf_terms": q_tfdf_terms,
         "vocab_growth": q_vocab_growth,
+        "kcenter_coreset": q_kcenter_coreset,
+        "kcenter_assign": q_kcenter_assign,
     }
 
 def oracle_sql() -> dict[str, str]:

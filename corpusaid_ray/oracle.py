@@ -1932,6 +1932,78 @@ def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
 ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(8, 4)
 
 
+def _kcenter_parts(k: int = 8) -> list[str]:
+    """Shared unrolled Gonzalez chain (mirrors ``stages/coreset``): the same
+    ``ev`` fixed-point quantization as the Lloyd mirror, seed = min vec_id,
+    then k−1 rounds of (distance to the newest center, running least,
+    argmax pick with ties to the smallest id). Every distance is the exact
+    integer ``SUM((v−c)²)`` so the chain is bit-equal to the distributed
+    traversal regardless of block layout."""
+    def dist(i: int, pick: str) -> str:
+        return f"""d{i} AS MATERIALIZED (
+  SELECT e.vec_id, SUM((e.v - c.v)*(e.v - c.v)) AS d2
+  FROM ev e JOIN (SELECT idx, v FROM ev
+                  WHERE vec_id = (SELECT c FROM {pick})) c USING (idx)
+  GROUP BY e.vec_id
+)"""
+
+    parts = ["""ev AS MATERIALIZED (
+  SELECT vec_id, idx, CAST(FLOOR(val*1000000.0 + 0.5) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings)
+)""", "p1 AS (SELECT min(vec_id) AS c FROM ev)", dist(1, "p1"),
+        "m1 AS MATERIALIZED (SELECT vec_id, d2 FROM d1)"]
+    for i in range(2, k + 1):
+        parts.append(
+            f"p{i} AS (SELECT vec_id AS c, d2 AS r FROM m{i-1} "
+            f"ORDER BY d2 DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            parts.append(dist(i, f"p{i}"))
+            parts.append(
+                f"m{i} AS MATERIALIZED (SELECT a.vec_id, "
+                f"least(a.d2, b.d2) AS d2 "
+                f"FROM m{i-1} a JOIN d{i} b USING (vec_id))"
+            )
+    return parts
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    sels = ["SELECT 1::BIGINT AS center_ord, "
+            "(SELECT c FROM p1)::BIGINT AS center_id, 0::BIGINT AS radius2"]
+    for i in range(2, k + 1):
+        sels.append(f"SELECT {i}::BIGINT, (SELECT c FROM p{i})::BIGINT, "
+                    f"(SELECT r FROM p{i})::BIGINT")
+    return ("WITH " + ",\n".join(_kcenter_parts(k)) + "\n"
+            + "\nUNION ALL\n".join(sels) + "\nORDER BY center_ord")
+
+
+def _kcenter_assign_sql(k: int = 8) -> str:
+    cent = ["SELECT 1 AS ord, (SELECT c FROM p1) AS c"]
+    for i in range(2, k + 1):
+        cent.append(f"SELECT {i}, (SELECT c FROM p{i})")
+    cent_sql = "cent AS (" + " UNION ALL ".join(cent) + ")"
+    return ("WITH " + ",\n".join(_kcenter_parts(k)) + ",\n" + cent_sql + """,
+cvec AS MATERIALIZED (
+  SELECT t.ord, t.c, e.idx, e.v FROM cent t JOIN ev e ON e.vec_id = t.c
+),
+scored AS (
+  SELECT e.vec_id, c.ord, c.c, SUM((e.v - c.v)*(e.v - c.v)) AS d2,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY SUM((e.v - c.v)*(e.v - c.v)) ASC, c.ord ASC) AS rn
+  FROM ev e JOIN cvec c USING (idx)
+  GROUP BY e.vec_id, c.ord, c.c
+)
+SELECT vec_id, ord::BIGINT AS center_ord, c::BIGINT AS center_id,
+       d2::BIGINT AS dist2
+FROM scored WHERE rn = 1""")
+
+
+ORACLE_SQL["kcenter_coreset"] = _kcenter_sql(8)
+ORACLE_SQL["kcenter_assign"] = _kcenter_assign_sql(8)
+
+
 def _kmeans_outliers_sql(k: int = 8, iters: int = 4,
                          dist2_threshold: int = 200_000_000_000) -> str:
     """Outlier mirror: the same unrolled Lloyd chain, with the final pass

@@ -1,0 +1,169 @@
+"""Greedy k-center diversity coreset (Gonzalez 1985) over the embedding
+table — the coverage-maximizing sampler a curation pipeline uses to pick a
+small, maximally-diverse training subset (the dual of dedup: instead of
+dropping near-duplicates, pick the spread).
+
+Gonzalez's farthest-point traversal gives a 2-approximation to the optimal
+k-center cover and is inherently k sequential rounds; each round here is one
+cheap vectorized map pass (per-point min squared distance to the ≤k chosen
+centers — a (batch × dim) int64 kernel) plus a blocks-sized argmax partial
+reduce, so nothing corpus-sized ever reaches the driver and the per-round
+exchange is O(blocks) rows. k passes over 100 TB is the documented cost of
+the exact greedy; at that scale compose it after a cluster-balanced or
+quota pre-sample, or accept the passes — they are embarrassingly parallel
+map-only scans.
+
+Determinism contract (shared with the DuckDB mirror, pinned by the
+correctness gate): coordinates quantize once as ``floor(x·10⁶ + 0.5)`` (the
+``stages/kmeans._micro`` expression, IEEE-identical in numpy and SQL);
+every distance is the exact integer ``Σ(v−c)²`` in micro² units (dim 64 ×
+(~2·10⁷)² ≈ 10¹⁶ ≪ 2⁶³); the seed is the smallest ``id_col``; each round
+picks argmax of the running min distance with ties to the smallest id; the
+final assignment argmin ties to the earliest-selected center.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from corpusaid_ray.stages.kmeans import _micro
+
+
+def _min_d2(em: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact integer min squared distance per row of ``em`` to ``cents``
+    (both int64 micro), vectorized over the batch."""
+    best = None
+    for c in cents:
+        diff = em - c[None, :]
+        d = np.einsum("ij,ij->i", diff, diff)
+        best = d if best is None else np.minimum(best, d)
+    return best
+
+
+def kcenter_coreset(ds, *, k: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> pd.DataFrame:
+    """Run the greedy traversal and return the k chosen centers as
+    ``(center_ord, center_id, radius2)`` where ``radius2`` is the exact
+    covering radius² (max running-min distance) at selection time — the
+    monotone-decreasing curve that says when adding centers stops paying.
+
+    Seed row (ord 1) carries ``radius2 = 0`` by convention (no cover yet).
+    """
+    import ray
+
+    def quant(batch: pa.Table) -> pa.Table:
+        em = np.stack(
+            batch[vec_col].to_pandas().to_numpy()
+        ).astype(np.float64)
+        return pa.table({
+            id_col: batch[id_col],
+            "q": pa.array(list(_micro(em)), pa.list_(pa.int64())),
+        })
+
+    qds = ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    seed_id = qds.min(id_col)
+    seed_vec = np.array(
+        qds.filter(expr=f"{id_col} == {seed_id}").take(1)[0]["q"],
+        dtype=np.int64,
+    )
+    centers = [(int(seed_id), seed_vec, 0)]
+
+    for _ in range(1, k):
+        cents = np.stack([c[1] for c in centers])
+        cref = ray.put(cents)
+
+        def far(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+            em = np.stack(batch["q"].to_pandas().to_numpy()).astype(np.int64)
+            d = _min_d2(em, _ray.get(cref))
+            # batch-local argmax with the global tie rule (d DESC, id ASC)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            top = d.max()
+            j = ids[d == top].min()
+            return pa.table({
+                id_col: pa.array([int(j)], pa.int64()),
+                "d2": pa.array([int(top)], pa.int64()),
+                "q": pa.array(
+                    [em[np.flatnonzero(ids == j)[0]]], pa.list_(pa.int64())
+                ),
+            })
+
+        parts = qds.map_batches(far, batch_format="pyarrow").take_all()
+        best = max(parts, key=lambda r: (int(r["d2"]), -int(r[id_col])))
+        centers.append((
+            int(best[id_col]),
+            np.asarray(best["q"], dtype=np.int64),
+            int(best["d2"]),
+        ))
+
+    return pd.DataFrame({
+        "center_ord": np.arange(1, k + 1, dtype=np.int64),
+        "center_id": np.array([c[0] for c in centers], dtype=np.int64),
+        "radius2": np.array([c[2] for c in centers], dtype=np.int64),
+    })
+
+
+def kcenter_assign(ds, coreset: pd.DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Assign every vector to its nearest chosen center (exact integer
+    argmin, ties to the earliest-selected center) — one map-only pass with
+    the k center vectors broadcast once. Returns a Dataset of
+    ``(id, center_ord, center_id, dist2)``.
+
+    ``coreset`` must carry a ``q`` column of quantized center vectors (use
+    :func:`kcenter_coreset_with_vecs`) or the centers are re-fetched here
+    by id in one bounded pass.
+    """
+    import ray
+
+    ids_need = [int(x) for x in coreset["center_id"]]
+    if "q" in coreset.columns:
+        cvecs = {int(i): np.asarray(q, dtype=np.int64)
+                 for i, q in zip(coreset["center_id"], coreset["q"])}
+    else:
+        id_set = set(ids_need)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            em = np.stack(
+                batch[vec_col].to_pandas().to_numpy()
+            ).astype(np.float64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            m = np.isin(ids, list(id_set))
+            return pa.table({
+                id_col: pa.array(ids[m], pa.int64()),
+                "q": pa.array(list(_micro(em[m])), pa.list_(pa.int64())),
+            })
+
+        got = ds.map_batches(pick, batch_format="pyarrow").take_all()
+        cvecs = {int(r[id_col]): np.asarray(r["q"], dtype=np.int64)
+                 for r in got}
+
+    ords = coreset["center_ord"].to_numpy().astype(np.int64)
+    cids = coreset["center_id"].to_numpy().astype(np.int64)
+    cents = np.stack([cvecs[int(i)] for i in cids])
+    cref = ray.put((ords, cids, cents))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        o, ci, cm = ray.get(cref)
+        em = _micro(np.stack(
+            batch[vec_col].to_pandas().to_numpy()
+        ).astype(np.float64))
+        # (n, k) exact integer distances; argmin ties → earliest ord
+        # (rows of cm are already in selection order)
+        d = np.empty((len(em), len(cm)), dtype=np.int64)
+        for j, c in enumerate(cm):
+            diff = em - c[None, :]
+            d[:, j] = np.einsum("ij,ij->i", diff, diff)
+        win = d.argmin(axis=1)  # first (lowest ord) wins ties
+        rows = np.arange(len(em))
+        return pa.table({
+            id_col: batch[id_col],
+            "center_ord": pa.array(o[win], pa.int64()),
+            "center_id": pa.array(ci[win], pa.int64()),
+            "dist2": pa.array(d[rows, win], pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -181,6 +181,48 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_kcenter_greedy_hand_computed(ray_session, tmp_path):
+    """Gonzalez traversal on planted geometry: selection order, exact
+    integer radii, assignment argmin, and the equidistant tie → earliest
+    selected center."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from corpusaid_ray.stages.coreset import kcenter_assign, kcenter_coreset
+
+    vecs = {
+        0: [0.0, 0.0, 0.0, 0.0],
+        1: [10.0, 0.0, 0.0, 0.0],
+        2: [0.0, 12.0, 0.0, 0.0],
+        3: [10.0, 0.5, 0.0, 0.0],
+        4: [0.0, 11.0, 0.0, 0.0],
+        5: [0.0, 6.0, 0.0, 0.0],   # exactly between centers 0 and 2
+    }
+    t = pa.table({
+        "vec_id": pa.array(list(vecs), pa.int64()),
+        "embedding": pa.array(list(vecs.values()), pa.list_(pa.float32())),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    ds = ray.data.read_parquet(str(d / "embeddings.parquet"))
+
+    core = kcenter_coreset(ds, k=3)
+    assert list(core.center_id) == [0, 2, 3]
+    assert list(core.radius2) == [0, 144 * 10**12, 100_250_000_000_000]
+
+    ds2 = ray.data.read_parquet(str(d / "embeddings.parquet"))
+    asg = kcenter_assign(ds2, core).to_pandas().set_index("vec_id")
+    assert asg.loc[1, "center_id"] == 3
+    assert asg.loc[1, "dist2"] == 250_000_000_000
+    assert asg.loc[4, "center_id"] == 2
+    assert asg.loc[4, "dist2"] == 10**12
+    # the planted tie: 5 is equidistant to centers 0 and 2 → earliest ord
+    assert asg.loc[5, "center_ord"] == 1 and asg.loc[5, "center_id"] == 0
+    assert asg.loc[5, "dist2"] == 36 * 10**12
+    assert (asg.loc[[0, 2, 3], "dist2"] == 0).all()
+
+
 def test_tfdf_terms_burstiness_ranking(ray_session, tmp_path):
     """tf/df micro rational: a token repeated 60× inside one doc outranks a
     token appearing once in each of 50 docs; exact integer division."""
