@@ -4008,6 +4008,29 @@ def q_kcenter_assign(sf_dir: str):
     return kcenter_assign(ds, coreset)
 
 
+def q_budget_select(sf_dir: str):
+    """Token-budget data selection: the best-DSIR-weighted corpus prefix
+    whose cumulative whitespace-token count fits a 12k budget
+    (`stages/sampling.budget_select` — global rank without a global sort
+    composed with the two-level prefix scan; order (weight DESC, doc_id),
+    keep iff inclusive cum ≤ budget)."""
+    import ray.data
+
+    from corpusaid_ray.stages.dsir import dsir_weights, fit_dsir_logratios
+    from corpusaid_ray.stages.sampling import budget_select
+
+    lr = fit_dsir_logratios(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return budget_select(
+        dsir_weights(ds, lr).select_columns(
+            ["doc_id", "n_words", "dsir_weight_fp"]
+        ),
+        budget_tokens=12_000,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4191,6 +4214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "kcenter_coreset": q_kcenter_coreset,
         "kcenter_assign": q_kcenter_assign,
+        "budget_select": q_budget_select,
     }
 
 def oracle_sql() -> dict[str, str]:

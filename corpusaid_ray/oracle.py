@@ -1549,6 +1549,41 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 ORACLE_SQL["dsir_weights"] = _dsir_sql()
 
 
+def _budget_select_sql(budget: int = 12_000) -> str:
+    """Token-budget selection mirror: the verified DSIR weight chain
+    (prefix-reused via ``_dsir_lr_ctes`` so the scorer cannot drift) ranked
+    by (weight DESC, doc_id) with an inclusive window running sum; keep
+    iff cum ≤ budget — the same two rules the engine's rank + prefix-scan
+    composition pins."""
+    ws = r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+"
+    b = "('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64"
+    return f"""
+WITH {_dsir_lr_ctes()}, occ AS (
+  SELECT doc_id, ({b})::BIGINT AS b
+  FROM documents, unnest(list_filter(regexp_split_to_array(text, '{ws}'),
+                                     t -> t != '')) AS u(tok)
+), agg AS (
+  SELECT occ.doc_id, count(*)::BIGINT AS n_words, sum(lr.lr)::BIGINT AS wfp
+  FROM occ JOIN lr USING (b)
+  GROUP BY occ.doc_id
+), w AS (
+  SELECT d.doc_id,
+         coalesce(a.wfp, 0)::BIGINT AS dsir_weight_fp,
+         coalesce(a.n_words, 0)::BIGINT AS n_words
+  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+), ranked AS (
+  SELECT doc_id, dsir_weight_fp, n_words,
+         sum(n_words) OVER (ORDER BY dsir_weight_fp DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM w
+)
+SELECT doc_id, dsir_weight_fp, n_words, cum_tokens
+FROM ranked WHERE cum_tokens <= {budget}"""
+
+
+ORACLE_SQL["budget_select"] = _budget_select_sql(12_000)
+
+
 def _bigram_lm_sql() -> str:
     """Exact bigram conditional mirror: adjacent in-document token pairs
     (1-based list indexing, the decontaminate gram idiom), head totals,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -280,3 +281,96 @@ def temperature_mix_plan(ds, *, group_col: str = "lang",
         "quota": pa.array(
             [w * total_target // sw for w in weights], pa.int64()),
     })
+
+
+def budget_select(weighted, *, budget_tokens: int,
+                  weight_col: str = "dsir_weight_fp",
+                  tokens_col: str = "n_words",
+                  id_col: str = "doc_id", bucket_docs: int = 4096):
+    """Token-budget data selection: keep the best-scored prefix of the
+    corpus whose cumulative token count fits ``budget_tokens`` — the
+    deterministic greedy every budgeted-selection recipe (DSIR sampling,
+    DataComp-style filtering to a compute budget) reduces to.
+
+    Order is (``weight_col`` DESC, ``id_col`` ASC); a doc is kept iff its
+    INCLUSIVE cumulative token count ≤ the budget (both rules mirrored in
+    SQL). Distributed as two compositions of existing machinery, nothing
+    corpus-sized on the driver:
+
+    1. exact global rank without a global sort
+       (:func:`global_rank_via_ranges` on the negated weight);
+    2. the two-level exclusive prefix scan over rank buckets
+       (``pack_sequences`` shape) to turn per-doc token counts into
+       cumulative sums, with the keep filter applied inside the per-bucket
+       scan.
+
+    Returns ``(id_col, weight_col, tokens_col, cum_tokens)`` for kept rows.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import drop_empty_blocks, grouped, join_partitions
+
+    def neg(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "value": pc.negate_checked(pc.cast(b[weight_col], pa.int64())),
+        })
+
+    ranked = global_rank_via_ranges(
+        weighted.map_batches(neg, batch_format="pyarrow"),
+        value_col="value", id_col=id_col,
+    )
+
+    def proj(b: pa.Table) -> pa.Table:
+        return b.select([id_col, weight_col, tokens_col])
+
+    j = drop_empty_blocks(ranked).join(
+        drop_empty_blocks(
+            weighted.map_batches(proj, batch_format="pyarrow")
+        ),
+        join_type="inner", num_partitions=join_partitions(), on=(id_col,),
+    )
+
+    def buck(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket",
+            pc.divide(pc.subtract(b["global_rank"], 1), bucket_docs),
+        )
+
+    bl = j.map_batches(buck, batch_format="pyarrow")
+    sums = grouped(bl, "bucket").aggregate(
+        Sum(tokens_col, alias_name="s")
+    ).take_all()
+    sums.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sums:
+        offsets[int(r["bucket"])] = acc
+        acc += int(r["s"] or 0)
+    off_ref = ray.put(offsets)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            weight_col: pd.Series(dtype="int64"),
+            tokens_col: pd.Series(dtype="int64"),
+            "cum_tokens": pd.Series(dtype="int64"),
+        })
+        if not len(g):
+            return empty
+        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("global_rank", kind="mergesort")
+        cum = off + np.cumsum(g[tokens_col].to_numpy(np.int64))
+        keep = cum <= budget_tokens
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy()[keep],
+            weight_col: g[weight_col].to_numpy(np.int64)[keep],
+            tokens_col: g[tokens_col].to_numpy(np.int64)[keep],
+            "cum_tokens": cum[keep].astype("int64"),
+        })
+
+    return grouped(bl, "bucket").map_groups(scan, batch_format="pandas")

@@ -181,6 +181,31 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_budget_select_boundary_and_ties(ray_session):
+    """Inclusive budget boundary, (weight DESC, id ASC) tie order, and
+    block-layout invariance of the rank + prefix-scan composition."""
+    import pyarrow as pa
+    import ray.data
+    from corpusaid_ray.stages.sampling import budget_select
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "dsir_weight_fp": pa.array([100, 300, 300, 200], pa.int64()),
+        "n_words": pa.array([5, 4, 3, 10], pa.int64()),
+    })
+    # rank order: id1 (w300), id2 (w300, tie → higher id later), id3, id0
+    # cumulative: 4, 7, 17, 22
+    for budget, expect in [(17, {1, 2, 3}), (16, {1, 2}), (3, set()),
+                           (22, {0, 1, 2, 3})]:
+        out = budget_select(
+            ray.data.from_arrow(t).repartition(3), budget_tokens=budget
+        ).to_pandas()
+        got = set(out["doc_id"]) if len(out) else set()
+        assert got == expect, (budget, got)
+        if 1 in expect:
+            assert int(out.set_index("doc_id").loc[1, "cum_tokens"]) == 4
+
+
 def test_kcenter_greedy_hand_computed(ray_session, tmp_path):
     """Gonzalez traversal on planted geometry: selection order, exact
     integer radii, assignment argmin, and the equidistant tie → earliest
