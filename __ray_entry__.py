@@ -4031,6 +4031,22 @@ def q_budget_select(sf_dir: str):
     )
 
 
+def q_silhouette_audit(sf_dir: str):
+    """Centroid-silhouette cluster-quality audit over the fitted k-means
+    model: per-vector exact a2/b2 and the truncating milli silhouette
+    (`stages/kmeans.silhouette_audit` — map-only, centroids broadcast
+    once; the mirror prefix-reuses the verified unrolled Lloyd chain)."""
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import fit_kmeans, silhouette_audit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    model = fit_kmeans(ds, k=8, iters=4)
+    return silhouette_audit(ds, model)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4215,6 +4231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": q_kcenter_coreset,
         "kcenter_assign": q_kcenter_assign,
         "budget_select": q_budget_select,
+        "silhouette_audit": q_silhouette_audit,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -1967,6 +1967,46 @@ def _kmeans_sql(k: int = 8, iters: int = 4) -> str:
 ORACLE_SQL["kmeans_clusters"] = _kmeans_sql(8, 4)
 
 
+def _silhouette_sql(k: int = 8, iters: int = 4) -> str:
+    """Centroid-silhouette mirror: the verified unrolled Lloyd chain's head
+    (prefix reuse, same CTE text), then per-(vec, cluster) exact scores off
+    the final centroids, own = argmin (ties → lowest cluster), b2 = min
+    over the others, and the SAME quotient/remainder milli decomposition
+    the engine computes (``q·10³ + r·10³ // den`` with ``r < den`` — stays
+    in BIGINT wherever the engine's int64 bound holds)."""
+    base = _kmeans_sql(k, iters)
+    head, _, _ = base.rpartition("\nSELECT vec_id, cluster FROM final_assign")
+    return head + f""",
+x2 AS (SELECT vec_id, SUM(v*v) AS n2 FROM ev GROUP BY vec_id),
+sc AS MATERIALIZED (
+  SELECT e.vec_id, c.cluster, SUM(c.c*c.c) - 2*SUM(e.v*c.c) AS score
+  FROM ev e JOIN c{iters} c USING (idx)
+  GROUP BY e.vec_id, c.cluster
+),
+own AS (
+  SELECT vec_id, cluster, score,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY score ASC, cluster ASC) AS rn
+  FROM sc
+),
+best AS (SELECT vec_id, cluster, score FROM own WHERE rn = 1),
+nxt AS (
+  SELECT o.vec_id, min(o.score) AS score
+  FROM own o JOIN best b ON b.vec_id = o.vec_id AND o.cluster != b.cluster
+  GROUP BY o.vec_id
+)
+SELECT b.vec_id, b.cluster::BIGINT AS cluster,
+       (b.score + x.n2)::BIGINT AS a2,
+       (n.score + x.n2)::BIGINT AS b2,
+       ( ((n.score - b.score) // greatest(n.score + x.n2, 1)) * 1000
+       + ((n.score - b.score) % greatest(n.score + x.n2, 1)) * 1000
+         // greatest(n.score + x.n2, 1) )::BIGINT AS sil_millis
+FROM best b JOIN nxt n USING (vec_id) JOIN x2 x USING (vec_id)"""
+
+
+ORACLE_SQL["silhouette_audit"] = _silhouette_sql(8, 4)
+
+
 def _kcenter_parts(k: int = 8) -> list[str]:
     """Shared unrolled Gonzalez chain (mirrors ``stages/coreset``): the same
     ``ev`` fixed-point quantization as the Lloyd mirror, seed = min vec_id,

@@ -181,6 +181,34 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_silhouette_audit_hand_computed(ray_session):
+    """Exact a2/b2 and the milli decomposition on planted centroids: crisp
+    member → 987‰, exact midpoint → 0‰ with the tie to cluster 0, a point
+    sitting ON a centroid → 1000‰."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from corpusaid_ray.stages.kmeans import KMeansModel, silhouette_audit
+
+    cents = np.zeros((2, 4), dtype=np.int64)
+    cents[1, 0] = 10_000_000  # centroid 1 at x=10
+    model = KMeansModel(cents)
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0, 0, 0], [5.0, 0, 0, 0], [10.0, 0, 0, 0]],
+            pa.list_(pa.float32()),
+        ),
+    })
+    out = silhouette_audit(
+        ray.data.from_arrow(t), model
+    ).to_pandas().set_index("vec_id")
+    assert out.loc[0, "a2"] == 10**12 and out.loc[0, "b2"] == 81 * 10**12
+    assert out.loc[0, "sil_millis"] == 987  # 80_000 // 81
+    assert out.loc[1, "sil_millis"] == 0 and out.loc[1, "cluster"] == 0
+    assert out.loc[2, "a2"] == 0 and out.loc[2, "sil_millis"] == 1000
+
+
 def test_budget_select_boundary_and_ties(ray_session):
     """Inclusive budget boundary, (weight DESC, id ASC) tie order, and
     block-layout invariance of the rank + prefix-scan composition."""
