@@ -4047,6 +4047,64 @@ def q_silhouette_audit(sf_dir: str):
     return silhouette_audit(ds, model)
 
 
+def q_quality_dedup_corpus(sf_dir: str):
+    """Quality-aware fuzzy dedup: per duplicate cluster keep the BEST
+    member — (content length DESC, path ASC), the keep-longest heuristic
+    production dedup uses instead of lexicographic keep-first — and drop
+    the rest. Same verified chain as `neardup_kept_corpus` (LSH → n-gram
+    verify → components); member lengths are fetched in one map-side
+    filter pass bounded by the group set (the documented LSH
+    precondition), the keeper argmax runs on that bounded frame, and the
+    corpus streams through a broadcast anti-filter."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from corpusaid_ray.stages.neardup import duplicate_groups, ngram_duplicates
+
+    corpus = _corpus(sf_dir)
+    groups = duplicate_groups(ngram_duplicates(corpus, threshold=0.8))
+    member_ref = ray.put(pa.array(sorted(groups.path), pa.string()))
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["path"], value_set=ray.get(member_ref))
+        sub = batch.filter(m)
+        return pa.table({
+            "path": sub["path"],
+            "n": pc.cast(pc.utf8_length(sub["content"]), pa.int64()),
+        })
+
+    lens = pd.DataFrame(
+        corpus.map_batches(lengths, batch_format="pyarrow").take_all()
+    )
+    mem = groups.merge(lens, on="path")
+    mem = mem.sort_values(["n", "path"], ascending=[False, True],
+                          kind="mergesort")
+    keepers = set(mem.groupby("group_rep", sort=False).head(1).path)
+    drop = [p for p in groups.path if p not in keepers]
+    drop_ref = ray.put(pa.array(sorted(drop), pa.string()))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch["path"], value_set=ray.get(drop_ref)))
+        return batch.filter(mask)
+
+    return (
+        corpus.map_batches(filt, batch_format="pyarrow")
+        .select_columns(["repo", "path", "lang"])
+    )
+
+
+def q_repo_simpson(sf_dir: str):
+    """Simpson concentration of docs over repos — the exact-rational skew
+    diagnostic read before trusting `repo` as a partition key
+    (`stages/aggregates.simpson_concentration`; Python-int partials, one
+    exact micro division on the driver)."""
+    from corpusaid_ray.stages.aggregates import simpson_concentration
+
+    return simpson_concentration(_corpus(sf_dir), key="repo")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4232,6 +4290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_assign": q_kcenter_assign,
         "budget_select": q_budget_select,
         "silhouette_audit": q_silhouette_audit,
+        "quality_dedup_corpus": q_quality_dedup_corpus,
+        "repo_simpson": q_repo_simpson,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -743,6 +743,43 @@ SELECT c.repo, c.path, c.lang
 FROM corpus c LEFT JOIN grp g ON g.path = c.path
 WHERE g.path IS NULL OR g.path = g.group_rep"""
 
+# repo_simpson: Simpson concentration Σ n_g(n_g−1) / N(N−1) in exact
+# integers (DuckDB sums promote to HUGEINT; the engine accumulates Python
+# ints), one truncating micro division.
+ORACLE_SQL["repo_simpson"] = with_corpus("""
+, rc AS (SELECT repo, count(*)::BIGINT AS n FROM corpus GROUP BY repo),
+agg AS (SELECT sum(n * (n - 1)) AS num, sum(n) AS nd, count(*) AS nr FROM rc)
+SELECT nd::BIGINT AS n_docs, nr::BIGINT AS n_groups,
+       (num * 1000000 // greatest(nd * (nd - 1), 1))::BIGINT
+         AS simpson_micros
+FROM agg""")
+
+# quality_dedup_corpus: keep-best (length DESC, path ASC) member per
+# duplicate cluster — the dup_groups closure joined with member lengths
+# into a QUALIFY keeper, then the anti-filter.
+ORACLE_SQL["quality_dedup_corpus"] = f"""WITH RECURSIVE {corpus_cte()},
+{_SHINGLE_PAIRS},
+pairs AS (SELECT path_a, path_b FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT path_a AS u, path_b AS v FROM pairs
+  UNION
+  SELECT path_b, path_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+grp AS (SELECT u AS path, least(u, min(v)) AS group_rep FROM reach GROUP BY u),
+keeper AS (
+  SELECT g.path FROM grp g JOIN corpus c ON c.path = g.path
+  QUALIFY row_number() OVER (PARTITION BY g.group_rep
+      ORDER BY length(c.content) DESC, g.path ASC) = 1
+)
+SELECT c.repo, c.path, c.lang
+FROM corpus c LEFT JOIN grp g ON g.path = c.path
+WHERE g.path IS NULL OR c.path IN (SELECT path FROM keeper)"""
+
 # dup_cluster_hist: the dedup audit histogram — the dup_groups transitive
 # closure reduced to (cluster_size, n_clusters).
 ORACLE_SQL["dup_cluster_hist"] = f"""WITH RECURSIVE {corpus_cte()},

@@ -499,3 +499,48 @@ def unpivot(ds, *, key: str, value_cols: list[str], var_name: str = "variable",
         return out
 
     return ds.map_batches(melt, batch_format="pandas")
+
+
+def simpson_concentration(ds, *, key: str = "repo") -> pd.DataFrame:
+    """Simpson concentration index of the corpus over ``key`` groups —
+    the exact-rational skew diagnostic (the log-free cousin of entropy):
+    ``Σ n_g(n_g−1) / N(N−1)``, the probability two random docs share a
+    group. 0 = perfectly spread, 10⁶ micros = one group holds everything;
+    the number a mixing/sharding plan reads before trusting a groupby key.
+
+    Shape: batch-local ``value_counts`` combiner → one |groups|-row
+    groupby → per-batch Σ n(n−1) partials accumulated as PYTHON ints (the
+    driver sums exact arbitrary-precision partials, so the index never
+    wraps; per-group counts themselves are int64 — exact to n_g < 3·10⁹
+    docs per group, documented like regression.py's bounds). The final
+    micro division is one exact Python ``//``.
+
+    Returns one row ``(n_docs, n_groups, simpson_micros)``.
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[key].value_counts()
+        return pd.DataFrame({key: c.index, "n": c.to_numpy()})
+
+    counts = grouped(
+        ds.map_batches(partial, batch_format="pandas"), key
+    ).aggregate(Sum("n", alias_name="n"))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ns = [int(x) for x in batch["n"].to_pylist()]
+        num = sum(n * (n - 1) for n in ns)
+        return pa.table({
+            "num_s": pa.array([str(num)], pa.string()),
+            "nd": pa.array([sum(ns)], pa.int64()),
+            "nr": pa.array([len(ns)], pa.int64()),
+        })
+
+    rows = counts.map_batches(pairs, batch_format="pyarrow").take_all()
+    num = sum(int(r["num_s"]) for r in rows)
+    n_docs = sum(int(r["nd"]) for r in rows)
+    n_groups = sum(int(r["nr"]) for r in rows)
+    den = max(n_docs * (n_docs - 1), 1)
+    return pd.DataFrame({
+        "n_docs": np.array([n_docs], dtype=np.int64),
+        "n_groups": np.array([n_groups], dtype=np.int64),
+        "simpson_micros": np.array([num * 1_000_000 // den], dtype=np.int64),
+    })

@@ -181,6 +181,60 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_quality_dedup_keeps_longest(ray_session):
+    """Keep-best dedup: every cluster's survivor is its (length DESC,
+    path ASC) argmax; kept-set size matches keep-first dedup (one survivor
+    per cluster either way)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import __ray_entry__ as e
+    from corpusaid_ray.stages.neardup import duplicate_groups, ngram_duplicates
+
+    kept = set(e.q_quality_dedup_corpus(SF_SMALL).to_pandas().path)
+    first = set(e.q_neardup_kept_corpus(SF_SMALL).to_pandas().path)
+    assert len(kept) == len(first)
+
+    corpus = e._corpus(SF_SMALL)
+    groups = duplicate_groups(ngram_duplicates(corpus, threshold=0.8))
+    lens = {
+        r["path"]: r["n"]
+        for r in corpus.map_batches(
+            lambda b: pa.table({
+                "path": b["path"],
+                "n": pc.cast(pc.utf8_length(b["content"]), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    for rep, g in groups.groupby("group_rep"):
+        best = sorted(g.path, key=lambda p: (-lens[p], p))[0]
+        survivors = set(g.path) & kept
+        assert survivors == {best}, (rep, survivors, best)
+
+
+def test_simpson_concentration_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from corpusaid_ray.stages.aggregates import simpson_concentration
+
+    t = pa.table({"repo": pa.array(["a", "a", "a", "b"], pa.string())})
+    out = simpson_concentration(ray.data.from_arrow(t).repartition(2))
+    assert out.n_docs[0] == 4 and out.n_groups[0] == 2
+    assert out.simpson_micros[0] == 500_000  # 6 / 12
+
+    one = simpson_concentration(
+        ray.data.from_arrow(pa.table({"repo": pa.array(["x"], pa.string())}))
+    )
+    assert one.simpson_micros[0] == 0  # den guard on N=1
+
+    mono = simpson_concentration(
+        ray.data.from_arrow(
+            pa.table({"repo": pa.array(["m"] * 7, pa.string())})
+        ).repartition(3)
+    )
+    assert mono.simpson_micros[0] == 1_000_000
+
+
 def test_silhouette_audit_hand_computed(ray_session):
     """Exact a2/b2 and the milli decomposition on planted centroids: crisp
     member → 987‰, exact midpoint → 0‰ with the tie to cluster 0, a point
