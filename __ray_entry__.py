@@ -4105,6 +4105,45 @@ def q_repo_simpson(sf_dir: str):
     return simpson_concentration(_corpus(sf_dir), key="repo")
 
 
+def q_dedup_rate_by_lang(sf_dir: str):
+    """Per-language exact-duplication audit: docs, distinct contents, and
+    the duplicate fraction in exact micros — the breakdown that says WHERE
+    the duplication mass lives before a dedup pass is tuned. Shape: the
+    dedup_exact hash-partitioned (lang, sha) groupby reduced per language
+    (counts only — nothing content-sized crosses the second exchange)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.dedup import add_sha256
+    from corpusaid_ray.util import grouped
+
+    hashed = _corpus(sf_dir).map_batches(
+        lambda b: add_sha256(b).select(["lang", "content_sha256"]),
+        batch_format="pyarrow",
+    )
+    per_sha = grouped(hashed, ["lang", "content_sha256"]).aggregate(
+        Count(alias_name="n")
+    )
+    per_lang = grouped(per_sha, "lang").aggregate(
+        Sum("n", alias_name="n_docs"), Count(alias_name="n_distinct")
+    )
+
+    def rate(b: pa.Table) -> pa.Table:
+        dups = pc.subtract(b["n_docs"], b["n_distinct"])
+        return pa.table({
+            "lang": b["lang"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "n_distinct": pc.cast(b["n_distinct"], pa.int64()),
+            "dup_micros": pc.cast(
+                pc.divide(pc.multiply(dups, 1_000_000), b["n_docs"]),
+                pa.int64(),
+            ),
+        })
+
+    return per_lang.map_batches(rate, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4292,6 +4331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette_audit": q_silhouette_audit,
         "quality_dedup_corpus": q_quality_dedup_corpus,
         "repo_simpson": q_repo_simpson,
+        "dedup_rate_by_lang": q_dedup_rate_by_lang,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -743,6 +743,15 @@ SELECT c.repo, c.path, c.lang
 FROM corpus c LEFT JOIN grp g ON g.path = c.path
 WHERE g.path IS NULL OR g.path = g.group_rep"""
 
+# dedup_rate_by_lang: per-language exact-duplication audit — counts and a
+# truncating micro duplicate fraction.
+ORACLE_SQL["dedup_rate_by_lang"] = with_corpus("""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       count(DISTINCT sha256(content))::BIGINT AS n_distinct,
+       ((count(*) - count(DISTINCT sha256(content))) * 1000000
+        // count(*))::BIGINT AS dup_micros
+FROM corpus GROUP BY lang""")
+
 # repo_simpson: Simpson concentration Σ n_g(n_g−1) / N(N−1) in exact
 # integers (DuckDB sums promote to HUGEINT; the engine accumulates Python
 # ints), one truncating micro division.

@@ -181,6 +181,26 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_dedup_rate_by_lang_consistency(ray_session):
+    """Per-language audit sums to the corpus-wide exact-dedup numbers."""
+    import __ray_entry__ as e
+    from corpusaid_ray.stages.dedup import dedup_exact
+
+    out = e.q_dedup_rate_by_lang(SF_SMALL).to_pandas()
+    assert (out.n_distinct <= out.n_docs).all()
+    assert ((out.dup_micros >= 0) & (out.dup_micros < 1_000_000)).all()
+    corpus = e._corpus(SF_SMALL)
+    assert int(out.n_docs.sum()) == corpus.count()
+    # distinct-per-lang sums to distinct over (lang, sha) pairs globally
+    from corpusaid_ray.stages.dedup import add_sha256
+
+    pairs = corpus.map_batches(
+        lambda b: add_sha256(b).select(["lang", "content_sha256"]),
+        batch_format="pyarrow",
+    ).to_pandas().drop_duplicates()
+    assert int(out.n_distinct.sum()) == len(pairs)
+
+
 def test_quality_dedup_keeps_longest(ray_session):
     """Keep-best dedup: every cluster's survivor is its (length DESC,
     path ASC) argmax; kept-set size matches keep-first dedup (one survivor
