@@ -4144,6 +4144,66 @@ def q_dedup_rate_by_lang(sf_dir: str):
     return per_lang.map_batches(rate, batch_format="pyarrow")
 
 
+def q_bpe_fertility(sf_dir: str):
+    """Tokenizer fertility per language — BPE pieces per word-token in
+    exact micros under the corpus-fit 8-merge table. The metric that says
+    which languages a tokenizer serves badly (fertility ≫ 1 burns context
+    budget). Map-only apply with a batch-local token cache and a batch
+    (lang, pieces, tokens) combiner; one |langs|-row groupby; languages
+    with zero tokens drop (mirroring SQL's inner join on the unnest)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+    from corpusaid_ray.stages.bpe import encode_word, fit_bpe
+    from corpusaid_ray.util import grouped
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    merges, _ = fit_bpe(docs, num_merges=8)
+    pairs = [(m["left_sym"], m["right_sym"]) for m in merges]
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[str, int] = {}
+        pieces = []
+        toks = []
+        for t in df["text"]:
+            ts = TOKEN_RE.findall(t)
+            tot = 0
+            for w in ts:
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = len(encode_word(w, pairs))
+                tot += got
+            pieces.append(tot)
+            toks.append(len(ts))
+        g = pd.DataFrame({"lang": df["lang"], "p": pieces, "t": toks})
+        return g.groupby("lang", sort=False, as_index=False).sum()
+
+    agg = grouped(
+        docs.map_batches(fn, batch_format="pandas"), "lang"
+    ).aggregate(Sum("p", alias_name="n_pieces"), Sum("t", alias_name="n_tokens"))
+
+    def rate(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["n_tokens"], 0))
+        return pa.table({
+            "lang": b["lang"],
+            "n_pieces": pc.cast(b["n_pieces"], pa.int64()),
+            "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+            "fertility_micros": pc.cast(
+                pc.divide(pc.multiply(b["n_pieces"], 1_000_000),
+                          b["n_tokens"]),
+                pa.int64(),
+            ),
+        })
+
+    return agg.map_batches(rate, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4332,6 +4392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_dedup_corpus": q_quality_dedup_corpus,
         "repo_simpson": q_repo_simpson,
         "dedup_rate_by_lang": q_dedup_rate_by_lang,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -3133,8 +3133,31 @@ JOIN seg{num_merges} s USING (token)
 GROUP BY t.doc_id"""
 
 
+def _bpe_fertility_sql(num_merges: int = 8) -> str:
+    """Per-language fertility: the encode mirror's per-doc piece/token sums
+    regrouped by language with one truncating micro division (languages
+    with zero tokens never appear — the inner join on the unnest)."""
+    return f"""WITH RECURSIVE {_bpe_chain(num_merges)},
+enc AS (
+  SELECT t.doc_id, sum(len(s.segs))::BIGINT AS n_pieces,
+         count(*)::BIGINT AS n_tokens
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS token
+        FROM documents) t
+  JOIN seg{num_merges} s USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.lang, sum(e.n_pieces)::BIGINT AS n_pieces,
+       sum(e.n_tokens)::BIGINT AS n_tokens,
+       (sum(e.n_pieces) * 1000000 // sum(e.n_tokens))::BIGINT
+         AS fertility_micros
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang"""
+
+
 ORACLE_SQL["bpe_merges"] = _bpe_merges_sql(8)
 ORACLE_SQL["bpe_encode"] = _bpe_encode_sql(8)
+ORACLE_SQL["bpe_fertility"] = _bpe_fertility_sql(8)
 
 
 # ---------------------------------------------------------------------------

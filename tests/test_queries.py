@@ -181,6 +181,21 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_bpe_fertility_bounds_and_consistency(ray_session):
+    """Fertility ≥ 1 (a word never encodes to zero pieces, merges only
+    shrink), and per-lang token sums tie to the corpus-wide TOKEN_RE
+    count."""
+    import __ray_entry__ as e
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+
+    out = e.q_bpe_fertility(SF_SMALL).to_pandas()
+    assert (out.fertility_micros >= 1_000_000).all()
+    assert (out.n_pieces >= out.n_tokens).all()
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet", columns=["text"])
+    total = sum(len(TOKEN_RE.findall(t)) for t in docs["text"].to_pylist())
+    assert int(out.n_tokens.sum()) == total
+
+
 def test_dedup_rate_by_lang_consistency(ray_session):
     """Per-language audit sums to the corpus-wide exact-dedup numbers."""
     import __ray_entry__ as e
