@@ -4204,6 +4204,52 @@ def q_bpe_fertility(sf_dir: str):
     return agg.map_batches(rate, batch_format="pyarrow")
 
 
+def q_repo_license_conflicts(sf_dir: str):
+    """Per-repo license-conflict audit: file counts by permissive vs
+    restrictive family and the conflict flag (both kinds inside one repo —
+    the repos a code-corpus license gate must escalate rather than bulk
+    keep/drop). Rides the verified `license_screen` patterns; one
+    |repos|-row groupby over int flags."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.quality import license_screen_fn
+    from corpusaid_ray.util import grouped
+
+    def flags(batch: pa.Table) -> pa.Table:
+        t = license_screen_fn(batch)
+        perm = t["is_permissive"]
+        restr = pc.and_(pc.invert(perm),
+                        pc.not_equal(t["license_family"], "none"))
+        return pa.table({
+            "repo": t["repo"],
+            "p": pc.cast(perm, pa.int64()),
+            "r": pc.cast(restr, pa.int64()),
+        })
+
+    agg = grouped(
+        _corpus(sf_dir).map_batches(flags, batch_format="pyarrow"), "repo"
+    ).aggregate(
+        Count(alias_name="n_files"),
+        Sum("p", alias_name="n_permissive"),
+        Sum("r", alias_name="n_restrictive"),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        np_ = pc.cast(b["n_permissive"], pa.int64())
+        nr = pc.cast(b["n_restrictive"], pa.int64())
+        return pa.table({
+            "repo": b["repo"],
+            "n_files": pc.cast(b["n_files"], pa.int64()),
+            "n_permissive": np_,
+            "n_restrictive": nr,
+            "has_conflict": pc.and_(pc.greater(np_, 0), pc.greater(nr, 0)),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4393,6 +4439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_simpson": q_repo_simpson,
         "dedup_rate_by_lang": q_dedup_rate_by_lang,
         "bpe_fertility": q_bpe_fertility,
+        "repo_license_conflicts": q_repo_license_conflicts,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -2773,6 +2773,39 @@ FROM m""")
 ORACLE_SQL["license_screen"] = _license_screen_sql()
 
 
+def _repo_license_conflicts_sql() -> str:
+    """Per-repo conflict audit off the same pattern tuple: permissive =
+    any MIT/Apache/BSD hit, restrictive = a family hit that is not
+    permissive, conflict = both kinds present."""
+    from corpusaid_ray.stages.quality import (
+        LICENSE_PATTERNS,
+        PERMISSIVE_FAMILIES,
+    )
+
+    cols = ",\n       ".join(
+        f"length(regexp_extract_all(content, {sql_quote(pat)}))::BIGINT AS {name}"
+        for name, pat in LICENSE_PATTERNS
+    )
+    any_hit = " OR ".join(f"{n} > 0" for n, _ in LICENSE_PATTERNS)
+    perm = " OR ".join(f"{n} > 0" for n in PERMISSIVE_FAMILIES)
+    return with_corpus(f"""
+, m AS (
+  SELECT repo,
+       {cols}
+  FROM corpus
+), f AS (
+  SELECT repo, ({perm}) AS p, (NOT ({perm}) AND ({any_hit})) AS r FROM m
+)
+SELECT repo, count(*)::BIGINT AS n_files,
+       sum(p::INT)::BIGINT AS n_permissive,
+       sum(r::INT)::BIGINT AS n_restrictive,
+       (sum(p::INT) > 0 AND sum(r::INT) > 0) AS has_conflict
+FROM f GROUP BY repo""")
+
+
+ORACLE_SQL["repo_license_conflicts"] = _repo_license_conflicts_sql()
+
+
 def _gopher_rules_sql(min_words: int = 10, max_words: int = 100_000,
                       min_stop_hits: int = 2) -> str:
     """Mirror of stages/quality.gopher_rules_fn (Rae et al. 2021 A1.1):

@@ -181,6 +181,26 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_repo_license_conflicts_ties_to_screen(ray_session):
+    """Per-repo sums tie to the per-file license screen; conflict flag is
+    the conjunction."""
+    import __ray_entry__ as e
+    from corpusaid_ray.stages.quality import license_screen_fn
+
+    out = e.q_repo_license_conflicts(SF_SMALL).to_pandas().set_index("repo")
+    per_file = e._corpus(SF_SMALL).map_batches(
+        license_screen_fn, batch_format="pyarrow"
+    ).to_pandas()
+    per_file["r"] = (~per_file.is_permissive) & (per_file.license_family != "none")
+    g = per_file.groupby("repo").agg(
+        n=("path", "size"), p=("is_permissive", "sum"), r=("r", "sum")
+    )
+    assert (out.n_files == g.n).all()
+    assert (out.n_permissive == g.p).all()
+    assert (out.n_restrictive == g.r).all()
+    assert (out.has_conflict == ((g.p > 0) & (g.r > 0))).all()
+
+
 def test_bpe_fertility_bounds_and_consistency(ray_session):
     """Fertility ≥ 1 (a word never encodes to zero pieces, merges only
     shrink), and per-lang token sums tie to the corpus-wide TOKEN_RE
