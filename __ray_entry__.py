@@ -1038,20 +1038,15 @@ def q_multimodal_meta(sf_dir: str):
     )
 
 
-def _media_ds(sf_dir: str, parity: int):
-    """Deterministic media payloads in closed forms of ``doc_id``: PGM
-    images for even ids (pixel (doc_id+i+j)%256 on an (8+id%7)×(8+id%5)
-    grid), RIFF/WAVE PCM for odd (800+(id%10)*80 constant samples id%100 at
-    8 kHz) — decoded features stay SQL-expressible."""
+def _media_payloads(sf_dir: str, parity: int):
+    """Deterministic raw media payloads (doc_id, payload) in closed forms
+    of ``doc_id`` — the synth half of `_media_ds`, reusable by any media
+    stage."""
     import numpy as np
     import pyarrow as pa
     import ray.data
 
-    from corpusaid_ray.stages.multimodal import (
-        encode_pnm,
-        encode_wav,
-        media_features,
-    )
+    from corpusaid_ray.stages.multimodal import encode_pnm, encode_wav
 
     import pyarrow.compute as pc
 
@@ -1081,7 +1076,17 @@ def _media_ds(sf_dir: str, parity: int):
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return media_features(ds.map_batches(synth, batch_format="pyarrow"))
+    return ds.map_batches(synth, batch_format="pyarrow")
+
+
+def _media_ds(sf_dir: str, parity: int):
+    """Decoded media features over the deterministic closed-form payloads
+    (PGM images for even ids: pixel (doc_id+i+j)%256 on an
+    (8+id%7)×(8+id%5) grid; RIFF/WAVE PCM for odd: 800+(id%10)*80 constant
+    samples id%100 at 8 kHz) — decoded features stay SQL-expressible."""
+    from corpusaid_ray.stages.multimodal import media_features
+
+    return media_features(_media_payloads(sf_dir, parity))
 
 
 def q_image_features(sf_dir: str):
@@ -4250,6 +4255,39 @@ def q_repo_license_conflicts(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def q_image_ahash_dups(sf_dir: str):
+    """Perceptual image dedup: 64-bit average hash over the REAL decoded
+    bitmaps (`stages/multimodal.ahash64` — pinned integer block means /
+    threshold / bit rules) via an actor-pool decode stage, then one
+    |hashes|-row groupby counts how many images share each fingerprint —
+    the multimodal twin of exact text dedup. The mirror recomputes every
+    cell from the closed-form pixels, so a value match verifies decode +
+    hash end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from corpusaid_ray.stages.multimodal import ImageAHasher
+    from corpusaid_ray.util import drop_empty_blocks, grouped, join_partitions
+
+    hashed = _media_payloads(sf_dir, 0).map_batches(
+        ImageAHasher, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    counts = grouped(hashed, "ahash").aggregate(Count(alias_name="n_sharing"))
+    joined = drop_empty_blocks(hashed).join(
+        drop_empty_blocks(counts), join_type="inner",
+        num_partitions=join_partitions(), on=("ahash",),
+    )
+    return joined.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "ahash": b["ahash"],
+            "n_sharing": pc.cast(b["n_sharing"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4440,6 +4478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_lang": q_dedup_rate_by_lang,
         "bpe_fertility": q_bpe_fertility,
         "repo_license_conflicts": q_repo_license_conflicts,
+        "image_ahash_dups": q_image_ahash_dups,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -403,6 +403,38 @@ SELECT doc_id,
          AS mean_intensity
 FROM documents WHERE doc_id % 2 = 0"""
 
+# image_ahash_dups: the full aHash recomputed from the closed-form pixels —
+# block sums over floor boundaries (i*h//8), integer cell means, integer
+# 64-cell threshold, row-major '0'/'1' bit string, then the per-hash share
+# count. A value match verifies the real decode + hash pipeline end to end.
+ORACLE_SQL["image_ahash_dups"] = """
+WITH imgs AS (
+  SELECT doc_id, (8 + doc_id % 5)::BIGINT AS w, (8 + doc_id % 7)::BIGINT AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+cells AS (
+  SELECT doc_id, ci.i AS i, cj.j AS j,
+         list_sum(flatten(list_transform(
+             range(ci.i * h // 8, (ci.i + 1) * h // 8),
+             r -> list_transform(range(cj.j * w // 8, (cj.j + 1) * w // 8),
+                                 c -> (doc_id + r + c) % 256)))) AS s,
+         ((ci.i + 1) * h // 8 - ci.i * h // 8)
+           * ((cj.j + 1) * w // 8 - cj.j * w // 8) AS n
+  FROM imgs, range(8) ci(i), range(8) cj(j)
+),
+vals AS (SELECT doc_id, i, j, s // n AS v FROM cells),
+thr AS (SELECT doc_id, sum(v) // 64 AS t FROM vals GROUP BY doc_id),
+bits AS (
+  SELECT v.doc_id,
+         string_agg(CASE WHEN v.v >= t.t THEN '1' ELSE '0' END, ''
+                    ORDER BY v.i, v.j) AS ahash
+  FROM vals v JOIN thr t USING (doc_id)
+  GROUP BY v.doc_id
+)
+SELECT doc_id, ahash,
+       (count(*) OVER (PARTITION BY ahash))::BIGINT AS n_sharing
+FROM bits"""
+
 ORACLE_SQL["audio_features"] = """
 SELECT doc_id,
        (800 + (doc_id % 10) * 80)::DOUBLE / 8000 AS duration_s,

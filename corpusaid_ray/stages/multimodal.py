@@ -503,3 +503,51 @@ def sample_frames(ds, *, every_n: int = 2, emit_frames: bool = False,
         concurrency=concurrency,
         batch_size=64,
     )
+
+
+def ahash64(pixels: np.ndarray) -> str:
+    """64-bit average hash (aHash — the classic perceptual fingerprint) as
+    a 64-char '0'/'1' string, in pinned integer rules shared with the SQL
+    mirror: 8×8 block partition with floor boundaries (``i·h//8``), cell
+    value = integer block mean (``sum // n``), threshold = integer mean of
+    the 64 cells (``sum // 64``), bit = cell ≥ threshold, row-major order.
+    Multi-channel images reduce per pixel by integer channel mean first.
+    Images smaller than 8×8 are rejected (a block would be empty)."""
+    px = np.asarray(pixels, dtype=np.int64)
+    if px.ndim == 3:
+        px = px.sum(axis=2) // px.shape[2]
+    h, w = px.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"ahash64 needs >= 8x8 pixels, got {h}x{w}")
+    pref = np.zeros((h + 1, w + 1), dtype=np.int64)
+    pref[1:, 1:] = px.cumsum(0).cumsum(1)
+    ri = (np.arange(9) * h) // 8
+    cj = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8), dtype=np.int64)
+    for i in range(8):
+        for j in range(8):
+            s = (pref[ri[i + 1], cj[j + 1]] - pref[ri[i], cj[j + 1]]
+                 - pref[ri[i + 1], cj[j]] + pref[ri[i], cj[j]])
+            n = (ri[i + 1] - ri[i]) * (cj[j + 1] - cj[j])
+            cells[i, j] = s // n
+    t = cells.sum() // 64
+    return "".join("1" if b else "0" for b in (cells >= t).ravel())
+
+
+class ImageAHasher:
+    """Actor-pool stage: decode each binary image payload and emit its
+    aHash — setup-free here (pure numpy decode), but shaped as a callable
+    class so a real-codec swap (PIL/turbojpeg) lands in ``__init__`` once
+    per actor, per the stateful-stage contract."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for payload in batch["payload"].to_pylist():
+            got = decode_media(payload)
+            if got["kind"] != "image":
+                raise ValueError("ImageAHasher fed a non-image payload")
+            hashes.append(ahash64(got["pixels"]))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "ahash": pa.array(hashes, pa.string()),
+        })

@@ -181,6 +181,31 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_ahash64_hand_computed_and_dups(ray_session):
+    """aHash pinned rules on hand-checkable bitmaps: constant image → all
+    bits set (cells == threshold), half-dark 8×8 → exact bit pattern,
+    identical images share the hash, the <8px guard trips."""
+    import numpy as np
+    import pytest
+    from corpusaid_ray.stages.multimodal import ahash64
+
+    flat = np.full((8, 8), 7, dtype=np.uint8)
+    assert ahash64(flat) == "1" * 64  # cell == threshold → bit set
+
+    half = np.zeros((8, 8), dtype=np.uint8)
+    half[:, 4:] = 255
+    # cells: 4 dark + 4 bright per row; threshold = (4*255*8)//64 = 127
+    assert ahash64(half) == ("0000" + "1111") * 8
+
+    grad = np.add.outer(np.arange(16), np.arange(16)).astype(np.uint8)
+    assert ahash64(grad) == ahash64(grad.copy())
+    with pytest.raises(ValueError):
+        ahash64(np.zeros((7, 8), dtype=np.uint8))
+    # floor-boundary blocks on a non-multiple size run and stay 64-bit
+    assert len(ahash64(np.add.outer(np.arange(11), np.arange(9))
+                       .astype(np.uint8))) == 64
+
+
 def test_repo_license_conflicts_ties_to_screen(ray_session):
     """Per-repo sums tie to the per-file license screen; conflict flag is
     the conjunction."""
