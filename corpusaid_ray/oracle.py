@@ -775,6 +775,18 @@ SELECT c.repo, c.path, c.lang
 FROM corpus c LEFT JOIN grp g ON g.path = c.path
 WHERE g.path IS NULL OR g.path = g.group_rep"""
 
+# diverse_topk: global top-20 by length with a per-repo cap of 2 — QUALIFY
+# per-repo rank then a total-order LIMIT.
+ORACLE_SQL["diverse_topk"] = with_corpus("""
+, capped AS (
+  SELECT repo, path, length(content)::BIGINT AS n_chars
+  FROM corpus
+  QUALIFY row_number() OVER (PARTITION BY repo
+      ORDER BY length(content) DESC, path ASC) <= 2
+)
+SELECT repo, path, n_chars FROM capped
+ORDER BY n_chars DESC, path ASC LIMIT 20""")
+
 # dedup_rate_by_lang: per-language exact-duplication audit — counts and a
 # truncating micro duplicate fraction.
 ORACLE_SQL["dedup_rate_by_lang"] = with_corpus("""
@@ -4075,6 +4087,13 @@ FROM m LEFT JOIN (SELECT path, pred FROM best WHERE rn = 1) b
 
 
 ORACLE_SQL["langid_scores"] = _langid_sql()
+
+# langid_confusion: the verified langid chain wrapped in a grouped count —
+# the (true, predicted) eval table.
+ORACLE_SQL["langid_confusion"] = f"""
+SELECT lang, lang_pred, count(*)::BIGINT AS n
+FROM ({_langid_sql()}) t
+GROUP BY lang, lang_pred"""
 
 
 def _c4_rules_sql(min_words_per_line: int = 5, min_sentences: int = 3) -> str:

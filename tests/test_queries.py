@@ -181,6 +181,28 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_diverse_topk_cap_and_order(ray_session):
+    """≤2 rows per repo, global (n_chars DESC, path ASC) order, 20 rows."""
+    import __ray_entry__ as e
+
+    out = e.q_diverse_topk(SF_SMALL).to_pandas()
+    assert len(out) == 20
+    assert out.repo.value_counts().max() <= 2
+    key = list(zip(-out.n_chars, out.path))
+    assert key == sorted(key)
+
+
+def test_langid_confusion_mass(ray_session):
+    """Confusion counts sum to the corpus; diagonal matches lang_match."""
+    import __ray_entry__ as e
+
+    cm = e.q_langid_confusion(SF_SMALL).to_pandas()
+    scores = e.q_langid_scores(SF_SMALL).to_pandas()
+    assert int(cm.n.sum()) == len(scores)
+    diag = int(cm[cm.lang == cm.lang_pred].n.sum())
+    assert diag == int(scores.lang_match.sum())
+
+
 def test_ahash64_hand_computed_and_dups(ray_session):
     """aHash pinned rules on hand-checkable bitmaps: constant image → all
     bits set (cells == threshold), half-dark 8×8 → exact bit pattern,
