@@ -4345,6 +4345,27 @@ def q_langid_confusion(sf_dir: str):
     )
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining over the embeddings table: every vector's most
+    similar DIFFERENT-label vector (`stages/similarity.hard_negatives` —
+    the knn_graph broadcast shape with a label mask; ids only in the
+    output, same float-order contract the verified knn_graph pins)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import hard_negatives
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return hard_negatives(ds, tbl)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4538,6 +4559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ahash_dups": q_image_ahash_dups,
         "diverse_topk": q_diverse_topk,
         "langid_confusion": q_langid_confusion,
+        "hard_negatives": q_hard_negatives,
     }
 
 def oracle_sql() -> dict[str, str]:

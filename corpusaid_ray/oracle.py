@@ -870,6 +870,19 @@ SELECT a.vec_id, b.vec_id AS nbr_id,
 FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
 QUALIFY rank <= 3"""
 
+# hard_negatives: most-similar different-label vector per vector — the
+# all-pairs window mirror of the label-masked broadcast-matmul path.
+ORACLE_SQL["hard_negatives"] = """
+SELECT a.vec_id, a.label::BIGINT AS label,
+       b.vec_id AS neg_id, b.label::BIGINT AS neg_label
+FROM embeddings a JOIN embeddings b ON a.label != b.label
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]) DESC,
+           b.vec_id
+) = 1"""
+
 ORACLE_SQL["embed_neardup"] = """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine

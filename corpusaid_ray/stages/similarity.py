@@ -538,3 +538,74 @@ def knn_classify(ds, corpus_table: pa.Table, *, k: int = 3):
 
     return grouped(joined.map_batches(salt, batch_format="pandas"),
                    "_part").map_groups(majority, batch_format="pandas")
+
+
+class BatchHardNeg:
+    """Per-batch hard-negative lookup against the broadcast corpus: each
+    row emits its most-cosine-similar vector with a DIFFERENT label (ties →
+    smallest neighbor id) — the mining pass contrastive training feeds on."""
+
+    def __init__(self, corpus_ref):
+        import ray
+
+        ids, labels, mat = ray.get(corpus_ref)
+        self.ids = ids
+        self.labels = labels
+        self.mat = mat  # already L2-normalized
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+                "neg_id": pa.array([], pa.int64()),
+                "neg_label": pa.array([], pa.int64()),
+            })
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        lbls = batch["label"].to_numpy(zero_copy_only=False).astype("int64")
+        m = _normalize(_as_matrix(batch["embedding"]))
+        sims = m @ self.mat.T
+        neg_i, neg_l = [], []
+        for i, lbl in enumerate(lbls):
+            row = np.where(self.labels != lbl, sims[i], -np.inf)
+            j = np.lexsort((self.ids, -row))[0]
+            neg_i.append(int(self.ids[j]))
+            neg_l.append(int(self.labels[j]))
+        return pa.table({
+            "vec_id": pa.array(vids, pa.int64()),
+            "label": pa.array(lbls, pa.int64()),
+            "neg_id": pa.array(neg_i, pa.int64()),
+            "neg_label": pa.array(neg_l, pa.int64()),
+        })
+
+
+def hard_negatives(ds, corpus_table: pa.Table, *,
+                   brute_cap: int = KNN_BRUTE_CAP):
+    """Hard-negative mining: for every vector, the most-similar vector
+    carrying a different label (cosine desc, neighbor id asc) — the pair
+    generator for contrastive / metric-learning fine-tunes.
+
+    EXACT broadcast-matmul shape under ``brute_cap`` (the knn_graph brute
+    path with a label mask). Past the cap, compose the IVF-bucketed KNN
+    with an enlarged k and filter by label — recall < 1 by design there,
+    the same documented trade as ``knn_graph``; this function pins the
+    exact path and raises past the cap rather than silently degrading."""
+    import ray
+
+    ids = corpus_table["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    if len(ids) > brute_cap:
+        raise NotImplementedError(
+            "hard_negatives past brute_cap: compose knn_graph_ivf(k') + "
+            "label filter (documented approximate path)"
+        )
+    labels = corpus_table["label"].to_numpy(
+        zero_copy_only=False
+    ).astype("int64")
+    mat = _normalize(_as_matrix(corpus_table["embedding"]))
+    ref = ray.put((ids, labels, mat))
+    return ds.map_batches(
+        BatchHardNeg,
+        fn_constructor_kwargs={"corpus_ref": ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -181,6 +181,35 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_hard_negatives_planted_infiltrator(ray_session):
+    """The planted opposite-label infiltrator inside a tight cluster is
+    every cluster member's hard negative; labels always differ."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from corpusaid_ray.stages.similarity import hard_negatives
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),
+        (2, [0.98, 0.11, 0.0], 1),   # infiltrator inside cluster A
+        (3, [0.0, 0.0, 1.0], 1),
+        (4, [0.0, 0.05, 1.0], 1),
+    ]
+    t = pa.table({
+        "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([v[2] for v in vecs], pa.int32()),
+    })
+    out = hard_negatives(
+        ray.data.from_arrow(t), t
+    ).to_pandas().set_index("vec_id")
+    assert out.loc[0, "neg_id"] == 2 and out.loc[1, "neg_id"] == 2
+    assert (out.label != out.neg_label).all()
+    # the infiltrator's own hard negative is its nearest label-0 vector
+    assert out.loc[2, "neg_id"] == 1
+
+
 def test_diverse_topk_cap_and_order(ray_session):
     """≤2 rows per repo, global (n_chars DESC, path ASC) order, 20 rows."""
     import __ray_entry__ as e
