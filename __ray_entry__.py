@@ -4366,6 +4366,47 @@ def q_hard_negatives(sf_dir: str):
     return hard_negatives(ds, tbl)
 
 
+def q_packing_waste(sf_dir: str):
+    """Packing-plan utilization audit: per 512-token training window, the
+    docs and tokens assigned to it (a doc counts fully in the window its
+    offset starts in — the pack_sequences rule) plus underfill and spill —
+    the padding-waste numbers a training-efficiency review reads off the
+    packing plan. One |windows|-row groupby over the verified scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.packing import pack_sequences
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    packed = pack_sequences(ds, cap=512, bucket_docs=128)
+    agg = grouped(packed, "seq_id").aggregate(
+        Count(alias_name="n_docs"), Sum("n_words", alias_name="n_tokens")
+    )
+
+    def waste(b: pa.Table) -> pa.Table:
+        toks = pc.cast(b["n_tokens"], pa.int64())
+        return pa.table({
+            "seq_id": b["seq_id"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "n_tokens": toks,
+            "underfill": pc.max_element_wise(
+                pc.subtract(pa.scalar(512, pa.int64()), toks),
+                pa.scalar(0, pa.int64()),
+            ),
+            "spill": pc.max_element_wise(
+                pc.subtract(toks, pa.scalar(512, pa.int64())),
+                pa.scalar(0, pa.int64()),
+            ),
+        })
+
+    return agg.map_batches(waste, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4560,6 +4601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diverse_topk": q_diverse_topk,
         "langid_confusion": q_langid_confusion,
         "hard_negatives": q_hard_negatives,
+        "packing_waste": q_packing_waste,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -1049,6 +1049,29 @@ s AS (
 SELECT doc_id, n_words, seq_offset, (seq_offset // 512)::BIGINT AS seq_id
 FROM s"""
 
+    # packing_waste: the plan regrouped per window — docs/tokens assigned
+    # (a doc counts fully in its start window), underfill and spill.
+    ORACLE_SQL["packing_waste"] = f"""
+WITH w AS (
+  SELECT doc_id,
+         length(list_filter(regexp_split_to_array(text, '{ws}'),
+                            t -> t != ''))::BIGINT AS n_words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_words,
+         coalesce(sum(n_words) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0)::BIGINT AS seq_offset
+  FROM w
+)
+SELECT (seq_offset // 512)::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS n_tokens,
+       greatest(512 - sum(n_words), 0)::BIGINT AS underfill,
+       greatest(sum(n_words) - 512, 0)::BIGINT AS spill
+FROM s GROUP BY seq_offset // 512"""
+
 
 _register_pack_sequences()
 

@@ -181,6 +181,21 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_packing_waste_conservation(ray_session):
+    """Window audit conserves mass: Σ n_tokens == corpus words, underfill
+    and spill never positive together, every window holds ≥ 1 doc."""
+    import __ray_entry__ as e
+    from corpusaid_ray.stages.packing import word_counts
+
+    out = e.q_packing_waste(SF_SMALL).to_pandas()
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet", columns=["text"])
+    total = int(word_counts(docs["text"]).sum())
+    assert int(out.n_tokens.sum()) == total
+    assert ((out.underfill == 0) | (out.spill == 0)).all()
+    assert (out.n_docs >= 1).all()
+    assert (out.underfill == (512 - out.n_tokens).clip(lower=0)).all()
+
+
 def test_hard_negatives_planted_infiltrator(ray_session):
     """The planted opposite-label infiltrator inside a tight cluster is
     every cluster member's hard negative; labels always differ."""
