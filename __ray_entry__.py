@@ -4407,6 +4407,26 @@ def q_packing_waste(sf_dir: str):
     return agg.map_batches(waste, batch_format="pyarrow")
 
 
+def q_ann_recall_eval(sf_dir: str):
+    """Recall@5 of the IVF-bucketed ANN against the exact brute baseline,
+    per query — the honesty meter on the approximate scale path (the
+    number that says whether nprobe is big enough BEFORE the IVF shape is
+    trusted at 100×). Both inputs are already bounded driver frames
+    (queries × k rows by construction), so the intersection is a tiny
+    merge."""
+    import pandas as pd
+
+    ivf = q_ann_ivf(sf_dir)
+    brute = q_ann_topk(sf_dir)
+    m = ivf.merge(brute, on=["query_id", "vec_id"])
+    hits = m.groupby("query_id").size()
+    qids = sorted(set(brute.query_id))
+    out = pd.DataFrame({"query_id": pd.array(qids, dtype="int64")})
+    out["n_hits"] = out.query_id.map(hits).fillna(0).astype("int64")
+    out["recall_micros"] = (out.n_hits * 1_000_000 // 5).astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4602,6 +4622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": q_langid_confusion,
         "hard_negatives": q_hard_negatives,
         "packing_waste": q_packing_waste,
+        "ann_recall_eval": q_ann_recall_eval,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -4621,6 +4642,17 @@ def oracle_sql() -> dict[str, str]:
 
         out["semantic_dedup"] = semdedup_sql(sf)
         out["semantic_kept_corpus"] = semantic_kept_sql(sf)
+        # recall eval composes the data-dependent IVF mirror with the
+        # brute baseline — built from the same sf_dir for the same reason
+        out["ann_recall_eval"] = f"""
+WITH ivf AS (SELECT * FROM ({out["ann_ivf"]}) t),
+brute AS (SELECT * FROM ({ORACLE_SQL["ann_topk"]}) t)
+SELECT b.query_id,
+       count(i.vec_id)::BIGINT AS n_hits,
+       (count(i.vec_id) * 1000000 // 5)::BIGINT AS recall_micros
+FROM brute b LEFT JOIN ivf i
+  ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY b.query_id"""
     except Exception:
         pass  # table unavailable → these stay rows-only (weaker check)
     return out

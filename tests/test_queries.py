@@ -181,6 +181,21 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_ann_recall_eval_ties_to_paths(ray_session):
+    """Recall rows tie exactly to the two underlying result sets."""
+    import __ray_entry__ as e
+
+    out = e.q_ann_recall_eval(SF_SMALL).set_index("query_id")
+    ivf = e.q_ann_ivf(SF_SMALL)
+    brute = e.q_ann_topk(SF_SMALL)
+    assert ((out.n_hits >= 0) & (out.n_hits <= 5)).all()
+    assert (out.recall_micros == out.n_hits * 1_000_000 // 5).all()
+    for q in out.index:
+        iset = set(ivf[ivf.query_id == q].vec_id)
+        bset = set(brute[brute.query_id == q].vec_id)
+        assert out.loc[q, "n_hits"] == len(iset & bset)
+
+
 def test_packing_waste_conservation(ray_session):
     """Window audit conserves mass: Σ n_tokens == corpus words, underfill
     and spill never positive together, every window holds ≥ 1 doc."""
