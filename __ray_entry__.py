@@ -4427,6 +4427,21 @@ def q_ann_recall_eval(sf_dir: str):
     return out
 
 
+def q_lateness_histogram(sf_dir: str):
+    """Event out-of-orderness distribution vs the global running watermark
+    (arrival order = event_id) — the histogram a streaming deployment
+    sizes its watermark delay from (`stages/window.lateness_histogram`,
+    the two-level exclusive prefix-MAX scan; no global sort)."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import lateness_histogram
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    return lateness_histogram(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4623,6 +4638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "packing_waste": q_packing_waste,
         "ann_recall_eval": q_ann_recall_eval,
+        "lateness_histogram": q_lateness_histogram,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -510,6 +510,24 @@ FROM tok GROUP BY token
 ORDER BY tfdf_micros DESC, token
 LIMIT 50"""
 
+# lateness_histogram: lateness vs the global running watermark in arrival
+# (event_id) order — exclusive window max, greatest-0 clip, fixed buckets.
+ORACLE_SQL["lateness_histogram"] = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
+w AS (
+  SELECT event_id, tus,
+         max(tus) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM e
+),
+l AS (SELECT greatest(coalesce(wm - tus, 0), 0) AS late FROM w)
+SELECT CASE WHEN late = 0 THEN 'in_order'
+            WHEN late <= 60000000 THEN 'late_1m'
+            WHEN late <= 3600000000 THEN 'late_1h'
+            ELSE 'late_gt_1h' END AS bucket,
+       count(*)::BIGINT AS n
+FROM l GROUP BY 1"""
+
 ORACLE_SQL["events_sessionize"] = """
 WITH ordered AS (
   SELECT user_id, ts, value,

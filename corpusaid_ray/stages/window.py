@@ -377,3 +377,89 @@ def retention_cohorts(ds, *, week_ms: int = 604_800_000):
         })
 
     return counts.map_batches(finish, batch_format="pandas")
+
+
+LATENESS_BOUNDS_US = (0, 60_000_000, 3_600_000_000)
+LATENESS_LABELS = ("in_order", "late_1m", "late_1h", "late_gt_1h")
+
+
+def lateness_histogram(ds, *, id_col: str = "event_id", ts_col: str = "ts",
+                       bucket_events: int = 4096):
+    """Out-of-orderness audit over an event stream: how far behind the
+    GLOBAL running watermark (max event-time of everything that arrived
+    before it, arrival order = ``id_col``) each event lands — the
+    distribution a streaming deployment sizes its watermark delay from.
+
+    lateness_us(i) = max(0, max(ts of id < i) − ts_i); the first arrival is
+    ``in_order``. Buckets: 0 / ≤1 min / ≤1 h / >1 h; empty buckets are
+    omitted (mirroring SQL's GROUP BY).
+
+    Distributed as the two-level exclusive PREFIX-MAX scan (the
+    ``pack_sequences`` shape with max for sum): per-bucket ts maxima →
+    O(buckets) driver prefix ints → per-bucket local running max — no
+    global sort, nothing row-count-sized on the driver. Returns a Dataset
+    ``(bucket, n)``."""
+    import pyarrow.compute as pc
+    import ray
+
+    from corpusaid_ray.util import coalesce_blocks_down, grouped
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        tus = pc.cast(batch[ts_col], pa.int64())  # timestamp[us] → µs int
+        return pa.table({
+            id_col: ids,
+            "tus": tus,
+            "bucket": pc.divide(ids, bucket_events),
+        })
+
+    from ray.data.aggregate import Max, Sum
+
+    evs = ds.map_batches(proj, batch_format="pyarrow")
+    evs, _ = coalesce_blocks_down(evs, 256)
+
+    maxes = grouped(evs, "bucket").aggregate(
+        Max("tus", alias_name="m")
+    ).take_all()
+    maxes.sort(key=lambda r: r["bucket"])
+    prefix: dict[int, int] = {}
+    run = None
+    for r in maxes:
+        prefix[int(r["bucket"])] = run if run is not None else -(2**62)
+        m = int(r["m"])
+        run = m if run is None else max(run, m)
+    pref_ref = ray.put(prefix)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "bucket": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            })
+        base = ray.get(pref_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values(id_col, kind="mergesort")
+        t = g["tus"].to_numpy(np.int64)
+        wm = np.empty(len(t), dtype=np.int64)
+        wm[0] = base
+        if len(t) > 1:
+            wm[1:] = np.maximum(np.maximum.accumulate(t[:-1]), base)
+        late = np.maximum(wm - t, 0)
+        idx = np.searchsorted(LATENESS_BOUNDS_US, late, side="left")
+        c = np.bincount(idx, minlength=len(LATENESS_LABELS))
+        keep = c > 0
+        return pd.DataFrame({
+            "bucket": np.array(LATENESS_LABELS)[keep],
+            "n": c[keep].astype("int64"),
+        })
+
+    parts = grouped(evs, "bucket").map_groups(scan, batch_format="pandas")
+    agg = parts.groupby("bucket").aggregate(Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "bucket": b["bucket"],
+            "n": pc.cast(b["n"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )

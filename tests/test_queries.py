@@ -181,6 +181,35 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_lateness_histogram_planted(ray_session):
+    """Planted out-of-order stream: boundary-exact buckets (60 s → late_1m,
+    3600 s → late_1h) and the cross-bucket watermark carry at
+    bucket_events=2."""
+    import pyarrow as pa
+    import ray.data
+    from corpusaid_ray.stages.window import lateness_histogram
+
+    B = 1_000_000_000_000  # µs epoch base
+    S = 1_000_000
+    ts_us = [
+        B + 100 * S,           # id0: first → in_order
+        B + 40 * S,            # id1: 60 s behind → late_1m (boundary)
+        B + 200 * S,           # id2: new max → in_order
+        B + 199 * S,           # id3: 1 s behind → late_1m
+        B + (200 - 3700) * S,  # id4: 3700 s behind → late_gt_1h
+        B + (200 - 3600) * S,  # id5: 3600 s behind → late_1h (boundary)
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+    })
+    out = lateness_histogram(
+        ray.data.from_arrow(t).repartition(3), bucket_events=2
+    ).to_pandas().set_index("bucket")["n"].to_dict()
+    assert out == {"in_order": 2, "late_1m": 2, "late_1h": 1,
+                   "late_gt_1h": 1}
+
+
 def test_ann_recall_eval_ties_to_paths(ray_session):
     """Recall rows tie exactly to the two underlying result sets."""
     import __ray_entry__ as e
