@@ -1,0 +1,178 @@
+"""Serial-reference property tests for the session's distributed ops:
+each test builds a small random instance (fixed seeds), computes the
+answer with an independent serial implementation, and pins the
+distributed result equal — the layout-invariance + correctness sweep the
+golden suites use, applied to the newest operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+SEEDS = (0, 1, 2)
+
+
+def _rand_docs(rng: np.random.Generator, n: int) -> list[str]:
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2", ",", "zz"]
+    return [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_vocab_growth_matches_serial(ray_session, seed, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+    from corpusaid_ray.stages.vocab import vocab_growth
+
+    rng = np.random.default_rng(seed)
+    texts = _rand_docs(rng, 40)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        d / "documents.parquet",
+    )
+    out = vocab_growth(
+        ray.data.read_parquet(str(d / "documents.parquet")).repartition(5),
+        bucket_docs=7,
+    )
+
+    # serial reference: flat token stream in doc order
+    stream = [t for txt in texts for t in TOKEN_RE.findall(txt)]
+    total = len(stream)
+    seen: set = set()
+    firsts = {}
+    for pos, t in enumerate(stream, start=1):
+        if t not in seen:
+            seen.add(t)
+            firsts[t] = pos
+    for k in range(1, 11):
+        b = total * k // 10
+        expect = sum(1 for p in firsts.values() if p <= b)
+        row = out[out.decile == k].iloc[0]
+        assert row.token_budget == b and row.vocab_size == expect
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_budget_select_matches_serial(ray_session, seed):
+    import ray.data
+    from corpusaid_ray.stages.sampling import budget_select
+
+    rng = np.random.default_rng(100 + seed)
+    n = 60
+    w = rng.integers(-50, 50, size=n).astype("int64")
+    toks = rng.integers(0, 30, size=n).astype("int64")
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "dsir_weight_fp": pa.array(w),
+        "n_words": pa.array(toks),
+    })
+    budget = int(toks.sum() // 3)
+    out = budget_select(
+        ray.data.from_arrow(t).repartition(4),
+        budget_tokens=budget, bucket_docs=9,
+    ).to_pandas()
+
+    order = sorted(range(n), key=lambda i: (-w[i], i))
+    cum, expect = 0, {}
+    for i in order:
+        cum += int(toks[i])
+        if cum > budget:
+            break
+        expect[i] = cum
+    got = ({int(r.doc_id): int(r.cum_tokens) for r in out.itertuples()}
+           if len(out) else {})
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_lateness_histogram_matches_serial(ray_session, seed):
+    import ray.data
+    from corpusaid_ray.stages.window import (LATENESS_BOUNDS_US,
+                                             LATENESS_LABELS,
+                                             lateness_histogram)
+
+    rng = np.random.default_rng(200 + seed)
+    n = 50
+    base = 10**12
+    ts = base + rng.integers(-4000, 4000, size=n) * 1_000_000
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts.astype("int64"), pa.timestamp("us")),
+    })
+    out = lateness_histogram(
+        ray.data.from_arrow(t).repartition(4), bucket_events=6
+    ).to_pandas().set_index("bucket")["n"].to_dict()
+
+    wm = -(2**62)
+    counts = dict.fromkeys(LATENESS_LABELS, 0)
+    for x in ts:
+        late = max(0, wm - int(x))
+        idx = int(np.searchsorted(LATENESS_BOUNDS_US, late, side="left"))
+        counts[LATENESS_LABELS[idx]] += 1
+        wm = max(wm, int(x))
+    assert out == {k: v for k, v in counts.items() if v > 0}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_kcenter_matches_serial_greedy(ray_session, seed):
+    import ray.data
+    from corpusaid_ray.stages.coreset import kcenter_coreset
+    from corpusaid_ray.stages.kmeans import _micro
+
+    rng = np.random.default_rng(300 + seed)
+    n, dim, k = 30, 6, 4
+    mat = rng.normal(size=(n, dim))
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, row)) for row in mat], pa.list_(pa.float32())
+        ),
+    })
+    core = kcenter_coreset(ray.data.from_arrow(t).repartition(3), k=k)
+
+    # serial Gonzalez with the same pinned rules (decode float32 exactly)
+    q = _micro(np.stack(
+        t["embedding"].to_pandas().to_numpy()
+    ).astype(np.float64))
+    chosen = [0]
+    radii = [0]
+    for _ in range(1, k):
+        best_d = np.full(n, np.iinfo(np.int64).max)
+        for c in chosen:
+            d = ((q - q[c]) ** 2).sum(axis=1)
+            best_d = np.minimum(best_d, d)
+        top = best_d.max()
+        j = int(np.flatnonzero(best_d == top).min())
+        chosen.append(j)
+        radii.append(int(top))
+    assert list(core.center_id) == chosen
+    assert list(core.radius2) == radii
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_simpson_matches_serial(ray_session, seed):
+    import ray.data
+    from corpusaid_ray.stages.aggregates import simpson_concentration
+
+    rng = np.random.default_rng(400 + seed)
+    repos = [f"r{rng.integers(0, 6)}" for _ in range(80)]
+    t = pa.table({"repo": pa.array(repos, pa.string())})
+    out = simpson_concentration(ray.data.from_arrow(t).repartition(4))
+
+    from collections import Counter
+    c = Counter(repos)
+    num = sum(v * (v - 1) for v in c.values())
+    den = max(len(repos) * (len(repos) - 1), 1)
+    assert out.n_docs[0] == len(repos)
+    assert out.n_groups[0] == len(c)
+    assert out.simpson_micros[0] == num * 1_000_000 // den
