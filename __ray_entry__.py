@@ -942,8 +942,11 @@ def q_repo_dedup_stats(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-k (scale path of ann_topk; rows-only —
-    recall vs brute force is asserted in pytest)."""
+    """IVF-bucketed approximate top-k (scale path of ann_topk). Oracle:
+    the data-dependent mirror built in `oracle_sql()` from the same
+    sf_dir (`oracle.ann_ivf_sql` — centroids inlined as VALUES); recall
+    vs brute force is additionally pinned by pytest and measured by
+    `ann_recall_eval`."""
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
