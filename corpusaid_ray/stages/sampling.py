@@ -286,7 +286,8 @@ def temperature_mix_plan(ds, *, group_col: str = "lang",
 def budget_select(weighted, *, budget_tokens: int,
                   weight_col: str = "dsir_weight_fp",
                   tokens_col: str = "n_words",
-                  id_col: str = "doc_id", bucket_docs: int = 4096):
+                  id_col: str = "doc_id", num_parts: int = 10,
+                  bucket_docs: int | None = None):
     """Token-budget data selection: keep the best-scored prefix of the
     corpus whose cumulative token count fits ``budget_tokens`` — the
     deterministic greedy every budgeted-selection recipe (DSIR sampling,
@@ -294,60 +295,70 @@ def budget_select(weighted, *, budget_tokens: int,
 
     Order is (``weight_col`` DESC, ``id_col`` ASC); a doc is kept iff its
     INCLUSIVE cumulative token count ≤ the budget (both rules mirrored in
-    SQL). Distributed as two compositions of existing machinery, nothing
-    corpus-sized on the driver:
+    SQL). Distributed in THREE exchanges, nothing corpus-sized on the
+    driver — the range partitions double as the prefix-scan buckets
+    because they are contiguous in the sort value:
 
-    1. exact global rank without a global sort
-       (:func:`global_rank_via_ranges` on the negated weight);
-    2. the two-level exclusive prefix scan over rank buckets
-       (``pack_sequences`` shape) to turn per-doc token counts into
-       cumulative sums, with the keep filter applied inside the per-bucket
-       scan.
+    1. exact quantile cuts of the negated weight (the bounded-histogram
+       percentile reduction; ties-left strict compare shared verbatim
+       with ``range_partition_assign``, so equal weights never straddle
+       a cut);
+    2. one |parts|-row groupby of per-part token sums → driver exclusive
+       prefix (num_parts ints);
+    3. one per-part ``map_groups``: local (value, id) sort, cumulative
+       tokens on top of the part prefix, keep-filter applied in place.
 
-    Returns ``(id_col, weight_col, tokens_col, cum_tokens)`` for kept rows.
+    ``bucket_docs`` is accepted for signature compatibility and ignored
+    (the parts are the buckets). Returns ``(id_col, weight_col,
+    tokens_col, cum_tokens)`` for kept rows.
     """
-    import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
 
-    from corpusaid_ray.util import drop_empty_blocks, grouped, join_partitions
+    from corpusaid_ray.stages.aggregates import group_percentiles_distributed
+    from corpusaid_ray.util import grouped
 
-    def neg(b: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: b[id_col],
-            "value": pc.negate_checked(pc.cast(b[weight_col], pa.int64())),
+    def ann(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            weight_col: df[weight_col].astype("int64"),
+            tokens_col: df[tokens_col].astype("int64"),
+            "value": -df[weight_col].to_numpy(np.int64),
         })
 
-    ranked = global_rank_via_ranges(
-        weighted.map_batches(neg, batch_format="pyarrow"),
-        value_col="value", id_col=id_col,
-    )
+    # skinny projection reused by the percentile pass and the assign pass
+    proj = weighted.map_batches(ann, batch_format="pandas").materialize()
 
-    def proj(b: pa.Table) -> pa.Table:
-        return b.select([id_col, weight_col, tokens_col])
+    qs = tuple(k / num_parts for k in range(1, num_parts))
+    names = [f"p{int(p * 100)}_micros" for p in qs]
+    pct = group_percentiles_distributed(
+        proj.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df["value"].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v", percentiles=qs)
+    cuts = np.sort(np.array(
+        [int(pct[c].iloc[0]) // 1_000_000 for c in names], dtype=np.int64))
 
-    j = drop_empty_blocks(ranked).join(
-        drop_empty_blocks(
-            weighted.map_batches(proj, batch_format="pyarrow")
-        ),
-        join_type="inner", num_partitions=join_partitions(), on=(id_col,),
-    )
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["value"].to_numpy(np.int64)
+        out = df.copy()
+        # count of cuts < x == searchsorted left (the pinned ties-LEFT
+        # rule of range_partition_assign — equal values never straddle)
+        out["part_id"] = np.searchsorted(cuts, x, side="left").astype("int64")
+        return out
 
-    def buck(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "bucket",
-            pc.divide(pc.subtract(b["global_rank"], 1), bucket_docs),
-        )
+    assigned = proj.map_batches(assign, batch_format="pandas").materialize()
 
-    bl = j.map_batches(buck, batch_format="pyarrow")
-    sums = grouped(bl, "bucket").aggregate(
+    sums = grouped(assigned, "part_id").aggregate(
         Sum(tokens_col, alias_name="s")
     ).take_all()
-    sums.sort(key=lambda r: r["bucket"])
+    sums.sort(key=lambda r: r["part_id"])
     offsets: dict[int, int] = {}
     acc = 0
     for r in sums:
-        offsets[int(r["bucket"])] = acc
+        offsets[int(r["part_id"])] = acc
         acc += int(r["s"] or 0)
     off_ref = ray.put(offsets)
 
@@ -360,8 +371,8 @@ def budget_select(weighted, *, budget_tokens: int,
         })
         if not len(g):
             return empty
-        off = ray.get(off_ref)[int(g["bucket"].iloc[0])]
-        g = g.sort_values("global_rank", kind="mergesort")
+        off = ray.get(off_ref)[int(g["part_id"].iloc[0])]
+        g = g.sort_values(["value", id_col], kind="mergesort")
         cum = off + np.cumsum(g[tokens_col].to_numpy(np.int64))
         keep = cum <= budget_tokens
         if not keep.any():
@@ -373,4 +384,4 @@ def budget_select(weighted, *, budget_tokens: int,
             "cum_tokens": cum[keep].astype("int64"),
         })
 
-    return grouped(bl, "bucket").map_groups(scan, batch_format="pandas")
+    return grouped(assigned, "part_id").map_groups(scan, batch_format="pandas")
