@@ -4446,6 +4446,107 @@ def q_lateness_histogram(sf_dir: str):
     return lateness_histogram(ds)
 
 
+def q_repo_semantic_cohesion(sf_dir: str):
+    """Per-repo semantic cohesion: the exact integer mean squared distance
+    of each repo's embeddings to the repo centroid — cohesive single-topic
+    repos score low, grab-bags high; the cross-table signal a curation mix
+    reads beside per-repo text stats. Repo comes from the pinned corpus
+    derivation applied to vec_id (the 1:1 doc_id alignment), so no join;
+    centroids use the Lloyd floor(S/n) convention and broadcast as a
+    |repos|×D int table (bounded by repos — rejoin instead past ~10⁵
+    repos). Two streamed passes + two |repos|-row groupbys."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.corpus import derive_corpus_batch
+    from corpusaid_ray.stages.kmeans import _micro
+    from corpusaid_ray.util import grouped
+
+    def read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    def repo_of(vec_ids: np.ndarray) -> np.ndarray:
+        fake = pd.DataFrame({
+            "doc_id": vec_ids,
+            "text": np.full(len(vec_ids), "", dtype=object),
+            "lang": np.full(len(vec_ids), "", dtype=object),
+        })
+        return derive_corpus_batch(fake)["repo"].to_numpy()
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = _micro(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        repos = repo_of(df["vec_id"].to_numpy())
+        rows_r, rows_n, rows_s = [], [], []
+        for r in pd.unique(repos):
+            sub = q[repos == r]
+            rows_r.append(r)
+            rows_n.append(len(sub))
+            rows_s.append(sub.sum(axis=0).astype("int64"))
+        return pd.DataFrame({
+            "repo": rows_r,
+            "n": np.array(rows_n, dtype="int64"),
+            "s": rows_s,
+        })
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        # vector-payload reduce: one string-keyed groupby over
+        # batches×|repos| rows beats the (repo, idx)-exploded groupby by
+        # 3× (measured — 5,888 tiny groups cost more than 92 vector sums)
+        return pd.DataFrame({
+            "repo": [g["repo"].iloc[0]],
+            "n": [int(g["n"].sum())],
+            "s": [np.sum(np.stack(g["s"].to_numpy()), axis=0)],
+        })
+
+    sums = grouped(
+        read().map_batches(sum_partial, batch_format="pandas"), "repo"
+    ).map_groups(reduce_group, batch_format="pandas").to_pandas()
+    cents: dict[str, np.ndarray] = {}
+    for _, row in sums.iterrows():
+        n = int(row["n"])
+        # Lloyd centroid convention: int64 → double → floor (IEEE-identical
+        # to the SQL mirror's CAST(FLOOR(SUM(v)::DOUBLE / n) AS BIGINT))
+        cents[row["repo"]] = np.floor(
+            np.asarray(row["s"], dtype=np.int64).astype(np.float64) / n
+        ).astype(np.int64)
+    cref = ray.put(cents)
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cent = ray.get(cref)
+        q = _micro(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        repos = repo_of(df["vec_id"].to_numpy())
+        out_r, out_d, out_n = [], [], []
+        for r in pd.unique(repos):
+            sub = q[repos == r]
+            diff = sub - cent[r][None, :]
+            out_r.append(r)
+            out_d.append(int(np.einsum("ij,ij->", diff, diff)))
+            out_n.append(len(sub))
+        return pd.DataFrame({"repo": out_r, "d2": out_d, "n": out_n})
+
+    agg = grouped(
+        read().map_batches(dist_partial, batch_format="pandas"), "repo"
+    ).aggregate(Sum("d2", alias_name="d2"), Sum("n", alias_name="n"))
+
+    def final(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n"], pa.int64())
+        d2 = pc.cast(b["d2"], pa.int64())
+        return pa.table({
+            "repo": b["repo"],
+            "n_vecs": n,
+            "mean_dist2": pc.cast(pc.divide(d2, n), pa.int64()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4643,6 +4744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packing_waste": q_packing_waste,
         "ann_recall_eval": q_ann_recall_eval,
         "lateness_histogram": q_lateness_histogram,
+        "repo_semantic_cohesion": q_repo_semantic_cohesion,
     }
 
 def oracle_sql() -> dict[str, str]:

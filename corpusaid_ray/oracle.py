@@ -2151,6 +2151,35 @@ FROM best b JOIN nxt n USING (vec_id) JOIN x2 x USING (vec_id)"""
 ORACLE_SQL["silhouette_audit"] = _silhouette_sql(8, 4)
 
 
+# repo_semantic_cohesion: per-repo centroid (Lloyd floor(S/n) convention)
+# and exact integer mean squared dispersion; repo via the corpus derivation
+# on vec_id (1:1 doc alignment).
+ORACLE_SQL["repo_semantic_cohesion"] = f"""WITH {corpus_cte()},
+ev AS MATERIALIZED (
+  SELECT vec_id, idx, CAST(FLOOR(val*1000000.0 + 0.5) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS val,
+               generate_subscripts(embedding, 1) AS idx
+        FROM embeddings)
+),
+rv AS MATERIALIZED (
+  SELECT c.repo, e.vec_id, e.idx, e.v
+  FROM ev e JOIN corpus c ON c.doc_id = e.vec_id
+),
+cent AS MATERIALIZED (
+  SELECT repo, idx,
+         CAST(FLOOR(SUM(v)::DOUBLE / COUNT(*)) AS BIGINT) AS c
+  FROM rv GROUP BY repo, idx
+),
+d AS (
+  SELECT r.repo, r.vec_id, SUM((r.v - c.c)*(r.v - c.c)) AS d2
+  FROM rv r JOIN cent c ON c.repo = r.repo AND c.idx = r.idx
+  GROUP BY r.repo, r.vec_id
+)
+SELECT repo, count(*)::BIGINT AS n_vecs,
+       (sum(d2) // count(*))::BIGINT AS mean_dist2
+FROM d GROUP BY repo"""
+
+
 def _kcenter_parts(k: int = 8) -> list[str]:
     """Shared unrolled Gonzalez chain (mirrors ``stages/coreset``): the same
     ``ev`` fixed-point quantization as the Lloyd mirror, seed = min vec_id,

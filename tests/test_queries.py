@@ -181,6 +181,30 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_repo_semantic_cohesion_hand_computed(ray_session, tmp_path):
+    """Planted geometry: two bigcorp vectors at 1 and 3 → centroid 2, mean
+    dispersion exactly 10¹² micro²; a singleton repo scores 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as e
+
+    # vec_id 0,1 → bigcorp/monorepo (id%20<8); vec_id 8 → org1/repo8
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 8], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0, 0, 0], [3.0, 0, 0, 0], [7.0, 0, 0, 0]],
+            pa.list_(pa.float32()),
+        ),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    out = e.q_repo_semantic_cohesion(str(d)).to_pandas().set_index("repo")
+    assert out.loc["bigcorp/monorepo", "n_vecs"] == 2
+    assert out.loc["bigcorp/monorepo", "mean_dist2"] == 10**12
+    assert out.loc["org1/repo8", "mean_dist2"] == 0
+
+
 def test_lateness_histogram_planted(ray_session):
     """Planted out-of-order stream: boundary-exact buckets (60 s → late_1m,
     3600 s → late_1h) and the cross-bucket watermark carry at
