@@ -2393,7 +2393,12 @@ def q_semantic_kept_corpus(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
-    joined = hash_join(docs, verdicts, on="doc_id", num_partitions=16)
+    from corpusaid_ray.util import drop_empty_blocks
+
+    # map_groups can emit zero-column empty pandas blocks on sparse input —
+    # scrub before the join (hash_join docstring CAUTION)
+    joined = hash_join(docs, drop_empty_blocks(verdicts),
+                       on="doc_id", num_partitions=16)
 
     def flag(batch):
         import pyarrow as pa
@@ -4073,6 +4078,8 @@ def q_quality_dedup_corpus(sf_dir: str):
 
     corpus = _corpus(sf_dir)
     groups = duplicate_groups(ngram_duplicates(corpus, threshold=0.8))
+    if not len(groups):  # no duplicate clusters → nothing to drop
+        return corpus.select_columns(["repo", "path", "lang"])
     member_ref = ray.put(pa.array(sorted(groups.path), pa.string()))
 
     def lengths(batch: pa.Table) -> pa.Table:

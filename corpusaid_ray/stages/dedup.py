@@ -137,8 +137,13 @@ def cross_dedup(incoming, existing, *, key_col: str = "content_sha256",
         from corpusaid_ray.util import join_partitions
 
         num_partitions = join_partitions()
-    keys = existing.select_columns([key_col])
-    return incoming.join(
+    from corpusaid_ray.util import drop_empty_blocks
+
+    # sparse inputs can hand the join empty blocks (a filter that keeps
+    # nothing); acero crashes on them — scrub both sides (the join
+    # materializes for its shuffle anyway)
+    keys = drop_empty_blocks(existing.select_columns([key_col]))
+    return drop_empty_blocks(incoming).join(
         keys,
         join_type="left_anti",
         num_partitions=num_partitions,

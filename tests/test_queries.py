@@ -181,6 +181,28 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_sparse_input_robustness(ray_session, tmp_path):
+    """16-row table slices (no duplicate clusters, empty filter branches,
+    empty map_groups outputs) must not crash the join-bearing queries —
+    the acero empty-block class and the empty-groups KeyError class."""
+    import pyarrow.parquet as pq_
+    import ray.data
+    import __ray_entry__ as e
+
+    d = tmp_path / "mini"
+    d.mkdir()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        tbl = pq_.read_table(f"{SF_SMALL}/{t}.parquet")
+        pq_.write_table(tbl.slice(0, 16), d / f"{t}.parquet")
+    qs = e.queries()
+    for name in ("cross_dedup", "semantic_kept_corpus",
+                 "quality_dedup_corpus"):
+        res = qs[name](str(d))
+        n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+        assert n >= 0
+
+
 def test_repo_semantic_cohesion_hand_computed(ray_session, tmp_path):
     """Planted geometry: two bigcorp vectors at 1 and 3 → centroid 2, mean
     dispersion exactly 10¹² micro²; a singleton repo scores 0."""
