@@ -4554,6 +4554,37 @@ def q_repo_semantic_cohesion(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+def q_window_distinct_users(sf_dir: str):
+    """Exact distinct users per 1-hour tumbling window — the audience
+    counterpart of `events_window`'s volume aggregate. Batch-local
+    (window, user) dedup bounds the exchange at distinct pairs per batch;
+    the per-window nunique runs in one |windows|-group `map_groups` (the
+    measured-fast shape — few vector groups beat many tiny ones)."""
+    import pandas as pd
+    import ray.data
+
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start": df["ts"].dt.floor("1h"),
+            "user_id": df["user_id"],
+        }).drop_duplicates()
+
+    def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start": [g["window_start"].iloc[0]],
+            "n_users": [int(g["user_id"].nunique())],
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return grouped(
+        ds.map_batches(partial, batch_format="pandas"), "window_start"
+    ).map_groups(nuniq, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4752,6 +4783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_eval": q_ann_recall_eval,
         "lateness_histogram": q_lateness_histogram,
         "repo_semantic_cohesion": q_repo_semantic_cohesion,
+        "window_distinct_users": q_window_distinct_users,
     }
 
 def oracle_sql() -> dict[str, str]:

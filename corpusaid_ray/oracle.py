@@ -510,6 +510,13 @@ FROM tok GROUP BY token
 ORDER BY tfdf_micros DESC, token
 LIMIT 50"""
 
+# window_distinct_users: exact per-hour distinct users (pandas dt.floor
+# ≡ date_trunc on tz-naive µs timestamps).
+ORACLE_SQL["window_distinct_users"] = """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1"""
+
 # lateness_histogram: lateness vs the global running watermark in arrival
 # (event_id) order — exclusive window max, greatest-0 clip, fixed buckets.
 ORACLE_SQL["lateness_histogram"] = """

@@ -181,6 +181,23 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_window_distinct_users_bounds(ray_session):
+    """Distinct ≤ events per window; total distinct pairs conserved."""
+    import pandas as pd
+    import __ray_entry__ as e
+
+    out = e.q_window_distinct_users(SF_SMALL).to_pandas()
+    ev = pq.read_table(
+        f"{SF_SMALL}/events.parquet", columns=["ts", "user_id"]
+    ).to_pandas()
+    ev["w"] = ev.ts.dt.floor("1h")
+    ref = ev.groupby("w")["user_id"].nunique()
+    got = out.set_index("window_start")["n_users"].sort_index()
+    pd.testing.assert_series_equal(
+        got, ref.sort_index(), check_names=False, check_index_type=False
+    )
+
+
 def test_sparse_input_robustness(ray_session, tmp_path):
     """16-row table slices (no duplicate clusters, empty filter branches,
     empty map_groups outputs) must not crash the join-bearing queries —
