@@ -4585,6 +4585,68 @@ def q_window_distinct_users(sf_dir: str):
     ).map_groups(nuniq, batch_format="pandas")
 
 
+def q_customer_order_dist(sf_dir: str):
+    """TPC-H Q13-shaped distribution-of-a-distribution: how many customers
+    placed exactly k orders, INCLUDING the zero-order customers a plain
+    inner join silently drops (LEFT OUTER + null→0). Batch combiner on
+    both reductions keeps each exchange at distinct keys per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        # Arrow-native combiner: pandas partials here measured 2.3× slower
+        # end-to-end (pandas blocks force conversions in the exchange)
+        t = b.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "n": pc.cast(t["o_custkey_count"], pa.int64()),
+        })
+
+    counts = grouped(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        ).map_batches(order_partial, batch_format="pyarrow"),
+        "c_custkey",
+    ).aggregate(Sum("n", alias_name="n_orders"))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    from corpusaid_ray.util import join_partitions
+
+    # exchange width 16 (raise the cap with cluster size — the helper's
+    # contract); 64 aggregator actors dominate this join at gate scale
+    joined = hash_join(cust, drop_empty_blocks(counts), on="c_custkey",
+                       join_type="left_outer",
+                       num_partitions=join_partitions(cap=16))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(b["n_orders"], pa.int64()), 0)
+        t = pa.table({"n_orders": n}).group_by("n_orders").aggregate(
+            [("n_orders", "count")]
+        )
+        return pa.table({
+            "n_orders": t["n_orders"],
+            "c": pc.cast(t["n_orders_count"], pa.int64()),
+        })
+
+    agg = grouped(
+        joined.map_batches(hist_partial, batch_format="pyarrow"), "n_orders"
+    ).aggregate(Sum("c", alias_name="n_customers"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_orders": b["n_orders"],
+            "n_customers": pc.cast(b["n_customers"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4784,6 +4846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lateness_histogram": q_lateness_histogram,
         "repo_semantic_cohesion": q_repo_semantic_cohesion,
         "window_distinct_users": q_window_distinct_users,
+        "customer_order_dist": q_customer_order_dist,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -554,6 +554,17 @@ SELECT user_id, session_id::BIGINT AS session_id,
        sum(CAST(floor(value * 1000000) AS BIGINT))::BIGINT AS sum_value_micros
 FROM sess GROUP BY user_id, session_id"""
 
+# customer_order_dist: TPC-H Q13 shape — orders per customer (zero-order
+# customers kept via LEFT JOIN) reduced to a distribution.
+ORACLE_SQL["customer_order_dist"] = """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, count(*)::BIGINT AS n_customers
+FROM c_orders GROUP BY n_orders"""
+
 ORACLE_SQL["orders_by_nation"] = """
 SELECT n.n_name,
        count(*)::BIGINT AS n_orders,

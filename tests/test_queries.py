@@ -181,6 +181,24 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_customer_order_dist_conservation(ray_session):
+    """Distribution mass equals the customer count and order mass equals
+    the orders count; the zero-order bucket is present iff some customer
+    never ordered."""
+    import __ray_entry__ as e
+
+    out = e.q_customer_order_dist(SF_SMALL).to_pandas()
+    n_cust = pq.read_table(f"{SF_SMALL}/customer.parquet").num_rows
+    orders = pq.read_table(f"{SF_SMALL}/orders.parquet",
+                           columns=["o_custkey"])
+    assert int(out.n_customers.sum()) == n_cust
+    assert int((out.n_orders * out.n_customers).sum()) == orders.num_rows
+    cust_with = len(set(orders["o_custkey"].to_pylist()))
+    zero = out[out.n_orders == 0]
+    assert (int(zero.n_customers.iloc[0]) if len(zero) else 0) \
+        == n_cust - cust_with
+
+
 def test_window_distinct_users_bounds(ray_session):
     """Distinct ≤ events per window; total distinct pairs conserved."""
     import pandas as pd
