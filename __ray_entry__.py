@@ -4647,6 +4647,27 @@ def q_customer_order_dist(sf_dir: str):
     )
 
 
+def q_log_hist_percentiles(sf_dir: str):
+    """Mergeable log₂-histogram quantile sketch per language over doc
+    lengths (`stages/sketch.log_histogram_percentiles`): single-pass,
+    additive O(groups×64) state — the percentile shape that survives
+    100 TB with zero reshuffles, reporting the pinned bucket lower
+    bounds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from corpusaid_ray.stages.sketch import log_histogram_percentiles
+
+    corpus = _corpus(sf_dir).map_batches(
+        lambda b: pa.table({
+            "lang": b["lang"],
+            "n_chars": pc.cast(pc.utf8_length(b["content"]), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return log_histogram_percentiles(corpus)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4847,6 +4868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_semantic_cohesion": q_repo_semantic_cohesion,
         "window_distinct_users": q_window_distinct_users,
         "customer_order_dist": q_customer_order_dist,
+        "log_hist_percentiles": q_log_hist_percentiles,
     }
 
 def oracle_sql() -> dict[str, str]:

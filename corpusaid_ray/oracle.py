@@ -832,6 +832,37 @@ SELECT lang, count(*)::BIGINT AS n_docs,
         // count(*))::BIGINT AS dup_micros
 FROM corpus GROUP BY lang""")
 
+# log_hist_percentiles: the log₂-histogram quantile sketch — bucket = bit
+# length via length(bin(x)) (integer-exact), ceil-rank (p·n+99)//100, the
+# bucket's lower bound 1<<(b−1) as the reported statistic.
+ORACLE_SQL["log_hist_percentiles"] = with_corpus("""
+, l AS (SELECT lang, length(content)::BIGINT AS n FROM corpus),
+b AS (SELECT lang,
+             (CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END)::BIGINT AS bkt
+      FROM l),
+h AS (SELECT lang, bkt, count(*)::BIGINT AS c FROM b GROUP BY lang, bkt),
+tot AS (SELECT lang, sum(c)::BIGINT AS n FROM h GROUP BY lang),
+cum AS (
+  SELECT h.lang, h.bkt, sum(h2.c)::BIGINT AS cum
+  FROM h JOIN h h2 ON h2.lang = h.lang AND h2.bkt <= h.bkt
+  GROUP BY h.lang, h.bkt
+),
+pick AS (
+  SELECT t.lang, t.n,
+         min(CASE WHEN c.cum >= (50 * t.n + 99) // 100
+                  THEN c.bkt END) AS b50,
+         min(CASE WHEN c.cum >= (90 * t.n + 99) // 100
+                  THEN c.bkt END) AS b90
+  FROM tot t JOIN cum c ON c.lang = t.lang
+  GROUP BY t.lang, t.n
+)
+SELECT lang, n,
+       (CASE WHEN b50 = 0 THEN 0 ELSE 1::BIGINT << (b50 - 1) END)::BIGINT
+         AS p50_lb,
+       (CASE WHEN b90 = 0 THEN 0 ELSE 1::BIGINT << (b90 - 1) END)::BIGINT
+         AS p90_lb
+FROM pick""")
+
 # repo_simpson: Simpson concentration Σ n_g(n_g−1) / N(N−1) in exact
 # integers (DuckDB sums promote to HUGEINT; the engine accumulates Python
 # ints), one truncating micro division.

@@ -438,3 +438,71 @@ def cms_merge(a: dict[tuple[int, int], int],
     for k, v in b.items():
         out[k] = out.get(k, 0) + v
     return out
+
+
+def _bit_lengths(n: np.ndarray) -> np.ndarray:
+    """Exact integer bit lengths (0 → 0) — computed on the DISTINCT values
+    with Python's ``int.bit_length`` (no float log2 boundary risk), then
+    gathered per row."""
+    uniq, inv = np.unique(n, return_inverse=True)
+    bl = np.fromiter((int(x).bit_length() for x in uniq), dtype=np.int64,
+                     count=len(uniq))
+    return bl[inv]
+
+
+def log_histogram_percentiles(ds, *, key: str = "lang",
+                              value_col: str = "n_chars",
+                              percentiles: tuple[int, ...] = (50, 90)):
+    """Mergeable log₂-histogram quantile SKETCH per group — the streaming
+    alternative to the exact range-partition percentiles when a single
+    pass and O(groups × 64) state must suffice (the shape that survives
+    100 TB with zero reshuffles: per-batch histograms ADD, like the
+    HLL/CMS family).
+
+    Pinned integer rules shared with the SQL mirror: bucket = bit length
+    of the value (0 → bucket 0); quantile rank is the ceil-rank
+    ``(p·n + 99) // 100``; the reported statistic is the LOWER BOUND of
+    the bucket holding that rank (``2^(b−1)``, 0 for bucket 0) — a
+    guaranteed ≤-2× underestimate, which is the sketch's documented
+    contract. Returns one row per group: ``(key, n, p{p}_lb …)``.
+
+    Driver state: |groups| × ≤64 histogram rows (the take_all is bounded
+    by construction, like the HLL register table)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = _bit_lengths(df[value_col].to_numpy(np.int64))
+        g = (
+            pd.DataFrame({key: df[key], "bkt": b})
+            .groupby([key, "bkt"], sort=False).size().rename("c")
+            .reset_index()
+        )
+        return g
+
+    hist = grouped(
+        ds.map_batches(partial, batch_format="pandas"), [key, "bkt"]
+    ).aggregate(Sum("c", alias_name="c")).to_pandas()
+
+    rows = []
+    for k_, g in hist.groupby(key):
+        g = g.sort_values("bkt")
+        c = g["c"].to_numpy(np.int64)
+        bkt = g["bkt"].to_numpy(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        row = {key: k_, "n": n}
+        for p in percentiles:
+            rank = (p * n + 99) // 100
+            i = int(np.searchsorted(cum, rank, side="left"))
+            b = int(bkt[i])
+            row[f"p{p}_lb"] = 0 if b == 0 else 1 << (b - 1)
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values(key).reset_index(drop=True)
+    for col in out.columns:
+        if col != key:
+            out[col] = out[col].astype("int64")
+    return out

@@ -181,6 +181,31 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_log_hist_percentile_sketch(ray_session):
+    """Hand-computed buckets, the ≤2× lower-bound contract against exact
+    ceil-rank quantiles, and layout invariance (additive histograms)."""
+    import pyarrow as pa
+    import ray.data
+    from corpusaid_ray.stages.sketch import log_histogram_percentiles
+
+    vals = [1, 2, 3, 8, 100]
+    t = pa.table({
+        "lang": pa.array(["x"] * 5, pa.string()),
+        "n_chars": pa.array(vals, pa.int64()),
+    })
+    out = log_histogram_percentiles(ray.data.from_arrow(t))
+    assert out.n[0] == 5
+    assert out.p50_lb[0] == 2   # ceil-rank 3 lands in bucket 2 → lb 2
+    assert out.p90_lb[0] == 64  # rank 5 lands in bucket 7 → lb 64
+    # sketch contract: lb ≤ exact < 2·lb (exact p50 = 3, p90 = 100)
+    assert out.p50_lb[0] <= 3 < 2 * out.p50_lb[0]
+    assert out.p90_lb[0] <= 100 < 2 * out.p90_lb[0]
+    split = log_histogram_percentiles(
+        ray.data.from_arrow(t).repartition(4)
+    )
+    assert split.equals(out)
+
+
 def test_customer_order_dist_conservation(ray_session):
     """Distribution mass equals the customer count and order mass equals
     the orders count; the zero-order bucket is present iff some customer
