@@ -4668,6 +4668,52 @@ def q_log_hist_percentiles(sf_dir: str):
     return log_histogram_percentiles(corpus)
 
 
+def q_vocab_coverage_curve(sf_dir: str):
+    """Vocabulary coverage curve: the fraction of token OCCURRENCES covered
+    by the top-K corpus tokens at K ∈ {100, 300, 1000} — with
+    `vocab_growth` (distinct side) and `oov_scores` (per-doc side), the
+    third leg of the tokenizer-sizing triad. Word_freq's combiner shape:
+    ≤|batch vocab| rows per exchange; only the top-1000 survivors plus one
+    total reach the driver; the ratio is one exact micro division per
+    checkpoint."""
+    import pandas as pd
+    import ray.data
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(TOKEN_RE.findall(t))
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": list(c.values())})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    freq = grouped(
+        ds.map_batches(partial, batch_format="pandas"), "token"
+    ).aggregate(Sum("n", alias_name="n"))
+    total = freq.sum("n")
+    top = freq.sort(["n", "token"], descending=[True, False]).limit(
+        1000
+    ).to_pandas()
+    cum = top["n"].to_numpy().cumsum()
+    rows = []
+    for k in (100, 300, 1000):
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append({
+            "k": k,
+            "covered": covered,
+            "total": int(total),
+            "coverage_micros": covered * 1_000_000 // max(int(total), 1),
+        })
+    out = pd.DataFrame(rows)
+    return out.astype({c: "int64" for c in out.columns})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4869,6 +4915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": q_window_distinct_users,
         "customer_order_dist": q_customer_order_dist,
         "log_hist_percentiles": q_log_hist_percentiles,
+        "vocab_coverage_curve": q_vocab_coverage_curve,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -461,6 +461,30 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT 50"""
 
+# vocab_coverage_curve: occurrence mass covered by the top-K tokens —
+# ranked window cumsum with the (n DESC, token ASC) total order.
+ORACLE_SQL["vocab_coverage_curve"] = r"""
+WITH freq AS (
+  SELECT token, count(*)::BIGINT AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '\w+|[^\w\s]')) AS token
+        FROM documents)
+  GROUP BY token
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS r,
+         sum(n) OVER (ORDER BY n DESC, token ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq
+),
+tot AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS v FROM freq)
+SELECT k.k::BIGINT AS k,
+       (SELECT cum FROM ranked
+        WHERE r = least(k.k, tot.v))::BIGINT AS covered,
+       tot.total,
+       ((SELECT cum FROM ranked WHERE r = least(k.k, tot.v))
+        * 1000000 // greatest(tot.total, 1))::BIGINT AS coverage_micros
+FROM (VALUES (100), (300), (1000)) k(k), tot"""
+
 # vocab_growth: Heaps'-law checkpoints — window exclusive prefix sum gives
 # each doc its global token offset (doc_id order, 1-based in-doc positions),
 # min(off + i) per token is the first occurrence, LEFT JOIN on fp ≤ boundary

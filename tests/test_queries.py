@@ -181,6 +181,22 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_vocab_coverage_curve_properties(ray_session):
+    """Monotone in K, bounded by 10⁶ micros, ties to word_freq's mass."""
+    import __ray_entry__ as e
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+
+    out = e.q_vocab_coverage_curve(SF_SMALL).set_index("k")
+    assert out.covered.is_monotonic_increasing
+    assert (out.coverage_micros <= 1_000_000).all()
+    docs = pq.read_table(f"{SF_SMALL}/documents.parquet", columns=["text"])
+    total = sum(len(TOKEN_RE.findall(t)) for t in docs["text"].to_pylist())
+    assert (out.total == total).all()
+    wf = e.q_word_freq(SF_SMALL).to_pandas()
+    # the top-100 coverage must be at least the top-50 exact mass
+    assert out.loc[100, "covered"] >= int(wf.n.sum())
+
+
 def test_log_hist_percentile_sketch(ray_session):
     """Hand-computed buckets, the ≤2× lower-bound contract against exact
     ceil-rank quantiles, and layout invariance (additive histograms)."""
