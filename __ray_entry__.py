@@ -4714,6 +4714,51 @@ def q_vocab_coverage_curve(sf_dir: str):
     return out.astype({c: "int64" for c in out.columns})
 
 
+def q_lm_drift_by_snapshot(sf_dir: str):
+    """Data-drift monitor: mean LM fluency per crawl snapshot (the pinned
+    doc_id%4 derivation) — the number an ops dashboard watches to catch a
+    crawl whose quality distribution moved before it poisons a mix. Rides
+    the verified bigram-LM scoring; one 4-row groupby; integer mean
+    (sum // n)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.ngram_lm import fit_bigram_lm, score_docs_lm
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lm = fit_bigram_lm(ds, top_k=5, min_head_count=10).to_pandas()
+    scored = score_docs_lm(ds, lm)
+
+    def snap(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "snapshot": pc.cast(
+                pc.bit_wise_and(b["doc_id"], 3), pa.int64()
+            ),
+            "avg_pfp": pc.cast(b["avg_pfp"], pa.int64()),
+        })
+
+    agg = grouped(
+        scored.map_batches(snap, batch_format="pyarrow"), "snapshot"
+    ).aggregate(Count(alias_name="n_docs"), Sum("avg_pfp", alias_name="s"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "snapshot": b["snapshot"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "mean_avg_pfp": pc.cast(
+                pc.divide(pc.cast(b["s"], pa.int64()),
+                          pc.cast(b["n_docs"], pa.int64())),
+                pa.int64(),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4916,6 +4961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_dist": q_customer_order_dist,
         "log_hist_percentiles": q_log_hist_percentiles,
         "vocab_coverage_curve": q_vocab_coverage_curve,
+        "lm_drift_by_snapshot": q_lm_drift_by_snapshot,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -2419,6 +2419,16 @@ GROUP BY b.doc_id"""
 
 ORACLE_SQL["lm_doc_score"] = _lm_doc_score_sql()
 
+# lm_drift_by_snapshot: the scoring mirror regrouped by the pinned doc_id%4
+# snapshot derivation — integer mean (sum // n); doc_id%4 == doc_id&3 for
+# the non-negative ids.
+ORACLE_SQL["lm_drift_by_snapshot"] = f"""
+SELECT (doc_id % 4)::BIGINT AS snapshot,
+       count(*)::BIGINT AS n_docs,
+       (sum(avg_pfp) // count(*))::BIGINT AS mean_avg_pfp
+FROM ({_lm_doc_score_sql()}) t
+GROUP BY doc_id % 4"""
+
 
 def _ccnet_buckets_sql() -> str:
     """Chained mirror for ``aggregates.bucket_by_group_terciles`` over LM

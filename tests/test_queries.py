@@ -181,6 +181,20 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_lm_drift_by_snapshot_ties_to_scores(ray_session):
+    """Snapshot means tie exactly to the per-doc LM scores."""
+    import __ray_entry__ as e
+
+    drift = e.q_lm_drift_by_snapshot(SF_SMALL).to_pandas().set_index(
+        "snapshot"
+    )
+    scored = e.q_lm_doc_score(SF_SMALL).to_pandas()
+    scored["snapshot"] = scored.doc_id % 4
+    for s, g in scored.groupby("snapshot"):
+        assert drift.loc[s, "n_docs"] == len(g)
+        assert drift.loc[s, "mean_avg_pfp"] == int(g.avg_pfp.sum()) // len(g)
+
+
 def test_vocab_coverage_curve_properties(ray_session):
     """Monotone in K, bounded by 10⁶ micros, ties to word_freq's mass."""
     import __ray_entry__ as e
