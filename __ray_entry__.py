@@ -4759,6 +4759,95 @@ def q_lm_drift_by_snapshot(sf_dir: str):
     )
 
 
+def q_top_boilerplate_lines(sf_dir: str):
+    """The inspection view behind the boilerplate scrub: the 20 highest
+    document-frequency non-empty lines — what an operator reads to sanity
+    the min_df threshold before a destructive pass. Same batch-local
+    distinct-(doc, line) combiner as `boilerplate_line_removal`'s pass 1;
+    (df DESC, line ASC) total order makes the cut deterministic."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.linedup import _explode_lines
+    from corpusaid_ray.util import grouped
+
+    exploded = _corpus(sf_dir).map_batches(
+        lambda b: _explode_lines(b, "content", "path"),
+        batch_format="pyarrow",
+    )
+
+    def partial_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["line"] != ""]
+        g = (
+            df.drop_duplicates(["path", "line"])
+            .groupby("line", sort=False).size().rename("df").reset_index()
+        )
+        return g
+
+    counts = grouped(
+        exploded.map_batches(partial_df, batch_format="pandas"), "line"
+    ).aggregate(Sum("df", alias_name="df"))
+    return counts.sort(["df", "line"], descending=[True, False]).limit(20)
+
+
+def q_dedup_savings(sf_dir: str):
+    """What exact dedup is worth, per language: total bytes, bytes after
+    first-wins dedup, and the saved fraction in exact micros — the number
+    that justifies (or kills) a dedup stage in a pipeline review.
+    Identical contents share a length, so the per-(lang, sha) group
+    carries (n, len) and both byte totals reduce from |groups| rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min, Sum
+
+    from corpusaid_ray.stages.dedup import add_sha256
+    from corpusaid_ray.util import grouped
+
+    hashed = _corpus(sf_dir).map_batches(
+        lambda b: pa.table({
+            "lang": b["lang"],
+            "sha": add_sha256(b)["content_sha256"],
+            "nbytes": pc.cast(pc.binary_length(b["content"]), pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    per_sha = grouped(hashed, ["lang", "sha"]).aggregate(
+        Count(alias_name="n"), Min("nbytes", alias_name="len")
+    )
+
+    def spread(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n"], pa.int64())
+        ln = pc.cast(b["len"], pa.int64())
+        return pa.table({
+            "lang": b["lang"],
+            "total": pc.multiply(n, ln),
+            "dist": ln,
+        })
+
+    agg = grouped(
+        per_sha.map_batches(spread, batch_format="pyarrow"), "lang"
+    ).aggregate(Sum("total", alias_name="bytes_total"),
+                Sum("dist", alias_name="bytes_distinct"))
+
+    def rate(b: pa.Table) -> pa.Table:
+        tot = pc.cast(b["bytes_total"], pa.int64())
+        dist = pc.cast(b["bytes_distinct"], pa.int64())
+        saved = pc.subtract(tot, dist)
+        return pa.table({
+            "lang": b["lang"],
+            "bytes_total": tot,
+            "bytes_distinct": dist,
+            "saved_micros": pc.cast(
+                pc.divide(pc.multiply(saved, 1_000_000),
+                          pc.max_element_wise(tot, pa.scalar(1, pa.int64()))),
+                pa.int64(),
+            ),
+        })
+
+    return agg.map_batches(rate, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -4962,6 +5051,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_hist_percentiles": q_log_hist_percentiles,
         "vocab_coverage_curve": q_vocab_coverage_curve,
         "lm_drift_by_snapshot": q_lm_drift_by_snapshot,
+        "top_boilerplate_lines": q_top_boilerplate_lines,
+        "dedup_savings": q_dedup_savings,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -2947,6 +2947,35 @@ GROUP BY l.path""")
 
 ORACLE_SQL["boilerplate_lines"] = _boilerplate_lines_sql()
 
+# top_boilerplate_lines: the inspection view — top-20 document-frequency
+# non-empty lines under the (df DESC, line ASC) total order.
+ORACLE_SQL["top_boilerplate_lines"] = with_corpus("""
+, lines AS (
+  SELECT path, unnest(string_split(content, chr(10))) AS line
+  FROM corpus
+)
+SELECT line, count(DISTINCT path)::BIGINT AS df
+FROM lines WHERE line != ''
+GROUP BY line
+ORDER BY df DESC, line ASC
+LIMIT 20""")
+
+# dedup_savings: per-language byte totals before/after first-wins exact
+# dedup (identical contents share a length) + the saved micro fraction.
+ORACLE_SQL["dedup_savings"] = with_corpus("""
+, g AS (
+  SELECT lang, sha256(content) AS sha,
+         count(*)::BIGINT AS n,
+         min(strlen(content))::BIGINT AS len
+  FROM corpus GROUP BY lang, sha256(content)
+)
+SELECT lang,
+       sum(n * len)::BIGINT AS bytes_total,
+       sum(len)::BIGINT AS bytes_distinct,
+       ((sum(n * len) - sum(len)) * 1000000
+        // greatest(sum(n * len), 1))::BIGINT AS saved_micros
+FROM g GROUP BY lang""")
+
 
 def _license_screen_sql() -> str:
     """Mirror of stages/quality.license_screen_fn from the same pattern

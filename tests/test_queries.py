@@ -181,6 +181,34 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_top_boilerplate_lines_order_and_df(ray_session):
+    """Total order (df DESC, line ASC), df bounded by corpus size, and the
+    known duplicated payload lines rank high."""
+    import __ray_entry__ as e
+
+    out = e.q_top_boilerplate_lines(SF_SMALL).to_pandas()
+    assert len(out) == 20
+    key = list(zip(-out.df, out.line))
+    assert key == sorted(key)
+    n_docs = pq.read_table(f"{SF_SMALL}/documents.parquet").num_rows
+    assert (out.df <= n_docs).all() and (out.df >= 1).all()
+
+
+def test_dedup_savings_ties_to_dedup_rate(ray_session):
+    """Savings fractions agree in direction with dedup_rate_by_lang and
+    byte identities hold (distinct ≤ total; zero dups ⇒ zero savings)."""
+    import __ray_entry__ as e
+
+    sav = e.q_dedup_savings(SF_SMALL).to_pandas().set_index("lang")
+    rate = e.q_dedup_rate_by_lang(SF_SMALL).to_pandas().set_index("lang")
+    assert (sav.bytes_distinct <= sav.bytes_total).all()
+    for lang in sav.index:
+        if rate.loc[lang, "dup_micros"] == 0:
+            assert sav.loc[lang, "saved_micros"] == 0
+        else:
+            assert sav.loc[lang, "saved_micros"] > 0
+
+
 def test_lm_drift_by_snapshot_ties_to_scores(ray_session):
     """Snapshot means tie exactly to the per-doc LM scores."""
     import __ray_entry__ as e
