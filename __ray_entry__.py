@@ -4848,6 +4848,50 @@ def q_dedup_savings(sf_dir: str):
     return agg.map_batches(rate, batch_format="pyarrow")
 
 
+def q_gate_pass_by_lang(sf_dir: str):
+    """Gate calibration table: per language, how many docs pass Gopher,
+    pass C4, and pass both — the table a threshold review reads to see
+    WHICH population each rule family is cutting (a gate that drops 40%
+    of one language is either right or broken; this says which to
+    check). One fused map pass (both families on the same in-memory
+    batch, the ensemble shape) + one |langs|-row groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.quality import c4_rules_fn, gopher_rules_fn
+    from corpusaid_ray.util import grouped
+
+    def fused(batch: pa.Table) -> pa.Table:
+        gk = gopher_rules_fn(batch, min_words=10)["gopher_keep"]
+        ck = c4_rules_fn(batch)["c4_keep"]
+        return pa.table({
+            "lang": batch["lang"],
+            "g": pc.cast(gk, pa.int64()),
+            "c": pc.cast(ck, pa.int64()),
+            "b": pc.cast(pc.and_(gk, ck), pa.int64()),
+        })
+
+    agg = grouped(
+        _corpus(sf_dir).map_batches(fused, batch_format="pyarrow"), "lang"
+    ).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("g", alias_name="gopher_pass"),
+        Sum("c", alias_name="c4_pass"),
+        Sum("b", alias_name="both_pass"),
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "lang": b["lang"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "gopher_pass": pc.cast(b["gopher_pass"], pa.int64()),
+            "c4_pass": pc.cast(b["c4_pass"], pa.int64()),
+            "both_pass": pc.cast(b["both_pass"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -5053,6 +5097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_drift_by_snapshot": q_lm_drift_by_snapshot,
         "top_boilerplate_lines": q_top_boilerplate_lines,
         "dedup_savings": q_dedup_savings,
+        "gate_pass_by_lang": q_gate_pass_by_lang,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -4529,3 +4529,15 @@ SELECT g.path,
             ELSE '' END AS drop_reason
 FROM ({_gopher_rules_sql()}) g
 JOIN ({_c4_rules_sql()}) c USING (path)"""
+
+# gate_pass_by_lang: the calibration table — the two verified family
+# mirrors joined with the corpus lang projection, grouped per language.
+ORACLE_SQL["gate_pass_by_lang"] = f"""
+SELECT l.lang, count(*)::BIGINT AS n_docs,
+       sum(g.gopher_keep::INT)::BIGINT AS gopher_pass,
+       sum(c.c4_keep::INT)::BIGINT AS c4_pass,
+       sum((g.gopher_keep AND c.c4_keep)::INT)::BIGINT AS both_pass
+FROM ({_gopher_rules_sql()}) g
+JOIN ({_c4_rules_sql()}) c USING (path)
+JOIN (WITH {corpus_cte()} SELECT path, lang FROM corpus) l USING (path)
+GROUP BY l.lang"""

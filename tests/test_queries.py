@@ -181,6 +181,21 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_gate_pass_by_lang_ties_to_ensemble(ray_session):
+    """Per-language pass counts tie exactly to the fused ensemble rows."""
+    import __ray_entry__ as e
+
+    tab = e.q_gate_pass_by_lang(SF_SMALL).to_pandas().set_index("lang")
+    ens = e.q_quality_ensemble(SF_SMALL).to_pandas()
+    corpus = e._corpus(SF_SMALL).select_columns(["path", "lang"]).to_pandas()
+    ens = ens.merge(corpus, on="path")
+    for lang, g in ens.groupby("lang"):
+        assert tab.loc[lang, "n_docs"] == len(g)
+        assert tab.loc[lang, "gopher_pass"] == int(g.gopher_keep.sum())
+        assert tab.loc[lang, "c4_pass"] == int(g.c4_keep.sum())
+        assert tab.loc[lang, "both_pass"] == int(g.keep.sum())
+
+
 def test_top_boilerplate_lines_order_and_df(ray_session):
     """Total order (df DESC, line ASC), df bounded by corpus size, and the
     known duplicated payload lines rank high."""
