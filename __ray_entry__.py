@@ -4892,6 +4892,51 @@ def q_gate_pass_by_lang(sf_dir: str):
     )
 
 
+def q_secrets_rollup_by_repo(sf_dir: str):
+    """Credential-exposure rollup: per repo, files screened, files with a
+    hit, and total hits — the triage list a security review works down
+    (repo-level, because rotation/remediation happens per repo, not per
+    file). Rides the verified secret pattern tuple; one |repos|-row
+    groupby over int flags."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.quality import SECRET_PATTERNS, secrets_screen_fn
+    from corpusaid_ray.util import grouped
+
+    fam_cols = [n for n, _ in SECRET_PATTERNS]
+
+    def flags(batch: pa.Table) -> pa.Table:
+        t = secrets_screen_fn(batch)
+        total = None
+        for n in fam_cols:
+            c = t[n]
+            total = c if total is None else pc.add(total, c)
+        return pa.table({
+            "repo": t["repo"],
+            "hit": pc.cast(t["has_secret"], pa.int64()),
+            "n_hits": pc.cast(total, pa.int64()),
+        })
+
+    agg = grouped(
+        _corpus(sf_dir).map_batches(flags, batch_format="pyarrow"), "repo"
+    ).aggregate(
+        Count(alias_name="n_files"),
+        Sum("hit", alias_name="files_with_secret"),
+        Sum("n_hits", alias_name="total_hits"),
+    )
+    return agg.map_batches(
+        lambda b: pa.table({
+            "repo": b["repo"],
+            "n_files": pc.cast(b["n_files"], pa.int64()),
+            "files_with_secret": pc.cast(b["files_with_secret"], pa.int64()),
+            "total_hits": pc.cast(b["total_hits"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -5098,6 +5143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_boilerplate_lines": q_top_boilerplate_lines,
         "dedup_savings": q_dedup_savings,
         "gate_pass_by_lang": q_gate_pass_by_lang,
+        "secrets_rollup_by_repo": q_secrets_rollup_by_repo,
     }
 
 def oracle_sql() -> dict[str, str]:

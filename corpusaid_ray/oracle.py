@@ -1990,6 +1990,30 @@ FROM m""")
 ORACLE_SQL["secrets_screen"] = _secrets_screen_sql()
 
 
+def _secrets_rollup_sql() -> str:
+    """Per-repo rollup off the same pattern tuple."""
+    from corpusaid_ray.stages.quality import SECRET_PATTERNS
+
+    cols = ",\n       ".join(
+        f"length(regexp_extract_all(content, {sql_quote(pat)}))::BIGINT AS {name}"
+        for name, pat in SECRET_PATTERNS
+    )
+    total = " + ".join(name for name, _ in SECRET_PATTERNS)
+    return with_corpus(f"""
+, m AS (
+  SELECT repo,
+       {cols}
+  FROM corpus
+)
+SELECT repo, count(*)::BIGINT AS n_files,
+       sum((({total}) > 0)::INT)::BIGINT AS files_with_secret,
+       sum({total})::BIGINT AS total_hits
+FROM m GROUP BY repo""")
+
+
+ORACLE_SQL["secrets_rollup_by_repo"] = _secrets_rollup_sql()
+
+
 # Sequence-length histogram: width-16 word-count bins with doc/word totals.
 ORACLE_SQL["seq_len_histogram"] = f"""
 WITH nw AS (SELECT {_word_count_sql('text')} AS n FROM documents)

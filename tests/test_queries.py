@@ -181,6 +181,25 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_secrets_rollup_ties_to_screen(ray_session):
+    """Rollup sums tie exactly to the per-file secrets screen."""
+    import __ray_entry__ as e
+    from corpusaid_ray.stages.quality import SECRET_PATTERNS, secrets_screen_fn
+
+    out = e.q_secrets_rollup_by_repo(SF_SMALL).to_pandas().set_index("repo")
+    per = e._corpus(SF_SMALL).map_batches(
+        secrets_screen_fn, batch_format="pyarrow"
+    ).to_pandas()
+    fam = [n for n, _ in SECRET_PATTERNS]
+    per["hits"] = per[fam].sum(axis=1)
+    g = per.groupby("repo").agg(
+        n=("path", "size"), f=("has_secret", "sum"), h=("hits", "sum")
+    )
+    assert (out.n_files == g.n).all()
+    assert (out.files_with_secret == g.f).all()
+    assert (out.total_hits == g.h).all()
+
+
 def test_gate_pass_by_lang_ties_to_ensemble(ray_session):
     """Per-language pass counts tie exactly to the fused ensemble rows."""
     import __ray_entry__ as e
