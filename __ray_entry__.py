@@ -4937,6 +4937,58 @@ def q_secrets_rollup_by_repo(sf_dir: str):
     )
 
 
+def q_cdc_savings(sf_dir: str):
+    """What chunk-level dedup is worth in BYTES: total vs distinct
+    content-defined-chunk bytes and the saved micro fraction — the
+    storage/transfer number CDC exists to produce (counts alone, which
+    `cdc_stats` reports, overweight small chunks). Rides the verified CDC
+    chunker; one hash-partitioned groupby over chunk strings with a
+    per-(chunk) (n, len) reduction — identical chunks share a length."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from corpusaid_ray.stages.cdc import cdc_chunks
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    chunks = cdc_chunks(ds)
+
+    def lens(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "chunk": b["chunk"],
+            "len": pc.cast(pc.binary_length(b["chunk"]), pa.int64()),
+        })
+
+    per = grouped(
+        chunks.map_batches(lens, batch_format="pyarrow"), "chunk"
+    ).aggregate(Count(alias_name="n"), Min("len", alias_name="len"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n"], pa.int64())
+        ln = pc.cast(b["len"], pa.int64())
+        return pa.table({
+            "t": pa.array([int(pc.sum(pc.multiply(n, ln)).as_py() or 0)],
+                          pa.int64()),
+            "d": pa.array([int(pc.sum(ln).as_py() or 0)], pa.int64()),
+        })
+
+    rows = per.map_batches(partial, batch_format="pyarrow").take_all()
+    total = sum(int(r["t"]) for r in rows)
+    dist = sum(int(r["d"]) for r in rows)
+    import pandas as pd
+
+    return pd.DataFrame({
+        "total_bytes": pd.array([total], dtype="int64"),
+        "distinct_bytes": pd.array([dist], dtype="int64"),
+        "saved_micros": pd.array(
+            [(total - dist) * 1_000_000 // max(total, 1)], dtype="int64"
+        ),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -5144,6 +5196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_savings": q_dedup_savings,
         "gate_pass_by_lang": q_gate_pass_by_lang,
         "secrets_rollup_by_repo": q_secrets_rollup_by_repo,
+        "cdc_savings": q_cdc_savings,
     }
 
 def oracle_sql() -> dict[str, str]:

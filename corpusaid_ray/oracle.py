@@ -3624,6 +3624,18 @@ SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
        count(DISTINCT chunk)::BIGINT AS distinct_chunks
 FROM chunks""")
 
+# cdc_savings: the chunk-level byte savings — the storage number CDC
+# exists to produce (identical chunks share a byte length).
+ORACLE_SQL["cdc_savings"] = (
+    "WITH " + _cdc_chunks_chain() + """,
+t AS (SELECT sum(strlen(chunk))::BIGINT AS total_bytes FROM chunks),
+d AS (SELECT sum(strlen(chunk))::BIGINT AS distinct_bytes
+      FROM (SELECT DISTINCT chunk FROM chunks))
+SELECT t.total_bytes, d.distinct_bytes,
+       ((t.total_bytes - d.distinct_bytes) * 1000000
+        // greatest(t.total_bytes, 1))::BIGINT AS saved_micros
+FROM t, d""")
+
 
 def _range_partition_sql(num_parts: int = 10) -> str:
     """Mirror of q_range_partition: ceil-rank decile cut points, then the

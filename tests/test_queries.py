@@ -181,6 +181,21 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_cdc_savings_ties_to_chunks(ray_session):
+    """Byte totals tie exactly to the chunk table; savings sign agrees
+    with the count-level dedup ratio."""
+    import __ray_entry__ as e
+
+    sav = e.q_cdc_savings(SF_SMALL)
+    chunks = e.q_cdc_chunks(SF_SMALL).to_pandas()
+    total = int(chunks.chunk.str.encode("utf-8").str.len().sum())
+    dist = int(chunks.drop_duplicates("chunk")
+               .chunk.str.encode("utf-8").str.len().sum())
+    assert int(sav.total_bytes[0]) == total
+    assert int(sav.distinct_bytes[0]) == dist
+    assert int(sav.saved_micros[0]) == (total - dist) * 1_000_000 // total
+
+
 def test_secrets_rollup_ties_to_screen(ray_session):
     """Rollup sums tie exactly to the per-file secrets screen."""
     import __ray_entry__ as e
