@@ -4989,6 +4989,53 @@ def q_cdc_savings(sf_dir: str):
     })
 
 
+def q_knn_hubness(sf_dir: str):
+    """Hubness audit of the kNN graph: the in-degree distribution
+    (in_degree → n_vectors). Out-degree is fixed at k, but high-dimensional
+    embedding spaces concentrate in-links on hub points — a skewed tail
+    here says cosine neighborhoods are degenerating and ANN recall numbers
+    will lie. Two grouped counts over the verified exact kNN edges; vectors
+    nobody links to appear as in_degree 0 (anti-join against the id set)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.similarity import knn_graph
+    from corpusaid_ray.util import grouped
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    edges = knn_graph(ds, tbl, k=3)
+    indeg = grouped(
+        edges.map_batches(lambda b: b.select(["nbr_id"]),
+                          batch_format="pyarrow"),
+        "nbr_id",
+    ).aggregate(Count(alias_name="d")).materialize()
+    # distribution of the distribution: ≤ max-in-degree rows; the
+    # per-vector frame never reaches the driver
+    hist = grouped(
+        indeg.map_batches(lambda b: b.select(["d"]), batch_format="pyarrow"),
+        "d",
+    ).aggregate(Count(alias_name="n_vectors")).to_pandas()
+    n_zero = tbl.num_rows - indeg.count()
+
+    import pandas as pd
+
+    rows = {int(r.d): int(r.n_vectors) for r in hist.itertuples()}
+    if n_zero:
+        rows[0] = int(n_zero)
+    out = pd.DataFrame(
+        sorted(rows.items()), columns=["in_degree", "n_vectors"]
+    )
+    return out.astype({"in_degree": "int64", "n_vectors": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -5197,6 +5244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gate_pass_by_lang": q_gate_pass_by_lang,
         "secrets_rollup_by_repo": q_secrets_rollup_by_repo,
         "cdc_savings": q_cdc_savings,
+        "knn_hubness": q_knn_hubness,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -974,6 +974,28 @@ QUALIFY row_number() OVER (
            b.vec_id
 ) = 1"""
 
+# knn_hubness: in-degree distribution of the exact kNN graph, zero-degree
+# vectors included via the LEFT JOIN.
+ORACLE_SQL["knn_hubness"] = """
+WITH edges AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) DESC,
+                    b.vec_id
+         ) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  QUALIFY rank <= 3
+),
+indeg AS (
+  SELECT v.vec_id, count(e.vec_id)::BIGINT AS d
+  FROM embeddings v LEFT JOIN edges e ON e.nbr_id = v.vec_id
+  GROUP BY v.vec_id
+)
+SELECT d AS in_degree, count(*)::BIGINT AS n_vectors
+FROM indeg GROUP BY d"""
+
 ORACLE_SQL["embed_neardup"] = """
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
        list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine

@@ -181,6 +181,21 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_knn_hubness_mass_conservation(ray_session):
+    """Σ n_vectors = corpus size; Σ in_degree·n_vectors = total edges
+    (N·k); zero-degree bucket consistent with the edge table."""
+    import __ray_entry__ as e
+
+    out = e.q_knn_hubness(SF_SMALL)
+    edges = e.q_knn_graph(SF_SMALL).to_pandas()
+    n = pq.read_table(f"{SF_SMALL}/embeddings.parquet").num_rows
+    assert int(out.n_vectors.sum()) == n
+    assert int((out.in_degree * out.n_vectors).sum()) == len(edges)
+    zero = out[out.in_degree == 0]
+    expect_zero = n - edges.nbr_id.nunique()
+    assert (int(zero.n_vectors.iloc[0]) if len(zero) else 0) == expect_zero
+
+
 def test_cdc_savings_ties_to_chunks(ray_session):
     """Byte totals tie exactly to the chunk table; savings sign agrees
     with the count-level dedup ratio."""
