@@ -5036,6 +5036,37 @@ def q_knn_hubness(sf_dir: str):
     return out.astype({"in_degree": "int64", "n_vectors": "int64"})
 
 
+def q_split_leakage(sf_dir: str):
+    """Eval-integrity audit: verified near-duplicate pairs whose members
+    land on OPPOSITE sides of the train/val split — the leakage that
+    silently inflates eval scores (a val doc with a train near-twin is a
+    memorization probe, not a test). Composes the verified fuzzy-dedup
+    pair chain with the md5 split rule applied map-side to both pair
+    columns; output is the bounded pair set (the LSH precondition), so
+    the labeling is a driver-frame map."""
+    import hashlib
+
+    import pandas as pd
+
+    from corpusaid_ray.stages.neardup import ngram_duplicates
+
+    pairs = ngram_duplicates(_corpus(sf_dir), threshold=0.8)
+
+    def split_of(p: str) -> str:
+        r = int(hashlib.md5(p.encode("utf-8")).hexdigest()[:8], 16) % 100
+        return "train" if r < 90 else "val"
+
+    pairs["split_a"] = pairs["path_a"].map(split_of)
+    pairs["split_b"] = pairs["path_b"].map(split_of)
+    leak = pairs[pairs.split_a != pairs.split_b]
+    return pd.DataFrame({
+        "path_a": leak.path_a.to_numpy(),
+        "path_b": leak.path_b.to_numpy(),
+        "split_a": leak.split_a.to_numpy(),
+        "split_b": leak.split_b.to_numpy(),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -5245,6 +5276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "secrets_rollup_by_repo": q_secrets_rollup_by_repo,
         "cdc_savings": q_cdc_savings,
         "knn_hubness": q_knn_hubness,
+        "split_leakage": q_split_leakage,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -797,6 +797,21 @@ ORACLE_SQL["dedup_ngram"] = with_corpus(f"""
 , {_SHINGLE_PAIRS}
 SELECT path_a, path_b, jaccard FROM jac WHERE jaccard >= 0.6""")
 
+# split_leakage: verified near-dup pairs straddling the md5 train/val
+# split — the eval-contamination audit.
+ORACLE_SQL["split_leakage"] = with_corpus(f"""
+, {_SHINGLE_PAIRS},
+lab AS (
+  SELECT path_a, path_b,
+         CASE WHEN ('0x' || substr(md5(path_a), 1, 8))::UBIGINT % 100 < 90
+              THEN 'train' ELSE 'val' END AS split_a,
+         CASE WHEN ('0x' || substr(md5(path_b), 1, 8))::UBIGINT % 100 < 90
+              THEN 'train' ELSE 'val' END AS split_b
+  FROM jac WHERE jaccard >= 0.8
+)
+SELECT path_a, path_b, split_a, split_b
+FROM lab WHERE split_a != split_b""")
+
 # dup_groups: connected components over the ≥0.8 verified pairs, group_rep =
 # lexicographically smallest member — transitive closure via recursive CTE.
 ORACLE_SQL["dup_groups"] = f"""WITH RECURSIVE {corpus_cte()},

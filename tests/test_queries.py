@@ -181,6 +181,28 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_split_leakage_ties_to_pairs_and_split(ray_session):
+    """Every leaked pair is a verified dup pair with genuinely differing
+    split labels; no same-split pair leaks through."""
+    import hashlib
+    import __ray_entry__ as e
+    from corpusaid_ray.stages.neardup import ngram_duplicates
+
+    leak = e.q_split_leakage(SF_SMALL)
+    pairs = ngram_duplicates(e._corpus(SF_SMALL), threshold=0.8)
+
+    def split_of(p):
+        return "train" if int(
+            hashlib.md5(p.encode()).hexdigest()[:8], 16
+        ) % 100 < 90 else "val"
+
+    assert (leak.split_a != leak.split_b).all()
+    pairset = set(zip(pairs.path_a, pairs.path_b))
+    assert set(zip(leak.path_a, leak.path_b)) <= pairset
+    expect = sum(1 for a, b in pairset if split_of(a) != split_of(b))
+    assert len(leak) == expect
+
+
 def test_knn_hubness_mass_conservation(ray_session):
     """Σ n_vectors = corpus size; Σ in_degree·n_vectors = total edges
     (N·k); zero-degree bucket consistent with the edge table."""
