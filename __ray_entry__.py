@@ -5067,6 +5067,41 @@ def q_split_leakage(sf_dir: str):
     })
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """The remediation for `split_leakage`: assign the train/val split by
+    hashing the duplicate-GROUP representative (falling back to the path
+    for singletons), so every near-twin cluster lands on one side by
+    construction — zero cross-split leakage among verified pairs. Same md5
+    rule as `split_assign`; the bounded group map broadcasts and the
+    corpus streams through one labeling pass."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+
+    from corpusaid_ray.stages.neardup import duplicate_groups, ngram_duplicates
+
+    corpus = _corpus(sf_dir)
+    groups = duplicate_groups(ngram_duplicates(corpus, threshold=0.8))
+    rep_of = dict(zip(groups.path, groups.group_rep)) if len(groups) else {}
+    rep_ref = ray.put(rep_of)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        reps = ray.get(rep_ref)
+        splits = []
+        for p in batch["path"].to_pylist():
+            key = reps.get(p, p)
+            r = int(hashlib.md5(key.encode("utf-8")).hexdigest()[:8],
+                    16) % 100
+            splits.append("train" if r < 90 else "val")
+        return pa.table({
+            "path": batch["path"],
+            "split": pa.array(splits, pa.string()),
+        })
+
+    return corpus.map_batches(assign, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r3 is 100/159;
@@ -5277,6 +5312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_savings": q_cdc_savings,
         "knn_hubness": q_knn_hubness,
         "split_leakage": q_split_leakage,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -939,6 +939,28 @@ SELECT c.repo, c.path, c.lang
 FROM corpus c LEFT JOIN grp g ON g.path = c.path
 WHERE g.path IS NULL OR c.path IN (SELECT path FROM keeper)"""
 
+# leakage_safe_split: the split_leakage remediation — split by the
+# duplicate-group representative (path for singletons), same md5 rule.
+ORACLE_SQL["leakage_safe_split"] = f"""WITH RECURSIVE {corpus_cte()},
+{_SHINGLE_PAIRS},
+pairs AS (SELECT path_a, path_b FROM jac WHERE jaccard >= 0.8),
+edges AS (
+  SELECT path_a AS u, path_b AS v FROM pairs
+  UNION
+  SELECT path_b, path_a FROM pairs
+),
+reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+grp AS (SELECT u AS path, least(u, min(v)) AS group_rep FROM reach GROUP BY u)
+SELECT c.path,
+       CASE WHEN ('0x' || substr(md5(coalesce(g.group_rep, c.path)),
+                                 1, 8))::UBIGINT % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM corpus c LEFT JOIN grp g ON g.path = c.path"""
+
 # dup_cluster_hist: the dedup audit histogram — the dup_groups transitive
 # closure reduced to (cluster_size, n_clusters).
 ORACLE_SQL["dup_cluster_hist"] = f"""WITH RECURSIVE {corpus_cte()},

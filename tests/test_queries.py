@@ -181,6 +181,20 @@ def test_vocab_growth_hand_computed(ray_session, tmp_path):
     assert list(tiny.vocab_size) == list(out.vocab_size)
 
 
+def test_leakage_safe_split_has_zero_leakage(ray_session):
+    """The remediated split: every verified dup pair co-locates (zero
+    leakage by construction); split labels stay the md5 rule family."""
+    import __ray_entry__ as e
+    from corpusaid_ray.stages.neardup import ngram_duplicates
+
+    safe = e.q_leakage_safe_split(SF_SMALL).to_pandas()
+    lab = dict(zip(safe.path, safe.split))
+    pairs = ngram_duplicates(e._corpus(SF_SMALL), threshold=0.8)
+    assert all(lab[a] == lab[b] for a, b in zip(pairs.path_a, pairs.path_b))
+    assert set(safe.split) <= {"train", "val"}
+    assert (safe.split == "train").mean() > 0.5  # 90/10-ish rule holds
+
+
 def test_split_leakage_ties_to_pairs_and_split(ray_session):
     """Every leaked pair is a verified dup pair with genuinely differing
     split labels; no same-split pair leaks through."""
