@@ -415,7 +415,11 @@ def test_sparse_input_robustness(ray_session, tmp_path):
         pq_.write_table(tbl.slice(0, 16), d / f"{t}.parquet")
     qs = e.queries()
     for name in ("cross_dedup", "semantic_kept_corpus",
-                 "quality_dedup_corpus"):
+                 "quality_dedup_corpus",
+                 # the join-bearing session-3 additions (audited green on
+                 # the 16-row slice; pinned here against regression)
+                 "customer_order_dist", "leakage_safe_split",
+                 "image_ahash_dups"):
         res = qs[name](str(d))
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n >= 0
