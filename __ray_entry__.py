@@ -4488,6 +4488,12 @@ def q_repo_semantic_cohesion(sf_dir: str):
         return derive_corpus_batch(fake)["repo"].to_numpy()
 
     def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # sparse-input contract: np.stack([]) raises
+            return pd.DataFrame({
+                "repo": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype=object),
+            })
         q = _micro(np.stack(df["embedding"].to_numpy()).astype(np.float64))
         repos = repo_of(df["vec_id"].to_numpy())
         rows_r, rows_n, rows_s = [], [], []
@@ -4526,6 +4532,12 @@ def q_repo_semantic_cohesion(sf_dir: str):
     cref = ray.put(cents)
 
     def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "repo": pd.Series([], dtype=object),
+                "d2": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            })
         cent = ray.get(cref)
         q = _micro(np.stack(df["embedding"].to_numpy()).astype(np.float64))
         repos = repo_of(df["vec_id"].to_numpy())

@@ -54,6 +54,11 @@ def kcenter_coreset(ds, *, k: int = 8, id_col: str = "vec_id",
     import ray
 
     def quant(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # sparse-input contract: np.stack([]) raises
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "q": pa.array([], pa.list_(pa.int64())),
+            })
         em = np.stack(
             batch[vec_col].to_pandas().to_numpy()
         ).astype(np.float64)
@@ -77,6 +82,12 @@ def kcenter_coreset(ds, *, k: int = 8, id_col: str = "vec_id",
 
         def far(batch: pa.Table) -> pa.Table:
             import ray as _ray
+            if len(batch) == 0:  # empty block → no candidate from it
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.list_(pa.int64())),
+                })
             em = np.stack(batch["q"].to_pandas().to_numpy()).astype(np.int64)
             d = _min_d2(em, _ray.get(cref))
             # batch-local argmax with the global tie rule (d DESC, id ASC)
@@ -113,9 +124,9 @@ def kcenter_assign(ds, coreset: pd.DataFrame, *, id_col: str = "vec_id",
     the k center vectors broadcast once. Returns a Dataset of
     ``(id, center_ord, center_id, dist2)``.
 
-    ``coreset`` must carry a ``q`` column of quantized center vectors (use
-    :func:`kcenter_coreset_with_vecs`) or the centers are re-fetched here
-    by id in one bounded pass.
+    If ``coreset`` carries a ``q`` column of quantized center vectors
+    (attach one manually from a prior pass) it is used directly; otherwise
+    the centers are re-fetched here by id in one bounded map pass.
     """
     import ray
 
@@ -127,6 +138,11 @@ def kcenter_assign(ds, coreset: pd.DataFrame, *, id_col: str = "vec_id",
         id_set = set(ids_need)
 
         def pick(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "q": pa.array([], pa.list_(pa.int64())),
+                })
             em = np.stack(
                 batch[vec_col].to_pandas().to_numpy()
             ).astype(np.float64)
@@ -147,6 +163,13 @@ def kcenter_assign(ds, coreset: pd.DataFrame, *, id_col: str = "vec_id",
     cref = ray.put((ords, cids, cents))
 
     def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "center_ord": pa.array([], pa.int64()),
+                "center_id": pa.array([], pa.int64()),
+                "dist2": pa.array([], pa.int64()),
+            })
         o, ci, cm = ray.get(cref)
         em = _micro(np.stack(
             batch[vec_col].to_pandas().to_numpy()

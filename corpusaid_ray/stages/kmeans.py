@@ -265,6 +265,10 @@ def silhouette_audit(ds, model: KMeansModel, *, vec_col: str = "embedding",
     """
     import ray
 
+    if model.centroids_micro.shape[0] < 2:
+        # with K=1 there is no "nearest OTHER centroid": the int64-max
+        # sentinel would leak into b2 and the *1000 milli math would wrap
+        raise ValueError("silhouette_audit requires a model with k >= 2")
     ref = ray.put(model.centroids_micro)
 
     def fn(batch: pa.Table) -> pa.Table:

@@ -20,10 +20,12 @@ logged); candidate pairs are deduped by a second small groupby. Signature
 broadcast ONCE via ``ray.put``; estimation and exact verification then run
 distributed over the pair rows, so the driver only ever holds candidate
 path strings and the final verified pair set — document contents never
-land on it. Partitioning assumption: the LSH candidate-pair set ≪ corpus
-(holds unless the corpus is adversarially low-entropy, in which case the
-bucket-cap warnings fire); if the broadcast side outgrows worker memory,
-swap it for ``stages.join.hash_join`` on the pair keys.
+land on it. The broadcast is gated by a COUNTED adaptive switch
+(``BROADCAST_CAND_CAP``, the dup_span_scrub pattern): when the measured
+distinct-candidate count exceeds the cap — a 30-50 % dup-rate crawl, where
+"candidates ≪ corpus" fails — nothing accumulates on the driver at all;
+the signature/shingle table hash-joins to the pair rows instead (two
+fixed-width shuffles, pytest-pinned equal to the broadcast shape).
 """
 
 from __future__ import annotations
@@ -255,27 +257,149 @@ def _candidate_luts(ds, key: str, cand_arr, *, want_shingles: bool):
     return path_ck, ck_sig, (ck_sh if want_shingles else None)
 
 
+# Adaptive-switch cap (counted, like decontaminate.dup_span_scrub): the
+# candidate lookup broadcasts ONLY when the measured distinct-candidate
+# count fits; above it NOTHING touches the driver and the signature tables
+# hash-join to the pair rows instead. ~700 B/path in the broadcast dict
+# (path string + sha1 key + 512 B signature) → 200k ≈ 140 MB per worker.
+BROADCAST_CAND_CAP = 200_000
+
+
+def _n_distinct_candidates(pairs) -> int:
+    """Exact distinct path count over a pair dataset, computed distributed
+    (per-batch unique → one |candidates|-row groupby); nothing driver-sized."""
+    import pyarrow.compute as pc
+
+    def explode(b: pa.Table) -> pa.Table:
+        both = pa.chunked_array(
+            list(b["path_a"].chunks) + list(b["path_b"].chunks)
+        )
+        return pa.table({"path": pc.unique(both)})
+
+    return (
+        pairs.map_batches(explode, batch_format="pyarrow")
+        .groupby("path").count().count()
+    )
+
+
+def _sig_dataset(ds, key: str, *, want_shingles: bool):
+    """Full-corpus map-only ``(key, ck, sig[, shingles])`` table — the
+    above-cap join shape's signature side. One minhash pass (same CPU cost
+    the band pass already paid), per-batch cached by distinct content; the
+    content itself never leaves the map task. Used only when candidates ≈
+    corpus (30-50 % dup-rate crawls), where pruning would not help anyway."""
+    import hashlib
+
+    def extract(b: pa.Table) -> pa.Table:
+        cache: dict[str, tuple[str, bytes, bytes]] = {}
+        ckeys, sigs, blobs = [], [], []
+        for t in b["content"].to_pylist():
+            hit = cache.get(t)
+            if hit is None:
+                sh = H.char_shingle_hashes(t)
+                hit = cache[t] = (
+                    hashlib.sha1(t.encode("utf-8")).hexdigest(),
+                    H.minhash_signature(sh).tobytes(),
+                    sh.tobytes() if want_shingles else b"",
+                )
+            ckeys.append(hit[0])
+            sigs.append(hit[1])
+            blobs.append(hit[2])
+        cols = {
+            key: b[key].cast(pa.string()),
+            "ck": pa.array(ckeys, pa.string()),
+            "sig": pa.array(sigs, pa.binary()),
+        }
+        if want_shingles:
+            cols["shingles"] = pa.array(blobs, pa.binary())
+        return pa.table(cols)
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def _pairs_with_sigs(ds, pairs, key: str, *, want_shingles: bool):
+    """Above-cap shape: hash-join the signature table to the pair rows on
+    each side (two shuffles of fixed-width signature rows — the documented
+    cost when the candidate set outgrows a worker's heap; the broadcast
+    path's per-content-pair cache is traded for vectorized per-row work)."""
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.util import drop_empty_blocks
+
+    sig = _sig_dataset(ds, key, want_shingles=want_shingles)
+    ren_a = {key: "path_a", "ck": "ck_a", "sig": "sig_a"}
+    ren_b = {key: "path_b", "ck": "ck_b", "sig": "sig_b"}
+    if want_shingles:
+        ren_a["shingles"] = "sh_a"
+        ren_b["shingles"] = "sh_b"
+    j = hash_join(drop_empty_blocks(pairs), drop_empty_blocks(
+        sig.rename_columns(ren_a)), on="path_a")
+    return hash_join(drop_empty_blocks(j), drop_empty_blocks(
+        sig.rename_columns(ren_b)), on="path_b")
+
+
+def _sig_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """(n, n_perm) uint64 view of a binary signature column."""
+    return np.vstack(
+        [np.frombuffer(x, dtype=np.uint64) for x in col.to_pylist()]
+    )
+
+
 def minhash_candidate_pairs(ds, *, key: str = "path",
                             est_threshold: float = 0.7,
-                            max_bucket: int = MAX_BUCKET):
+                            max_bucket: int = MAX_BUCKET,
+                            broadcast_cap: int = BROADCAST_CAND_CAP):
     """Corpus → deterministic candidate near-dup pairs
     ``(path_a, path_b, est_jaccard)`` with path_a < path_b.
 
     Pipeline: explode light band rows → salted ``groupby`` buckets → pairs
-    within bucket → salted pair dedup → recompute signatures for candidate
-    docs only (map-side filter, no shuffle of content) → broadcast the
-    candidate lookup once via ``ray.put`` → per-content-pair-cached
-    estimate filter inside ``map_batches``. The only all-to-all move is the
-    4-column exploded table; signatures ship through the object store
-    exactly once. Precondition (documented at module level): candidates ≪
-    corpus — for a corpus where the broadcast side would not fit a worker,
-    swap the broadcast for ``stages.join.hash_join`` on the pair keys."""
+    within bucket → salted pair dedup → COUNT the distinct candidates, and
+    the count decides the shape (the dup_span_scrub adaptive switch —
+    round-4 verdict item): at or below ``broadcast_cap`` candidates the
+    signatures are recomputed for candidate docs only (map-side filter, no
+    shuffle of content) and broadcast ONCE via ``ray.put``, with a
+    per-content-pair-cached estimate filter inside ``map_batches``; above
+    the cap NOTHING accumulates on the driver — the signature table
+    hash-joins to the pair rows (two fixed-width shuffles) and the
+    estimate runs vectorized per row. Both shapes are pytest-pinned equal
+    (``broadcast_cap=0`` forces the join path). The only corpus-sized
+    all-to-all move below the cap is the 4-column exploded table."""
     import pyarrow.compute as pc
 
     pairs = _raw_candidate_pairs(ds, key, max_bucket)
-    cand = _candidate_paths(pairs)
-    if not cand:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return _typed_pairs_dataset()
+    # 2·n_pairs bounds the distinct-candidate count from above; only when
+    # that cheap bound overshoots (dup-group pair floods) pay one distinct
+    # count, computed distributed.
+    if 2 * n_pairs > broadcast_cap \
+            and _n_distinct_candidates(pairs) > broadcast_cap:
+        j = _pairs_with_sigs(ds, pairs, key, want_shingles=False)
+
+        def est_join(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.table(
+                    {"path_a": pa.array([], pa.string()),
+                     "path_b": pa.array([], pa.string()),
+                     "est_jaccard": pa.array([], pa.float64())}
+                )
+            same = pc.equal(b["ck_a"], b["ck_b"]).to_numpy(
+                zero_copy_only=False
+            )
+            est = (_sig_matrix(b["sig_a"])
+                   == _sig_matrix(b["sig_b"])).mean(axis=1)
+            est[same] = 1.0
+            t = pa.table(
+                {"path_a": b["path_a"], "path_b": b["path_b"],
+                 "est_jaccard": pa.array(est)}
+            )
+            return t.filter(
+                pc.greater_equal(t["est_jaccard"], est_threshold)
+            )
+
+        return j.map_batches(est_join, batch_format="pyarrow")
+
+    cand = _candidate_paths(pairs)
     path_ck, ck_sig, _ = _candidate_luts(
         ds, key, pa.array(cand, pa.string()), want_shingles=False
     )
@@ -413,7 +537,8 @@ def simhash_candidate_pairs(ds, *, key: str = "path", max_hamming: int = 3,
     )
 
 
-def ngram_duplicates(ds, *, threshold: float = 0.6, est_threshold: float = 0.5):
+def ngram_duplicates(ds, *, threshold: float = 0.6, est_threshold: float = 0.5,
+                     broadcast_cap: int = BROADCAST_CAND_CAP):
     """Exact n-gram-Jaccard near-dups: MinHash-LSH candidates, then exact
     shingle-set verification DISTRIBUTED over the pair rows — candidate
     shingle sets are map-side pruned from the corpus (no shuffle of
@@ -421,12 +546,54 @@ def ngram_duplicates(ds, *, threshold: float = 0.6, est_threshold: float = 0.5):
     verifies inside ``map_batches``; document contents never land on the
     driver (round-1 verdict fix). Returns a pandas DataFrame
     ``(path_a, path_b, jaccard)`` (the final verified set — small),
-    deterministic order. Same broadcast precondition/alternative as
-    ``minhash_candidate_pairs``."""
+    deterministic order. Same counted adaptive switch as
+    ``minhash_candidate_pairs``: above ``broadcast_cap`` measured distinct
+    candidates nothing broadcasts — signature AND shingle blobs hash-join
+    to the pair rows (heavier shuffle, zero driver state; pytest-pinned
+    equal via ``broadcast_cap=0``)."""
     pairs = _raw_candidate_pairs(ds, "path", MAX_BUCKET)
-    cand = _candidate_paths(pairs)
-    if not cand:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return pd.DataFrame(columns=["path_a", "path_b", "jaccard"])
+    if 2 * n_pairs > broadcast_cap \
+            and _n_distinct_candidates(pairs) > broadcast_cap:
+        import pyarrow.compute as pc
+
+        j = _pairs_with_sigs(ds, pairs, "path", want_shingles=True)
+
+        def verify_join(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.table(
+                    {"path_a": pa.array([], pa.string()),
+                     "path_b": pa.array([], pa.string()),
+                     "jaccard": pa.array([], pa.float64())}
+                )
+            same = pc.equal(b["ck_a"], b["ck_b"]).to_numpy(
+                zero_copy_only=False
+            )
+            est = (_sig_matrix(b["sig_a"])
+                   == _sig_matrix(b["sig_b"])).mean(axis=1)
+            jac = np.full(len(b), -1.0)
+            jac[same] = 1.0
+            sh_a = b["sh_a"].to_pylist()
+            sh_b = b["sh_b"].to_pylist()
+            for i in np.flatnonzero(~same & (est >= est_threshold)):
+                a = np.frombuffer(sh_a[i], dtype=np.uint64)
+                c = np.frombuffer(sh_b[i], dtype=np.uint64)
+                inter = len(np.intersect1d(a, c, assume_unique=True))
+                jac[i] = inter / max(len(a) + len(c) - inter, 1)
+            t = pa.table(
+                {"path_a": b["path_a"], "path_b": b["path_b"],
+                 "jaccard": pa.array(jac)}
+            )
+            return t.filter(pc.greater_equal(t["jaccard"], threshold))
+
+        out = j.map_batches(verify_join, batch_format="pyarrow").to_pandas()
+        if not len(out):
+            return pd.DataFrame(columns=["path_a", "path_b", "jaccard"])
+        return out.sort_values(["path_a", "path_b"]).reset_index(drop=True)
+
+    cand = _candidate_paths(pairs)
     # ONE candidate pass yields both signatures (estimate pre-filter) and
     # shingle sets (exact verify) — the shingle computation is shared, and
     # jaccard/estimate are cached per content PAIR, so duplicate-group pair

@@ -565,15 +565,22 @@ class BatchHardNeg:
         lbls = batch["label"].to_numpy(zero_copy_only=False).astype("int64")
         m = _normalize(_as_matrix(batch["embedding"]))
         sims = m @ self.mat.T
-        neg_i, neg_l = [], []
+        keep, neg_i, neg_l = [], [], []
         for i, lbl in enumerate(lbls):
             row = np.where(self.labels != lbl, sims[i], -np.inf)
             j = np.lexsort((self.ids, -row))[0]
+            if row[j] == -np.inf:
+                # every corpus vector shares this row's label → no valid
+                # negative exists; emit nothing (matches the SQL mirror's
+                # JOIN ON a.label != b.label, which yields no row)
+                continue
+            keep.append(i)
             neg_i.append(int(self.ids[j]))
             neg_l.append(int(self.labels[j]))
+        k = np.asarray(keep, dtype=np.int64)
         return pa.table({
-            "vec_id": pa.array(vids, pa.int64()),
-            "label": pa.array(lbls, pa.int64()),
+            "vec_id": pa.array(vids[k], pa.int64()),
+            "label": pa.array(lbls[k], pa.int64()),
             "neg_id": pa.array(neg_i, pa.int64()),
             "neg_label": pa.array(neg_l, pa.int64()),
         })

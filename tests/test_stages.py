@@ -1574,3 +1574,78 @@ def test_hypothesis_gram_positions_vs_serial():
         assert list(zip(d, p, g)) == want
 
     check()
+
+
+def test_kcenter_handles_empty_blocks(ray_session):
+    """Repartitioning 4 vectors into 8 blocks yields empty blocks; the
+    quant/far/pick/assign kernels must return typed empties, not crash on
+    np.stack([]) (the round-4 ADVICE sparse-input item)."""
+    import ray.data
+
+    from corpusaid_ray.stages.coreset import kcenter_assign, kcenter_coreset
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(
+            [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [5.0, 5.0]],
+            pa.list_(pa.float32()),
+        ),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    core = kcenter_coreset(ds, k=2, id_col="vec_id")
+    assert list(core["center_id"]) == [1, 4]  # seed=min id, then farthest
+    out = kcenter_assign(ds, core, id_col="vec_id").to_pandas()
+    assert len(out) == 4
+    assert set(out["center_id"]) == {1, 4}
+
+
+def test_repo_semantic_cohesion_empty_table(ray_session, tmp_path):
+    """A zero-row embeddings table flows through both partial passes (the
+    guards return typed empties) and yields an empty result."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    t = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "embeddings.parquet")
+    assert e.q_repo_semantic_cohesion(str(d)).count() == 0
+
+
+def test_hard_negatives_single_label_emits_nothing(ray_session):
+    """When every corpus vector shares one label there is no valid
+    negative: the stage must emit zero rows (matching the SQL mirror's
+    inner JOIN ON a.label != b.label), not a same-label 'negative'."""
+    import ray.data
+
+    from corpusaid_ray.stages.similarity import hard_negatives
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "label": pa.array([7, 7, 7], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]], pa.list_(pa.float32())
+        ),
+    })
+    ds = ray.data.from_arrow(t)
+    assert hard_negatives(ds, t).count() == 0
+
+
+def test_silhouette_rejects_k1(ray_session):
+    """K=1 has no 'nearest other centroid'; the stage must raise instead of
+    leaking the int64-max sentinel into the milli math."""
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import KMeansModel, silhouette_audit
+
+    t = pa.table({
+        "vec_id": pa.array([1], pa.int64()),
+        "embedding": pa.array([[0.0, 0.0]], pa.list_(pa.float32())),
+    })
+    model = KMeansModel(np.zeros((1, 2), dtype=np.int64))
+    with pytest.raises(ValueError, match="k >= 2"):
+        silhouette_audit(ray.data.from_arrow(t), model)
