@@ -4636,3 +4636,111 @@ FROM ({_gopher_rules_sql()}) g
 JOIN ({_c4_rules_sql()}) c USING (path)
 JOIN (WITH {corpus_cte()} SELECT path, lang FROM corpus) l USING (path)
 GROUP BY l.lang"""
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: source-code line stats + cross-repo provenance
+# ---------------------------------------------------------------------------
+
+# comment_density / indent_profile: line classification pinned in
+# stages/codestats.py — split on \n, ltrim " \t", markers #, //, --.
+ORACLE_SQL["comment_density"] = with_corpus("""
+, l AS (
+  SELECT lang,
+         ltrim(unnest(string_split(content, chr(10))), ' ' || chr(9)) AS s
+  FROM corpus
+), agg AS (
+  SELECT lang,
+         count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN s LIKE '#%' OR s LIKE '//%' OR s LIKE '--%'
+                  THEN 1 ELSE 0 END)::BIGINT AS comment_lines,
+         sum(CASE WHEN s = '' THEN 1 ELSE 0 END)::BIGINT AS blank_lines
+  FROM l GROUP BY lang
+)
+SELECT lang, n_lines, comment_lines, blank_lines,
+       (comment_lines * 1000 // n_lines)::BIGINT AS comment_millis,
+       (blank_lines * 1000 // n_lines)::BIGINT AS blank_millis
+FROM agg""")
+
+ORACLE_SQL["indent_profile"] = with_corpus("""
+, l AS (
+  SELECT lang, unnest(string_split(content, chr(10))) AS s
+  FROM corpus
+), agg AS (
+  SELECT lang,
+         sum(CASE WHEN starts_with(s, chr(9)) THEN 1 ELSE 0 END)::BIGINT
+           AS tab_lines,
+         sum(CASE WHEN starts_with(s, ' ') THEN 1 ELSE 0 END)::BIGINT
+           AS space_lines
+  FROM l GROUP BY lang
+)
+SELECT lang, tab_lines, space_lines,
+       (tab_lines * 1000
+        // greatest(tab_lines + space_lines, 1))::BIGINT AS tab_millis
+FROM agg""")
+
+# minified_screen: rule pinned in stages/codestats.py (500 / 200 / 120‰).
+ORACLE_SQL["minified_screen"] = with_corpus("""
+, m AS (
+  SELECT repo, path,
+         length(string_split(content, chr(10)))::BIGINT AS n_lines,
+         list_max(list_transform(string_split(content, chr(10)),
+                                 x -> length(x)))::BIGINT AS max_line_len,
+         length(content)::BIGINT AS total,
+         (length(content)
+          - length(replace(replace(replace(content, ' ', ''),
+                                   chr(9), ''), chr(10), '')))::BIGINT AS ws
+  FROM corpus
+), s AS (
+  SELECT repo, path, n_lines, max_line_len,
+         ((total - (n_lines - 1)) // n_lines)::BIGINT AS avg_line_len,
+         (ws * 1000 // greatest(total, 1))::BIGINT AS ws_millis
+  FROM m
+)
+SELECT repo, path, n_lines, max_line_len, avg_line_len, ws_millis,
+       (max_line_len >= 500
+        OR (avg_line_len >= 200 AND ws_millis < 120)) AS minified
+FROM s""")
+
+# Provenance family: content key = md5(content) on both engines.
+ORACLE_SQL["dup_inflation"] = with_corpus("""
+, c AS (
+  SELECT path,
+         count(*) OVER (PARTITION BY md5(content))::BIGINT AS n_copies
+  FROM corpus
+)
+SELECT path, n_copies,
+       (1000000 // n_copies)::BIGINT AS weight_micros
+FROM c""")
+
+ORACLE_SQL["vendored_share"] = with_corpus("""
+, f AS (
+  SELECT repo, md5(content) AS ck FROM corpus
+), m AS (
+  SELECT ck, count(DISTINCT repo) AS nr FROM f GROUP BY ck
+), agg AS (
+  SELECT repo, count(*)::BIGINT AS n_files,
+         sum(CASE WHEN m.nr >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_vendored
+  FROM f JOIN m USING (ck) GROUP BY repo
+)
+SELECT repo, n_files, n_vendored,
+       (n_vendored * 1000 // n_files)::BIGINT AS vendored_millis
+FROM agg""")
+
+ORACLE_SQL["fork_overlap"] = with_corpus("""
+, k AS (
+  SELECT DISTINCT repo, md5(content) AS ck FROM corpus
+), n AS (
+  SELECT repo, count(*)::BIGINT AS n FROM k GROUP BY repo
+), p AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*)::BIGINT AS shared
+  FROM k a JOIN k b ON a.ck = b.ck AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT repo_a, repo_b, shared,
+       (shared * 1000000 // (na.n + nb.n - shared))::BIGINT
+         AS jaccard_micros
+FROM p
+JOIN n na ON p.repo_a = na.repo
+JOIN n nb ON p.repo_b = nb.repo
+WHERE shared >= 2""")

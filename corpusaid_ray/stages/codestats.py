@@ -1,0 +1,235 @@
+"""Source-code line-statistics screens — the code-payload quality signals a
+curation pipeline reads beside the Gopher/C4 gates (the reference has no
+code-aware stats at all; target-spec additions per BASELINE.json's
+source-code corpus, built from public curation practice — StarCoder /
+The-Stack-style minified/generated screens).
+
+All three stages share one shape: zero-copy Arrow ``split_pattern`` line
+explode (the linedup.py idiom — numpy offsets, no Python row loop) → per-batch
+partial counts → one |langs|- or |docs|-row exchange. Integer-exact by
+construction (counts and floor-divided milli ratios), so every stage carries
+a value-exact DuckDB mirror.
+
+Pinned line classification (shared with the SQL mirrors):
+- lines split on "\\n" (no universal-newline logic; Parquet text is \\n).
+- a line is BLANK when ``ltrim(line, " \\t")`` is empty.
+- a line is a COMMENT when its ltrim starts with ``#``, ``//`` or ``--``
+  (language-agnostic marker set, pinned — not a per-language grammar).
+- INDENT classification looks at the raw first character: tab vs space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from corpusaid_ray.util import grouped
+
+_LTRIM_SET = " \t"
+
+
+def _flat_lines(batch: pa.Table, content_col: str):
+    """(flat_lines: StringArray, row_ids: np.int64[]) for a batch — every
+    line including empties, with its source-row index."""
+    col = batch[content_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    lines = pc.split_pattern(col, "\n")
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = lines.flatten()
+    row_ids = np.repeat(
+        np.arange(len(col), dtype="int64"), np.diff(offsets)
+    )
+    return flat, row_ids
+
+
+def comment_density(ds, *, lang_col: str = "lang",
+                    content_col: str = "content"):
+    """Per-language comment/blank-line density over the whole corpus:
+    ``(lang, n_lines, comment_lines, blank_lines, comment_millis,
+    blank_millis)`` — the signal that separates documented source from
+    minified/generated blobs when composing a per-language training mix.
+
+    Map-only partials (4 ints per lang per batch) → one |langs|-row
+    groupby; ratios are exact floor millis."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "n_lines": pa.array([], pa.int64()),
+                "comment_lines": pa.array([], pa.int64()),
+                "blank_lines": pa.array([], pa.int64()),
+            })
+        flat, row_ids = _flat_lines(batch, content_col)
+        s = pc.utf8_ltrim(flat, _LTRIM_SET)
+        blank = pc.equal(pc.utf8_length(s), 0).to_numpy(
+            zero_copy_only=False
+        )
+        comment = pc.or_(
+            pc.or_(pc.starts_with(s, "#"), pc.starts_with(s, "//")),
+            pc.starts_with(s, "--"),
+        ).to_numpy(zero_copy_only=False)
+        langs = batch[lang_col].to_pandas().to_numpy()[row_ids]
+        df = pd.DataFrame({
+            "lang": langs,
+            "n_lines": np.ones(len(langs), dtype="int64"),
+            "comment_lines": comment.astype("int64"),
+            "blank_lines": blank.astype("int64"),
+        })
+        agg = df.groupby("lang", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    sums = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), "lang"
+    ).aggregate(
+        Sum("n_lines", alias_name="n_lines"),
+        Sum("comment_lines", alias_name="comment_lines"),
+        Sum("blank_lines", alias_name="blank_lines"),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n_lines"], pa.int64())
+        c = pc.cast(b["comment_lines"], pa.int64())
+        k = pc.cast(b["blank_lines"], pa.int64())
+        return pa.table({
+            "lang": b["lang"],
+            "n_lines": n,
+            "comment_lines": c,
+            "blank_lines": k,
+            "comment_millis": pc.cast(
+                pc.divide(pc.multiply(c, pa.scalar(1000, pa.int64())), n),
+                pa.int64(),
+            ),
+            "blank_millis": pc.cast(
+                pc.divide(pc.multiply(k, pa.scalar(1000, pa.int64())), n),
+                pa.int64(),
+            ),
+        })
+
+    return sums.map_batches(final, batch_format="pyarrow")
+
+
+def indent_profile(ds, *, lang_col: str = "lang",
+                   content_col: str = "content"):
+    """Per-language indentation profile: ``(lang, tab_lines, space_lines,
+    tab_millis)`` where tab/space classify by the RAW first character of
+    each line and ``tab_millis = tab·10³ // max(tab+space, 1)`` — the
+    tabs-vs-spaces consistency signal that flags machine-converted or
+    mixed-provenance code."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "tab_lines": pa.array([], pa.int64()),
+                "space_lines": pa.array([], pa.int64()),
+            })
+        flat, row_ids = _flat_lines(batch, content_col)
+        tab = pc.starts_with(flat, "\t").to_numpy(zero_copy_only=False)
+        space = pc.starts_with(flat, " ").to_numpy(zero_copy_only=False)
+        langs = batch[lang_col].to_pandas().to_numpy()[row_ids]
+        df = pd.DataFrame({
+            "lang": langs,
+            "tab_lines": tab.astype("int64"),
+            "space_lines": space.astype("int64"),
+        })
+        agg = df.groupby("lang", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    sums = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), "lang"
+    ).aggregate(
+        Sum("tab_lines", alias_name="tab_lines"),
+        Sum("space_lines", alias_name="space_lines"),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["tab_lines"], pa.int64())
+        s = pc.cast(b["space_lines"], pa.int64())
+        den = pc.max_element_wise(
+            pc.add(t, s), pa.scalar(1, pa.int64())
+        )
+        return pa.table({
+            "lang": b["lang"],
+            "tab_lines": t,
+            "space_lines": s,
+            "tab_millis": pc.cast(
+                pc.divide(pc.multiply(t, pa.scalar(1000, pa.int64())), den),
+                pa.int64(),
+            ),
+        })
+
+    return sums.map_batches(final, batch_format="pyarrow")
+
+
+# Pinned minified-detection rule (shared with the SQL mirror): a doc is
+# minified-suspect when a single line exceeds MAX_LINE_CAP chars, or its
+# mean line length reaches AVG_LINE_CAP with whitespace below WS_FLOOR ‰.
+MAX_LINE_CAP = 500
+AVG_LINE_CAP = 200
+WS_FLOOR_MILLIS = 120
+
+
+def minified_screen(ds, *, content_col: str = "content"):
+    """Per-doc minified/generated-code screen: ``(repo, path, n_lines,
+    max_line_len, avg_line_len, ws_millis, minified)``.
+
+    ``avg_line_len = (len(content) − (n_lines−1)) // n_lines`` (the
+    newline-free char mass — pure arithmetic, no second pass);
+    ``ws_millis`` counts space/tab/newline chars per thousand. Map-only:
+    per-line maxima reduce inside the batch via ``np.maximum.at``; nothing
+    shuffles."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "n_lines": pa.array([], pa.int64()),
+                "max_line_len": pa.array([], pa.int64()),
+                "avg_line_len": pa.array([], pa.int64()),
+                "ws_millis": pa.array([], pa.int64()),
+                "minified": pa.array([], pa.bool_()),
+            })
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        flat, row_ids = _flat_lines(batch, content_col)
+        line_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        mx = np.zeros(len(col), dtype="int64")
+        np.maximum.at(mx, row_ids, line_len)
+        n_lines = np.bincount(
+            row_ids, minlength=len(col)
+        ).astype("int64")
+        total = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
+            .astype("int64")
+        stripped = col
+        for ch in (" ", "\t", "\n"):
+            stripped = pc.replace_substring(stripped, ch, "")
+        ws = total - pc.utf8_length(stripped).to_numpy(
+            zero_copy_only=False
+        ).astype("int64")
+        avg = (total - (n_lines - 1)) // n_lines
+        ws_millis = (ws * 1000) // np.maximum(total, 1)
+        minified = (mx >= MAX_LINE_CAP) | (
+            (avg >= AVG_LINE_CAP) & (ws_millis < WS_FLOOR_MILLIS)
+        )
+        return pa.table({
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "n_lines": pa.array(n_lines),
+            "max_line_len": pa.array(mx),
+            "avg_line_len": pa.array(avg),
+            "ws_millis": pa.array(ws_millis),
+            "minified": pa.array(minified),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,246 @@
+"""Cross-repo content-provenance stages — who shares which bytes with whom.
+
+Three operators a source-code curation pipeline runs between exact dedup and
+sampling (target-spec additions; the reference has no multi-corpus notion):
+
+- :func:`dup_inflation` — soft-dedup sampling weights: instead of DROPPING
+  duplicates, weight each file by the inverse of its corpus-wide copy count
+  (the "Scaling Data-Constrained Language Models" repetition discount,
+  Muennighoff 2023 — public recipe).
+- :func:`vendored_share` — per-repo fraction of files whose exact content
+  also appears in another repo (vendored/copied code detection).
+- :func:`fork_overlap` — repo-pair content overlap (fork detection): pairs
+  of repos sharing ≥ ``min_shared`` distinct contents, with the exact
+  distinct-content Jaccard in micros.
+
+Scale shape: the ONLY corpus-sized exchange in all three is a skinny
+``(repo/path, ck)`` table keyed by the 32-char content hash — contents never
+shuffle and never reach the driver. Fork pairs within one content group are
+bounded by the repo count (every group is a set of DISTINCT repos); per-repo
+totals for the Jaccard denominator ride the same shuffle as union-schema
+rows, so the whole operator is ONE content-keyed exchange plus two
+|repos|-bounded groupbys. Hash = MD5 hex (matches DuckDB ``md5(content)``
+in the value-exact SQL mirrors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from corpusaid_ray.util import grouped
+
+# Coarse shuffle-key cardinality (the neardup.py salting rationale): group
+# by salt(ck) so Ray pays its per-GROUP UDF call ~4k times, not once per
+# distinct content; the fine per-ck grouping runs inside pandas at C speed.
+SALT_BUCKETS = 4096
+
+
+def _ck_table(batch: pa.Table, cols: tuple[str, ...],
+              content_col: str = "content") -> pd.DataFrame:
+    """(cols..., ck, salt) skinny frame for a batch — md5 per row with a
+    per-batch distinct-content cache (duplicate-heavy corpora collapse)."""
+    out = {c: batch[c].to_pandas() for c in cols}
+    cache: dict[str, str] = {}
+    cks = []
+    for t in batch[content_col].to_pylist():
+        h = cache.get(t)
+        if h is None:
+            h = cache[t] = hashlib.md5(t.encode("utf-8")).hexdigest()
+        cks.append(h)
+    df = pd.DataFrame(out)
+    df["ck"] = cks
+    df["salt"] = (
+        pd.util.hash_pandas_object(df["ck"], index=False).to_numpy()
+        % SALT_BUCKETS
+    ).astype("int64")
+    return df
+
+
+def dup_inflation(ds, *, key_col: str = "path",
+                  content_col: str = "content"):
+    """Soft-dedup weights: ``(path, n_copies, weight_micros)`` where
+    ``n_copies`` is the corpus-wide count of files with byte-identical
+    content and ``weight_micros = 10⁶ // n_copies`` — feed to a weighted
+    sampler instead of hard-dropping duplicates. One content-keyed shuffle
+    of (path, ck) rows; the count attaches inside ``map_groups`` (never a
+    ``Dataset.join`` for a per-group count — BASELINE.md r4 rule)."""
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=object),
+                "ck": pd.Series([], dtype=object),
+                "salt": pd.Series([], dtype="int64"),
+            })
+        return _ck_table(batch, (key_col,), content_col)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("ck", sort=False)["ck"].transform("size") \
+            .to_numpy().astype("int64")
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "n_copies": n,
+            "weight_micros": 1_000_000 // n,
+        })
+
+    return grouped(
+        ds.map_batches(explode, batch_format="pyarrow"), "salt"
+    ).map_groups(attach, batch_format="pandas")
+
+
+def vendored_share(ds, *, content_col: str = "content"):
+    """Per-repo vendored-code share: ``(repo, n_files, n_vendored,
+    vendored_millis)`` where a file counts as vendored when its exact
+    content also appears in at least one OTHER repo. Same single
+    content-keyed exchange as :func:`dup_inflation`; within each content
+    group the per-repo file counts pre-aggregate, so the second groupby
+    moves ≤ |repos|·|contents-shared| tiny rows."""
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "repo": pd.Series([], dtype=object),
+                "ck": pd.Series([], dtype=object),
+                "salt": pd.Series([], dtype="int64"),
+            })
+        return _ck_table(batch, ("repo",), content_col)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("ck", sort=False):
+            cnt = sub.groupby("repo", sort=False).size()
+            multi = len(cnt) >= 2
+            outs.append(pd.DataFrame({
+                "repo": cnt.index.to_numpy(),
+                "n_files": cnt.to_numpy().astype("int64"),
+                "n_vendored": (
+                    cnt.to_numpy().astype("int64") if multi
+                    else np.zeros(len(cnt), dtype="int64")
+                ),
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "repo": pd.Series([], dtype=object),
+                "n_files": pd.Series([], dtype="int64"),
+                "n_vendored": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(outs, ignore_index=True)
+
+    sums = grouped(
+        grouped(
+            ds.map_batches(explode, batch_format="pyarrow"), "salt"
+        ).map_groups(per_group, batch_format="pandas"),
+        "repo",
+    ).aggregate(
+        Sum("n_files", alias_name="n_files"),
+        Sum("n_vendored", alias_name="n_vendored"),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.cast(b["n_files"], pa.int64())
+        v = pc.cast(b["n_vendored"], pa.int64())
+        return pa.table({
+            "repo": b["repo"],
+            "n_files": n,
+            "n_vendored": v,
+            "vendored_millis": pc.cast(
+                pc.divide(pc.multiply(v, pa.scalar(1000, pa.int64())), n),
+                pa.int64(),
+            ),
+        })
+
+    return sums.map_batches(final, batch_format="pyarrow")
+
+
+def fork_overlap(ds, *, min_shared: int = 2, content_col: str = "content"):
+    """Fork detection: ``(repo_a, repo_b, shared, jaccard_micros)`` for
+    repo pairs sharing ≥ ``min_shared`` DISTINCT contents, ``repo_a <
+    repo_b``, Jaccard over distinct-content sets in exact floor micros.
+
+    One content-keyed exchange emits union-schema rows per group — repo
+    pairs (is_pair=1) AND per-(repo, ck) distinct markers (is_pair=0) —
+    then a pair groupby (bounded by |repo pairs that share anything|) and a
+    |repos|-row groupby for the denominators. The denominator table
+    broadcasts via ``ray.put`` for the final map: bounded by |repos|, which
+    is ≪ |files| by construction (~10⁵ repos ≈ 10 MB at 10¹² files; past
+    that, swap the broadcast for a hash_join on repo_a/repo_b)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "repo": pd.Series([], dtype=object),
+                "ck": pd.Series([], dtype=object),
+                "salt": pd.Series([], dtype="int64"),
+            })
+        return _ck_table(batch, ("repo",), content_col)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b, outs_p = [], [], []
+        for _, sub in g.groupby("ck", sort=False):
+            repos = np.unique(sub["repo"].to_numpy())
+            # distinct (repo, ck) marker rows → per-repo set sizes
+            outs_a.extend(repos)
+            outs_b.extend([""] * len(repos))
+            outs_p.extend([0] * len(repos))
+            if len(repos) >= 2:
+                ii, jj = np.triu_indices(len(repos), k=1)
+                outs_a.extend(repos[ii])
+                outs_b.extend(repos[jj])
+                outs_p.extend([1] * len(ii))
+        return pd.DataFrame({
+            "repo_a": pd.Series(outs_a, dtype=object),
+            "repo_b": pd.Series(outs_b, dtype=object),
+            "is_pair": pd.Series(outs_p, dtype="int64"),
+        })
+
+    rows = grouped(
+        ds.map_batches(explode, batch_format="pyarrow"), "salt"
+    ).map_groups(per_group, batch_format="pandas").materialize()
+
+    denom = {
+        r["repo_a"]: int(r["count()"])
+        for r in rows.filter(expr="is_pair == 0")
+        .groupby("repo_a").count().take_all()
+    }
+    dref = ray.put(denom)
+
+    pairs = grouped(
+        rows.filter(expr="is_pair == 1"), ["repo_a", "repo_b"]
+    ).aggregate(Sum("is_pair", alias_name="shared"))
+
+    def final(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                "repo_a": pa.array([], pa.string()),
+                "repo_b": pa.array([], pa.string()),
+                "shared": pa.array([], pa.int64()),
+                "jaccard_micros": pa.array([], pa.int64()),
+            })
+        d = ray.get(dref)
+        sh = pc.cast(b["shared"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        na = np.array([d[r] for r in b["repo_a"].to_pylist()], dtype="int64")
+        nb = np.array([d[r] for r in b["repo_b"].to_pylist()], dtype="int64")
+        jac = (sh * 1_000_000) // (na + nb - sh)
+        t = pa.table({
+            "repo_a": b["repo_a"],
+            "repo_b": b["repo_b"],
+            "shared": pa.array(sh),
+            "jaccard_micros": pa.array(jac),
+        })
+        return t.filter(pc.greater_equal(
+            t["shared"], pa.scalar(min_shared, pa.int64())
+        ))
+
+    return pairs.map_batches(final, batch_format="pyarrow")

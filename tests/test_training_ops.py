@@ -3283,3 +3283,101 @@ class TestIqrOutliers:
             assert got == want, par
         assert want[60] and want[61]  # both planted extremes flagged
         assert not any(want[i] for i in range(60))
+
+
+def test_comment_density_planted(ray_session):
+    """Hand-counted fixture: 2 comment markers of different styles, one
+    blank, one code line — exact counts and floor millis."""
+    import ray.data
+
+    from corpusaid_ray.stages.codestats import comment_density
+
+    ds = ray.data.from_items([
+        {"lang": "py", "content": "# c\n\nx = 1\n\t// c2"},
+        {"lang": "go", "content": "-- c\ncode"},
+    ])
+    out = comment_density(ds).to_pandas().set_index("lang")
+    assert out.loc["py", "n_lines"] == 4
+    assert out.loc["py", "comment_lines"] == 2   # "# c" and "\t// c2"
+    assert out.loc["py", "blank_lines"] == 1
+    assert out.loc["py", "comment_millis"] == 500
+    assert out.loc["go", "comment_lines"] == 1
+    assert out.loc["go", "blank_lines"] == 0
+
+
+def test_indent_profile_planted(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.codestats import indent_profile
+
+    ds = ray.data.from_items([
+        {"lang": "py", "content": "\ta\n  b\nc\n\td"},
+    ])
+    out = indent_profile(ds).to_pandas().set_index("lang")
+    assert out.loc["py", "tab_lines"] == 2
+    assert out.loc["py", "space_lines"] == 1
+    assert out.loc["py", "tab_millis"] == 666  # 2000 // 3
+
+
+def test_minified_screen_planted(ray_session):
+    """One long-line doc trips the max-line rule; a normal doc does not;
+    avg/ws arithmetic is exact."""
+    import ray.data
+
+    from corpusaid_ray.stages.codestats import minified_screen
+
+    ds = ray.data.from_items([
+        {"repo": "r", "path": "a", "content": "x" * 600},
+        {"repo": "r", "path": "b", "content": "ab cd\nef gh"},
+    ])
+    out = minified_screen(ds).to_pandas().set_index("path")
+    assert bool(out.loc["a", "minified"]) is True
+    assert out.loc["a", "max_line_len"] == 600
+    assert bool(out.loc["b", "minified"]) is False
+    assert out.loc["b", "n_lines"] == 2
+    assert out.loc["b", "avg_line_len"] == 5  # (11 - 1) // 2
+    assert out.loc["b", "ws_millis"] == (3 * 1000) // 11
+
+
+def test_dup_inflation_planted(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.provenance import dup_inflation
+
+    ds = ray.data.from_items([
+        {"path": "a", "content": "same"},
+        {"path": "b", "content": "same"},
+        {"path": "c", "content": "unique"},
+    ])
+    out = dup_inflation(ds).to_pandas().set_index("path")
+    assert out.loc["a", "n_copies"] == 2
+    assert out.loc["a", "weight_micros"] == 500_000
+    assert out.loc["c", "n_copies"] == 1
+    assert out.loc["c", "weight_micros"] == 1_000_000
+
+
+def test_vendored_and_fork_overlap_planted(ray_session):
+    """r1 and r2 share two contents (vendored both sides, fork pair with
+    jaccard 2/(3+2-2)); r3 is isolated."""
+    import ray.data
+
+    from corpusaid_ray.stages.provenance import fork_overlap, vendored_share
+
+    rows = [
+        {"repo": "r1", "path": "p1", "content": "A"},
+        {"repo": "r1", "path": "p2", "content": "B"},
+        {"repo": "r1", "path": "p3", "content": "C"},
+        {"repo": "r2", "path": "p4", "content": "A"},
+        {"repo": "r2", "path": "p5", "content": "B"},
+        {"repo": "r3", "path": "p6", "content": "D"},
+    ]
+    ds = ray.data.from_items(rows)
+    v = vendored_share(ds).to_pandas().set_index("repo")
+    assert v.loc["r1", "n_files"] == 3 and v.loc["r1", "n_vendored"] == 2
+    assert v.loc["r1", "vendored_millis"] == 666
+    assert v.loc["r3", "n_vendored"] == 0
+    f = fork_overlap(ray.data.from_items(rows)).to_pandas()
+    assert len(f) == 1
+    r = f.iloc[0]
+    assert (r.repo_a, r.repo_b, r.shared) == ("r1", "r2", 2)
+    assert r.jaccard_micros == (2 * 1_000_000) // 3
