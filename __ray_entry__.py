@@ -5141,6 +5141,24 @@ def q_minified_screen(sf_dir: str):
     return minified_screen(_corpus(sf_dir))
 
 
+def q_max_line_run(sf_dir: str):
+    """Per-doc longest consecutive-identical-line run
+    (codestats.max_line_run) — the adjacency repetition signal for
+    generated/log-dump files; map-only gaps-and-islands."""
+    from corpusaid_ray.stages.codestats import max_line_run
+
+    return max_line_run(_corpus(sf_dir))
+
+
+def q_module_stats(sf_dir: str):
+    """Per-(repo, module) file/byte rollup from the path layout
+    (codestats.module_stats) — directory-level size view for shard
+    planning."""
+    from corpusaid_ray.stages.codestats import module_stats
+
+    return module_stats(_corpus(sf_dir))
+
+
 def q_dup_inflation(sf_dir: str):
     """Soft-dedup sampling weights (provenance.dup_inflation): per file the
     corpus-wide copy count of its exact content and the inverse-frequency
@@ -5233,6 +5251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minified_screen": q_minified_screen,
         "vendored_share": q_vendored_share,
         "fork_overlap": q_fork_overlap,
+        "max_line_run": q_max_line_run,
+        "module_stats": q_module_stats,
         # --- green in a prior CORRECTNESS_r*.json (r1-r4) ---
         "events_percentiles_dist": q_events_percentiles_dist,
         "jsonl_roundtrip": q_jsonl_roundtrip,

@@ -4744,3 +4744,33 @@ FROM p
 JOIN n na ON p.repo_a = na.repo
 JOIN n nb ON p.repo_b = nb.repo
 WHERE shared >= 2""")
+
+# max_line_run: gaps-and-islands over the full line explode (empty lines
+# included — the line_dedup idiom without its nonempty filter).
+ORACLE_SQL["max_line_run"] = with_corpus("""
+, lns AS (
+  SELECT repo, path, t.i::BIGINT AS line_no, arr[t.i::INT] AS line
+  FROM (SELECT repo, path, regexp_split_to_array(content, chr(10)) AS arr
+        FROM corpus),
+       unnest(range(1, length(arr) + 1)) AS t(i)
+), g AS (
+  SELECT repo, path, line,
+         line_no - row_number() OVER (
+           PARTITION BY path, line ORDER BY line_no) AS grp
+  FROM lns
+), runs AS (
+  SELECT repo, path, count(*)::BIGINT AS run_len
+  FROM g GROUP BY repo, path, line, grp
+)
+SELECT r.repo, r.path, n.n_lines, r.max_run
+FROM (SELECT repo, path, max(run_len)::BIGINT AS max_run
+      FROM runs GROUP BY repo, path) r
+JOIN (SELECT path, count(*)::BIGINT AS n_lines
+      FROM lns GROUP BY path) n USING (path)""")
+
+ORACLE_SQL["module_stats"] = with_corpus("""
+SELECT repo,
+       string_split(path, '/')[2] AS module,
+       count(*)::BIGINT AS n_files,
+       sum(octet_length(encode(content)))::BIGINT AS n_bytes
+FROM corpus GROUP BY repo, module""")

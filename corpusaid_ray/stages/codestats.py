@@ -233,3 +233,102 @@ def minified_screen(ds, *, content_col: str = "content"):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def max_line_run(ds, *, content_col: str = "content"):
+    """Per-doc longest run of CONSECUTIVE identical lines (empty lines
+    included): ``(repo, path, n_lines, max_run)`` — the repetition signal
+    that catches generated/log-dump files whose duplicate lines are
+    adjacent (doc-level dup-line FRACTION misses short heavy runs in long
+    files; this is the gaps-and-islands complement).
+
+    Map-only: runs never cross docs, so each batch resolves its own maxima
+    — adjacent-equality vector + run-id cumsum + ``np.maximum.at``; no
+    Python loop over lines, nothing shuffles."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "n_lines": pa.array([], pa.int64()),
+                "max_run": pa.array([], pa.int64()),
+            })
+        flat, row_ids = _flat_lines(batch, content_col)
+        n_docs = len(batch)
+        n_lines = np.bincount(row_ids, minlength=n_docs).astype("int64")
+        if len(flat) == 0:
+            mx = np.zeros(n_docs, dtype="int64")
+        else:
+            same = np.zeros(len(flat), dtype=bool)
+            if len(flat) > 1:
+                eq = pc.equal(
+                    flat.slice(1), flat.slice(0, len(flat) - 1)
+                ).to_numpy(zero_copy_only=False)
+                same[1:] = eq & (row_ids[1:] == row_ids[:-1])
+            run_id = np.cumsum(~same)  # distinct id per run, 1-based
+            run_len = np.bincount(run_id)[run_id]  # len of own run per line
+            mx = np.zeros(n_docs, dtype="int64")
+            np.maximum.at(mx, row_ids, run_len)
+        return pa.table({
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "n_lines": pa.array(n_lines),
+            "max_run": pa.array(mx),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def module_stats(ds, *, path_col: str = "path",
+                 content_col: str = "content"):
+    """Per-(repo, module) layout rollup: ``(repo, module, n_files,
+    n_bytes)`` where module is the second ``/``-separated path segment —
+    the directory-level size view shard planning and per-module sampling
+    read. Map partials (one row per (repo, module) per batch) → one
+    bounded groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "repo": pa.array([], pa.string()),
+                "module": pa.array([], pa.string()),
+                "n_files": pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64()),
+            })
+        import pandas as pd
+
+        parts = pc.split_pattern(batch[path_col], "/")
+        module = pc.list_element(parts, 1)
+        nbytes = pc.binary_length(
+            pc.cast(batch[content_col], pa.binary())
+        )
+        df = pd.DataFrame({
+            "repo": batch["repo"].to_pandas(),
+            "module": module.to_pandas(),
+            "n_files": np.ones(len(batch), dtype="int64"),
+            "n_bytes": nbytes.to_numpy(zero_copy_only=False)
+            .astype("int64"),
+        })
+        agg = df.groupby(["repo", "module"], sort=False,
+                         as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    sums = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["repo", "module"],
+    ).aggregate(
+        Sum("n_files", alias_name="n_files"),
+        Sum("n_bytes", alias_name="n_bytes"),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": b["repo"],
+            "module": b["module"],
+            "n_files": pc.cast(b["n_files"], pa.int64()),
+            "n_bytes": pc.cast(b["n_bytes"], pa.int64()),
+        })
+
+    return sums.map_batches(final, batch_format="pyarrow")

@@ -3381,3 +3381,53 @@ def test_vendored_and_fork_overlap_planted(ray_session):
     r = f.iloc[0]
     assert (r.repo_a, r.repo_b, r.shared) == ("r1", "r2", 2)
     assert r.jaccard_micros == (2 * 1_000_000) // 3
+
+
+def test_max_line_run_planted(ray_session):
+    """Adjacency matters: 3 identical adjacent lines → run 3; the same
+    lines separated → run 1; empty-line runs count too."""
+    import ray.data
+
+    from corpusaid_ray.stages.codestats import max_line_run
+
+    ds = ray.data.from_items([
+        {"repo": "r", "path": "a", "content": "x\nx\nx\ny"},
+        {"repo": "r", "path": "b", "content": "x\ny\nx\ny\nx"},
+        {"repo": "r", "path": "c", "content": "a\n\n\n\nb"},
+        {"repo": "r", "path": "d", "content": ""},
+    ])
+    out = max_line_run(ds).to_pandas().set_index("path")
+    assert out.loc["a", "max_run"] == 3 and out.loc["a", "n_lines"] == 4
+    assert out.loc["b", "max_run"] == 1
+    assert out.loc["c", "max_run"] == 3  # the three empty lines
+    assert out.loc["d", "max_run"] == 1 and out.loc["d", "n_lines"] == 1
+
+
+def test_max_line_run_batch_boundary(ray_session):
+    """Runs never cross docs: two docs whose boundary lines are equal must
+    not merge runs even when they land in one batch."""
+    import ray.data
+
+    from corpusaid_ray.stages.codestats import max_line_run
+
+    ds = ray.data.from_items([
+        {"repo": "r", "path": "a", "content": "z\nz"},
+        {"repo": "r", "path": "b", "content": "z\nz"},
+    ])
+    out = max_line_run(ds).to_pandas()
+    assert (out.max_run == 2).all()
+
+
+def test_module_stats_planted(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.codestats import module_stats
+
+    ds = ray.data.from_items([
+        {"repo": "r", "path": "src/m1/f1.txt", "content": "abcd"},
+        {"repo": "r", "path": "src/m1/f2.txt", "content": "ab"},
+        {"repo": "r", "path": "src/m2/f3.txt", "content": "a"},
+    ])
+    out = module_stats(ds).to_pandas().set_index("module")
+    assert out.loc["m1", "n_files"] == 2 and out.loc["m1", "n_bytes"] == 6
+    assert out.loc["m2", "n_files"] == 1
