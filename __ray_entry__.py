@@ -5177,6 +5177,15 @@ def q_vendored_share(sf_dir: str):
     return vendored_share(_corpus(sf_dir))
 
 
+def q_soft_dedup_sample(sf_dir: str):
+    """Deterministic soft-dedup sampler (provenance.soft_dedup_sample):
+    keep iff md5_rank(path) % 10⁶ < weight_micros — ~one expected survivor
+    per duplicate group, no first-wins coordination."""
+    from corpusaid_ray.stages.provenance import soft_dedup_sample
+
+    return soft_dedup_sample(_corpus(sf_dir))
+
+
 def q_fork_overlap(sf_dir: str):
     """Fork detection (provenance.fork_overlap): repo pairs sharing ≥2
     distinct contents with exact distinct-content Jaccard in micros."""
@@ -5253,6 +5262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fork_overlap": q_fork_overlap,
         "max_line_run": q_max_line_run,
         "module_stats": q_module_stats,
+        "soft_dedup_sample": q_soft_dedup_sample,
         # --- green in a prior CORRECTNESS_r*.json (r1-r4) ---
         "events_percentiles_dist": q_events_percentiles_dist,
         "jsonl_roundtrip": q_jsonl_roundtrip,

@@ -4774,3 +4774,17 @@ SELECT repo,
        count(*)::BIGINT AS n_files,
        sum(octet_length(encode(content)))::BIGINT AS n_bytes
 FROM corpus GROUP BY repo, module""")
+
+# soft_dedup_sample: the dup_inflation weights applied as a deterministic
+# md5-rank Bernoulli keep (same hash family as repo_quota_sample).
+ORACLE_SQL["soft_dedup_sample"] = with_corpus("""
+, c AS (
+  SELECT repo, path,
+         count(*) OVER (PARTITION BY md5(content))::BIGINT AS n_copies,
+         (('0x' || substr(md5(path), 1, 8))::UBIGINT)::BIGINT AS md5_rank
+  FROM corpus
+)
+SELECT repo, path, n_copies,
+       (1000000 // n_copies)::BIGINT AS weight_micros
+FROM c
+WHERE md5_rank % 1000000 < 1000000 // n_copies""")

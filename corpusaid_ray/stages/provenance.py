@@ -244,3 +244,51 @@ def fork_overlap(ds, *, min_shared: int = 2, content_col: str = "content"):
         ))
 
     return pairs.map_batches(final, batch_format="pyarrow")
+
+
+def soft_dedup_sample(ds, *, key_col: str = "path",
+                      content_col: str = "content"):
+    """Deterministic soft-dedup sampler: keep a file iff
+    ``md5_rank(path) % 10⁶ < weight_micros`` — each duplicate group
+    survives with ~1 expected member (probability 1/n_copies per member,
+    decided by the same md5-rank family every sampler here uses, so the
+    keep set is order- and layout-independent). The SAMPLING counterpart
+    of :func:`dup_inflation`: hard dedup keeps exactly the first copy;
+    this keeps a hash-chosen ~one and needs no first-wins coordination.
+    Returns kept rows ``(repo, path, n_copies, weight_micros)``.
+
+    Same single content-keyed skinny exchange as dup_inflation; the
+    md5-rank rides the explode pass."""
+    import hashlib as _hl
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "repo": pd.Series([], dtype=object),
+                key_col: pd.Series([], dtype=object),
+                "ck": pd.Series([], dtype=object),
+                "salt": pd.Series([], dtype="int64"),
+                "md5_rank": pd.Series([], dtype="int64"),
+            })
+        df = _ck_table(batch, ("repo", key_col), content_col)
+        df["md5_rank"] = np.array([
+            int(_hl.md5(str(p).encode("utf-8")).hexdigest()[:8], 16)
+            for p in df[key_col]
+        ], dtype="int64")
+        return df
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("ck", sort=False)["ck"].transform("size") \
+            .to_numpy().astype("int64")
+        w = 1_000_000 // n
+        keep = (g["md5_rank"].to_numpy() % 1_000_000) < w
+        return pd.DataFrame({
+            "repo": g["repo"].to_numpy()[keep],
+            key_col: g[key_col].to_numpy()[keep],
+            "n_copies": n[keep],
+            "weight_micros": w[keep],
+        })
+
+    return grouped(
+        ds.map_batches(explode, batch_format="pyarrow"), "salt"
+    ).map_groups(attach, batch_format="pandas")

@@ -3431,3 +3431,29 @@ def test_module_stats_planted(ray_session):
     out = module_stats(ds).to_pandas().set_index("module")
     assert out.loc["m1", "n_files"] == 2 and out.loc["m1", "n_bytes"] == 6
     assert out.loc["m2", "n_files"] == 1
+
+
+def test_soft_dedup_sample_planted(ray_session):
+    """Uniques always survive (weight 10⁶ beats any rank); dup-group
+    members survive iff their md5 rank falls under the inverse-count
+    weight — checked against the serial rule."""
+    import hashlib
+
+    import ray.data
+
+    from corpusaid_ray.stages.provenance import soft_dedup_sample
+
+    rows = [{"repo": "r", "path": f"p{i}",
+             "content": "dup" if i < 10 else f"u{i}"}
+            for i in range(20)]
+    out = soft_dedup_sample(ray.data.from_items(rows)).to_pandas()
+    kept = set(out.path)
+    for i in range(20):
+        p = f"p{i}"
+        n = 10 if i < 10 else 1
+        rank = int(hashlib.md5(p.encode()).hexdigest()[:8], 16)
+        want = (rank % 1_000_000) < (1_000_000 // n)
+        assert (p in kept) == want, p
+    assert all(out[out.path == f"p{i}"].n_copies.iloc[0] == 10
+               for i in range(10) if f"p{i}" in kept)
+    assert {f"p{i}" for i in range(10, 20)} <= kept  # uniques all kept
