@@ -2463,8 +2463,11 @@ def q_semantic_dedup(sf_dir: str):
 
 def q_compression_metrics(sf_dir: str):
     """Gopher-family compression-ratio signal: zlib(level 6) size per doc as
-    exact fixed-point ratio. Rows-only by design (no zlib in SQL);
-    pytest pins values against direct zlib calls."""
+    exact fixed-point ratio. Value-verified via the data-dependent mirror
+    ``oracle.compression_sql`` (compressed sizes precomputed on an
+    independent driver-side parquet read and inlined as VALUES; byte
+    lengths + fixed-point division stay pure SQL); pytest additionally
+    pins values against direct zlib calls."""
     from corpusaid_ray.stages.quality import compression_metrics_fn
 
     return (
@@ -5430,6 +5433,9 @@ def oracle_sql() -> dict[str, str]:
 
         sf = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
         out["ann_ivf"] = ann_ivf_sql(sf)
+        from corpusaid_ray.oracle import compression_sql
+
+        out["compression_metrics"] = compression_sql(sf)
         from corpusaid_ray.oracle import semantic_kept_sql, semdedup_sql
 
         out["semantic_dedup"] = semdedup_sql(sf)

@@ -4788,3 +4788,46 @@ SELECT repo, path, n_copies,
        (1000000 // n_copies)::BIGINT AS weight_micros
 FROM c
 WHERE md5_rank % 1000000 < 1000000 // n_copies""")
+
+
+def compression_sql(sf_dir: str) -> str:
+    """Value-exact mirror for ``compression_metrics`` (closes the repo's
+    last rows-only query). DuckDB has no zlib, so the compressed byte
+    count per document is precomputed HERE on an independent data path —
+    a direct pyarrow parquet read + ``derive_corpus_batch`` on the driver,
+    never touching the Ray pipeline — and inlined as a
+    ``(doc_id, n_zlib_bytes)`` VALUES table (the same data-dependent
+    pattern as :func:`ann_ivf_sql`). Byte length and the 10⁶ fixed-point
+    ratio stay pure SQL over the shared corpus CTE, so what the comparison
+    actually verifies end-to-end is the distributed plumbing: corpus
+    derivation, batch mapping, column selection, and the integer math.
+
+    Must be built from the SAME sf_dir the SQL runs against (the driver's
+    gate runs at sf0.01)."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from corpusaid_ray.corpus import derive_corpus_batch
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    df = derive_corpus_batch(t.to_pandas())
+    # derive_corpus_batch drops doc_id but is row-aligned with its input.
+    rows = ",\n    ".join(
+        "(%d, %d)"
+        % (int(d), len(zlib.compress((c or "").encode("utf-8"), 6)))
+        for d, c in zip(t.column("doc_id").to_pylist(), df["content"])
+    )
+    return f"""
+WITH {corpus_cte()},
+z(doc_id, n_zlib_bytes) AS (VALUES
+    {rows})
+SELECT c.repo, c.path,
+       octet_length(encode(c.content))::BIGINT AS n_bytes,
+       z.n_zlib_bytes::BIGINT AS n_zlib_bytes,
+       (z.n_zlib_bytes * 1000000
+        // greatest(octet_length(encode(c.content)), 1))::BIGINT
+           AS zlib_ratio_fp
+FROM corpus c JOIN z USING (doc_id)"""

@@ -65,6 +65,8 @@ def test_entry_contract(ray_session):
     assert res.count() == 500
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs), "oracle without a query"
+    # Since r5 (compression_metrics mirror) every query is value-verified.
+    assert set(qs) == set(oracles), "query without an oracle (rows-only)"
 
 
 def test_corpus_matches_sql_mirror(ray_session):
