@@ -164,7 +164,8 @@ def decontaminate(train_ds, eval_grams_ref, *, content_col: str = "content",
 
 def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
                  key_col: str = "path", min_share_df: int = 2,
-                 coalesce_blocks: int = 256, prefilter: bool = False):
+                 coalesce_blocks: int = 256, prefilter: bool = False,
+                 cand_cap: int = 20_000_000):
     """Per-document n-gram novelty (RefinedWeb-adjacent curation signal:
     how much of a doc's content is unique to it): the fraction of a doc's
     DISTINCT word n-grams that appear in fewer than ``min_share_df``
@@ -195,7 +196,12 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
     (measured 3.4× cheaper than the string exchange) finds candidate
     hashes with count ≥ ``min_share_df``, broadcasts them sorted, and only
     candidate grams' STRINGS enter the exact-DF exchange — per-doc totals
-    come from a map-only pass. EXACT either way: hash-count ≥ true df
+    come from a map-only pass. The candidate table is materialized and
+    counted BEFORE the driver touches it: above ``cand_cap`` rows (dense
+    sharing — the regime where the prefilter has no majority of unique
+    grams to skip) the op falls back to the single-exchange exact path
+    and nothing accumulates driver-side (``cand_cap=0`` forces the
+    fallback, pinned equal by pytest). EXACT either way: hash-count ≥ true df
     (every doc holding a gram bumps its hash), so a non-candidate is
     provably below the threshold, and candidates are string-confirmed in
     the exact exchange (collisions can only add candidates, never flip a
@@ -253,12 +259,9 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
             "_p2": pa.array(_salt(part["path"])),
         })
 
-    if not prefilter:
-        pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
-        partials = grouped(pair_ds, "_part", coalesce_blocks).map_groups(
-            mark_and_partial, batch_format="pandas"
-        )
-    else:
+    use_prefilter = prefilter
+    cand_ds = None
+    if use_prefilter:
         # pass A: int64 gram-hash partial counts → candidate hashes. NO
         # gram strings are built here (_gram_hashes folds per-word hashes);
         # in-doc duplicate grams bump a hash's count, so hash-count ≥ true
@@ -282,18 +285,42 @@ def gram_novelty(ds, *, n: int = 8, content_col: str = "content",
             t = t[t >= min_share_df]
             return pa.table({"h": pa.array(t.index.to_numpy("int64"))})
 
-        cand = np.sort(np.array(
-            [
-                r["h"]
-                for r in grouped(
-                    ds.map_batches(hash_counts, batch_format="pyarrow"),
-                    "_part", coalesce_blocks,
-                )
-                .map_groups(pick_candidates, batch_format="pandas")
-                .take_all()
-            ],
-            dtype="int64",
-        ))
+        # counted adaptive switch (the dup_span_scrub pattern): the
+        # candidate table is materialized and COUNTED before anything
+        # reaches the driver. Above ``cand_cap`` the sharing is dense —
+        # exactly the regime where the single-exchange exact path is
+        # cost-optimal anyway (the prefilter exists to skip building gram
+        # strings for the non-shared MAJORITY; with most hashes frequent
+        # there is no majority to skip and a distributed semi-join would
+        # ship the same gram strings PLUS an extra int exchange) — so the
+        # op falls back to it and the driver never holds the set.
+        from corpusaid_ray.util import drop_empty_blocks
+
+        cand_ds = drop_empty_blocks(
+            grouped(
+                ds.map_batches(hash_counts, batch_format="pyarrow"),
+                "_part", coalesce_blocks,
+            ).map_groups(pick_candidates, batch_format="pandas")
+        ).materialize()
+        if cand_ds.count() > cand_cap:
+            use_prefilter = False
+
+    if not use_prefilter:
+        pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+        partials = grouped(pair_ds, "_part", coalesce_blocks).map_groups(
+            mark_and_partial, batch_format="pandas"
+        )
+    else:
+        # below-cap broadcast: chunked Arrow pulls (no per-row driver
+        # iteration), sorted once for the workers' searchsorted probes
+        parts_np = [
+            t.column("h").to_numpy(zero_copy_only=False)
+            for t in ray.get(cand_ds.to_arrow_refs())
+        ]
+        cand = np.sort(
+            np.concatenate(parts_np) if parts_np
+            else np.empty(0, "int64")
+        ).astype("int64")
         cand_ref = ray.put(cand)
 
         # pass B1 (map-only): per-doc total distinct grams, EXACT and

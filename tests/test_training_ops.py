@@ -1603,11 +1603,23 @@ class TestGramNovelty:
                 "u1 u2 u3 u4 u5 u6 u7 u8 u9"},                  # 2 unique
             {"path": "short", "content": "too few words"},      # no grams
         ]
-        for parts, pf in ((1, False), (4, False), (4, True)):
+        # (parts, prefilter, cand_cap): cap=0 forces the counted adaptive
+        # switch's above-cap fallback (prefilter requested, candidates
+        # "too many" → single-exchange path) — pinned row-identical to
+        # both the broadcast prefilter and the default path.
+        cases = (
+            (1, False, 20_000_000),
+            (4, False, 20_000_000),
+            (4, True, 20_000_000),
+            (4, True, 0),
+        )
+        for parts, pf, cap in cases:
             ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(parts)
             got = {
                 r["path"]: r
-                for r in gram_novelty(ds, n=8, prefilter=pf).take_all()
+                for r in gram_novelty(
+                    ds, n=8, prefilter=pf, cand_cap=cap
+                ).take_all()
             }
             assert "short" not in got and len(got) == 3
             assert got["a"]["n_grams"] == 1 and got["a"]["n_shared"] == 1
