@@ -1224,6 +1224,45 @@ def q_png_features(sf_dir: str):
     )
 
 
+def q_jpeg_features(sf_dir: str):
+    """REAL baseline-DCT grayscale JPEG decode path (full T.81 pipeline:
+    marker parse, stream-carried Huffman tables, dequant + IDCT — the r5
+    codec replacing the former ``NotImplementedError`` extension point):
+    flat images (one value per image, so quantization is closed-form —
+    ``decoded = clip(2·rha((v−128)/2) + 128)`` with the Annex-K Q₀₀=16),
+    even doc_ids, synthesized deterministically and decoded by the same
+    actor-pool extractor as PNG/BMP; every DECODED value oracle-verified."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from corpusaid_ray.stages.multimodal import encode_jpeg, media_features
+
+    def synth(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0)
+        )
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            w, h = 8 + did % 5, 8 + did % 7
+            px = np.full((h, w), did % 256, np.uint8)
+            payloads.append(encode_jpeg(px))
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    return media_features(
+        ds.map_batches(synth, batch_format="pyarrow")
+    ).select_columns(
+        ["doc_id", "width", "height", "channels", "mean_intensity"]
+    )
+
+
 def q_audio_features(sf_dir: str):
     """REAL WAV decode path (stdlib ``wave`` in an actor pool): duration /
     rate / channels / RMS of deterministically synthesized PCM payloads —
@@ -5266,6 +5305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_line_run": q_max_line_run,
         "module_stats": q_module_stats,
         "soft_dedup_sample": q_soft_dedup_sample,
+        "jpeg_features": q_jpeg_features,
         # --- green in a prior CORRECTNESS_r*.json (r1-r4) ---
         "events_percentiles_dist": q_events_percentiles_dist,
         "jsonl_roundtrip": q_jsonl_roundtrip,

@@ -3336,6 +3336,26 @@ SELECT doc_id,
        END AS mean_intensity
 FROM documents WHERE doc_id % 2 = 1"""
 
+# jpeg_features: flat grayscale baseline JPEGs — the whole lossy path
+# collapses to the DC coefficient, so the decode is closed-form:
+# t = v − 128, quantized DC = round-half-away(t/2) (Q₀₀ = 16, DCT DC = 8t),
+# decoded value = clip(2·rha + 128, 0, 255); the mean of a flat image IS
+# that value. rha in integer SQL: t≥0 → (t+1)//2, t<0 → −((1−t)//2).
+ORACLE_SQL["jpeg_features"] = """
+WITH f AS (
+  SELECT doc_id, (doc_id % 256) - 128 AS t FROM documents
+  WHERE doc_id % 2 = 0
+)
+SELECT doc_id,
+       (8 + doc_id % 5)::BIGINT AS width,
+       (8 + doc_id % 7)::BIGINT AS height,
+       1::BIGINT AS channels,
+       least(greatest(
+           2 * (CASE WHEN t >= 0 THEN (t + 1) // 2
+                     ELSE -((1 - t) // 2) END) + 128,
+           0), 255)::DOUBLE AS mean_intensity
+FROM f"""
+
 
 def _jaccard_join_sql(t_micros: int = 700_000) -> str:
     """Mirror of stages/simjoin.jaccard_similarity_join: ALL-PAIRS exact

