@@ -54,6 +54,55 @@ BROKEN_MARKUP = {
     "nested_angle": ("<p title='<b>'>content</p>", "content"),
     "double_amp": ("a && b &&& c", "a && b &&& c"),
     "numeric_overflow": ("big &#x110000; char", "big � char"),
+    # ---- r5 widening (verdict item 7): real-world broken-markup motifs.
+    # UNCLOSED script/style swallow everything to EOF — that is the raw
+    # stdlib tokenizer (goahead() only flushes trailing data when NOT in
+    # cdata mode), and bs4's "html.parser" builder wraps the SAME
+    # tokenizer, so this is parity with the reference's bs4+html.parser
+    # stack, not a divergence (a lxml-backed bs4 WOULD recover the text).
+    "unclosed_script": ("<script>var a = 1; <p>looks like markup", ""),
+    "unclosed_style": ("<style>p { color: red } <div>tail", ""),
+    # CDATA guard inside a CLOSED script: content kept verbatim (cdata
+    # mode suspends comment/markup scanning until </script>)
+    "script_cdata_guard": (
+        "<script>//<![CDATA[\nif (a<b) x();\n//]]></script>after",
+        "//<![CDATA[\nif (a<b) x();\n//]]>after"),
+    # IE conditional comments are plain comments to html.parser: dropped
+    "conditional_comment": ("pre<!--[if IE 9]>ie only<![endif]-->post",
+                            "prepost"),
+    # unterminated comment: the tokenizer's EOF fallback re-emits the raw
+    # tail as data but still eats a trailing complete tag
+    "unclosed_comment": ("keep<!-- swallowed <b>bold</b>",
+                         "keep<!-- swallowed <b>bold"),
+    # missing-semicolon entities: known names decode anyway (HTML5
+    # legacy-compat list), unknown stay literal
+    "entity_no_semicolon": ("fish &amp chips &lt tail",
+                            "fish & chips < tail"),
+    "entity_double_escaped": ("a &amp;amp; b", "a &amp; b"),
+    # C0 control refs: NUL → U+FFFD, other C0 controls are DROPPED
+    # (html.parser's charref conversion skips invalid-but-unmapped refs)
+    "entity_control": ("nul &#0; bell &#7; end", "nul � bell  end"),
+    "entity_surrogate": ("bad &#xD800; end", "bad � end"),
+    # unescaped '<' inside a QUOTED attribute value parses fine
+    "attr_unescaped_lt": ('<a title="a<b">x</a> done', "x done"),
+    # '< ' before a non-name char is literal text, not a tag
+    "space_before_name": ("compare < p > q done", "compare < p > q done"),
+    "self_closing": ("line one<br/>line two<hr />end",
+                     "line oneline twoend"),
+    # nested forms (invalid HTML browsers re-parent): character data
+    # survives — the stripper never builds a tree, so nesting is moot
+    "nested_forms": ("<form>outer<div><form>inner</form></div></form>tail",
+                     "outerinnertail"),
+    "table_rescue": ("<table><tr><td>cell text</table>after",
+                     "cell textafter"),
+    # textarea/title are NOT cdata elements in html.parser: inner tags
+    # still strip (lxml-backed bs4 would keep textarea content raw)
+    "textarea_content": ("<textarea><b>literal?</b></textarea>end",
+                         "literal?end"),
+    "title_content": ("<title>Page <b>Title</b></title>body",
+                      "Page Titlebody"),
+    "uppercase_tags": ("<P>UPPER <B>BOLD</B></P> done", "UPPER BOLD done"),
+    "numeric_leading_zeros": ("pad &#000065; end", "pad A end"),
 }
 
 # Cases where bs4's node typing is release-dependent (CDATA/comment/PI/decl
@@ -61,7 +110,12 @@ BROKEN_MARKUP = {
 # has changed across bs4 versions). Divergence is PERMITTED here and only
 # here; everything else must match the stdlib stripper byte-for-byte.
 BS4_AMBIGUOUS = {"cdata", "comment", "processing_instr", "decl",
-                 "truncated_tag", "unclosed_attr"}
+                 "truncated_tag", "unclosed_attr",
+                 # r5: comment-node typing also covers conditional and
+                 # unterminated comments; EOF-recovery of unclosed cdata
+                 # elements has changed across bs4 releases
+                 "conditional_comment", "unclosed_comment",
+                 "unclosed_script", "unclosed_style"}
 
 
 class TestHtmlStripDivergenceBounds:
