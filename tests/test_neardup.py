@@ -111,13 +111,16 @@ def test_multimodal_meta_and_stub(ray_session):
     out = multimodal_meta(read_corpus(SF_SMALL)).limit(5).to_pandas()
     assert (out.payload_bytes > 0).all()
     assert out.magic_hex.str.len().eq(8).all()
-    # codec-requiring formats stay honestly unimplemented (JPEG has no codec)
+    # codec-requiring formats stay honestly unimplemented (MP3 and real
+    # video containers have no codec here)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0....", "image")
-    # PNG now has a real codec, so a truncated payload fails loudly, not
-    # as an unimplemented-format stub
+        decode_media(b"ID3\x04....", "audio")
+    # PNG and (since r5) grayscale baseline JPEG have real codecs, so a
+    # truncated payload fails loudly, not as an unimplemented-format stub
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\n....", "image")
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xe0....", "image")
 
 
 def test_media_decode_roundtrip_and_features(ray_session):
