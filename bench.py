@@ -160,51 +160,6 @@ def run_bench() -> dict:
     queries["dedup_minhash"] = round(time.perf_counter() - t0, 3)
     extras["minhash_pairs"] = n
 
-    # --- adversarial mixed-dup corpus (r5 verdict item 6): the ×REPEAT
-    # bench corpus is MinHash's BEST case — replicas share a content key,
-    # so the candidate LUT collapses to one signature per distinct
-    # content. Here 20% of base docs each spawn a 50-member near-dup
-    # family of DISTINCT contents (one unique trailing token per member:
-    # Jaccard stays ≳0.9, content keys do NOT collapse), so candidate
-    # volume is O(family mass) — the shape a 30-50% dup-rate crawl has.
-    # Benched on BOTH counted-switch legs: the default cap (candidates
-    # fit → one ray.put broadcast) and a below-mass cap that trips the
-    # switch into the hash-join scale path; the pair counts must match.
-    import pyarrow as pa
-
-    def _mixed_dup(batch):
-        import hashlib as _h
-
-        paths = batch["path"].to_pylist()
-        contents = batch["content"].to_pylist()
-        out_p, out_c = [], []
-        for p, c in zip(paths, contents):
-            fam = int(_h.md5(p.encode()).hexdigest()[:8], 16) % 5 == 0
-            if fam:
-                out_p.extend(f"{p}#m{r}" for r in range(50))
-                out_c.extend(f"{c} v{r}" for r in range(50))
-            else:
-                out_p.append(p)
-                out_c.append(c)
-        return pa.table({"path": pa.array(out_p, pa.string()),
-                         "content": pa.array(out_c, pa.string())})
-
-    mixed = read_corpus(SF_DIR, parallelism=blocks).map_batches(
-        _mixed_dup, batch_format="pyarrow"
-    ).materialize()  # build once, time only the operator legs
-    extras["mixed_rows"] = mixed.count()
-    t0 = time.perf_counter()
-    n_b = minhash_candidate_pairs(mixed).count()
-    queries["minhash_mixed"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    n_j = minhash_candidate_pairs(mixed, broadcast_cap=25_000).count()
-    queries["minhash_mixed_join"] = round(time.perf_counter() - t0, 3)
-    assert n_j == n_b, (n_j, n_b)   # both shapes, identical answer
-    extras["mixed_pairs"] = n_b
-    extras["mixed_join_over_bcast"] = round(
-        queries["minhash_mixed_join"] / max(queries["minhash_mixed"], 1e-9), 2
-    )
-
     # --- corpus-wide line dedup (two-shuffle stressor: line-key groupby +
     # doc reassembly; combiner bounds the exchange, so repeat mostly stresses
     # the pre-shuffle explode) ---
@@ -482,6 +437,54 @@ def run_bench() -> dict:
     )
     queries["checkpoint_write"] = round(time.perf_counter() - t0, 3)
     extras["checkpoint_rows"] = summary["rows"]
+
+    # --- adversarial mixed-dup corpus (r5 verdict item 6): the ×REPEAT
+    # bench corpus is MinHash's BEST case — replicas share a content key,
+    # so the candidate LUT collapses to one signature per distinct
+    # content. Here 20% of base docs each spawn a 50-member near-dup
+    # family of DISTINCT contents (one unique trailing token per member:
+    # Jaccard stays ≳0.9, content keys do NOT collapse), so candidate
+    # volume is O(family mass) — the shape a 30-50% dup-rate crawl has.
+    # Benched on BOTH counted-switch legs: the default cap (candidates
+    # fit → one ray.put broadcast) and a below-mass cap that trips the
+    # switch into the hash-join scale path; the pair counts must match.
+    # LAST in the run by design: its 1.7M-pair exchanges leave object-
+    # store pressure that measurably inflates whatever row follows it
+    # (line_dedup read 19.7 s vs 5.1 s when these legs ran mid-bench).
+    import pyarrow as pa
+
+    def _mixed_dup(batch):
+        import hashlib as _h
+
+        paths = batch["path"].to_pylist()
+        contents = batch["content"].to_pylist()
+        out_p, out_c = [], []
+        for p, c in zip(paths, contents):
+            fam = int(_h.md5(p.encode()).hexdigest()[:8], 16) % 5 == 0
+            if fam:
+                out_p.extend(f"{p}#m{r}" for r in range(50))
+                out_c.extend(f"{c} v{r}" for r in range(50))
+            else:
+                out_p.append(p)
+                out_c.append(c)
+        return pa.table({"path": pa.array(out_p, pa.string()),
+                         "content": pa.array(out_c, pa.string())})
+
+    mixed = read_corpus(SF_DIR, parallelism=blocks).map_batches(
+        _mixed_dup, batch_format="pyarrow"
+    ).materialize()  # build once, time only the operator legs
+    extras["mixed_rows"] = mixed.count()
+    t0 = time.perf_counter()
+    n_b = minhash_candidate_pairs(mixed).count()
+    queries["minhash_mixed"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_j = minhash_candidate_pairs(mixed, broadcast_cap=25_000).count()
+    queries["minhash_mixed_join"] = round(time.perf_counter() - t0, 3)
+    assert n_j == n_b, (n_j, n_b)   # both shapes, identical answer
+    extras["mixed_pairs"] = n_b
+    extras["mixed_join_over_bcast"] = round(
+        queries["minhash_mixed_join"] / max(queries["minhash_mixed"], 1e-9), 2
+    )
 
     return {
         "metric": "flagship keep/drop+scrub wall time (sf corpus ×%d)" % REPEAT,
