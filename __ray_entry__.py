@@ -5236,6 +5236,82 @@ def q_fork_overlap(sf_dir: str):
     return fork_overlap(_corpus(sf_dir))
 
 
+def q_attribution_window(sf_dir: str):
+    """Keyed LARGE×LARGE interval join (window.attribution_window): for
+    every purchase, the count/value of the same user's clicks in the 15-min
+    look-back window — time-bucket co-partitioning (bucket width = window
+    width; sources replicate into exactly two buckets), per-group
+    vectorized searchsorted. SQL mirror: LEFT JOIN on the interval
+    predicate + GROUP BY."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import attribution_window
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return attribution_window(ds, window_minutes=15)
+
+
+def q_unimax_mix(sf_dir: str):
+    """UniMax water-filling language allocation (sampling.unimax_plan,
+    Chung et al. 2023): budget = ⌊0.8·total chars⌋, epoch cap 1 — small
+    languages saturate at their full capacity, the head language gets the
+    integer water level. Exact integer water-fill; the mirror derives the
+    same split with HUGEINT window functions."""
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import unimax_plan
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return unimax_plan(ds, epoch_cap=1, budget_num=4, budget_den=5)
+
+
+def q_readability(sf_dir: str):
+    """Per-document integer Flesch Reading Ease
+    (readability.readability): vowel-group syllables, ``[.!?]+``
+    sentences, milli fixed-point score."""
+    import ray.data
+
+    from corpusaid_ray.stages.readability import readability
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return readability(ds)
+
+
+def q_ks_drift(sf_dir: str):
+    """Per-source two-sample KS statistic of the length distribution vs
+    the rest of the corpus (drift.ks_drift) — exact integer sup over the
+    observed support at micro precision."""
+    import ray.data
+
+    from corpusaid_ray.stages.drift import ks_drift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    return ks_drift(ds)
+
+
+def q_chi2_drift(sf_dir: str):
+    """Per-source chi-square of the language mix vs the corpus mix
+    (drift.chi2_drift) — per-term floored micro fixed-point, HUGEINT-safe
+    mirror."""
+    import ray.data
+
+    from corpusaid_ray.stages.drift import chi2_drift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    return chi2_drift(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -5306,6 +5382,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "module_stats": q_module_stats,
         "soft_dedup_sample": q_soft_dedup_sample,
         "jpeg_features": q_jpeg_features,
+        "attribution_window": q_attribution_window,
+        "unimax_mix": q_unimax_mix,
+        "readability": q_readability,
+        "ks_drift": q_ks_drift,
+        "chi2_drift": q_chi2_drift,
         # --- green in a prior CORRECTNESS_r*.json (r1-r4) ---
         "events_percentiles_dist": q_events_percentiles_dist,
         "jsonl_roundtrip": q_jsonl_roundtrip,

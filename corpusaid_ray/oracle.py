@@ -4851,3 +4851,117 @@ SELECT c.repo, c.path,
         // greatest(octet_length(encode(c.content)), 1))::BIGINT
            AS zlib_ratio_fp
 FROM corpus c JOIN z USING (doc_id)"""
+
+# ---------------------------------------------------------------------------
+# Round-5 session-2 additions: interval join, UniMax, readability, drift.
+
+# attribution_window: keyed interval join — per purchase, same-user clicks
+# in [ts - 15 min, ts). LEFT semantics (zero-click purchases kept).
+ORACLE_SQL["attribution_window"] = """
+SELECT p.event_id,
+       count(c.event_id)::BIGINT AS n_prior,
+       coalesce(sum(CAST(floor(c.value * 1000000) AS BIGINT)), 0)::BIGINT
+         AS prior_value_micros
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 15 MINUTE AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id"""
+
+# unimax_mix: exact water-fill via window functions. Saturation is a prefix
+# property along ascending capacity (proof in stages/sampling.py): row k is
+# saturated iff cap_k · (n−k+1) ≤ B − prefix_{k−1}.
+ORACLE_SQL["unimax_mix"] = """
+WITH sizes AS (
+  SELECT lang, sum(n_chars)::HUGEINT AS chars FROM documents GROUP BY lang),
+b AS (SELECT (sum(chars) * 4) // 5 AS budget FROM sizes),
+o AS (
+  SELECT lang, chars, (chars * 1)::HUGEINT AS cap,
+         row_number() OVER (ORDER BY chars * 1, lang) AS rn,
+         sum(chars * 1) OVER (ORDER BY chars * 1, lang
+                              ROWS UNBOUNDED PRECEDING) AS prefix,
+         count(*) OVER () AS n
+  FROM sizes),
+s AS (
+  SELECT o.*, b.budget,
+         CASE WHEN cap * (n - rn + 1) <= budget - (prefix - cap)
+              THEN 1 ELSE 0 END AS sat
+  FROM o, b),
+k AS (
+  SELECT coalesce(sum(sat), 0) AS ksat, max(budget) AS budget,
+         max(n) AS n,
+         coalesce(max(CASE WHEN sat = 1 THEN prefix END), 0) AS prefk
+  FROM s)
+SELECT s.lang, s.chars::BIGINT AS chars, s.cap::BIGINT AS cap,
+       (CASE WHEN s.sat = 1 THEN s.cap
+             ELSE (k.budget - k.prefk) // (k.n - k.ksat) END)::BIGINT
+         AS alloc_chars,
+       s.sat::BIGINT AS saturated
+FROM s, k"""
+
+# readability: integer Flesch Reading Ease, per-term milli floors.
+ORACLE_SQL["readability"] = """
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+           AS sentences,
+         coalesce(list_sum(list_transform(
+             regexp_extract_all(lower(text), '[a-z]+'),
+             w -> len(regexp_extract_all(w, '[aeiouy]+')))), 0)::BIGINT
+           AS syllables
+  FROM documents)
+SELECT doc_id, words, sentences, syllables,
+       (206835 - (1015 * words) // sentences
+               - (84600 * syllables) // words)::BIGINT AS flesch_milli
+FROM f WHERE words > 0"""
+
+# ks_drift: per-source two-sample KS vs rest-of-corpus over the observed
+# length support, micro fixed-point.
+ORACLE_SQL["ks_drift"] = """
+WITH counts AS (
+  SELECT source, n_chars AS x, count(*)::HUGEINT AS c
+  FROM documents GROUP BY 1, 2),
+pts AS (SELECT DISTINCT n_chars AS x FROM documents),
+srcs AS (SELECT source, count(*)::HUGEINT AS n_s FROM documents GROUP BY 1),
+tot AS (SELECT count(*)::HUGEINT AS n FROM documents),
+grid AS (
+  SELECT s.source, s.n_s, p.x, coalesce(c.c, 0)::HUGEINT AS c
+  FROM srcs s CROSS JOIN pts p
+  LEFT JOIN counts c ON c.source = s.source AND c.x = p.x),
+gcum AS (
+  SELECT x, sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c_all
+  FROM (SELECT x, sum(c) AS c FROM counts GROUP BY x)),
+cum AS (
+  SELECT g.source, g.n_s, g.x,
+         sum(g.c) OVER (PARTITION BY g.source ORDER BY g.x
+                        ROWS UNBOUNDED PRECEDING) AS c_s,
+         gc.c_all
+  FROM grid g JOIN gcum gc ON gc.x = g.x)
+SELECT source, n_s::BIGINT AS n_docs,
+       ((max(abs(c_s * ((SELECT n FROM tot) - n_s)
+                 - (c_all - c_s) * n_s)) * 1000000)
+        // (n_s * ((SELECT n FROM tot) - n_s)))::BIGINT AS ks_micro
+FROM cum
+GROUP BY source, n_s"""
+
+# chi2_drift: per-source chi-square of the lang mix vs the corpus mix,
+# per-term micro floors summed.
+ORACLE_SQL["chi2_drift"] = """
+WITH o AS (
+  SELECT source, lang, count(*)::HUGEINT AS o
+  FROM documents GROUP BY 1, 2),
+g AS (SELECT lang, count(*)::HUGEINT AS g FROM documents GROUP BY 1),
+srcs AS (SELECT source, count(*)::HUGEINT AS n_s FROM documents GROUP BY 1),
+tot AS (SELECT count(*)::HUGEINT AS n FROM documents),
+grid AS (
+  SELECT s.source, s.n_s, g.lang, g.g, coalesce(o.o, 0)::HUGEINT AS o,
+         t.n
+  FROM srcs s CROSS JOIN g CROSS JOIN tot t
+  LEFT JOIN o ON o.source = s.source AND o.lang = g.lang)
+SELECT source, n_s::BIGINT AS n_docs,
+       sum(((o * n - n_s * g) * (o * n - n_s * g) * 1000000)
+           // (n_s * g * n))::BIGINT AS chi2_micro
+FROM grid
+GROUP BY source, n_s"""

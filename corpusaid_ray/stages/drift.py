@@ -1,0 +1,126 @@
+"""Distribution-drift statistics between corpus slices — the monitoring
+layer of a crawl-refresh pipeline (is source X's length profile / language
+mix drifting away from the rest of the corpus?). Complements the
+model-based ``lm_drift_by_snapshot`` monitor with two classical,
+INTEGER-EXACT tests:
+
+- :func:`ks_drift` — two-sample Kolmogorov–Smirnov statistic of a numeric
+  column, each source vs the REST of the corpus, reported at micro
+  precision: ``ks_micro = max_x |cum_s(x)·n_rest − cum_rest(x)·n_s|
+  · 10⁶ // (n_s·n_rest)``. The sup runs over the observed support, where
+  the ECDF difference attains its max.
+- :func:`chi2_drift` — Pearson chi-square of each source's category mix
+  (default: ``lang``) against the corpus-wide mix, per-term floored at
+  micro precision (``Σ_c ⌊(O·N − n_s·G)² · 10⁶ / (n_s·G·N)⌋``) so the
+  SQL mirror matches bit-for-bit.
+
+Scale shape: both reduce the corpus with ONE partial-agg groupby to a
+``|slices| × |support|`` count table; the scan math runs on that table
+with Python-int arithmetic (no int64 overflow at any corpus size — the
+HUGEINT mirror matches). Partitioning assumption for ks_drift: the value
+support is bounded (lengths, bucketed metrics); quantize an unbounded
+metric into buckets first.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from corpusaid_ray.util import grouped
+
+
+def _pair_counts(ds, slice_col: str, value_col: str) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([slice_col, value_col], sort=False).size()
+                .rename("c").reset_index())
+
+    return (
+        grouped(ds.map_batches(partial, batch_format="pandas"),
+                [slice_col, value_col])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+
+
+def ks_drift(ds, *, slice_col: str = "source",
+             value_col: str = "n_chars") -> pa.Table:
+    """Per-slice two-sample KS statistic vs the rest of the corpus.
+
+    Returns ``(slice_col, n_docs, ks_micro)``.
+    """
+    counts = _pair_counts(ds, slice_col, value_col)
+    support = sorted(int(v) for v in counts[value_col].unique())
+    pos = {v: i for i, v in enumerate(support)}
+    # dense per-slice count vectors over the shared support (python ints —
+    # exact at any scale, matching the mirror's HUGEINT)
+    per_slice: dict[str, list[int]] = {}
+    total = [0] * len(support)
+    for s, v, c in zip(counts[slice_col], counts[value_col], counts["c"]):
+        vec = per_slice.setdefault(str(s), [0] * len(support))
+        i = pos[int(v)]
+        vec[i] += int(c)
+        total[i] += int(c)
+    n = sum(total)
+    out_s, out_n, out_ks = [], [], []
+    for s in sorted(per_slice):
+        vec = per_slice[s]
+        n_s = sum(vec)
+        n_rest = n - n_s
+        best = 0
+        cum_s = 0
+        cum_all = 0
+        for i in range(len(support)):
+            cum_s += vec[i]
+            cum_all += total[i]
+            d = abs(cum_s * n_rest - (cum_all - cum_s) * n_s)
+            if d > best:
+                best = d
+        out_s.append(s)
+        out_n.append(n_s)
+        out_ks.append(best * 1_000_000 // (n_s * n_rest)
+                      if n_s and n_rest else 0)
+    return pa.table({
+        slice_col: pa.array(out_s, pa.string()),
+        "n_docs": pa.array(out_n, pa.int64()),
+        "ks_micro": pa.array(out_ks, pa.int64()),
+    })
+
+
+def chi2_drift(ds, *, slice_col: str = "source",
+               cat_col: str = "lang") -> pa.Table:
+    """Per-slice Pearson chi-square of the category mix vs the corpus mix.
+
+    Returns ``(slice_col, n_docs, chi2_micro)``.
+    """
+    counts = _pair_counts(ds, slice_col, cat_col)
+    cats = sorted(str(c) for c in counts[cat_col].unique())
+    pos = {c: i for i, c in enumerate(cats)}
+    per_slice: dict[str, list[int]] = {}
+    g = [0] * len(cats)
+    for s, c, k in zip(counts[slice_col], counts[cat_col], counts["c"]):
+        vec = per_slice.setdefault(str(s), [0] * len(cats))
+        i = pos[str(c)]
+        vec[i] += int(k)
+        g[i] += int(k)
+    n = sum(g)
+    out_s, out_n, out_chi = [], [], []
+    for s in sorted(per_slice):
+        vec = per_slice[s]
+        n_s = sum(vec)
+        chi = 0
+        for i in range(len(cats)):
+            if g[i] == 0:
+                continue
+            num = vec[i] * n - n_s * g[i]
+            chi += num * num * 1_000_000 // (n_s * g[i] * n)
+        out_s.append(s)
+        out_n.append(n_s)
+        out_chi.append(chi)
+    return pa.table({
+        slice_col: pa.array(out_s, pa.string()),
+        "n_docs": pa.array(out_n, pa.int64()),
+        "chi2_micro": pa.array(out_chi, pa.int64()),
+    })

@@ -1,0 +1,75 @@
+"""Readability scoring (Flesch Reading Ease with a deterministic
+vowel-group syllable heuristic) — a classic document-quality signal for
+training-data curation (readability gates appear beside Gopher/C4 rules in
+most published corpus recipes).
+
+The score is kept INTEGER-EXACT so the DuckDB mirror matches bit-for-bit:
+
+- words      = ``[a-z]+`` runs over the lowercased text
+- syllables  = Σ per word of ``[aeiouy]+`` runs (the standard
+  vowel-group approximation; deterministic, no dictionary)
+- sentences  = max(1, ``[.!?]+`` runs)
+- flesch_milli = 206835 − (1015·words)//sentences
+                        − (84600·syllables)//words
+
+(the real-valued formula is 206.835 − 1.015·W/S − 84.6·SY/W; each term is
+floored independently at milli precision so both engines compute the same
+integer — the repo-wide fixed-point policy.)
+
+Docs with zero words are dropped (the score is undefined); the SQL mirror
+carries the same ``words > 0`` predicate.
+
+Scale shape: pure map — one compiled-regex pass per document inside
+``map_batches``, no shuffle, no state. The per-doc Python loop is the same
+shape as the reference's per-document clean chain (regex semantics over
+variable-length strings don't vectorize); throughput scales with blocks.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WORD = re.compile(r"[a-z]+")
+_VOWEL_RUN = re.compile(r"[aeiouy]+")
+_SENT = re.compile(r"[.!?]+")
+
+
+def flesch_features(text: str) -> tuple[int, int, int]:
+    """(words, sentences, syllables) for one document."""
+    words = _WORD.findall(text.lower())
+    syllables = sum(len(_VOWEL_RUN.findall(w)) for w in words)
+    sentences = max(1, len(_SENT.findall(text)))
+    return len(words), sentences, syllables
+
+
+def flesch_milli(words: int, sentences: int, syllables: int) -> int:
+    """Integer Flesch Reading Ease at milli precision (words > 0)."""
+    return 206_835 - (1_015 * words) // sentences - (
+        84_600 * syllables) // words
+
+
+def readability(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document readability table:
+    ``(doc_id, words, sentences, syllables, flesch_milli)``."""
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        feats = [flesch_features(t) for t in df[text_col]]
+        w = np.array([f[0] for f in feats], dtype=np.int64)
+        s = np.array([f[1] for f in feats], dtype=np.int64)
+        sy = np.array([f[2] for f in feats], dtype=np.int64)
+        keep = w > 0
+        w, s, sy = w[keep], s[keep], sy[keep]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64)[keep],
+            "words": w,
+            "sentences": s,
+            "syllables": sy,
+            "flesch_milli": (
+                206_835 - (1_015 * w) // s - (84_600 * sy) // w
+            ).astype(np.int64),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -385,3 +385,68 @@ def budget_select(weighted, *, budget_tokens: int,
         })
 
     return grouped(assigned, "part_id").map_groups(scan, batch_format="pandas")
+
+
+def unimax_plan(ds, *, group_col: str = "lang", size_col: str = "n_chars",
+                epoch_cap: int = 1, budget_num: int = 4,
+                budget_den: int = 5):
+    """UniMax sampling PLAN (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling"): distribute a character budget across
+    languages as uniformly as possible, capping every language at
+    ``epoch_cap`` epochs of its own data. This is exact water-filling:
+    sort languages by capacity ``cap_g = epoch_cap · chars_g`` ascending;
+    a language saturates (gets its full cap) while
+    ``cap_k · (n - k + 1) ≤ B - prefix_{k-1}``; every unsaturated language
+    gets the common water level ``tau = (B - prefix_K) // (n - K)``.
+
+    All arithmetic is Python-int exact (the budget is
+    ``B = total · budget_num // budget_den``), so the SQL mirror's HUGEINT
+    window-function derivation matches bit-for-bit.
+
+    Scale shape: ONE partial-agg groupby reduces the corpus to |languages|
+    rows; the water-fill runs on that tiny table (the only driver-side
+    state, bounded by the number of languages).
+
+    Returns ``(group_col, chars, cap, alloc_chars, saturated)`` sorted by
+    (cap, group).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(group_col, sort=False)[size_col].sum()
+                .rename("chars").reset_index())
+
+    sizes = (
+        grouped(ds.map_batches(partial, batch_format="pandas"), group_col)
+        .aggregate(Sum("chars", alias_name="chars"))
+        .to_pandas()
+    )
+    rows = sorted(
+        ((int(c) * epoch_cap, int(c), str(g))
+         for g, c in zip(sizes[group_col], sizes["chars"])),
+    )  # (cap, chars, group) ascending — the water-fill order
+    n = len(rows)
+    total = sum(r[1] for r in rows)
+    budget = total * budget_num // budget_den
+    prefix = 0
+    k_sat = 0
+    for k, (cap, _, _) in enumerate(rows, start=1):
+        if cap * (n - k + 1) <= budget - prefix:
+            k_sat = k
+            prefix += cap
+        else:
+            break
+    tau = (budget - prefix) // (n - k_sat) if k_sat < n else 0
+    return pa.table({
+        group_col: pa.array([g for _, _, g in rows], pa.string()),
+        "chars": pa.array([c for _, c, _ in rows], pa.int64()),
+        "cap": pa.array([cap for cap, _, _ in rows], pa.int64()),
+        "alloc_chars": pa.array(
+            [cap if i < k_sat else tau
+             for i, (cap, _, _) in enumerate(rows)], pa.int64()),
+        "saturated": pa.array(
+            [1 if i < k_sat else 0 for i in range(n)], pa.int64()),
+    })

@@ -463,3 +463,85 @@ def lateness_histogram(ds, *, id_col: str = "event_id", ts_col: str = "ts",
         }),
         batch_format="pyarrow",
     )
+
+
+def attribution_window(ds, *, key: str = "user_id", ts_col: str = "ts",
+                       target_type: str = "purchase",
+                       source_type: str = "click",
+                       window_minutes: int = 15,
+                       type_col: str = "event_type",
+                       id_col: str = "event_id",
+                       value_col: str = "value"):
+    """Keyed interval join, LARGE × LARGE shape (the attribution pattern:
+    for every *target* event, aggregate the *source* events by the same key
+    inside the look-back window ``[target_ts - W, target_ts)``).
+
+    Ray Data has no interval join and the broadcast :func:`~corpusaid_ray.
+    stages.join.range_join` needs the band side to fit in memory — here BOTH
+    sides stream. The scale-correct shape is time-bucket co-partitioning
+    with bucket width == window width W: a source at time t can only match
+    targets in ``(t, t + W]``, i.e. in ``bucket(t)`` or ``bucket(t)+1``, so
+    each source row is emitted into exactly TWO (key, bucket) groups and
+    each target into ONE. One ``groupby((key, bucket))`` co-locates every
+    possible pair; the per-group fn is a vectorized double ``searchsorted``
+    + prefix-sum (no pairwise materialization). Each qualifying pair meets
+    in exactly one group (the target's), so nothing double-counts.
+
+    Partitioning assumption: a single (key, bucket) group — one key's
+    events inside one window-width span — fits in a worker. Hot keys at
+    100 TB get salted by sub-bucketing time further (W stays the match
+    bound; only the group granularity shrinks).
+
+    Output (LEFT semantics — targets with zero sources kept):
+    ``(event_id, n_prior, prior_value_micros)``.
+    """
+    w_us = window_minutes * 60 * 1_000_000
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[type_col].isin([target_type, source_type])]
+        tus = df[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        is_tgt = (df[type_col] == target_type).to_numpy()
+        micros = np.floor(df[value_col].to_numpy() * 1_000_000).astype(
+            np.int64)
+        bucket = tus // w_us
+        base = pd.DataFrame({
+            key: df[key].to_numpy(),
+            "bucket": bucket,
+            "is_tgt": is_tgt,
+            "tus": tus,
+            id_col: df[id_col].to_numpy(),
+            "v_micros": micros,
+        })
+        # source rows replicate into the NEXT bucket too (their matches
+        # there); target rows never replicate.
+        src = base[~is_tgt].copy()
+        src["bucket"] = src["bucket"] + 1
+        return pd.concat([base, src], ignore_index=True)
+
+    tagged = ds.map_batches(emit, batch_format="pandas")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        tgt = g[g["is_tgt"]]
+        if not len(tgt):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "n_prior": pd.Series(dtype="int64"),
+                "prior_value_micros": pd.Series(dtype="int64"),
+            })
+        # every source replica routed to this bucket can reach its targets;
+        # sort once, prefix-sum once.
+        src = g[~g["is_tgt"]].sort_values("tus", kind="mergesort")
+        st = src["tus"].to_numpy(np.int64)
+        sv = src["v_micros"].to_numpy(np.int64)
+        csum = np.concatenate([[0], np.cumsum(sv)])
+        pt = tgt["tus"].to_numpy(np.int64)
+        lo = np.searchsorted(st, pt - w_us, side="left")
+        hi = np.searchsorted(st, pt, side="left")
+        return pd.DataFrame({
+            id_col: tgt[id_col].to_numpy(np.int64),
+            "n_prior": (hi - lo).astype(np.int64),
+            "prior_value_micros": (csum[hi] - csum[lo]).astype(np.int64),
+        })
+
+    return grouped(tagged, [key, "bucket"]).map_groups(
+        per_group, batch_format="pandas")

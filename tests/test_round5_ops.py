@@ -1,0 +1,179 @@
+"""Serial-reference pins for the round-5 session-2 operators
+(attribution interval join, UniMax water-fill, readability, KS/chi2
+drift): small random instances, independent serial implementations,
+layout varied via repartition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SEEDS = (0, 1, 2)
+
+
+def _rand_events(rng: np.random.Generator, n: int) -> pd.DataFrame:
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 8, size=n).astype(np.int64),
+        "ts": base + rng.integers(0, 6 * 3600 * 1_000_000, size=n).astype(
+            "timedelta64[us]"),
+        "event_type": rng.choice(["purchase", "click", "view"], size=n),
+        "value": rng.uniform(0, 50, size=n),
+    })
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_attribution_window_matches_bruteforce(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.window import attribution_window
+
+    rng = np.random.default_rng(seed)
+    ev = _rand_events(rng, 400)
+    out = (
+        attribution_window(
+            ray.data.from_pandas(ev).repartition(7), window_minutes=15)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    w = np.timedelta64(15 * 60 * 1_000_000, "us")
+    clicks = ev[ev.event_type == "click"]
+    cmic = np.floor(clicks.value.to_numpy() * 1_000_000).astype(np.int64)
+    rows = []
+    for _, p in ev[ev.event_type == "purchase"].iterrows():
+        m = (
+            (clicks.user_id.to_numpy() == p.user_id)
+            & (clicks.ts.to_numpy() >= p.ts - w)
+            & (clicks.ts.to_numpy() < p.ts)
+        )
+        rows.append((int(p.event_id), int(m.sum()), int(cmic[m].sum())))
+    ref = pd.DataFrame(
+        rows, columns=["event_id", "n_prior", "prior_value_micros"]
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), ref.astype("int64"))
+
+
+def _serial_waterfill(chars: dict[str, int], epoch_cap: int,
+                      budget: int) -> dict[str, int]:
+    rows = sorted((c * epoch_cap, c, g) for g, c in chars.items())
+    n = len(rows)
+    # iterative water-fill: a language saturates while its cap fits under
+    # the current per-remaining-slot level; the first that doesn't fixes
+    # the integer water level for every remaining language.
+    remaining, slots = budget, n
+    out: dict[str, int] = {}
+    for cap, _, g in rows:
+        if cap * slots <= remaining:
+            out[g] = cap
+            remaining -= cap
+            slots -= 1
+        else:
+            tau = remaining // slots
+            for cap2, _, g2 in rows:
+                if g2 not in out:
+                    out[g2] = tau
+            return out
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_unimax_plan_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import unimax_plan
+
+    rng = np.random.default_rng(10 + seed)
+    langs = [f"l{i}" for i in range(6)]
+    n = 200
+    df = pd.DataFrame({
+        "lang": rng.choice(langs, size=n),
+        "n_chars": rng.integers(1, 500, size=n).astype(np.int64),
+    })
+    out = unimax_plan(
+        ray.data.from_pandas(df).repartition(5),
+        epoch_cap=2, budget_num=3, budget_den=4,
+    ).to_pandas()
+
+    chars = df.groupby("lang").n_chars.sum().astype(int).to_dict()
+    budget = sum(chars.values()) * 3 // 4
+    ref = _serial_waterfill(chars, 2, budget)
+    got = dict(zip(out.lang, out.alloc_chars))
+    assert {k: int(v) for k, v in got.items()} == ref
+    # the plan never overspends, and saturated rows get exactly their cap
+    assert int(out.alloc_chars.sum()) <= budget
+    sat = out[out.saturated == 1]
+    assert (sat.alloc_chars == sat.cap).all()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_readability_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.readability import (flesch_features,
+                                                  flesch_milli, readability)
+
+    rng = np.random.default_rng(20 + seed)
+    words = ["the", "syllable", "onomatopoeia", "rhythm", "a", "queueing"]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(0, 30))))
+        + rng.choice([".", "!?", "", ". Done."])
+        for _ in range(50)
+    ]
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    out = (
+        readability(ray.data.from_pandas(df).repartition(4))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    rows = []
+    for i, t in enumerate(texts):
+        w, s, sy = flesch_features(t)
+        if w > 0:
+            rows.append((i, w, s, sy, flesch_milli(w, s, sy)))
+    ref = pd.DataFrame(rows, columns=[
+        "doc_id", "words", "sentences", "syllables", "flesch_milli"])
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_ks_and_chi2_drift_match_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.drift import chi2_drift, ks_drift
+
+    rng = np.random.default_rng(30 + seed)
+    n = 300
+    df = pd.DataFrame({
+        "source": rng.choice([f"s{i}" for i in range(5)], size=n),
+        "n_chars": rng.integers(5, 40, size=n).astype(np.int64),
+        "lang": rng.choice(["en", "fr", "zh"], size=n),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    ks = ks_drift(ds).to_pandas().set_index("source")
+    chi = chi2_drift(ds).to_pandas().set_index("source")
+
+    support = sorted(df.n_chars.unique())
+    total = len(df)
+    for s, g in df.groupby("source"):
+        n_s, n_r = len(g), total - len(g)
+        best = max(
+            abs(int((g.n_chars <= x).sum()) * n_r
+                - int(((df.source != s) & (df.n_chars <= x)).sum()) * n_s)
+            for x in support
+        )
+        assert int(ks.loc[s, "ks_micro"]) == best * 1_000_000 // (n_s * n_r)
+        assert int(ks.loc[s, "n_docs"]) == n_s
+
+        expect = 0
+        for lang, gl in df.groupby("lang"):
+            o = int((g.lang == lang).sum())
+            gcount = len(gl)
+            num = o * total - n_s * gcount
+            expect += num * num * 1_000_000 // (n_s * gcount * total)
+        assert int(chi.loc[s, "chi2_micro"]) == expect
