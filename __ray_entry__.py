@@ -5312,6 +5312,107 @@ def q_chi2_drift(sf_dir: str):
     return chi2_drift(ds)
 
 
+def q_collocations(sf_dir: str):
+    """Collocation mining (ngram_lm.collocation_lift): top-50 bigrams by
+    integer lift among those seen ≥20 times — PMI-monotone association
+    without the float log."""
+    import ray.data
+
+    from corpusaid_ray.stages.ngram_lm import collocation_lift
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return collocation_lift(ds, min_count=20, top_k=50)
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue from lineitems where the supplier and the
+    ordering customer share a nation, ASIA region, orders placed in 1996.
+    Join plan: date predicate pushed into the parquet read; the one
+    genuinely large×large edge (lineitem ⨝ orders) is a hash join; the
+    dimension chain (customer→nation→region, supplier) broadcasts via
+    ``ray.put`` (at 100 TB the customer side graduates to a second hash
+    join — the dims proper stay broadcast)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.join import broadcast_join, hash_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    asia = nation.merge(
+        region[region.r_name == "ASIA"],
+        left_on="n_regionkey", right_on="r_regionkey",
+    )[["n_nationkey", "n_name"]]
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).merge(asia, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "c_nationkey", "n_name"]
+    ]
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pads.field("o_orderdate")
+             >= pads.scalar(pd.Timestamp("1996-01-01")))
+            & (pads.field("o_orderdate")
+               < pads.scalar(pd.Timestamp("1997-01-01")))
+        ),
+    )
+    # attach the ASIA customer's nation (inner: non-ASIA orders drop here,
+    # before the wide join)
+    orders = broadcast_join(
+        orders.rename_columns({"o_custkey": "c_custkey"}), cust,
+        on="c_custkey",
+    ).select_columns(["o_orderkey", "c_nationkey", "n_name"])
+    # sparse-input contract: the date filter + inner broadcast merge can
+    # leave zero-column empty blocks that crash acero inside Dataset.join;
+    # a fully-empty side has no typed block to keep, so short-circuit.
+    orders = drop_empty_blocks(orders)
+    if orders.count() == 0:
+        import pyarrow as pa
+
+        return pa.table({
+            "n_name": pa.array([], pa.string()),
+            "n_items": pa.array([], pa.int64()),
+            "revenue_micros": pa.array([], pa.int64()),
+        })
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).rename_columns({"l_orderkey": "o_orderkey"})
+    joined = hash_join(line, orders, on="o_orderkey")
+
+    def local_only(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        df = df[df.s_nationkey == df.c_nationkey]
+        rev = np.floor(
+            df.l_extendedprice.to_numpy() * (1.0 - df.l_discount.to_numpy())
+            * 1_000_000
+        ).astype("int64")
+        return pd.DataFrame({"n_name": df.n_name.to_numpy(),
+                             "revenue_micros": rev})
+
+    local = joined.map_batches(local_only, batch_format="pandas")
+    return grouped(local, "n_name").aggregate(
+        Count(alias_name="n_items"),
+        Sum("revenue_micros", alias_name="revenue_micros"),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -5387,6 +5488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q_readability,
         "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
+        "collocations": q_collocations,
+        "local_supplier_volume": q_local_supplier_volume,
         # --- green in a prior CORRECTNESS_r*.json (r1-r4) ---
         "events_percentiles_dist": q_events_percentiles_dist,
         "jsonl_roundtrip": q_jsonl_roundtrip,

@@ -4965,3 +4965,47 @@ SELECT source, n_s::BIGINT AS n_docs,
            // (n_s * g * n))::BIGINT AS chi2_micro
 FROM grid
 GROUP BY source, n_s"""
+
+# collocations: top-50 bigrams by exact integer lift (PMI-monotone), same
+# whitespace-split bigram idiom as bigram_lm.
+ORACLE_SQL["collocations"] = """
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(
+           text, '[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f ]+'),
+         t -> t != '') AS w
+  FROM documents
+), big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM w, unnest(range(1, length(w))) AS t(i)
+), cnt AS (
+  SELECT w1, w2, count(*)::HUGEINT AS c FROM big GROUP BY w1, w2
+), head AS (SELECT w1, sum(c) AS ch FROM cnt GROUP BY w1),
+tail AS (SELECT w2, sum(c) AS ct FROM cnt GROUP BY w2),
+n AS (SELECT sum(c) AS n FROM cnt)
+SELECT cnt.w1, cnt.w2, cnt.c::BIGINT AS c, head.ch::BIGINT AS c_head,
+       tail.ct::BIGINT AS c_tail,
+       ((cnt.c * n.n * 1000000) // (head.ch * tail.ct))::BIGINT
+         AS lift_micro
+FROM cnt JOIN head USING (w1) JOIN tail USING (w2), n
+WHERE cnt.c >= 20
+ORDER BY lift_micro DESC, w1, w2
+LIMIT 50"""
+
+# local_supplier_volume: TPC-H Q5 shape (ASIA, orders in 1996, supplier
+# nation == customer nation), micro fixed-point revenue.
+ORACLE_SQL["local_supplier_volume"] = """
+SELECT n.n_name,
+       count(*)::BIGINT AS n_items,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000)
+                AS BIGINT))::BIGINT AS revenue_micros
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name"""

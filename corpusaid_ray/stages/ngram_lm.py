@@ -235,3 +235,107 @@ def score_docs_lm(ds, lm_df: pd.DataFrame, *, text_col: str = "text",
         return pa.table(out_cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def collocation_lift(ds, *, text_col: str = "text", min_count: int = 20,
+                     top_k: int = 50):
+    """Collocation mining: the ``top_k`` bigrams with the highest LIFT
+    ``c(w1,w2)·N / (c_head(w1)·c_tail(w2))`` among bigrams seen at least
+    ``min_count`` times — the classic association measure (PMI without the
+    log, so it stays INTEGER-exact at micro precision; the log is monotone,
+    the ranking is identical).
+
+    Shape: the same batch-local bigram combiner + head-salted exact reduce
+    as :func:`fit_bigram_lm` (c and c_head are group-local under the head
+    salt); tail marginals are a second vocab-bounded aggregate broadcast
+    back via ``ray.put``; the lift arithmetic runs on the ``c ≥ min_count``
+    survivors with Python ints (c·N·10⁶ overflows int64 at web scale —
+    the mirror uses HUGEINT). Final ``sort + limit`` moves only the
+    filtered candidate table. Partitioning assumption: the tail-marginal
+    table is vocabulary-bounded (the bpe/vocab stages' standing
+    assumption); above that, hash-join the marginals instead.
+
+    Output: ``(w1, w2, c, c_head, c_tail, lift_micro)``, the top_k by
+    (lift desc, w1, w2).
+    """
+    import ray
+
+    from corpusaid_ray.util import coalesce_blocks_down, grouped
+
+    counts = ds.map_batches(
+        lambda b: count_bigrams_batch(b, text_col), batch_format="pyarrow"
+    )
+    counts, merged = coalesce_blocks_down(counts, 256)
+    if merged:
+        def recombine(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return _empty_counts()
+            g = df.groupby(["salt", "w1", "w2"], sort=False,
+                           as_index=False)["c"].sum()
+            return g[["salt", "w1", "w2", "c"]]
+
+        counts = counts.map_batches(recombine, batch_format="pandas")
+
+    def fine(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["w1", "w2", "c", "c_head"]
+        if not len(df):
+            return pd.DataFrame({
+                "w1": pd.Series(dtype="object"),
+                "w2": pd.Series(dtype="object"),
+                "c": pd.Series(dtype="int64"),
+                "c_head": pd.Series(dtype="int64"),
+            })
+        g = df.groupby(["w1", "w2"], sort=False, as_index=False)["c"].sum()
+        g["c_head"] = g.groupby("w1", sort=False)["c"].transform("sum")
+        return g[cols].astype({"c": "int64", "c_head": "int64"})
+
+    reduced = counts.groupby("salt").map_groups(fine, batch_format="pandas")
+
+    def tail_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"w2": pd.Series(dtype="object"),
+                                 "ct": pd.Series(dtype="int64")})
+        return (df.groupby("w2", sort=False)["c"].sum().rename("ct")
+                .reset_index())
+
+    from ray.data.aggregate import Sum
+
+    tails = (
+        grouped(reduced.map_batches(tail_partial, batch_format="pandas"),
+                "w2")
+        .aggregate(Sum("ct", alias_name="ct"))
+        .to_pandas()
+    )
+    n_total = int(tails["ct"].sum())
+    tail_ref = ray.put({str(w): int(c)
+                        for w, c in zip(tails["w2"], tails["ct"])})
+
+    def lift(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c"] >= min_count]
+        out_cols = {"w1": pd.Series(dtype="object"),
+                    "w2": pd.Series(dtype="object"),
+                    "c": pd.Series(dtype="int64"),
+                    "c_head": pd.Series(dtype="int64"),
+                    "c_tail": pd.Series(dtype="int64"),
+                    "lift_micro": pd.Series(dtype="int64")}
+        if not len(df):
+            return pd.DataFrame(out_cols)
+        ct_lut = ray.get(tail_ref)
+        c = [int(v) for v in df["c"]]
+        ch = [int(v) for v in df["c_head"]]
+        ct = [ct_lut[str(w)] for w in df["w2"]]
+        return pd.DataFrame({
+            "w1": df["w1"].to_numpy(),
+            "w2": df["w2"].to_numpy(),
+            "c": pd.Series(c, dtype="int64").to_numpy(),
+            "c_head": pd.Series(ch, dtype="int64").to_numpy(),
+            "c_tail": pd.Series(ct, dtype="int64").to_numpy(),
+            "lift_micro": pd.Series(
+                [ci * n_total * FP // (chi * cti)
+                 for ci, chi, cti in zip(c, ch, ct)], dtype="int64"
+            ).to_numpy(),
+        })
+
+    cand = reduced.map_batches(lift, batch_format="pandas")
+    return cand.sort(["lift_micro", "w1", "w2"],
+                     descending=[True, False, False]).limit(top_k)

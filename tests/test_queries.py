@@ -419,7 +419,10 @@ def test_sparse_input_robustness(ray_session, tmp_path):
                  # the join-bearing session-3 additions (audited green on
                  # the 16-row slice; pinned here against regression)
                  "customer_order_dist", "leakage_safe_split",
-                 "image_ahash_dups"):
+                 "image_ahash_dups",
+                 # round-5 session-2 join/window additions
+                 "local_supplier_volume", "attribution_window",
+                 "collocations"):
         res = qs[name](str(d))
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n >= 0

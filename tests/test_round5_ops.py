@@ -177,3 +177,45 @@ def test_ks_and_chi2_drift_match_serial(ray_session, seed):
             num = o * total - n_s * gcount
             expect += num * num * 1_000_000 // (n_s * gcount * total)
         assert int(chi.loc[s, "chi2_micro"]) == expect
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_collocation_lift_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.ngram_lm import collocation_lift
+
+    rng = np.random.default_rng(40 + seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(2, 25))))
+        for _ in range(60)
+    ]
+    df = pd.DataFrame({"text": texts})
+    out = (
+        collocation_lift(
+            ray.data.from_pandas(df).repartition(5), min_count=3, top_k=10)
+        .to_pandas()
+    )
+
+    from collections import Counter
+    big = Counter()
+    for t in texts:
+        w = t.split()
+        big.update(zip(w[:-1], w[1:]))
+    n = sum(big.values())
+    heads, tails = Counter(), Counter()
+    for (w1, w2), c in big.items():
+        heads[w1] += c
+        tails[w2] += c
+    cand = [
+        (c * n * 1_000_000 // (heads[w1] * tails[w2]), w1, w2, c)
+        for (w1, w2), c in big.items() if c >= 3
+    ]
+    cand.sort(key=lambda r: (-r[0], r[1], r[2]))
+    ref = cand[:10]
+    got = list(zip(out.lift_micro.astype(int), out.w1, out.w2,
+                   out.c.astype(int)))
+    assert got == ref
+    assert (out.c_head.to_numpy() == [heads[w] for w in out.w1]).all()
+    assert (out.c_tail.to_numpy() == [tails[w] for w in out.w2]).all()
