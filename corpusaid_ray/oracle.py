@@ -5009,3 +5009,18 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name"""
+
+# cheapest_supplier_per_part: argmin row per part under the total order
+# (price, suppkey, orderkey, linenumber), brand attached.
+ORACLE_SQL["cheapest_supplier_per_part"] = """
+WITH r AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS price_micros,
+         row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(floor(l_extendedprice * 1000000) AS BIGINT),
+                    l_suppkey, l_orderkey, l_linenumber) AS rn
+  FROM lineitem)
+SELECT r.l_partkey, r.l_suppkey, r.price_micros, p.p_brand
+FROM r JOIN part p ON p.p_partkey = r.l_partkey
+WHERE r.rn = 1"""

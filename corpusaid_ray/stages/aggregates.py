@@ -544,3 +544,41 @@ def simpson_concentration(ds, *, key: str = "repo") -> pd.DataFrame:
         "n_groups": np.array([n_groups], dtype=np.int64),
         "simpson_micros": np.array([num * 1_000_000 // den], dtype=np.int64),
     })
+
+
+def group_argmin(ds, *, key: str, order_cols: list[str],
+                 keep_cols: list[str]):
+    """Per-group argmin with payload carry (the TPC-H Q2 shape: "for each
+    part, THE row of the cheapest offer"): the first row of each ``key``
+    group under the total order ``order_cols`` ascending. The order must be
+    a TOTAL order (include a unique tie-break column) or the winner is
+    layout-dependent.
+
+    Two-phase: a batch-local combiner keeps one candidate row per in-batch
+    key (each batch shrinks to ≤ |distinct keys in batch| rows — nothing
+    resembling the full table crosses the exchange), then one
+    ``groupby(key)`` picks the global winner per group. Distinct from
+    :func:`group_topk`, which ranks groups by an AGGREGATED total; argmin
+    selects an existing row and carries its payload.
+
+    Output columns: ``[key] + keep_cols`` (order columns not listed in
+    ``keep_cols`` are carried through the exchange for the global
+    tie-break, then projected away)."""
+    carry = [key] + [c for c in dict.fromkeys(list(order_cols) + list(
+        keep_cols)) if c != key]
+    out_cols = [key] + [c for c in keep_cols if c != key]
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype="object")
+                                 for c in carry})
+        return (df.sort_values(order_cols, kind="mergesort")
+                .drop_duplicates(subset=[key], keep="first")[carry])
+
+    part = ds.map_batches(pick, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pick(df)[out_cols] if len(df) else pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in out_cols})
+
+    return grouped(part, key).map_groups(final, batch_format="pandas")

@@ -422,7 +422,7 @@ def test_sparse_input_robustness(ray_session, tmp_path):
                  "image_ahash_dups",
                  # round-5 session-2 join/window additions
                  "local_supplier_volume", "attribution_window",
-                 "collocations"):
+                 "collocations", "cheapest_supplier_per_part"):
         res = qs[name](str(d))
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n >= 0

@@ -219,3 +219,29 @@ def test_collocation_lift_matches_serial(ray_session, seed):
     assert got == ref
     assert (out.c_head.to_numpy() == [heads[w] for w in out.w1]).all()
     assert (out.c_tail.to_numpy() == [tails[w] for w in out.w2]).all()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_group_argmin_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import group_argmin
+
+    rng = np.random.default_rng(50 + seed)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, size=n).astype(np.int64),
+        "a": rng.integers(0, 5, size=n).astype(np.int64),
+        "u": np.arange(n, dtype=np.int64),  # unique tie-break
+        "payload": rng.integers(0, 1000, size=n).astype(np.int64),
+    })
+    out = (
+        group_argmin(
+            ray.data.from_pandas(df).repartition(6),
+            key="k", order_cols=["a", "u"], keep_cols=["a", "u", "payload"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    ref = (df.sort_values(["a", "u"], kind="mergesort")
+           .drop_duplicates("k", keep="first")[["k", "a", "u", "payload"]]
+           .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
