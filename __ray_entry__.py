@@ -5451,6 +5451,34 @@ def q_cheapest_supplier_per_part(sf_dir: str):
     return broadcast_join(best, brand, on="l_partkey")
 
 
+def q_event_paths(sf_dir: str):
+    """Sequential path mining (window.event_paths): corpus-wide counts of
+    consecutive 3-step event-type journeys per user, total order
+    (ts, event_id) inside each user group."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import event_paths
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return event_paths(ds)
+
+
+def q_hapax_stats(sf_dir: str):
+    """Lexical richness per language (vocab.hapax_stats): type counts,
+    hapax-legomena counts and the micro-fixed-point hapax share."""
+    import ray.data
+
+    from corpusaid_ray.stages.vocab import hapax_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return hapax_stats(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -5529,6 +5557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": q_collocations,
         "local_supplier_volume": q_local_supplier_volume,
         "cheapest_supplier_per_part": q_cheapest_supplier_per_part,
+        "event_paths": q_event_paths,
+        "hapax_stats": q_hapax_stats,
         # --- green in a prior CORRECTNESS_r*.json (r1-r4) ---
         "events_percentiles_dist": q_events_percentiles_dist,
         "jsonl_roundtrip": q_jsonl_roundtrip,

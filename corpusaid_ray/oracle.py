@@ -5024,3 +5024,33 @@ WITH r AS (
 SELECT r.l_partkey, r.l_suppkey, r.price_micros, p.p_brand
 FROM r JOIN part p ON p.p_partkey = r.l_partkey
 WHERE r.rn = 1"""
+
+# event_paths: consecutive 3-step event-type paths per user, total order
+# (ts, event_id).
+ORACLE_SQL["event_paths"] = """
+WITH s AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, count(*)::BIGINT AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3"""
+
+# hapax_stats: per-language type/hapax counts over the whitespace-split
+# token stream (the word_freq idiom), micro share.
+ORACLE_SQL["hapax_stats"] = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(
+           text, '[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f ]+'),
+         t -> t != '')) AS w
+  FROM documents),
+wc AS (SELECT lang, w, count(*)::BIGINT AS c FROM tok GROUP BY lang, w)
+SELECT lang,
+       count(*)::BIGINT AS n_types,
+       coalesce(count(*) FILTER (c = 1), 0)::BIGINT AS n_hapax,
+       ((count(*) FILTER (c = 1) * 1000000) // count(*))::BIGINT
+         AS hapax_micro
+FROM wc GROUP BY lang"""

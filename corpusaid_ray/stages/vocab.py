@@ -241,3 +241,77 @@ def vocab_growth(ds, *, id_col: str = "doc_id", text_col: str = "text",
         "token_budget": bounds,
         "vocab_size": np.array(vocab, dtype=np.int64),
     })
+
+
+def hapax_stats(ds, *, text_col: str = "text", group_col: str = "lang"):
+    """Lexical richness per group: type count, hapax-legomena count (words
+    seen exactly once in the group) and the hapax share at micro precision
+    — the classic vocabulary-richness signal TTR misses (TTR is
+    length-confounded; the hapax share tracks productive vocabulary).
+
+    Shape: batch-local (group, word) counts → one salted-word groupby
+    reduce → per-group type/hapax totals (≤ |groups| rows). The word-count
+    exchange is vocabulary-bounded per group."""
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            group_col: pd.Series(dtype="object"),
+            "w": pd.Series(dtype="object"),
+            "c": pd.Series(dtype="int64"),
+        })
+        if len(batch) == 0:
+            return empty
+        uniq, inv, row_ids = _flat_tokens(batch[text_col])
+        if len(inv) == 0:
+            return empty
+        groups = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        cnt = (pd.DataFrame({"g": groups[row_ids], "i": inv})
+               .value_counts().rename("c").reset_index())
+        lut = np.asarray(uniq, dtype=object)
+        return pd.DataFrame({
+            group_col: cnt["g"].to_numpy(),
+            "w": lut[cnt["i"].to_numpy()],
+            "c": cnt["c"].astype("int64").to_numpy(),
+        })
+
+    wc = (
+        grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                [group_col, "w"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                group_col: pd.Series(dtype="object"),
+                "n_types": pd.Series(dtype="int64"),
+                "n_hapax": pd.Series(dtype="int64"),
+            })
+        g = df.groupby(group_col, sort=False).agg(
+            n_types=("c", "size"),
+            n_hapax=("c", lambda s: int((s == 1).sum())),
+        ).reset_index()
+        return g.astype({"n_types": "int64", "n_hapax": "int64"})
+
+    tot = grouped(wc.map_batches(fold, batch_format="pandas"), group_col) \
+        .aggregate(Sum("n_types", alias_name="n_types"),
+                   Sum("n_hapax", alias_name="n_hapax"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        types = pc.cast(b["n_types"], pa.int64())
+        hap = pc.cast(b["n_hapax"], pa.int64())
+        return pa.table({
+            group_col: b[group_col],
+            "n_types": types,
+            "n_hapax": hap,
+            "hapax_micro": pc.cast(
+                pc.divide(pc.multiply(hap, pa.scalar(1_000_000, pa.int64())),
+                          types), pa.int64()),
+        })
+
+    return tot.map_batches(finish, batch_format="pyarrow")

@@ -545,3 +545,44 @@ def attribution_window(ds, *, key: str = "user_id", ts_col: str = "ts",
 
     return grouped(tagged, [key, "bucket"]).map_groups(
         per_group, batch_format="pandas")
+
+
+def event_paths(ds, *, key: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", type_col: str = "event_type"):
+    """Sequential path mining: corpus-wide counts of consecutive 3-step
+    event-type paths per key (the "view → click → purchase"-style journey
+    table funnels are built from). One ``groupby(key)`` co-locates each
+    key's ordered history — the total order (ts, id) lives inside the
+    group, like :func:`session_transitions` — and each group emits its
+    LOCAL path counts, so the second groupby sums ≤ |types|³ rows per key.
+
+    Output: ``(t1, t2, t3, n)``."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        t = g[type_col].reset_index(drop=True)
+        trip = pd.DataFrame({
+            "t1": t[:-2].to_numpy() if len(t) > 2 else
+            np.array([], dtype=object),
+            "t2": t[1:-1].to_numpy() if len(t) > 2 else
+            np.array([], dtype=object),
+            "t3": t[2:].to_numpy() if len(t) > 2 else
+            np.array([], dtype=object),
+        })
+        if not len(trip):
+            return pd.DataFrame({
+                "t1": pd.Series(dtype="object"),
+                "t2": pd.Series(dtype="object"),
+                "t3": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            })
+        return trip.value_counts().rename("n").reset_index().astype(
+            {"n": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    local = ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return grouped(local, ["t1", "t2", "t3"]).aggregate(
+        Sum("n", alias_name="n"))

@@ -245,3 +245,51 @@ def test_group_argmin_matches_serial(ray_session, seed):
            .drop_duplicates("k", keep="first")[["k", "a", "u", "payload"]]
            .sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_event_paths_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.window import event_paths
+
+    rng = np.random.default_rng(60 + seed)
+    ev = _rand_events(rng, 300)
+    out = event_paths(ray.data.from_pandas(ev).repartition(5)).to_pandas()
+
+    from collections import Counter
+    ref = Counter()
+    for _, g in ev.groupby("user_id"):
+        t = g.sort_values(["ts", "event_id"]).event_type.tolist()
+        ref.update(zip(t[:-2], t[1:-1], t[2:]))
+    got = {(r.t1, r.t2, r.t3): int(r.n) for r in out.itertuples()}
+    assert got == dict(ref)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_hapax_stats_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.vocab import hapax_stats
+
+    rng = np.random.default_rng(70 + seed)
+    vocab = [f"w{i}" for i in range(30)]
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "fr"], size=40),
+        "text": [" ".join(rng.choice(vocab, size=int(rng.integers(0, 15))))
+                 for _ in range(40)],
+    })
+    out = hapax_stats(
+        ray.data.from_pandas(df).repartition(4)).to_pandas().set_index(
+        "lang")
+
+    from collections import Counter
+    for lang, g in df.groupby("lang"):
+        wc = Counter(w for t in g.text for w in t.split())
+        if not wc:
+            continue
+        n_types = len(wc)
+        n_hapax = sum(1 for c in wc.values() if c == 1)
+        assert int(out.loc[lang, "n_types"]) == n_types
+        assert int(out.loc[lang, "n_hapax"]) == n_hapax
+        assert int(out.loc[lang, "hapax_micro"]) == n_hapax * 1_000_000 // n_types
