@@ -556,6 +556,12 @@ def event_paths(ds, *, key: str = "user_id", ts_col: str = "ts",
     group, like :func:`session_transitions` — and each group emits its
     LOCAL path counts, so the second groupby sums ≤ |types|³ rows per key.
 
+    Partitioning assumption: one key's history fits in a worker (same as
+    sessionize/session_transitions). A hot key (bot traffic) salts by
+    coarse time chunk with a 2-event boundary overlap — paths span ≤ 3
+    events, so chunk-boundary paths are recovered by the overlap and
+    de-duplicated by dropping each chunk's first 2 emissions.
+
     Output: ``(t1, t2, t3, n)``."""
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
