@@ -5479,6 +5479,59 @@ def q_hapax_stats(sf_dir: str):
     return hapax_stats(ds)
 
 
+def q_zipf_fit(sf_dir: str):
+    """Per-language Zipf-law fit over the top-500 token frequencies
+    (lexstats.zipf_fit): slope ≈ −10⁶ micro for natural text; drift flags
+    template-spam / generated slices. Combiner-reduced (lang, token) counts
+    → per-lang bounded OLS in micro-ln fixed point."""
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import zipf_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return zipf_fit(ds, top_n=500)
+
+
+def q_entropy_screen(sf_dir: str):
+    """Per-doc codepoint Shannon entropy in micro-nats
+    (lexstats.char_entropy): the pre-tokenizer screen for minified /
+    compressed / binary payloads hiding in a text column. Map-only, one
+    np.unique per batch over a packed (row, codepoint) key."""
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import char_entropy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return char_entropy(ds)
+
+
+def q_user_burstiness(sf_dir: str):
+    """Per-user inter-arrival CV² in micro fixed point
+    (window.user_burstiness): Poisson-like ≈ 10⁶; big values = bursty
+    bot/replay traffic. One groupby co-locates each user's history."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import user_burstiness
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return user_burstiness(ds)
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware normalized dedup (dedup.dedup_keep_best): per
+    aggressive-normalization group keep the longest original member
+    (ties → min path) — best-of-cluster selection instead of first-wins."""
+    from corpusaid_ray.stages.dedup import dedup_keep_best
+
+    return dedup_keep_best(_corpus(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -5710,6 +5763,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_stats": q_ttr_stats,
         "word_freq": q_word_freq,
         "events_sessionize": q_events_sessionize,
+        # --- round-5 session-3 additions (after the 50-slot gate prefix) ---
+        "zipf_fit": q_zipf_fit,
+        "entropy_screen": q_entropy_screen,
+        "user_burstiness": q_user_burstiness,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 

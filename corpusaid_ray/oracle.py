@@ -5054,3 +5054,97 @@ SELECT lang,
        ((count(*) FILTER (c = 1) * 1000000) // count(*))::BIGINT
          AS hapax_micro
 FROM wc GROUP BY lang"""
+
+# zipf_fit: per-language OLS of floor(1e6·ln n) on floor(1e6·ln rank) over
+# the top-500 (count desc, token asc) whitespace tokens — exact HUGEINT
+# sufficient statistics, trunc-div micro outputs (the OLS-family contract).
+ORACLE_SQL["zipf_fit"] = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(
+           text, '[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f ]+'),
+         t -> t != '')) AS w
+  FROM documents),
+wc AS (SELECT lang, w, count(*)::BIGINT AS n FROM tok GROUP BY lang, w),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, w ASC) AS r
+  FROM wc),
+pts AS (
+  SELECT lang,
+         floor(1000000 * ln(r))::HUGEINT AS x,
+         floor(1000000 * ln(n))::HUGEINT AS y
+  FROM ranked WHERE r <= 500),
+s AS (
+  SELECT lang, count(*)::HUGEINT AS k, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM pts GROUP BY lang)
+SELECT lang, k::BIGINT AS n_top,
+       ((k * sxy - sx * sy) * 1000000 // (k * sxx - sx * sx))::BIGINT
+         AS slope_micro,
+       ((sy * sxx - sx * sxy) // (k * sxx - sx * sx))::BIGINT
+         AS intercept_micro
+FROM s
+WHERE k >= 2 AND k * sxx - sx * sx != 0"""
+
+# entropy_screen: per-doc codepoint entropy, micro-nats. All-integer:
+# H_micro = (N·floor(1e6·ln N) − Σ c·floor(1e6·ln c)) // N. Empty docs
+# vanish with the unnest.
+ORACLE_SQL["entropy_screen"] = """
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+  FROM documents),
+cc AS (SELECT doc_id, c, count(*)::BIGINT AS k FROM ch GROUP BY doc_id, c),
+d AS (
+  SELECT doc_id, sum(k)::BIGINT AS n,
+         sum(k::HUGEINT * floor(1000000 * ln(k))::HUGEINT)::HUGEINT AS s
+  FROM cc GROUP BY doc_id)
+SELECT doc_id, n AS n_chars_counted,
+       ((n::HUGEINT * floor(1000000 * ln(n))::HUGEINT - s) // n)::BIGINT
+         AS entropy_micro
+FROM d"""
+
+# user_burstiness: per-user inter-arrival CV² micro over exact microsecond
+# gaps; single-timestamp users drop with HAVING sum(d) > 0.
+ORACLE_SQL["user_burstiness"] = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events),
+s AS (
+  SELECT user_id, count(d)::HUGEINT AS k, sum(d)::HUGEINT AS sg,
+         sum(d::HUGEINT * d)::HUGEINT AS sg2
+  FROM g WHERE d IS NOT NULL
+  GROUP BY user_id HAVING sum(d) > 0)
+SELECT user_id, k::BIGINT AS n_gaps, sg::BIGINT AS sum_gap_us,
+       ((k * sg2 - sg * sg) * 1000000 // (sg * sg))::BIGINT AS cv2_micro
+FROM s"""
+
+
+def _dedup_keep_best_sql() -> str:
+    """Best-of-cluster normalized dedup: same norm key as
+    ``dedup_normalized`` (one pattern definition, two evaluators), but the
+    group winner is the longest original (ties → min path)."""
+    from corpusaid_ray.stages.dedup import (
+        NORM_DIGIT_RUNS, NORM_STRIP_PUNCT, NORM_WS_RUNS,
+    )
+
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(lower(content), "
+        f"{sql_quote(NORM_DIGIT_RUNS)}, '0', 'g'), "
+        f"{sql_quote(NORM_STRIP_PUNCT)}, '', 'g'), "
+        f"{sql_quote(NORM_WS_RUNS)}, ' ', 'g'), ' ')"
+    )
+    return with_corpus(f"""
+SELECT repo, path, norm_sha256, n_bytes FROM (
+  SELECT repo, path, sha256({norm}) AS norm_sha256,
+         octet_length(encode(content))::BIGINT AS n_bytes
+  FROM corpus
+)
+QUALIFY row_number() OVER (PARTITION BY norm_sha256
+                           ORDER BY n_bytes DESC, path) = 1""")
+
+
+ORACLE_SQL["dedup_keep_best"] = _dedup_keep_best_sql()

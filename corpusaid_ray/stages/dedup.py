@@ -325,3 +325,54 @@ def add_normalized_sha(batch: pa.Table, source_col: str = "content",
     t = pc.utf8_trim(t, " ")
     sha = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in t.to_pylist()]
     return batch.append_column(out_col, pa.array(sha, pa.string()))
+
+
+def dedup_keep_best(ds, *, source_col: str = "content",
+                    order_cols: tuple[str, str] = ("repo", "path")):
+    """Quality-aware normalized dedup: within each aggressive-normalization
+    group (:func:`add_normalized_sha` key — reformatted copies, version
+    drift, punctuation drift), keep the member with the LONGEST original
+    byte length (ties → lexicographically-smallest path). First-wins dedup
+    keeps an arbitrary-but-deterministic member; production curation keeps
+    the richest one (most formatting/comments survive normalization), which
+    is what this stage does — the "best-of-cluster" selection step of
+    CCNet-style near-exact dedup.
+
+    Mechanically it reuses :func:`dedup_exact`'s scale shape (batch-local
+    combiner → coarse-salted int64 exchange → C-speed fine pick) by packing
+    the (n_bytes DESC, path ASC) selection into ONE ascending order key:
+    a fixed-width zero-padded ``MAX−n_bytes`` prefix followed by the path —
+    ascending lexicographic order on the packed key == the desired
+    composite order, so min-of-mins stays associative across combiners.
+
+    Output: ``(repo, path, norm_sha256, n_bytes)``, one row per group.
+    SQL mirror: ``row_number() OVER (PARTITION BY norm_sha256 ORDER BY
+    n_bytes DESC, path) = 1``.
+    """
+    import pyarrow.compute as pc
+
+    _PAD = 999_999_999_999  # > any real file length; keeps 12-digit width
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = add_normalized_sha(batch, source_col=source_col)
+        n_bytes = pc.binary_length(
+            pc.cast(batch[source_col], pa.binary())).cast(pa.int64())
+        inv = pc.subtract(pa.scalar(_PAD, pa.int64()), n_bytes)
+        pad = pc.utf8_lpad(pc.cast(inv, pa.string()), 12, "0")
+        order = pc.binary_join_element_wise(
+            pad, batch[order_cols[1]], "\x01")
+        return pa.table({
+            order_cols[0]: batch[order_cols[0]],
+            order_cols[1]: batch[order_cols[1]],
+            "norm_sha256": batch["norm_sha256"],
+            "n_bytes": n_bytes,
+            "_order": order,
+        })
+
+    picked = dedup_exact(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        scope_cols=(), hash_col="norm_sha256", order_col="_order",
+        payload_cols=(*order_cols, "n_bytes"),
+    )
+    return picked.select_columns(
+        [*order_cols, "norm_sha256", "n_bytes"])

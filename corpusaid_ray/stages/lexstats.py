@@ -1,0 +1,201 @@
+"""Corpus-level lexical-statistics operators: Zipf-law fit and per-doc
+character entropy.
+
+Both are standard curation diagnostics for a web-scale text/code corpus:
+
+* **Zipf fit** (per language): regress ``ln(freq)`` on ``ln(rank)`` over the
+  top-N token-frequency table. A healthy natural corpus sits near slope −1;
+  generated/boilerplate-heavy or template-spam slices drift far from it, so
+  the slope is a cheap whole-slice quality monitor (Zipf 1949; used as a
+  corpus sanity check in e.g. CCNet/RefinedWeb-style pipeline audits).
+* **Character entropy** (per document): Shannon entropy of the codepoint
+  distribution. Low entropy flags repetitive/templated junk; very high
+  entropy flags minified bundles, embedded blobs, or compressed/binary
+  payloads that slipped into a "text" column — the classic pre-tokenizer
+  screen for source-code corpora.
+
+Scale shape:
+
+* ``zipf_fit`` reduces the corpus to a ``(lang, token) → count`` table with
+  a batch-local combiner (``≤ |batch vocab|`` rows cross the exchange per
+  batch, never one row per occurrence), then fits per language inside
+  ``map_groups`` — the fit sees only the top-N ranked rows, so driver/group
+  memory is bounded by construction.
+* ``char_entropy`` is map-only: one pass, no shuffle, each batch reduced to
+  per-doc sufficient statistics via a single ``np.unique`` over a packed
+  ``(row, codepoint)`` key — no Python loop over characters.
+
+Determinism contract (shared with the OLS/DSIR family): every float that
+reaches the output is fixed-point ``floor(10⁶·ln(v))`` per TERM (integer
+``v``), combined with exact integer arithmetic, and final ratios use
+``trunc_div`` — DuckDB ``//`` semantics — so the SQL mirrors hash-match
+bit-for-bit (``math.log`` and DuckDB ``ln()`` agree bit-exactly; pinned by
+the ``dsir_weights`` row, oracle.py:1795).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from corpusaid_ray.stages.regression import trunc_div
+
+FP = 1_000_000
+
+
+def _log_fp(v: int) -> int:
+    """``floor(10⁶ · ln(v))`` with the exact double-op order the SQL mirror
+    evaluates (``floor(1000000 * ln(v))``)."""
+    return math.floor(1_000_000 * math.log(v))
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(ds, *, top_n: int = 500, text_col: str = "text",
+             lang_col: str = "lang"):
+    """Per-language Zipf slope/intercept over the top-``top_n`` tokens.
+
+    Stage 1 (map): one RE2 whitespace split per batch (the vocab-family
+    token spec, ``quality.WORD_SPLIT_RE``), counts combined per
+    ``(lang, token)`` with a packed-key ``np.bincount`` — the exchange moves
+    the batch's distinct vocabulary, not its occurrences. Stage 2: one
+    ``groupby((lang, token))`` sum, then a per-language ``map_groups`` fit:
+    rank by (count desc, token asc), keep ranks ≤ top_n, OLS of
+    ``floor(10⁶·ln n)`` on ``floor(10⁶·ln rank)`` in exact Python-int
+    arithmetic (sums exceed int64; the group is ≤ top_n rows so this is
+    driver-free and O(top_n)).
+
+    Output: ``(lang, n_top, slope_micro, intercept_micro)`` — slope is
+    dimensionless micro (≈ −10⁶ for natural text), intercept is micro-ln
+    units. Languages with fewer than 2 ranked tokens are excluded.
+    """
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.dsir import _flat_tokens
+    from corpusaid_ray.util import grouped
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "lang": pd.Series(dtype="object"),
+            "token": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+        })
+        if len(batch) == 0:
+            return empty
+        uniq, inv, row_ids = _flat_tokens(batch[text_col])
+        if not len(inv):
+            return empty
+        lang_d = batch[lang_col].combine_chunks().dictionary_encode()
+        lang_vals = lang_d.dictionary.to_pylist()
+        lang_idx = lang_d.indices.to_numpy(zero_copy_only=False).astype(
+            "int64")[row_ids]
+        key = lang_idx * len(uniq) + inv
+        c = np.bincount(key, minlength=len(lang_vals) * len(uniq))
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame({
+            "lang": pd.Series([lang_vals[k] for k in nz // len(uniq)],
+                              dtype="object"),
+            "token": pd.Series([uniq[k] for k in nz % len(uniq)],
+                               dtype="object"),
+            "n": c[nz].astype("int64"),
+        })
+
+    freq = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang", "token"]
+    ).aggregate(Sum("n", alias_name="n"))
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"],
+                          ascending=[False, True]).head(top_n)
+        k = len(g)
+        empty = pd.DataFrame({
+            "lang": pd.Series(dtype="object"),
+            "n_top": pd.Series(dtype="int64"),
+            "slope_micro": pd.Series(dtype="int64"),
+            "intercept_micro": pd.Series(dtype="int64"),
+        })
+        if k < 2:
+            return empty
+        xs = [_log_fp(r) for r in range(1, k + 1)]
+        ys = [_log_fp(int(n)) for n in g["n"]]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = k * sxx - sx * sx
+        if den == 0:
+            return empty
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "n_top": np.array([k], dtype="int64"),
+            "slope_micro": np.array(
+                [trunc_div((k * sxy - sx * sy) * FP, den)], dtype="int64"),
+            "intercept_micro": np.array(
+                [trunc_div(sy * sxx - sx * sxy, den)], dtype="int64"),
+        })
+
+    return freq.groupby("lang").map_groups(fit, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Character entropy
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc codepoint Shannon entropy in micro-nats, map-only.
+
+    Exact-integer identity: with per-char counts ``c`` and total ``N``,
+    ``H = ln N − (Σ c·ln c)/N``; fixed-point per term gives
+    ``entropy_micro = (N·L(N) − Σ c·L(c)) // N`` with
+    ``L(v) = floor(10⁶·ln v)`` — every quantity non-negative, so truncating
+    and flooring division agree and the SQL mirror is a plain ``//``.
+
+    Vectorized: the batch's rows are concatenated once, decoded to a uint32
+    codepoint array (``utf-32-le``), and a single ``np.unique`` over the
+    packed ``row << 21 | codepoint`` key yields all per-(row, char) counts;
+    ``L`` is evaluated once per DISTINCT count value via ``math.log`` (the
+    bit-exact-vs-DuckDB path — numpy's SIMD log is deliberately avoided).
+
+    Empty docs emit no row (the SQL ``unnest`` drops them).
+    Output: ``(id_col, n_chars_counted, entropy_micro)``.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_chars_counted": pa.array([], pa.int64()),
+            "entropy_micro": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        lens = np.array([len(t) if t else 0 for t in texts], dtype="int64")
+        keep = lens > 0
+        if not keep.any():
+            return empty
+        ids, lens = ids[keep], lens[keep]
+        blob = "".join(t for t, k in zip(texts, keep) if k)
+        cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        key = (rows << 21) | cps.astype(np.int64)  # codepoints < 2^21
+        pair_key, pair_cnt = np.unique(key, return_counts=True)
+        # L once per DISTINCT count value (math.log == DuckDB ln bit-exact)
+        uc, inv_c = np.unique(pair_cnt, return_inverse=True)
+        lc = np.array([_log_fp(int(v)) for v in uc], dtype="int64")[inv_c]
+        s = np.zeros(len(lens), dtype="int64")
+        np.add.at(s, (pair_key >> 21).astype(np.int64), pair_cnt * lc)
+        ln_n = np.array([_log_fp(int(n)) for n in lens], dtype="int64")
+        ent = (lens * ln_n - s) // lens
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_chars_counted": pa.array(lens),
+            "entropy_micro": pa.array(ent),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -592,3 +592,51 @@ def event_paths(ds, *, key: str = "user_id", ts_col: str = "ts",
     local = ds.groupby(key).map_groups(per_key, batch_format="pandas")
     return grouped(local, ["t1", "t2", "t3"]).aggregate(
         Sum("n", alias_name="n"))
+
+
+def user_burstiness(ds, *, key: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id"):
+    """Per-key inter-arrival burstiness: gap count, total gap time, and the
+    squared coefficient of variation ``CV² = Var(g)/Mean(g)²`` of the gaps
+    in micro fixed point. ``CV² ≈ 10⁶`` is Poisson-like traffic; large
+    values flag bursty (bot/batch-replay) users, near-zero values flag
+    metronomic schedulers — both are standard traffic-quality screens.
+
+    One ``groupby(key)`` co-locates each key's history (the sessionize
+    partitioning assumption); gaps are exact int64 microseconds from the
+    (ts, id)-ordered scan, and the variance identity
+    ``CV²·10⁶ = (k·Σg² − (Σg)²)·10⁶ // (Σg)²`` is evaluated in exact
+    Python-int arithmetic (Σg² exceeds int64 at 6-hour gaps). The numerator
+    is non-negative (Cauchy–Schwarz), so truncating division matches the
+    SQL mirror's ``//`` over HUGEINT.
+
+    Keys with no positive total gap (single event, or all events at one
+    timestamp) emit no row, mirroring the SQL ``HAVING sum(d) > 0``.
+    Output: ``(key, n_gaps, sum_gap_us, cv2_micro)``."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series(dtype=g[key].dtype),
+            "n_gaps": pd.Series(dtype="int64"),
+            "sum_gap_us": pd.Series(dtype="int64"),
+            "cv2_micro": pd.Series(dtype="int64"),
+        })
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        d = g[ts_col].diff().dropna()
+        if not len(d):
+            return empty
+        gaps = (d.to_numpy().astype("timedelta64[us]")
+                .astype("int64").tolist())
+        k, sg = len(gaps), sum(gaps)
+        if sg <= 0:
+            return empty
+        sg2 = sum(v * v for v in gaps)
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "n_gaps": np.array([k], dtype="int64"),
+            "sum_gap_us": np.array([sg], dtype="int64"),
+            "cv2_micro": np.array([(k * sg2 - sg * sg) * 1_000_000
+                                   // (sg * sg)], dtype="int64"),
+        })
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,207 @@
+"""Serial-reference pins for the round-5 session-3 operators (Zipf fit,
+char entropy, user burstiness, keep-best dedup): small random instances,
+independent serial implementations, layout varied via repartition."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SEEDS = (0, 1, 2)
+FP = 1_000_000
+
+
+def _trunc_div(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _lfp(v: int) -> int:
+    return math.floor(1_000_000 * math.log(v))
+
+
+def _rand_docs(rng: np.random.Generator, n: int) -> pd.DataFrame:
+    words = ["fn", "return", "self", "import", "x", "yy", "zzz", "état",
+             "Ω", "0", "{", "}"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 40)))
+        + ("\n\t" if rng.random() < 0.5 else "")
+        for _ in range(n)
+    ]
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "fr", "de"], size=n),
+        "text": texts,
+    })
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_zipf_fit_matches_bruteforce(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import zipf_fit
+
+    rng = np.random.default_rng(seed)
+    docs = _rand_docs(rng, 300)
+    top_n = 7  # small cut so the rank boundary + ties are exercised
+    out = (
+        zipf_fit(ray.data.from_pandas(docs).repartition(5), top_n=top_n)
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    )
+
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        c = Counter()
+        for t in g["text"]:
+            c.update(w for w in
+                     pd.Series([t]).str.split(
+                         r"[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f ]+")[0]
+                     if w != "")
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+        k = len(ranked)
+        if k < 2:
+            continue
+        xs = [_lfp(r) for r in range(1, k + 1)]
+        ys = [_lfp(n) for _, n in ranked]
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        den = k * sxx - sx * sx
+        rows.append((lang, k, _trunc_div((k * sxy - sx * sy) * FP, den),
+                     _trunc_div(sy * sxx - sx * sxy, den)))
+    ref = pd.DataFrame(
+        rows, columns=["lang", "n_top", "slope_micro", "intercept_micro"]
+    ).sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_char_entropy_matches_bruteforce(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import char_entropy
+
+    rng = np.random.default_rng(seed)
+    docs = _rand_docs(rng, 200)
+    docs.loc[0, "text"] = ""          # empty doc must emit no row
+    docs.loc[1, "text"] = "aaaa"      # zero entropy
+    out = (
+        char_entropy(ray.data.from_pandas(docs).repartition(6))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    rows = []
+    for _, r in docs.iterrows():
+        t = r["text"]
+        if not t:
+            continue
+        n = len(t)
+        c = Counter(t)
+        s = sum(v * _lfp(v) for v in c.values())
+        rows.append((int(r["doc_id"]), n, (n * _lfp(n) - s) // n))
+    ref = pd.DataFrame(
+        rows, columns=["doc_id", "n_chars_counted", "entropy_micro"]
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_user_burstiness_matches_bruteforce(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.window import user_burstiness
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 12, size=n).astype(np.int64),
+        "ts": base + rng.integers(0, 3600 * 1_000_000, size=n).astype(
+            "timedelta64[us]"),
+    })
+    # a user with ONE event and a user whose events share a timestamp
+    ev.loc[ev.index[-1], "user_id"] = 100
+    ev.loc[ev.index[-3:-1], "user_id"] = 101
+    ev.loc[ev.index[-3:-1], "ts"] = base
+    out = (
+        user_burstiness(ray.data.from_pandas(ev).repartition(7))
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = np.diff(g["ts"].to_numpy().astype("datetime64[us]")
+                       .astype("int64")).tolist()
+        k, sg = len(gaps), sum(gaps)
+        if k == 0 or sg <= 0:
+            continue
+        sg2 = sum(v * v for v in gaps)
+        rows.append((int(uid), k, sg,
+                     (k * sg2 - sg * sg) * FP // (sg * sg)))
+    ref = pd.DataFrame(
+        rows, columns=["user_id", "n_gaps", "sum_gap_us", "cv2_micro"]
+    ).sort_values("user_id").reset_index(drop=True)
+    assert 100 not in out["user_id"].to_numpy()
+    assert 101 not in out["user_id"].to_numpy()
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_dedup_keep_best_matches_bruteforce(ray_session, seed):
+    import hashlib
+    import re
+
+    import ray.data
+
+    from corpusaid_ray.stages.dedup import (
+        NORM_DIGIT_RUNS, NORM_STRIP_PUNCT, NORM_WS_RUNS, dedup_keep_best,
+    )
+
+    rng = np.random.default_rng(seed)
+    bases = ["def f(x): return x + 1", "SELECT a,b FROM t;", "x = [1, 2, 3]"]
+    rows = []
+    for i in range(120):
+        b = bases[rng.integers(0, len(bases))]
+        # same normalized key, different byte lengths (comments/whitespace)
+        variant = b + ("  # v%d" % rng.integers(0, 4)) * rng.integers(0, 3)
+        rows.append({
+            "repo": f"r{rng.integers(0, 3)}",
+            "path": f"p{i:03d}.py",
+            "commit": "c0",
+            "lang": "python",
+            "content": variant,
+        })
+    corpus = pd.DataFrame(rows)
+    out = (
+        dedup_keep_best(ray.data.from_pandas(corpus).repartition(5))
+        .to_pandas().sort_values("norm_sha256").reset_index(drop=True)
+    )
+
+    def norm_key(c: str) -> str:
+        t = c.lower()
+        t = re.sub(NORM_DIGIT_RUNS, "0", t)
+        t = re.sub(NORM_STRIP_PUNCT, "", t)
+        t = re.sub(NORM_WS_RUNS, " ", t)
+        return hashlib.sha256(t.strip(" ").encode()).hexdigest()
+
+    df = corpus.assign(
+        norm_sha256=corpus["content"].map(norm_key),
+        n_bytes=corpus["content"].str.encode("utf-8").str.len().astype(
+            "int64"),
+    )
+    ref = (
+        df.sort_values(["n_bytes", "path"], ascending=[False, True],
+                       kind="mergesort")
+        .drop_duplicates("norm_sha256")
+        [["repo", "path", "norm_sha256", "n_bytes"]]
+        .sort_values("norm_sha256").reset_index(drop=True)
+    )
+    # groups genuinely collapse and winners genuinely differ in length
+    assert len(ref) < len(corpus)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
