@@ -5532,6 +5532,16 @@ def q_dedup_keep_best(sf_dir: str):
     return dedup_keep_best(_corpus(sf_dir))
 
 
+def q_lsh_tuning(sf_dir: str):
+    """MinHash-LSH banding-parameter sweep (lshtune.lsh_tuning): candidate
+    precision/recall per (bands, rows) config vs the UNPRUNED exact
+    shingle-Jaccard truth — the measurement that picks a crawl-scale dedup
+    config from a bounded sample."""
+    from corpusaid_ray.stages.lshtune import lsh_tuning
+
+    return lsh_tuning(_corpus(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -5768,6 +5778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_screen": q_entropy_screen,
         "user_burstiness": q_user_burstiness,
         "dedup_keep_best": q_dedup_keep_best,
+        "lsh_tuning": q_lsh_tuning,
     }
 
 

@@ -1443,48 +1443,32 @@ WHERE ('0x' || substr(md5(path), 1, 8))::UBIGINT % 10000 <
                 WHEN 'zh' THEN 2500 ELSE 10000 END""")
 
 
-def _register_dedup_minhash() -> None:
-    """FULL MinHash-LSH mirror — the entire detector re-derived in SQL:
-    k=5 rolling shingle hashes (closed-form polynomial, HUGEINT mod 2^64),
-    all 64 affine permutations (same A/B constants as
-    ``functions.hashing``), min per permutation, 16 FNV-folded band hashes
-    (4 steps unrolled), bucket self-join on (band, hash), and the
-    64-component equality estimate — bit-exact against the engine (verified:
-    identical pair set AND est_jaccard distribution at sf0.01). The engine's
-    200-path bucket cap is not mirrored: no sf0.01 bucket reaches it.
-    Runtime ~1 min at sf0.01 — the price of evaluating 64 permutations per
-    shingle in SQL."""
+_MH_P, _MH_M64 = 1099511628211, 1 << 64
+_MH_MASK = _MH_M64 - 1  # v % 2^64 == v & MASK, and int128 AND is ~10×
+# cheaper than int128 division in DuckDB (measured: sig stage 25 s → 7 s)
+_MH_FNV0 = 1469598103934665603
+
+
+def _minhash_sig_ctes() -> str:
+    """The cps/sh/sigs signature-chain CTE text shared by the
+    ``dedup_minhash`` and ``lsh_tuning`` mirrors: k=5 rolling shingle
+    hashes (closed-form polynomial, HUGEINT mod 2^64) and all 64 affine
+    permutations (same A/B constants as ``functions.hashing``) as 64
+    vectorized min() aggregates over UNNESTED shingle rows — one scan,
+    columnar; the earlier per-list list_min(list_transform(...)) lambda
+    shape re-walked every shingle list per permutation in the
+    interpreter."""
     from corpusaid_ray.functions import hashing as _H
 
-    P, M64, M61 = 1099511628211, 1 << 64, (1 << 61) - 1
-    MASK = M64 - 1  # v % 2^64 == v & MASK, and int128 AND is ~10× cheaper
-    # than int128 division in DuckDB (measured: the sig stage 25 s → 7 s)
-    fnv0 = 1469598103934665603
+    P, M64, M61, MASK = _MH_P, _MH_M64, (1 << 61) - 1, _MH_MASK
     c5 = [pow(P, 4 - j, M64) for j in range(5)]
     terms5 = " + ".join(f"cp[i+{j}]*{c}::HUGEINT" for j, c in enumerate(c5))
-    # 64 vectorized min() aggregates over UNNESTED shingle rows — one scan,
-    # columnar; the earlier per-list list_min(list_transform(...)) lambda
-    # shape re-walked every shingle list per permutation in the interpreter
     min_exprs = ", ".join(
         f"min((((((x::HUGEINT * {int(a)}) & {MASK}) + {int(b)}) & {MASK})"
         f" % {M61})::UBIGINT)"
         for a, b in zip(_H._A, _H._B)
     )
-
-    def band_expr(b: int) -> str:
-        acc = f"{fnv0}::UBIGINT"
-        for r in range(4):
-            acc = (f"((xor({acc}, sig[{4 * b + r + 1}])::HUGEINT * {P})"
-                   f" & {MASK})::UBIGINT")
-        return acc
-
-    band_exprs = ", ".join(band_expr(b) for b in range(16))
-    # MATERIALIZED: eb is referenced twice by the self-join; inlined CTEs
-    # would recompute the whole signature chain per reference (measured
-    # 52 s → 34 s from materialization alone; with the mask + unnest
-    # restructure the full mirror runs ~11 s at sf0.01)
-    ORACLE_SQL["dedup_minhash"] = with_corpus(f"""
-, cps AS MATERIALIZED (
+    return f"""cps AS MATERIALIZED (
   SELECT path, list_transform(range(1, length(content)+1),
                  i -> unicode(substr(content, i::INT, 1))::HUGEINT) AS cp,
          length(content) AS n
@@ -1497,7 +1481,35 @@ sh AS MATERIALIZED (
 ),
 sigs AS MATERIALIZED (
   SELECT path, [{min_exprs}] AS sig FROM sh GROUP BY path
-),
+)"""
+
+
+def _band_fold_expr(b: int, r: int) -> str:
+    """FNV fold of band ``b``'s ``r`` signature components, steps
+    unrolled (mirrors ``functions.hashing.band_hashes``)."""
+    acc = f"{_MH_FNV0}::UBIGINT"
+    for j in range(r):
+        acc = (f"((xor({acc}, sig[{r * b + j + 1}])::HUGEINT * {_MH_P})"
+               f" & {_MH_MASK})::UBIGINT")
+    return acc
+
+
+def _register_dedup_minhash() -> None:
+    """FULL MinHash-LSH mirror — the entire detector re-derived in SQL:
+    the shared signature chain (:func:`_minhash_sig_ctes`), 16 FNV-folded
+    band hashes (4 steps unrolled), bucket self-join on (band, hash), and
+    the 64-component equality estimate — bit-exact against the engine
+    (verified: identical pair set AND est_jaccard distribution at sf0.01).
+    The engine's 200-path bucket cap is not mirrored: no sf0.01 bucket
+    reaches it. Runtime ~11 s at sf0.01 — the price of evaluating 64
+    permutations per shingle in SQL."""
+    band_exprs = ", ".join(_band_fold_expr(b, 4) for b in range(16))
+    # MATERIALIZED: eb is referenced twice by the self-join; inlined CTEs
+    # would recompute the whole signature chain per reference (measured
+    # 52 s → 34 s from materialization alone; with the mask + unnest
+    # restructure the full mirror runs ~11 s at sf0.01)
+    ORACLE_SQL["dedup_minhash"] = with_corpus(f"""
+, {_minhash_sig_ctes()},
 bands AS MATERIALIZED (SELECT path, sig, [{band_exprs}] AS bh FROM sigs),
 eb AS MATERIALIZED (SELECT path, sig, b.i AS band, bh[b.i::INT + 1] AS h
        FROM bands, unnest(range(16)) AS b(i)),
@@ -1516,6 +1528,66 @@ SELECT path_a, path_b, est_jaccard FROM est WHERE est_jaccard >= 0.7""")
 
 
 _register_dedup_minhash()
+
+
+def _register_lsh_tuning() -> None:
+    """Banding-sweep mirror (stages/lshtune.py): shared signature chain
+    (:func:`_minhash_sig_ctes`) + per-config FNV band folds and bucket
+    self-joins (NO estimate filter — raw bucket collisions are what the
+    sweep measures), scored against the exact substring-5-gram Jaccard
+    ≥ 0.6 truth (the ``dedup_ngram`` semantics; CTEs renamed t* to avoid
+    the signature chain's ``sh``). Hash-set == substring-set Jaccard on
+    this corpus is pinned by ``dedup_ngram`` staying green."""
+    cand_ctes, legs = [], []
+    for b, r in ((32, 2), (16, 4), (8, 8)):
+        band_exprs = ", ".join(_band_fold_expr(i, r) for i in range(b))
+        cand_ctes.append(f"""bands{b} AS MATERIALIZED (
+  SELECT path, [{band_exprs}] AS bh FROM sigs),
+eb{b} AS MATERIALIZED (
+  SELECT path, x.i AS band, bh[x.i::INT + 1] AS h
+  FROM bands{b}, unnest(range({b})) AS x(i)),
+cand{b} AS MATERIALIZED (
+  SELECT DISTINCT a.path AS path_a, b.path AS path_b
+  FROM eb{b} a JOIN eb{b} b
+    ON a.band = b.band AND a.h = b.h AND a.path < b.path)""")
+        legs.append(f"""  SELECT {b}::BIGINT AS bands, {r}::BIGINT AS rows_per_band,
+         (SELECT count(*) FROM cand{b})::BIGINT AS n_candidates,
+         (SELECT count(*) FROM truth)::BIGINT AS n_true,
+         (SELECT count(*) FROM cand{b} c
+            JOIN truth t ON c.path_a = t.path_a AND c.path_b = t.path_b
+         )::BIGINT AS n_tp""")
+    truth_ctes = """tsh AS MATERIALIZED (
+  SELECT path, unnest(list_distinct(list_transform(
+           range(1, greatest(length(content) - 3, 2)),
+           i -> substr(content, i::INT, 5)))) AS s
+  FROM corpus),
+tsizes AS MATERIALIZED (SELECT path, count(*) AS n FROM tsh GROUP BY path),
+tinter AS MATERIALIZED (
+  SELECT a.path AS path_a, b.path AS path_b, count(*) AS i
+  FROM tsh a JOIN tsh b ON a.s = b.s AND a.path < b.path
+  GROUP BY a.path, b.path),
+truth AS MATERIALIZED (
+  SELECT path_a, path_b
+  FROM tinter
+  JOIN tsizes sa ON sa.path = tinter.path_a
+  JOIN tsizes sb ON sb.path = tinter.path_b
+  WHERE tinter.i::DOUBLE / (sa.n + sb.n - tinter.i) >= 0.6)"""
+    union = "\nUNION ALL\n".join(legs)
+    cand_block = ",\n".join(cand_ctes)
+    ORACLE_SQL["lsh_tuning"] = with_corpus(f"""
+, {_minhash_sig_ctes()},
+{cand_block},
+{truth_ctes},
+stats AS (
+{union})
+SELECT bands, rows_per_band, n_candidates, n_true, n_tp,
+       (n_tp * 1000000 // greatest(n_candidates, 1))::BIGINT
+         AS precision_micro,
+       (n_tp * 1000000 // greatest(n_true, 1))::BIGINT AS recall_micro
+FROM stats ORDER BY bands DESC""")
+
+
+_register_lsh_tuning()
 
 
 def _register_dedup_simhash() -> None:

@@ -1,0 +1,274 @@
+"""MinHash-LSH banding-parameter tuning: measured precision/recall of the
+bucket-collision candidate set per (bands, rows-per-band) configuration,
+against the EXACT shingle-Jaccard ground truth.
+
+Choosing the banding split is the one free parameter of a MinHash dedup
+stage (the S-curve ``1 − (1 − s^r)^b``); production pipelines tune it by
+measuring candidate precision/recall on a bounded sample before committing
+a crawl-scale run. This stage is that measurement, distributed:
+
+1. **Ground truth** (:func:`exact_shingle_pairs`): the unpruned pair set
+   with exact 5-char-shingle Jaccard ≥ threshold, via the inverted-index
+   shape — explode one row per (doc, distinct shingle hash), co-locate by
+   shingle, emit per-bucket pairs, sum to intersection sizes, filter with
+   the broadcast size table. No LSH anywhere in the truth path (an
+   LSH-pruned "truth" would hide exactly the recall loss being measured).
+2. **Candidates per config**: one signature pass (64 perms, the
+   ``functions.hashing`` constants), then every config's band hashes
+   exploded in the SAME map task; bucket pairs per (cfg, band, hash),
+   deduplicated per config.
+3. **Scoring**: true-pair set broadcast once (``ray.put``), candidates
+   counted and intersected per config; fixed-point micro precision/recall.
+
+All wide steps use the ``dedup_exact`` exchange shape — a coarse int64
+salt partition (``groupby("_part")``) with C-speed pandas fine-grouping
+INSIDE each partition — never one ``map_groups`` Python call per shingle
+or per pair (measured ~3× penalty for thousands of tiny groups,
+BASELINE.md r4 rules).
+
+Scale contract: LSH tuning runs on a bounded (stratified) SAMPLE of the
+corpus — that is the industry practice this stage models — so the
+O(Σ bucket²) pair emission and the broadcast truth/size tables are
+sample-bounded by construction, not by luck. The full-corpus dedup run
+then uses the winning config through ``neardup.minhash_candidate_pairs``,
+which has the skew caps and above-cap join paths this diagnostic
+deliberately omits.
+
+SQL mirror: the full signature chain is re-derived in SQL (shared CTE
+builder with the ``dedup_minhash`` mirror) plus per-config band folds and
+bucket self-joins; truth is the ``_SHINGLE_PAIRS`` substring-set Jaccard
+(hash-set == substring-set Jaccard pinned by ``dedup_ngram`` staying
+green).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from corpusaid_ray.functions import hashing as H
+
+FP = 1_000_000
+_PARTS = 64
+
+# (bands, rows_per_band) over the full 64-perm signature; S-curve midpoints
+# ~ (1/b)^(1/r): 0.18 / 0.50 / 0.77 — a low/mid/high-threshold sweep.
+DEFAULT_CONFIGS: tuple[tuple[int, int], ...] = ((32, 2), (16, 4), (8, 8))
+
+
+def _pairs_from_members(df: pd.DataFrame, group_cols: list[str],
+                        member_col: str, out_extra: list[str]
+                        ) -> pd.DataFrame:
+    """All unordered member pairs per group, C-grouped: one pandas groupby
+    builds the group index; only multi-member groups enter the (short)
+    Python loop, each emitting its pairs via vectorized ``triu_indices``.
+    ``out_extra`` columns are taken from the group key (constant per
+    group)."""
+    cols_a, cols_b, extras = [], [], {c: [] for c in out_extra}
+    g = df.groupby(group_cols, sort=False)
+    sizes = g.size()
+    for key_val, idx in g.indices.items():
+        if len(idx) < 2:
+            continue
+        ps = np.sort(df[member_col].to_numpy()[idx])
+        ia, ib = np.triu_indices(len(ps), k=1)
+        cols_a.append(ps[ia])
+        cols_b.append(ps[ib])
+        if out_extra:
+            kv = key_val if isinstance(key_val, tuple) else (key_val,)
+            named = dict(zip(group_cols, kv))
+            for c in out_extra:
+                extras[c].append(np.full(len(ia), named[c]))
+    if not cols_a:
+        out = {c: pd.Series(dtype="int64") for c in out_extra}
+        out["path_a"] = pd.Series(dtype="object")
+        out["path_b"] = pd.Series(dtype="object")
+        return pd.DataFrame(out)
+    out = {c: np.concatenate(extras[c]) for c in out_extra}
+    out["path_a"] = np.concatenate(cols_a)
+    out["path_b"] = np.concatenate(cols_b)
+    del sizes
+    return pd.DataFrame(out)
+
+
+def exact_shingle_pairs(ds, *, key: str = "path",
+                        content_col: str = "content",
+                        threshold: float = 0.6):
+    """Exact distinct-5-shingle-hash Jaccard self-join (no LSH pruning):
+    ``(path_a, path_b)`` for every unordered pair with Jaccard ≥ threshold.
+
+    The final Jaccard compare is evaluated as the same IEEE-double quotient
+    DuckDB computes (``i / (na + nb − i) >= threshold``) so boundary pairs
+    round identically on both sides (the ``ngram_duplicates`` contract).
+    The per-doc size table is broadcast (sample-bounded, see module doc).
+    """
+    import ray
+
+    from corpusaid_ray.util import grouped
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        paths: list[str] = []
+        hs: list[np.ndarray] = []
+        for p, t in zip(batch[key].to_pylist(),
+                        batch[content_col].to_pylist()):
+            u = np.unique(H.char_shingle_hashes(t or ""))
+            paths.append(p)
+            hs.append(u)
+        n = np.array([len(u) for u in hs], dtype="int64")
+        h = (np.concatenate(hs) if hs else np.array([], dtype=np.uint64))
+        return pd.DataFrame({
+            "h": h,
+            key: np.repeat(np.array(paths, dtype=object), n),
+            "_part": (h % _PARTS).astype("int64"),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    # per-doc distinct-shingle sizes via a batch-local combiner (value_counts
+    # per batch, summed once) — reduced to |docs| rows and broadcast
+    from ray.data.aggregate import Sum
+
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key].value_counts()
+        return pd.DataFrame({key: vc.index, "n": vc.to_numpy("int64")})
+
+    sizes_df = (
+        grouped(exploded.map_batches(size_partial, batch_format="pandas"),
+                key)
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    sizes_ref = ray.put(dict(zip(sizes_df[key], sizes_df["n"]
+                                 .astype("int64"))))
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = _pairs_from_members(g, ["h"], key, [])
+        return out[["path_a", "path_b"]]
+
+    pairs = grouped(exploded, "_part").map_groups(
+        part_pairs, batch_format="pandas")
+
+    # intersection size = pair multiplicity; co-locate each pair by hash so
+    # one partition holds all its rows, then one C-speed count + verify
+    def salt_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["path_a"].astype(str) + "\x01" + df["path_b"].astype(str)
+        return df.assign(_part=(
+            pd.util.hash_pandas_object(sk, index=False).to_numpy()
+            % _PARTS).astype("int64"))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = ray.get(sizes_ref)
+        c = (g.groupby(["path_a", "path_b"], sort=False)
+             .size().rename("i").reset_index())
+        i = c["i"].to_numpy("float64")
+        na = c["path_a"].map(sizes).to_numpy("float64")
+        nb = c["path_b"].map(sizes).to_numpy("float64")
+        keep = (i / (na + nb - i)) >= threshold
+        return c.loc[keep, ["path_a", "path_b"]]
+
+    return grouped(
+        pairs.map_batches(salt_pairs, batch_format="pandas"), "_part"
+    ).map_groups(verify, batch_format="pandas")
+
+
+def lsh_tuning(ds, *, key: str = "path", content_col: str = "content",
+               threshold: float = 0.6,
+               configs: tuple[tuple[int, int], ...] = DEFAULT_CONFIGS
+               ) -> pd.DataFrame:
+    """Per-config candidate precision/recall table (see module doc).
+
+    Output (one row per config, bands desc): ``(bands, rows_per_band,
+    n_candidates, n_true, n_tp, precision_micro, recall_micro)``; empty
+    denominators report 0 via the ``greatest(x, 1)`` guard on both sides.
+    """
+    import ray
+
+    from corpusaid_ray.stages.neardup import _sig_dataset
+    from corpusaid_ray.util import grouped
+
+    truth = exact_shingle_pairs(
+        ds, key=key, content_col=content_col, threshold=threshold
+    ).to_pandas()
+    truth_set = frozenset(zip(truth["path_a"], truth["path_b"]))
+    truth_ref = ray.put(truth_set)
+    n_true = len(truth_set)
+
+    sigs = _sig_dataset(ds, key, want_shingles=False)
+    cfg_arr = list(configs)
+
+    def band_explode(batch: pa.Table) -> pd.DataFrame:
+        cfgs, bands_c, hs, paths = [], [], [], []
+        for p, blob in zip(batch[key].to_pylist(),
+                           batch["sig"].to_pylist()):
+            sig = np.frombuffer(blob, dtype=np.uint64)
+            for ci, (b, _r) in enumerate(cfg_arr):
+                bh = H.band_hashes(sig, bands=b)
+                cfgs.extend([ci] * b)
+                bands_c.extend(range(b))
+                hs.extend(bh.tolist())
+                paths.extend([p] * b)
+        h = np.array(hs, dtype=np.uint64)
+        cfg = np.array(cfgs, dtype="int64")
+        band = np.array(bands_c, dtype="int64")
+        return pd.DataFrame({
+            "cfg": cfg, "band": band, "h": h,
+            key: np.array(paths, dtype=object),
+            "_part": ((h ^ (cfg * 1099511628211 + band).astype(np.uint64))
+                      % _PARTS).astype("int64"),
+        })
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_from_members(g, ["cfg", "band", "h"], key, ["cfg"])[
+            ["cfg", "path_a", "path_b"]]
+
+    raw = grouped(
+        sigs.map_batches(band_explode, batch_format="pyarrow"), "_part"
+    ).map_groups(part_pairs, batch_format="pandas")
+
+    # same-pair rows from different bands may sit in different partitions:
+    # co-locate by (cfg, pair) hash, dedupe + score inside the partition
+    def salt(df: pd.DataFrame) -> pd.DataFrame:
+        sk = (df["cfg"].astype(str) + "\x01" + df["path_a"].astype(str)
+              + "\x01" + df["path_b"].astype(str))
+        return df.assign(_part=(
+            pd.util.hash_pandas_object(sk, index=False).to_numpy()
+            % _PARTS).astype("int64"))
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(truth_ref)
+        u = g.drop_duplicates(["cfg", "path_a", "path_b"])
+        tp = np.fromiter(
+            ((a, b) in ts for a, b in zip(u["path_a"], u["path_b"])),
+            dtype=bool, count=len(u))
+        agg = (pd.DataFrame({"cfg": u["cfg"].to_numpy("int64"), "tp": tp})
+               .groupby("cfg").agg(n_cand=("tp", "size"),
+                                   n_tp=("tp", "sum")).reset_index())
+        return agg.astype({"cfg": "int64", "n_cand": "int64",
+                           "n_tp": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        grouped(
+            grouped(raw.map_batches(salt, batch_format="pandas"), "_part")
+            .map_groups(score, batch_format="pandas"),
+            "cfg")
+        .aggregate(Sum("n_cand", alias_name="n_cand"),
+                   Sum("n_tp", alias_name="n_tp"))
+        .to_pandas()
+    )
+    by_cfg = {int(r["cfg"]): (int(r["n_cand"]), int(r["n_tp"]))
+              for _, r in totals.iterrows()}
+
+    rows = []
+    for ci, (b, r) in enumerate(cfg_arr):
+        n_cand, n_tp = by_cfg.get(ci, (0, 0))
+        rows.append({
+            "bands": b, "rows_per_band": r,
+            "n_candidates": n_cand, "n_true": n_true, "n_tp": n_tp,
+            "precision_micro": n_tp * FP // max(n_cand, 1),
+            "recall_micro": n_tp * FP // max(n_true, 1),
+        })
+    out = pd.DataFrame(rows).sort_values(
+        "bands", ascending=False).reset_index(drop=True)
+    return out.astype({c: "int64" for c in out.columns})

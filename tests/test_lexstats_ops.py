@@ -205,3 +205,90 @@ def test_dedup_keep_best_matches_bruteforce(ray_session, seed):
     # groups genuinely collapse and winners genuinely differ in length
     assert len(ref) < len(corpus)
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def _shingle_sets(contents: dict[str, str]):
+    from corpusaid_ray.functions import hashing as H
+
+    return {p: set(H.char_shingle_hashes(t).tolist())
+            for p, t in contents.items()}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_exact_shingle_pairs_matches_bruteforce(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.lshtune import exact_shingle_pairs
+
+    rng = np.random.default_rng(seed)
+    base = "def handler(request):\n    return dispatch(request, ctx)\n"
+    rows = []
+    for i in range(60):
+        t = base * rng.integers(1, 4) + ("x" * rng.integers(0, 30))
+        rows.append({"path": f"p{i:02d}", "content": t})
+    corpus = pd.DataFrame(rows)
+    out = (
+        exact_shingle_pairs(
+            ray.data.from_pandas(corpus).repartition(4), threshold=0.6)
+        .to_pandas().sort_values(["path_a", "path_b"])
+        .reset_index(drop=True)
+    )
+
+    ss = _shingle_sets(dict(zip(corpus["path"], corpus["content"])))
+    ref_rows = []
+    paths = sorted(ss)
+    for i, a in enumerate(paths):
+        for b in paths[i + 1:]:
+            inter = len(ss[a] & ss[b])
+            if inter / (len(ss[a]) + len(ss[b]) - inter) >= 0.6:
+                ref_rows.append((a, b))
+    ref = pd.DataFrame(ref_rows, columns=["path_a", "path_b"])
+    assert len(ref) > 0
+    pd.testing.assert_frame_equal(out, ref.reset_index(drop=True))
+
+
+def test_lsh_tuning_bruteforce_and_monotonicity(ray_session):
+    import ray.data
+
+    from corpusaid_ray.functions import hashing as H
+    from corpusaid_ray.stages.lshtune import DEFAULT_CONFIGS, lsh_tuning
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for fam in range(8):
+        core = "".join(rng.choice(list("abcdefgh ()\n"), size=120))
+        for m in range(5):
+            rows.append({"path": f"f{fam}m{m}",
+                         "content": core + "z" * rng.integers(0, 25)})
+    corpus = pd.DataFrame(rows)
+    out = lsh_tuning(ray.data.from_pandas(corpus).repartition(4))
+
+    # serial reference: same signatures, same band folds, same truth
+    ss = _shingle_sets(dict(zip(corpus["path"], corpus["content"])))
+    sigs = {p: H.minhash_signature(
+        np.array(sorted(ss[p]), dtype=np.uint64))
+        for p in corpus["path"]}
+    paths = sorted(sigs)
+    truth = set()
+    for i, a in enumerate(paths):
+        for b in paths[i + 1:]:
+            inter = len(ss[a] & ss[b])
+            if inter / (len(ss[a]) + len(ss[b]) - inter) >= 0.6:
+                truth.add((a, b))
+    for _, r in out.iterrows():
+        bands = int(r["bands"])
+        cand = set()
+        bh = {p: H.band_hashes(sigs[p], bands=bands) for p in paths}
+        for i, a in enumerate(paths):
+            for b in paths[i + 1:]:
+                if (bh[a] == bh[b]).any():
+                    cand.add((a, b))
+        tp = len(cand & truth)
+        assert int(r["n_candidates"]) == len(cand)
+        assert int(r["n_true"]) == len(truth)
+        assert int(r["n_tp"]) == tp
+    # S-curve monotonicity: more bands -> higher recall, lower-or-equal
+    # precision (weak inequality; exact values pinned above)
+    o = out.sort_values("bands", ascending=False).reset_index(drop=True)
+    assert list(o["bands"]) == [b for b, _ in DEFAULT_CONFIGS]
+    assert (o["recall_micro"].diff().dropna() <= 0).all()
