@@ -5532,6 +5532,137 @@ def q_dedup_keep_best(sf_dir: str):
     return dedup_keep_best(_corpus(sf_dir))
 
 
+def _attach_labels(ds, labels, *, key: str, label_col: str,
+                   broadcast_cap: int = 2_000_000):
+    """Counted adaptive label delivery: the (key → label) table broadcasts
+    via ``ray.put`` + map-side attach while it fits a worker's heap
+    (measured: a hash_join's aggregator-actor spin-up alone cost 15 s on a
+    500-row exchange at 8 CPUs — the BASELINE.md r4 small-exchange rule);
+    past ``broadcast_cap`` rows it switches to the large⨝large
+    ``hash_join`` (same output contract, inner-join semantics: keys
+    missing a label drop). Set ``broadcast_cap=0`` to force the join path
+    (the pytest equality pin)."""
+    import pandas as pd
+    import ray
+
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.util import drop_empty_blocks
+
+    if labels.count() > broadcast_cap:
+        return hash_join(drop_empty_blocks(ds), drop_empty_blocks(labels),
+                         on=key)
+
+    lab_df = labels.to_pandas()
+    lut_ref = ray.put(dict(zip(lab_df[key], lab_df[label_col])))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(lut_ref)
+        out = df.assign(**{label_col: df[key].map(lut)})
+        return out[out[label_col].notna()]
+
+    return ds.map_batches(attach, batch_format="pandas")
+
+
+def q_cluster_top_terms(sf_dir: str):
+    """Distinctive vocabulary per semantic cluster — the human-readable
+    label a curation run attaches to each k-means cluster before deciding
+    per-cluster sampling weights. The verified fixed-point k-means (k=8,
+    4 Lloyd iterations) labels every doc through the 1:1 vec_id==doc_id
+    alignment; per-(cluster, token) counts reduce with the word_freq
+    combiner shape; per-token corpus totals and the exact rational lift
+    ``n_ct·N·10⁶ // (n_c·n_t)`` are computed inside salted partitions
+    (Python-int arithmetic — the product overflows int64 at web scale; the
+    collocation_lift rule); top 10 per cluster by (lift desc, token asc)
+    with a corpus-count ≥ 5 noise guard.
+
+    Label delivery is the repo's counted adaptive switch: assignments are
+    corpus-sized, so below the cap the (id → cluster) table broadcasts via
+    ``ray.put`` and a map-side attach (measured: the hash_join's
+    aggregator-actor spin-up alone cost 15 s on a 500-row exchange at 8
+    CPUs); above the cap it switches to the large⨝large ``hash_join``
+    (``tests/test_lexstats_ops.py`` pins cap=0 join == broadcast)."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.stages.kmeans import assign_clusters, fit_kmeans
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    model = fit_kmeans(emb, k=8, iters=4)
+    assign = assign_clusters(emb, model).rename_columns(
+        {"vec_id": "doc_id"})
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    labeled = _attach_labels(docs, assign, key="doc_id",
+                             label_col="cluster")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for cl, t in zip(df["cluster"], df["text"]):
+            for tok in TOKEN_RE.findall(t):
+                c[(int(cl), tok)] += 1
+        ks = list(c.keys())
+        return pd.DataFrame({
+            "cluster": np.array([k[0] for k in ks], dtype="int64"),
+            "token": pd.Series([k[1] for k in ks], dtype="object"),
+            "n": np.array(list(c.values()), dtype="int64"),
+        })
+
+    ct = grouped(
+        labeled.map_batches(partial, batch_format="pandas"),
+        ["cluster", "token"],
+    ).aggregate(Sum("n", alias_name="n"))
+
+    # k cluster totals + the grand total: a k-row reduce, broadcast as
+    # scalars (bounded by k, not by data)
+    tot = grouped(ct, "cluster").aggregate(
+        Sum("n", alias_name="n_c")).to_pandas()
+    n_c = {int(c): int(v) for c, v in zip(tot["cluster"], tot["n_c"])}
+    n_total = int(tot["n_c"].sum())
+    nc_ref = ray.put(n_c)
+
+    def salt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_part=(
+            pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
+            % 64).astype("int64"))
+
+    def lift(g: pd.DataFrame) -> pd.DataFrame:
+        ncs = ray.get(nc_ref)
+        nt = g.groupby("token", sort=False)["n"].transform("sum")
+        keep = (nt >= 5).to_numpy()
+        g, ntv = g.loc[keep], nt.to_numpy()[keep]
+        lifts = [int(n) * n_total * 1_000_000
+                 // (ncs[int(cl)] * int(t))
+                 for n, cl, t in zip(g["n"], g["cluster"], ntv)]
+        return pd.DataFrame({
+            "cluster": g["cluster"].to_numpy("int64"),
+            "token": g["token"].to_numpy(dtype=object),
+            "n_in_cluster": g["n"].to_numpy("int64"),
+            "lift_micro": np.array(lifts, dtype="int64"),
+        })
+
+    scored = grouped(
+        ct.map_batches(salt, batch_format="pandas"), "_part"
+    ).map_groups(lift, batch_format="pandas")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["lift_micro", "token"],
+                             ascending=[False, True]).head(10)
+
+    return scored.groupby("cluster").map_groups(
+        topk, batch_format="pandas")
+
+
 def q_lsh_tuning(sf_dir: str):
     """MinHash-LSH banding-parameter sweep (lshtune.lsh_tuning): candidate
     precision/recall per (bands, rows) config vs the UNPRUNED exact
@@ -5779,6 +5910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_burstiness": q_user_burstiness,
         "dedup_keep_best": q_dedup_keep_best,
         "lsh_tuning": q_lsh_tuning,
+        "cluster_top_terms": q_cluster_top_terms,
     }
 
 

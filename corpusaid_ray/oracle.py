@@ -5220,3 +5220,38 @@ QUALIFY row_number() OVER (PARTITION BY norm_sha256
 
 
 ORACLE_SQL["dedup_keep_best"] = _dedup_keep_best_sql()
+
+
+def _cluster_top_terms_sql(k: int = 8, iters: int = 4) -> str:
+    """Mirror for q_cluster_top_terms: the verified unrolled Lloyd chain's
+    head (prefix reuse, same CTE text as ``kmeans_clusters``), the
+    doc_id==vec_id label join, word/punct tokenization (the word_freq
+    spec), and the exact HUGEINT lift rational with the same trunc-div and
+    (lift desc, token asc) top-10 cut."""
+    base = _kmeans_sql(k, iters)
+    head, _, _ = base.rpartition("\nSELECT vec_id, cluster FROM final_assign")
+    return head + r""",
+ctok AS MATERIALIZED (
+  SELECT fa.cluster,
+         unnest(regexp_extract_all(d.text, '\w+|[^\w\s]')) AS token
+  FROM final_assign fa JOIN documents d ON d.doc_id = fa.vec_id),
+ctn AS MATERIALIZED (
+  SELECT cluster, token, count(*)::HUGEINT AS n
+  FROM ctok GROUP BY cluster, token),
+ntt AS (SELECT token, sum(n) AS n_t FROM ctn GROUP BY token),
+ncc AS (SELECT cluster, sum(n) AS n_c FROM ctn GROUP BY cluster),
+gt AS (SELECT sum(n) AS n FROM ctn)
+SELECT cluster, token, n_in_cluster, lift_micro FROM (
+  SELECT ctn.cluster, ctn.token, ctn.n::BIGINT AS n_in_cluster,
+         (ctn.n * gt.n * 1000000 // (ncc.n_c * ntt.n_t))::BIGINT
+           AS lift_micro,
+         row_number() OVER (
+           PARTITION BY ctn.cluster
+           ORDER BY ctn.n * gt.n * 1000000 // (ncc.n_c * ntt.n_t) DESC,
+                    ctn.token ASC) AS rn
+  FROM ctn JOIN ntt USING (token) JOIN ncc USING (cluster) CROSS JOIN gt
+  WHERE ntt.n_t >= 5)
+WHERE rn <= 10"""
+
+
+ORACLE_SQL["cluster_top_terms"] = _cluster_top_terms_sql(8, 4)

@@ -292,3 +292,80 @@ def test_lsh_tuning_bruteforce_and_monotonicity(ray_session):
     o = out.sort_values("bands", ascending=False).reset_index(drop=True)
     assert list(o["bands"]) == [b for b, _ in DEFAULT_CONFIGS]
     assert (o["recall_micro"].diff().dropna() <= 0).all()
+
+
+def test_attach_labels_join_equals_broadcast(ray_session):
+    import ray.data
+
+    from __ray_entry__ import _attach_labels
+
+    rng = np.random.default_rng(3)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "text": [f"t{i}" for i in range(200)],
+    })
+    labels = pd.DataFrame({
+        "doc_id": np.arange(0, 150, dtype=np.int64),  # 50 docs unlabeled
+        "cluster": rng.integers(0, 4, size=150).astype(np.int64),
+    })
+    d = ray.data.from_pandas(docs).repartition(5)
+    l = ray.data.from_pandas(labels).repartition(3)
+    bcast = (_attach_labels(d, l, key="doc_id", label_col="cluster")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    joined = (_attach_labels(d, l, key="doc_id", label_col="cluster",
+                             broadcast_cap=0)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(bcast) == 150  # unlabeled docs drop (inner semantics)
+    pd.testing.assert_frame_equal(
+        bcast[["doc_id", "cluster"]].astype("int64"),
+        joined[["doc_id", "cluster"]].astype("int64"))
+
+
+def test_cluster_lift_math_bruteforce(ray_session):
+    """Pin the lift rational + top-10 cut of q_cluster_top_terms against a
+    serial recomputation from the engine's own cluster assignment (the
+    assignment itself is pinned by the kmeans oracle)."""
+    from collections import Counter
+
+    import ray.data
+
+    import __ray_entry__ as e
+    from corpusaid_ray.functions.tokenize import TOKEN_RE
+    from corpusaid_ray.stages.kmeans import assign_clusters, fit_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    out = (e.q_cluster_top_terms(sf).to_pandas()
+           .sort_values(["cluster", "lift_micro", "token"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    assign = assign_clusters(emb, fit_kmeans(emb, k=8, iters=4)).to_pandas()
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"]).to_pandas()
+    lab = docs.merge(assign.rename(columns={"vec_id": "doc_id"}), on="doc_id")
+    ct: Counter = Counter()
+    for cl, t in zip(lab["cluster"], lab["text"]):
+        for tok in TOKEN_RE.findall(t):
+            ct[(int(cl), tok)] += 1
+    n_t: Counter = Counter()
+    n_c: Counter = Counter()
+    for (cl, tok), n in ct.items():
+        n_t[tok] += n
+        n_c[cl] += n
+    n_total = sum(ct.values())
+    rows = []
+    for (cl, tok), n in ct.items():
+        if n_t[tok] < 5:
+            continue
+        rows.append((cl, tok, n, n * n_total * FP // (n_c[cl] * n_t[tok])))
+    ref = pd.DataFrame(
+        rows, columns=["cluster", "token", "n_in_cluster", "lift_micro"])
+    ref = (ref.sort_values(["lift_micro", "token"],
+                           ascending=[False, True], kind="mergesort")
+           .groupby("cluster", sort=True).head(10)
+           .sort_values(["cluster", "lift_micro", "token"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
