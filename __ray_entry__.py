@@ -5673,6 +5673,36 @@ def q_lsh_tuning(sf_dir: str):
     return lsh_tuning(_corpus(sf_dir))
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension mean/variance screen over the embedding matrix
+    (embstats.dim_stats): dead-dimension and exploding-dimension detection
+    before any ANN/semantic-dedup stage trusts the vectors. One map-only
+    pass emits D sufficient-statistic rows per batch; exact integer micro
+    quantization end-to-end."""
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import dim_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return dim_stats(ds)
+
+
+def q_label_cohesion(sf_dir: str):
+    """Within-label mean pairwise dot product (embstats.label_cohesion) via
+    the sum-vector identity ||Σv||² − Σ||v||² — O(n·D) label-noise audit
+    instead of O(n²) pair enumeration; exact integer arithmetic."""
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import label_cohesion
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    return label_cohesion(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -5911,6 +5941,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "lsh_tuning": q_lsh_tuning,
         "cluster_top_terms": q_cluster_top_terms,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "label_cohesion": q_label_cohesion,
     }
 
 

@@ -5255,3 +5255,43 @@ WHERE rn <= 10"""
 
 
 ORACLE_SQL["cluster_top_terms"] = _cluster_top_terms_sql(8, 4)
+
+
+# embedding_dim_stats: per-dimension mean/variance with the shared micro
+# quantization floor(1e6·double(e)); generate_subscripts + unnest expand in
+# lockstep, HUGEINT carries s² past int64, // is the engine's trunc_div.
+ORACLE_SQL["embedding_dim_stats"] = """
+WITH el AS (
+  SELECT generate_subscripts(embedding, 1)::BIGINT AS dim,
+         floor(1000000 * CAST(unnest(embedding) AS DOUBLE))::BIGINT AS q
+  FROM embeddings),
+s AS (
+  SELECT dim, count(*)::HUGEINT AS n, sum(q)::HUGEINT AS s,
+         sum(q::HUGEINT * q)::HUGEINT AS ss
+  FROM el GROUP BY dim)
+SELECT dim, n::BIGINT AS n_vecs, s::BIGINT AS sum_q,
+       (s // n)::BIGINT AS mean_q,
+       ((n * ss - s * s) // (n * n))::BIGINT AS var_microsq
+FROM s"""
+
+
+# label_cohesion: mean pairwise dot within each label via the sum-vector
+# identity Σ_{i≠j}<q_i,q_j> = Σ_d s_d² − Σ_d ss_d; single-member labels
+# drop (no pairs).
+ORACLE_SQL["label_cohesion"] = """
+WITH el AS (
+  SELECT label, generate_subscripts(embedding, 1)::BIGINT AS dim,
+         floor(1000000 * CAST(unnest(embedding) AS DOUBLE))::HUGEINT AS q
+  FROM embeddings),
+sd AS (
+  SELECT label, dim, sum(q) AS s, sum(q * q) AS ss
+  FROM el GROUP BY label, dim),
+pl AS (
+  SELECT label, sum(s * s) AS dot, sum(ss) AS ssum
+  FROM sd GROUP BY label),
+n AS (SELECT label, count(*)::HUGEINT AS n FROM embeddings GROUP BY label)
+SELECT pl.label::BIGINT AS label, n.n::BIGINT AS n_vecs,
+       ((pl.dot - pl.ssum) // (n.n * (n.n - 1)))::BIGINT
+         AS mean_pair_dot_microsq
+FROM pl JOIN n ON n.label = pl.label
+WHERE n.n >= 2"""

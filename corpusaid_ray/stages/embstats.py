@@ -1,0 +1,196 @@
+"""Embedding-matrix health audits: per-dimension statistics and per-label
+cohesion.
+
+Before an embedding column is trusted for semantic dedup / ANN / clustering
+at 100 TB, two cheap whole-corpus screens catch the common failure modes:
+
+* **Per-dimension stats** (``dim_stats``): mean and variance of every
+  coordinate. Dead dimensions (variance ≈ 0) mean the encoder collapsed or
+  the export truncated; a handful of exploding dimensions dominate L2
+  distances and silently break cosine pruning. This is the standard
+  "embedding collapse" screen (cf. Ethayarajh 2019 on anisotropy).
+* **Per-label cohesion** (``label_cohesion``): mean pairwise dot product
+  within each label, via the sum-vector identity
+  ``Σ_{i≠j} <v_i, v_j> = ||Σ v||² − Σ ||v||²`` — O(n·D) instead of O(n²·D),
+  the same trick batch-contrastive losses use. High-cohesion labels are
+  easy clusters; near-zero cohesion flags label noise.
+
+Scale shape: both are ONE map-only pass emitting fixed-size sufficient
+statistics (``D`` rows per batch for dim_stats, ``labels×D`` for cohesion)
+followed by a bounded groupby — nothing grows with corpus size except the
+exact-integer sums. No vector ever moves through an exchange twice.
+
+Determinism contract: each float32 component is quantized ONCE as
+``floor(10⁶ · double(x))`` (bit-exact vs DuckDB ``floor(1000000 *
+CAST(e AS DOUBLE))`` — promotion and multiply are the same double ops);
+everything after is exact integer arithmetic with Python ints in the final
+K-row / label-row reduction (sums of squares exceed int64), and final
+ratios use ``trunc_div`` (DuckDB ``//``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from corpusaid_ray.stages.regression import trunc_div
+
+FP = 1_000_000
+
+
+def _quant(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """Stack the batch's vectors and quantize to int64 micro units with the
+    exact double op order of the SQL mirror (cast → ×10⁶ → floor)."""
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in
+         batch[vec_col].to_pylist()]
+    ).astype(np.float64)
+    return np.floor(FP * vecs).astype(np.int64)
+
+
+def dim_stats(ds, *, vec_col: str = "embedding"):
+    """Per-dimension mean/variance over the whole embedding table.
+
+    Map pass: each batch emits exactly ``D`` rows ``(dim, n, s, ss)`` —
+    ``s = Σ q_d``, ``ss = Σ q_d²`` down the batch, int64-safe per batch
+    (``|q| ≤ ~10⁷`` ⇒ ``q² ≤ 10¹⁴``; a 10⁵-row batch stays < 2⁶³). The
+    groupby then moves ``D × blocks`` tiny rows. Final per-dim math runs in
+    Python ints (``s²`` overflows int64 at corpus scale; mirrors HUGEINT).
+
+    Output (1-based ``dim`` to match ``generate_subscripts``):
+    ``(dim, n_vecs, sum_q, mean_q, var_microsq)`` with
+    ``mean_q = s // n`` and ``var_microsq = (n·ss − s²) // n²`` — the exact
+    population variance in (micro)² units; ``var_microsq == 0`` is the
+    dead-dimension flag.
+    """
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "dim": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "ss": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        q = _quant(batch, vec_col)
+        return pa.table({
+            "dim": pa.array(np.arange(1, q.shape[1] + 1, dtype=np.int64)),
+            "n": pa.array(np.full(q.shape[1], len(q), dtype=np.int64)),
+            "s": pa.array(q.sum(axis=0)),
+            "ss": pa.array((q * q).sum(axis=0)),
+        })
+
+    agg = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), ["dim"]
+    ).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("s", alias_name="s"),
+        Sum("ss", alias_name="ss"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "dim": pd.Series(dtype="int64"),
+                "n_vecs": pd.Series(dtype="int64"),
+                "sum_q": pd.Series(dtype="int64"),
+                "mean_q": pd.Series(dtype="int64"),
+                "var_microsq": pd.Series(dtype="int64"),
+            })
+        n = [int(v) for v in df["n"]]
+        s = [int(v) for v in df["s"]]
+        ss = [int(v) for v in df["ss"]]
+        return pd.DataFrame({
+            "dim": df["dim"].astype("int64").values,
+            "n_vecs": np.array(n, dtype="int64"),
+            "sum_q": np.array(s, dtype="int64"),
+            "mean_q": np.array(
+                [trunc_div(si, ni) for si, ni in zip(s, n)], dtype="int64"),
+            "var_microsq": np.array(
+                [trunc_div(ni * ssi - si * si, ni * ni)
+                 for ni, si, ssi in zip(n, s, ss)], dtype="int64"),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def label_cohesion(ds, *, vec_col: str = "embedding",
+                   label_col: str = "label"):
+    """Mean pairwise (unnormalized) dot product within each label, exact.
+
+    Map pass: per batch and label, the D-vector of per-dim sums ``s_d``,
+    per-dim sums of squares ``ss_d``, and the member count — emitted as
+    ``labels × D`` skinny rows. One ``groupby((label, dim))`` sum, then a
+    per-label ``map_groups`` evaluates the identity
+    ``Σ_{i≠j} <q_i, q_j> = Σ_d s_d² − Σ_d ss_d`` in Python ints
+    (``s_d²`` exceeds int64 at scale) and divides by ``n(n−1)`` with
+    ``trunc_div``.
+
+    Output: ``(label, n_vecs, mean_pair_dot_microsq)``; labels with fewer
+    than 2 vectors are excluded (no pairs).
+    """
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "label": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "ss": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        q = _quant(batch, vec_col)
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(
+            "int64")
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = q.shape[1]
+        s = np.zeros((len(uniq), d), dtype=np.int64)
+        ss = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(s, inv, q)
+        np.add.at(ss, inv, q * q)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        dims = np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq))
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(dims),
+            "n": pa.array(np.repeat(cnt, d)),
+            "s": pa.array(s.ravel()),
+            "ss": pa.array(ss.ravel()),
+        })
+
+    agg = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), ["label", "dim"]
+    ).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("s", alias_name="s"),
+        Sum("ss", alias_name="ss"),
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "label": pd.Series(dtype="int64"),
+            "n_vecs": pd.Series(dtype="int64"),
+            "mean_pair_dot_microsq": pd.Series(dtype="int64"),
+        })
+        n = int(g["n"].iloc[0])  # identical across the label's dim rows
+        if n < 2:
+            return empty
+        dot = sum(int(v) ** 2 for v in g["s"])
+        ssum = sum(int(v) for v in g["ss"])
+        return pd.DataFrame({
+            "label": np.array([int(g["label"].iloc[0])], dtype="int64"),
+            "n_vecs": np.array([n], dtype="int64"),
+            "mean_pair_dot_microsq": np.array(
+                [trunc_div(dot - ssum, n * (n - 1))], dtype="int64"),
+        })
+
+    return agg.groupby("label").map_groups(finish, batch_format="pandas")

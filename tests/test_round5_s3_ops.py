@@ -1,0 +1,101 @@
+"""Serial-reference pins for the round-5 session-3 operators (embedding
+dim stats, label cohesion, and later additions): small random instances,
+independent O(n²)/direct serial implementations, layout varied via
+repartition."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SEEDS = (0, 1, 2)
+
+
+def _rand_embeddings(rng: np.random.Generator, n: int, d: int = 6):
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, d).astype(np.float32)
+                      for _ in range(n)],
+        "label": rng.integers(0, 4, size=n).astype(np.int64),
+    })
+
+
+def _q(df: pd.DataFrame) -> np.ndarray:
+    vecs = np.stack([np.asarray(v, dtype=np.float32) for v in df.embedding])
+    return np.floor(1_000_000 * vecs.astype(np.float64)).astype(object)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_dim_stats_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import dim_stats
+    from corpusaid_ray.stages.regression import trunc_div
+
+    rng = np.random.default_rng(seed)
+    df = _rand_embeddings(rng, 120)
+    out = (
+        dim_stats(ray.data.from_pandas(df).repartition(7))
+        .to_pandas().sort_values("dim").reset_index(drop=True)
+    )
+    q = _q(df)
+    n = len(df)
+    rows = []
+    for d in range(q.shape[1]):
+        s = int(sum(q[:, d]))
+        ss = int(sum(v * v for v in q[:, d]))
+        rows.append((d + 1, n, s, trunc_div(s, n),
+                     trunc_div(n * ss - s * s, n * n)))
+    ref = pd.DataFrame(
+        rows, columns=["dim", "n_vecs", "sum_q", "mean_q", "var_microsq"]
+    )
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_label_cohesion_matches_pairwise_bruteforce(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import label_cohesion
+    from corpusaid_ray.stages.regression import trunc_div
+
+    rng = np.random.default_rng(seed)
+    df = _rand_embeddings(rng, 90)
+    out = (
+        label_cohesion(ray.data.from_pandas(df).repartition(5))
+        .to_pandas().sort_values("label").reset_index(drop=True)
+    )
+    q = _q(df)
+    rows = []
+    for lab in sorted(df.label.unique()):
+        m = (df.label == lab).to_numpy()
+        ql = q[m]
+        n = int(m.sum())
+        if n < 2:
+            continue
+        # literal O(n²) pairwise dot sum — the identity the stage shortcuts
+        tot = 0
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    tot += int(sum(ql[i] * ql[j]))
+        rows.append((int(lab), n, trunc_div(tot, n * (n - 1))))
+    ref = pd.DataFrame(
+        rows, columns=["label", "n_vecs", "mean_pair_dot_microsq"])
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+def test_dim_stats_single_vector(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import dim_stats, label_cohesion
+
+    df = _rand_embeddings(np.random.default_rng(9), 1)
+    out = dim_stats(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 6 and (out.var_microsq == 0).all()
+    # single-member labels emit no cohesion row (no pairs)
+    coh = label_cohesion(ray.data.from_pandas(df)).to_pandas()
+    assert len(coh) == 0
