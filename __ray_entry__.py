@@ -5703,6 +5703,38 @@ def q_label_cohesion(sf_dir: str):
     return label_cohesion(ds)
 
 
+def q_event_debounce(sf_dir: str):
+    """Windowed event dedup / debounce (window.event_debounce): drop events
+    within 300 s of the previous event on the same (user, type) key — the
+    ingestion-side client-retry suppressor. One keyed groupby, vectorized
+    gap scan, exact microseconds."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import event_debounce
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return event_debounce(ds, window_seconds=300)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional sample without replacement
+    (sampling.weighted_sample, Efraimidis–Spirakis A-Res): 200 docs drawn
+    ∝ n_chars under the shared md5 uniform — deterministic, parallel
+    top-k, per-batch prune bounds the exchange."""
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import weighted_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return weighted_sample(ds, k=200)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -5943,6 +5975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_top_terms": q_cluster_top_terms,
         "embedding_dim_stats": q_embedding_dim_stats,
         "label_cohesion": q_label_cohesion,
+        "event_debounce": q_event_debounce,
+        "weighted_sample": q_weighted_sample,
     }
 
 

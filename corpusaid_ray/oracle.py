@@ -5295,3 +5295,29 @@ SELECT pl.label::BIGINT AS label, n.n::BIGINT AS n_vecs,
          AS mean_pair_dot_microsq
 FROM pl JOIN n ON n.label = pl.label
 WHERE n.n >= 2"""
+
+
+# event_debounce: keep first-of-key and >300s-gap events; one LAG window,
+# gap in exact microseconds, -1 sentinel for the key's first event.
+ORACLE_SQL["event_debounce"] = """
+WITH g AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS d
+  FROM events)
+SELECT event_id, user_id, event_type, coalesce(d, -1)::BIGINT AS gap_us
+FROM g WHERE d IS NULL OR d > 300000000"""
+
+
+# weighted_sample: Efraimidis–Spirakis A-Res with the shared md5-prefix
+# uniform; the log-space priority is evaluated in the engine's exact double
+# op order (ln is the dsir-pinned bit-exact path).
+ORACLE_SQL["weighted_sample"] = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         floor(1000000000 * ln(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            + 1) / 4294967296.0) / n_chars)::BIGINT AS prio_nano
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, lang, n_chars, prio_nano FROM keyed
+QUALIFY row_number() OVER (ORDER BY prio_nano DESC, doc_id ASC) <= 200"""

@@ -450,3 +450,55 @@ def unimax_plan(ds, *, group_col: str = "lang", size_col: str = "n_chars",
         "saturated": pa.array(
             [1 if i < k_sat else 0 for i in range(n)], pa.int64()),
     })
+
+
+def weighted_sample(ds, *, k: int, weight_col: str = "n_chars",
+                    key_col: str = "doc_id",
+                    keep_cols: tuple[str, ...] = ("lang",)):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    each row draws a deterministic uniform ``u`` from its md5 prefix and
+    competes with priority ``u^(1/w)`` — the global top-``k`` priorities
+    are a weight-proportional sample, computable as a parallel top-k with
+    no sequential pass (the A-Res scheme).
+
+    Determinism/exactness: ``u = (h+1)/2³²`` (exact double, h the shared
+    ``add_md5_rank`` 32-bit prefix), compared in log space as
+    ``prio_nano = floor(10⁹ · ln(u) / w)`` — ``ln`` is the bit-exact-vs-
+    DuckDB path (the dsir pin) and division/multiply are single double ops
+    evaluated in the mirror's exact order, so the fixed-point key is
+    bit-identical in both engines. Zero/negative weights are excluded
+    (they can never win under the scheme).
+
+    Scale shape: a per-batch top-``k`` prune bounds the exchange to
+    ``k × blocks`` rows, then one range-partitioned sort takes the global
+    head — no full-corpus sort survives the prune.
+
+    Output: ``(key_col, *keep_cols, weight_col, prio_nano)``, the ``k``
+    winners by (prio_nano desc, key asc).
+    """
+    import math
+
+    cols = [key_col, *keep_cols, weight_col]
+
+    def keyed_topk(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype("int64")
+        ids = batch[key_col].to_pylist()
+        prio = np.full(len(w), np.iinfo(np.int64).min, dtype="int64")
+        for i, (h_src, wi) in enumerate(zip(ids, w)):
+            if wi <= 0:
+                continue
+            h = int(hashlib.md5(
+                str(h_src).encode("utf-8")).hexdigest()[:8], 16)
+            prio[i] = math.floor(
+                1_000_000_000 * math.log((h + 1) / 4294967296.0) / wi)
+        tbl = batch.select(cols).append_column(
+            "prio_nano", pa.array(prio, pa.int64()))
+        df = tbl.to_pandas()
+        df = df[df[weight_col] > 0]
+        df = df.sort_values(["prio_nano", key_col],
+                            ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pruned = ds.map_batches(keyed_topk, batch_format="pyarrow")
+    return pruned.sort(["prio_nano", key_col],
+                       descending=[True, False]).limit(k)

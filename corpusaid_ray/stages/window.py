@@ -640,3 +640,40 @@ def user_burstiness(ds, *, key: str = "user_id", ts_col: str = "ts",
         })
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def event_debounce(ds, *, window_seconds: int = 300,
+                   key_cols: tuple[str, ...] = ("user_id", "event_type"),
+                   ts_col: str = "ts", id_col: str = "event_id"):
+    """Streaming-style windowed event dedup (debounce): drop any event that
+    follows the PREVIOUS event of the same key by ``window_seconds`` or
+    less. The standard client-retry / double-fire suppressor in event
+    ingestion; equivalently, "keep only session-opening events" under the
+    sessionize gap rule, so the SQL mirror is one LAG window.
+
+    One ``groupby(key)`` co-locates each key's history (same partitioning
+    assumption as sessionize); inside the group the (ts, id)-ordered gap
+    vector is a single vectorized diff — kept rows are gap-undefined
+    (first) or gap strictly greater than the window, in exact int64
+    microseconds. Skewed hot keys: same salting recipe as
+    :func:`event_paths`.
+
+    Output: ``(id_col, *key_cols, gap_us)`` for KEPT events only, with
+    ``gap_us = -1`` for each key's first event (SQL ``coalesce(d, -1)``).
+    """
+    from corpusaid_ray.util import grouped
+
+    keys = list(key_cols)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        gap = np.empty(len(g), dtype="int64")
+        gap[0] = -1
+        gap[1:] = us[1:] - us[:-1]
+        keep = (gap == -1) | (gap > window_seconds * 1_000_000)
+        out = g.loc[keep, [id_col] + keys].copy()
+        out["gap_us"] = gap[keep]
+        return out
+
+    return grouped(ds, keys).map_groups(per_key, batch_format="pandas")

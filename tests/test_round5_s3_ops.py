@@ -99,3 +99,80 @@ def test_dim_stats_single_vector(ray_session):
     # single-member labels emit no cohesion row (no pairs)
     coh = label_cohesion(ray.data.from_pandas(df)).to_pandas()
     assert len(coh) == 0
+
+
+def _rand_events(rng: np.random.Generator, n: int) -> pd.DataFrame:
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 6, size=n).astype(np.int64),
+        "ts": base + rng.integers(0, 2 * 3600 * 1_000_000, size=n).astype(
+            "timedelta64[us]"),
+        "event_type": rng.choice(["a", "b"], size=n),
+    })
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_event_debounce_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.window import event_debounce
+
+    rng = np.random.default_rng(seed)
+    ev = _rand_events(rng, 300)
+    out = (
+        event_debounce(ray.data.from_pandas(ev).repartition(6),
+                       window_seconds=120)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    rows = []
+    for (u, t), g in ev.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        prev = None
+        for _, r in g.iterrows():
+            us = int(np.datetime64(r.ts, "us").astype("int64"))
+            gap = -1 if prev is None else us - prev
+            if prev is None or gap > 120 * 1_000_000:
+                rows.append((int(r.event_id), int(u), str(t), gap))
+            prev = us
+    ref = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "event_type", "gap_us"]
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_weighted_sample_matches_serial(ray_session, seed):
+    import hashlib
+
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import weighted_sample
+
+    rng = np.random.default_rng(seed)
+    n = 250
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "de"], size=n),
+        "n_chars": rng.integers(0, 5000, size=n).astype(np.int64),
+    })
+    k = 40
+    out = (
+        weighted_sample(ray.data.from_pandas(df).repartition(8), k=k)
+        .to_pandas().reset_index(drop=True)
+    )
+    rows = []
+    for _, r in df[df.n_chars > 0].iterrows():
+        h = int(hashlib.md5(str(int(r.doc_id)).encode()).hexdigest()[:8], 16)
+        prio = math.floor(
+            1_000_000_000 * math.log((h + 1) / 4294967296.0) / int(r.n_chars))
+        rows.append((int(r.doc_id), r.lang, int(r.n_chars), prio))
+    ref = (
+        pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars", "prio_nano"])
+        .sort_values(["prio_nano", "doc_id"], ascending=[False, True])
+        .head(k).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # weight-proportionality sanity: winners' mean weight must exceed the
+    # population mean (chars-weighted draw favours long docs)
+    assert out.n_chars.mean() > df.n_chars.mean()
