@@ -5703,6 +5703,163 @@ def q_label_cohesion(sf_dir: str):
     return label_cohesion(ds)
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped orders by
+    revenue for one market segment. Join plan: the segment-filtered
+    customer keys broadcast into the date-pruned orders read (dimension
+    side shrinks 5× before anything wide); the one large×large edge
+    (lineitem ⨝ orders) is a hash join with both date predicates pushed
+    into the parquet reads, so only qualifying rows ever leave storage.
+    Revenue in the shared micro fixed point."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import broadcast_join, hash_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    cutoff = pd.Timestamp("1996-06-30")
+    empty = pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_orderpriority": pa.array([], pa.string()),
+        "revenue_micros": pa.array([], pa.int64()),
+    })
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    cust = cust.loc[cust.c_mktsegment == "BUILDING", ["c_custkey"]]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pads.field("o_orderdate") < pads.scalar(cutoff),
+    )
+    orders = drop_empty_blocks(broadcast_join(
+        orders.rename_columns({"o_custkey": "c_custkey"}), cust,
+        on="c_custkey",
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]))
+    if orders.count() == 0:
+        return empty
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 1_000_000
+        ).astype("int64")
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "revenue_micros": pa.array(r),
+        })
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > pads.scalar(cutoff),
+    ).map_batches(rev, batch_format="pyarrow")
+    line = drop_empty_blocks(line)
+    if line.count() == 0:
+        return empty
+
+    agg = grouped(
+        hash_join(line, orders, on="o_orderkey"),
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).aggregate(Sum("revenue_micros", alias_name="revenue_micros"))
+    return agg.sort(
+        ["revenue_micros", "o_orderdate", "o_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
+
+
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter-pair. Both wide-side predicates
+    (order window, returnflag) push into the reads; lineitem ⨝ orders is
+    the hash-join edge; the per-customer aggregate is then BOUNDED by the
+    customer count, so the name/nation attachment rides a broadcast merge
+    (graduates to a second hash join when the customer table itself is
+    web-scale)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.stages.join import broadcast_join, hash_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    empty = pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "n_name": pa.array([], pa.string()),
+        "n_items": pa.array([], pa.int64()),
+        "revenue_micros": pa.array([], pa.int64()),
+    })
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).merge(
+        pd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]),
+        left_on="c_nationkey", right_on="n_nationkey",
+    )[["c_custkey", "c_name", "n_name"]]
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pads.field("o_orderdate")
+             >= pads.scalar(pd.Timestamp("1996-01-01")))
+            & (pads.field("o_orderdate")
+               < pads.scalar(pd.Timestamp("1996-07-01")))
+        ),
+    )
+    orders = drop_empty_blocks(orders)
+    if orders.count() == 0:
+        return empty
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy()) * 1_000_000
+        ).astype("int64")
+        return pa.table({
+            "o_orderkey": batch["l_orderkey"],
+            "revenue_micros": pa.array(r),
+        })
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == pads.scalar("R"),
+    ).map_batches(rev, batch_format="pyarrow")
+    line = drop_empty_blocks(line)
+    if line.count() == 0:
+        return empty
+
+    per_cust = grouped(
+        hash_join(line, orders, on="o_orderkey"), "o_custkey"
+    ).aggregate(
+        Count(alias_name="n_items"),
+        Sum("revenue_micros", alias_name="revenue_micros"),
+    )
+    named = broadcast_join(
+        per_cust.rename_columns({"o_custkey": "c_custkey"}), cust,
+        on="c_custkey",
+    ).select_columns(
+        ["c_custkey", "c_name", "n_name", "n_items", "revenue_micros"])
+    return named.sort(["revenue_micros", "c_custkey"],
+                      descending=[True, False]).limit(20)
+
+
 def q_event_debounce(sf_dir: str):
     """Windowed event dedup / debounce (window.event_debounce): drop events
     within 300 s of the previous event on the same (user, type) key — the
@@ -5977,6 +6134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_cohesion": q_label_cohesion,
         "event_debounce": q_event_debounce,
         "weighted_sample": q_weighted_sample,
+        "shipping_priority": q_shipping_priority,
+        "returned_item_revenue": q_returned_item_revenue,
     }
 
 

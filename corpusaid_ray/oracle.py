@@ -5321,3 +5321,43 @@ WITH keyed AS (
   FROM documents WHERE n_chars > 0)
 SELECT doc_id, lang, n_chars, prio_nano FROM keyed
 QUALIFY row_number() OVER (ORDER BY prio_nano DESC, doc_id ASC) <= 200"""
+
+
+# shipping_priority: TPC-H Q3 shape — top-10 unshipped BUILDING-segment
+# orders by micro revenue, deterministic (revenue desc, date, key) cut.
+ORACLE_SQL["shipping_priority"] = """
+WITH agg AS (
+  SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, o.o_orderpriority,
+         sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000)
+                  AS BIGINT))::BIGINT AS revenue_micros
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1996-06-30'
+    AND l.l_shipdate > TIMESTAMP '1996-06-30'
+  GROUP BY 1, 2, 3)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue_micros FROM agg
+QUALIFY row_number() OVER (
+  ORDER BY revenue_micros DESC, o_orderdate, o_orderkey) <= 10"""
+
+
+# returned_item_revenue: TPC-H Q10 shape — top-20 customers by returned
+# revenue in the H1-1996 order window.
+ORACLE_SQL["returned_item_revenue"] = """
+WITH agg AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         count(*)::BIGINT AS n_items,
+         sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1000000)
+                  AS BIGINT))::BIGINT AS revenue_micros
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1, 2, 3)
+SELECT c_custkey, c_name, n_name, n_items, revenue_micros FROM agg
+QUALIFY row_number() OVER (
+  ORDER BY revenue_micros DESC, c_custkey) <= 20"""

@@ -422,7 +422,9 @@ def test_sparse_input_robustness(ray_session, tmp_path):
                  "image_ahash_dups",
                  # round-5 session-2 join/window additions
                  "local_supplier_volume", "attribution_window",
-                 "collocations", "cheapest_supplier_per_part"):
+                 "collocations", "cheapest_supplier_per_part",
+                 # round-5 session-3 join additions
+                 "shipping_priority", "returned_item_revenue"):
         res = qs[name](str(d))
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n >= 0
