@@ -5860,6 +5860,29 @@ def q_returned_item_revenue(sf_dir: str):
                       descending=[True, False]).limit(20)
 
 
+def q_pq_codes(sf_dir: str):
+    """Product quantization (stages/pq, Jégou 2011): 64-dim embeddings →
+    one packed int64 of 4×4-bit subspace codes + exact integer
+    reconstruction error. Codebooks train on a deterministic bounded
+    sample driver-side (the classical PQ recipe) and broadcast once;
+    encoding is one map-only pass."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.pq import PQParams, pq_encode
+
+    sample = np.stack(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    params = PQParams.fit(sample, m=4, k=16, iters=3)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_encode(ds, params)
+
+
 def q_event_debounce(sf_dir: str):
     """Windowed event dedup / debounce (window.event_debounce): drop events
     within 300 s of the previous event on the same (user, type) key — the
@@ -6136,6 +6159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "shipping_priority": q_shipping_priority,
         "returned_item_revenue": q_returned_item_revenue,
+        "pq_codes": q_pq_codes,
     }
 
 
@@ -6170,6 +6194,9 @@ SELECT b.query_id,
 FROM brute b LEFT JOIN ivf i
   ON i.query_id = b.query_id AND i.vec_id = b.vec_id
 GROUP BY b.query_id"""
+        from corpusaid_ray.oracle import pq_sql
+
+        out["pq_codes"] = pq_sql(sf)
     except Exception:
         pass  # table unavailable → these stay rows-only (weaker check)
     return out

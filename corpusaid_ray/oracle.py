@@ -5361,3 +5361,53 @@ WITH agg AS (
 SELECT c_custkey, c_name, n_name, n_items, revenue_micros FROM agg
 QUALIFY row_number() OVER (
   ORDER BY revenue_micros DESC, c_custkey) <= 20"""
+
+
+def pq_sql(sf_dir: str) -> str:
+    """Product-quantization mirror (``stages/pq``). The codebook fit is
+    deterministic (first-512-row sample, per-subspace Lloyd with the exact
+    kmeans integer update, m=4/k=16/iters=3), so the fitted micro-unit
+    centroids are INLINED as a VALUES table and assignment + packed code +
+    reconstruction error are re-derived relationally: per (vec, subspace)
+    the argmin of the exact integer squared distance (ties → lowest code,
+    matching ``np.argmin``), packed as ``code << 4·sub``. Must be built
+    from the SAME sf_dir the SQL runs against."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from corpusaid_ray.stages.pq import PQParams
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    p = PQParams.fit(sample, m=4, k=16, iters=3)
+    m, k, dsub = p.codebooks.shape
+    rows = ",\n    ".join(
+        "(%d, %d, %d, %d)" % (j, c, d, int(p.codebooks[j, c, d]))
+        for j in range(m) for c in range(k) for d in range(dsub)
+    )
+    return f"""
+WITH cb(sub, code, dim, c) AS (VALUES
+    {rows}
+), el AS (
+  SELECT vec_id,
+         ((generate_subscripts(embedding, 1) - 1) // {dsub})::BIGINT AS sub,
+         ((generate_subscripts(embedding, 1) - 1) % {dsub})::BIGINT AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+), d2 AS (
+  SELECT el.vec_id, el.sub, cb.code,
+         sum((el.q - cb.c) * (el.q - cb.c))::HUGEINT AS d2
+  FROM el JOIN cb ON cb.sub = el.sub AND cb.dim = el.dim
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, sub, code, d2,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2, code) AS rn
+  FROM d2)
+SELECT vec_id,
+       sum(code << (4 * sub))::BIGINT AS pq_code,
+       sum(d2)::BIGINT AS err_microsq
+FROM best WHERE rn = 1 GROUP BY vec_id"""

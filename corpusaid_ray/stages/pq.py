@@ -1,0 +1,123 @@
+"""Product quantization (Jégou, Douze & Schmid 2011, "Product quantization
+for nearest neighbor search") — the memory-scale path for billion-vector
+ANN: each D-dim embedding is split into M subvectors, each subvector is
+vector-quantized against its own K-centroid codebook, and the vector is
+stored as M small codes (here M=4, K=16 → one packed int64, a 64× memory
+reduction over float32 at D=64).
+
+Scale shape (the standard recipe): codebooks are trained ONCE on a bounded
+driver-side sample (classical PQ trains on a training subset, not the
+corpus — the fit is O(sample·K·iters) and the sample is deterministic), then
+broadcast via ``ray.put``; encoding is ONE map-only pass — no shuffle, no
+per-batch reship, nothing grows with corpus size.
+
+Determinism contract (shared with ``stages/kmeans``): vectors quantize to
+micro int64 via ``floor(x·10⁶ + 0.5)``; Lloyd updates are exact integer
+sums with the ``floor(S/N)`` IEEE-double divide; assignment is exact
+integer squared distance with ties → lowest code — so the SQL mirror
+(codebook inlined as VALUES, assignment re-derived relationally) hash-
+matches bit-for-bit. Reconstruction error is the exact integer
+``Σ_j ‖q_j − c_{code_j}‖²`` in micro² units.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from corpusaid_ray.stages.kmeans import _assign, _micro
+
+
+class PQParams:
+    """Fitted PQ codebooks: ``(M, K, D/M) int64`` micro-unit centroids."""
+
+    def __init__(self, codebooks: np.ndarray):
+        self.codebooks = codebooks  # (M, K, Dsub) int64
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.codebooks.shape[1]
+
+    @staticmethod
+    def fit(sample: np.ndarray, *, m: int = 4, k: int = 16,
+            iters: int = 3) -> "PQParams":
+        """Per-subspace Lloyd's over the (float64) training sample — the
+        exact kmeans update rule (integer partial sums, floor-double-divide
+        centroid refresh, empty clusters keep their previous centroid) so
+        the oracle can re-derive assignment relationally. Init: the
+        subspace slices of the first ``k`` sample rows (row order is the
+        deterministic artifact, like ``_init_centroids``'s id order)."""
+        if sample.shape[0] < k:
+            raise ValueError(
+                f"PQ fit needs >= {k} sample rows, got {sample.shape[0]}")
+        d = sample.shape[1]
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        dsub = d // m
+        q = _micro(sample)
+        books = []
+        for j in range(m):
+            sub = q[:, j * dsub:(j + 1) * dsub]
+            cents = sub[:k].copy()
+            for _ in range(iters):
+                a = _assign(sub, cents)
+                s = np.zeros((k, dsub), dtype=np.int64)
+                np.add.at(s, a, sub)
+                n = np.bincount(a, minlength=k).astype(np.int64)
+                new = cents.copy()
+                ne = n > 0
+                new[ne] = np.floor(
+                    s[ne].astype(np.float64)
+                    / n[ne, None].astype(np.float64)
+                ).astype(np.int64)
+                cents = new
+            books.append(cents)
+        return PQParams(np.stack(books))
+
+
+def pq_encode(ds, params: PQParams, *, vec_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """Map-only PQ encoding: per row, the packed code
+    ``Σ_j code_j << (4·j)`` (K=16 → 4 bits per subspace) and the exact
+    integer reconstruction error. Codebooks broadcast once via ``ray.put``
+    and read zero-copy per task.
+
+    Output: ``(id_col, pq_code, err_microsq)``."""
+    import ray
+
+    if params.k > 16:
+        raise ValueError("packed layout assumes K <= 16 (4 bits/subspace)")
+    ref = ray.put(params.codebooks)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "pq_code": pa.array([], pa.int64()),
+            "err_microsq": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        cb = ray.get(ref)
+        m, _, dsub = cb.shape
+        q = _micro(np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch[vec_col].to_pylist()]))
+        codes = np.zeros(len(q), dtype=np.int64)
+        err = np.zeros(len(q), dtype=np.int64)
+        for j in range(m):
+            sub = q[:, j * dsub:(j + 1) * dsub]
+            a = _assign(sub, cb[j])
+            codes |= a << (4 * j)
+            diff = sub - cb[j][a]
+            err += (diff * diff).sum(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "pq_code": pa.array(codes),
+            "err_microsq": pa.array(err),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

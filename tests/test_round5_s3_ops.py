@@ -176,3 +176,57 @@ def test_weighted_sample_matches_serial(ray_session, seed):
     # weight-proportionality sanity: winners' mean weight must exceed the
     # population mean (chars-weighted draw favours long docs)
     assert out.n_chars.mean() > df.n_chars.mean()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_pq_encode_matches_bruteforce(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import _micro
+    from corpusaid_ray.stages.pq import PQParams, pq_encode
+
+    rng = np.random.default_rng(seed)
+    n, d, m, k = 120, 8, 4, 4
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, d).astype(np.float32)
+                      for _ in range(n)],
+    })
+    sample = np.stack(df.embedding.head(40)).astype(np.float64)
+    p = PQParams.fit(sample, m=m, k=k, iters=2)
+    out = (
+        pq_encode(ray.data.from_pandas(df).repartition(6), p)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    q = _micro(np.stack(df.embedding).astype(np.float64))
+    dsub = d // m
+    codes = np.zeros(n, dtype=np.int64)
+    err = np.zeros(n, dtype=np.int64)
+    for j in range(m):
+        sub = q[:, j * dsub:(j + 1) * dsub]
+        # literal all-pairs distances, first-occurrence argmin
+        d2 = ((sub[:, None, :] - p.codebooks[j][None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(axis=1)
+        codes |= a << (4 * j)
+        err += d2[np.arange(n), a]
+    ref = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "pq_code": codes, "err_microsq": err})
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # compression sanity: total PQ error must beat quantizing everything
+    # to the single global centroid of each subspace (k=1 equivalent)
+    p1 = PQParams.fit(sample, m=m, k=1, iters=2)
+    out1 = pq_encode(ray.data.from_pandas(df), p1).to_pandas()
+    assert out.err_microsq.sum() < out1.err_microsq.sum()
+
+
+def test_pq_fit_guards(ray_session):
+    from corpusaid_ray.stages.pq import PQParams, pq_encode
+
+    rng = np.random.default_rng(3)
+    with pytest.raises(ValueError):
+        PQParams.fit(rng.normal(0, 1, (8, 16)), m=4, k=16)  # < k rows
+    with pytest.raises(ValueError):
+        PQParams.fit(rng.normal(0, 1, (32, 10)), m=4, k=16)  # 10 % 4 != 0
+    p = PQParams.fit(rng.normal(0, 1, (40, 16)), m=2, k=32, iters=1)
+    with pytest.raises(ValueError):
+        pq_encode(None, p)  # K > 16 breaks the 4-bit packing
