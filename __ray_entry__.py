@@ -5883,6 +5883,36 @@ def q_pq_codes(sf_dir: str):
     return pq_encode(ds, params)
 
 
+def q_pq_adc_search(sf_dir: str):
+    """PQ asymmetric-distance top-k (stages/pq.pq_adc_topk): the ANN query
+    path over PQ codes — per-query M×K integer distance LUTs broadcast
+    once, corpus scored by table lookups, per-batch top-k prune. Queries
+    are vec_id < 8 against the vec_id >= 8 corpus (the ann_topk split)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.pq import PQParams, pq_adc_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    params = PQParams.fit(sample, m=4, k=16, iters=3)
+    qt = t.filter(pc.less(t["vec_id"], 8)).sort_by("vec_id")
+    queries = np.stack(qt.column("embedding").to_pylist()).astype(
+        np.float64)
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") >= 8,
+    )
+    return pq_adc_topk(ds, params, queries, qids, k=5)
+
+
 def q_event_debounce(sf_dir: str):
     """Windowed event dedup / debounce (window.event_debounce): drop events
     within 300 s of the previous event on the same (user, type) key — the
@@ -6160,6 +6190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "returned_item_revenue": q_returned_item_revenue,
         "pq_codes": q_pq_codes,
+        "pq_adc_search": q_pq_adc_search,
     }
 
 
@@ -6194,9 +6225,10 @@ SELECT b.query_id,
 FROM brute b LEFT JOIN ivf i
   ON i.query_id = b.query_id AND i.vec_id = b.vec_id
 GROUP BY b.query_id"""
-        from corpusaid_ray.oracle import pq_sql
+        from corpusaid_ray.oracle import pq_adc_sql, pq_sql
 
         out["pq_codes"] = pq_sql(sf)
+        out["pq_adc_search"] = pq_adc_sql(sf)
     except Exception:
         pass  # table unavailable → these stay rows-only (weaker check)
     return out

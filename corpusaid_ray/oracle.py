@@ -5411,3 +5411,67 @@ SELECT vec_id,
        sum(code << (4 * sub))::BIGINT AS pq_code,
        sum(d2)::BIGINT AS err_microsq
 FROM best WHERE rn = 1 GROUP BY vec_id"""
+
+
+def pq_adc_sql(sf_dir: str) -> str:
+    """ADC mirror (``stages/pq.pq_adc_topk``): same inlined codebook as
+    ``pq_sql``; corpus codes re-derived relationally (vec_id >= 8), the
+    per-query LUT re-derived as (query, sub, code) exact distances
+    (vec_id < 8), and the approximate distance is the (sub, code)-join sum
+    — top-5 per query by (ad2 asc, vec_id asc)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from corpusaid_ray.stages.pq import PQParams
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    p = PQParams.fit(sample, m=4, k=16, iters=3)
+    m, k, dsub = p.codebooks.shape
+    rows = ",\n    ".join(
+        "(%d, %d, %d, %d)" % (j, c, d, int(p.codebooks[j, c, d]))
+        for j in range(m) for c in range(k) for d in range(dsub)
+    )
+    return f"""
+WITH cb(sub, code, dim, c) AS (VALUES
+    {rows}
+), el AS (
+  SELECT vec_id,
+         ((generate_subscripts(embedding, 1) - 1) // {dsub})::BIGINT AS sub,
+         ((generate_subscripts(embedding, 1) - 1) % {dsub})::BIGINT AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings WHERE vec_id >= 8
+), d2 AS (
+  SELECT el.vec_id, el.sub, cb.code,
+         sum((el.q - cb.c) * (el.q - cb.c))::HUGEINT AS d2
+  FROM el JOIN cb ON cb.sub = el.sub AND cb.dim = el.dim
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, sub, code,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2, code) AS rn
+  FROM d2
+), qel AS (
+  SELECT vec_id AS query_id,
+         ((generate_subscripts(embedding, 1) - 1) // {dsub})::BIGINT AS sub,
+         ((generate_subscripts(embedding, 1) - 1) % {dsub})::BIGINT AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings WHERE vec_id < 8
+), qd2 AS (
+  SELECT qel.query_id, qel.sub, cb.code,
+         sum((qel.q - cb.c) * (qel.q - cb.c))::HUGEINT AS d2
+  FROM qel JOIN cb ON cb.sub = qel.sub AND cb.dim = qel.dim
+  GROUP BY 1, 2, 3
+), ad AS (
+  SELECT qd2.query_id, best.vec_id, sum(qd2.d2)::BIGINT AS ad2_microsq
+  FROM best JOIN qd2 ON qd2.sub = best.sub AND qd2.code = best.code
+  WHERE best.rn = 1
+  GROUP BY 1, 2)
+SELECT query_id, vec_id, ad2_microsq,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY ad2_microsq, vec_id) AS rank
+FROM ad QUALIFY rank <= 5"""

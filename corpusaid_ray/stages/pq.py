@@ -23,6 +23,7 @@ matches bit-for-bit. Reconstruction error is the exact integer
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from corpusaid_ray.stages.kmeans import _assign, _micro
@@ -121,3 +122,77 @@ def pq_encode(ds, params: PQParams, *, vec_col: str = "embedding",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pq_adc_topk(ds, params: PQParams, queries: np.ndarray,
+                query_ids: np.ndarray, *, k: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Asymmetric distance computation (ADC) search over PQ codes — the
+    memory-scale ANN query path: each query precomputes one M×K lookup
+    table of exact integer squared distances to every centroid, and
+    scoring a corpus vector is M table lookups + adds instead of a D-dim
+    distance (Jégou 2011 §IV). LUTs for all queries broadcast once via
+    ``ray.put``; the scan is map-only with a per-batch top-k prune, so at
+    most ``k × queries × blocks`` candidate rows reach the final per-query
+    selection.
+
+    Output: ``(query_id, vec_id, ad2_microsq, rank)`` — top-``k`` per
+    query by (approximate distance asc, vec_id asc), exact integer micro²
+    units."""
+    import ray
+
+    from corpusaid_ray.util import grouped
+
+    cb = params.codebooks
+    m, kk, dsub = cb.shape
+    qm = _micro(np.asarray(queries, dtype=np.float64))
+    # LUT[q, j, c] = ‖q_sub(j) − cb[j, c]‖² — exact int64
+    lut = np.zeros((len(qm), m, kk), dtype=np.int64)
+    for j in range(m):
+        qs = qm[:, j * dsub:(j + 1) * dsub]
+        diff = qs[:, None, :] - cb[j][None, :, :]
+        lut[:, j, :] = (diff * diff).sum(axis=2)
+    state = ray.put((lut, np.asarray(query_ids, dtype=np.int64)))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "ad2_microsq": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        lut_, qids = ray.get(state)
+        q = _micro(np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch[vec_col].to_pylist()]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        # ad2[q, row] = Σ_j LUT[q, j, code_j(row)]
+        ad2 = np.zeros((len(qids), len(ids)), dtype=np.int64)
+        for j in range(m):
+            sub = q[:, j * dsub:(j + 1) * dsub]
+            codes = _assign(sub, cb[j])
+            ad2 += lut_[:, j, :][:, codes]
+        rows = []
+        top = min(k, len(ids))
+        for qi in range(len(qids)):
+            # deterministic per-batch prune: (ad2, vec_id) lexicographic
+            order = np.lexsort((ids, ad2[qi]))[:top]
+            rows.append((np.full(top, qids[qi], dtype=np.int64),
+                         ids[order], ad2[qi][order]))
+        return pa.table({
+            "query_id": pa.array(np.concatenate([r[0] for r in rows])),
+            id_col: pa.array(np.concatenate([r[1] for r in rows])),
+            "ad2_microsq": pa.array(np.concatenate([r[2] for r in rows])),
+        })
+
+    pruned = ds.map_batches(scan, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ad2_microsq", id_col],
+                          ascending=[True, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return grouped(pruned, "query_id").map_groups(
+        topk, batch_format="pandas")

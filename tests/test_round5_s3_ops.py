@@ -230,3 +230,49 @@ def test_pq_fit_guards(ray_session):
     p = PQParams.fit(rng.normal(0, 1, (40, 16)), m=2, k=32, iters=1)
     with pytest.raises(ValueError):
         pq_encode(None, p)  # K > 16 breaks the 4-bit packing
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_pq_adc_matches_bruteforce(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import _assign, _micro
+    from corpusaid_ray.stages.pq import PQParams, pq_adc_topk
+
+    rng = np.random.default_rng(seed)
+    n, d, m, k = 150, 8, 4, 4
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, d).astype(np.float32)
+                      for _ in range(n)],
+    })
+    p = PQParams.fit(np.stack(df.embedding.head(40)).astype(np.float64),
+                     m=m, k=k, iters=2)
+    queries = np.stack(df.embedding.head(3)).astype(np.float64)
+    qids = np.arange(3, dtype=np.int64)
+    corpus = df[df.vec_id >= 3].reset_index(drop=True)
+    out = (
+        pq_adc_topk(ray.data.from_pandas(corpus).repartition(6), p,
+                    queries, qids, k=4)
+        .to_pandas().sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # serial ADC: encode corpus, LUT per query, full argsort
+    qm = _micro(queries)
+    cm = _micro(np.stack(corpus.embedding).astype(np.float64))
+    ids = corpus.vec_id.to_numpy()
+    dsub = d // m
+    ad2 = np.zeros((3, len(corpus)), dtype=np.int64)
+    for j in range(m):
+        codes = _assign(cm[:, j * dsub:(j + 1) * dsub], p.codebooks[j])
+        qs = qm[:, j * dsub:(j + 1) * dsub]
+        lut = ((qs[:, None, :] - p.codebooks[j][None, :, :]) ** 2).sum(-1)
+        ad2 += lut[:, codes]
+    rows = []
+    for qi in range(3):
+        order = np.lexsort((ids, ad2[qi]))[:4]
+        for r, o in enumerate(order, 1):
+            rows.append((qi, int(ids[o]), int(ad2[qi][o]), r))
+    ref = pd.DataFrame(
+        rows, columns=["query_id", "vec_id", "ad2_microsq", "rank"])
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
