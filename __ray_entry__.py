@@ -5913,6 +5913,70 @@ def q_pq_adc_search(sf_dir: str):
     return pq_adc_topk(ds, params, queries, qids, k=5)
 
 
+def q_pq_recall(sf_dir: str):
+    """PQ honesty meter: per-query overlap of the ADC top-5 with the EXACT
+    integer-L2 top-5 (stages/pq.l2_exact_topk) — the recall measurement
+    that decides whether a codebook is usable before anything downstream
+    trusts it (same role as ann_recall_eval for IVF). Both sides are tiny
+    (queries × 5), so the hit join runs driver-side."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.pq import PQParams, l2_exact_topk, pq_adc_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    params = PQParams.fit(sample, m=4, k=16, iters=3)
+    qt = t.filter(pc.less(t["vec_id"], 8)).sort_by("vec_id")
+    queries = np.stack(qt.column("embedding").to_pylist()).astype(
+        np.float64)
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") >= 8,
+    )
+    adc = pq_adc_topk(ds, params, queries, qids, k=5).to_pandas()
+    exact = l2_exact_topk(ds, queries, qids, k=5).to_pandas()
+    hits = exact.merge(adc, on=["query_id", "vec_id"], how="left",
+                       suffixes=("", "_adc"))
+    per_q = hits.groupby("query_id", as_index=False).agg(
+        n_hits=("ad2_microsq", "count"))
+    per_q["n_hits"] = per_q["n_hits"].astype("int64")
+    per_q["recall_micros"] = (per_q["n_hits"] * 1_000_000 // 5).astype(
+        "int64")
+    return per_q
+
+
+def q_ivfpq_codes(sf_dir: str):
+    """IVF-PQ encoding (stages/pq.ivfpq_encode, the FAISS IVFPQ layout):
+    coarse bucket + packed residual-PQ code + exact integer residual
+    error. Residual quantization rides the same integer contract as PQ —
+    at serving scale the output partitions by bucket into inverted
+    lists."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from corpusaid_ray.stages.pq import IVFPQParams, ivfpq_encode
+
+    sample = np.stack(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    params = IVFPQParams.fit(sample, kc=16, m=4, k=16, iters=3)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ivfpq_encode(ds, params)
+
+
 def q_event_debounce(sf_dir: str):
     """Windowed event dedup / debounce (window.event_debounce): drop events
     within 300 s of the previous event on the same (user, type) key — the
@@ -6191,6 +6255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": q_returned_item_revenue,
         "pq_codes": q_pq_codes,
         "pq_adc_search": q_pq_adc_search,
+        "pq_recall": q_pq_recall,
+        "ivfpq_codes": q_ivfpq_codes,
     }
 
 
@@ -6229,6 +6295,10 @@ GROUP BY b.query_id"""
 
         out["pq_codes"] = pq_sql(sf)
         out["pq_adc_search"] = pq_adc_sql(sf)
+        from corpusaid_ray.oracle import ivfpq_sql, pq_recall_sql
+
+        out["pq_recall"] = pq_recall_sql(sf)
+        out["ivfpq_codes"] = ivfpq_sql(sf)
     except Exception:
         pass  # table unavailable → these stay rows-only (weaker check)
     return out

@@ -5475,3 +5475,110 @@ SELECT query_id, vec_id, ad2_microsq,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY ad2_microsq, vec_id) AS rank
 FROM ad QUALIFY rank <= 5"""
+
+
+def pq_recall_sql(sf_dir: str) -> str:
+    """Recall mirror: the ADC top-5 (``pq_adc_sql``) LEFT-JOINed under the
+    EXACT integer-L2 top-5, which is codebook-free pure SQL — per query,
+    hits out of 5 in micro fixed point (the ann_recall_eval shape)."""
+    adc = pq_adc_sql(sf_dir)
+    return f"""
+WITH adc AS (SELECT * FROM ({adc}) t),
+qv AS (
+  SELECT vec_id AS query_id,
+         generate_subscripts(embedding, 1)::BIGINT AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings WHERE vec_id < 8),
+cv AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1)::BIGINT AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings WHERE vec_id >= 8),
+d2 AS (
+  SELECT qv.query_id, cv.vec_id,
+         sum((qv.q - cv.q) * (qv.q - cv.q))::HUGEINT AS d2
+  FROM qv JOIN cv ON cv.dim = qv.dim
+  GROUP BY 1, 2),
+brute AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, vec_id) AS rn
+  FROM d2 QUALIFY rn <= 5)
+SELECT b.query_id,
+       count(a.vec_id)::BIGINT AS n_hits,
+       (count(a.vec_id) * 1000000 // 5)::BIGINT AS recall_micros
+FROM brute b LEFT JOIN adc a
+  ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+GROUP BY b.query_id"""
+
+
+def ivfpq_sql(sf_dir: str) -> str:
+    """IVF-PQ mirror (``stages/pq.ivfpq_encode``): both fitted codebooks
+    inlined as VALUES; the coarse bucket is the relational integer-L2
+    argmin (ties → lowest code), the residual is the (bucket, dim) join
+    difference, and the residual-PQ assignment/error reuse the pq_sql
+    shape over residual elements."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from corpusaid_ray.stages.pq import IVFPQParams
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.stack(
+        t.slice(0, 512).column("embedding").to_pylist()
+    ).astype(np.float64)
+    p = IVFPQParams.fit(sample, kc=16, m=4, k=16, iters=3)
+    kc, dfull = p.coarse.shape
+    m, k, dsub = p.pq.codebooks.shape
+    coarse_rows = ",\n    ".join(
+        "(%d, %d, %d)" % (c, d, int(p.coarse[c, d]))
+        for c in range(kc) for d in range(dfull)
+    )
+    cb_rows = ",\n    ".join(
+        "(%d, %d, %d, %d)" % (j, c, d, int(p.pq.codebooks[j, c, d]))
+        for j in range(m) for c in range(k) for d in range(dsub)
+    )
+    return f"""
+WITH coarse(cc, dim0, c) AS (VALUES
+    {coarse_rows}
+), cb(sub, code, dim, c) AS (VALUES
+    {cb_rows}
+), el AS (
+  SELECT vec_id,
+         (generate_subscripts(embedding, 1) - 1)::BIGINT AS dim0,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+), cd2 AS (
+  SELECT el.vec_id, coarse.cc,
+         sum((el.q - coarse.c) * (el.q - coarse.c))::HUGEINT AS d2
+  FROM el JOIN coarse ON coarse.dim0 = el.dim0
+  GROUP BY 1, 2
+), bucket AS (
+  SELECT vec_id, cc AS bucket,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cc) AS rn
+  FROM cd2
+), res AS (
+  SELECT el.vec_id, b.bucket,
+         (el.dim0 // {dsub})::BIGINT AS sub,
+         (el.dim0 % {dsub})::BIGINT AS dim,
+         el.q - coarse.c AS r
+  FROM el
+  JOIN bucket b ON b.vec_id = el.vec_id AND b.rn = 1
+  JOIN coarse ON coarse.cc = b.bucket AND coarse.dim0 = el.dim0
+), d2 AS (
+  SELECT res.vec_id, any_value(res.bucket) AS bucket, res.sub, cb.code,
+         sum((res.r - cb.c) * (res.r - cb.c))::HUGEINT AS d2
+  FROM res JOIN cb ON cb.sub = res.sub AND cb.dim = res.dim
+  GROUP BY res.vec_id, res.sub, cb.code
+), best AS (
+  SELECT vec_id, bucket, sub, code, d2,
+         row_number() OVER (PARTITION BY vec_id, sub
+                            ORDER BY d2, code) AS rn
+  FROM d2)
+SELECT vec_id, any_value(bucket)::BIGINT AS bucket,
+       sum(code << (4 * sub))::BIGINT AS pq_code,
+       sum(d2)::BIGINT AS err_microsq
+FROM best WHERE rn = 1 GROUP BY vec_id"""

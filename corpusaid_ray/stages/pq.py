@@ -52,14 +52,21 @@ class PQParams:
         the oracle can re-derive assignment relationally. Init: the
         subspace slices of the first ``k`` sample rows (row order is the
         deterministic artifact, like ``_init_centroids``'s id order)."""
-        if sample.shape[0] < k:
+        return PQParams.fit_micro(_micro(sample), m=m, k=k, iters=iters)
+
+    @staticmethod
+    def fit_micro(q: np.ndarray, *, m: int = 4, k: int = 16,
+                  iters: int = 3) -> "PQParams":
+        """Fit over an ALREADY-quantized int64 micro matrix — the entry
+        point for residual PQ (IVF-PQ), where the training rows are exact
+        integer residuals rather than raw vectors."""
+        if q.shape[0] < k:
             raise ValueError(
-                f"PQ fit needs >= {k} sample rows, got {sample.shape[0]}")
-        d = sample.shape[1]
+                f"PQ fit needs >= {k} sample rows, got {q.shape[0]}")
+        d = q.shape[1]
         if d % m:
             raise ValueError(f"dim {d} not divisible by m={m}")
         dsub = d // m
-        q = _micro(sample)
         books = []
         for j in range(m):
             sub = q[:, j * dsub:(j + 1) * dsub]
@@ -196,3 +203,145 @@ def pq_adc_topk(ds, params: PQParams, queries: np.ndarray,
 
     return grouped(pruned, "query_id").map_groups(
         topk, batch_format="pandas")
+
+
+def l2_exact_topk(ds, queries: np.ndarray, query_ids: np.ndarray, *,
+                  k: int = 5, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Exact integer L2 top-k (the PQ-evaluation ground truth): micro-
+    quantized queries broadcast once, each batch scores all queries with
+    one vectorized ``‖q−v‖²`` and prunes to its local top-k, the final
+    per-query cut is a tiny groupby. Same output layout as
+    :func:`pq_adc_topk` (``d2_microsq`` instead of ``ad2_microsq``)."""
+    import ray
+
+    from corpusaid_ray.util import grouped
+
+    qm = _micro(np.asarray(queries, dtype=np.float64))
+    state = ray.put((qm, np.asarray(query_ids, dtype=np.int64)))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "d2_microsq": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        qm_, qids = ray.get(state)
+        v = _micro(np.stack(
+            [np.asarray(x, dtype=np.float64)
+             for x in batch[vec_col].to_pylist()]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        rows = []
+        top = min(k, len(ids))
+        for qi in range(len(qids)):
+            diff = v - qm_[qi][None, :]
+            d2 = (diff * diff).sum(axis=1)
+            order = np.lexsort((ids, d2))[:top]
+            rows.append((np.full(top, qids[qi], dtype=np.int64),
+                         ids[order], d2[order]))
+        return pa.table({
+            "query_id": pa.array(np.concatenate([r[0] for r in rows])),
+            id_col: pa.array(np.concatenate([r[1] for r in rows])),
+            "d2_microsq": pa.array(np.concatenate([r[2] for r in rows])),
+        })
+
+    pruned = ds.map_batches(scan, batch_format="pyarrow")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["d2_microsq", id_col],
+                          ascending=[True, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return grouped(pruned, "query_id").map_groups(
+        topk, batch_format="pandas")
+
+
+class IVFPQParams:
+    """IVF-PQ (the FAISS IVFPQ architecture): a coarse K_c-centroid
+    quantizer partitions the space; PQ codebooks are trained on the
+    RESIDUALS ``q − coarse[bucket]``, which are far better centered than
+    raw vectors, so the same code budget buys much lower distortion
+    (Jégou 2011 §V). Every quantity stays in the exact integer micro
+    domain — residuals are int64 differences, so the relational mirror
+    needs no new numeric contract."""
+
+    def __init__(self, coarse: np.ndarray, pq: PQParams):
+        self.coarse = coarse  # (Kc, D) int64 micro
+        self.pq = pq
+
+    @staticmethod
+    def fit(sample: np.ndarray, *, kc: int = 16, m: int = 4, k: int = 16,
+            iters: int = 3) -> "IVFPQParams":
+        """Coarse Lloyd (same integer update as ``stages/kmeans``; init =
+        first ``kc`` sample rows) then residual PQ via
+        :meth:`PQParams.fit_micro`."""
+        q = _micro(sample)
+        if q.shape[0] < kc:
+            raise ValueError(
+                f"coarse fit needs >= {kc} sample rows, got {q.shape[0]}")
+        cents = q[:kc].copy()
+        for _ in range(iters):
+            a = _assign(q, cents)
+            s = np.zeros_like(cents)
+            np.add.at(s, a, q)
+            n = np.bincount(a, minlength=kc).astype(np.int64)
+            new = cents.copy()
+            ne = n > 0
+            new[ne] = np.floor(
+                s[ne].astype(np.float64) / n[ne, None].astype(np.float64)
+            ).astype(np.int64)
+            cents = new
+        resid = q - cents[_assign(q, cents)]
+        return IVFPQParams(cents, PQParams.fit_micro(resid, m=m, k=k,
+                                                     iters=iters))
+
+
+def ivfpq_encode(ds, params: IVFPQParams, *, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+    """Map-only IVF-PQ encoding: coarse bucket + packed residual PQ code +
+    exact integer residual reconstruction error. Both codebooks broadcast
+    once via ``ray.put``; at serving scale the output partitions by
+    ``bucket`` so a probe touches only its inverted lists.
+
+    Output: ``(id_col, bucket, pq_code, err_microsq)``."""
+    import ray
+
+    if params.pq.k > 16:
+        raise ValueError("packed layout assumes K <= 16 (4 bits/subspace)")
+    ref = ray.put((params.coarse, params.pq.codebooks))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            "pq_code": pa.array([], pa.int64()),
+            "err_microsq": pa.array([], pa.int64()),
+        })
+        if len(batch) == 0:
+            return empty
+        coarse, cb = ray.get(ref)
+        m, _, dsub = cb.shape
+        q = _micro(np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch[vec_col].to_pylist()]))
+        buckets = _assign(q, coarse)
+        resid = q - coarse[buckets]
+        codes = np.zeros(len(q), dtype=np.int64)
+        err = np.zeros(len(q), dtype=np.int64)
+        for j in range(m):
+            sub = resid[:, j * dsub:(j + 1) * dsub]
+            a = _assign(sub, cb[j])
+            codes |= a << (4 * j)
+            diff = sub - cb[j][a]
+            err += (diff * diff).sum(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "bucket": pa.array(buckets),
+            "pq_code": pa.array(codes),
+            "err_microsq": pa.array(err),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

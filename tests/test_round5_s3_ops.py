@@ -276,3 +276,51 @@ def test_pq_adc_matches_bruteforce(ray_session, seed):
     ref = pd.DataFrame(
         rows, columns=["query_id", "vec_id", "ad2_microsq", "rank"])
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_ivfpq_encode_matches_bruteforce(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.kmeans import _micro
+    from corpusaid_ray.stages.pq import IVFPQParams, ivfpq_encode
+
+    rng = np.random.default_rng(seed)
+    n, d, kc, m, k = 140, 8, 4, 4, 4
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, d).astype(np.float32)
+                      for _ in range(n)],
+    })
+    p = IVFPQParams.fit(np.stack(df.embedding.head(50)).astype(np.float64),
+                        kc=kc, m=m, k=k, iters=2)
+    out = (
+        ivfpq_encode(ray.data.from_pandas(df).repartition(5), p)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    q = _micro(np.stack(df.embedding).astype(np.float64))
+    cd2 = ((q[:, None, :] - p.coarse[None, :, :]) ** 2).sum(-1)
+    buckets = cd2.argmin(axis=1)
+    resid = q - p.coarse[buckets]
+    dsub = d // m
+    codes = np.zeros(n, dtype=np.int64)
+    err = np.zeros(n, dtype=np.int64)
+    for j in range(m):
+        sub = resid[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - p.pq.codebooks[j][None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(axis=1)
+        codes |= a << (4 * j)
+        err += d2[np.arange(n), a]
+    ref = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "bucket": buckets.astype(np.int64),
+                        "pq_code": codes, "err_microsq": err})
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # residual quantization must beat raw PQ at the same code budget —
+    # the reason IVF-PQ exists
+    from corpusaid_ray.stages.pq import PQParams, pq_encode
+    raw = pq_encode(
+        ray.data.from_pandas(df),
+        PQParams.fit(np.stack(df.embedding.head(50)).astype(np.float64),
+                     m=m, k=k, iters=2),
+    ).to_pandas()
+    assert out.err_microsq.sum() < raw.err_microsq.sum()
