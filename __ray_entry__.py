@@ -5977,6 +5977,51 @@ def q_ivfpq_codes(sf_dir: str):
     return ivfpq_encode(ds, params)
 
 
+def q_search_positions(sf_dir: str):
+    """Reference search-match NAVIGATION (src/CorpusAid.py:2628-2673
+    capturedStart + prev/next cursor list): every non-overlapping
+    case-insensitive occurrence of the escaped literal term, with its
+    0-based char offset and a ±24-char KWIC context window — the
+    distributed analogue of the GUI's highlight list. Map-only; per-row
+    leftmost scan over the lowercased text matches QRegularExpression
+    globalMatch semantics."""
+    import pyarrow as pa
+
+    term = SEARCH_TERM
+    tlen = len(term)
+
+    def positions(batch: pa.Table) -> pa.Table:
+        repos, paths, idxs, offs, kwics = [], [], [], [], []
+        for repo, path, content in zip(
+            batch["repo"].to_pylist(), batch["path"].to_pylist(),
+            batch["content"].to_pylist(),
+        ):
+            low = content.lower()
+            start, k = 0, 0
+            while True:
+                off = low.find(term, start)
+                if off < 0:
+                    break
+                s = max(off - 24, 0)
+                e = min(len(content), off + tlen + 24)
+                repos.append(repo)
+                paths.append(path)
+                idxs.append(k)
+                offs.append(off)
+                kwics.append(content[s:e])
+                k += 1
+                start = off + tlen
+        return pa.table({
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "match_idx": pa.array(idxs, pa.int64()),
+            "char_offset": pa.array(offs, pa.int64()),
+            "kwic": pa.array(kwics, pa.string()),
+        })
+
+    return _corpus(sf_dir).map_batches(positions, batch_format="pyarrow")
+
+
 def q_event_debounce(sf_dir: str):
     """Windowed event dedup / debounce (window.event_debounce): drop events
     within 300 s of the previous event on the same (user, type) key — the
@@ -6257,6 +6302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_adc_search": q_pq_adc_search,
         "pq_recall": q_pq_recall,
         "ivfpq_codes": q_ivfpq_codes,
+        "search_positions": q_search_positions,
     }
 
 

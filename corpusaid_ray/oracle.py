@@ -5582,3 +5582,29 @@ SELECT vec_id, any_value(bucket)::BIGINT AS bucket,
        sum(code << (4 * sub))::BIGINT AS pq_code,
        sum(d2)::BIGINT AS err_microsq
 FROM best WHERE rn = 1 GROUP BY vec_id"""
+
+
+# search_positions: every case-insensitive occurrence of the literal term
+# with its 0-based char offset, via the split-segment cumulative identity
+# (string_split is leftmost non-overlapping — the QRegularExpression
+# globalMatch semantics), plus the ±24-char KWIC window on the ORIGINAL
+# text (lower() is length-preserving on this corpus).
+ORACLE_SQL["search_positions"] = with_corpus("""
+, segs AS (
+  SELECT repo, path, content,
+         generate_subscripts(string_split(lower(content), 'page'),
+                             1)::BIGINT AS i,
+         length(unnest(string_split(lower(content), 'page')))::BIGINT
+           AS seglen,
+         len(string_split(lower(content), 'page'))::BIGINT AS nseg
+  FROM corpus),
+offs AS (
+  SELECT repo, path, content, (i - 1)::BIGINT AS match_idx,
+         (sum(seglen) OVER (PARTITION BY repo, path ORDER BY i)
+          + (i - 1) * 4)::BIGINT AS char_offset
+  FROM segs QUALIFY i < nseg)
+SELECT repo, path, match_idx, char_offset,
+       substr(content, greatest(char_offset - 24, 0) + 1,
+              least(length(content), char_offset + 28)
+                - greatest(char_offset - 24, 0)) AS kwic
+FROM offs""")

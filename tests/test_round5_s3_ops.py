@@ -324,3 +324,45 @@ def test_ivfpq_encode_matches_bruteforce(ray_session, seed):
                      m=m, k=k, iters=2),
     ).to_pandas()
     assert out.err_microsq.sum() < raw.err_microsq.sum()
+
+
+def test_search_positions_planted(ray_session, tmp_path):
+    """Hand-planted occurrences: case variants, back-to-back matches
+    (non-overlapping leftmost scan), and edge-of-text KWIC clamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import __ray_entry__ as e
+
+    text = "Page one. pagePAGE mid " + "x" * 30 + "page"
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([text], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+        "source": pa.array(["s"], pa.string()),
+        "n_chars": pa.array([len(text)], pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = e.q_search_positions(str(d)).to_pandas()
+    # corpus content = MOTIF_PRE[0] + text + MOTIF_POST[0] for doc 0
+    from corpusaid_ray.corpus import MOTIF_PRE
+    content_low_prefix = MOTIF_PRE[0].lower()
+    base = content_low_prefix.find("page")
+    assert base >= 0  # "--- Page 3 ---" provides the first match
+    offs = out.sort_values("match_idx").char_offset.tolist()
+    # serial scan reference
+    full = MOTIF_PRE[0] + text
+    low = full.lower()
+    ref, start = [], 0
+    while True:
+        o = low.find("page", start)
+        if o < 0:
+            break
+        ref.append(o)
+        start = o + 4
+    # MOTIF_POST[0] has no 'page'; engine offsets must equal the scan
+    assert offs == ref
+    # KWIC windows clamp at text edges and are ±24 chars elsewhere
+    k0 = out.sort_values("match_idx").kwic.iloc[0]
+    assert len(k0) <= 4 + 48 and "Page" in k0
