@@ -6022,6 +6022,26 @@ def q_search_positions(sf_dir: str):
     return _corpus(sf_dir).map_batches(positions, batch_format="pyarrow")
 
 
+def q_wds_roundtrip(sf_dir: str):
+    """WebDataset tar-shard sink → source round-trip
+    (sources.write_wds_shards / read_wds_shards): documents out as
+    key-grouped .txt/.json tar members (the sequential-read training
+    format), parsed back shard-parallel. Oracle reads the ORIGINAL
+    parquet — the hash match proves losslessness."""
+    import tempfile
+
+    import ray.data
+
+    from corpusaid_ray.sources import read_wds_shards, write_wds_shards
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out = tempfile.mkdtemp(prefix="wds_rt_", dir="/tmp")
+    write_wds_shards(ds, out)
+    return read_wds_shards(out).select_columns(["doc_id", "text", "lang"])
+
+
 def q_event_debounce(sf_dir: str):
     """Windowed event dedup / debounce (window.event_debounce): drop events
     within 300 s of the previous event on the same (user, type) key — the
@@ -6303,6 +6323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_recall": q_pq_recall,
         "ivfpq_codes": q_ivfpq_codes,
         "search_positions": q_search_positions,
+        "wds_roundtrip": q_wds_roundtrip,
     }
 
 

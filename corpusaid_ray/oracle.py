@@ -5608,3 +5608,9 @@ SELECT repo, path, match_idx, char_offset,
               least(length(content), char_offset + 28)
                 - greatest(char_offset - 24, 0)) AS kwic
 FROM offs""")
+
+
+# wds_roundtrip: the engine writes tar shards and reads them back; the
+# oracle reads the ORIGINAL parquet, so the hash match proves the
+# WebDataset interchange path is lossless (jsonl/csv/ipc pattern).
+ORACLE_SQL["wds_roundtrip"] = "SELECT doc_id, text, lang FROM documents"

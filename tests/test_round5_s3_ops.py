@@ -366,3 +366,32 @@ def test_search_positions_planted(ray_session, tmp_path):
     # KWIC windows clamp at text edges and are ±24 chars elsewhere
     k0 = out.sort_values("match_idx").kwic.iloc[0]
     assert len(k0) <= 4 + 48 and "Page" in k0
+
+
+def test_wds_shards_deterministic_and_lossless(ray_session, tmp_path):
+    """Same block contents → byte-identical shard; unicode text and empty
+    strings survive the round-trip."""
+    import hashlib as hl
+    import ray.data
+
+    from corpusaid_ray.sources import read_wds_shards, write_wds_shards
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["héllo\nworld", "", "tab\tsep", "naïve café", "x" * 1000],
+        "lang": ["fr", "en", "en", "fr", "de"],
+    })
+    outs = []
+    for i in range(2):
+        d = tmp_path / f"w{i}"
+        write_wds_shards(ray.data.from_pandas(df), str(d))
+        shards = sorted(p for p in d.iterdir() if p.suffix == ".tar")
+        assert len(shards) == 1
+        outs.append(hl.sha256(shards[0].read_bytes()).hexdigest())
+    assert outs[0] == outs[1]  # zeroed tarinfo → reproducible bytes
+    back = (
+        read_wds_shards(str(tmp_path / "w0"))
+        .select_columns(["doc_id", "text", "lang"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, df, check_dtype=False)
