@@ -5614,3 +5614,74 @@ FROM offs""")
 # oracle reads the ORIGINAL parquet, so the hash match proves the
 # WebDataset interchange path is lossless (jsonl/csv/ipc pattern).
 ORACLE_SQL["wds_roundtrip"] = "SELECT doc_id, text, lang FROM documents"
+
+# length_moments: per-language exact central moments of n_chars from HUGEINT
+# power sums — trunc-div fixed point (DuckDB // truncates = engine trunc_div).
+ORACLE_SQL["length_moments"] = """
+WITH s AS (
+  SELECT lang, count(*)::HUGEINT AS n,
+         sum(n_chars::HUGEINT) AS s1,
+         sum(n_chars::HUGEINT * n_chars) AS s2,
+         sum(n_chars::HUGEINT * n_chars * n_chars) AS s3,
+         sum(n_chars::HUGEINT * n_chars * n_chars * n_chars) AS s4
+  FROM documents GROUP BY lang)
+SELECT lang, n::BIGINT AS n_docs,
+       ((s1 * 1000000) // n)::BIGINT AS mean_micros,
+       (((n*s2 - s1*s1) * 1000000) // (n*n))::BIGINT AS var_micros,
+       (((n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1) * 1000) // (n*n*n))::BIGINT
+         AS m3_milli,
+       ((n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1)
+         // (n*n*n*n))::BIGINT AS m4
+FROM s"""
+
+# spearman_len_words: untied row_number ranks (ORDER BY value, doc_id — the
+# engine's range-partition ranker convention), rho = 1 - 6*sum(d^2)/(n(n^2-1)).
+ORACLE_SQL["spearman_len_words"] = f"""
+WITH w AS (
+  SELECT doc_id, n_chars, {_word_count_sql('text')} AS n_words
+  FROM documents),
+rx AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS r
+       FROM w),
+ry AS (SELECT doc_id, row_number() OVER (ORDER BY n_words, doc_id) AS r
+       FROM w),
+d AS (SELECT count(*)::HUGEINT AS n,
+             sum((rx.r - ry.r)::HUGEINT * (rx.r - ry.r)) AS s
+      FROM rx JOIN ry USING (doc_id))
+SELECT n::BIGINT AS n_docs, s::BIGINT AS sum_d2,
+       (((n*(n*n - 1) - 6*s) * 1000000) // (n*(n*n - 1)))::BIGINT
+         AS rho_micros
+FROM d"""
+
+# late_order_priority: TPC-H Q4 shape — EXISTS lineitem shipped > 60 days
+# after the order date, orders from 1997 H1, counted per priority.
+ORACLE_SQL["late_order_priority"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority"""
+
+# promo_revenue_share: TPC-H Q14 shape — per 1996 ship-month micro share of
+# floored-micro discounted revenue from PROMO parts.
+ORACLE_SQL["promo_revenue_share"] = """
+WITH l AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         (p_type = 'PROMO') AS is_promo,
+         floor(l_extendedprice * (1.0 - l_discount) * 1000000)::BIGINT
+           AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'),
+s AS (
+  SELECT ship_month,
+         coalesce(sum(rev) FILTER (is_promo), 0)::HUGEINT AS promo_micros,
+         sum(rev)::HUGEINT AS total_micros
+  FROM l GROUP BY ship_month)
+SELECT ship_month, promo_micros::BIGINT AS promo_micros,
+       total_micros::BIGINT AS total_micros,
+       ((promo_micros * 1000000) // total_micros)::BIGINT
+         AS promo_share_micros
+FROM s"""

@@ -199,3 +199,83 @@ def char_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def length_moments(ds, *, group_col: str = "lang",
+                   value_col: str = "n_chars"):
+    """Per-group exact central moments of an integer column — the
+    length-distribution drift audit (mean/variance/3rd/4th central moment
+    of doc length per language). Web-scale use: a slice whose length
+    distribution suddenly grows a heavy tail (m4 spike) or skews (m3 sign
+    flip) signals template spam, truncation bugs, or a crawler regression
+    — without shipping any per-doc rows.
+
+    One streaming pass reduces each batch to per-group integer power sums
+    ``(n, Σx, Σx², Σx³, Σx⁴)`` (batch-local pandas combiner → one row per
+    group × batch crosses the exchange), one small groupby sums them, and
+    the driver-free ``finish`` map derives the central moments in exact
+    unbounded Python ints:
+
+        T2 = n·s2 − s1²                       (≥ 0; n²·Var)
+        T3 = n²·s3 − 3n·s1·s2 + 2s1³          (n³·Σ(x−μ)³ / n... = n³·m3)
+        T4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴   (n⁴·m4)
+
+    emitted as ``mean_micros = trunc(s1·10⁶/n)``, ``var_micros =
+    trunc(T2·10⁶/n²)`` (population), ``m3_milli = trunc(T3·10³/n³)`` and
+    ``m4 = trunc(T4/n⁴)`` — all truncating division (DuckDB ``//``
+    semantics via :func:`regression.trunc_div`), so the HUGEINT SQL mirror
+    hash-matches bit-for-bit.
+
+    int64 partial bound (the OLS-family contract): a group's Σx⁴ must stay
+    < 2⁶³ — holds to ~10⁸ docs/group at 10³ chars; shard the reduction
+    per range (as stages/kmeans documents) beyond. The SQL mirror's
+    HUGEINT headroom ends around 10⁹ docs/group; the engine's Python-int
+    finish has none.
+
+    Returns a Dataset ``(group_col, n_docs, mean_micros, var_micros,
+    m3_milli, m4)``."""
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(tbl: pa.Table) -> pd.DataFrame:
+        x = tbl[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x2 = x * x
+        df = pd.DataFrame({
+            "g": tbl[group_col].to_pandas(),
+            "n": np.ones(len(x), np.int64),
+            "s1": x, "s2": x2, "s3": x2 * x, "s4": x2 * x2,
+        })
+        out = df.groupby("g", sort=False, as_index=False).sum()
+        return out.rename(columns={"g": group_col})
+
+    sums = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), group_col
+    ).aggregate(*(Sum(c, alias_name=c) for c in ("n", "s1", "s2",
+                                                 "s3", "s4")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.itertuples(index=False):
+            n, s1, s2 = int(r.n), int(r.s1), int(r.s2)
+            s3, s4 = int(r.s3), int(r.s4)
+            t2 = n * s2 - s1 * s1
+            t3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+            t4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+                  + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+            rows.append({
+                group_col: getattr(r, group_col),
+                "n_docs": n,
+                "mean_micros": trunc_div(s1 * FP, n),
+                "var_micros": trunc_div(t2 * FP, n * n),
+                "m3_milli": trunc_div(t3 * 1000, n ** 3),
+                "m4": trunc_div(t4, n ** 4),
+            })
+        return pd.DataFrame(
+            rows, columns=[group_col, "n_docs", "mean_micros",
+                           "var_micros", "m3_milli", "m4"]).astype(
+            {"n_docs": "int64", "mean_micros": "int64",
+             "var_micros": "int64", "m3_milli": "int64", "m4": "int64"},
+            errors="ignore")
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -159,3 +159,73 @@ def fit_ols_by_group(ds, *, group_col: str = "lang",
              "intercept_micro": "int64"}, errors="ignore")
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def spearman_rank_corr(ds, *, id_col: str = "doc_id",
+                       x_col: str = "n_chars", text_col: str = "text",
+                       num_parts: int = 10):
+    """Exact Spearman rank correlation between ``x_col`` and the
+    whitespace word count, WITHOUT a global sort: both rank tables come
+    from :func:`sampling.global_rank_via_ranges` (range-partition
+    composition — a percentile reduction + per-part local sorts; ranks
+    are ``row_number() ORDER BY (value, id)``, the deterministic
+    untied-permutation convention, so ``ρ = 1 − 6·Σd²/(n(n²−1))``
+    holds exactly). The curation read: chars-vs-words rank agreement
+    collapses when a slice mixes scripts (CJK), minified blobs, or
+    number tables — a one-row monotonicity drift monitor.
+
+    Scale shape: two rank pipelines (each one bounded percentile
+    reduction + per-part sorts), one hash join on ``id_col``, then a
+    five-int sufficient-statistic reduce (the ``fit_ols`` root). int64
+    partial bound: per-row d² < 2⁶³/batch_rows → n below ~10⁹; shard
+    the Σd² reduce per range beyond.
+
+    Returns a one-row pyarrow Table ``(n_docs, sum_d2, rho_micros)``
+    with ``rho_micros = trunc((n(n²−1) − 6Σd²)·10⁶ / (n(n²−1)))``
+    (trunc = DuckDB ``//``; numerator may be negative). Raises on
+    n < 2 (ρ undefined)."""
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.stages.sampling import global_rank_via_ranges
+
+    def words(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: tbl[id_col],
+            "n_words": pa.array(_word_count_col(tbl, text_col),
+                                pa.int64()),
+        })
+
+    rx = global_rank_via_ranges(
+        ds, value_col=x_col, id_col=id_col, num_parts=num_parts
+    ).map_batches(
+        lambda t: pa.table({id_col: t[id_col], "rx": t["global_rank"]}),
+        batch_format="pyarrow")
+    ry = global_rank_via_ranges(
+        ds.map_batches(words, batch_format="pyarrow"),
+        value_col="n_words", id_col=id_col, num_parts=num_parts
+    ).map_batches(
+        lambda t: pa.table({id_col: t[id_col], "ry": t["global_rank"]}),
+        batch_format="pyarrow")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        d = (tbl["rx"].to_numpy(zero_copy_only=False).astype(np.int64)
+             - tbl["ry"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "n": pa.array([len(d)], pa.int64()),
+            "s": pa.array([int((d * d).sum())], pa.int64()),
+        })
+
+    n = s = 0  # exact unbounded Python ints
+    joined = hash_join(rx, ry, on=id_col)
+    for b in joined.map_batches(partial, batch_format="pyarrow")\
+            .iter_batches(batch_format="pyarrow"):
+        n += int(pa.compute.sum(b["n"]).as_py() or 0)
+        s += int(pa.compute.sum(b["s"]).as_py() or 0)
+    if n < 2:
+        raise ValueError("spearman_rank_corr: n < 2 (rho undefined)")
+    den = n * (n * n - 1)
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "sum_d2": pa.array([s], pa.int64()),
+        "rho_micros": pa.array([trunc_div((den - 6 * s) * FP, den)],
+                               pa.int64()),
+    })

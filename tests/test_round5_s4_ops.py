@@ -1,0 +1,168 @@
+"""Serial-reference pins for the round-5 session-4 operators (length
+moments, Spearman rank correlation, Q4/Q14 join shapes): small random
+instances, direct serial implementations, layout varied via repartition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SEEDS = (0, 1, 2)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_length_moments_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import length_moments
+
+    rng = np.random.default_rng(seed)
+    n = 200
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "zh"], size=n),
+        "n_chars": rng.integers(0, 5000, size=n).astype(np.int64),
+    })
+    out = (
+        length_moments(ray.data.from_pandas(df).repartition(7))
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    )
+    rows = []
+    for lang, g in df.groupby("lang"):
+        x = [int(v) for v in g.n_chars]
+        m = len(x)
+        s1, s2 = sum(x), sum(v * v for v in x)
+        s3, s4 = sum(v ** 3 for v in x), sum(v ** 4 for v in x)
+        t2 = m * s2 - s1 * s1
+        t3 = m * m * s3 - 3 * m * s1 * s2 + 2 * s1 ** 3
+        t4 = m ** 3 * s4 - 4 * m * m * s1 * s3 + 6 * m * s1 * s1 * s2 \
+            - 3 * s1 ** 4
+        rows.append({
+            "lang": lang, "n_docs": m,
+            "mean_micros": _trunc_div(s1 * 1_000_000, m),
+            "var_micros": _trunc_div(t2 * 1_000_000, m * m),
+            "m3_milli": _trunc_div(t3 * 1000, m ** 3),
+            "m4": _trunc_div(t4, m ** 4),
+        })
+    exp = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # central moments agree with float numpy to fixed-point tolerance
+    for r in exp.itertuples(index=False):
+        x = df.loc[df.lang == r.lang, "n_chars"].to_numpy(np.float64)
+        assert abs(r.var_micros / 1e6 - x.var()) < 1e-3
+        assert abs(r.m4 - ((x - x.mean()) ** 4).mean()) < 2
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_spearman_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.regression import spearman_rank_corr
+
+    rng = np.random.default_rng(seed)
+    n = 150
+    words = [
+        " ".join(["w"] * int(k)) for k in rng.integers(1, 40, size=n)
+    ]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": words,
+        "n_chars": rng.integers(0, 900, size=n).astype(np.int64),
+    })
+    out = spearman_rank_corr(
+        ray.data.from_pandas(df).repartition(6)).to_pandas()
+
+    def ranks(vals):
+        order = sorted(range(n), key=lambda i: (vals[i], i))
+        r = [0] * n
+        for pos, i in enumerate(order, 1):
+            r[i] = pos
+        return r
+
+    rx = ranks(df.n_chars.tolist())
+    ry = ranks([len(t.split()) for t in df.text])
+    s = sum((a - b) ** 2 for a, b in zip(rx, ry))
+    den = n * (n * n - 1)
+    assert int(out.n_docs.iloc[0]) == n
+    assert int(out.sum_d2.iloc[0]) == s
+    assert int(out.rho_micros.iloc[0]) == _trunc_div(
+        (den - 6 * s) * 1_000_000, den)
+
+
+def test_spearman_perfect_and_reversed(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.regression import spearman_rank_corr
+
+    n = 40
+    up = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(["w"] * (i + 1)) for i in range(n)],
+        "n_chars": np.arange(n, dtype=np.int64) * 10,
+    })
+    out = spearman_rank_corr(ray.data.from_pandas(up)).to_pandas()
+    assert int(out.rho_micros.iloc[0]) == 1_000_000
+    down = up.assign(n_chars=up.n_chars.to_numpy()[::-1])
+    out = spearman_rank_corr(ray.data.from_pandas(down)).to_pandas()
+    assert int(out.rho_micros.iloc[0]) == -1_000_000
+
+
+def test_spearman_raises_below_two_rows(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.regression import spearman_rank_corr
+
+    df = pd.DataFrame({
+        "doc_id": [0], "text": ["one doc"], "n_chars": [7]})
+    with pytest.raises(ValueError, match="n < 2"):
+        spearman_rank_corr(ray.data.from_pandas(df))
+
+
+def test_q4_q14_shapes_on_sf_small(ray_session):
+    """Join-shape queries vs a direct pandas evaluation at sf0.001."""
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+
+    got = (e.q_late_order_priority(SF_SMALL).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    o = orders[(orders.o_orderdate >= "1997-01-01")
+               & (orders.o_orderdate < "1997-07-01")]
+    j = line.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j = j[j.l_shipdate > j.o_orderdate + pd.Timedelta(days=60)]
+    exp = (j.drop_duplicates("o_orderkey").groupby("o_orderpriority")
+           .size().rename("n_orders").reset_index()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got14 = (e.q_promo_revenue_share(SF_SMALL).to_pandas()
+             .sort_values("ship_month").reset_index(drop=True))
+    l96 = line[(line.l_shipdate >= "1996-01-01")
+               & (line.l_shipdate < "1997-01-01")].merge(
+        part[["p_partkey", "p_type"]],
+        left_on="l_partkey", right_on="p_partkey")
+    rev = np.floor(
+        l96.l_extendedprice.to_numpy()
+        * (1.0 - l96.l_discount.to_numpy()) * 1_000_000).astype("int64")
+    tab = pd.DataFrame({
+        "ship_month": pd.DatetimeIndex(
+            l96.l_shipdate.to_numpy()).strftime("%Y-%m"),
+        "promo_micros": np.where(l96.p_type.to_numpy() == "PROMO",
+                                 rev, 0),
+        "total_micros": rev,
+    }).groupby("ship_month", as_index=False).sum()
+    tab["promo_share_micros"] = [
+        (int(p) * 1_000_000) // int(t)
+        for p, t in zip(tab.promo_micros, tab.total_micros)]
+    pd.testing.assert_frame_equal(
+        got14.sort_values("ship_month").reset_index(drop=True),
+        tab.sort_values("ship_month").reset_index(drop=True),
+        check_dtype=False)
