@@ -6225,6 +6225,69 @@ def q_promo_revenue_share(sf_dir: str):
     return sums.map_batches(finish, batch_format="pandas")
 
 
+def q_embedding_covariance(sf_dir: str):
+    """Exact quantized covariance matrix of the embedding cloud
+    (embstats.covariance_matrix): one sufficient-statistic pass, driver
+    folds D×D Python-int partials — the PCA/whitening prep and collapse
+    screen."""
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import covariance_matrix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return covariance_matrix(ds)
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) locality keys over the first 3 embedding dims
+    (embstats.zorder_keys): 8-bit quantize + bit interleave, map-only —
+    the physical-layout primitive for locality-clustered block writes."""
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import zorder_keys
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return zorder_keys(ds)
+
+
+def q_benford_prices(sf_dir: str):
+    """Benford's-law first-digit audit over order totals
+    (anomaly.benford_audit): string-derived leading digit of exact cents,
+    9-row exchange, integer shares vs floor(10⁶·log10(1+1/d))."""
+    import ray.data
+
+    from corpusaid_ray.stages.anomaly import benford_audit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return benford_audit(ds, value_col="o_totalprice")
+
+
+def q_fk_integrity(sf_dir: str):
+    """Referential-integrity audit over the declared FK edges
+    (integrity.fk_orphan_audit): keys-only hash anti-join per edge, two
+    integers per edge reach the driver."""
+    import ray.data
+
+    from corpusaid_ray.stages.integrity import FK_EDGES, fk_orphan_audit
+
+    edges = []
+    for name, ct, ck, pt, pk in FK_EDGES:
+        edges.append((
+            name,
+            ray.data.read_parquet(f"{sf_dir}/{ct}.parquet", columns=[ck]),
+            ck,
+            ray.data.read_parquet(f"{sf_dir}/{pt}.parquet", columns=[pk]),
+            pk,
+        ))
+    return fk_orphan_audit(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -6479,6 +6542,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_len_words": q_spearman_len_words,
         "late_order_priority": q_late_order_priority,
         "promo_revenue_share": q_promo_revenue_share,
+        "embedding_covariance": q_embedding_covariance,
+        "zorder_layout": q_zorder_layout,
+        "benford_prices": q_benford_prices,
+        "fk_integrity": q_fk_integrity,
     }
 
 

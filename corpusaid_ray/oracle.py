@@ -5685,3 +5685,79 @@ SELECT ship_month, promo_micros::BIGINT AS promo_micros,
        ((promo_micros * 1000000) // total_micros)::BIGINT
          AS promo_share_micros
 FROM s"""
+
+# embedding_covariance: exact quantized covariance upper triangle — HUGEINT
+# sufficient statistics via a keyed dim×dim self-join.
+ORACLE_SQL["embedding_covariance"] = """
+WITH q AS (
+  SELECT vec_id, i, floor(1000000 * CAST(e AS DOUBLE))::HUGEINT AS v
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+st AS (
+  SELECT a.i AS i, b.i AS j,
+         count(*)::HUGEINT AS n, sum(a.v * b.v) AS pij,
+         sum(a.v) AS si, sum(b.v) AS sj
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i)
+SELECT i::BIGINT AS i, j::BIGINT AS j, n::BIGINT AS n_vecs,
+       ((n*pij - si*sj) // (n*n))::BIGINT AS cov_q2
+FROM st"""
+
+
+def _zorder_sql() -> str:
+    """Mirror of embstats.zorder_keys: 8-bit quantize of the first 3 dims,
+    bit-interleave term by term (generated, not hand-written)."""
+    vs = [
+        f"least(greatest(floor((CAST(embedding[{d + 1}] AS DOUBLE) + 4.0)"
+        f" * 32.0), 0), 255)::BIGINT"
+        for d in range(3)
+    ]
+    terms = []
+    for k in range(8):
+        for d in range(3):
+            terms.append(f"(((v{d} >> {k}) & 1) << {3 * k + d})")
+    return f"""
+WITH q AS (
+  SELECT vec_id, {vs[0]} AS v0, {vs[1]} AS v1, {vs[2]} AS v2
+  FROM embeddings),
+k AS (SELECT vec_id, ({' + '.join(terms)})::BIGINT AS zorder_key FROM q)
+SELECT vec_id, zorder_key, (zorder_key >> 18)::BIGINT AS part_id FROM k"""
+
+
+ORACLE_SQL["zorder_layout"] = _zorder_sql()
+
+# benford_prices: leading digit of exact cents (string-derived, no float
+# log on the data side), integer shares vs floor(1e6*log10(1+1/d)).
+ORACLE_SQL["benford_prices"] = """
+WITH c AS (
+  SELECT floor(o_totalprice * 100.0)::BIGINT AS cents FROM orders
+  WHERE floor(o_totalprice * 100.0) > 0),
+d AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+             count(*)::BIGINT AS n_rows FROM c GROUP BY 1),
+t AS (SELECT sum(n_rows)::HUGEINT AS total FROM d)
+SELECT digit, n_rows,
+       ((n_rows::HUGEINT * 1000000) // total)::BIGINT AS share_micros,
+       floor(1000000 * log10(1.0 + 1.0/digit))::BIGINT AS expected_micros,
+       (((n_rows::HUGEINT * 1000000) // total)
+         - floor(1000000 * log10(1.0 + 1.0/digit))::HUGEINT)::BIGINT
+         AS dev_micros
+FROM d, t"""
+
+
+def _fk_integrity_sql() -> str:
+    """Mirror of integrity.FK_EDGES via NOT EXISTS — generated from the
+    same edge list."""
+    from corpusaid_ray.stages.integrity import FK_EDGES
+
+    parts = []
+    for name, ct, ck, pt, pk in FK_EDGES:
+        parts.append(f"""
+SELECT '{name}' AS edge,
+       (SELECT count(*) FROM {ct})::BIGINT AS n_child,
+       (SELECT count(*) FROM {ct} c
+        WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                          WHERE p.{pk} = c.{ck}))::BIGINT AS n_orphans""")
+    return "\nUNION ALL".join(parts)
+
+
+ORACLE_SQL["fk_integrity"] = _fk_integrity_sql()

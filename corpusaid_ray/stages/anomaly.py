@@ -236,3 +236,64 @@ def iqr_outliers(ds, *, value_col: str = "n_chars", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(flag, batch_format="pandas")
+
+
+def benford_audit(ds, *, value_col: str = "o_totalprice"):
+    """Benford's-law first-digit audit over a positive money column — the
+    classic synthetic-data / fraud screen (Benford 1938; Nigrini 2012):
+    organically-generated amounts follow P(d) = log10(1 + 1/d), while
+    generated, capped, or copy-pasted values pile up on specific leading
+    digits. A corpus slice failing Benford is a strong "machine-written
+    rows" signal.
+
+    Exact pipeline: amounts integerize as ``cents = floor(100·x)`` (the
+    shared money fixed point), the leading digit comes from the DECIMAL
+    STRING (no float log — ``str(cents)[0]``, mirrored by
+    ``substr(cents::VARCHAR, 1, 1)``), a 9-row groupby counts, and shares
+    finish in exact ints: ``share_micros = cnt·10⁶ // total``. The only
+    float is the nine Benford constants ``expected_micros =
+    floor(10⁶·log10(1+1/d))`` (``math.log10`` == DuckDB ``log10`` bit-exact,
+    the lexstats ln precedent). Map-only + 9-row exchange at any scale.
+
+    Returns a Dataset ``(digit, n_rows, share_micros, expected_micros,
+    dev_micros)`` — dev = share − expected."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df[value_col].to_numpy(np.float64) * 100.0).astype(np.int64)
+        cents = cents[cents > 0]
+        digit = (pd.Series(cents).astype(str).str[0]
+                 .astype(np.int64).to_numpy())
+        out = pd.DataFrame({"digit": digit,
+                            "n_rows": np.ones(len(digit), np.int64)})
+        return out.groupby("digit", sort=False, as_index=False).sum()
+
+    counts = grouped(
+        ds.map_batches(partial, batch_format="pandas"), "digit"
+    ).aggregate(Sum("n_rows", alias_name="n_rows"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df.n_rows.sum())
+        rows = []
+        for r in df.itertuples(index=False):
+            d, c = int(r.digit), int(r.n_rows)
+            share = (c * 1_000_000) // total
+            exp = math.floor(1_000_000 * math.log10(1.0 + 1.0 / d))
+            rows.append({"digit": d, "n_rows": c, "share_micros": share,
+                         "expected_micros": exp,
+                         "dev_micros": share - exp})
+        return pd.DataFrame(
+            rows, columns=["digit", "n_rows", "share_micros",
+                           "expected_micros", "dev_micros"]).astype(
+            "int64", errors="ignore")
+
+    # 9 rows max — a single-block finish keeps `total` exact per block
+    from corpusaid_ray.util import drop_empty_blocks
+
+    return drop_empty_blocks(counts).repartition(1).map_batches(
+        finish, batch_format="pandas")

@@ -194,3 +194,115 @@ def label_cohesion(ds, *, vec_col: str = "embedding",
         })
 
     return agg.groupby("label").map_groups(finish, batch_format="pandas")
+
+
+def covariance_matrix(ds, *, vec_col: str = "embedding"):
+    """Exact quantized covariance matrix of the embedding cloud — the PCA /
+    whitening prep and the strongest collapse screen (a low-rank covariance
+    = anisotropic encoder; off-diagonal mass = correlated dims that break
+    product-quantizer independence assumptions).
+
+    ONE map-only pass: each batch quantizes (`_quant`) and reduces to
+    ``(n, Σq ∈ ℤᴰ, QᵀQ ∈ ℤᴰˣᴰ)`` — fixed-size sufficient statistics, an
+    int64 matmul per batch (bound: batch_rows·(10⁶·|x|)² < 2⁶³ → |x| < 15
+    at 4096-row batches). The driver folds the 1-row partials in exact
+    Python ints (O(D²) driver state — bounded by DIMENSION, not corpus;
+    the ``stages/kmeans`` K×D precedent) and emits the upper triangle:
+
+        cov_q2[i,j] = trunc((n·P_ij − S_i·S_j) / n²)    (micro² units)
+
+    Returns a pyarrow Table ``(i, j, n_vecs, cov_q2)`` with 1-based dims,
+    i ≤ j, sorted by (i, j)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64())),
+                "p": pa.array([], pa.list_(pa.int64())),
+            })
+        q = _quant(batch, vec_col)
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "s": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "p": pa.array([(q.T @ q).ravel().tolist()],
+                          pa.list_(pa.int64())),
+        })
+
+    n, s_tot, p_tot = 0, None, None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for row in range(len(b)):
+            n += int(b["n"][row].as_py())
+            s = [int(v) for v in b["s"][row].as_py()]
+            p = [int(v) for v in b["p"][row].as_py()]
+            if s_tot is None:
+                s_tot, p_tot = s, p
+            else:
+                s_tot = [a + c for a, c in zip(s_tot, s)]
+                p_tot = [a + c for a, c in zip(p_tot, p)]
+    if n == 0 or s_tot is None:
+        return pa.table({
+            "i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
+            "n_vecs": pa.array([], pa.int64()),
+            "cov_q2": pa.array([], pa.int64()),
+        })
+    d = len(s_tot)
+    ii, jj, cov = [], [], []
+    for i in range(d):
+        for j in range(i, d):
+            ii.append(i + 1)
+            jj.append(j + 1)
+            cov.append(trunc_div(
+                n * p_tot[i * d + j] - s_tot[i] * s_tot[j], n * n))
+    return pa.table({
+        "i": pa.array(ii, pa.int64()), "j": pa.array(jj, pa.int64()),
+        "n_vecs": pa.array([n] * len(ii), pa.int64()),
+        "cov_q2": pa.array(cov, pa.int64()),
+    })
+
+
+ZORDER_DIMS = 3
+ZORDER_BITS = 8
+
+
+def zorder_keys(ds, *, vec_col: str = "embedding",
+                id_col: str = "vec_id", part_shift: int = 18):
+    """Z-order (Morton) locality keys over the first 3 embedding dims —
+    the physical-layout primitive: rows sorted/partitioned by ``zorder_key``
+    put spatially-near vectors in the same block, so block-level zone maps
+    prune ANN candidate scans and near-dup passes touch far fewer blocks
+    (the Delta/Iceberg OPTIMIZE ZORDER idea, applied to embedding space).
+
+    Map-only and exact: dim d quantizes to 8 bits as
+    ``clip(floor((double(x)+4)·32), 0, 255)`` (±4σ of a unit-normal cloud),
+    then bits interleave ``key = Σ_k Σ_d bit(v_d,k) << (3k+d)`` — 24-bit
+    keys, ``part_id = key >> part_shift`` (default 64 coarse ranges for a
+    downstream ``repartition``/write). Pure integer bit ops, SQL-mirrorable
+    term by term.
+
+    Returns a Dataset ``(id_col, zorder_key, part_id)``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "zorder_key": pa.array([], pa.int64()),
+                "part_id": pa.array([], pa.int64()),
+            })
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float32)[:ZORDER_DIMS]
+             for v in batch[vec_col].to_pylist()]
+        ).astype(np.float64)
+        q = np.clip(np.floor((vecs + 4.0) * 32.0), 0, 255).astype(np.int64)
+        key = np.zeros(len(q), dtype=np.int64)
+        for k in range(ZORDER_BITS):
+            for d in range(ZORDER_DIMS):
+                key |= ((q[:, d] >> k) & 1) << (ZORDER_DIMS * k + d)
+        return pa.table({
+            id_col: batch[id_col],
+            "zorder_key": pa.array(key, pa.int64()),
+            "part_id": pa.array(key >> part_shift, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

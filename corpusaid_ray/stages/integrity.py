@@ -1,0 +1,93 @@
+"""Cross-table referential-integrity audit — the ingest gate for a
+multi-table corpus drop.
+
+Web-scale pipelines ingest table FAMILIES (docs + events + embeddings +
+dimension tables); a partial re-crawl or a failed partition write leaves
+dangling foreign keys that silently become row drops (inner joins) or
+nulls (outer joins) in every downstream query. ``fk_orphan_audit`` counts,
+per declared FK edge, the child rows whose key has NO parent — zero cost
+to consume (|edges| output rows) and cheap to compute.
+
+Scale shape: per edge, the child side is pruned to its key column at the
+parquet read and anti-joined against the parent's key column — a
+hash-partitioned LEFT ANTI join (the :func:`dedup.cross_dedup` escape
+hatch: both sides shuffle once on the key, keys-only ~8 B/row, no
+broadcast assumption — at 10¹² rows the shuffle moves only the key
+column). Anti-join semantics never multiply rows, so the parent needs no
+pre-dedup. The driver holds 2·|edges| integers.
+
+Beyond-reference training-data operator (SURVEY.md §2 extension family:
+data-quality gates).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# The declared FK edges of the testdata table family —
+# (edge_name, child_table, child_key, parent_table, parent_key).
+# Single source of truth: __ray_entry__.q_fk_integrity builds its reads
+# from this list and oracle.py generates the NOT EXISTS mirror from it.
+FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey"),
+]
+
+
+def fk_orphan_audit(edges):
+    """``edges``: iterable of ``(edge_name, child_ds, child_key,
+    parent_ds, parent_key)`` — each Dataset already pruned to (at least)
+    its key column. Counts child rows and orphan child rows per edge.
+
+    Returns a pyarrow Table ``(edge, n_child, n_orphans)`` in input
+    order."""
+    from corpusaid_ray.util import drop_empty_blocks, join_partitions
+
+    names, n_child, n_orph = [], [], []
+    for name, child, ckey, parent, pkey in edges:
+        # rename via an Arrow map (Dataset.rename_columns' Project op
+        # crashes on pandas blocks, e.g. from_pandas test inputs)
+        child = child.select_columns([ckey]).map_batches(
+            lambda t: t.rename_columns(["fk_key"]),
+            batch_format="pyarrow")
+        parent = parent.select_columns([pkey]).map_batches(
+            lambda t: t.rename_columns(["fk_key"]),
+            batch_format="pyarrow")
+        child = drop_empty_blocks(child).materialize()
+        names.append(name)
+        n_child.append(child.count())
+        if n_child[-1] == 0:
+            n_orph.append(0)
+            continue
+        parent = drop_empty_blocks(parent).materialize()
+        if parent.count() == 0:
+            # a fully-empty side has no typed block for acero — and with
+            # no parents, every child row is an orphan by definition
+            n_orph.append(n_child[-1])
+            continue
+        orphans = child.join(
+            parent,
+            join_type="left_anti",
+            num_partitions=join_partitions(),
+            on=("fk_key",),
+        )
+        n_orph.append(orphans.count())
+    return pa.table({
+        "edge": pa.array(names, pa.string()),
+        "n_child": pa.array(n_child, pa.int64()),
+        "n_orphans": pa.array(n_orph, pa.int64()),
+    })

@@ -166,3 +166,145 @@ def test_q4_q14_shapes_on_sf_small(ray_session):
         got14.sort_values("ship_month").reset_index(drop=True),
         tab.sort_values("ship_month").reset_index(drop=True),
         check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_covariance_matrix_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import covariance_matrix
+
+    rng = np.random.default_rng(seed)
+    n, d = 90, 5
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, d).astype(np.float32)
+                      for _ in range(n)],
+    })
+    out = covariance_matrix(
+        ray.data.from_pandas(df).repartition(6)).to_pandas()
+    q = np.floor(1_000_000 * np.stack(
+        [np.asarray(v) for v in df.embedding]).astype(np.float64)
+    ).astype(object)
+    for r in out.itertuples(index=False):
+        i, j = r.i - 1, r.j - 1
+        pij = int(sum(a * b for a, b in zip(q[:, i], q[:, j])))
+        si, sj = int(sum(q[:, i])), int(sum(q[:, j]))
+        exp = _trunc_div(n * pij - si * sj, n * n)
+        assert r.cov_q2 == exp, (r.i, r.j)
+        assert r.n_vecs == n
+    assert len(out) == d * (d + 1) // 2
+    # numpy float covariance agrees to fixed-point tolerance
+    v = np.stack([np.asarray(x) for x in df.embedding]).astype(np.float64)
+    cov = np.cov(v, rowvar=False, bias=True) * 1e12
+    for r in out.itertuples(index=False):
+        assert abs(r.cov_q2 - cov[r.i - 1, r.j - 1]) < 5e6
+
+
+def test_covariance_empty_block_and_empty_input(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import covariance_matrix
+
+    empty = pd.DataFrame({
+        "vec_id": pd.array([], dtype="int64"),
+        "embedding": pd.array([], dtype=object),
+    })
+    out = covariance_matrix(ray.data.from_pandas(empty)).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["i", "j", "n_vecs", "cov_q2"]
+
+
+def test_zorder_keys_locality_and_exactness(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import zorder_keys
+
+    rng = np.random.default_rng(0)
+    n = 120
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, 8).astype(np.float32)
+                      for _ in range(n)],
+    })
+    out = zorder_keys(ray.data.from_pandas(df).repartition(5)) \
+        .to_pandas().set_index("vec_id")
+    for vid, v in zip(df.vec_id, df.embedding):
+        q = np.clip(np.floor((np.asarray(v[:3], dtype=np.float64) + 4.0)
+                             * 32.0), 0, 255).astype(int)
+        key = 0
+        for k in range(8):
+            for d in range(3):
+                key |= ((q[d] >> k) & 1) << (3 * k + d)
+        assert int(out.loc[vid, "zorder_key"]) == key
+        assert int(out.loc[vid, "part_id"]) == key >> 18
+    # locality: two near-identical vectors share a key prefix
+    a = np.array([0.1, 0.2, 0.3] + [0.0] * 5, dtype=np.float32)
+    b = a + np.float32(0.001)
+    near = pd.DataFrame({"vec_id": np.array([0, 1], dtype=np.int64),
+                         "embedding": [a, b]})
+    keys = zorder_keys(
+        ray.data.from_pandas(near)).to_pandas().zorder_key.to_numpy()
+    assert abs(int(keys[0]) - int(keys[1])) < 8
+
+
+def test_benford_on_benford_and_uniform_data(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.anomaly import benford_audit
+
+    rng = np.random.default_rng(1)
+    # log-uniform amounts follow Benford closely
+    amounts = 10.0 ** rng.uniform(0, 5, size=4000)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"o_totalprice": amounts})).repartition(6)
+    out = benford_audit(ds).to_pandas().set_index("digit")
+    assert int(out.n_rows.sum()) == 4000
+    assert set(out.index) == set(range(1, 10))
+    # every digit's share within 2% absolute of the Benford constant
+    assert (out.dev_micros.abs() < 20_000).all()
+    # uniform amounts [1000, 9999] are flat (~11.1% each) — digit 1
+    # deviates far below its 30.1% Benford expectation
+    flat = ray.data.from_pandas(pd.DataFrame(
+        {"o_totalprice": rng.uniform(1000, 9999, size=4000)}))
+    out = benford_audit(flat).to_pandas().set_index("digit")
+    assert int(out.loc[1, "dev_micros"]) < -150_000
+
+
+def test_fk_orphan_audit_plants_orphans(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.integrity import fk_orphan_audit
+
+    child = pd.DataFrame({"k": np.array([1, 2, 3, 4, 99, 98],
+                                        dtype=np.int64)})
+    parent = pd.DataFrame({"pk": np.array([1, 2, 3, 4, 5],
+                                          dtype=np.int64)})
+    out = fk_orphan_audit([
+        ("child.k->parent", ray.data.from_pandas(child).repartition(3),
+         "k", ray.data.from_pandas(parent), "pk"),
+        ("parent.pk->child",
+         ray.data.from_pandas(parent), "pk",
+         ray.data.from_pandas(child), "k"),
+    ]).to_pandas().set_index("edge")
+    assert int(out.loc["child.k->parent", "n_child"]) == 6
+    assert int(out.loc["child.k->parent", "n_orphans"]) == 2
+    assert int(out.loc["parent.pk->child", "n_orphans"]) == 1
+
+
+def test_fk_orphan_audit_empty_sides(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.integrity import fk_orphan_audit
+
+    child = pd.DataFrame({"k": np.array([7, 8], dtype=np.int64)})
+    none = pd.DataFrame({"pk": pd.array([], dtype="int64")})
+    out = fk_orphan_audit([
+        ("child->empty", ray.data.from_pandas(child), "k",
+         ray.data.from_pandas(none), "pk"),
+        ("empty->child", ray.data.from_pandas(none), "pk",
+         ray.data.from_pandas(child), "k"),
+    ]).to_pandas().set_index("edge")
+    assert int(out.loc["child->empty", "n_orphans"]) == 2
+    assert int(out.loc["empty->child", "n_child"]) == 0
+    assert int(out.loc["empty->child", "n_orphans"]) == 0
