@@ -6288,6 +6288,36 @@ def q_fk_integrity(sf_dir: str):
     return fk_orphan_audit(edges)
 
 
+def q_pca_top_component(sf_dir: str):
+    """Leading principal direction via exact fixed-point power iteration
+    (embstats.pca_top_component): one covariance sufficient-statistic
+    pass + 8 integer power steps with max-abs normalization — the
+    anisotropy probe; mirrored by an unrolled-CTE SQL fixed iteration."""
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import pca_top_component
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_top_component(ds)
+
+
+def q_keep_rate_by_length_decile(sf_dir: str):
+    """Gate-calibration curve (sampling.flag_rate_by_value_decile): exact
+    keep rate of the flagship quality gate across ceil-rank deciles of
+    raw content length — the length-bias audit. The labeled corpus is
+    materialized once (3 skinny columns) so the percentile and rate
+    passes don't re-run the clean chain."""
+    from corpusaid_ray.pipelines.quality_filter import run
+    from corpusaid_ray.stages.sampling import flag_rate_by_value_decile
+
+    labeled = run(sf_dir).select_columns(
+        ["path", "n_chars", "keep"]).materialize()
+    return flag_rate_by_value_decile(
+        labeled, value_col="n_chars", flag_col="keep")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -6546,6 +6576,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": q_zorder_layout,
         "benford_prices": q_benford_prices,
         "fk_integrity": q_fk_integrity,
+        "pca_top_component": q_pca_top_component,
+        "keep_rate_by_length_decile": q_keep_rate_by_length_decile,
     }
 
 

@@ -5761,3 +5761,66 @@ SELECT '{name}' AS edge,
 
 
 ORACLE_SQL["fk_integrity"] = _fk_integrity_sql()
+
+
+def _pca_power_sql(iters: int = 8) -> str:
+    """Mirror of embstats.pca_top_component: full covariance matrix from
+    the same HUGEINT sufficient statistics, then ``iters`` unrolled
+    fixed-point power steps (v0 = 10^6; w = C·v; v = (w·10^6) // max|w|).
+    Every CTE is MATERIALIZED (the chained-iteration contract)."""
+    sql = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i, floor(1000000 * CAST(e AS DOUBLE))::HUGEINT AS v
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+cov AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         ((count(*)::HUGEINT * sum(a.v * b.v)
+           - sum(a.v) * sum(b.v))
+          // (count(*)::HUGEINT * count(*)::HUGEINT)) AS c
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i),
+v0 AS MATERIALIZED (SELECT DISTINCT i, 1000000::HUGEINT AS val FROM cov)"""
+    prev = "v0"
+    for t in range(1, iters + 1):
+        sql += f""",
+w{t} AS MATERIALIZED (
+  SELECT c.i AS i, sum(c.c * v.val) AS wv
+  FROM cov c JOIN {prev} v ON c.j = v.i GROUP BY c.i),
+m{t} AS MATERIALIZED (SELECT max(abs(wv)) AS m FROM w{t}),
+v{t} AS MATERIALIZED (
+  SELECT i, (wv * 1000000) // m AS val FROM w{t}, m{t})"""
+        prev = f"v{t}"
+    sql += f"""
+SELECT i::BIGINT AS i, val::BIGINT AS component_micro FROM {prev}"""
+    return sql
+
+
+ORACLE_SQL["pca_top_component"] = _pca_power_sql(8)
+
+# keep_rate_by_length_decile: the flagship keep gate (heuristic-determined
+# on this corpus, see keep_drop) against ceil-rank deciles of raw content
+# length — range_partition's pinned strict-compare assignment.
+ORACLE_SQL["keep_rate_by_length_decile"] = with_corpus(f"""
+, m AS MATERIALIZED (
+  SELECT path, {_HEUR_COLS}
+  FROM corpus),
+k AS MATERIALIZED (
+  SELECT path, n_chars::BIGINT AS n_chars,
+         ({_DROP_REASON_SQL}) = '' AS keep
+  FROM m),
+vals AS MATERIALIZED (
+  SELECT list_sort(list(n_chars)) AS v, count(*)::BIGINT AS n FROM k),
+cuts AS MATERIALIZED (SELECT unnest([{", ".join(
+    f"v[greatest(CAST(ceil({t}/10.0 * n) AS BIGINT), 1)]"
+    for t in range(1, 10))}]) AS c FROM vals),
+a AS (
+  SELECT (SELECT count(*) FROM cuts WHERE c < k.n_chars)::BIGINT
+           AS part_id,
+         keep
+  FROM k)
+SELECT part_id, count(*)::BIGINT AS n_docs,
+       coalesce(count(*) FILTER (keep), 0)::BIGINT AS n_flagged,
+       ((count(*) FILTER (keep))::HUGEINT * 1000000
+         // count(*))::BIGINT AS rate_micros
+FROM a GROUP BY part_id""")

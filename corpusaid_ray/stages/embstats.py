@@ -196,6 +196,47 @@ def label_cohesion(ds, *, vec_col: str = "embedding",
     return agg.groupby("label").map_groups(finish, batch_format="pandas")
 
 
+def _cov_sufficient(ds, vec_col: str):
+    """ONE map-only pass reducing each batch to the covariance sufficient
+    statistics ``(n, Σq ∈ ℤᴰ, QᵀQ ∈ ℤᴰˣᴰ flattened)``, folded on the
+    driver in exact Python ints. Returns ``(n, S, P)``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64())),
+                "p": pa.array([], pa.list_(pa.int64())),
+            })
+        q = _quant(batch, vec_col)
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "s": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "p": pa.array([(q.T @ q).ravel().tolist()],
+                          pa.list_(pa.int64())),
+        })
+
+    return _fold_cov_partials(
+        ds.map_batches(partial, batch_format="pyarrow"))
+
+
+def _fold_cov_partials(partials):
+    """Driver fold of 1-row ``(n, s, p)`` covariance partials in exact
+    Python ints — O(D²) driver state, bounded by dimension."""
+    n, s_tot, p_tot = 0, None, None
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for row in range(len(b)):
+            n += int(b["n"][row].as_py())
+            s = [int(v) for v in b["s"][row].as_py()]
+            p = [int(v) for v in b["p"][row].as_py()]
+            if s_tot is None:
+                s_tot, p_tot = s, p
+            else:
+                s_tot = [a + c for a, c in zip(s_tot, s)]
+                p_tot = [a + c for a, c in zip(p_tot, p)]
+    return n, s_tot, p_tot
+
+
 def covariance_matrix(ds, *, vec_col: str = "embedding"):
     """Exact quantized covariance matrix of the embedding cloud — the PCA /
     whitening prep and the strongest collapse screen (a low-rank covariance
@@ -213,34 +254,7 @@ def covariance_matrix(ds, *, vec_col: str = "embedding"):
 
     Returns a pyarrow Table ``(i, j, n_vecs, cov_q2)`` with 1-based dims,
     i ≤ j, sorted by (i, j)."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table({
-                "n": pa.array([], pa.int64()),
-                "s": pa.array([], pa.list_(pa.int64())),
-                "p": pa.array([], pa.list_(pa.int64())),
-            })
-        q = _quant(batch, vec_col)
-        return pa.table({
-            "n": pa.array([len(q)], pa.int64()),
-            "s": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64())),
-            "p": pa.array([(q.T @ q).ravel().tolist()],
-                          pa.list_(pa.int64())),
-        })
-
-    n, s_tot, p_tot = 0, None, None
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
-        for row in range(len(b)):
-            n += int(b["n"][row].as_py())
-            s = [int(v) for v in b["s"][row].as_py()]
-            p = [int(v) for v in b["p"][row].as_py()]
-            if s_tot is None:
-                s_tot, p_tot = s, p
-            else:
-                s_tot = [a + c for a, c in zip(s_tot, s)]
-                p_tot = [a + c for a, c in zip(p_tot, p)]
+    n, s_tot, p_tot = _cov_sufficient(ds, vec_col)
     if n == 0 or s_tot is None:
         return pa.table({
             "i": pa.array([], pa.int64()), "j": pa.array([], pa.int64()),
@@ -306,3 +320,54 @@ def zorder_keys(ds, *, vec_col: str = "embedding",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PCA_ITERS = 8
+
+
+def pca_top_component(ds, *, vec_col: str = "embedding",
+                      iters: int = PCA_ITERS):
+    """Leading principal direction of the embedding cloud via EXACT
+    fixed-point power iteration — the anisotropy probe (Ethayarajh 2019;
+    Mu & Viswanath 2018 "all-but-the-top"): a dominant common direction
+    means cosine similarities are inflated corpus-wide and should be
+    projected out before semantic dedup / ANN.
+
+    Distributed part: the ONE covariance sufficient-statistic pass of
+    :func:`covariance_matrix`. Driver part (O(D²), dimension-bounded):
+    build the integer covariance ``C[i][j] = trunc((n·P−S·S)/n²)`` (the
+    exact ``cov_q2`` values), then ``iters`` exact power steps from
+    ``v₀ = 10⁶·1``:
+
+        w = C·v   (exact ints)   →   v = trunc(w·10⁶ / max|w|)
+
+    max-abs normalization instead of L2 keeps every step integer (no
+    sqrt), so the unrolled-CTE SQL mirror (the ``stages/kmeans``
+    fixed-iteration precedent) hash-matches bit-for-bit. Components land
+    in [−10⁶, 10⁶] with at least one = ±10⁶.
+
+    Raises ValueError if an iterate annihilates (C·v = 0 exactly — a
+    measure-zero event on real data; the SQL mirror divides by zero
+    there too, by design).
+
+    Returns a pyarrow Table ``(i, component_micro)``, 1-based dims."""
+    n, s_tot, p_tot = _cov_sufficient(ds, vec_col)
+    if n == 0 or s_tot is None:
+        return pa.table({
+            "i": pa.array([], pa.int64()),
+            "component_micro": pa.array([], pa.int64()),
+        })
+    d = len(s_tot)
+    c = [[trunc_div(n * p_tot[i * d + j] - s_tot[i] * s_tot[j], n * n)
+          for j in range(d)] for i in range(d)]
+    v = [FP] * d
+    for _ in range(iters):
+        w = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            raise ValueError("pca_top_component: iterate annihilated")
+        v = [trunc_div(x * FP, m) for x in w]
+    return pa.table({
+        "i": pa.array(range(1, d + 1), pa.int64()),
+        "component_micro": pa.array(v, pa.int64()),
+    })

@@ -502,3 +502,67 @@ def weighted_sample(ds, *, k: int, weight_col: str = "n_chars",
     pruned = ds.map_batches(keyed_topk, batch_format="pyarrow")
     return pruned.sort(["prio_nano", key_col],
                        descending=[True, False]).limit(k)
+
+
+def flag_rate_by_value_decile(ds, *, value_col: str = "n_chars",
+                              flag_col: str = "keep",
+                              num_parts: int = 10):
+    """Calibration curve of a boolean gate against a magnitude: exact
+    per-decile rate of ``flag_col`` across ceil-rank deciles of
+    ``value_col`` — the keep-rate-by-length table every quality-filter
+    audit starts from (a gate whose keep rate collapses in one decile is
+    length-biased, the classic C4-vs-Gopher failure mode).
+
+    Scale shape: ONE bounded percentile reduction learns the decile cuts
+    (:func:`range_partition_assign` semantics — strict compare, ties
+    LEFT, duplicate cuts as a multiset), then a map-only pass assigns
+    ``part_id = |{cuts < x}|`` and pre-aggregates per (part × batch);
+    a ≤``num_parts``-row groupby and an integer finish follow. Driver
+    holds ``num_parts − 1`` cut integers.
+
+    Returns a Dataset ``(part_id, n_docs, n_flagged, rate_micros)`` with
+    ``rate_micros = n_flagged·10⁶ // n_docs``."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+    from corpusaid_ray.util import grouped
+
+    qs = tuple(k / num_parts for k in range(1, num_parts))
+    names = [f"p{int(p * 100)}_micros" for p in qs]
+    assert len(set(names)) == len(names), "non-distinct percentile names"
+
+    pct = group_percentiles_distributed(
+        ds.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df[value_col].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v", percentiles=qs)
+    cuts = np.sort(np.array(
+        [int(pct[c].iloc[0]) // 1_000_000 for c in names], dtype=np.int64))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[value_col].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "part_id": np.searchsorted(cuts, x, side="left").astype(
+                "int64"),
+            "n_docs": np.ones(len(x), np.int64),
+            "n_flagged": df[flag_col].to_numpy(bool).astype(np.int64),
+        })
+        return out.groupby("part_id", sort=False, as_index=False).sum()
+
+    sums = grouped(
+        ds.map_batches(partial, batch_format="pandas"), "part_id"
+    ).aggregate(Sum("n_docs", alias_name="n_docs"),
+                Sum("n_flagged", alias_name="n_flagged"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rate = [(int(k) * 1_000_000) // int(n)
+                for k, n in zip(df.n_flagged, df.n_docs)]
+        return df.assign(rate_micros=pd.array(rate, dtype="int64"))
+
+    return sums.map_batches(finish, batch_format="pandas")

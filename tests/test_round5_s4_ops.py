@@ -308,3 +308,85 @@ def test_fk_orphan_audit_empty_sides(ray_session):
     assert int(out.loc["child->empty", "n_orphans"]) == 2
     assert int(out.loc["empty->child", "n_child"]) == 0
     assert int(out.loc["empty->child", "n_orphans"]) == 0
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_pca_top_component_aligns_with_numpy(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import pca_top_component
+
+    rng = np.random.default_rng(seed)
+    n, d = 150, 6
+    # planted dominant direction
+    u = rng.normal(0, 1, d)
+    u /= np.linalg.norm(u)
+    base = (np.outer(rng.normal(0, 3, n), u)
+            + rng.normal(0, 0.3, (n, d))).astype(np.float32)
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v for v in base],
+    })
+    out = pca_top_component(
+        ray.data.from_pandas(df).repartition(5)).to_pandas()
+    v = out.sort_values("i").component_micro.to_numpy(np.float64)
+    v /= np.linalg.norm(v)
+    # numpy eigenvector of the float covariance
+    x = base.astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    assert abs(abs(v @ top) - 1.0) < 1e-3
+    assert int(out.component_micro.abs().max()) == 1_000_000
+
+
+def test_pca_deterministic_across_layouts(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import pca_top_component
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "vec_id": np.arange(80, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, 4).astype(np.float32)
+                      for _ in range(80)],
+    })
+    a = pca_top_component(ray.data.from_pandas(df)).to_pandas()
+    b = pca_top_component(
+        ray.data.from_pandas(df).repartition(9)).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("i").reset_index(drop=True),
+        b.sort_values("i").reset_index(drop=True))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_flag_rate_by_value_decile_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import flag_rate_by_value_decile
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    df = pd.DataFrame({
+        "path": [f"p{i}" for i in range(n)],
+        "n_chars": rng.integers(0, 2000, size=n).astype(np.int64),
+        "keep": rng.random(n) < 0.6,
+    })
+    out = (flag_rate_by_value_decile(
+        ray.data.from_pandas(df).repartition(7))
+        .to_pandas().sort_values("part_id").reset_index(drop=True))
+    v = np.sort(df.n_chars.to_numpy())
+    cuts = np.sort(np.array(
+        [v[max(int(np.ceil(k / 10.0 * n)), 1) - 1] for k in range(1, 10)],
+        dtype=np.int64))
+    part = np.searchsorted(cuts, df.n_chars.to_numpy(), side="left")
+    exp = (pd.DataFrame({"part_id": part,
+                         "n_docs": 1,
+                         "n_flagged": df.keep.astype(np.int64)})
+           .groupby("part_id", as_index=False).sum())
+    exp["rate_micros"] = [
+        (int(k) * 1_000_000) // int(m)
+        for k, m in zip(exp.n_flagged, exp.n_docs)]
+    pd.testing.assert_frame_equal(
+        out, exp.astype({"part_id": "int64"}), check_dtype=False)
+    assert int(out.n_docs.sum()) == n
