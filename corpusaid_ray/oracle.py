@@ -5763,7 +5763,7 @@ SELECT '{name}' AS edge,
 ORACLE_SQL["fk_integrity"] = _fk_integrity_sql()
 
 
-def _pca_power_sql(iters: int = 8) -> str:
+def _pca_power_sql(iters: int = 8, tail: str | None = None) -> str:
     """Mirror of embstats.pca_top_component: full covariance matrix from
     the same HUGEINT sufficient statistics, then ``iters`` unrolled
     fixed-point power steps (v0 = 10^6; w = C·v; v = (w·10^6) // max|w|).
@@ -5791,12 +5791,22 @@ m{t} AS MATERIALIZED (SELECT max(abs(wv)) AS m FROM w{t}),
 v{t} AS MATERIALIZED (
   SELECT i, (wv * 1000000) // m AS val FROM w{t}, m{t})"""
         prev = f"v{t}"
-    sql += f"""
+    sql += tail if tail is not None else f"""
 SELECT i::BIGINT AS i, val::BIGINT AS component_micro FROM {prev}"""
     return sql
 
 
 ORACLE_SQL["pca_top_component"] = _pca_power_sql(8)
+
+# common_direction_coef: per-vector projection coefficient onto the power-
+# iteration direction — exact trunc ratio of HUGEINT dots (the
+# all-but-the-top prep; coef far from the bulk = anisotropy-dominated row).
+ORACLE_SQL["common_direction_coef"] = _pca_power_sql(8, tail="""
+, vv AS MATERIALIZED (SELECT sum(val * val) AS s FROM v8),
+qd AS (SELECT q.vec_id AS vec_id, sum(q.v * v.val) AS dot
+       FROM q JOIN v8 v ON q.i = v.i GROUP BY q.vec_id)
+SELECT vec_id, ((dot * 1000000) // vv.s)::BIGINT AS coef_micro
+FROM qd, vv""")
 
 # keep_rate_by_length_decile: the flagship keep gate (heuristic-determined
 # on this corpus, see keep_drop) against ceil-rank deciles of raw content
@@ -5824,3 +5834,22 @@ SELECT part_id, count(*)::BIGINT AS n_docs,
        ((count(*) FILTER (keep))::HUGEINT * 1000000
          // count(*))::BIGINT AS rate_micros
 FROM a GROUP BY part_id""")
+
+# peak_concurrency: max prefix sum of the ±1 boundary stream; at equal
+# timestamps ENDs (−1) apply before STARTs (+1) — ORDER BY t, d ascending.
+ORACLE_SQL["peak_concurrency"] = """
+WITH pts AS (
+  SELECT epoch_us(ts)::BIGINT AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT epoch_us(ts)::BIGINT + 300000000, -1 FROM events),
+s AS (SELECT sum(d) OVER (ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS c FROM pts)
+SELECT (SELECT count(*) FROM events)::BIGINT AS n_intervals,
+       coalesce(max(c), 0)::BIGINT AS peak_concurrency
+FROM s"""
+
+# supplier_variety: TPC-H Q16 shape — distinct suppliers per (brand, size).
+ORACLE_SQL["supplier_variety"] = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_size"""

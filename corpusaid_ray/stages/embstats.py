@@ -371,3 +371,47 @@ def pca_top_component(ds, *, vec_col: str = "embedding",
         "i": pa.array(range(1, d + 1), pa.int64()),
         "component_micro": pa.array(v, pa.int64()),
     })
+
+
+def common_direction_coef(ds, *, vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          iters: int = PCA_ITERS):
+    """Per-vector projection coefficient onto the corpus' common direction
+    — the "all-but-the-top" prep (Mu & Viswanath 2018): with v the
+    :func:`pca_top_component` direction, ``coef_i = <q_i, v> / <v, v>``
+    is each row's loading on the anisotropy axis; subtracting ``coef·v``
+    is the de-biasing step, and rows whose coef sits far from the bulk
+    are dominated by the common direction (boilerplate-shaped in
+    embedding space).
+
+    Two passes: the covariance sufficient-statistic pass inside
+    :func:`pca_top_component` (driver holds D² ints), then ONE map-only
+    scoring pass with ``(v, <v,v>)`` in the closure — broadcast once via
+    Ray's fn serialization. Exactness: the per-row dot is int64-safe
+    (D·q·v ≤ 64·10⁷·10⁶ ≈ 10¹⁵); the final ratio needs ``dot·10⁶``
+    which can exceed int64, so it runs per row in Python ints with the
+    pinned ``trunc_div`` — a thin loop over an audit column, not a hot
+    transform path.
+
+    Returns a Dataset ``(id_col, coef_micro)``."""
+    comp = pca_top_component(ds, vec_col=vec_col, iters=iters)
+    v = np.asarray(comp["component_micro"].to_pylist(), dtype=np.int64)
+    vv = int(sum(int(x) * int(x) for x in v))
+    if vv == 0:
+        raise ValueError("common_direction_coef: zero direction")
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "coef_micro": pa.array([], pa.int64()),
+            })
+        q = _quant(batch, vec_col)
+        dots = q @ v  # int64-safe (see docstring bound)
+        coef = [trunc_div(int(dv) * FP, vv) for dv in dots]
+        return pa.table({
+            id_col: batch[id_col],
+            "coef_micro": pa.array(coef, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -677,3 +677,101 @@ def event_debounce(ds, *, window_seconds: int = 300,
         return out
 
     return grouped(ds, keys).map_groups(per_key, batch_format="pandas")
+
+
+def peak_concurrency(ds, *, ts_col: str = "ts", hold_seconds: int = 300,
+                     num_parts: int = 16):
+    """Global peak interval concurrency — the capacity audit: treating
+    each event as holding a resource for ``hold_seconds``, the maximum
+    number simultaneously held. This is the max-prefix-sum of the ±1
+    boundary stream, computed WITHOUT a global sort via the associative
+    scan decomposition: max-prefix(A ⧺ B) = max(maxpref(A),
+    sum(A) + maxpref(B)).
+
+    Plan: one map pass explodes each event into two boundary points
+    keyed ``key = 2·t_us + (delta > 0)`` (so at equal timestamps the −1
+    END sorts before the +1 START — pinned, mirrored by SQL
+    ``ORDER BY t, d``), a bounded percentile reduction learns range cuts
+    (strict compare, ties LEFT — equal keys never straddle a cut), each
+    range reduces to ``(sum, max-prefix)`` inside ``map_groups``, and
+    the driver folds ``num_parts`` pairs left-to-right. Exchange: the
+    boundary stream moves once; driver holds 2·num_parts ints.
+
+    Returns a one-row pyarrow Table ``(n_intervals, peak_concurrency)``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+    from corpusaid_ray.util import grouped
+
+    hold_us = int(hold_seconds) * 1_000_000
+
+    # sparse-input contract: no events at all (count() is metadata-cheap
+    # on parquet reads; the percentile reduction can't see zero rows)
+    if ds.count() == 0:
+        return pa.table({
+            "n_intervals": pa.array([0], pa.int64()),
+            "peak_concurrency": pa.array([0], pa.int64()),
+        })
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df[ts_col].to_numpy().astype("datetime64[us]")
+             .astype("int64"))
+        key = np.concatenate([2 * t + 1, 2 * (t + hold_us)])
+        d = np.concatenate([np.ones(len(t), np.int64),
+                            np.full(len(t), -1, np.int64)])
+        return pd.DataFrame({"key": key, "d": d})
+
+    pts = ds.map_batches(boundaries, batch_format="pandas")
+
+    qs = tuple(k / num_parts for k in range(1, num_parts))
+    names = [f"p{int(p * 100)}_micros" for p in qs]
+    assert len(set(names)) == len(names), "non-distinct percentile names"
+    pct = group_percentiles_distributed(
+        pts.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df["key"].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v", percentiles=qs)
+    cuts = np.sort(np.array(
+        [int(pct[c].iloc[0]) // 1_000_000 for c in names],
+        dtype=np.int64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["key"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "part_id": np.searchsorted(cuts, k, side="left").astype(
+                "int64"),
+            "key": k,
+            "d": df["d"].to_numpy(np.int64),
+        })
+
+    def scan_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("key", kind="mergesort")
+        c = g["d"].to_numpy(np.int64).cumsum()
+        return pd.DataFrame({
+            "part_id": [int(g["part_id"].iloc[0])],
+            "total": [int(c[-1])],
+            "maxpref": [int(c.max())],
+            "n_pts": [len(g)],
+        })
+
+    parts = grouped(
+        pts.map_batches(assign, batch_format="pandas"), "part_id"
+    ).map_groups(scan_partial, batch_format="pandas").take_all()
+
+    offset, peak, n_pts = 0, None, 0
+    for row in sorted(parts, key=lambda r: int(r["part_id"])):
+        cand = offset + int(row["maxpref"])
+        peak = cand if peak is None else max(peak, cand)
+        offset += int(row["total"])
+        n_pts += int(row["n_pts"])
+    return pa.table({
+        "n_intervals": pa.array([n_pts // 2], pa.int64()),
+        "peak_concurrency": pa.array([0 if peak is None else peak],
+                                     pa.int64()),
+    })

@@ -424,7 +424,11 @@ def test_sparse_input_robustness(ray_session, tmp_path):
                  "local_supplier_volume", "attribution_window",
                  "collocations", "cheapest_supplier_per_part",
                  # round-5 session-3 join additions
-                 "shipping_priority", "returned_item_revenue"):
+                 "shipping_priority", "returned_item_revenue",
+                 # round-5 session-4 join/scan additions
+                 "late_order_priority", "promo_revenue_share",
+                 "fk_integrity", "supplier_variety", "peak_concurrency",
+                 "spearman_len_words", "keep_rate_by_length_decile"):
         res = qs[name](str(d))
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n >= 0

@@ -390,3 +390,104 @@ def test_flag_rate_by_value_decile_matches_serial(ray_session, seed):
     pd.testing.assert_frame_equal(
         out, exp.astype({"part_id": "int64"}), check_dtype=False)
     assert int(out.n_docs.sum()) == n
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_common_direction_coef_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import (
+        common_direction_coef, pca_top_component,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, d = 100, 5
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, d).astype(np.float32)
+                      for _ in range(n)],
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    comp = pca_top_component(ds).to_pandas().sort_values("i")
+    v = [int(x) for x in comp.component_micro]
+    vv = sum(x * x for x in v)
+    out = common_direction_coef(ds).to_pandas().set_index("vec_id")
+    for vid, emb in zip(df.vec_id, df.embedding):
+        q = np.floor(1_000_000 * np.asarray(emb, dtype=np.float32)
+                     .astype(np.float64)).astype(int)
+        dot = sum(int(a) * b for a, b in zip(q, v))
+        assert int(out.loc[vid, "coef_micro"]) == _trunc_div(
+            dot * 1_000_000, vv)
+    # de-biasing sanity: subtracting coef·v kills the common component
+    coefs = out.coef_micro.to_numpy(np.float64) / 1e6
+    vecs = np.stack([np.asarray(e) for e in df.embedding]).astype(
+        np.float64)
+    vn = np.array(v, dtype=np.float64)
+    resid = vecs * 1e6 - np.outer(coefs, vn)
+    assert np.abs(resid @ vn).max() < np.abs(vecs * 1e6 @ vn).max()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_peak_concurrency_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.window import peak_concurrency
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    base = np.datetime64("2000-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 3_000_000_000, size=n).astype(
+        "timedelta64[us]")
+    df = pd.DataFrame({"ts": pd.DatetimeIndex(ts)})
+    out = peak_concurrency(
+        ray.data.from_pandas(df).repartition(7),
+        hold_seconds=300).to_pandas()
+    t = ts.astype("datetime64[us]").astype("int64")
+    pts = sorted([(2 * x + 1, 1) for x in t]
+                 + [(2 * (x + 300_000_000), -1) for x in t])
+    c, peak = 0, 0
+    for _, dlt in pts:
+        c += dlt
+        peak = max(peak, c)
+    assert int(out.n_intervals.iloc[0]) == n
+    assert int(out.peak_concurrency.iloc[0]) == peak
+
+
+def test_peak_concurrency_known_and_empty(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.window import peak_concurrency
+
+    # three overlapping + one disjoint → peak 3
+    ts = pd.to_datetime([
+        "2000-01-01 00:00:00", "2000-01-01 00:01:00",
+        "2000-01-01 00:02:00", "2000-01-01 10:00:00"])
+    out = peak_concurrency(
+        ray.data.from_pandas(pd.DataFrame({"ts": ts}))).to_pandas()
+    assert int(out.peak_concurrency.iloc[0]) == 3
+    # back-to-back: end applies before start at the same instant → peak 1
+    ts2 = pd.to_datetime(["2000-01-01 00:00:00", "2000-01-01 00:05:00"])
+    out = peak_concurrency(
+        ray.data.from_pandas(pd.DataFrame({"ts": ts2}))).to_pandas()
+    assert int(out.peak_concurrency.iloc[0]) == 1
+    empty = pd.DataFrame({"ts": pd.DatetimeIndex([])})
+    out = peak_concurrency(ray.data.from_pandas(empty)).to_pandas()
+    assert int(out.n_intervals.iloc[0]) == 0
+    assert int(out.peak_concurrency.iloc[0]) == 0
+
+
+def test_supplier_variety_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = (e.q_supplier_variety(SF_SMALL).to_pandas()
+           .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
+                           columns=["l_partkey", "l_suppkey"])
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+    j = line.merge(part, left_on="l_partkey", right_on="p_partkey")
+    exp = (j.groupby(["p_brand", "p_size"])["l_suppkey"].nunique()
+           .rename("n_suppliers").reset_index()
+           .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
