@@ -6386,6 +6386,31 @@ def q_supplier_variety(sf_dir: str):
     ).map_groups(nunique, batch_format="pandas")
 
 
+def q_heuristic_corr(sf_dir: str):
+    """Rule-redundancy audit (quality.heuristic_correlations): exact
+    signed-corr² among the heuristic gate signals over the raw corpus —
+    one 4×4 sufficient-statistic pass, sqrt-free fixed point."""
+    from corpusaid_ray.corpus import read_corpus
+    from corpusaid_ray.stages.quality import heuristic_correlations
+
+    return heuristic_correlations(read_corpus(sf_dir),
+                                  source_col="content")
+
+
+def q_lang_source_mi(sf_dir: str):
+    """Provenance-informativeness audit (drift.mutual_information): exact
+    fixed-point MI(lang; source) + marginal entropies from one bounded
+    contingency groupby."""
+    import ray.data
+
+    from corpusaid_ray.stages.drift import mutual_information
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    return mutual_information(ds, a_col="lang", b_col="source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -6649,6 +6674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_direction_coef": q_common_direction_coef,
         "peak_concurrency": q_peak_concurrency,
         "supplier_variety": q_supplier_variety,
+        "heuristic_corr": q_heuristic_corr,
+        "lang_source_mi": q_lang_source_mi,
     }
 
 

@@ -5853,3 +5853,65 @@ ORACLE_SQL["supplier_variety"] = """
 SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand, p_size"""
+
+# heuristic_corr: pairwise signed-corr² of the heuristic gate signals —
+# pinned per-metric quantization (counts raw, ratios micro), n²-normalized
+# covariances before the sqrt-free corr² ratio (keeps HUGEINT bounded by
+# metric scale, corpus-size-free).
+ORACLE_SQL["heuristic_corr"] = with_corpus(f"""
+, m AS MATERIALIZED (
+  SELECT path, {_HEUR_COLS}
+  FROM corpus),
+mm AS MATERIALIZED (
+  SELECT path, 'alnum_ratio' AS met,
+         floor(1000000 * alnum_ratio)::HUGEINT AS v FROM m
+  UNION ALL
+  SELECT path, 'dup_line_frac', floor(1000000 * dup_line_frac)::HUGEINT
+  FROM m
+  UNION ALL
+  SELECT path, 'max_line_len', max_line_len::HUGEINT FROM m
+  UNION ALL
+  SELECT path, 'n_chars', n_chars::HUGEINT FROM m),
+st AS MATERIALIZED (
+  SELECT a.met AS metric_a, b.met AS metric_b, count(*)::HUGEINT AS n,
+         sum(a.v * b.v) AS pab, sum(a.v * a.v) AS paa,
+         sum(b.v * b.v) AS pbb, sum(a.v) AS sa, sum(b.v) AS sb
+  FROM mm a JOIN mm b ON a.path = b.path AND a.met < b.met
+  GROUP BY 1, 2),
+c AS (
+  SELECT metric_a, metric_b, n::BIGINT AS n_docs,
+         ((n * pab - sa * sb) // (n * n)) AS cov_q,
+         ((n * paa - sa * sa) // (n * n)) AS var_a,
+         ((n * pbb - sb * sb) // (n * n)) AS var_b
+  FROM st)
+SELECT metric_a, metric_b, n_docs, cov_q::BIGINT AS cov_q,
+       (CASE WHEN cov_q < 0 THEN -1 ELSE 1 END
+        * ((cov_q * cov_q * 1000000) // (var_a * var_b)))::BIGINT
+         AS corr_sq_signed_micros
+FROM c WHERE var_a > 0 AND var_b > 0""")
+
+# lang_source_mi: exact fixed-point entropies/MI over the (lang, source)
+# contingency table — L(v) = floor(1e6·ln v) per distinct count.
+ORACLE_SQL["lang_source_mi"] = """
+WITH cnt AS MATERIALIZED (
+  SELECT lang, source, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2),
+ca AS MATERIALIZED (SELECT lang, sum(c)::BIGINT AS c FROM cnt GROUP BY 1),
+cb AS MATERIALIZED (
+  SELECT source, sum(c)::BIGINT AS c FROM cnt GROUP BY 1),
+t AS MATERIALIZED (SELECT sum(c)::BIGINT AS n FROM cnt)
+SELECT t.n AS n_docs,
+       ((t.n * floor(1000000 * ln(t.n))::HUGEINT
+         - (SELECT sum(c * floor(1000000 * ln(c))::HUGEINT) FROM ca))
+        // t.n)::BIGINT AS h_a_micro,
+       ((t.n * floor(1000000 * ln(t.n))::HUGEINT
+         - (SELECT sum(c * floor(1000000 * ln(c))::HUGEINT) FROM cb))
+        // t.n)::BIGINT AS h_b_micro,
+       ((SELECT sum(cnt.c * (floor(1000000 * ln(t2.n))
+                             + floor(1000000 * ln(cnt.c))
+                             - floor(1000000 * ln(ca.c))
+                             - floor(1000000 * ln(cb.c)))::HUGEINT)
+         FROM cnt
+         JOIN ca USING (lang) JOIN cb USING (source), t t2)
+        // t.n)::BIGINT AS mi_micro
+FROM t"""

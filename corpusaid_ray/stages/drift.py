@@ -24,6 +24,7 @@ metric into buckets first.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -123,4 +124,69 @@ def chi2_drift(ds, *, slice_col: str = "source",
         slice_col: pa.array(out_s, pa.string()),
         "n_docs": pa.array(out_n, pa.int64()),
         "chi2_micro": pa.array(out_chi, pa.int64()),
+    })
+
+
+def mutual_information(ds, *, a_col: str = "lang", b_col: str = "source"):
+    """Exact fixed-point mutual information (and marginal entropies)
+    between two categorical columns — the provenance-informativeness
+    audit: MI(lang; source) near 0 means sources are language-balanced;
+    MI near H(lang) means source IS the language signal (a langid model
+    trained on this corpus would just memorize provenance).
+
+    ONE (a, b) count groupby (bounded by |A×B| — the contingency table
+    is driver state by construction), then exact integer arithmetic with
+    the shared log fixed point ``L(v) = floor(10⁶·ln v)``
+    (``math.log`` == DuckDB ``ln`` bit-exact, the lexstats precedent):
+
+        H(A)·n  = n·L(n) − Σ_a c_a·L(c_a)
+        MI·n    = Σ_ab c_ab·(L(n) + L(c_ab) − L(c_a) − L(c_b))
+
+    both divided by n with ``trunc_div`` (fixed-point L error can push
+    tiny true-zero MI a hair negative — kept signed, mirrored).
+
+    Returns a one-row pyarrow Table
+    ``(n_docs, h_a_micro, h_b_micro, mi_micro)``."""
+    from corpusaid_ray.stages.lexstats import _log_fp
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "a": df[a_col], "b": df[b_col],
+            "c": np.ones(len(df), np.int64),
+        })
+        return out.groupby(["a", "b"], sort=False, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    cells = grouped(
+        ds.map_batches(partial, batch_format="pandas"), ["a", "b"]
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+
+    n = sum(int(r["c"]) for r in cells)
+    if n == 0:
+        return pa.table({
+            "n_docs": pa.array([0], pa.int64()),
+            "h_a_micro": pa.array([0], pa.int64()),
+            "h_b_micro": pa.array([0], pa.int64()),
+            "mi_micro": pa.array([0], pa.int64()),
+        })
+    ca: dict = {}
+    cb: dict = {}
+    for r in cells:
+        ca[r["a"]] = ca.get(r["a"], 0) + int(r["c"])
+        cb[r["b"]] = cb.get(r["b"], 0) + int(r["c"])
+    ln = _log_fp(n)
+    h_a = trunc_div(n * ln - sum(c * _log_fp(c) for c in ca.values()), n)
+    h_b = trunc_div(n * ln - sum(c * _log_fp(c) for c in cb.values()), n)
+    mi = trunc_div(
+        sum(int(r["c"]) * (ln + _log_fp(int(r["c"]))
+                           - _log_fp(ca[r["a"]]) - _log_fp(cb[r["b"]]))
+            for r in cells), n)
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "h_a_micro": pa.array([h_a], pa.int64()),
+        "h_b_micro": pa.array([h_b], pa.int64()),
+        "mi_micro": pa.array([mi], pa.int64()),
     })

@@ -721,3 +721,85 @@ def paragraph_repetition_fn(batch: pa.Table,
             dup_chars * 1_000_000 // np.maximum(tot_chars, 1)),
     })
     return pa.table(out)
+
+
+HEUR_CORR_METRICS = ("alnum_ratio", "dup_line_frac", "max_line_len",
+                     "n_chars")
+
+
+def heuristic_correlations(ds, *, source_col: str = "content"):
+    """Exact pairwise correlation structure of the heuristic quality
+    signals — the rule-redundancy audit: two rules whose signed-corr² sits
+    near 10⁶ gate the same documents (one is dead weight); a rule
+    uncorrelated with every other contributes independent coverage. Run
+    before re-tuning thresholds at a new corpus mix.
+
+    One sufficient-statistic pass (the ``covariance_matrix`` shape, 4×4):
+    each batch computes the heuristic columns (:func:`heuristics_fn` —
+    the SAME kernels the keep gate uses), quantizes them with PINNED
+    per-metric scales (counts raw; ratios ``floor(10⁶·r)`` — keeping
+    count metrics unscaled bounds every int64 batch partial), and emits
+    ``(n, Σx, XᵀX)``; the driver folds in exact Python ints.
+
+    Correlation without sqrt: per pair, covariance and variances first
+    normalize by n² with ``trunc_div`` (both sides, pinned — this bounds
+    every later product by METRIC scale, corpus-size-free), then
+
+        corr_sq_signed_micros = sign(cov)·trunc(cov²·10⁶ / (var_a·var_b))
+
+    — ±10⁶ = perfectly correlated, 0 = independent. Pairs with a
+    zero-variance side are EXCLUDED (the OLS den=0 contract).
+
+    Returns a pyarrow Table ``(metric_a, metric_b, n_docs, cov_q,
+    corr_sq_signed_micros)`` for metric_a < metric_b (name order)."""
+    from corpusaid_ray.stages.embstats import _fold_cov_partials
+    from corpusaid_ray.stages.regression import trunc_div
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64())),
+                "p": pa.array([], pa.list_(pa.int64())),
+            })
+        h = heuristics_fn(batch, source_col=source_col)
+        cols = []
+        for m in HEUR_CORR_METRICS:
+            a = h[m].to_numpy(zero_copy_only=False)
+            if a.dtype.kind == "f":
+                a = np.floor(1_000_000 * a.astype(np.float64))
+            cols.append(a.astype(np.int64))
+        q = np.stack(cols, axis=1)
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "s": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "p": pa.array([(q.T @ q).ravel().tolist()],
+                          pa.list_(pa.int64())),
+        })
+
+    n, s_tot, p_tot = _fold_cov_partials(
+        ds.map_batches(partial, batch_format="pyarrow"))
+    names = list(HEUR_CORR_METRICS)
+    d = len(names)
+    ma, mb, covs, corrs = [], [], [], []
+    if n > 0 and s_tot is not None:
+        var = [trunc_div(n * p_tot[i * d + i] - s_tot[i] * s_tot[i],
+                         n * n) for i in range(d)]
+        for i in range(d):
+            for j in range(i + 1, d):
+                if var[i] <= 0 or var[j] <= 0:
+                    continue
+                cov = trunc_div(
+                    n * p_tot[i * d + j] - s_tot[i] * s_tot[j], n * n)
+                sq = trunc_div(cov * cov * 1_000_000, var[i] * var[j])
+                ma.append(names[i])
+                mb.append(names[j])
+                covs.append(cov)
+                corrs.append(sq if cov >= 0 else -sq)
+    return pa.table({
+        "metric_a": pa.array(ma, pa.string()),
+        "metric_b": pa.array(mb, pa.string()),
+        "n_docs": pa.array([n] * len(ma), pa.int64()),
+        "cov_q": pa.array(covs, pa.int64()),
+        "corr_sq_signed_micros": pa.array(corrs, pa.int64()),
+    })

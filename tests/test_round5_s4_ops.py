@@ -491,3 +491,97 @@ def test_supplier_variety_matches_pandas(ray_session):
            .rename("n_suppliers").reset_index()
            .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_heuristic_correlations_planted(ray_session):
+    """Planted perfect correlation: dup_line_frac rises exactly with
+    n_chars on a constructed corpus → signed corr² hits +10⁶ for a
+    monotone linear pair; constant metrics are excluded."""
+    import ray.data
+
+    from corpusaid_ray.stages.quality import heuristic_correlations
+
+    # identical single-line docs of growing length: alnum_ratio == 1,
+    # dup_line_frac == 0 (constant → excluded); n_chars tracks
+    # max_line_len exactly → corr²  = +1e6
+    df = pd.DataFrame({
+        "content": ["a" * (10 + i) for i in range(50)],
+    })
+    out = heuristic_correlations(
+        ray.data.from_pandas(df).repartition(4)).to_pandas()
+    pairs = {(a, b): r for a, b, r in zip(
+        out.metric_a, out.metric_b, out.corr_sq_signed_micros)}
+    assert pairs[("max_line_len", "n_chars")] == 1_000_000
+    # constant metrics never appear
+    assert not any("alnum_ratio" in p or "dup_line_frac" in p
+                   for p in pairs)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_heuristic_correlations_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.quality import (
+        HEUR_CORR_METRICS, heuristic_correlations, heuristics_fn,
+    )
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    texts = []
+    for _ in range(120):
+        lines = ["".join(rng.choice(list("abc!? "), size=rng.integers(
+            1, 60))) for _ in range(rng.integers(1, 8))]
+        texts.append("\n".join(lines))
+    df = pd.DataFrame({"content": texts})
+    out = heuristic_correlations(
+        ray.data.from_pandas(df).repartition(5)).to_pandas()
+
+    h = heuristics_fn(pa.table({"content": texts}), source_col="content")
+    q = []
+    for m in HEUR_CORR_METRICS:
+        a = h[m].to_numpy(zero_copy_only=False)
+        if a.dtype.kind == "f":
+            a = np.floor(1_000_000 * a.astype(np.float64))
+        q.append([int(v) for v in a])
+    n = len(texts)
+    for r in out.itertuples(index=False):
+        i = HEUR_CORR_METRICS.index(r.metric_a)
+        j = HEUR_CORR_METRICS.index(r.metric_b)
+        si, sj = sum(q[i]), sum(q[j])
+        cov = _trunc_div(
+            n * sum(a * b for a, b in zip(q[i], q[j])) - si * sj, n * n)
+        va = _trunc_div(n * sum(a * a for a in q[i]) - si * si, n * n)
+        vb = _trunc_div(n * sum(b * b for b in q[j]) - sj * sj, n * n)
+        assert r.cov_q == cov
+        sq = _trunc_div(cov * cov * 1_000_000, va * vb)
+        assert r.corr_sq_signed_micros == (sq if cov >= 0 else -sq)
+
+
+def test_mutual_information_exact_cases(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.drift import mutual_information
+
+    # independent uniform 2×2: MI == 0 exactly (all counts equal)
+    ind = pd.DataFrame({
+        "lang": ["en", "en", "de", "de"] * 25,
+        "source": ["web", "book"] * 50,
+    })
+    out = mutual_information(
+        ray.data.from_pandas(ind).repartition(3)).to_pandas()
+    assert abs(int(out.mi_micro.iloc[0])) <= 2  # fixed-point slack
+    # ln(2) entropy for a balanced binary marginal
+    assert abs(int(out.h_a_micro.iloc[0]) - 693_147) <= 2
+    # perfectly dependent: MI == H(A) == H(B)
+    dep = pd.DataFrame({
+        "lang": ["en", "de"] * 50,
+        "source": ["web", "book"] * 50,
+    })
+    out = mutual_information(ray.data.from_pandas(dep)).to_pandas()
+    assert abs(int(out.mi_micro.iloc[0])
+               - int(out.h_a_micro.iloc[0])) <= 3
+    # empty input
+    empty = pd.DataFrame({"lang": pd.array([], dtype=str),
+                          "source": pd.array([], dtype=str)})
+    out = mutual_information(ray.data.from_pandas(empty)).to_pandas()
+    assert int(out.n_docs.iloc[0]) == 0
