@@ -6411,6 +6411,172 @@ def q_lang_source_mi(sf_dir: str):
     return mutual_information(ds, a_col="lang", b_col="source")
 
 
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    lineitems whose quantity is below 20% of their part's average.
+    Aggregate-then-rejoin-same-table: one per-part (count, sum) groupby,
+    hash-joined back onto lineitem; the avg compare runs in exact
+    integers (5·qty·cnt < sum — TPC-H quantities are integral)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "l_partkey": df.l_partkey,
+            "c": np.ones(len(df), np.int64),
+            "s": df.l_quantity.to_numpy(np.int64),
+        })
+        return out.groupby("l_partkey", sort=False, as_index=False).sum()
+
+    per_part = drop_empty_blocks(grouped(
+        line.map_batches(qty_partial, batch_format="pandas"), "l_partkey"
+    ).aggregate(Sum("c", alias_name="c"), Sum("s", alias_name="s")))
+    # counted adaptive switch (the dup_span_scrub pattern): the per-part
+    # table is 3 ints/part — broadcast below the cap (measured 10.8 s →
+    # 8.9 s at sf0.01; cost is dominated by the two lineitem passes, not
+    # the exchange), hash-join above (the 10¹²-row scale shape)
+    per_part = per_part.materialize()
+    if per_part.count() <= 2_000_000:
+        from corpusaid_ray.stages.join import broadcast_join
+
+        joined = broadcast_join(line, per_part.to_pandas(),
+                                on="l_partkey")
+    else:
+        joined = hash_join(line, per_part, on="l_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df.l_quantity.to_numpy(np.int64)
+        keep = 5 * qty * df.c.to_numpy(np.int64) < df.s.to_numpy(np.int64)
+        rev = np.floor(
+            df.l_extendedprice.to_numpy()[keep]
+            * (1.0 - df.l_discount.to_numpy()[keep]) * 1_000_000
+        ).astype("int64")
+        return pd.DataFrame({"n_items": [int(keep.sum())],
+                             "rev": [int(rev.sum())]})
+
+    n_items = rev = 0
+    for b in joined.map_batches(partial, batch_format="pandas")\
+            .iter_batches(batch_format="pyarrow"):
+        import pyarrow.compute as pc
+
+        n_items += int(pc.sum(b["n_items"]).as_py() or 0)
+        rev += int(pc.sum(b["rev"]).as_py() or 0)
+    return pa.table({
+        "n_items": pa.array([n_items], pa.int64()),
+        "revenue_micros": pa.array([rev], pa.int64()),
+    })
+
+
+def q_props_value_stats(sf_dir: str):
+    """Semi-structured side-data extraction: the integer ``k`` property is
+    pulled out of the JSON ``props`` string with ONE vectorized regex
+    (Arrow ``extract_regex`` == DuckDB ``regexp_extract`` — no per-row
+    json.loads), then per-event-type exact stats. Rows with no digit in
+    props are excluded (pinned; the SQL mirror's regexp_extract returns
+    '' there)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r"(?P<k>\d+)")
+        k = pc.struct_field(m, "k")
+        valid = pc.is_valid(k)
+        return pa.table({
+            "event_type": pc.filter(batch["event_type"], valid),
+            "k": pc.cast(pc.filter(k, valid), pa.int64()),
+            "n": pa.array([1] * int(pc.sum(pc.cast(valid, pa.int8()))
+                                    .as_py() or 0), pa.int64()),
+        })
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)
+        out = g.agg(n=("n", "sum"), sum_k=("k", "sum"),
+                    min_k=("k", "min"), max_k=("k", "max")).reset_index()
+        return out
+
+    sums = grouped(
+        ds.map_batches(extract, batch_format="pyarrow")
+          .map_batches(partial, batch_format="pandas"),
+        "event_type",
+    ).aggregate(Sum("n", alias_name="n_events"),
+                Sum("sum_k", alias_name="sum_k"),
+                Min("min_k", alias_name="min_k"),
+                Max("max_k", alias_name="max_k"))
+    return sums
+
+
+def q_rank_fusion(sf_dir: str):
+    """Borda rank fusion of two document rankings (length rank + word-
+    count rank, both via the range-partition global ranker — no global
+    sort): fused score = rank sum; top 50 by fused desc, doc_id asc.
+    The final sort touches only (id, 3 ints) rows and the limit prunes
+    blocks during the sorted exchange."""
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.stages.regression import _word_count_col
+    from corpusaid_ray.stages.sampling import global_rank_via_ranges
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "n_chars"],
+    )
+
+    def words(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": tbl["doc_id"],
+            "n_words": pa.array(_word_count_col(tbl, "text"),
+                                pa.int64()),
+        })
+
+    rx = global_rank_via_ranges(
+        ds, value_col="n_chars", id_col="doc_id"
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "rank_chars": t["global_rank"]}),
+        batch_format="pyarrow")
+    ry = global_rank_via_ranges(
+        ds.map_batches(words, batch_format="pyarrow"),
+        value_col="n_words", id_col="doc_id"
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "rank_words": t["global_rank"]}),
+        batch_format="pyarrow")
+
+    def fuse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "fused", pc.add(t["rank_chars"], t["rank_words"]))
+
+    return (hash_join(rx, ry, on="doc_id")
+            .map_batches(fuse, batch_format="pyarrow")
+            .sort(["fused", "doc_id"], descending=[True, False])
+            .limit(50))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -6676,6 +6842,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_variety": q_supplier_variety,
         "heuristic_corr": q_heuristic_corr,
         "lang_source_mi": q_lang_source_mi,
+        "small_qty_revenue": q_small_qty_revenue,
+        "props_value_stats": q_props_value_stats,
+        "rank_fusion": q_rank_fusion,
     }
 
 

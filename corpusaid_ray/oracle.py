@@ -5915,3 +5915,47 @@ SELECT t.n AS n_docs,
          JOIN ca USING (lang) JOIN cb USING (source), t t2)
         // t.n)::BIGINT AS mi_micro
 FROM t"""
+
+# small_qty_revenue: TPC-H Q17 shape — integer-exact 20%-of-part-average
+# quantity predicate (5·qty·cnt < sum), floored-micro revenue.
+ORACLE_SQL["small_qty_revenue"] = """
+WITH pa_ AS (
+  SELECT l_partkey, count(*)::BIGINT AS c,
+         sum(l_quantity::BIGINT)::BIGINT AS s
+  FROM lineitem GROUP BY 1)
+SELECT count(*)::BIGINT AS n_items,
+       coalesce(sum(floor(l_extendedprice * (1.0 - l_discount)
+                          * 1000000)::BIGINT), 0)::BIGINT
+         AS revenue_micros
+FROM lineitem JOIN pa_ USING (l_partkey)
+WHERE 5 * l_quantity::BIGINT * c < s"""
+
+# props_value_stats: vectorized JSON-ish extraction (one regexp, no per-row
+# parse) → per-type exact integer stats; digit-free rows excluded.
+ORACLE_SQL["props_value_stats"] = r"""
+WITH x AS (
+  SELECT event_type, regexp_extract(props, '(\d+)', 1) AS ks FROM events)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(ks::BIGINT)::BIGINT AS sum_k,
+       min(ks::BIGINT)::BIGINT AS min_k,
+       max(ks::BIGINT)::BIGINT AS max_k
+FROM x WHERE ks != ''
+GROUP BY event_type"""
+
+# rank_fusion: Borda fusion of the untied row_number rankings (the
+# spearman_len_words convention), top 50 by fused desc / doc_id asc.
+ORACLE_SQL["rank_fusion"] = f"""
+WITH w AS (
+  SELECT doc_id, n_chars, {_word_count_sql('text')} AS n_words
+  FROM documents),
+rx AS (SELECT doc_id,
+              row_number() OVER (ORDER BY n_chars, doc_id) AS rank_chars
+       FROM w),
+ry AS (SELECT doc_id,
+              row_number() OVER (ORDER BY n_words, doc_id) AS rank_words
+       FROM w)
+SELECT rx.doc_id AS doc_id, rank_chars, rank_words,
+       (rank_chars + rank_words)::BIGINT AS fused
+FROM rx JOIN ry USING (doc_id)
+ORDER BY fused DESC, doc_id
+LIMIT 50"""

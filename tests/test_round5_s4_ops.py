@@ -585,3 +585,63 @@ def test_mutual_information_exact_cases(ray_session):
                           "source": pd.array([], dtype=str)})
     out = mutual_information(ray.data.from_pandas(empty)).to_pandas()
     assert int(out.n_docs.iloc[0]) == 0
+
+
+def test_small_qty_revenue_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = e.q_small_qty_revenue(SF_SMALL).to_pandas()
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    pa_ = line.groupby("l_partkey")["l_quantity"].agg(["count", "sum"])
+    j = line.join(pa_, on="l_partkey")
+    keep = (5 * j.l_quantity.to_numpy(np.int64)
+            * j["count"].to_numpy(np.int64)
+            < j["sum"].to_numpy(np.int64))
+    rev = np.floor(j.l_extendedprice.to_numpy()[keep]
+                   * (1.0 - j.l_discount.to_numpy()[keep])
+                   * 1_000_000).astype("int64")
+    assert int(got.n_items.iloc[0]) == int(keep.sum())
+    assert int(got.revenue_micros.iloc[0]) == int(rev.sum())
+
+
+def test_props_value_stats_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = (e.q_props_value_stats(SF_SMALL).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet",
+                         columns=["event_type", "props"])
+    k = ev.props.str.extract(r"(\d+)")[0]
+    ev = ev.assign(k=pd.to_numeric(k)).dropna(subset=["k"])
+    exp = (ev.groupby("event_type")["k"]
+           .agg(n_events="count", sum_k="sum", min_k="min", max_k="max")
+           .reset_index().sort_values("event_type")
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rank_fusion_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = e.q_rank_fusion(SF_SMALL).to_pandas().reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    docs["n_words"] = [len(t.split()) for t in docs.text]
+    rc = docs.sort_values(["n_chars", "doc_id"]).doc_id.to_numpy()
+    rw = docs.sort_values(["n_words", "doc_id"]).doc_id.to_numpy()
+    rank_c = pd.Series(np.arange(1, len(rc) + 1), index=rc)
+    rank_w = pd.Series(np.arange(1, len(rw) + 1), index=rw)
+    exp = pd.DataFrame({
+        "doc_id": docs.doc_id,
+        "rank_chars": rank_c.reindex(docs.doc_id).to_numpy(),
+        "rank_words": rank_w.reindex(docs.doc_id).to_numpy(),
+    })
+    exp["fused"] = exp.rank_chars + exp.rank_words
+    exp = (exp.sort_values(["fused", "doc_id"],
+                           ascending=[False, True]).head(50)
+           .reset_index(drop=True))
+    got = got[["doc_id", "rank_chars", "rank_words", "fused"]]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
