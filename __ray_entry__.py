@@ -6577,6 +6577,34 @@ def q_rank_fusion(sf_dir: str):
             .limit(50))
 
 
+def q_event_stationary(sf_dir: str):
+    """Long-run behavioral mix (window.markov_stationary): stationary
+    distribution of the within-session transition chain via 8 exact
+    fixed-point power steps over the bounded (from, to) matrix."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import markov_stationary
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return markov_stationary(ds)
+
+
+def q_source_composition_cosine(sf_dir: str):
+    """Slice-redundancy audit (drift.composition_cosine): sqrt-free exact
+    cosine² between per-source language-count vectors from one bounded
+    contingency groupby."""
+    import ray.data
+
+    from corpusaid_ray.stages.drift import composition_cosine
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    return composition_cosine(ds, group_col="source", dim_col="lang")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -6845,6 +6873,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": q_small_qty_revenue,
         "props_value_stats": q_props_value_stats,
         "rank_fusion": q_rank_fusion,
+        "event_stationary": q_event_stationary,
+        "source_composition_cosine": q_source_composition_cosine,
     }
 
 

@@ -5959,3 +5959,66 @@ SELECT rx.doc_id AS doc_id, rank_chars, rank_words,
 FROM rx JOIN ry USING (doc_id)
 ORDER BY fused DESC, doc_id
 LIMIT 50"""
+
+
+def _event_stationary_sql(iters: int = 8) -> str:
+    """Mirror of window.markov_stationary: the event_transitions CTE,
+    row-normalized in micro fixed point, then ``iters`` unrolled
+    renormalized power steps (the pca_top_component precedent)."""
+    sql = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS from_type,
+         (ts - lag(ts) OVER w) <= INTERVAL 30 MINUTE AS same_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+tr AS MATERIALIZED (
+  SELECT from_type, event_type AS to_type, count(*)::HUGEINT AS n
+  FROM o WHERE same_session GROUP BY 1, 2),
+types AS MATERIALIZED (
+  SELECT DISTINCT t FROM (SELECT from_type AS t FROM tr
+                          UNION SELECT to_type FROM tr)),
+tc AS MATERIALIZED (SELECT count(*)::HUGEINT AS k FROM types),
+marg AS MATERIALIZED (SELECT from_type, sum(n) AS c FROM tr GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT tr.from_type AS f, tr.to_type AS t2,
+         (tr.n * 1000000) // marg.c AS pv
+  FROM tr JOIN marg USING (from_type)),
+v0 AS MATERIALIZED (
+  SELECT t, (1000000 // k)::HUGEINT AS val FROM types, tc)"""
+    prev = "v0"
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS MATERIALIZED (
+  SELECT p.t2 AS t, sum(v.val * p.pv) // 1000000 AS raw
+  FROM p JOIN {prev} v ON v.t = p.f GROUP BY 1),
+s{i} AS MATERIALIZED (SELECT sum(raw) AS s FROM r{i}),
+v{i} AS MATERIALIZED (
+  SELECT types.t AS t,
+         coalesce((r.raw * 1000000) // s.s, 0)::HUGEINT AS val
+  FROM types LEFT JOIN r{i} r ON types.t = r.t, s{i} s)"""
+        prev = f"v{i}"
+    sql += f"""
+SELECT t AS event_type, val::BIGINT AS stationary_micro FROM {prev}"""
+    return sql
+
+
+ORACLE_SQL["event_stationary"] = _event_stationary_sql(8)
+
+# source_composition_cosine: sqrt-free exact cosine² between per-source
+# language-count vectors; zero-overlap pairs excluded (inner join on lang).
+ORACLE_SQL["source_composition_cosine"] = """
+WITH c AS MATERIALIZED (
+  SELECT source, lang, count(*)::HUGEINT AS n
+  FROM documents GROUP BY 1, 2),
+d AS MATERIALIZED (
+  SELECT a.source AS group_a, b.source AS group_b, sum(a.n * b.n) AS dot
+  FROM c a JOIN c b ON a.lang = b.lang AND a.source < b.source
+  GROUP BY 1, 2),
+nrm AS MATERIALIZED (SELECT source, sum(n * n) AS nn FROM c GROUP BY 1)
+SELECT group_a, group_b, dot::BIGINT AS dot,
+       ((dot * dot * 1000000) // (na.nn * nb.nn))::BIGINT
+         AS cos_sq_micros
+FROM d
+JOIN nrm na ON na.source = d.group_a
+JOIN nrm nb ON nb.source = d.group_b"""

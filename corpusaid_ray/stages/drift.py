@@ -190,3 +190,54 @@ def mutual_information(ds, *, a_col: str = "lang", b_col: str = "source"):
         "h_b_micro": pa.array([h_b], pa.int64()),
         "mi_micro": pa.array([mi], pa.int64()),
     })
+
+
+def composition_cosine(ds, *, group_col: str = "source",
+                       dim_col: str = "lang"):
+    """Pairwise cosine similarity between per-group composition vectors
+    (e.g. each source's language-count vector) — the slice-redundancy
+    audit: two sources with cos² ≈ 10⁶ contribute the same mix (merge
+    their quotas); a low-cosine outlier source is compositionally novel.
+
+    ONE bounded (group, dim) count groupby (contingency table = driver
+    state by construction), then exact sqrt-free Python-int pair math:
+
+        cos_sq_micros = (a·b)²·10⁶ // (‖a‖²·‖b‖²)
+
+    Pairs sharing NO dimension (dot = 0) are EXCLUDED — pinned, mirrors
+    the SQL inner join on the shared dimension.
+
+    Returns a pyarrow Table ``(group_a, group_b, dot, cos_sq_micros)``
+    for group_a < group_b."""
+    cells = grouped(
+        ds.map_batches(
+            lambda df: pd.DataFrame({
+                "g": df[group_col], "d": df[dim_col],
+                "c": np.ones(len(df), np.int64),
+            }).groupby(["g", "d"], sort=False, as_index=False).sum(),
+            batch_format="pandas"),
+        ["g", "d"],
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+
+    vecs: dict = {}
+    for r in cells:
+        vecs.setdefault(r["g"], {})[r["d"]] = int(r["c"])
+    groups = sorted(vecs)
+    nn = {g: sum(v * v for v in vecs[g].values()) for g in groups}
+    ga, gb, dots, cos = [], [], [], []
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            dot = sum(vecs[a][d] * vecs[b][d]
+                      for d in vecs[a].keys() & vecs[b].keys())
+            if dot == 0:
+                continue
+            ga.append(a)
+            gb.append(b)
+            dots.append(dot)
+            cos.append(dot * dot * 1_000_000 // (nn[a] * nn[b]))
+    return pa.table({
+        "group_a": pa.array(ga, pa.string()),
+        "group_b": pa.array(gb, pa.string()),
+        "dot": pa.array(dots, pa.int64()),
+        "cos_sq_micros": pa.array(cos, pa.int64()),
+    })

@@ -775,3 +775,60 @@ def peak_concurrency(ds, *, ts_col: str = "ts", hold_seconds: int = 300,
         "peak_concurrency": pa.array([0 if peak is None else peak],
                                      pa.int64()),
     })
+
+
+MARKOV_ITERS = 8
+
+
+def markov_stationary(ds, *, gap_minutes: int = 30,
+                      iters: int = MARKOV_ITERS):
+    """Stationary distribution of the within-session event-type Markov
+    chain — the long-run behavioral mix: where user attention settles if
+    the observed transition dynamics keep running. Divergence between the
+    stationary mix and the raw event-type mix flags funnels that trap
+    users (stationary mass ≫ raw share).
+
+    Distributed part: ONE :func:`session_transitions` pass (per-user
+    ordered scan in a keyed groupby → tiny (from, to, n) matrix, bounded
+    by |types|²). Driver part (|types|²-bounded): row-normalize to micro
+    fixed point ``p_ij = n_ij·10⁶ // c_i``, start uniform
+    ``v = 10⁶ // T``, then ``iters`` exact steps
+
+        raw_j = (Σ_i v_i·p_ij) // 10⁶ ;  v_j = raw_j·10⁶ // Σ raw
+
+    (re-normalizing each step keeps the trunc drift from compounding).
+    Types never seen as a source contribute no outgoing mass; types with
+    no incoming mass settle at 0 — both pinned and mirrored by the
+    unrolled-CTE SQL (the pca_top_component fixed-iteration precedent).
+
+    Returns a pyarrow Table ``(event_type, stationary_micro)``."""
+    import pyarrow as pa
+
+    rows = session_transitions(ds, gap_minutes=gap_minutes).take_all()
+    types = sorted({r["from_type"] for r in rows}
+                   | {r["to_type"] for r in rows})
+    if not types:
+        return pa.table({
+            "event_type": pa.array([], pa.string()),
+            "stationary_micro": pa.array([], pa.int64()),
+        })
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    n = [[0] * k for _ in range(k)]
+    for r in rows:
+        n[idx[r["from_type"]]][idx[r["to_type"]]] += int(r["n"])
+    c = [sum(row) for row in n]
+    p = [[(n[i][j] * 1_000_000 // c[i]) if c[i] > 0 else 0
+          for j in range(k)] for i in range(k)]
+    v = [1_000_000 // k] * k
+    for _ in range(iters):
+        raw = [sum(v[i] * p[i][j] for i in range(k)) // 1_000_000
+               for j in range(k)]
+        s = sum(raw)
+        if s == 0:
+            raise ValueError("markov_stationary: mass annihilated")
+        v = [r * 1_000_000 // s for r in raw]
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "stationary_micro": pa.array(v, pa.int64()),
+    })

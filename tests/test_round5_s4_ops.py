@@ -645,3 +645,62 @@ def test_rank_fusion_matches_pandas(ray_session):
            .reset_index(drop=True))
     got = got[["doc_id", "rank_chars", "rank_words", "fused"]]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_markov_stationary_two_state_closed_form(ray_session):
+    """Deterministic alternating A→B→A stream: the chain is periodic but
+    the renormalized even-iteration power method lands on the uniform
+    two-state stationary mix (500000 each)."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import markov_stationary
+
+    ts = pd.date_range("2000-01-01", periods=40, freq="1min")
+    df = pd.DataFrame({
+        "user_id": np.zeros(40, np.int64),
+        "ts": ts,
+        "event_type": ["A", "B"] * 20,
+    })
+    out = (markov_stationary(ray.data.from_pandas(df))
+           .to_pandas().set_index("event_type"))
+    assert abs(int(out.loc["A", "stationary_micro"]) - 500_000) <= 1
+    assert abs(int(out.loc["B", "stationary_micro"]) - 500_000) <= 1
+
+
+def test_markov_stationary_absorbing_state(ray_session):
+    """A→B and B→B only: all stationary mass flows to B."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import markov_stationary
+
+    ts = pd.date_range("2000-01-01", periods=30, freq="1min")
+    df = pd.DataFrame({
+        "user_id": np.zeros(30, np.int64),
+        "ts": ts,
+        "event_type": ["A"] + ["B"] * 29,
+    })
+    out = (markov_stationary(ray.data.from_pandas(df))
+           .to_pandas().set_index("event_type"))
+    assert int(out.loc["B", "stationary_micro"]) >= 995_000
+    assert int(out.loc["A", "stationary_micro"]) <= 5_000
+
+
+def test_composition_cosine_geometry(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.drift import composition_cosine
+
+    # s1 and s2 identical mixes → cos² = 1e6 (scale-invariant);
+    # s3 orthogonal (disjoint lang) → pair excluded
+    df = pd.DataFrame({
+        "source": ["s1"] * 30 + ["s2"] * 60 + ["s3"] * 10,
+        "lang": ["en"] * 20 + ["de"] * 10
+                + ["en"] * 40 + ["de"] * 20
+                + ["zh"] * 10,
+    })
+    out = composition_cosine(
+        ray.data.from_pandas(df).repartition(4)).to_pandas()
+    pairs = {(a, b): c for a, b, c in zip(
+        out.group_a, out.group_b, out.cos_sq_micros)}
+    assert pairs[("s1", "s2")] in (999_999, 1_000_000)
+    assert ("s1", "s3") not in pairs and ("s2", "s3") not in pairs
