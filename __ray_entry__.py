@@ -6605,6 +6605,93 @@ def q_source_composition_cosine(sf_dir: str):
     return composition_cosine(ds, group_col="source", dim_col="lang")
 
 
+def q_order_fanout_hist(sf_dir: str):
+    """Join-skew profile of the lineitem⨝orders edge
+    (aggregates.fanout_histogram): exact histogram of lineitems per
+    orderkey — the pre-join salting diagnostic."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import fanout_histogram
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    return fanout_histogram(ds, key_col="l_orderkey")
+
+
+def q_user_activity_hist(sf_dir: str):
+    """User degree distribution (aggregates.fanout_histogram over
+    events.user_id) — the bot-screen tail read."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import fanout_histogram
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return fanout_histogram(ds, key_col="user_id")
+
+
+def q_systematic_sample(sf_dir: str):
+    """Every-10th-by-length systematic sample
+    (sampling.systematic_sample): range-partition global ranks + modulus
+    filter — stratified coverage by construction."""
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import systematic_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return systematic_sample(ds, every=10)
+
+
+def q_revenue_mom_growth(sf_dir: str):
+    """Month-over-month revenue with lagged delta: one per-month micro
+    revenue groupby (12·years rows), then the lag/delta computed in a
+    single-block finish (the benford single-block pattern — the month
+    table is bounded by the calendar, not the corpus)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(
+            df.l_extendedprice.to_numpy()
+            * (1.0 - df.l_discount.to_numpy()) * 1_000_000
+        ).astype("int64")
+        out = pd.DataFrame({
+            "ship_month": pd.DatetimeIndex(
+                df.l_shipdate.to_numpy()).strftime("%Y-%m"),
+            "revenue_micros": rev,
+        })
+        return out.groupby("ship_month", sort=False, as_index=False).sum()
+
+    sums = grouped(
+        line.map_batches(partial, batch_format="pandas"), "ship_month"
+    ).aggregate(Sum("revenue_micros", alias_name="revenue_micros"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ship_month", kind="mergesort").reset_index(
+            drop=True)
+        prev = df.revenue_micros.shift(1)
+        delta = (df.revenue_micros - prev.fillna(0)).astype("int64")
+        return df.assign(
+            prev_micros=prev.fillna(0).astype("int64"),
+            delta_micros=np.where(prev.isna(), 0, delta).astype("int64"))
+
+    return drop_empty_blocks(sums).repartition(1).map_batches(
+        finish, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -6875,6 +6962,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_fusion": q_rank_fusion,
         "event_stationary": q_event_stationary,
         "source_composition_cosine": q_source_composition_cosine,
+        "order_fanout_hist": q_order_fanout_hist,
+        "user_activity_hist": q_user_activity_hist,
+        "systematic_sample": q_systematic_sample,
+        "revenue_mom_growth": q_revenue_mom_growth,
     }
 
 

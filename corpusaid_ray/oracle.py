@@ -6022,3 +6022,40 @@ SELECT group_a, group_b, dot::BIGINT AS dot,
 FROM d
 JOIN nrm na ON na.source = d.group_a
 JOIN nrm nb ON nb.source = d.group_b"""
+
+# fanout histograms: per-key counts → count-of-counts.
+ORACLE_SQL["order_fanout_hist"] = """
+WITH pk AS (SELECT l_orderkey, count(*)::BIGINT AS fanout
+            FROM lineitem GROUP BY 1)
+SELECT fanout, count(*)::BIGINT AS n_keys FROM pk GROUP BY 1"""
+
+ORACLE_SQL["user_activity_hist"] = """
+WITH pk AS (SELECT user_id, count(*)::BIGINT AS fanout
+            FROM events GROUP BY 1)
+SELECT fanout, count(*)::BIGINT AS n_keys FROM pk GROUP BY 1"""
+
+# systematic_sample: every 10th doc by (n_chars, doc_id) global order.
+ORACLE_SQL["systematic_sample"] = """
+WITH r AS (
+  SELECT doc_id, n_chars::BIGINT AS value,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+  FROM documents)
+SELECT doc_id, value, global_rank FROM r WHERE global_rank % 10 = 0"""
+
+# revenue_mom_growth: per-month floored-micro revenue + lagged delta
+# (first month: prev = 0, delta = 0 — pinned).
+ORACLE_SQL["revenue_mom_growth"] = """
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         sum(floor(l_extendedprice * (1.0 - l_discount)
+                   * 1000000)::BIGINT)::BIGINT AS revenue_micros
+  FROM lineitem GROUP BY 1)
+SELECT ship_month, revenue_micros,
+       coalesce(lag(revenue_micros) OVER (ORDER BY ship_month),
+                0)::BIGINT AS prev_micros,
+       (CASE WHEN lag(revenue_micros) OVER (ORDER BY ship_month) IS NULL
+             THEN 0
+             ELSE revenue_micros
+                  - lag(revenue_micros) OVER (ORDER BY ship_month)
+        END)::BIGINT AS delta_micros
+FROM m"""

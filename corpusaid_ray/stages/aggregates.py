@@ -582,3 +582,44 @@ def group_argmin(ds, *, key: str, order_cols: list[str],
             {c: pd.Series(dtype="object") for c in out_cols})
 
     return grouped(part, key).map_groups(final, batch_format="pandas")
+
+
+def fanout_histogram(ds, *, key_col: str):
+    """Join-skew / degree-distribution diagnostic: the histogram of
+    per-key row counts — BEFORE running a large join, this is the exact
+    fan-out profile of the equi-join edge (a heavy tail here is the skew
+    that motivates salting); on an activity stream it is the user degree
+    distribution (bot screens read the tail).
+
+    Two bounded exchanges: a batch-combined per-key count groupby (the
+    repo_stats shape), then a tiny fan-out-value groupby — the histogram
+    support is at most the max fan-out, not the key count.
+
+    Returns a Dataset ``(fanout, n_keys)``."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "k": df[key_col],
+            "c": np.ones(len(df), np.int64),
+        })
+        return out.groupby("k", sort=False, as_index=False).sum()
+
+    per_key = grouped(
+        ds.map_batches(partial, batch_format="pandas"), "k"
+    ).aggregate(Sum("c", alias_name="fanout"))
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "fanout": df["fanout"].astype("int64"),
+            "n_keys": np.ones(len(df), np.int64),
+        })
+        return out.groupby("fanout", sort=False, as_index=False).sum()
+
+    return grouped(
+        per_key.map_batches(hist_partial, batch_format="pandas"), "fanout"
+    ).aggregate(Sum("n_keys", alias_name="n_keys"))

@@ -566,3 +566,33 @@ def flag_rate_by_value_decile(ds, *, value_col: str = "n_chars",
         return df.assign(rate_micros=pd.array(rate, dtype="int64"))
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def systematic_sample(ds, *, value_col: str = "n_chars",
+                      id_col: str = "doc_id", every: int = 10,
+                      num_parts: int = 10):
+    """Systematic (every k-th by global order) sample — the
+    stratified-by-construction design: ranking by ``value_col`` (ties →
+    ``id_col``) and keeping ``rank % every == 0`` guarantees uniform
+    coverage of the value distribution, unlike an md5 Bernoulli draw
+    which can miss strata. The standard survey-sampling design, applied
+    to corpus eval-set carving.
+
+    Built on :func:`global_rank_via_ranges` (range-partition ranks, no
+    global sort) + a map-only modulus filter — one bounded percentile
+    reduction, one exchange.
+
+    Returns a Dataset ``(id_col, value, global_rank)`` for the kept
+    rows."""
+    import pyarrow as pa
+
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    ranks = global_rank_via_ranges(
+        ds, value_col=value_col, id_col=id_col, num_parts=num_parts)
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = t["global_rank"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(r % every == 0))
+
+    return ranks.map_batches(keep, batch_format="pyarrow")

@@ -704,3 +704,69 @@ def test_composition_cosine_geometry(ray_session):
         out.group_a, out.group_b, out.cos_sq_micros)}
     assert pairs[("s1", "s2")] in (999_999, 1_000_000)
     assert ("s1", "s3") not in pairs and ("s2", "s3") not in pairs
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fanout_histogram_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import fanout_histogram
+
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 40, size=500).astype(np.int64)
+    df = pd.DataFrame({"k": keys})
+    out = (fanout_histogram(ray.data.from_pandas(df).repartition(6),
+                            key_col="k")
+           .to_pandas().sort_values("fanout").reset_index(drop=True))
+    exp = (pd.Series(keys).value_counts().value_counts().sort_index()
+           .rename_axis("fanout").rename("n_keys").reset_index())
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert int((out.fanout * out.n_keys).sum()) == 500
+
+
+def test_systematic_sample_properties(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.sampling import systematic_sample
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "n_chars": rng.integers(0, 3000, size=n).astype(np.int64),
+    })
+    out = (systematic_sample(
+        ray.data.from_pandas(df).repartition(8), every=10)
+        .to_pandas().sort_values("global_rank").reset_index(drop=True))
+    assert len(out) == n // 10
+    assert (out.global_rank.to_numpy() % 10 == 0).all()
+    # ranks are exactly 10, 20, ..., n — uniform stratification
+    assert list(out.global_rank) == list(range(10, n + 1, 10))
+    # values are nondecreasing along ranks
+    assert (np.diff(out.value.to_numpy()) >= 0).all()
+    with pytest.raises(ValueError):
+        systematic_sample(ray.data.from_pandas(df), every=0)
+
+
+def test_revenue_mom_growth_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = (e.q_revenue_mom_growth(SF_SMALL).to_pandas()
+           .sort_values("ship_month").reset_index(drop=True))
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    rev = np.floor(line.l_extendedprice.to_numpy()
+                   * (1.0 - line.l_discount.to_numpy())
+                   * 1_000_000).astype("int64")
+    m = (pd.DataFrame({
+        "ship_month": pd.DatetimeIndex(
+            line.l_shipdate.to_numpy()).strftime("%Y-%m"),
+        "revenue_micros": rev,
+    }).groupby("ship_month", as_index=False).sum()
+        .sort_values("ship_month").reset_index(drop=True))
+    prev = m.revenue_micros.shift(1)
+    m["prev_micros"] = prev.fillna(0).astype("int64")
+    m["delta_micros"] = np.where(
+        prev.isna(), 0,
+        (m.revenue_micros - prev.fillna(0)).astype("int64"))
+    pd.testing.assert_frame_equal(got, m, check_dtype=False)
