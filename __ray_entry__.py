@@ -6692,6 +6692,16 @@ def q_revenue_mom_growth(sf_dir: str):
         finish, batch_format="pandas")
 
 
+def q_bracket_balance(sf_dir: str):
+    """Structural-truncation screen (codestats.bracket_balance_screen):
+    per-file bracket balances + U+FFFD mojibake count, map-only Arrow
+    substring counts."""
+    from corpusaid_ray.corpus import read_corpus
+    from corpusaid_ray.stages.codestats import bracket_balance_screen
+
+    return bracket_balance_screen(read_corpus(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -6966,6 +6976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_hist": q_user_activity_hist,
         "systematic_sample": q_systematic_sample,
         "revenue_mom_growth": q_revenue_mom_growth,
+        "bracket_balance": q_bracket_balance,
     }
 
 

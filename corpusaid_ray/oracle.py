@@ -6059,3 +6059,28 @@ SELECT ship_month, revenue_micros,
                   - lag(revenue_micros) OVER (ORDER BY ship_month)
         END)::BIGINT AS delta_micros
 FROM m"""
+
+
+def _count_char_sql(col: str, ch: str) -> str:
+    return (f"(length({col}) - length(replace({col}, {sql_quote(ch)}, "
+            f"'')))::BIGINT")
+
+
+# bracket_balance: per-file open−close balances + U+FFFD count (character
+# arithmetic — replace removes one char per occurrence).
+ORACLE_SQL["bracket_balance"] = with_corpus(f"""
+SELECT path,
+       ({_count_char_sql('content', '{')}
+        - {_count_char_sql('content', '}')}) AS balance_brace,
+       ({_count_char_sql('content', '(')}
+        - {_count_char_sql('content', ')')}) AS balance_paren,
+       ({_count_char_sql('content', '[')}
+        - {_count_char_sql('content', ']')}) AS balance_bracket,
+       {_count_char_sql('content', chr(0xFFFD))} AS n_replacement_chars,
+       (({_count_char_sql('content', '{')}
+          - {_count_char_sql('content', '}')}) = 0
+        AND ({_count_char_sql('content', '(')}
+             - {_count_char_sql('content', ')')}) = 0
+        AND ({_count_char_sql('content', '[')}
+             - {_count_char_sql('content', ']')}) = 0) AS is_balanced
+FROM corpus""")

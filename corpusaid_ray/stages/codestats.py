@@ -332,3 +332,49 @@ def module_stats(ds, *, path_col: str = "path",
         })
 
     return sums.map_batches(final, batch_format="pyarrow")
+
+
+BRACKET_PAIRS = (("brace", "{", "}"), ("paren", "(", ")"),
+                 ("bracket", "[", "]"))
+
+
+def bracket_balance_screen(ds, *, path_col: str = "path",
+                           content_col: str = "content"):
+    """Structural-truncation screen for a source-code corpus: per file,
+    the open−close balance of each bracket family plus the mojibake
+    count (U+FFFD replacement chars — the decode-error residue). A
+    nonzero balance is the cheapest truncated/concatenated-file signal
+    there is (a crawler that cut a file mid-function leaves unclosed
+    braces); replacement chars flag charset damage BEFORE the text hits
+    a tokenizer. Both are standard ingest gates for code corpora
+    (StarCoder/The-Stack-style pipelines screen exactly these).
+
+    Map-only and fully vectorized: six ``pyarrow.compute``
+    substring counts + one count of U+FFFD per batch — no Python loop,
+    no exchange. ``is_balanced`` = all three balances zero.
+
+    Returns a Dataset ``(path_col, balance_brace, balance_paren,
+    balance_bracket, n_replacement_chars, is_balanced)``."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = {path_col: batch[path_col]}
+        balances = []
+        for name, op, cl in BRACKET_PAIRS:
+            b = pc.subtract(
+                pc.count_substring(col, op), pc.count_substring(col, cl)
+            ).cast(pa.int64())
+            out[f"balance_{name}"] = b
+            balances.append(b)
+        out["n_replacement_chars"] = pc.count_substring(
+            col, "�").cast(pa.int64())
+        ok = pc.equal(balances[0], 0)
+        for b in balances[1:]:
+            ok = pc.and_(ok, pc.equal(b, 0))
+        out["is_balanced"] = ok
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

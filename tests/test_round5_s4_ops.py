@@ -770,3 +770,31 @@ def test_revenue_mom_growth_matches_pandas(ray_session):
         prev.isna(), 0,
         (m.revenue_micros - prev.fillna(0)).astype("int64"))
     pd.testing.assert_frame_equal(got, m, check_dtype=False)
+
+
+def test_bracket_balance_planted_fixtures(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.codestats import bracket_balance_screen
+
+    df = pd.DataFrame({
+        "path": ["ok.py", "trunc.c", "moji.txt", "empty.txt"],
+        "content": [
+            "def f(x):\n    return [x, {1: (2)}]\n",
+            "int main() { if (x) { y[0] = (1;\n",   # cut mid-function
+            "caf�� text",
+            "",
+        ],
+    })
+    out = (bracket_balance_screen(ray.data.from_pandas(df).repartition(2))
+           .to_pandas().set_index("path"))
+    assert bool(out.loc["ok.py", "is_balanced"])
+    assert int(out.loc["ok.py", "n_replacement_chars"]) == 0
+    t = out.loc["trunc.c"]
+    assert int(t.balance_brace) == 2      # two opens, no close
+    assert int(t.balance_paren) == 3 - 2  # "(1" never closes
+    assert int(t.balance_bracket) == 1 - 1
+    assert not bool(t.is_balanced)
+    assert int(out.loc["moji.txt", "n_replacement_chars"]) == 2
+    assert bool(out.loc["moji.txt", "is_balanced"])
+    assert bool(out.loc["empty.txt", "is_balanced"])
