@@ -6702,6 +6702,62 @@ def q_bracket_balance(sf_dir: str):
     return bracket_balance_screen(read_corpus(sf_dir))
 
 
+def q_tail_index(sf_dir: str):
+    """Hill tail-index of the doc-length distribution
+    (lexstats.tail_index): exact fixed point over the top-100 order
+    statistics — distributed sort+limit, k rows to the driver."""
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import tail_index
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return tail_index(ds, k=100)
+
+
+def q_dup_quality_bias(sf_dir: str):
+    """Dedup × quality interaction audit: exact keep rate among
+    normalized-duplicate docs vs unique docs — if duplicates gate WORSE
+    than uniques, dedup-then-filter and filter-then-dedup give different
+    corpora and the pipeline order is load-bearing. One content-sha
+    count groupby + one hash join back (keys only), 2-row output."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.pipelines.quality_filter import run
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    labeled = run(sf_dir).select_columns(
+        ["content_sha256", "keep"]).materialize()
+    counts = drop_empty_blocks(
+        grouped(labeled, "content_sha256").count())
+    joined = hash_join(labeled, counts, on="content_sha256")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "is_dup": df["count()"].to_numpy(np.int64) > 1,
+            "n_docs": np.ones(len(df), np.int64),
+            "n_keep": df["keep"].to_numpy(bool).astype(np.int64),
+        })
+        return out.groupby("is_dup", sort=False, as_index=False).sum()
+
+    sums = grouped(
+        joined.map_batches(flag, batch_format="pandas"), "is_dup"
+    ).aggregate(Sum("n_docs", alias_name="n_docs"),
+                Sum("n_keep", alias_name="n_keep"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rate = [(int(kp) * 1_000_000) // int(n)
+                for kp, n in zip(df.n_keep, df.n_docs)]
+        return df.assign(keep_micros=pd.array(rate, dtype="int64"))
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -6977,6 +7033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": q_systematic_sample,
         "revenue_mom_growth": q_revenue_mom_growth,
         "bracket_balance": q_bracket_balance,
+        "tail_index": q_tail_index,
+        "dup_quality_bias": q_dup_quality_bias,
     }
 
 

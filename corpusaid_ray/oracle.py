@@ -6084,3 +6084,38 @@ SELECT path,
         AND ({_count_char_sql('content', '[')}
              - {_count_char_sql('content', ']')}) = 0) AS is_balanced
 FROM corpus""")
+
+# tail_index: Hill estimator over the top-100 doc lengths — shared log
+# fixed point, ln-undefined rows excluded. The k-th row's term
+# L(x_k) − L(x_k) = 0, so summing over ALL top-k rows equals the
+# engine's sum over the first k−1.
+ORACLE_SQL["tail_index"] = """
+WITH top AS MATERIALIZED (
+  SELECT n_chars::BIGINT AS x FROM documents WHERE n_chars > 0
+  ORDER BY n_chars DESC, doc_id LIMIT 100),
+xk AS MATERIALIZED (
+  SELECT min(x)::BIGINT AS x_k,
+         floor(1000000 * ln(min(x)))::HUGEINT AS lk
+  FROM top),
+h AS MATERIALIZED (
+  SELECT sum(floor(1000000 * ln(x))::HUGEINT - xk.lk) // 99 AS hill
+  FROM top, xk)
+SELECT 100::BIGINT AS k, xk.x_k, h.hill::BIGINT AS hill_micro,
+       (CASE WHEN h.hill > 0 THEN 1000000000 // h.hill
+             ELSE 0 END)::BIGINT AS alpha_milli
+FROM xk, h"""
+
+# dup_quality_bias: keep rate among normalized-duplicate docs vs uniques —
+# the pipeline-order (dedup-then-filter vs filter-then-dedup) audit.
+ORACLE_SQL["dup_quality_bias"] = with_corpus(f"""
+, m AS MATERIALIZED (
+  SELECT sha256({_flagship_clean_sql('content')}) AS k0, {_HEUR_COLS}
+  FROM corpus),
+lab AS MATERIALIZED (
+  SELECT k0, ({_DROP_REASON_SQL}) = '' AS keep FROM m),
+c AS MATERIALIZED (SELECT k0, count(*)::BIGINT AS c FROM lab GROUP BY 1)
+SELECT (c.c > 1) AS is_dup, count(*)::BIGINT AS n_docs,
+       coalesce(count(*) FILTER (keep), 0)::BIGINT AS n_keep,
+       ((count(*) FILTER (keep))::HUGEINT * 1000000
+         // count(*))::BIGINT AS keep_micros
+FROM lab JOIN c USING (k0) GROUP BY 1""")

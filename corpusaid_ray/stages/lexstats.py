@@ -279,3 +279,46 @@ def length_moments(ds, *, group_col: str = "lang",
             errors="ignore")
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def tail_index(ds, *, value_col: str = "n_chars", id_col: str = "doc_id",
+               k: int = 100):
+    """Hill estimator of the length-distribution tail index — the
+    heavy-tail audit that moments can't give (m4 says "a tail exists";
+    the Hill α says HOW heavy): α < 2 means infinite variance — length
+    caps and packing budgets need rethinking; α drifting down across
+    snapshots means the crawl is accreting monster documents.
+
+    Exact fixed point over the top-k order statistics (distributed sort
+    + limit — only k rows ever reach the driver):
+
+        hill_micro  = Σ_{i<k} (L(x_i) − L(x_k)) // (k−1),
+        alpha_milli = 10⁹ // hill_micro            (0 if hill = 0)
+
+    with ``L(v) = floor(10⁶·ln v)`` (the shared log fixed point). Rows
+    with value ≤ 0 are excluded (ln undefined); ties at the k-boundary
+    are value-identical so the (value desc, id asc) pin is cosmetic.
+    Raises if fewer than k positive rows exist (estimator undefined).
+
+    Returns a one-row pyarrow Table ``(k, x_k, hill_micro,
+    alpha_milli)``."""
+
+    def positive(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v > 0))
+
+    top = (ds.map_batches(positive, batch_format="pyarrow")
+             .sort([value_col, id_col], descending=[True, False])
+             .limit(k).take_all())
+    if len(top) < k:
+        raise ValueError(f"tail_index: fewer than k={k} positive rows")
+    xs = [int(r[value_col]) for r in top]
+    lk = _log_fp(xs[-1])
+    hill = sum(_log_fp(x) - lk for x in xs[:-1]) // (k - 1)
+    alpha = 1_000_000_000 // hill if hill > 0 else 0
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "x_k": pa.array([xs[-1]], pa.int64()),
+        "hill_micro": pa.array([hill], pa.int64()),
+        "alpha_milli": pa.array([alpha], pa.int64()),
+    })

@@ -798,3 +798,60 @@ def test_bracket_balance_planted_fixtures(ray_session):
     assert int(out.loc["moji.txt", "n_replacement_chars"]) == 2
     assert bool(out.loc["moji.txt", "is_balanced"])
     assert bool(out.loc["empty.txt", "is_balanced"])
+
+
+def test_tail_index_on_pareto_sample(ray_session):
+    """Deterministic Pareto(α=2) quantile grid: the Hill estimate over
+    the top-100 must recover α ≈ 2 within fixed-point tolerance."""
+    import math
+
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import tail_index
+
+    n, alpha = 2000, 2.0
+    # inverse-CDF grid: x_i = (1 - u_i)^(-1/alpha), u_i = i/(n+1)
+    xs = np.array([
+        int(1000 * (1.0 - (i + 1) / (n + 1)) ** (-1.0 / alpha))
+        for i in range(n)
+    ], dtype=np.int64)
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "n_chars": xs})
+    out = tail_index(
+        ray.data.from_pandas(df).repartition(7), k=100).to_pandas()
+    got_alpha = int(out.alpha_milli.iloc[0]) / 1000.0
+    assert 1.6 < got_alpha < 2.4, got_alpha
+    # exact serial recomputation
+    top = np.sort(xs)[::-1][:100]
+    lk = math.floor(1_000_000 * math.log(int(top[-1])))
+    hill = sum(math.floor(1_000_000 * math.log(int(x))) - lk
+               for x in top[:-1]) // 99
+    assert int(out.hill_micro.iloc[0]) == hill
+    assert int(out.x_k.iloc[0]) == int(top[-1])
+
+
+def test_tail_index_raises_on_thin_input(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import tail_index
+
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "n_chars": np.full(50, 10, dtype=np.int64)})
+    with pytest.raises(ValueError, match="fewer than k"):
+        tail_index(ray.data.from_pandas(df), k=100)
+
+
+def test_dup_quality_bias_accounting(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_dup_quality_bias(SF_SMALL).to_pandas().set_index("is_dup")
+    # dup payload rows exist by corpus construction (doc_id % 10 == 7)
+    assert int(out.loc[True, "n_docs"]) >= 3
+    total = int(out.n_docs.sum())
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert total == len(docs)
+    for flag in out.index:
+        assert int(out.loc[flag, "keep_micros"]) == (
+            int(out.loc[flag, "n_keep"]) * 1_000_000
+            // int(out.loc[flag, "n_docs"]))
