@@ -6758,6 +6758,91 @@ def q_dup_quality_bias(sf_dir: str):
     return sums.map_batches(finish, batch_format="pandas")
 
 
+def q_anisotropy_residual(sf_dir: str):
+    """Per-vector energy split around the common direction
+    (embstats.anisotropy_residual): total, projected and residual
+    quantized energy — the all-but-the-top completion."""
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import anisotropy_residual
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return anisotropy_residual(ds)
+
+
+def q_nation_revenue_trend(sf_dir: str):
+    """Per-nation monthly revenue trend: dimension chain broadcasts onto
+    the orders read, per-(nation, month) micro revenue pre-aggregates
+    batch-locally, and each nation's OLS (the pinned exact
+    sufficient-statistic contract, trunc_div == DuckDB //) fits inside
+    ``map_groups`` over ≤ |months| rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import broadcast_join
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]]
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).rename_columns({"o_custkey": "c_custkey"})
+    joined = broadcast_join(orders, cust, on="c_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DatetimeIndex(df.o_orderdate.to_numpy())
+        m = ((d.year - 1995) * 12 + (d.month - 1)).astype("int64")
+        rev = np.floor(
+            df.o_totalprice.to_numpy() * 1_000_000).astype("int64")
+        out = pd.DataFrame({"n_name": df.n_name.to_numpy(), "m": m,
+                            "y": rev})
+        return out.groupby(["n_name", "m"], sort=False,
+                           as_index=False).sum()
+
+    monthly = grouped(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["n_name", "m"],
+    ).aggregate(Sum("y", alias_name="y"))
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        sx = sum(int(v) for v in g.m)
+        sy = sum(int(v) for v in g.y)
+        sxx = sum(int(v) ** 2 for v in g.m)
+        sxy = sum(int(a) * int(b) for a, b in zip(g.m, g.y))
+        den = n * sxx - sx * sx
+        if den == 0:
+            return pd.DataFrame({
+                "n_name": pd.Series(dtype=object),
+                "n_months": pd.Series(dtype="int64"),
+                "slope_micro": pd.Series(dtype="int64"),
+                "intercept_micro": pd.Series(dtype="int64"),
+            })
+        return pd.DataFrame({
+            "n_name": [g.n_name.iloc[0]],
+            "n_months": pd.array([n], dtype="int64"),
+            "slope_micro": pd.array(
+                [trunc_div((n * sxy - sx * sy) * 1_000_000, den)],
+                dtype="int64"),
+            "intercept_micro": pd.array(
+                [trunc_div((sy * sxx - sx * sxy) * 1_000_000, den)],
+                dtype="int64"),
+        })
+
+    return grouped(monthly, "n_name").map_groups(
+        fit, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7035,6 +7120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bracket_balance": q_bracket_balance,
         "tail_index": q_tail_index,
         "dup_quality_bias": q_dup_quality_bias,
+        "anisotropy_residual": q_anisotropy_residual,
+        "nation_revenue_trend": q_nation_revenue_trend,
     }
 
 

@@ -6119,3 +6119,38 @@ SELECT (c.c > 1) AS is_dup, count(*)::BIGINT AS n_docs,
        ((count(*) FILTER (keep))::HUGEINT * 1000000
          // count(*))::BIGINT AS keep_micros
 FROM lab JOIN c USING (k0) GROUP BY 1""")
+
+# anisotropy_residual: total/projected/residual quantized energy per vector
+# around the power-iteration direction (Cauchy–Schwarz keeps the residual
+# numerator ≥ 0).
+ORACLE_SQL["anisotropy_residual"] = _pca_power_sql(8, tail="""
+, vv AS MATERIALIZED (SELECT sum(val * val) AS s FROM v8),
+qd AS (SELECT q.vec_id AS vec_id, sum(q.v * v.val) AS dot,
+              sum(q.v * q.v) AS qq
+       FROM q JOIN v8 v ON q.i = v.i GROUP BY q.vec_id)
+SELECT vec_id, qq::BIGINT AS qq, dot::BIGINT AS dot,
+       ((qq * vv.s - dot * dot) // vv.s)::BIGINT AS resid_sq_scaled
+FROM qd, vv""")
+
+# nation_revenue_trend: per-nation OLS of monthly micro revenue on the
+# month index (months since 1995-01) — the pinned exact-OLS contract.
+ORACLE_SQL["nation_revenue_trend"] = """
+WITH r AS (
+  SELECT n_name,
+         ((year(o_orderdate) - 1995) * 12
+          + month(o_orderdate) - 1)::HUGEINT AS m,
+         sum(floor(o_totalprice * 1000000)::BIGINT)::HUGEINT AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+s AS (
+  SELECT n_name, count(*)::HUGEINT AS n, sum(m) AS sx, sum(y) AS sy,
+         sum(m * m) AS sxx, sum(m * y) AS sxy
+  FROM r GROUP BY 1)
+SELECT n_name, n::BIGINT AS n_months,
+       ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))::BIGINT
+         AS slope_micro,
+       ((sy * sxx - sx * sxy) * 1000000 // (n * sxx - sx * sx))::BIGINT
+         AS intercept_micro
+FROM s WHERE (n * sxx - sx * sx) != 0"""

@@ -415,3 +415,52 @@ def common_direction_coef(ds, *, vec_col: str = "embedding",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def anisotropy_residual(ds, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        iters: int = PCA_ITERS):
+    """Per-vector energy split around the common direction — the
+    completion of the all-but-the-top pair (:func:`common_direction_coef`
+    gives the loading; this gives what's LEFT): with v the power-iteration
+    direction, emit each row's total quantized energy ``qq = ‖q‖²``, its
+    projection dot, and the exact residual energy
+
+        resid_sq_scaled = (qq·‖v‖² − dot²) // ‖v‖²
+
+    (Cauchy–Schwarz makes the numerator ≥ 0, so the ratio IS the residual
+    norm² after projecting out v — rows where it collapses toward 0 are
+    pure-anisotropy rows: embedding-space boilerplate).
+
+    Same two passes as the coef op (covariance reduce + map-only score);
+    the final ratio runs per row in Python ints (HUGEINT-scale products —
+    an audit column, not a hot transform).
+
+    Returns a Dataset ``(id_col, qq, dot, resid_sq_scaled)``."""
+    comp = pca_top_component(ds, vec_col=vec_col, iters=iters)
+    v = np.asarray(comp["component_micro"].to_pylist(), dtype=np.int64)
+    vv = int(sum(int(x) * int(x) for x in v))
+    if vv == 0:
+        raise ValueError("anisotropy_residual: zero direction")
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "qq": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+                "resid_sq_scaled": pa.array([], pa.int64()),
+            })
+        q = _quant(batch, vec_col)
+        dots = q @ v          # int64-safe (the coef-op bound)
+        qqs = (q * q).sum(axis=1)
+        resid = [int((int(a) * vv - int(d) * int(d)) // vv)
+                 for a, d in zip(qqs, dots)]
+        return pa.table({
+            id_col: batch[id_col],
+            "qq": pa.array(qqs, pa.int64()),
+            "dot": pa.array(dots, pa.int64()),
+            "resid_sq_scaled": pa.array(resid, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

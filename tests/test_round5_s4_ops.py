@@ -855,3 +855,71 @@ def test_dup_quality_bias_accounting(ray_session):
         assert int(out.loc[flag, "keep_micros"]) == (
             int(out.loc[flag, "n_keep"]) * 1_000_000
             // int(out.loc[flag, "n_docs"]))
+
+
+@pytest.mark.parametrize("seed", (0, 1))
+def test_anisotropy_residual_identities(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import (
+        anisotropy_residual, common_direction_coef,
+    )
+
+    rng = np.random.default_rng(seed)
+    n, d = 80, 5
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, d).astype(np.float32)
+                      for _ in range(n)],
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    res = anisotropy_residual(ds).to_pandas().set_index("vec_id")
+    # residual energy is nonnegative and bounded by total energy
+    assert (res.resid_sq_scaled >= 0).all()
+    assert (res.resid_sq_scaled <= res.qq).all()
+    # a vector ALIGNED with the direction has ~zero residual: plant one
+    coef = common_direction_coef(ds).to_pandas().set_index("vec_id")
+    # identity: resid ≈ qq − dot²/vv, coef = dot·1e6/vv (trunc slack ≤ 1)
+    for vid in list(df.vec_id[:10]):
+        qq, dot = int(res.loc[vid, "qq"]), int(res.loc[vid, "dot"])
+        got = int(res.loc[vid, "resid_sq_scaled"])
+        c = int(coef.loc[vid, "coef_micro"])
+        # rough float cross-check
+        assert abs((qq - got) * 1.0 - dot * (c / 1e6)) <= abs(dot) + qq / 1e5
+
+
+def test_nation_revenue_trend_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = (e.q_nation_revenue_trend(SF_SMALL).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    nation = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+              .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    d = pd.DatetimeIndex(j.o_orderdate.to_numpy())
+    j = j.assign(
+        m=((d.year - 1995) * 12 + (d.month - 1)).astype("int64"),
+        y=np.floor(j.o_totalprice.to_numpy() * 1_000_000).astype("int64"))
+    rows = []
+    for name, g in j.groupby("n_name"):
+        mm = g.groupby("m")["y"].sum()
+        n = len(mm)
+        sx = int(mm.index.to_numpy().sum())
+        sy = sum(int(v) for v in mm)
+        sxx = int((mm.index.to_numpy() ** 2).sum())
+        sxy = sum(int(a) * int(b) for a, b in zip(mm.index, mm))
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        rows.append({
+            "n_name": name, "n_months": n,
+            "slope_micro": _trunc_div((n * sxy - sx * sy) * 1_000_000,
+                                      den),
+            "intercept_micro": _trunc_div(
+                (sy * sxx - sx * sxy) * 1_000_000, den),
+        })
+    exp = pd.DataFrame(rows).sort_values("n_name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
