@@ -6843,6 +6843,21 @@ def q_nation_revenue_trend(sf_dir: str):
         fit, batch_format="pandas")
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM tercile segmentation (aggregates.rfm_segments): per-customer
+    recency/frequency/monetary reduce, three pinned ceil-rank tercile
+    cuts, 27-segment rollup."""
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import rfm_segments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return rfm_segments(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7122,6 +7137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_quality_bias": q_dup_quality_bias,
         "anisotropy_residual": q_anisotropy_residual,
         "nation_revenue_trend": q_nation_revenue_trend,
+        "rfm_segments": q_rfm_segments,
     }
 
 

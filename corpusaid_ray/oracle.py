@@ -6154,3 +6154,50 @@ SELECT n_name, n::BIGINT AS n_months,
        ((sy * sxx - sx * sxy) * 1000000 // (n * sxx - sx * sx))::BIGINT
          AS intercept_micro
 FROM s WHERE (n * sxx - sx * sx) != 0"""
+
+
+def _rfm_cut_sql(col: str) -> str:
+    """Ceil-rank tercile cut list over a per-customer metric column."""
+    return (f"(SELECT [list_sort(list({col}))"
+            f"[greatest(CAST(ceil(1.0/3.0 * count(*)) AS BIGINT), 1)],"
+            f" list_sort(list({col}))"
+            f"[greatest(CAST(ceil(2.0/3.0 * count(*)) AS BIGINT), 1)]]"
+            f" FROM rfm)")
+
+
+# rfm_segments: per-customer recency/frequency/monetary → pinned ceil-rank
+# tercile cuts (strict compare, ties LEFT) → 27-segment rollup.
+ORACLE_SQL["rfm_segments"] = f"""
+WITH pk AS MATERIALIZED (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate))::BIGINT AS last_us,
+         count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice * 1000000)::BIGINT)::BIGINT
+           AS spend_micros
+  FROM orders GROUP BY 1),
+mx AS MATERIALIZED (SELECT max(last_us)::BIGINT AS m FROM pk),
+rfm AS MATERIALIZED (
+  SELECT o_custkey,
+         ((mx.m - last_us) // 86400000000)::BIGINT AS recency_days,
+         n_orders, spend_micros
+  FROM pk, mx),
+cuts AS MATERIALIZED (
+  SELECT {_rfm_cut_sql('recency_days')} AS rc,
+         {_rfm_cut_sql('n_orders')} AS fc,
+         {_rfm_cut_sql('spend_micros')} AS mc),
+seg AS (
+  -- bucket = count of cuts strictly below x (ties LEFT, searchsorted-left)
+  SELECT (100 * (CASE WHEN recency_days > cuts.rc[2] THEN 2
+                      WHEN recency_days > cuts.rc[1] THEN 1
+                      ELSE 0 END)
+          + 10 * (CASE WHEN n_orders > cuts.fc[2] THEN 2
+                       WHEN n_orders > cuts.fc[1] THEN 1
+                       ELSE 0 END)
+          + (CASE WHEN spend_micros > cuts.mc[2] THEN 2
+                  WHEN spend_micros > cuts.mc[1] THEN 1
+                  ELSE 0 END))::BIGINT AS segment,
+         spend_micros
+  FROM rfm, cuts)
+SELECT segment, count(*)::BIGINT AS n_customers,
+       sum(spend_micros)::BIGINT AS spend_micros
+FROM seg GROUP BY segment"""

@@ -623,3 +623,104 @@ def fanout_histogram(ds, *, key_col: str):
     return grouped(
         per_key.map_batches(hist_partial, batch_format="pandas"), "fanout"
     ).aggregate(Sum("n_keys", alias_name="n_keys"))
+
+
+def rfm_segments(ds, *, key_col: str = "o_custkey",
+                 ts_col: str = "o_orderdate",
+                 amount_col: str = "o_totalprice"):
+    """RFM (recency / frequency / monetary) tercile segmentation — the
+    classic entity-profiling shape: multi-metric per-entity aggregation →
+    independent quantile bucketing per metric → joint segment rollup.
+    (On a corpus it's the same machinery as per-repo freshness ×
+    activity × size tiering.)
+
+    Exact pipeline: ONE per-entity groupby reduces each key to
+    ``(last_us, n_orders, spend_micros)`` (batch combiner first);
+    ``recency_days = (max_all − last_us) // 86 400·10⁶`` uses the global
+    max (one bounded aggregate); each metric's tercile cuts come from
+    the pinned ceil-rank percentile reduction (strict-compare, ties-LEFT
+    assignment — the range_partition contract); the segment code is
+    ``100·r + 10·f + m`` with bucket 0..2 per metric (for recency the
+    bucket indexes DAYS — lower = fresher). Output is the ≤27-row
+    segment rollup.
+
+    Returns a Dataset ``(segment, n_customers, spend_micros)``."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].to_numpy().astype("datetime64[us]").astype(
+            "int64")
+        out = pd.DataFrame({
+            "k": df[key_col],
+            "last_us": us,
+            "n_orders": np.ones(len(df), np.int64),
+            "spend_micros": np.floor(
+                df[amount_col].to_numpy(np.float64) * 1_000_000
+            ).astype("int64"),
+        })
+        return out.groupby("k", sort=False, as_index=False).agg(
+            last_us=("last_us", "max"), n_orders=("n_orders", "sum"),
+            spend_micros=("spend_micros", "sum"))
+
+    per_key = drop_empty_blocks(grouped(
+        ds.map_batches(partial, batch_format="pandas"), "k"
+    ).aggregate(Max("last_us", alias_name="last_us"),
+                Sum("n_orders", alias_name="n_orders"),
+                Sum("spend_micros", alias_name="spend_micros")))
+    per_key = per_key.materialize()
+    if per_key.count() == 0:
+        import pyarrow as pa
+
+        return pa.table({
+            "segment": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "spend_micros": pa.array([], pa.int64()),
+        })
+    max_all = int(per_key.max("last_us"))
+
+    def with_recency(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(recency_days=(
+            (max_all - df.last_us.to_numpy(np.int64)) // 86_400_000_000
+        ).astype("int64"))
+
+    rfm = per_key.map_batches(
+        with_recency, batch_format="pandas").materialize()
+
+    def cuts_for(col: str) -> np.ndarray:
+        pct = group_percentiles_distributed(
+            rfm.map_batches(
+                lambda df: pd.DataFrame({
+                    "g": np.repeat("all", len(df)),
+                    "v": df[col].astype("int64"),
+                }), batch_format="pandas"),
+            key="g", value_col="v", percentiles=(1 / 3, 2 / 3))
+        return np.sort(np.array(
+            [int(pct[c].iloc[0]) // 1_000_000
+             for c in ("p33_micros", "p66_micros")], dtype=np.int64))
+
+    rc = cuts_for("recency_days")
+    fc = cuts_for("n_orders")
+    mc = cuts_for("spend_micros")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        r = np.searchsorted(rc, df.recency_days.to_numpy(np.int64),
+                            side="left")
+        f = np.searchsorted(fc, df.n_orders.to_numpy(np.int64),
+                            side="left")
+        m = np.searchsorted(mc, df.spend_micros.to_numpy(np.int64),
+                            side="left")
+        out = pd.DataFrame({
+            "segment": (100 * r + 10 * f + m).astype("int64"),
+            "n_customers": np.ones(len(df), np.int64),
+            "spend_micros": df.spend_micros.to_numpy(np.int64),
+        })
+        return out.groupby("segment", sort=False, as_index=False).sum()
+
+    return grouped(
+        rfm.map_batches(assign, batch_format="pandas"), "segment"
+    ).aggregate(Sum("n_customers", alias_name="n_customers"),
+                Sum("spend_micros", alias_name="spend_micros"))

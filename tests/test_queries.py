@@ -428,7 +428,10 @@ def test_sparse_input_robustness(ray_session, tmp_path):
                  # round-5 session-4 join/scan additions
                  "late_order_priority", "promo_revenue_share",
                  "fk_integrity", "supplier_variety", "peak_concurrency",
-                 "spearman_len_words", "keep_rate_by_length_decile"):
+                 "spearman_len_words", "keep_rate_by_length_decile",
+                 "small_qty_revenue", "dup_quality_bias",
+                 "nation_revenue_trend", "rank_fusion",
+                 "systematic_sample"):
         res = qs[name](str(d))
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n >= 0

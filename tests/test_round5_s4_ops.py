@@ -923,3 +923,41 @@ def test_nation_revenue_trend_matches_pandas(ray_session):
         })
     exp = pd.DataFrame(rows).sort_values("n_name").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rfm_segments_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = (e.q_rfm_segments(SF_SMALL).to_pandas()
+           .sort_values("segment").reset_index(drop=True))
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    us = orders.o_orderdate.to_numpy().astype(
+        "datetime64[us]").astype("int64")
+    pk = pd.DataFrame({
+        "k": orders.o_custkey, "last_us": us,
+        "spend": np.floor(orders.o_totalprice.to_numpy(np.float64)
+                          * 1_000_000).astype("int64"),
+    }).groupby("k").agg(last_us=("last_us", "max"),
+                        n_orders=("spend", "size"),
+                        spend=("spend", "sum")).reset_index()
+    pk["recency_days"] = ((int(pk.last_us.max()) - pk.last_us)
+                          // 86_400_000_000).astype("int64")
+
+    def cuts(col):
+        v = np.sort(pk[col].to_numpy(np.int64))
+        n = len(v)
+        return np.sort(np.array(
+            [v[max(int(np.ceil(k / 3.0 * n)), 1) - 1] for k in (1, 2)],
+            dtype=np.int64))
+
+    rc, fc, mc = cuts("recency_days"), cuts("n_orders"), cuts("spend")
+    seg = (100 * np.searchsorted(rc, pk.recency_days, side="left")
+           + 10 * np.searchsorted(fc, pk.n_orders, side="left")
+           + np.searchsorted(mc, pk.spend, side="left")).astype("int64")
+    exp = (pd.DataFrame({"segment": seg, "n_customers": 1,
+                         "spend_micros": pk.spend})
+           .groupby("segment", as_index=False).sum()
+           .sort_values("segment").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert int(got.n_customers.sum()) == len(pk)
