@@ -6858,6 +6858,31 @@ def q_rfm_segments(sf_dir: str):
     return rfm_segments(ds)
 
 
+def q_identifier_case_profile(sf_dir: str):
+    """Per-language identifier-casing profile
+    (codestats.identifier_case_profile): RE2 token counts shared
+    verbatim with the DuckDB mirror, exact milli shares."""
+    from corpusaid_ray.corpus import read_corpus
+    from corpusaid_ray.stages.codestats import identifier_case_profile
+
+    return identifier_case_profile(read_corpus(sf_dir))
+
+
+def q_label_centroid_dist(sf_dir: str):
+    """Class-geometry confusion map (embstats.label_centroid_dist):
+    exact pairwise centroid distances via the common-denominator
+    identity — labels×D skinny partials, driver pair math."""
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import label_centroid_dist
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return label_centroid_dist(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7138,6 +7163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anisotropy_residual": q_anisotropy_residual,
         "nation_revenue_trend": q_nation_revenue_trend,
         "rfm_segments": q_rfm_segments,
+        "identifier_case_profile": q_identifier_case_profile,
+        "label_centroid_dist": q_label_centroid_dist,
     }
 
 

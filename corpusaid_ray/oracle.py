@@ -6201,3 +6201,47 @@ seg AS (
 SELECT segment, count(*)::BIGINT AS n_customers,
        sum(spend_micros)::BIGINT AS spend_micros
 FROM seg GROUP BY segment"""
+
+
+def _case_profile_sql() -> str:
+    """Mirror of codestats.identifier_case_profile — the SAME RE2
+    patterns, counted with regexp_extract_all."""
+    from corpusaid_ray.stages.codestats import CASE_PATTERNS
+
+    cnt = {n: (f"sum(length(regexp_extract_all(content, "
+               f"{sql_quote(p)})))::BIGINT")
+           for n, p in CASE_PATTERNS}
+    names = list(cnt)
+    tot = "greatest(" + " + ".join(names) + ", 1)"
+    millis = ", ".join(
+        f"({n} * 1000 // {tot})::BIGINT AS {n}_millis" for n in names)
+    return with_corpus(f"""
+, s AS MATERIALIZED (
+  SELECT lang, {', '.join(f'{expr} AS {n}' for n, expr in cnt.items())}
+  FROM corpus GROUP BY lang)
+SELECT lang, {', '.join(names)}, {millis}
+FROM s""")
+
+
+ORACLE_SQL["identifier_case_profile"] = _case_profile_sql()
+
+# label_centroid_dist: exact pairwise centroid distances via the common-
+# denominator identity over per-(label, dim) HUGEINT sums.
+ORACLE_SQL["label_centroid_dist"] = """
+WITH q AS MATERIALIZED (
+  SELECT label, i, floor(1000000 * CAST(e AS DOUBLE))::HUGEINT AS v
+  FROM (SELECT label, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+ls AS MATERIALIZED (
+  SELECT label, i, count(*)::HUGEINT AS n, sum(v) AS s
+  FROM q GROUP BY 1, 2),
+d AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         a.n AS n_a, b.n AS n_b,
+         sum((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)) AS num
+  FROM ls a JOIN ls b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2, 3, 4)
+SELECT label_a::BIGINT AS label_a, label_b::BIGINT AS label_b,
+       n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       (num // ((n_a * n_b) * (n_a * n_b)))::BIGINT AS dist_sq_scaled
+FROM d"""

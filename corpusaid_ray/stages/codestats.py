@@ -378,3 +378,65 @@ def bracket_balance_screen(ds, *, path_col: str = "path",
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+CASE_PATTERNS = (
+    ("camel", r"\b[a-z]+[A-Z][A-Za-z0-9]*\b"),
+    ("snake", r"\b[a-z0-9]+_[a-z0-9_]+\b"),
+    ("screaming", r"\b[A-Z][A-Z0-9]*_[A-Z0-9_]+\b"),
+)
+
+
+def identifier_case_profile(ds, *, lang_col: str = "lang",
+                            content_col: str = "content"):
+    """Per-language identifier-casing profile: camelCase vs snake_case vs
+    SCREAMING_SNAKE occurrence counts — the style-consistency signal that
+    separates idiomatic source from machine-converted or concatenated
+    mixed-provenance code (a "python" slice full of camelCase is usually
+    transpiled). Counts are RE2-token occurrences, pinned patterns shared
+    verbatim with the SQL mirror (Arrow and DuckDB both run RE2, so the
+    counts agree exactly).
+
+    Map-only partials (3 ints per lang per batch via
+    ``count_substring_regex``) → one |langs|-row groupby; shares in exact
+    floor millis of the casing total.
+
+    Returns a Dataset ``(lang, camel, snake, screaming, camel_millis,
+    snake_millis, screaming_millis)``."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    names = [n for n, _ in CASE_PATTERNS]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 **{n: pa.array([], pa.int64()) for n in names}})
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        df = pd.DataFrame({"lang": batch[lang_col].to_pandas()})
+        for n, pat in CASE_PATTERNS:
+            df[n] = pc.count_substring_regex(col, pat).to_numpy(
+                zero_copy_only=False).astype("int64")
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    sums = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), "lang"
+    ).aggregate(*(Sum(n, alias_name=n) for n in names))
+
+    def final(df):
+        import numpy as np
+
+        tot = np.maximum(
+            sum(df[n].to_numpy("int64") for n in names), 1)
+        out = df.copy()
+        for n in names:
+            out[f"{n}_millis"] = (
+                df[n].to_numpy("int64") * 1000 // tot).astype("int64")
+        return out
+
+    return sums.map_batches(final, batch_format="pandas")

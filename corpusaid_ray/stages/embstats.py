@@ -464,3 +464,83 @@ def anisotropy_residual(ds, *, vec_col: str = "embedding",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def label_centroid_dist(ds, *, vec_col: str = "embedding",
+                        label_col: str = "label"):
+    """Exact pairwise distances between label centroids — the class-
+    geometry confusion map: labels whose centroids nearly coincide are
+    the ones a classifier (or a cluster-balanced sampler) will mix up.
+    Complements :func:`label_cohesion` (within-label tightness) with the
+    between-label separation.
+
+    ONE map pass reduces each batch to per-label sum-vectors + counts
+    (``labels × D`` skinny rows — the cohesion shape); the driver
+    (|labels|·D ints) evaluates, per pair, the exact common-denominator
+    identity
+
+        dist_sq_scaled = ‖s_a·n_b − s_b·n_a‖² // (n_a·n_b)²
+
+    — the squared centroid distance in micro² units, no float division.
+
+    Returns a pyarrow Table ``(label_a, label_b, n_a, n_b,
+    dist_sq_scaled)`` for label_a < label_b."""
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            })
+        q = _quant(batch, vec_col)
+        labels = batch[label_col].to_numpy(
+            zero_copy_only=False).astype("int64")
+        uniq, inv = np.unique(labels, return_inverse=True)
+        d = q.shape[1]
+        s = np.zeros((len(uniq), d), dtype=np.int64)
+        np.add.at(s, inv, q)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(
+                np.arange(1, d + 1, dtype=np.int64), len(uniq))),
+            "n": pa.array(np.repeat(cnt, d)),
+            "s": pa.array(s.ravel()),
+        })
+
+    rows = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), ["label", "dim"]
+    ).aggregate(Sum("n", alias_name="n"),
+                Sum("s", alias_name="s")).take_all()
+
+    sums: dict = {}
+    counts: dict = {}
+    for r in rows:
+        lab = int(r["label"])
+        sums.setdefault(lab, {})[int(r["dim"])] = int(r["s"])
+        counts[lab] = int(r["n"])
+    labels = sorted(sums)
+    la, lb, na_, nb_, dist = [], [], [], [], []
+    for i, a in enumerate(labels):
+        for b in labels[i + 1:]:
+            n_a, n_b = counts[a], counts[b]
+            num = sum(
+                (sums[a][k] * n_b - sums[b][k] * n_a) ** 2
+                for k in sums[a])
+            la.append(a)
+            lb.append(b)
+            na_.append(n_a)
+            nb_.append(n_b)
+            dist.append(num // (n_a * n_b) ** 2)
+    return pa.table({
+        "label_a": pa.array(la, pa.int64()),
+        "label_b": pa.array(lb, pa.int64()),
+        "n_a": pa.array(na_, pa.int64()),
+        "n_b": pa.array(nb_, pa.int64()),
+        "dist_sq_scaled": pa.array(dist, pa.int64()),
+    })

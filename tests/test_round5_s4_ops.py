@@ -961,3 +961,62 @@ def test_rfm_segments_matches_pandas(ray_session):
            .sort_values("segment").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert int(got.n_customers.sum()) == len(pk)
+
+
+def test_identifier_case_profile_planted(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.codestats import identifier_case_profile
+
+    df = pd.DataFrame({
+        "lang": ["py", "py", "js"],
+        "content": [
+            "my_var = other_var + a_b_c",           # 3 snake
+            "MAX_LEN = DEFAULT_CAP",                # 2 screaming
+            "let myVar = someValue; camelCase();",  # 3 camel
+        ],
+    })
+    out = (identifier_case_profile(
+        ray.data.from_pandas(df).repartition(2))
+        .to_pandas().set_index("lang"))
+    assert int(out.loc["py", "snake"]) == 3
+    assert int(out.loc["py", "screaming"]) == 2
+    assert int(out.loc["py", "camel"]) == 0
+    assert int(out.loc["js", "camel"]) == 3
+    assert int(out.loc["js", "camel_millis"]) == 1000
+    py_tot = 3 + 2
+    assert int(out.loc["py", "snake_millis"]) == 3 * 1000 // py_tot
+
+
+@pytest.mark.parametrize("seed", (0, 1))
+def test_label_centroid_dist_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.embstats import label_centroid_dist
+
+    rng = np.random.default_rng(seed)
+    n, d = 120, 4
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, d).astype(np.float32)
+                      for _ in range(n)],
+        "label": rng.integers(0, 3, size=n).astype(np.int32),
+    })
+    out = label_centroid_dist(
+        ray.data.from_pandas(df).repartition(5)).to_pandas()
+    q = np.floor(1_000_000 * np.stack(
+        [np.asarray(v) for v in df.embedding]).astype(np.float64)
+    ).astype(object)
+    for r in out.itertuples(index=False):
+        ia = df.label.to_numpy() == r.label_a
+        ib = df.label.to_numpy() == r.label_b
+        sa = [int(x) for x in q[ia].sum(axis=0)]
+        sb = [int(x) for x in q[ib].sum(axis=0)]
+        na, nb = int(ia.sum()), int(ib.sum())
+        num = sum((a * nb - b * na) ** 2 for a, b in zip(sa, sb))
+        assert r.n_a == na and r.n_b == nb
+        assert r.dist_sq_scaled == num // (na * nb) ** 2
+        # float cross-check: matches numpy centroid distance
+        ca = q[ia].astype(np.float64).mean(axis=0)
+        cb = q[ib].astype(np.float64).mean(axis=0)
+        assert abs(r.dist_sq_scaled - ((ca - cb) ** 2).sum()) < 1e7
