@@ -6883,6 +6883,150 @@ def q_label_centroid_dist(sf_dir: str):
     return label_centroid_dist(ds)
 
 
+def q_session_bounce(sf_dir: str):
+    """Bounce rate over 30-min sessions (one-event sessions / all
+    sessions, exact micro): composes window.sessionize — the per-key
+    ordered scan — with a three-int driver reduce."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from corpusaid_ray.stages.window import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    sess = sessionize(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        b = int(pc.sum(pc.cast(pc.equal(t["n_events"], 1), pa.int64()))
+                .as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "b": pa.array([b], pa.int64())})
+
+    n = b = 0
+    for t in sess.map_batches(partial, batch_format="pyarrow")\
+            .iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(t["n"]).as_py() or 0)
+        b += int(pc.sum(t["b"]).as_py() or 0)
+    return pa.table({
+        "n_sessions": pa.array([n], pa.int64()),
+        "n_bounce": pa.array([b], pa.int64()),
+        "bounce_micros": pa.array(
+            [(b * 1_000_000) // n if n else 0], pa.int64()),
+    })
+
+
+def q_top_customer_share(sf_dir: str):
+    """Revenue-concentration audit: exact share of total spend held by
+    customers above the ceil-rank p99 spend cut (strict compare, ties
+    LEFT — the pinned percentile contract). One per-customer groupby,
+    one bounded percentile reduction, a three-int driver fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "k": df.o_custkey,
+            "spend": np.floor(
+                df.o_totalprice.to_numpy(np.float64) * 1_000_000
+            ).astype("int64"),
+        })
+        return out.groupby("k", sort=False, as_index=False).sum()
+
+    pk = drop_empty_blocks(grouped(
+        orders.map_batches(partial, batch_format="pandas"), "k"
+    ).aggregate(Sum("spend", alias_name="spend"))).materialize()
+
+    pct = group_percentiles_distributed(
+        pk.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df["spend"].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v", percentiles=(0.99,))
+    cut = int(pct["p99_micros"].iloc[0]) // 1_000_000
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.spend.to_numpy(np.int64)
+        top = s > cut
+        return pd.DataFrame({
+            "n": [len(s)], "n_top": [int(top.sum())],
+            "tot": [int(s.sum())], "top_tot": [int(s[top].sum())],
+        })
+
+    n = n_top = tot = top_tot = 0
+    for t in pk.map_batches(fold, batch_format="pandas")\
+            .iter_batches(batch_format="pyarrow"):
+        import pyarrow.compute as pc
+
+        n += int(pc.sum(t["n"]).as_py() or 0)
+        n_top += int(pc.sum(t["n_top"]).as_py() or 0)
+        tot += int(pc.sum(t["tot"]).as_py() or 0)
+        top_tot += int(pc.sum(t["top_tot"]).as_py() or 0)
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "n_top": pa.array([n_top], pa.int64()),
+        "share_micros": pa.array(
+            [(top_tot * 1_000_000) // tot if tot else 0], pa.int64()),
+    })
+
+
+def q_transition_entropy(sf_dir: str):
+    """Chain predictability (MI idiom over the session-transition
+    matrix): H(next), H(next | current) and the information gain, all in
+    the shared ln fixed point — exact Python-int math over the bounded
+    (from, to) table."""
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import _log_fp
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.stages.window import session_transitions
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    rows = session_transitions(ds).take_all()
+    n = sum(int(r["n"]) for r in rows)
+    if n == 0:
+        return pa.table({
+            "n_transitions": pa.array([0], pa.int64()),
+            "h_next_micro": pa.array([0], pa.int64()),
+            "h_cond_micro": pa.array([0], pa.int64()),
+            "info_gain_micro": pa.array([0], pa.int64()),
+        })
+    c_from: dict = {}
+    c_to: dict = {}
+    for r in rows:
+        c_from[r["from_type"]] = c_from.get(r["from_type"], 0) + int(r["n"])
+        c_to[r["to_type"]] = c_to.get(r["to_type"], 0) + int(r["n"])
+    h_next = trunc_div(
+        n * _log_fp(n) - sum(c * _log_fp(c) for c in c_to.values()), n)
+    h_cond = trunc_div(
+        sum(int(r["n"]) * (_log_fp(c_from[r["from_type"]])
+                           - _log_fp(int(r["n"]))) for r in rows), n)
+    return pa.table({
+        "n_transitions": pa.array([n], pa.int64()),
+        "h_next_micro": pa.array([h_next], pa.int64()),
+        "h_cond_micro": pa.array([h_cond], pa.int64()),
+        "info_gain_micro": pa.array([h_next - h_cond], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7165,6 +7309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "identifier_case_profile": q_identifier_case_profile,
         "label_centroid_dist": q_label_centroid_dist,
+        "session_bounce": q_session_bounce,
+        "top_customer_share": q_top_customer_share,
+        "transition_entropy": q_transition_entropy,
     }
 
 

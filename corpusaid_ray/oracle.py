@@ -6245,3 +6245,70 @@ SELECT label_a::BIGINT AS label_a, label_b::BIGINT AS label_b,
        n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
        (num // ((n_a * n_b) * (n_a * n_b)))::BIGINT AS dist_sq_scaled
 FROM d"""
+
+# session_bounce: one-event-session share over the 30-min sessionize rule.
+ORACLE_SQL["session_bounce"] = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered),
+per AS (SELECT user_id, session_id, count(*)::BIGINT AS n
+        FROM sess GROUP BY 1, 2)
+SELECT count(*)::BIGINT AS n_sessions,
+       coalesce(count(*) FILTER (n = 1), 0)::BIGINT AS n_bounce,
+       ((count(*) FILTER (n = 1))::HUGEINT * 1000000
+         // count(*))::BIGINT AS bounce_micros
+FROM per"""
+
+# top_customer_share: spend share above the ceil-rank p99 cut (strict
+# compare — the pinned percentile contract).
+ORACLE_SQL["top_customer_share"] = """
+WITH pk AS MATERIALIZED (
+  SELECT o_custkey,
+         sum(floor(o_totalprice * 1000000)::BIGINT)::BIGINT AS spend
+  FROM orders GROUP BY 1),
+c AS MATERIALIZED (
+  SELECT list_sort(list(spend))
+           [greatest(CAST(ceil(0.99 * count(*)) AS BIGINT), 1)] AS cut
+  FROM pk)
+SELECT count(*)::BIGINT AS n_customers,
+       coalesce(count(*) FILTER (spend > c.cut), 0)::BIGINT AS n_top,
+       ((coalesce(sum(spend) FILTER (spend > c.cut), 0)::HUGEINT
+         * 1000000) // sum(spend))::BIGINT AS share_micros
+FROM pk, c"""
+
+# transition_entropy: H(next), H(next|current) and info gain over the
+# session-transition matrix — shared ln fixed point.
+ORACLE_SQL["transition_entropy"] = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS from_type,
+         (ts - lag(ts) OVER w) <= INTERVAL 30 MINUTE AS same_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+tr AS MATERIALIZED (
+  SELECT from_type, event_type AS to_type, count(*)::HUGEINT AS c
+  FROM o WHERE same_session GROUP BY 1, 2),
+t AS MATERIALIZED (SELECT sum(c)::HUGEINT AS n FROM tr),
+cf AS MATERIALIZED (SELECT from_type, sum(c) AS c FROM tr GROUP BY 1),
+ct AS MATERIALIZED (SELECT to_type, sum(c) AS c FROM tr GROUP BY 1),
+hn AS MATERIALIZED (
+  SELECT ((t.n * floor(1000000 * ln(t.n))::HUGEINT
+           - (SELECT sum(c * floor(1000000 * ln(c))::HUGEINT) FROM ct))
+          // t.n) AS h FROM t),
+hc AS MATERIALIZED (
+  SELECT ((SELECT sum(tr.c * (floor(1000000 * ln(cf.c))
+                              - floor(1000000 * ln(tr.c)))::HUGEINT)
+           FROM tr JOIN cf USING (from_type))
+          // t.n) AS h FROM t)
+SELECT t.n::BIGINT AS n_transitions,
+       hn.h::BIGINT AS h_next_micro,
+       hc.h::BIGINT AS h_cond_micro,
+       (hn.h - hc.h)::BIGINT AS info_gain_micro
+FROM t, hn, hc"""

@@ -1020,3 +1020,63 @@ def test_label_centroid_dist_matches_serial(ray_session, seed):
         ca = q[ia].astype(np.float64).mean(axis=0)
         cb = q[ib].astype(np.float64).mean(axis=0)
         assert abs(r.dist_sq_scaled - ((ca - cb) ** 2).sum()) < 1e7
+
+
+def test_session_bounce_known_geometry(ray_session):
+    import ray.data
+
+    from tests.conftest import SF_SMALL
+    import __ray_entry__ as e
+
+    out = e.q_session_bounce(SF_SMALL).to_pandas()
+    n, b = int(out.n_sessions.iloc[0]), int(out.n_bounce.iloc[0])
+    assert 0 <= b <= n and n > 0
+    assert int(out.bounce_micros.iloc[0]) == (b * 1_000_000) // n
+    # planted: two users, one bouncing
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 2], np.int64),
+        "ts": pd.to_datetime(["2000-01-01 00:00", "2000-01-01 00:05",
+                              "2000-01-01 09:00"]),
+        "value": [1.0, 2.0, 3.0],
+    })
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bounce_", dir="/tmp")
+    df.to_parquet(f"{d}/events.parquet")
+    out = e.q_session_bounce(d).to_pandas()
+    assert int(out.n_sessions.iloc[0]) == 2
+    assert int(out.n_bounce.iloc[0]) == 1
+    assert int(out.bounce_micros.iloc[0]) == 500_000
+
+
+def test_top_customer_share_accounting(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_top_customer_share(SF_SMALL).to_pandas()
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    pk = pd.DataFrame({
+        "k": orders.o_custkey,
+        "s": np.floor(orders.o_totalprice.to_numpy(np.float64)
+                      * 1_000_000).astype("int64"),
+    }).groupby("k")["s"].sum()
+    v = np.sort(pk.to_numpy())
+    cut = v[max(int(np.ceil(0.99 * len(v))), 1) - 1]
+    top = pk.to_numpy()[pk.to_numpy() > cut]
+    assert int(out.n_customers.iloc[0]) == len(pk)
+    assert int(out.n_top.iloc[0]) == len(top)
+    assert int(out.share_micros.iloc[0]) == (
+        int(top.sum()) * 1_000_000 // int(pk.sum()))
+
+
+def test_transition_entropy_bounds(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_transition_entropy(SF_SMALL).to_pandas()
+    hn = int(out.h_next_micro.iloc[0])
+    hc = int(out.h_cond_micro.iloc[0])
+    # conditioning cannot increase entropy (fixed-point slack ≤ 3)
+    assert hc <= hn + 3
+    assert int(out.info_gain_micro.iloc[0]) == hn - hc
+    assert hn <= 1_609_438 + 3  # ln(5 types) bound
