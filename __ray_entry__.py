@@ -7027,6 +7027,103 @@ def q_transition_entropy(sf_dir: str):
     })
 
 
+def q_activity_heatmap(sf_dir: str):
+    """Day-of-week × hour activity heatmap — calendar functions avoided
+    ON PURPOSE: dow = (epoch_days + 4) % 7 and hour = (epoch_us //
+    3.6·10⁹) % 24 are pure integer arithmetic, so engine and mirror can
+    never disagree on week conventions. Batch partials bound the
+    exchange at 168 rows per batch."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "dow": ((us // 86_400_000_000 + 4) % 7).astype("int64"),
+            "hour": ((us // 3_600_000_000) % 24).astype("int64"),
+            "n_events": np.ones(len(us), np.int64),
+            "sum_value_micros": np.floor(
+                df.value.to_numpy(np.float64) * 1_000_000
+            ).astype("int64"),
+        })
+        return out.groupby(["dow", "hour"], sort=False,
+                           as_index=False).sum()
+
+    return grouped(
+        ds.map_batches(partial, batch_format="pandas"), ["dow", "hour"]
+    ).aggregate(Sum("n_events", alias_name="n_events"),
+                Sum("sum_value_micros", alias_name="sum_value_micros"))
+
+
+DICT_AUDIT_COLS = ("lang", "source")
+
+
+def q_dict_encoding_audit(sf_dir: str):
+    """Storage-layout advisor: per string column, the exact byte
+    accounting of dictionary encoding (raw UTF-8 bytes vs distinct-value
+    bytes + 4 B/row codes, pinned) — positive savings says ENCODE, the
+    standard Parquet layout decision surfaced as a queryable audit. One
+    value-count groupby per column (bounded by column cardinality —
+    categorical columns by assumption), three-int driver folds."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    names, n_rows_l, n_dist_l, raw_l, dict_l, sav_l = [], [], [], [], [], []
+    for col in DICT_AUDIT_COLS:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=[col])
+
+        def partial(df: pd.DataFrame, c=col) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "v": df[c],
+                "c": np.ones(len(df), np.int64),
+            })
+            return out.groupby("v", sort=False, as_index=False).sum()
+
+        per_val = grouped(
+            ds.map_batches(partial, batch_format="pandas"), "v"
+        ).aggregate(Sum("c", alias_name="c"))
+
+        n = dist = raw = dbytes = 0
+        for t in per_val.iter_batches(batch_format="pandas"):
+            ls = t["v"].str.encode("utf-8").str.len().to_numpy(np.int64)
+            cs = t["c"].to_numpy(np.int64)
+            n += int(cs.sum())
+            dist += len(t)
+            raw += int((ls * cs).sum())
+            dbytes += int(ls.sum())
+        dict_est = dbytes + 4 * n
+        names.append(col)
+        n_rows_l.append(n)
+        n_dist_l.append(dist)
+        raw_l.append(raw)
+        dict_l.append(dict_est)
+        sav_l.append(trunc_div((raw - dict_est) * 1_000_000, raw)
+                     if raw else 0)
+    return pa.table({
+        "column_name": pa.array(names, pa.string()),
+        "n_rows": pa.array(n_rows_l, pa.int64()),
+        "n_distinct": pa.array(n_dist_l, pa.int64()),
+        "raw_bytes": pa.array(raw_l, pa.int64()),
+        "dict_bytes_est": pa.array(dict_l, pa.int64()),
+        "savings_micros": pa.array(sav_l, pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7312,6 +7409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_bounce": q_session_bounce,
         "top_customer_share": q_top_customer_share,
         "transition_entropy": q_transition_entropy,
+        "activity_heatmap": q_activity_heatmap,
+        "dict_encoding_audit": q_dict_encoding_audit,
     }
 
 

@@ -6312,3 +6312,29 @@ SELECT t.n::BIGINT AS n_transitions,
        hc.h::BIGINT AS h_cond_micro,
        (hn.h - hc.h)::BIGINT AS info_gain_micro
 FROM t, hn, hc"""
+
+# activity_heatmap: calendar-free integer dow/hour (epoch arithmetic only).
+ORACLE_SQL["activity_heatmap"] = """
+SELECT ((epoch_us(ts) // 86400000000 + 4) % 7)::BIGINT AS dow,
+       ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour,
+       count(*)::BIGINT AS n_events,
+       sum(floor(value * 1000000)::BIGINT)::BIGINT AS sum_value_micros
+FROM events GROUP BY 1, 2"""
+
+
+def _dict_audit_sql() -> str:
+    parts = []
+    for col in ("lang", "source"):  # pinned = __ray_entry__.DICT_AUDIT_COLS
+        parts.append(f"""
+SELECT '{col}' AS column_name, sum(c)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_distinct, sum(l * c)::BIGINT AS raw_bytes,
+       (sum(l) + 4 * sum(c))::BIGINT AS dict_bytes_est,
+       (((sum(l * c) - sum(l) - 4 * sum(c)) * 1000000)
+        // sum(l * c))::BIGINT AS savings_micros
+FROM (SELECT {col} AS v, count(*)::HUGEINT AS c,
+             strlen({col})::HUGEINT AS l
+      FROM documents GROUP BY {col})""")
+    return "\nUNION ALL".join(parts)
+
+
+ORACLE_SQL["dict_encoding_audit"] = _dict_audit_sql()
