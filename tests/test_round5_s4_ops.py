@@ -1091,12 +1091,13 @@ def test_activity_heatmap_accounting(ray_session):
                          columns=["ts", "value"])
     assert int(got.n_events.sum()) == len(ev)
     assert got.dow.between(0, 6).all() and got.hour.between(0, 23).all()
-    # integer dow formula matches pandas weekday (Mon=0 → our Thu-anchor)
+    # integer dow formula: epoch day 0 (1970-01-01) was a Thursday → 4;
+    # pandas dayofweek has Mon=0, so ours = (pandas + 1) % 7 shifted by
+    # the Sun=0 anchor: dow == (pddow + 1) % 7 ... verified elementwise
     us = ev.ts.to_numpy().astype("datetime64[us]").astype("int64")
     dow = (us // 86_400_000_000 + 4) % 7
     pddow = pd.DatetimeIndex(ev.ts).dayofweek.to_numpy()  # Mon=0
-    # our encoding: 0=Sunday? 1970-01-01 Thu → (0+4)%7=4 ⇒ Thu=4, Mon=1
-    assert ((dow - 1) % 7 == pddow % 7).all() or True  # spot identity
+    assert ((pddow + 1) % 7 == dow % 7).all()
     exp = pd.DataFrame({"dow": dow, "hour": (us // 3_600_000_000) % 24})
     exp = exp.groupby(["dow", "hour"]).size()
     got_idx = got.set_index(["dow", "hour"]).n_events
