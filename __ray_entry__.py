@@ -7124,6 +7124,184 @@ def q_dict_encoding_audit(sf_dir: str):
     })
 
 
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): among 1996–1997 orders by
+    ASIA-region customers for PROMO parts, the per-order-year revenue
+    share supplied by NATION_2. Join plan: every dimension chain
+    (customer→nation→region, part filter, supplier→nation) broadcasts;
+    the ONE large×large edge (lineitem ⨝ orders) is a hash join with the
+    date predicate pushed into the orders read."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import broadcast_join, hash_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    empty = pa.table({
+        "o_year": pa.array([], pa.int64()),
+        "total_micros": pa.array([], pa.int64()),
+        "nation_micros": pa.array([], pa.int64()),
+        "share_micros": pa.array([], pa.int64()),
+    })
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    asia = nation.merge(region[region.r_name == "ASIA"],
+                        left_on="n_regionkey", right_on="r_regionkey")
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).merge(asia[["n_nationkey"]], left_on="c_nationkey",
+            right_on="n_nationkey")[["c_custkey"]]
+    promo = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo = set(promo.loc[promo.p_type == "PROMO", "p_partkey"])
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).merge(nation[["n_nationkey", "n_name"]],
+            left_on="s_nationkey", right_on="n_nationkey")
+    supp_nation = dict(zip(supp.s_suppkey, supp.n_name))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pads.field("o_orderdate")
+             >= pads.scalar(pd.Timestamp("1996-01-01")))
+            & (pads.field("o_orderdate")
+               < pads.scalar(pd.Timestamp("1998-01-01")))
+        ),
+    )
+    orders = drop_empty_blocks(broadcast_join(
+        orders.rename_columns({"o_custkey": "c_custkey"}), cust,
+        on="c_custkey",
+    ).select_columns(["o_orderkey", "o_orderdate"]))
+    if orders.count() == 0:
+        return empty
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).rename_columns({"l_orderkey": "o_orderkey"})
+    joined = hash_join(line, orders, on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.l_partkey.isin(promo).to_numpy()
+        df = df.loc[keep]
+        if not len(df):
+            return pd.DataFrame({
+                "o_year": pd.array([], dtype="int64"),
+                "total_micros": pd.array([], dtype="int64"),
+                "nation_micros": pd.array([], dtype="int64"),
+            })
+        rev = np.floor(
+            df.l_extendedprice.to_numpy()
+            * (1.0 - df.l_discount.to_numpy()) * 1_000_000
+        ).astype("int64")
+        is_nat = np.array(
+            [supp_nation.get(int(s)) == "NATION_2"
+             for s in df.l_suppkey], dtype=bool)
+        out = pd.DataFrame({
+            "o_year": pd.DatetimeIndex(
+                df.o_orderdate.to_numpy()).year.astype("int64"),
+            "total_micros": rev,
+            "nation_micros": np.where(is_nat, rev, 0),
+        })
+        return out.groupby("o_year", sort=False, as_index=False).sum()
+
+    sums = grouped(
+        joined.map_batches(partial, batch_format="pandas"), "o_year"
+    ).aggregate(Sum("total_micros", alias_name="total_micros"),
+                Sum("nation_micros", alias_name="nation_micros"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        share = [(int(a) * 1_000_000) // int(b)
+                 for a, b in zip(df.nation_micros, df.total_micros)]
+        return df.assign(share_micros=pd.array(share, dtype="int64"))
+
+    return drop_empty_blocks(sums).map_batches(
+        finish, batch_format="pandas")
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO orders, per nation. The scalar subquery is an exact integer
+    compare (bal_cents·n > Σcents — no float average); the no-orders
+    test is a keys-only hash LEFT ANTI join (the cross_dedup escape
+    hatch)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from corpusaid_ray.util import drop_empty_blocks, grouped, \
+        join_partitions
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        b = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "bal_cents": pa.array(b, pa.int64()),
+        })
+
+    cust = cust.map_batches(cents, batch_format="pyarrow").materialize()
+
+    n = s = 0  # positive-balance mean, exact
+    for t in cust.iter_batches(batch_format="pyarrow"):
+        b = t["bal_cents"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        n += len(pos)
+        s += int(pos.sum())
+    if n == 0:
+        return pa.table({
+            "c_nationkey": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "sum_bal_cents": pa.array([], pa.int64()),
+        })
+
+    def rich(t: pa.Table) -> pa.Table:
+        b = t["bal_cents"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(b * n > s))
+
+    rich_ds = drop_empty_blocks(
+        cust.map_batches(rich, batch_format="pyarrow"))
+    orders_keys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    idle = drop_empty_blocks(rich_ds.join(
+        drop_empty_blocks(orders_keys),
+        join_type="left_anti",
+        num_partitions=join_partitions(),
+        on=("c_custkey",),
+    ))
+    # typed-empty short-circuit: every rich customer may have orders (true
+    # at sf0.01) — an empty aggregate would drop the schema
+    if idle.count() == 0:
+        return pa.table({
+            "c_nationkey": pa.array([], pa.int64()),
+            "n_customers": pa.array([], pa.int64()),
+            "sum_bal_cents": pa.array([], pa.int64()),
+        })
+    return grouped(idle, "c_nationkey").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("bal_cents", alias_name="sum_bal_cents"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7411,6 +7589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_entropy": q_transition_entropy,
         "activity_heatmap": q_activity_heatmap,
         "dict_encoding_audit": q_dict_encoding_audit,
+        "market_share": q_market_share,
+        "idle_rich_customers": q_idle_rich_customers,
     }
 
 

@@ -6338,3 +6338,49 @@ FROM (SELECT {col} AS v, count(*)::HUGEINT AS c,
 
 
 ORACLE_SQL["dict_encoding_audit"] = _dict_audit_sql()
+
+# market_share: TPC-H Q8 shape — per-order-year revenue share supplied by
+# NATION_2 among ASIA-customer PROMO-part orders, 1996–1997.
+ORACLE_SQL["market_share"] = """
+WITH l AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         floor(l_extendedprice * (1.0 - l_discount) * 1000000)::BIGINT
+           AS rev,
+         (sn.n_name = 'NATION_2') AS is_nat
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'),
+s AS (
+  SELECT o_year, sum(rev)::HUGEINT AS total_micros,
+         coalesce(sum(rev) FILTER (is_nat), 0)::HUGEINT AS nation_micros
+  FROM l GROUP BY 1)
+SELECT o_year, total_micros::BIGINT AS total_micros,
+       nation_micros::BIGINT AS nation_micros,
+       ((nation_micros * 1000000) // total_micros)::BIGINT
+         AS share_micros
+FROM s"""
+
+# idle_rich_customers: TPC-H Q22 shape — exact integer above-positive-mean
+# balance predicate + NOT EXISTS orders, per nation.
+ORACLE_SQL["idle_rich_customers"] = """
+WITH b AS MATERIALIZED (
+  SELECT c_custkey, c_nationkey::BIGINT AS c_nationkey,
+         floor(c_acctbal * 100.0)::BIGINT AS bal_cents
+  FROM customer),
+m AS MATERIALIZED (
+  SELECT count(*)::HUGEINT AS n, sum(bal_cents)::HUGEINT AS s
+  FROM b WHERE bal_cents > 0)
+SELECT c_nationkey, count(*)::BIGINT AS n_customers,
+       sum(bal_cents)::BIGINT AS sum_bal_cents
+FROM b, m
+WHERE bal_cents::HUGEINT * m.n > m.s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey"""

@@ -1124,3 +1124,78 @@ def test_dict_encoding_audit_exact(ray_session):
         assert int(got.loc[col, "dict_bytes_est"]) == dict_est
         assert int(got.loc[col, "savings_micros"]) == _trunc_div(
             (raw - dict_est) * 1_000_000, raw)
+
+
+def test_market_share_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = (e.q_market_share(SF_SMALL).to_pandas()
+           .sort_values("o_year").reset_index(drop=True))
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    nation = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    region = pd.read_parquet(f"{SF_SMALL}/region.parquet")
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    supp = pd.read_parquet(f"{SF_SMALL}/supplier.parquet")
+    j = (line.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey")
+         .merge(nation.add_prefix("c_"), left_on="c_nationkey",
+                right_on="c_n_nationkey")
+         .merge(region, left_on="c_n_regionkey", right_on="r_regionkey")
+         .merge(part, left_on="l_partkey", right_on="p_partkey")
+         .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(nation.add_prefix("s_"), left_on="s_nationkey",
+                right_on="s_n_nationkey"))
+    j = j[(j.r_name == "ASIA") & (j.p_type == "PROMO")
+          & (j.o_orderdate >= "1996-01-01")
+          & (j.o_orderdate < "1998-01-01")]
+    rev = np.floor(j.l_extendedprice.to_numpy()
+                   * (1.0 - j.l_discount.to_numpy())
+                   * 1_000_000).astype("int64")
+    t = pd.DataFrame({
+        "o_year": pd.DatetimeIndex(
+            j.o_orderdate.to_numpy()).year.astype("int64"),
+        "total_micros": rev,
+        "nation_micros": np.where(
+            j.s_n_name.to_numpy() == "NATION_2", rev, 0),
+    }).groupby("o_year", as_index=False).sum()
+    t["share_micros"] = [
+        (int(a) * 1_000_000) // int(b)
+        for a, b in zip(t.nation_micros, t.total_micros)]
+    pd.testing.assert_frame_equal(
+        got, t.sort_values("o_year").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_idle_rich_customers_planted(ray_session, tmp_path):
+    """Plant customers where the above-mean no-orders set is non-empty."""
+    import __ray_entry__ as e
+
+    d = tmp_path / "q22"
+    d.mkdir()
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(6, dtype=np.int64),
+        "c_nationkey": np.array([0, 0, 1, 1, 2, 2], np.int32),
+        "c_acctbal": [100.0, 900.0, 800.0, -50.0, 700.0, 10.0],
+    })
+    orders = pd.DataFrame({
+        "o_custkey": np.array([1, 4], np.int64),  # rich-with-orders
+    })
+    cust.to_parquet(d / "customer.parquet")
+    orders.to_parquet(d / "orders.parquet")
+    out = (e.q_idle_rich_customers(str(d)).to_pandas()
+           .set_index("c_nationkey"))
+    # positive mean = (10000+90000+80000+70000+1000)/5 cents = 50200
+    # rich: custkeys 1 (90000), 2 (80000), 4 (70000); idle rich: 2 only
+    assert list(out.index) == [1]
+    assert int(out.loc[1, "n_customers"]) == 1
+    assert int(out.loc[1, "sum_bal_cents"]) == 80_000
+    # empty-output path: give everyone orders
+    pd.DataFrame({"o_custkey": np.arange(6, dtype=np.int64)}).to_parquet(
+        d / "orders.parquet")
+    out = e.q_idle_rich_customers(str(d)).to_pandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["c_nationkey", "n_customers",
+                                 "sum_bal_cents"]
