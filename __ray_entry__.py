@@ -7302,6 +7302,51 @@ def q_idle_rich_customers(sf_dir: str):
         Sum("bal_cents", alias_name="sum_bal_cents"))
 
 
+def q_interval_coverage(sf_dir: str):
+    """Timeline utilization (window.interval_coverage): union length of
+    the 300 s event hold intervals via the exact two-phase offset scan —
+    the coverage complement of peak_concurrency."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import interval_coverage
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    )
+    return interval_coverage(ds, hold_seconds=300)
+
+
+def q_shard_plan(sf_dir: str):
+    """Balanced-export shard plan: 16 ceil-rank length ranges
+    (range_partition_assign semantics) rolled up to per-shard doc and
+    char totals — the table a sharded writer consumes."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.sampling import range_partition_assign
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    parts = range_partition_assign(ds, num_parts=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "part_id": df.part_id,
+            "n_docs": np.ones(len(df), np.int64),
+            "sum_chars": df["value"].to_numpy(np.int64),
+        })
+        return out.groupby("part_id", sort=False, as_index=False).sum()
+
+    return grouped(
+        parts.map_batches(partial, batch_format="pandas"), "part_id"
+    ).aggregate(Sum("n_docs", alias_name="n_docs"),
+                Sum("sum_chars", alias_name="sum_chars"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7591,6 +7636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_encoding_audit": q_dict_encoding_audit,
         "market_share": q_market_share,
         "idle_rich_customers": q_idle_rich_customers,
+        "interval_coverage": q_interval_coverage,
+        "shard_plan": q_shard_plan,
     }
 
 

@@ -6384,3 +6384,47 @@ FROM b, m
 WHERE bal_cents::HUGEINT * m.n > m.s
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey"""
+
+# interval_coverage: union length of the ±1 boundary stream's positive-
+# count segments (ties yield zero-length segments — order-invariant).
+ORACLE_SQL["interval_coverage"] = """
+WITH pts AS (
+  SELECT epoch_us(ts)::BIGINT AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT epoch_us(ts)::BIGINT + 300000000, -1 FROM events),
+s AS (SELECT t,
+             sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c,
+             lead(t) OVER (ORDER BY t, d) AS nt
+      FROM pts),
+agg AS (
+  SELECT coalesce(sum(nt - t) FILTER (c > 0), 0)::BIGINT AS covered_us,
+         (max(t) - min(t))::BIGINT AS span_us
+  FROM s)
+SELECT (SELECT count(*) FROM events)::BIGINT AS n_intervals,
+       covered_us, span_us,
+       (CASE WHEN span_us > 0
+             THEN (covered_us::HUGEINT * 1000000) // span_us
+             ELSE 0 END)::BIGINT AS utilization_micros
+FROM agg"""
+
+
+def _shard_plan_sql(num_parts: int = 16) -> str:
+    cut_exprs = ", ".join(
+        f"v[greatest(CAST(ceil({k}/{num_parts}.0 * n) AS BIGINT), 1)]"
+        for k in range(1, num_parts))
+    return f"""
+WITH vals AS MATERIALIZED (
+  SELECT list_sort(list(n_chars::BIGINT)) AS v, count(*)::BIGINT AS n
+  FROM documents),
+cuts AS MATERIALIZED (SELECT unnest([{cut_exprs}]) AS c FROM vals),
+a AS (
+  SELECT (SELECT count(*) FROM cuts WHERE c < d.n_chars)::BIGINT
+           AS part_id,
+         d.n_chars
+  FROM (SELECT n_chars::BIGINT AS n_chars FROM documents) d)
+SELECT part_id, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM a GROUP BY part_id"""
+
+
+ORACLE_SQL["shard_plan"] = _shard_plan_sql(16)

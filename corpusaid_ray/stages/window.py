@@ -832,3 +832,127 @@ def markov_stationary(ds, *, gap_minutes: int = 30,
         "event_type": pa.array(types, pa.string()),
         "stationary_micro": pa.array(v, pa.int64()),
     })
+
+
+def interval_coverage(ds, *, ts_col: str = "ts", hold_seconds: int = 300,
+                      num_parts: int = 16):
+    """Union length of the event hold intervals — the capacity
+    complement of :func:`peak_concurrency` (peak says how DEEP the
+    overlap gets; coverage says how much of the timeline is busy at
+    all): ``utilization = covered / span``.
+
+    Exact two-phase range scan (same decomposition as peak): phase 1
+    learns the boundary-key range cuts and each range's ±1 SUM (the
+    associative prefix ingredient); the driver folds P ints into each
+    range's INCOMING count c₀; phase 2 rescans each range with its c₀
+    in the closure — a segment [t, t_next) counts toward coverage when
+    c₀ + running > 0. Ties produce zero-length segments, so the
+    within-tie order never affects the answer (mirrored by the SQL
+    window form).
+
+    Returns a one-row pyarrow Table ``(n_intervals, covered_us,
+    span_us, utilization_micros)``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+    from corpusaid_ray.util import grouped
+
+    hold_us = int(hold_seconds) * 1_000_000
+    if ds.count() == 0:
+        return pa.table({
+            "n_intervals": pa.array([0], pa.int64()),
+            "covered_us": pa.array([0], pa.int64()),
+            "span_us": pa.array([0], pa.int64()),
+            "utilization_micros": pa.array([0], pa.int64()),
+        })
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df[ts_col].to_numpy().astype("datetime64[us]")
+             .astype("int64"))
+        return pd.DataFrame({
+            "t": np.concatenate([t, t + hold_us]),
+            "d": np.concatenate([np.ones(len(t), np.int64),
+                                 np.full(len(t), -1, np.int64)]),
+        })
+
+    pts = ds.map_batches(boundaries, batch_format="pandas")
+
+    qs = tuple(k / num_parts for k in range(1, num_parts))
+    names = [f"p{int(p * 100)}_micros" for p in qs]
+    pct = group_percentiles_distributed(
+        pts.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df["t"].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v", percentiles=qs)
+    cuts = np.sort(np.array(
+        [int(pct[c].iloc[0]) // 1_000_000 for c in names],
+        dtype=np.int64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["t"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "part_id": np.searchsorted(cuts, t, side="left").astype(
+                "int64"),
+            "t": t, "d": df["d"].to_numpy(np.int64),
+        })
+
+    parted = pts.map_batches(assign, batch_format="pandas").materialize()
+
+    # phase 1: per-part (sum, min_t, max_t, n) → driver offsets
+    def sums(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part_id": [int(g["part_id"].iloc[0])],
+            "total": [int(g["d"].sum())],
+            "tmin": [int(g["t"].min())],
+            "tmax": [int(g["t"].max())],
+            "n_pts": [len(g)],
+        })
+
+    info = grouped(parted, "part_id").map_groups(
+        sums, batch_format="pandas").take_all()
+    info.sort(key=lambda r: int(r["part_id"]))
+    offsets = {}
+    acc = 0
+    for r in info:
+        offsets[int(r["part_id"])] = acc
+        acc += int(r["total"])
+    bounds = {}  # part -> start of NEXT part (for the tail segment)
+    for i, r in enumerate(info):
+        nxt = int(info[i + 1]["tmin"]) if i + 1 < len(info) else None
+        bounds[int(r["part_id"])] = nxt
+
+    # phase 2: per-part covered length with the known incoming count; a
+    # part's coverage extends to the next part's first boundary when the
+    # count is still positive at its end (the carry segment)
+    def covered(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("t", kind="mergesort")
+        pid = int(g["part_id"].iloc[0])
+        t = g["t"].to_numpy(np.int64)
+        c = int(offsets[pid]) + g["d"].to_numpy(np.int64).cumsum()
+        seg = np.diff(t)
+        cov = int(seg[c[:-1] > 0].sum()) if len(seg) else 0
+        nxt = bounds[pid]
+        if nxt is not None and c[-1] > 0:
+            cov += int(nxt - t[-1])
+        return pd.DataFrame({"covered": [cov]})
+
+    cov_total = sum(
+        int(r["covered"]) for r in grouped(parted, "part_id").map_groups(
+            covered, batch_format="pandas").take_all())
+    tmin = min(int(r["tmin"]) for r in info)
+    tmax = max(int(r["tmax"]) for r in info)
+    n_intervals = sum(int(r["n_pts"]) for r in info) // 2
+    span = tmax - tmin
+    return pa.table({
+        "n_intervals": pa.array([n_intervals], pa.int64()),
+        "covered_us": pa.array([cov_total], pa.int64()),
+        "span_us": pa.array([span], pa.int64()),
+        "utilization_micros": pa.array(
+            [(cov_total * 1_000_000) // span if span else 0], pa.int64()),
+    })

@@ -1199,3 +1199,65 @@ def test_idle_rich_customers_planted(ray_session, tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["c_nationkey", "n_customers",
                                  "sum_bal_cents"]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_interval_coverage_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.window import interval_coverage
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    base = np.datetime64("2000-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 2_000_000_000, size=n).astype(
+        "timedelta64[us]")
+    df = pd.DataFrame({"ts": pd.DatetimeIndex(ts)})
+    out = interval_coverage(
+        ray.data.from_pandas(df).repartition(6),
+        hold_seconds=300).to_pandas()
+    t = np.sort(ts.astype("datetime64[us]").astype("int64"))
+    # serial union of [t, t+300s)
+    covered = 0
+    cur_s, cur_e = None, None
+    for x in t:
+        s_, e_ = int(x), int(x) + 300_000_000
+        if cur_e is None or s_ > cur_e:
+            if cur_e is not None:
+                covered += cur_e - cur_s
+            cur_s, cur_e = s_, e_
+        else:
+            cur_e = max(cur_e, e_)
+    covered += cur_e - cur_s
+    assert int(out.n_intervals.iloc[0]) == n
+    assert int(out.covered_us.iloc[0]) == covered
+    span = int(t.max()) + 300_000_000 - int(t.min())
+    assert int(out.span_us.iloc[0]) == span
+    assert int(out.utilization_micros.iloc[0]) == \
+        covered * 1_000_000 // span
+
+
+def test_interval_coverage_disjoint_and_empty(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.window import interval_coverage
+
+    ts = pd.to_datetime(["2000-01-01 00:00", "2000-01-01 10:00"])
+    out = interval_coverage(
+        ray.data.from_pandas(pd.DataFrame({"ts": ts}))).to_pandas()
+    assert int(out.covered_us.iloc[0]) == 2 * 300_000_000
+    empty = pd.DataFrame({"ts": pd.DatetimeIndex([])})
+    out = interval_coverage(ray.data.from_pandas(empty)).to_pandas()
+    assert int(out.n_intervals.iloc[0]) == 0
+
+
+def test_shard_plan_balance(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_shard_plan(SF_SMALL).to_pandas().sort_values("part_id")
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert int(out.n_docs.sum()) == len(docs)
+    assert int(out.sum_chars.sum()) == int(docs.n_chars.sum())
+    # ceil-rank ranges are balanced to within the duplicate-value mass
+    assert out.n_docs.max() <= 2 * max(len(docs) // 16, 1) + 16
