@@ -7347,6 +7347,57 @@ def q_shard_plan(sf_dir: str):
                 Sum("sum_chars", alias_name="sum_chars"))
 
 
+def q_weighted_median_length(sf_dir: str):
+    """Exact WEIGHTED median doc length, weight = whitespace word count
+    (where the token mass sits, not the doc count): one bounded-support
+    (value → weight-sum) groupby, driver scan for the smallest value
+    with 2·cumweight ≥ W (pinned lower-median convention). The plain
+    median answers "typical doc"; this answers "typical TOKEN's doc"."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.regression import _word_count_col
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        w = _word_count_col(t, "text")
+        out = pd.DataFrame({
+            "v": t["n_chars"].to_numpy(zero_copy_only=False).astype(
+                "int64"),
+            "w": w.astype("int64"),
+        })
+        return out.groupby("v", sort=False, as_index=False).sum()
+
+    per_val = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), "v"
+    ).aggregate(Sum("w", alias_name="w")).take_all()
+    per_val.sort(key=lambda r: int(r["v"]))
+    total = sum(int(r["w"]) for r in per_val)
+    if total == 0:
+        return pa.table({
+            "total_weight": pa.array([0], pa.int64()),
+            "weighted_median": pa.array([0], pa.int64()),
+        })
+    cum = 0
+    med = int(per_val[-1]["v"])
+    for r in per_val:
+        cum += int(r["w"])
+        if 2 * cum >= total:
+            med = int(r["v"])
+            break
+    return pa.table({
+        "total_weight": pa.array([total], pa.int64()),
+        "weighted_median": pa.array([med], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7638,6 +7689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": q_idle_rich_customers,
         "interval_coverage": q_interval_coverage,
         "shard_plan": q_shard_plan,
+        "weighted_median_length": q_weighted_median_length,
     }
 
 

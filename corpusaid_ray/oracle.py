@@ -6428,3 +6428,18 @@ FROM a GROUP BY part_id"""
 
 
 ORACLE_SQL["shard_plan"] = _shard_plan_sql(16)
+
+# weighted_median_length: smallest length with 2·cumweight ≥ total weight,
+# weight = whitespace word count (lower-median convention, pinned).
+ORACLE_SQL["weighted_median_length"] = f"""
+WITH wv AS MATERIALIZED (
+  SELECT n_chars::BIGINT AS v,
+         sum(({_word_count_sql('text')})::BIGINT)::BIGINT AS w
+  FROM documents GROUP BY 1),
+t AS MATERIALIZED (SELECT sum(w)::BIGINT AS total FROM wv),
+c AS (SELECT v, sum(w) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS cum FROM wv)
+SELECT t.total AS total_weight,
+       coalesce((SELECT min(v) FROM c, t WHERE 2 * cum >= t.total),
+                0)::BIGINT AS weighted_median
+FROM t"""

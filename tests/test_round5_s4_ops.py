@@ -1261,3 +1261,28 @@ def test_shard_plan_balance(ray_session):
     assert int(out.sum_chars.sum()) == int(docs.n_chars.sum())
     # ceil-rank ranges are balanced to within the duplicate-value mass
     assert out.n_docs.max() <= 2 * max(len(docs) // 16, 1) + 16
+
+
+def test_weighted_median_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "wm"
+    d.mkdir()
+    # weights: len-10 doc has 1 word, len-100 doc has 99 words →
+    # weighted median = 100 while the plain median would be 10
+    docs = pd.DataFrame({
+        "text": ["w"] * 9 + [" ".join(["w"] * 99)],
+        "n_chars": np.array([10] * 9 + [100], np.int64),
+    })
+    docs.to_parquet(d / "documents.parquet")
+    out = e.q_weighted_median_length(str(d)).to_pandas()
+    assert int(out.total_weight.iloc[0]) == 9 + 99
+    assert int(out.weighted_median.iloc[0]) == 100
+    # tie-at-half convention: two values, equal weight → LOWER value
+    docs = pd.DataFrame({
+        "text": [" ".join(["w"] * 5), " ".join(["w"] * 5)],
+        "n_chars": np.array([10, 100], np.int64),
+    })
+    docs.to_parquet(d / "documents.parquet")
+    out = e.q_weighted_median_length(str(d)).to_pandas()
+    assert int(out.weighted_median.iloc[0]) == 10
