@@ -6443,3 +6443,50 @@ SELECT t.total AS total_weight,
        coalesce((SELECT min(v) FROM c, t WHERE 2 * cum >= t.total),
                 0)::BIGINT AS weighted_median
 FROM t"""
+
+# ship_latency_percentiles: ceil-rank percentiles of FLOOR-division
+# latency days per priority (floor spelled out — DuckDB // truncates and
+# latencies go negative here).
+ORACLE_SQL["ship_latency_percentiles"] = """
+WITH l AS (
+  SELECT o_orderpriority,
+         (CASE WHEN d >= 0 THEN d // 86400000000
+               ELSE -((-d + 86400000000 - 1) // 86400000000)
+          END)::BIGINT AS lat
+  FROM (SELECT o_orderpriority,
+               epoch_us(l_shipdate) - epoch_us(o_orderdate) AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+vals AS (
+  SELECT o_orderpriority, list_sort(list(lat * 1000000)) AS v,
+         count(*)::BIGINT AS n
+  FROM l GROUP BY 1)
+SELECT o_orderpriority, n,
+       v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS p50_micros,
+       v[greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)] AS p90_micros,
+       v[greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)] AS p99_micros
+FROM vals"""
+
+# lang_vocab_jaccard: exact pairwise token-set Jaccard (the word_freq
+# whitespace-split idiom); zero-overlap pairs kept via the left join.
+ORACLE_SQL["lang_vocab_jaccard"] = """
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT lang,
+         unnest(list_filter(regexp_split_to_array(
+           text, '[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f ]+'),
+         t -> t != '')) AS w
+  FROM documents),
+sizes AS MATERIALIZED (SELECT lang, count(*)::BIGINT AS n
+                       FROM tok GROUP BY 1),
+inter AS MATERIALIZED (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY 1, 2)
+SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+       sa.n AS n_a, sb.n AS n_b,
+       coalesce(inter.i, 0)::BIGINT AS n_inter,
+       ((coalesce(inter.i, 0)::HUGEINT * 1000000)
+        // (sa.n + sb.n - coalesce(inter.i, 0)))::BIGINT
+         AS jaccard_micros
+FROM sizes sa
+JOIN sizes sb ON sa.lang < sb.lang
+LEFT JOIN inter ON inter.lang_a = sa.lang AND inter.lang_b = sb.lang"""

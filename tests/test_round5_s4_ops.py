@@ -1286,3 +1286,49 @@ def test_weighted_median_planted(ray_session, tmp_path):
     docs.to_parquet(d / "documents.parquet")
     out = e.q_weighted_median_length(str(d)).to_pandas()
     assert int(out.weighted_median.iloc[0]) == 10
+
+
+def test_ship_latency_percentiles_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = (e.q_ship_latency_percentiles(SF_SMALL).to_pandas()
+           .set_index("o_orderpriority"))
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"])
+    orders = pd.read_parquet(
+        f"{SF_SMALL}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = line.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    s = j.l_shipdate.to_numpy().astype("datetime64[us]").astype("int64")
+    o = j.o_orderdate.to_numpy().astype("datetime64[us]").astype("int64")
+    j["lat"] = (s - o) // 86_400_000_000  # numpy // floors
+    for prio, g in j.groupby("o_orderpriority"):
+        v = np.sort(g.lat.to_numpy(np.int64)) * 1_000_000
+        n = len(v)
+        for p, col in ((0.5, "p50_micros"), (0.9, "p90_micros"),
+                       (0.99, "p99_micros")):
+            exp = int(v[max(int(np.ceil(p * n)), 1) - 1])
+            assert int(got.loc[prio, col]) == exp, (prio, col)
+        assert int(got.loc[prio, "n"]) == n
+
+
+def test_lang_vocab_jaccard_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "jac"
+    d.mkdir()
+    docs = pd.DataFrame({
+        "lang": ["en", "en", "de", "zh"],
+        "text": ["a b c", "c d", "b c d e", "x y"],
+    })
+    docs.to_parquet(d / "documents.parquet")
+    out = (e.q_lang_vocab_jaccard(str(d)).to_pandas()
+           .set_index(["lang_a", "lang_b"]))
+    # en = {a,b,c,d}, de = {b,c,d,e}, zh = {x,y}
+    r = out.loc[("de", "en")]
+    assert int(r.n_inter) == 3 and int(r.n_a) == 4 and int(r.n_b) == 4
+    assert int(r.jaccard_micros) == 3 * 1_000_000 // 5
+    assert int(out.loc[("de", "zh"), "n_inter"]) == 0
+    assert int(out.loc[("de", "zh"), "jaccard_micros"]) == 0
+    assert len(out) == 3
