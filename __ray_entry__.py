@@ -7535,6 +7535,108 @@ def q_lang_vocab_jaccard(sf_dir: str):
     })
 
 
+def q_repo_activity_gini(sf_dir: str):
+    """Corpus concentration ACROSS REPOS: exact Gini of docs-per-repo —
+    the bigcorp-monorepo skew quantified (the number the salted-groupby
+    design exists to survive). Same no-global-sort rank composition as
+    length_gini, applied to the per-repo count table."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from corpusaid_ray.corpus import read_corpus
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.stages.sampling import global_rank_via_ranges
+    from corpusaid_ray.util import grouped
+
+    counts = grouped(
+        read_corpus(sf_dir).select_columns(["repo"]), "repo"
+    ).count().map_batches(
+        lambda t: pa.table({"repo": t["repo"],
+                            "n_docs": pc.cast(t["count()"], pa.int64())}),
+        batch_format="pyarrow")
+    ranked = global_rank_via_ranges(
+        counts, value_col="n_docs", id_col="repo")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["global_rank"].to_numpy("int64")
+        v = df["value"].to_numpy("int64")
+        return pd.DataFrame({
+            "n": [len(df)],
+            "sx": [int(v.sum()) if len(df) else 0],
+            "s2rx": [int((2 * r * v).sum()) if len(df) else 0],
+        })
+
+    n = sx = s = 0
+    for t in ranked.map_batches(partial, batch_format="pandas")\
+            .iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(t["n"]).as_py() or 0)
+        sx += int(pc.sum(t["sx"]).as_py() or 0)
+        s += int(pc.sum(t["s2rx"]).as_py() or 0)
+    num = s - (n + 1) * sx
+    den = n * sx
+    return pa.table({
+        "n_repos": pa.array([n], pa.int64()),
+        "n_docs": pa.array([sx], pa.int64()),
+        "gini_micro": pa.array(
+            [trunc_div(num * 1_000_000, den) if den else 0], pa.int64()),
+    })
+
+
+def q_hourly_uniformity(sf_dir: str):
+    """Per-event-type chi-square against a uniform hour-of-day profile
+    (the bot/cron detector — organic traffic is diurnal, machine traffic
+    is flat or spiked): the calendar-free hour formula, MISSING hours
+    included, per-term floored micro (the chi2_drift contract)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "event_type": df.event_type,
+            "hour": ((us // 3_600_000_000) % 24).astype("int64"),
+            "c": np.ones(len(us), np.int64),
+        })
+        return out.groupby(["event_type", "hour"], sort=False,
+                           as_index=False).sum()
+
+    cells = grouped(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour"],
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+
+    per_type: dict = {}
+    for r in cells:
+        per_type.setdefault(r["event_type"], {})[int(r["hour"])] = \
+            int(r["c"])
+    types, ns, chis = [], [], []
+    for t in sorted(per_type):
+        hours = per_type[t]
+        n = sum(hours.values())
+        chi = sum(
+            (24 * hours.get(h, 0) - n) ** 2 * 1_000_000 // (24 * n)
+            for h in range(24))
+        types.append(t)
+        ns.append(n)
+        chis.append(chi)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_events": pa.array(ns, pa.int64()),
+        "chi2_micro": pa.array(chis, pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7829,6 +7931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_length": q_weighted_median_length,
         "ship_latency_percentiles": q_ship_latency_percentiles,
         "lang_vocab_jaccard": q_lang_vocab_jaccard,
+        "repo_activity_gini": q_repo_activity_gini,
+        "hourly_uniformity": q_hourly_uniformity,
     }
 
 

@@ -6490,3 +6490,35 @@ SELECT sa.lang AS lang_a, sb.lang AS lang_b,
 FROM sizes sa
 JOIN sizes sb ON sa.lang < sb.lang
 LEFT JOIN inter ON inter.lang_a = sa.lang AND inter.lang_b = sb.lang"""
+
+# repo_activity_gini: exact Gini of docs-per-repo via ranked counts —
+# ties break on the repo string, the global_rank convention.
+ORACLE_SQL["repo_activity_gini"] = with_corpus("""
+, c AS MATERIALIZED (SELECT repo, count(*)::HUGEINT AS x
+                     FROM corpus GROUP BY 1),
+r AS MATERIALIZED (
+  SELECT x, row_number() OVER (ORDER BY x, repo)::HUGEINT AS rk FROM c),
+s AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx,
+             sum(2 * rk * x) AS s2 FROM r)
+SELECT n::BIGINT AS n_repos, sx::BIGINT AS n_docs,
+       (((s2 - (n + 1) * sx) * 1000000) // (n * sx))::BIGINT
+         AS gini_micro
+FROM s""")
+
+# hourly_uniformity: per-type chi2 vs uniform hours, missing hours
+# included, per-term floored micro.
+ORACLE_SQL["hourly_uniformity"] = """
+WITH h AS MATERIALIZED (
+  SELECT event_type, ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour,
+         count(*)::HUGEINT AS c
+  FROM events GROUP BY 1, 2),
+t AS MATERIALIZED (SELECT event_type, sum(c)::HUGEINT AS n
+                   FROM h GROUP BY 1),
+grid AS (
+  SELECT t.event_type, g.range AS hour, t.n, coalesce(h.c, 0) AS o
+  FROM t CROSS JOIN range(0, 24) g
+  LEFT JOIN h ON h.event_type = t.event_type AND h.hour = g.range)
+SELECT event_type, max(n)::BIGINT AS n_events,
+       sum(((24 * o - n) * (24 * o - n) * 1000000) // (24 * n))::BIGINT
+         AS chi2_micro
+FROM grid GROUP BY event_type"""

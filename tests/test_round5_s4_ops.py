@@ -1334,3 +1334,48 @@ def test_lang_vocab_jaccard_planted(ray_session, tmp_path):
     assert int(out.loc[("de", "zh"), "n_inter"]) == 0
     assert int(out.loc[("de", "zh"), "jaccard_micros"]) == 0
     assert len(out) == 3
+
+
+def test_repo_activity_gini_extremes(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_repo_activity_gini(SF_SMALL).to_pandas()
+    g = int(out.gini_micro.iloc[0])
+    # bigcorp holds 40% of docs across ~92 repos → strong concentration
+    assert 300_000 < g < 1_000_000
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert int(out.n_docs.iloc[0]) == len(docs)
+    # serial recomputation
+    from corpusaid_ray.corpus import derive_corpus_batch
+
+    corpus = derive_corpus_batch(
+        docs[["doc_id", "text", "lang"]])
+    x = np.sort(corpus.groupby("repo").size().to_numpy(np.int64))
+    n, sx = len(x), int(x.sum())
+    num = int((2 * np.arange(1, n + 1) * x).sum()) - (n + 1) * sx
+    assert g == num * 1_000_000 // (n * sx)
+
+
+def test_hourly_uniformity_flat_vs_spiked(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "hu"
+    d.mkdir()
+    base = np.datetime64("2000-01-03T00:00:00", "us")
+    flat_ts = base + (np.arange(240) * 3_600_000_000).astype(
+        "timedelta64[us]")          # exactly 10 per hour
+    spike_ts = base + np.zeros(240, dtype="timedelta64[us]")  # one hour
+    ev = pd.DataFrame({
+        "ts": pd.DatetimeIndex(np.concatenate([flat_ts, spike_ts])),
+        "event_type": ["flat"] * 240 + ["spike"] * 240,
+    })
+    ev.to_parquet(d / "events.parquet")
+    out = (e.q_hourly_uniformity(str(d)).to_pandas()
+           .set_index("event_type"))
+    assert int(out.loc["flat", "chi2_micro"]) == 0
+    # all mass in one hour: chi2 = (24-1)²·n/24 + 23·n/24 = 23·n
+    n = 240
+    exp = ((24 * n - n) ** 2 * 1_000_000 // (24 * n)
+           + 23 * (n ** 2 * 1_000_000 // (24 * n)))
+    assert int(out.loc["spike", "chi2_micro"]) == exp
