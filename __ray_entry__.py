@@ -7637,6 +7637,98 @@ def q_hourly_uniformity(sf_dir: str):
     })
 
 
+def q_key_uniqueness(sf_dir: str):
+    """Candidate-key audit (integrity.key_uniqueness_audit): per declared
+    key, rows / distinct keys / duplicated keys / worst multiplicity —
+    the double-write detector paired with fk_integrity."""
+    import ray.data
+
+    from corpusaid_ray.stages.integrity import (
+        KEY_EDGES, key_uniqueness_audit,
+    )
+
+    entries = []
+    for name, table, cols in KEY_EDGES:
+        entries.append((
+            name,
+            ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                  columns=cols),
+            cols,
+        ))
+    return key_uniqueness_audit(entries)
+
+
+def q_top_token_overlap(sf_dir: str):
+    """Head-vocabulary overlap between languages: |top-50 ∩ top-50| per
+    lang pair (count desc, token asc tie-break — pinned), zero-overlap
+    pairs kept. Per-lang top-k runs inside ``map_groups`` over the
+    vocabulary-bounded (lang, token) count table; the pair math reads
+    5×50 driver rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def toks(batch) -> pd.DataFrame:
+        import numpy as np
+
+        from corpusaid_ray.stages.vocab import _flat_tokens
+
+        empty = pd.DataFrame({
+            "lang": pd.Series(dtype=object),
+            "token": pd.Series(dtype=object),
+            "c": pd.Series(dtype="int64"),
+        })
+        if len(batch) == 0:
+            return empty
+        uniq, inv, row_ids = _flat_tokens(batch["text"])
+        if len(inv) == 0:
+            return empty
+        langs_col = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        lut = np.asarray(uniq, dtype=object)
+        out = pd.DataFrame({
+            "lang": langs_col[row_ids], "token": lut[inv]})
+        out["c"] = 1
+        return out.groupby(["lang", "token"], sort=False,
+                           as_index=False).sum()
+
+    wc = grouped(
+        ds.map_batches(toks, batch_format="pyarrow"), ["lang", "token"]
+    ).aggregate(Sum("c", alias_name="c"))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "token"], ascending=[False, True],
+                          kind="mergesort").head(50)
+        return g[["lang", "token"]]
+
+    top = grouped(wc, "lang").map_groups(
+        topk, batch_format="pandas").take_all()
+    sets: dict = {}
+    for r in top:
+        sets.setdefault(r["lang"], set()).add(r["token"])
+    langs = sorted(sets)
+    la, lb, nc, ov = [], [], [], []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            common = len(sets[a] & sets[b])
+            la.append(a)
+            lb.append(b)
+            nc.append(common)
+            ov.append(common * 1_000_000 // 50)
+    return pa.table({
+        "lang_a": pa.array(la, pa.string()),
+        "lang_b": pa.array(lb, pa.string()),
+        "n_common": pa.array(nc, pa.int64()),
+        "overlap_micros": pa.array(ov, pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -7933,6 +8025,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_vocab_jaccard": q_lang_vocab_jaccard,
         "repo_activity_gini": q_repo_activity_gini,
         "hourly_uniformity": q_hourly_uniformity,
+        "key_uniqueness": q_key_uniqueness,
+        "top_token_overlap": q_top_token_overlap,
     }
 
 

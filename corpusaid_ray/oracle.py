@@ -6522,3 +6522,54 @@ SELECT event_type, max(n)::BIGINT AS n_events,
        sum(((24 * o - n) * (24 * o - n) * 1000000) // (24 * n))::BIGINT
          AS chi2_micro
 FROM grid GROUP BY event_type"""
+
+
+def _key_uniqueness_sql() -> str:
+    """Mirror of integrity.KEY_EDGES — grouped-count scalars per key."""
+    from corpusaid_ray.stages.integrity import KEY_EDGES
+
+    parts = []
+    for name, table, cols in KEY_EDGES:
+        k = ", ".join(cols)
+        parts.append(f"""
+SELECT '{name}' AS key_name,
+       (SELECT count(*) FROM {table})::BIGINT AS n_rows,
+       (SELECT count(*) FROM (SELECT 1 FROM {table} GROUP BY {k}))::BIGINT
+         AS n_keys,
+       (SELECT count(*) FROM (SELECT count(*) AS c FROM {table}
+                              GROUP BY {k}) WHERE c > 1)::BIGINT
+         AS n_dup_keys,
+       (SELECT max(c) FROM (SELECT count(*) AS c FROM {table}
+                            GROUP BY {k}))::BIGINT AS max_multiplicity""")
+    return "\nUNION ALL".join(parts)
+
+
+ORACLE_SQL["key_uniqueness"] = _key_uniqueness_sql()
+
+# top_token_overlap: |top-50 ∩ top-50| token sets per lang pair
+# (count desc, token asc rank — pinned); zero-overlap pairs kept.
+ORACLE_SQL["top_token_overlap"] = """
+WITH tok AS MATERIALIZED (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(
+           text, '[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f ]+'),
+         t -> t != '')) AS w
+  FROM documents),
+wc AS MATERIALIZED (SELECT lang, w, count(*)::BIGINT AS c
+                    FROM tok GROUP BY 1, 2),
+r AS MATERIALIZED (
+  SELECT lang, w,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rk
+  FROM wc),
+top AS MATERIALIZED (SELECT lang, w FROM r WHERE rk <= 50),
+langs AS MATERIALIZED (SELECT DISTINCT lang FROM top),
+common AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS n
+  FROM top a JOIN top b ON a.w = b.w AND a.lang < b.lang
+  GROUP BY 1, 2)
+SELECT la.lang AS lang_a, lb.lang AS lang_b,
+       coalesce(common.n, 0)::BIGINT AS n_common,
+       (coalesce(common.n, 0) * 1000000 // 50)::BIGINT AS overlap_micros
+FROM langs la
+JOIN langs lb ON la.lang < lb.lang
+LEFT JOIN common ON common.lang_a = la.lang AND common.lang_b = lb.lang"""

@@ -91,3 +91,80 @@ def fk_orphan_audit(edges):
         "n_child": pa.array(n_child, pa.int64()),
         "n_orphans": pa.array(n_orph, pa.int64()),
     })
+
+
+# Declared candidate keys — (key_name, table, [cols]). Single source of
+# truth: __ray_entry__.q_key_uniqueness builds reads from it and oracle.py
+# generates the grouped-count mirror from it.
+KEY_EDGES = [
+    ("documents.doc_id", "documents", ["doc_id"]),
+    ("embeddings.vec_id", "embeddings", ["vec_id"]),
+    ("events.event_id", "events", ["event_id"]),
+    ("orders.o_orderkey", "orders", ["o_orderkey"]),
+    ("lineitem.orderkey_linenumber", "lineitem",
+     ["l_orderkey", "l_linenumber"]),
+    ("customer.c_custkey", "customer", ["c_custkey"]),
+    ("part.p_partkey", "part", ["p_partkey"]),
+    ("supplier.s_suppkey", "supplier", ["s_suppkey"]),
+    ("nation.n_nationkey", "nation", ["n_nationkey"]),
+    ("region.r_regionkey", "region", ["r_regionkey"]),
+]
+
+
+def key_uniqueness_audit(entries):
+    """Candidate-key audit — the other half of the ingest gate
+    (:func:`fk_orphan_audit` checks references OUT; this checks identity
+    IN): per declared key, total rows, distinct keys, duplicated keys
+    and the worst multiplicity. A partial re-ingest that double-wrote a
+    partition shows up here before any downstream join silently fans
+    out.
+
+    ``entries``: iterable of ``(key_name, ds, cols)``. Per entry: ONE
+    batch-combined count groupby on the key columns, then a streaming
+    four-int fold over the per-key counts (the fold never holds the key
+    table). Scale: the groupby exchange moves one row per distinct key —
+    the audit costs what a dedup pass costs, nothing more.
+
+    Returns a pyarrow Table ``(key_name, n_rows, n_keys, n_dup_keys,
+    max_multiplicity)`` in input order."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    names, nr, nk, nd, mm = [], [], [], [], []
+    for name, ds, cols in entries:
+        def partial(df: pd.DataFrame, cols=cols) -> pd.DataFrame:
+            out = df[cols].copy()
+            out["c"] = np.ones(len(df), np.int64)
+            return out.groupby(cols, sort=False, as_index=False).sum()
+
+        # the combiner emits PARTIAL counts — the reduce must Sum them
+        per_key = drop_empty_blocks(grouped(
+            ds.map_batches(partial, batch_format="pandas"), cols
+        ).aggregate(Sum("c", alias_name="c")))
+
+        rows = keys = dups = 0
+        mx = 0
+        for t in per_key.iter_batches(batch_format="pyarrow"):
+            c = t["c"].to_numpy(zero_copy_only=False)
+            rows += int(c.sum())
+            keys += len(c)
+            dups += int((c > 1).sum())
+            if len(c):
+                mx = max(mx, int(c.max()))
+        names.append(name)
+        nr.append(rows)
+        nk.append(keys)
+        nd.append(dups)
+        mm.append(mx)
+    import pyarrow as pa
+
+    return pa.table({
+        "key_name": pa.array(names, pa.string()),
+        "n_rows": pa.array(nr, pa.int64()),
+        "n_keys": pa.array(nk, pa.int64()),
+        "n_dup_keys": pa.array(nd, pa.int64()),
+        "max_multiplicity": pa.array(mm, pa.int64()),
+    })

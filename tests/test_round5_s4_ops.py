@@ -1379,3 +1379,45 @@ def test_hourly_uniformity_flat_vs_spiked(ray_session, tmp_path):
     exp = ((24 * n - n) ** 2 * 1_000_000 // (24 * n)
            + 23 * (n ** 2 * 1_000_000 // (24 * n)))
     assert int(out.loc["spike", "chi2_micro"]) == exp
+
+
+def test_key_uniqueness_planted_dups(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.integrity import key_uniqueness_audit
+
+    clean = pd.DataFrame({"k": np.arange(5, dtype=np.int64)})
+    dupd = pd.DataFrame({"a": np.array([1, 1, 1, 2, 3], np.int64),
+                         "b": np.array([0, 0, 1, 0, 0], np.int64)})
+    out = key_uniqueness_audit([
+        ("clean.k", ray.data.from_pandas(clean).repartition(3), ["k"]),
+        ("dupd.ab", ray.data.from_pandas(dupd).repartition(2),
+         ["a", "b"]),
+    ]).to_pandas().set_index("key_name")
+    assert int(out.loc["clean.k", "n_dup_keys"]) == 0
+    assert int(out.loc["clean.k", "max_multiplicity"]) == 1
+    d = out.loc["dupd.ab"]
+    assert int(d.n_rows) == 5
+    assert int(d.n_keys) == 4      # (1,0)x2 (1,1) (2,0) (3,0)
+    assert int(d.n_dup_keys) == 1
+    assert int(d.max_multiplicity) == 2
+
+
+def test_top_token_overlap_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "tto"
+    d.mkdir()
+    docs = pd.DataFrame({
+        "lang": ["en", "de", "zh"],
+        "text": ["a b c d", "c d e f", "x y"],
+    })
+    docs.to_parquet(d / "documents.parquet")
+    out = (e.q_top_token_overlap(str(d)).to_pandas()
+           .set_index(["lang_a", "lang_b"]))
+    assert int(out.loc[("de", "en"), "n_common"]) == 2  # c, d
+    assert int(out.loc[("de", "zh"), "n_common"]) == 0
+    assert int(out.loc[("en", "zh"), "n_common"]) == 0
+    assert len(out) == 3
+    assert int(out.loc[("de", "en"), "overlap_micros"]) == \
+        2 * 1_000_000 // 50
