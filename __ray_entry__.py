@@ -7729,6 +7729,50 @@ def q_top_token_overlap(sf_dir: str):
     })
 
 
+def q_supplier_balance_outliers(sf_dir: str):
+    """Group-wise robust gate on a second table (anomaly
+    .mad_outliers_by_group over supplier balances per nation, exact
+    cents) — the per-slice median/MAD contract is table-agnostic."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from corpusaid_ray.stages.anomaly import mad_outliers_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_suppkey": df.s_suppkey,
+            "s_nationkey": df.s_nationkey.astype("int64"),
+            "bal_cents": np.floor(
+                df.s_acctbal.to_numpy(np.float64) * 100.0
+            ).astype("int64"),
+        })
+
+    return mad_outliers_by_group(
+        ds.map_batches(cents, batch_format="pandas"),
+        group_col="s_nationkey", value_col="bal_cents",
+        id_col="s_suppkey", k=3)
+
+
+def q_events_value_benford(sf_dir: str):
+    """Benford audit on a second amount column (anomaly.benford_audit
+    over event values) — the generated-values screen applied to the
+    activity stream."""
+    import ray.data
+
+    from corpusaid_ray.stages.anomaly import benford_audit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["value"]
+    )
+    return benford_audit(ds, value_col="value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8027,6 +8071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_uniformity": q_hourly_uniformity,
         "key_uniqueness": q_key_uniqueness,
         "top_token_overlap": q_top_token_overlap,
+        "supplier_balance_outliers": q_supplier_balance_outliers,
+        "events_value_benford": q_events_value_benford,
     }
 
 

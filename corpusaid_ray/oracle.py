@@ -6573,3 +6573,43 @@ SELECT la.lang AS lang_a, lb.lang AS lang_b,
 FROM langs la
 JOIN langs lb ON la.lang < lb.lang
 LEFT JOIN common ON common.lang_a = la.lang AND common.lang_b = lb.lang"""
+
+# supplier_balance_outliers: the mad_outliers_by_lang contract over
+# supplier balance cents per nation.
+ORACLE_SQL["supplier_balance_outliers"] = """
+WITH b AS MATERIALIZED (
+  SELECT s_suppkey, s_nationkey::BIGINT AS s_nationkey,
+         floor(s_acctbal * 100.0)::BIGINT AS bal
+  FROM supplier),
+med AS MATERIALIZED (
+  SELECT s_nationkey, v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS m
+  FROM (SELECT s_nationkey, list_sort(list(bal)) AS v,
+               count(*)::BIGINT AS n
+        FROM b GROUP BY s_nationkey)),
+devs AS MATERIALIZED (
+  SELECT s_suppkey, b.s_nationkey, abs(bal - med.m) AS dv
+  FROM b JOIN med USING (s_nationkey)),
+mad AS MATERIALIZED (
+  SELECT s_nationkey, v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS m
+  FROM (SELECT s_nationkey, list_sort(list(dv)) AS v,
+               count(*)::BIGINT AS n
+        FROM devs GROUP BY s_nationkey))
+SELECT s_suppkey, devs.s_nationkey, dv AS abs_dev,
+       (dv > 3 * mad.m) AS is_outlier
+FROM devs JOIN mad USING (s_nationkey)"""
+
+# events_value_benford: the benford_prices derivation over event values.
+ORACLE_SQL["events_value_benford"] = """
+WITH c AS (
+  SELECT floor(value * 100.0)::BIGINT AS cents FROM events
+  WHERE floor(value * 100.0) > 0),
+d AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+             count(*)::BIGINT AS n_rows FROM c GROUP BY 1),
+t AS (SELECT sum(n_rows)::HUGEINT AS total FROM d)
+SELECT digit, n_rows,
+       ((n_rows::HUGEINT * 1000000) // total)::BIGINT AS share_micros,
+       floor(1000000 * log10(1.0 + 1.0/digit))::BIGINT AS expected_micros,
+       (((n_rows::HUGEINT * 1000000) // total)
+         - floor(1000000 * log10(1.0 + 1.0/digit))::HUGEINT)::BIGINT
+         AS dev_micros
+FROM d, t"""

@@ -1421,3 +1421,49 @@ def test_top_token_overlap_planted(ray_session, tmp_path):
     assert len(out) == 3
     assert int(out.loc[("de", "en"), "overlap_micros"]) == \
         2 * 1_000_000 // 50
+
+
+def test_supplier_balance_outliers_accounting(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_supplier_balance_outliers(SF_SMALL).to_pandas()
+    supp = pd.read_parquet(f"{SF_SMALL}/supplier.parquet")
+    assert len(out) == len(supp)
+    # serial per-nation median/MAD recomputation
+    b = pd.DataFrame({
+        "k": supp.s_suppkey,
+        "g": supp.s_nationkey.astype("int64"),
+        "v": np.floor(supp.s_acctbal.to_numpy(np.float64)
+                      * 100.0).astype("int64"),
+    })
+
+    def ceilmed(x):
+        v = np.sort(x.to_numpy(np.int64))
+        return int(v[max(int(np.ceil(0.5 * len(v))), 1) - 1])
+
+    med = b.groupby("g")["v"].apply(ceilmed)
+    b["dv"] = (b.v - b.g.map(med)).abs()
+    mad = b.groupby("g")["dv"].apply(ceilmed)
+    b["out"] = b.dv > 3 * b.g.map(mad)
+    got = out.set_index("s_suppkey")
+    for r in b.itertuples(index=False):
+        assert int(got.loc[r.k, "abs_dev"]) == int(r.dv)
+        assert bool(got.loc[r.k, "is_outlier"]) == bool(r.out)
+
+
+def test_events_value_benford_accounting(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_events_value_benford(SF_SMALL).to_pandas()
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet", columns=["value"])
+    cents = np.floor(ev.value.to_numpy(np.float64) * 100.0).astype(
+        "int64")
+    cents = cents[cents > 0]
+    assert int(out.n_rows.sum()) == len(cents)
+    digit = pd.Series(cents).astype(str).str[0].astype(int)
+    vc = digit.value_counts()
+    got = out.set_index("digit")
+    for d, c in vc.items():
+        assert int(got.loc[int(d), "n_rows"]) == int(c)
