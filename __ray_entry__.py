@@ -7773,6 +7773,98 @@ def q_events_value_benford(sf_dir: str):
     return benford_audit(ds, value_col="value")
 
 
+def q_reorder_gap_percentiles(sf_dir: str):
+    """Repeat-purchase cadence: exact p50/p90/p99 of the gap (days)
+    between a customer's consecutive orders — keyed ordered scan inside
+    one groupby (ties → o_orderkey), skinny gap table materialized once,
+    then the distributed percentile reduction."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        us = g.o_orderdate.to_numpy().astype("datetime64[us]").astype(
+            "int64")
+        d = np.diff(us) // 86_400_000_000
+        return pd.DataFrame({
+            "scope": np.repeat("all", len(d)),
+            "gap_days": d.astype("int64"),
+        })
+
+    skinny = grouped(ds, "o_custkey").map_groups(
+        gaps, batch_format="pandas").materialize()
+    return group_percentiles_distributed(
+        skinny, key="scope", value_col="gap_days")
+
+
+def q_discount_elasticity(sf_dir: str):
+    """Fact-table regression: exact OLS of lineitem quantity on the
+    discount (cents) plus the sqrt-free signed corr² — does discounting
+    move volume? Five-integer sufficient statistics, driver fold, the
+    pinned trunc_div contract."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from corpusaid_ray.stages.regression import trunc_div
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_discount", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.floor(
+            df.l_discount.to_numpy(np.float64) * 100.0).astype("int64")
+        y = df.l_quantity.to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [len(x)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxx": [int((x * x).sum())], "syy": [int((y * y).sum())],
+            "sxy": [int((x * y).sum())],
+        })
+
+    n = sx = sy = sxx = syy = sxy = 0
+    for t in ds.map_batches(partial, batch_format="pandas")\
+            .iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(t["n"]).as_py() or 0)
+        sx += int(pc.sum(t["sx"]).as_py() or 0)
+        sy += int(pc.sum(t["sy"]).as_py() or 0)
+        sxx += int(pc.sum(t["sxx"]).as_py() or 0)
+        syy += int(pc.sum(t["syy"]).as_py() or 0)
+        sxy += int(pc.sum(t["sxy"]).as_py() or 0)
+    den = n * sxx - sx * sx
+    if den == 0:
+        raise ValueError("discount_elasticity: constant discount")
+    cov = trunc_div(n * sxy - sx * sy, n * n)
+    vx = trunc_div(n * sxx - sx * sx, n * n)
+    vy = trunc_div(n * syy - sy * sy, n * n)
+    sq = trunc_div(cov * cov * 1_000_000, vx * vy) if vx and vy else 0
+    return pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "slope_micro": pa.array(
+            [trunc_div((n * sxy - sx * sy) * 1_000_000, den)],
+            pa.int64()),
+        "intercept_micro": pa.array(
+            [trunc_div((sy * sxx - sx * sxy) * 1_000_000, den)],
+            pa.int64()),
+        "corr_sq_signed_micros": pa.array(
+            [sq if cov >= 0 else -sq], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8073,6 +8165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_token_overlap": q_top_token_overlap,
         "supplier_balance_outliers": q_supplier_balance_outliers,
         "events_value_benford": q_events_value_benford,
+        "reorder_gap_percentiles": q_reorder_gap_percentiles,
+        "discount_elasticity": q_discount_elasticity,
     }
 
 

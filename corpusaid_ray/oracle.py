@@ -6613,3 +6613,52 @@ SELECT digit, n_rows,
          - floor(1000000 * log10(1.0 + 1.0/digit))::HUGEINT)::BIGINT
          AS dev_micros
 FROM d, t"""
+
+# reorder_gap_percentiles: consecutive-order gaps per customer (ties →
+# o_orderkey), ceil-rank percentiles over the gap stream.
+ORACLE_SQL["reorder_gap_percentiles"] = """
+WITH g AS (
+  SELECT ((epoch_us(o_orderdate)
+           - lag(epoch_us(o_orderdate)) OVER w) // 86400000000)::BIGINT
+           AS gap
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+vals AS (SELECT 'all' AS scope, list_sort(list(gap * 1000000)) AS v,
+                count(*)::BIGINT AS n
+         FROM gg)
+SELECT scope, n,
+       v[greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)] AS p50_micros,
+       v[greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)] AS p90_micros,
+       v[greatest(CAST(ceil(0.99 * n) AS BIGINT), 1)] AS p99_micros
+FROM vals"""
+
+# discount_elasticity: exact OLS + signed corr² of quantity on discount
+# cents (the heuristic_corr n²-normalized contract).
+ORACLE_SQL["discount_elasticity"] = """
+WITH s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(floor(l_discount * 100.0)::HUGEINT) AS sx,
+         sum(l_quantity::HUGEINT) AS sy,
+         sum(floor(l_discount * 100.0)::HUGEINT
+             * floor(l_discount * 100.0)::HUGEINT) AS sxx,
+         sum(l_quantity::HUGEINT * l_quantity::HUGEINT) AS syy,
+         sum(floor(l_discount * 100.0)::HUGEINT * l_quantity::HUGEINT)
+           AS sxy
+  FROM lineitem),
+c AS (
+  SELECT n, sx, sy, sxx, syy, sxy,
+         ((n * sxy - sx * sy) // (n * n)) AS cov,
+         ((n * sxx - sx * sx) // (n * n)) AS vx,
+         ((n * syy - sy * sy) // (n * n)) AS vy
+  FROM s)
+SELECT n::BIGINT AS n_items,
+       ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))::BIGINT
+         AS slope_micro,
+       ((sy * sxx - sx * sxy) * 1000000 // (n * sxx - sx * sx))::BIGINT
+         AS intercept_micro,
+       (CASE WHEN vx = 0 OR vy = 0 THEN 0
+             WHEN cov < 0 THEN -((cov * cov * 1000000) // (vx * vy))
+             ELSE (cov * cov * 1000000) // (vx * vy)
+        END)::BIGINT AS corr_sq_signed_micros
+FROM c"""

@@ -1467,3 +1467,46 @@ def test_events_value_benford_accounting(ray_session):
     got = out.set_index("digit")
     for d, c in vc.items():
         assert int(got.loc[int(d), "n_rows"]) == int(c)
+
+
+def test_reorder_gap_percentiles_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = e.q_reorder_gap_percentiles(SF_SMALL)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    gaps = []
+    for _, g in orders.groupby("o_custkey"):
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        us = g.o_orderdate.to_numpy().astype(
+            "datetime64[us]").astype("int64")
+        gaps.extend((np.diff(us) // 86_400_000_000).tolist())
+    v = np.sort(np.array(gaps, dtype=np.int64)) * 1_000_000
+    n = len(v)
+    assert int(got.n.iloc[0]) == n
+    for p, col in ((0.5, "p50_micros"), (0.9, "p90_micros"),
+                   (0.99, "p99_micros")):
+        assert int(got[col].iloc[0]) == int(
+            v[max(int(np.ceil(p * n)), 1) - 1])
+
+
+def test_discount_elasticity_matches_serial(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = e.q_discount_elasticity(SF_SMALL).to_pandas()
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    x = [int(v) for v in np.floor(
+        line.l_discount.to_numpy(np.float64) * 100.0)]
+    y = [int(v) for v in line.l_quantity]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(a * a for a in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    den = n * sxx - sx * sx
+    assert int(got.slope_micro.iloc[0]) == _trunc_div(
+        (n * sxy - sx * sy) * 1_000_000, den)
+    # |corr²| ≤ 1e6 by Cauchy–Schwarz (fixed-point slack)
+    assert abs(int(got.corr_sq_signed_micros.iloc[0])) <= 1_000_100
