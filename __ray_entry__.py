@@ -7865,6 +7865,41 @@ def q_discount_elasticity(sf_dir: str):
     })
 
 
+def q_neyman_allocation(sf_dir: str):
+    """Neyman minimum-variance sampling allocation: a 10k-doc eval
+    budget split across languages ∝ N_h·σ_h — the statistically optimal
+    stratified design (Neyman 1934), composed from the exact
+    length_moments pass. σ via ``math.isqrt(var_micros)`` (exact integer
+    sqrt; the SQL ``floor(sqrt(·))`` agrees below 2⁵³ — var_micros is
+    ~10¹² here); quotas by truncating proportional division."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import length_moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    rows = length_moments(ds).take_all()
+    rows.sort(key=lambda r: r["lang"])
+    budget = 10_000
+    weights = [int(r["n_docs"]) * math.isqrt(int(r["var_micros"]))
+               for r in rows]
+    wsum = sum(weights)
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+        "sigma_sqrt_micros": pa.array(
+            [math.isqrt(int(r["var_micros"])) for r in rows], pa.int64()),
+        "weight": pa.array(weights, pa.int64()),
+        "quota": pa.array(
+            [w * budget // wsum if wsum else 0 for w in weights],
+            pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8167,6 +8202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_benford": q_events_value_benford,
         "reorder_gap_percentiles": q_reorder_gap_percentiles,
         "discount_elasticity": q_discount_elasticity,
+        "neyman_allocation": q_neyman_allocation,
     }
 
 

@@ -6662,3 +6662,24 @@ SELECT n::BIGINT AS n_items,
              ELSE (cov * cov * 1000000) // (vx * vy)
         END)::BIGINT AS corr_sq_signed_micros
 FROM c"""
+
+# neyman_allocation: N_h·floor(sqrt(var_micros)) weights over the exact
+# length_moments variance, truncating proportional quotas.
+ORACLE_SQL["neyman_allocation"] = """
+WITH s AS (
+  SELECT lang, count(*)::HUGEINT AS n,
+         sum(n_chars::HUGEINT) AS s1,
+         sum(n_chars::HUGEINT * n_chars) AS s2
+  FROM documents GROUP BY lang),
+m AS (
+  SELECT lang, n,
+         floor(sqrt((((n * s2 - s1 * s1) * 1000000)
+                     // (n * n))::DOUBLE))::HUGEINT AS sd
+  FROM s),
+w AS (SELECT lang, n, sd, n * sd AS weight FROM m),
+t AS (SELECT sum(weight) AS ws FROM w)
+SELECT lang, n::BIGINT AS n_docs, sd::BIGINT AS sigma_sqrt_micros,
+       weight::BIGINT AS weight,
+       (CASE WHEN t.ws > 0 THEN (weight * 10000) // t.ws
+             ELSE 0 END)::BIGINT AS quota
+FROM w, t"""

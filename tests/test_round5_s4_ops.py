@@ -1510,3 +1510,24 @@ def test_discount_elasticity_matches_serial(ray_session):
         (n * sxy - sx * sy) * 1_000_000, den)
     # |corr²| ≤ 1e6 by Cauchy–Schwarz (fixed-point slack)
     assert abs(int(got.corr_sq_signed_micros.iloc[0])) <= 1_000_100
+
+
+def test_neyman_allocation_properties(ray_session):
+    import math
+
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_neyman_allocation(SF_SMALL).to_pandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert int(out.n_docs.sum()) == len(docs)
+    assert int(out.quota.sum()) <= 10_000  # truncation never overshoots
+    assert 10_000 - int(out.quota.sum()) < len(out)  # remainder bound
+    # serial weight recomputation
+    for r in out.itertuples(index=False):
+        x = [int(v) for v in docs.loc[docs.lang == r.lang, "n_chars"]]
+        n = len(x)
+        s1, s2 = sum(x), sum(v * v for v in x)
+        var = _trunc_div((n * s2 - s1 * s1) * 1_000_000, n * n)
+        assert r.sigma_sqrt_micros == math.isqrt(var)
+        assert r.weight == n * math.isqrt(var)
