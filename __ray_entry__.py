@@ -7900,6 +7900,129 @@ def q_neyman_allocation(sf_dir: str):
     })
 
 
+def q_session_type_lift(sf_dir: str):
+    """Market-basket lift over sessions: for each UNORDERED event-type
+    pair, sessions containing both vs independence —
+    ``lift_micros = n_ab·N·10⁶ // (n_a·n_b)`` (the collocation integer-
+    lift contract; > 10⁶ = attract, < 10⁶ = repel). The per-session type
+    SET folds to a bitmask (distinct-per-session makes Sum an OR — the
+    lang_vocab_jaccard trick), so the driver reads a ≤2^|types| mask
+    histogram, never a session table."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    types = sorted(
+        r["event_type"] for r in grouped(
+            ds.select_columns(["event_type"]), "event_type"
+        ).count().take_all())
+    tix = {t: i for i, t in enumerate(types)}
+
+    def sess_types(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        new_s = (g.ts.diff() > pd.Timedelta(minutes=30)).cumsum()
+        out = pd.DataFrame({
+            "user_id": g.user_id.to_numpy(),
+            "session_id": new_s.to_numpy(np.int64),
+            "bit": np.array([1 << tix[t] for t in g.event_type],
+                            dtype=np.int64),
+        }).drop_duplicates()
+        out = out.groupby(["user_id", "session_id"], sort=False,
+                          as_index=False)["bit"].sum()
+        return out.rename(columns={"bit": "mask"})
+
+    masks = grouped(ds, "user_id").map_groups(
+        sess_types, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "mask": df["mask"].astype("int64"),
+            "n": np.ones(len(df), np.int64),
+        })
+        return out.groupby("mask", sort=False, as_index=False).sum()
+
+    counts = {int(r["mask"]): int(r["n"]) for r in grouped(
+        masks.map_batches(hist, batch_format="pandas"), "mask"
+    ).aggregate(Sum("n", alias_name="n")).take_all()}
+
+    total = sum(counts.values())
+    ta, tb, nab_, lift = [], [], [], []
+    for i, a in enumerate(types):
+        n_a = sum(n for m, n in counts.items() if m >> i & 1)
+        for j in range(i + 1, len(types)):
+            b = types[j]
+            n_b = sum(n for m, n in counts.items() if m >> j & 1)
+            n_ab = sum(n for m, n in counts.items()
+                       if (m >> i & 1) and (m >> j & 1))
+            if n_a == 0 or n_b == 0:
+                continue
+            ta.append(a)
+            tb.append(b)
+            nab_.append(n_ab)
+            lift.append(n_ab * total * 1_000_000 // (n_a * n_b))
+    return pa.table({
+        "type_a": pa.array(ta, pa.string()),
+        "type_b": pa.array(tb, pa.string()),
+        "n_both": pa.array(nab_, pa.int64()),
+        "lift_micros": pa.array(lift, pa.int64()),
+    })
+
+
+def q_forecast_revenue_change(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): ONE filtered aggregate
+    with every predicate pushed into the parquet read — the canonical
+    scan-pruning demo; at 10¹² rows only qualifying row groups leave
+    storage."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate")
+             >= pads.scalar(pd.Timestamp("1996-01-01")))
+            & (pads.field("l_shipdate")
+               < pads.scalar(pd.Timestamp("1997-01-01")))
+            & (pads.field("l_quantity") < pads.scalar(24.0))
+        ),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df.l_discount.to_numpy(np.float64) * 100.0).astype("int64")
+        keep = (cents >= 5) & (cents <= 7)
+        rev = np.floor(
+            df.l_extendedprice.to_numpy()[keep]
+            * df.l_discount.to_numpy()[keep] * 1_000_000
+        ).astype("int64")
+        return pd.DataFrame({"n": [int(keep.sum())],
+                             "rev": [int(rev.sum())]})
+
+    n = rev = 0
+    for t in line.map_batches(partial, batch_format="pandas")\
+            .iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(t["n"]).as_py() or 0)
+        rev += int(pc.sum(t["rev"]).as_py() or 0)
+    return pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "revenue_micros": pa.array([rev], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8203,6 +8326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reorder_gap_percentiles": q_reorder_gap_percentiles,
         "discount_elasticity": q_discount_elasticity,
         "neyman_allocation": q_neyman_allocation,
+        "session_type_lift": q_session_type_lift,
+        "forecast_revenue_change": q_forecast_revenue_change,
     }
 
 

@@ -6683,3 +6683,50 @@ SELECT lang, n::BIGINT AS n_docs, sd::BIGINT AS sigma_sqrt_micros,
        (CASE WHEN t.ws > 0 THEN (weight * 10000) // t.ws
              ELSE 0 END)::BIGINT AS quota
 FROM w, t"""
+
+# session_type_lift: unordered type-pair session co-occurrence lift
+# (integer lift, zero pairs kept via the grid left join).
+ORACLE_SQL["session_type_lift"] = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+  FROM events),
+sess AS (
+  SELECT user_id, event_type,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered),
+st AS MATERIALIZED (SELECT DISTINCT user_id, sid, event_type FROM sess),
+szs AS MATERIALIZED (SELECT event_type, count(*)::HUGEINT AS n
+                     FROM st GROUP BY 1),
+tot AS MATERIALIZED (
+  SELECT count(*)::HUGEINT AS n
+  FROM (SELECT DISTINCT user_id, sid FROM st)),
+pair AS MATERIALIZED (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+                     AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+       coalesce(pair.n_both, 0)::BIGINT AS n_both,
+       ((coalesce(pair.n_both, 0)::HUGEINT * tot.n * 1000000)
+        // (sa.n * sb.n))::BIGINT AS lift_micros
+FROM szs sa
+JOIN szs sb ON sa.event_type < sb.event_type
+LEFT JOIN pair ON pair.type_a = sa.event_type
+              AND pair.type_b = sb.event_type, tot"""
+
+# forecast_revenue_change: TPC-H Q6 shape — one fully-pushed filtered
+# aggregate; the discount band compares in exact cents.
+ORACLE_SQL["forecast_revenue_change"] = """
+SELECT count(*)::BIGINT AS n_items,
+       coalesce(sum(floor(l_extendedprice * l_discount
+                          * 1000000)::BIGINT), 0)::BIGINT
+         AS revenue_micros
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND floor(l_discount * 100.0) BETWEEN 5 AND 7"""

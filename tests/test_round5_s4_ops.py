@@ -1531,3 +1531,47 @@ def test_neyman_allocation_properties(ray_session):
         var = _trunc_div((n * s2 - s1 * s1) * 1_000_000, n * n)
         assert r.sigma_sqrt_micros == math.isqrt(var)
         assert r.weight == n * math.isqrt(var)
+
+
+def test_session_type_lift_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "lift"
+    d.mkdir()
+    t0 = pd.Timestamp("2000-01-01 00:00")
+    rows = []
+    # user 1: 3 sessions of {A,B}; user 2: 2 sessions of {C}
+    for s in range(3):
+        base = t0 + pd.Timedelta(hours=2 * s)
+        rows += [(1, base, "A"), (1, base + pd.Timedelta(minutes=5), "B")]
+    for s in range(2):
+        rows.append((2, t0 + pd.Timedelta(hours=5 * s), "C"))
+    ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    ev.to_parquet(d / "events.parquet")
+    out = (e.q_session_type_lift(str(d)).to_pandas()
+           .set_index(["type_a", "type_b"]))
+    # N=5 sessions; n_A=n_B=3, n_AB=3 → lift = 3·5/(3·3) = 5/3
+    assert int(out.loc[("A", "B"), "n_both"]) == 3
+    assert int(out.loc[("A", "B"), "lift_micros"]) == \
+        3 * 5 * 1_000_000 // 9
+    assert int(out.loc[("A", "C"), "n_both"]) == 0
+    assert len(out) == 3
+
+
+def test_forecast_revenue_change_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = e.q_forecast_revenue_change(SF_SMALL).to_pandas()
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    cents = np.floor(line.l_discount.to_numpy(np.float64)
+                     * 100.0).astype("int64")
+    keep = ((line.l_shipdate >= "1996-01-01")
+            & (line.l_shipdate < "1997-01-01")
+            & (line.l_quantity < 24)
+            & (cents >= 5) & (cents <= 7)).to_numpy()
+    rev = np.floor(line.l_extendedprice.to_numpy()[keep]
+                   * line.l_discount.to_numpy()[keep]
+                   * 1_000_000).astype("int64")
+    assert int(got.n_items.iloc[0]) == int(keep.sum())
+    assert int(got.revenue_micros.iloc[0]) == int(rev.sum())
