@@ -8023,6 +8023,20 @@ def q_forecast_revenue_change(sf_dir: str):
     })
 
 
+def q_watermark_drops(sf_dir: str):
+    """Allowed-lateness impact audit (window.watermark_drops): replaying
+    arrivals in event_id order, how many events a 600 s watermark would
+    drop — the exact two-phase prefix-MAX range scan."""
+    import ray.data
+
+    from corpusaid_ray.stages.window import watermark_drops
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    return watermark_drops(ds, lateness_seconds=600)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8328,6 +8342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_allocation": q_neyman_allocation,
         "session_type_lift": q_session_type_lift,
         "forecast_revenue_change": q_forecast_revenue_change,
+        "watermark_drops": q_watermark_drops,
     }
 
 

@@ -6730,3 +6730,22 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_quantity < 24
   AND floor(l_discount * 100.0) BETWEEN 5 AND 7"""
+
+# watermark_drops: drop when event time < running PRIOR max (arrival order
+# = event_id) minus the lateness; the first arrival's NULL prior never
+# drops.
+ORACLE_SQL["watermark_drops"] = """
+WITH s AS (
+  SELECT epoch_us(ts)::BIGINT AS t,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)::BIGINT AS prior
+  FROM events)
+SELECT count(*)::BIGINT AS n_events,
+       coalesce(count(*) FILTER (prior IS NOT NULL
+                                 AND t < prior - 600000000),
+                0)::BIGINT AS n_dropped,
+       ((coalesce(count(*) FILTER (prior IS NOT NULL
+                                   AND t < prior - 600000000), 0)
+         ::HUGEINT * 1000000) // count(*))::BIGINT AS drop_micros
+FROM s"""

@@ -956,3 +956,111 @@ def interval_coverage(ds, *, ts_col: str = "ts", hold_seconds: int = 300,
         "utilization_micros": pa.array(
             [(cov_total * 1_000_000) // span if span else 0], pa.int64()),
     })
+
+
+def watermark_drops(ds, *, id_col: str = "event_id", ts_col: str = "ts",
+                    lateness_seconds: int = 600, num_parts: int = 16):
+    """Streaming watermark policy evaluated EXACTLY over a bounded log:
+    replaying events in arrival order (``id_col``), the watermark is the
+    running max event time of PRIOR arrivals minus the allowed lateness;
+    an event strictly older than the watermark would have been dropped.
+    This measures — before deploying a streaming ingest — how much data
+    a given allowed-lateness setting would discard.
+
+    Exact two-phase prefix-MAX scan (max is associative — the
+    peak_concurrency decomposition with max instead of sum): phase 1
+    learns arrival-order range cuts and each range's max event time; the
+    driver folds them into each range's incoming prefix max; phase 2
+    rescans each range with its offset in the closure. The first arrival
+    has no prior (never dropped) — mirrored by SQL's NULL window max.
+
+    Returns a one-row pyarrow Table ``(n_events, n_dropped,
+    drop_micros)``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+    from corpusaid_ray.util import grouped
+
+    late_us = int(lateness_seconds) * 1_000_000
+    if ds.count() == 0:
+        return pa.table({
+            "n_events": pa.array([0], pa.int64()),
+            "n_dropped": pa.array([0], pa.int64()),
+            "drop_micros": pa.array([0], pa.int64()),
+        })
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": df[id_col].to_numpy(np.int64),
+            "t": df[ts_col].to_numpy().astype("datetime64[us]").astype(
+                "int64"),
+        })
+
+    pts = ds.map_batches(prep, batch_format="pandas")
+    qs = tuple(i / num_parts for i in range(1, num_parts))
+    names = [f"p{int(p * 100)}_micros" for p in qs]
+    pct = group_percentiles_distributed(
+        pts.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df["k"].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v", percentiles=qs)
+    cuts = np.sort(np.array(
+        [int(pct[c].iloc[0]) // 1_000_000 for c in names],
+        dtype=np.int64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "part_id": np.searchsorted(cuts, k, side="left").astype(
+                "int64"),
+            "k": k, "t": df["t"].to_numpy(np.int64),
+        })
+
+    parted = pts.map_batches(assign, batch_format="pandas").materialize()
+
+    def part_max(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part_id": [int(g["part_id"].iloc[0])],
+            "tmax": [int(g["t"].max())],
+        })
+
+    info = grouped(parted, "part_id").map_groups(
+        part_max, batch_format="pandas").take_all()
+    info.sort(key=lambda r: int(r["part_id"]))
+    NEG = -(1 << 62)  # "no prior arrival" sentinel (never drops)
+    offsets, acc = {}, NEG
+    for r in info:
+        offsets[int(r["part_id"])] = acc
+        acc = max(acc, int(r["tmax"]))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("k", kind="mergesort")
+        t = g["t"].to_numpy(np.int64)
+        prior = np.empty(len(t), dtype=np.int64)
+        prior[0] = offsets[int(g["part_id"].iloc[0])]
+        if len(t) > 1:
+            np.maximum.accumulate(t[:-1], out=prior[1:])
+            np.maximum(prior[1:], prior[0], out=prior[1:])
+        dropped = t < prior - late_us
+        # the sentinel can't trigger: prior - late_us underflows toward
+        # -inf only further
+        return pd.DataFrame({"n": [len(t)],
+                             "d": [int(dropped.sum())]})
+
+    n = d = 0
+    for r in grouped(parted, "part_id").map_groups(
+            scan, batch_format="pandas").take_all():
+        n += int(r["n"])
+        d += int(r["d"])
+    return pa.table({
+        "n_events": pa.array([n], pa.int64()),
+        "n_dropped": pa.array([d], pa.int64()),
+        "drop_micros": pa.array(
+            [(d * 1_000_000) // n if n else 0], pa.int64()),
+    })

@@ -1575,3 +1575,57 @@ def test_forecast_revenue_change_matches_pandas(ray_session):
                    * 1_000_000).astype("int64")
     assert int(got.n_items.iloc[0]) == int(keep.sum())
     assert int(got.revenue_micros.iloc[0]) == int(rev.sum())
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_watermark_drops_matches_serial(ray_session, seed):
+    import ray.data
+
+    from corpusaid_ray.stages.window import watermark_drops
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    base = np.datetime64("2000-01-01T00:00:00", "us")
+    # shuffled event times vs ordered ids → genuine out-of-orderness
+    ts = base + rng.permutation(
+        np.arange(n) * 60_000_000).astype("timedelta64[us]")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.DatetimeIndex(ts),
+    })
+    out = watermark_drops(
+        ray.data.from_pandas(df).repartition(7),
+        lateness_seconds=600).to_pandas()
+    t = ts.astype("datetime64[us]").astype("int64")
+    dropped = 0
+    prior = None
+    for x in t:  # arrival order == event_id order == array order
+        if prior is not None and int(x) < prior - 600_000_000:
+            dropped += 1
+        prior = int(x) if prior is None else max(prior, int(x))
+    assert int(out.n_events.iloc[0]) == n
+    assert int(out.n_dropped.iloc[0]) == dropped
+    assert int(out.drop_micros.iloc[0]) == dropped * 1_000_000 // n
+
+
+def test_watermark_drops_edges(ray_session):
+    import ray.data
+
+    from corpusaid_ray.stages.window import watermark_drops
+
+    # strictly increasing times: nothing drops
+    df = pd.DataFrame({
+        "event_id": np.arange(10, dtype=np.int64),
+        "ts": pd.date_range("2000-01-01", periods=10, freq="1h"),
+    })
+    out = watermark_drops(ray.data.from_pandas(df)).to_pandas()
+    assert int(out.n_dropped.iloc[0]) == 0
+    # one very late arrival drops
+    late = df.copy()
+    late.loc[9, "ts"] = pd.Timestamp("1999-12-01")
+    out = watermark_drops(ray.data.from_pandas(late)).to_pandas()
+    assert int(out.n_dropped.iloc[0]) == 1
+    empty = pd.DataFrame({"event_id": pd.array([], dtype="int64"),
+                          "ts": pd.DatetimeIndex([])})
+    out = watermark_drops(ray.data.from_pandas(empty)).to_pandas()
+    assert int(out.n_events.iloc[0]) == 0
