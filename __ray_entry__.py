@@ -8037,6 +8037,56 @@ def q_watermark_drops(sf_dir: str):
     return watermark_drops(ds, lateness_seconds=600)
 
 
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): per-supplier discounted revenue
+    over 1996 Q1, keeping EVERY supplier that attains the maximum (the
+    Q15 tie rule — a filter against the global max, not a LIMIT 1).
+    One pushed-filter scan + per-supplier groupby; the max is a scalar
+    reduce over the aggregate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate")
+             >= pads.scalar(pd.Timestamp("1996-01-01")))
+            & (pads.field("l_shipdate")
+               < pads.scalar(pd.Timestamp("1996-04-01")))
+        ),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(
+            df.l_extendedprice.to_numpy()
+            * (1.0 - df.l_discount.to_numpy()) * 1_000_000
+        ).astype("int64")
+        out = pd.DataFrame({"l_suppkey": df.l_suppkey,
+                            "revenue_micros": rev})
+        return out.groupby("l_suppkey", sort=False, as_index=False).sum()
+
+    per_supp = drop_empty_blocks(grouped(
+        line.map_batches(partial, batch_format="pandas"), "l_suppkey"
+    ).aggregate(Sum("revenue_micros", alias_name="revenue_micros")))
+    per_supp = per_supp.materialize()
+    if per_supp.count() == 0:
+        import pyarrow as pa
+
+        return pa.table({
+            "l_suppkey": pa.array([], pa.int64()),
+            "revenue_micros": pa.array([], pa.int64()),
+        })
+    top = int(per_supp.max("revenue_micros"))
+    return per_supp.filter(expr=f"revenue_micros == {top}")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8343,6 +8393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_lift": q_session_type_lift,
         "forecast_revenue_change": q_forecast_revenue_change,
         "watermark_drops": q_watermark_drops,
+        "top_supplier_revenue": q_top_supplier_revenue,
     }
 
 

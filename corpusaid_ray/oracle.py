@@ -6749,3 +6749,17 @@ SELECT count(*)::BIGINT AS n_events,
                                    AND t < prior - 600000000), 0)
          ::HUGEINT * 1000000) // count(*))::BIGINT AS drop_micros
 FROM s"""
+
+# top_supplier_revenue: Q15 shape — every supplier attaining the max
+# (filter vs global max, not LIMIT 1).
+ORACLE_SQL["top_supplier_revenue"] = """
+WITH r AS MATERIALIZED (
+  SELECT l_suppkey,
+         sum(floor(l_extendedprice * (1.0 - l_discount)
+                   * 1000000)::BIGINT)::BIGINT AS revenue_micros
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT l_suppkey, revenue_micros
+FROM r WHERE revenue_micros = (SELECT max(revenue_micros) FROM r)"""

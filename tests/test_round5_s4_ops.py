@@ -1629,3 +1629,27 @@ def test_watermark_drops_edges(ray_session):
                           "ts": pd.DatetimeIndex([])})
     out = watermark_drops(ray.data.from_pandas(empty)).to_pandas()
     assert int(out.n_events.iloc[0]) == 0
+
+
+def test_top_supplier_revenue_tie_rule(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "q15"
+    d.mkdir()
+    # two suppliers tie at the max (same price, no discount)
+    line = pd.DataFrame({
+        "l_suppkey": np.array([1, 2, 3], np.int64),
+        "l_extendedprice": [100.0, 100.0, 50.0],
+        "l_discount": [0.0, 0.0, 0.0],
+        "l_shipdate": pd.to_datetime(["1996-02-01"] * 3),
+    })
+    line.to_parquet(d / "lineitem.parquet")
+    out = (e.q_top_supplier_revenue(str(d)).to_pandas()
+           .sort_values("l_suppkey").reset_index(drop=True))
+    assert list(out.l_suppkey) == [1, 2]   # BOTH max achievers kept
+    assert (out.revenue_micros == 100_000_000).all()
+    # out-of-window rows excluded entirely
+    line["l_shipdate"] = pd.to_datetime(["1995-02-01"] * 3)
+    line.to_parquet(d / "lineitem.parquet")
+    out = e.q_top_supplier_revenue(str(d)).to_pandas()
+    assert len(out) == 0
