@@ -8087,6 +8087,76 @@ def q_top_supplier_revenue(sf_dir: str):
     return per_supp.filter(expr=f"revenue_micros == {top}")
 
 
+def q_weekday_seasonality(sf_dir: str):
+    """Seasonality strength per event type: η² — the share of daily-count
+    variance explained by day-of-week means (ANOVA between/total), in
+    exact integers with per-term truncation:
+
+        T = Σ_w (S_w²·N·1000) // n_w − (Σc)²·1000
+        eta2_micro = trunc(T·1000 / (N·Σc² − (Σc)²))
+
+    High η² = organically diurnal; ~0 = machine-flat. One (type, day)
+    count groupby (bounded by types × days), driver-exact algebra with
+    the calendar-free dow formula."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "event_type": df.event_type,
+            "day": (us // 86_400_000_000).astype("int64"),
+            "c": np.ones(len(us), np.int64),
+        })
+        return out.groupby(["event_type", "day"], sort=False,
+                           as_index=False).sum()
+
+    cells = grouped(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "day"],
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+
+    per_type: dict = {}
+    for r in cells:
+        per_type.setdefault(r["event_type"], []).append(
+            (int(r["day"]), int(r["c"])))
+    types, nds, etas = [], [], []
+    for t in sorted(per_type):
+        days = per_type[t]
+        n = len(days)
+        sc = sum(c for _, c in days)
+        sc2 = sum(c * c for _, c in days)
+        sst = n * sc2 - sc * sc
+        if sst == 0:
+            continue
+        sw: dict = {}
+        nw: dict = {}
+        for d, c in days:
+            w = (d + 4) % 7
+            sw[w] = sw.get(w, 0) + c
+            nw[w] = nw.get(w, 0) + 1
+        t_num = sum((sw[w] * sw[w] * n * 1000) // nw[w] for w in sw) \
+            - sc * sc * 1000
+        types.append(t)
+        nds.append(n)
+        etas.append(trunc_div(t_num * 1000, sst))
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n_days": pa.array(nds, pa.int64()),
+        "eta2_micro": pa.array(etas, pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8394,6 +8464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue_change": q_forecast_revenue_change,
         "watermark_drops": q_watermark_drops,
         "top_supplier_revenue": q_top_supplier_revenue,
+        "weekday_seasonality": q_weekday_seasonality,
     }
 
 

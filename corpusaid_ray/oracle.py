@@ -6763,3 +6763,29 @@ WITH r AS MATERIALIZED (
   GROUP BY 1)
 SELECT l_suppkey, revenue_micros
 FROM r WHERE revenue_micros = (SELECT max(revenue_micros) FROM r)"""
+
+# weekday_seasonality: per-type ANOVA eta² over observed (type, day)
+# daily counts — per-term trunc, calendar-free dow, degenerate (SST=0)
+# types excluded.
+ORACLE_SQL["weekday_seasonality"] = """
+WITH d AS MATERIALIZED (
+  SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         count(*)::HUGEINT AS c
+  FROM events GROUP BY 1, 2),
+s AS MATERIALIZED (
+  SELECT event_type, count(*)::HUGEINT AS n, sum(c) AS sc,
+         sum(c * c) AS sc2
+  FROM d GROUP BY 1),
+w AS MATERIALIZED (
+  SELECT event_type, ((day + 4) % 7) AS dow, sum(c) AS swv,
+         count(*)::HUGEINT AS nw
+  FROM d GROUP BY 1, 2),
+tb AS MATERIALIZED (
+  SELECT w.event_type,
+         sum((swv * swv * s.n * 1000) // nw) AS acc
+  FROM w JOIN s USING (event_type) GROUP BY 1)
+SELECT s.event_type, s.n::BIGINT AS n_days,
+       (((tb.acc - s.sc * s.sc * 1000) * 1000)
+        // (s.n * s.sc2 - s.sc * s.sc))::BIGINT AS eta2_micro
+FROM s JOIN tb USING (event_type)
+WHERE s.n * s.sc2 - s.sc * s.sc != 0"""

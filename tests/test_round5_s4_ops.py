@@ -1653,3 +1653,26 @@ def test_top_supplier_revenue_tie_rule(ray_session, tmp_path):
     line.to_parquet(d / "lineitem.parquet")
     out = e.q_top_supplier_revenue(str(d)).to_pandas()
     assert len(out) == 0
+
+
+def test_weekday_seasonality_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "seas"
+    d.mkdir()
+    # "weekly": 100 events every Monday, 1 every other day → high eta²;
+    # "flat": 10 events every day → eta² == 0 exactly
+    rows = []
+    base = np.datetime64("2000-01-03T12:00:00", "us")  # a Monday
+    for day in range(28):
+        t = base + np.timedelta64(day * 86_400_000_000, "us")
+        n = 100 if day % 7 == 0 else 1
+        rows += [("weekly", t)] * n
+        rows += [("flat", t)] * 10
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev.to_parquet(d / "events.parquet")
+    out = (e.q_weekday_seasonality(str(d)).to_pandas()
+           .set_index("event_type"))
+    assert int(out.loc["weekly", "n_days"]) == 28
+    assert int(out.loc["weekly", "eta2_micro"]) > 990_000
+    assert abs(int(out.loc["flat", "eta2_micro"])) <= 1000
