@@ -1668,11 +1668,15 @@ def test_weekday_seasonality_planted(ray_session, tmp_path):
         t = base + np.timedelta64(day * 86_400_000_000, "us")
         n = 100 if day % 7 == 0 else 1
         rows += [("weekly", t)] * n
-        rows += [("flat", t)] * 10
+        # near-flat: ±1 jitter on a 9-day cycle (unaligned with weeks)
+        rows += [("flat", t)] * (10 + (day % 9 == 0))
+        # constant: exactly 10 every day → SST = 0 → EXCLUDED by rule
+        rows += [("const", t)] * 10
     ev = pd.DataFrame(rows, columns=["event_type", "ts"])
     ev.to_parquet(d / "events.parquet")
     out = (e.q_weekday_seasonality(str(d)).to_pandas()
            .set_index("event_type"))
     assert int(out.loc["weekly", "n_days"]) == 28
     assert int(out.loc["weekly", "eta2_micro"]) > 990_000
-    assert abs(int(out.loc["flat", "eta2_micro"])) <= 1000
+    assert abs(int(out.loc["flat", "eta2_micro"])) < 500_000
+    assert "const" not in out.index  # degenerate SST excluded
