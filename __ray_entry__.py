@@ -8157,6 +8157,97 @@ def q_weekday_seasonality(sf_dir: str):
     })
 
 
+def q_type_xcorr(sf_dir: str):
+    """Lagged cross-correlation of daily event-type volumes (does type A
+    lead type B?): for each unordered type pair and lag ∈ {−2..2} days,
+    the sqrt-free signed corr² of the DENSE daily-count series (missing
+    days = 0, grid = the observed day span; corr(b,a,−lag) ≡
+    corr(a,b,lag) so ordered duplicates are omitted). One bounded
+    (type, day) groupby; the dense grids live on the driver
+    (types × span ints)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.to_numpy().astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "event_type": df.event_type,
+            "day": (us // 86_400_000_000).astype("int64"),
+            "c": np.ones(len(us), np.int64),
+        })
+        return out.groupby(["event_type", "day"], sort=False,
+                           as_index=False).sum()
+
+    cells = grouped(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "day"],
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+    if not cells:
+        return pa.table({
+            "type_a": pa.array([], pa.string()),
+            "type_b": pa.array([], pa.string()),
+            "lag": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "corr_sq_signed_micros": pa.array([], pa.int64()),
+        })
+    dmin = min(int(r["day"]) for r in cells)
+    dmax = max(int(r["day"]) for r in cells)
+    span = dmax - dmin + 1
+    series: dict = {}
+    for r in cells:
+        series.setdefault(r["event_type"],
+                          [0] * span)[int(r["day"]) - dmin] += int(r["c"])
+    types = sorted(series)
+    ta_, tb_, lg_, nd_, cs_ = [], [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            xa, xb = series[a], series[b]
+            for lag in (-2, -1, 0, 1, 2):
+                # pair day d of A with day d+lag of B
+                if lag >= 0:
+                    pairs = [(xa[d], xb[d + lag])
+                             for d in range(span - lag)]
+                else:
+                    pairs = [(xa[d - lag], xb[d])
+                             for d in range(span + lag)]
+                n = len(pairs)
+                if n < 2:
+                    continue
+                sx = sum(p[0] for p in pairs)
+                sy = sum(p[1] for p in pairs)
+                sxx = sum(p[0] * p[0] for p in pairs)
+                syy = sum(p[1] * p[1] for p in pairs)
+                sxy = sum(p[0] * p[1] for p in pairs)
+                cov = trunc_div(n * sxy - sx * sy, n * n)
+                vx = trunc_div(n * sxx - sx * sx, n * n)
+                vy = trunc_div(n * syy - sy * sy, n * n)
+                if vx <= 0 or vy <= 0:
+                    continue
+                sq = trunc_div(cov * cov * 1_000_000, vx * vy)
+                ta_.append(a)
+                tb_.append(b)
+                lg_.append(lag)
+                nd_.append(n)
+                cs_.append(sq if cov >= 0 else -sq)
+    return pa.table({
+        "type_a": pa.array(ta_, pa.string()),
+        "type_b": pa.array(tb_, pa.string()),
+        "lag": pa.array(lg_, pa.int64()),
+        "n_days": pa.array(nd_, pa.int64()),
+        "corr_sq_signed_micros": pa.array(cs_, pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8465,6 +8556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_drops": q_watermark_drops,
         "top_supplier_revenue": q_top_supplier_revenue,
         "weekday_seasonality": q_weekday_seasonality,
+        "type_xcorr": q_type_xcorr,
     }
 
 

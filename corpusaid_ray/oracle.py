@@ -6789,3 +6789,42 @@ SELECT s.event_type, s.n::BIGINT AS n_days,
         // (s.n * s.sc2 - s.sc * s.sc))::BIGINT AS eta2_micro
 FROM s JOIN tb USING (event_type)
 WHERE s.n * s.sc2 - s.sc * s.sc != 0"""
+
+# type_xcorr: signed corr² of dense daily-count series per unordered type
+# pair and lag — grid join over the observed day span, zero-filled.
+ORACLE_SQL["type_xcorr"] = """
+WITH d AS MATERIALIZED (
+  SELECT event_type, (epoch_us(ts) // 86400000000)::BIGINT AS day,
+         count(*)::HUGEINT AS c
+  FROM events GROUP BY 1, 2),
+ext AS MATERIALIZED (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+days AS MATERIALIZED (
+  SELECT unnest(range(d0, d1 + 1)) AS day FROM ext),
+grid AS MATERIALIZED (
+  SELECT t.event_type, days.day, coalesce(d.c, 0)::HUGEINT AS c
+  FROM (SELECT DISTINCT event_type FROM d) t
+  CROSS JOIN days
+  LEFT JOIN d ON d.event_type = t.event_type AND d.day = days.day),
+lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+st AS MATERIALIZED (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+         count(*)::HUGEINT AS n,
+         sum(a.c) AS sx, sum(b.c) AS sy, sum(a.c * a.c) AS sxx,
+         sum(b.c * b.c) AS syy, sum(a.c * b.c) AS sxy
+  FROM grid a
+  CROSS JOIN lags l
+  JOIN grid b ON b.day = a.day + l.lag
+             AND a.event_type < b.event_type
+  GROUP BY 1, 2, 3),
+c AS (
+  SELECT type_a, type_b, lag, n,
+         ((n * sxy - sx * sy) // (n * n)) AS cov,
+         ((n * sxx - sx * sx) // (n * n)) AS vx,
+         ((n * syy - sy * sy) // (n * n)) AS vy
+  FROM st WHERE n >= 2)
+SELECT type_a, type_b, lag::BIGINT AS lag, n::BIGINT AS n_days,
+       (CASE WHEN cov < 0
+             THEN -((cov * cov * 1000000) // (vx * vy))
+             ELSE (cov * cov * 1000000) // (vx * vy)
+        END)::BIGINT AS corr_sq_signed_micros
+FROM c WHERE vx > 0 AND vy > 0"""

@@ -1680,3 +1680,30 @@ def test_weekday_seasonality_planted(ray_session, tmp_path):
     assert int(out.loc["weekly", "eta2_micro"]) > 990_000
     assert abs(int(out.loc["flat", "eta2_micro"])) < 500_000
     assert "const" not in out.index  # degenerate SST excluded
+
+
+def test_type_xcorr_planted_lead(ray_session, tmp_path):
+    """Type B's volume exactly mirrors type A one day later → the lag=+1
+    correlation hits +1e6 (and lag=0 stays far below)."""
+    import __ray_entry__ as e
+
+    d = tmp_path / "xc"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    base = np.datetime64("2000-01-01T12:00:00", "us")
+    rows = []
+    vol = rng.integers(1, 20, size=30)
+    for day in range(30):
+        t = base + np.timedelta64(day * 86_400_000_000, "us")
+        rows += [("A", t)] * int(vol[day])
+        if day >= 1:
+            rows += [("B", t)] * int(vol[day - 1])
+    ev = pd.DataFrame(rows, columns=["event_type", "ts"])
+    ev.to_parquet(d / "events.parquet")
+    out = (e.q_type_xcorr(str(d)).to_pandas()
+           .set_index(["type_a", "type_b", "lag"]))
+    # pairing day d of A with day d+1 of B reproduces vol vs vol
+    assert int(out.loc[("A", "B", 1),
+                       "corr_sq_signed_micros"]) >= 995_000
+    assert int(out.loc[("A", "B", 0),
+                       "corr_sq_signed_micros"]) < 900_000
