@@ -8248,6 +8248,57 @@ def q_type_xcorr(sf_dir: str):
     })
 
 
+def q_theil_index(sf_dir: str):
+    """Theil inequality index of doc lengths — the decomposable
+    complement to Gini (Theil T is additively decomposable across
+    slices, so per-lang Theils later sum to the corpus number): exact
+    fixed point via
+
+        T_micro = (Σ_x x·(L(n) + L(x) − L(S))) // S,  L(v)=⌊10⁶·ln v⌋
+
+    computed over the bounded-support length histogram (one value
+    groupby; L evaluated once per DISTINCT length). Zero-length docs are
+    excluded (ln undefined) — pinned."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.lexstats import _log_fp
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.n_chars.to_numpy(np.int64)
+        v = v[v > 0]
+        out = pd.DataFrame({"v": v, "c": np.ones(len(v), np.int64)})
+        return out.groupby("v", sort=False, as_index=False).sum()
+
+    hist = grouped(
+        ds.map_batches(partial, batch_format="pandas"), "v"
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+    n = sum(int(r["c"]) for r in hist)
+    s = sum(int(r["v"]) * int(r["c"]) for r in hist)
+    if n == 0 or s == 0:
+        return pa.table({
+            "n_docs": pa.array([0], pa.int64()),
+            "theil_micro": pa.array([0], pa.int64()),
+        })
+    ln_n, ln_s = _log_fp(n), _log_fp(s)
+    num = sum(
+        int(r["c"]) * int(r["v"]) * (ln_n + _log_fp(int(r["v"])) - ln_s)
+        for r in hist)
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "theil_micro": pa.array([trunc_div(num, s)], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8557,6 +8608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": q_top_supplier_revenue,
         "weekday_seasonality": q_weekday_seasonality,
         "type_xcorr": q_type_xcorr,
+        "theil_index": q_theil_index,
     }
 
 

@@ -6828,3 +6828,18 @@ SELECT type_a, type_b, lag::BIGINT AS lag, n::BIGINT AS n_days,
              ELSE (cov * cov * 1000000) // (vx * vy)
         END)::BIGINT AS corr_sq_signed_micros
 FROM c WHERE vx > 0 AND vy > 0"""
+
+# theil_index: exact fixed-point Theil T over the length histogram —
+# L once per distinct length, zero lengths excluded.
+ORACLE_SQL["theil_index"] = """
+WITH h AS MATERIALIZED (
+  SELECT n_chars::HUGEINT AS v, count(*)::HUGEINT AS c
+  FROM documents WHERE n_chars > 0 GROUP BY 1),
+t AS MATERIALIZED (
+  SELECT sum(c)::HUGEINT AS n, sum(v * c)::HUGEINT AS s FROM h)
+SELECT t.n::BIGINT AS n_docs,
+       ((SELECT sum(c * v * (floor(1000000 * ln(t2.n))::HUGEINT
+                             + floor(1000000 * ln(v))::HUGEINT
+                             - floor(1000000 * ln(t2.s))::HUGEINT))
+         FROM h, t t2) // t.s)::BIGINT AS theil_micro
+FROM t"""

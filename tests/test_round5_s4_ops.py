@@ -1707,3 +1707,29 @@ def test_type_xcorr_planted_lead(ray_session, tmp_path):
                        "corr_sq_signed_micros"]) >= 995_000
     assert int(out.loc[("A", "B", 0),
                        "corr_sq_signed_micros"]) < 900_000
+
+
+def test_theil_index_extremes(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "theil"
+    d.mkdir()
+    # perfectly equal lengths → Theil 0 (exact)
+    pd.DataFrame({"n_chars": np.full(50, 100, np.int64)}).to_parquet(
+        d / "documents.parquet")
+    out = e.q_theil_index(str(d)).to_pandas()
+    assert abs(int(out.theil_micro.iloc[0])) <= 2
+    # one doc holds nearly all mass → Theil near ln(n)
+    import math
+
+    v = np.full(50, 1, np.int64)
+    v[0] = 10_000
+    pd.DataFrame({"n_chars": v}).to_parquet(d / "documents.parquet")
+    out = e.q_theil_index(str(d)).to_pandas()
+    got = int(out.theil_micro.iloc[0]) / 1e6
+    # float reference
+    x = v.astype(np.float64)
+    mu = x.mean()
+    ref = float((x / x.sum() * np.log(x / mu)).sum())
+    assert abs(got - ref) < 1e-3
+    assert got > 0.8 * math.log(50)
