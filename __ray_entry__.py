@@ -8299,6 +8299,79 @@ def q_theil_index(sf_dir: str):
     })
 
 
+def q_theil_decomposition(sf_dir: str):
+    """Per-language Theil decomposition (T = Σ share_g·T_g + T_between —
+    the property that makes Theil the slice-attribution inequality
+    measure): per group, the exact within-group Theil and its between
+    term ``S_g·(L(S_g)+L(n)−L(S)−L(n_g)) // S`` in the shared log fixed
+    point. One (lang, length) histogram groupby; driver algebra bounded
+    by |langs| × length support."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.lexstats import _log_fp
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.n_chars.to_numpy(np.int64)
+        keep = v > 0
+        out = pd.DataFrame({
+            "lang": df.lang.to_numpy()[keep], "v": v[keep],
+            "c": np.ones(int(keep.sum()), np.int64),
+        })
+        return out.groupby(["lang", "v"], sort=False,
+                           as_index=False).sum()
+
+    hist = grouped(
+        ds.map_batches(partial, batch_format="pandas"), ["lang", "v"]
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+
+    groups: dict = {}
+    for r in hist:
+        groups.setdefault(r["lang"], []).append(
+            (int(r["v"]), int(r["c"])))
+    n_all = sum(c for g in groups.values() for _, c in g)
+    s_all = sum(v * c for g in groups.values() for v, c in g)
+    if s_all == 0:
+        return pa.table({
+            "lang": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "sum_chars": pa.array([], pa.int64()),
+            "theil_within_micro": pa.array([], pa.int64()),
+            "between_term_micro": pa.array([], pa.int64()),
+        })
+    ln_n, ln_s = _log_fp(n_all), _log_fp(s_all)
+    langs, nd, sc, tw, bt = [], [], [], [], []
+    for lang in sorted(groups):
+        g = groups[lang]
+        n_g = sum(c for _, c in g)
+        s_g = sum(v * c for v, c in g)
+        lng, lsg = _log_fp(n_g), _log_fp(s_g)
+        within = trunc_div(
+            sum(c * v * (lng + _log_fp(v) - lsg) for v, c in g), s_g)
+        between = trunc_div(s_g * (lsg + ln_n - ln_s - lng), s_all)
+        langs.append(lang)
+        nd.append(n_g)
+        sc.append(s_g)
+        tw.append(within)
+        bt.append(between)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "sum_chars": pa.array(sc, pa.int64()),
+        "theil_within_micro": pa.array(tw, pa.int64()),
+        "between_term_micro": pa.array(bt, pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8609,6 +8682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_seasonality": q_weekday_seasonality,
         "type_xcorr": q_type_xcorr,
         "theil_index": q_theil_index,
+        "theil_decomposition": q_theil_decomposition,
     }
 
 

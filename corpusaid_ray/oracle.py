@@ -6843,3 +6843,29 @@ SELECT t.n::BIGINT AS n_docs,
                              - floor(1000000 * ln(t2.s))::HUGEINT))
          FROM h, t t2) // t.s)::BIGINT AS theil_micro
 FROM t"""
+
+# theil_decomposition: per-lang within Theil + between term, shared log
+# fixed point over the (lang, length) histogram.
+ORACLE_SQL["theil_decomposition"] = """
+WITH h AS MATERIALIZED (
+  SELECT lang, n_chars::HUGEINT AS v, count(*)::HUGEINT AS c
+  FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+t AS MATERIALIZED (
+  SELECT sum(c)::HUGEINT AS n, sum(v * c)::HUGEINT AS s FROM h),
+g AS MATERIALIZED (
+  SELECT lang, sum(c)::HUGEINT AS ng, sum(v * c)::HUGEINT AS sg
+  FROM h GROUP BY 1),
+w AS MATERIALIZED (
+  SELECT h.lang,
+         sum(h.c * h.v * (floor(1000000 * ln(g.ng))::HUGEINT
+                          + floor(1000000 * ln(h.v))::HUGEINT
+                          - floor(1000000 * ln(g.sg))::HUGEINT)) AS num
+  FROM h JOIN g USING (lang) GROUP BY 1)
+SELECT g.lang, g.ng::BIGINT AS n_docs, g.sg::BIGINT AS sum_chars,
+       (w.num // g.sg)::BIGINT AS theil_within_micro,
+       ((g.sg * (floor(1000000 * ln(g.sg))::HUGEINT
+                 + floor(1000000 * ln(t.n))::HUGEINT
+                 - floor(1000000 * ln(t.s))::HUGEINT
+                 - floor(1000000 * ln(g.ng))::HUGEINT))
+        // t.s)::BIGINT AS between_term_micro
+FROM g JOIN w USING (lang), t"""

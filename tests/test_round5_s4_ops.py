@@ -1733,3 +1733,22 @@ def test_theil_index_extremes(ray_session, tmp_path):
     ref = float((x / x.sum() * np.log(x / mu)).sum())
     assert abs(got - ref) < 1e-3
     assert got > 0.8 * math.log(50)
+
+
+def test_theil_decomposition_sums_to_total(ray_session):
+    """Decomposability: share-weighted within + between ≈ the corpus
+    Theil (fixed-point slack scales with |langs|)."""
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    total = int(e.q_theil_index(SF_SMALL).to_pandas()
+                .theil_micro.iloc[0])
+    dec = e.q_theil_decomposition(SF_SMALL).to_pandas()
+    s_all = int(dec.sum_chars.sum())
+    recomposed = sum(
+        int(r.sum_chars) * int(r.theil_within_micro) // s_all
+        + int(r.between_term_micro)
+        for r in dec.itertuples(index=False))
+    assert abs(recomposed - total) <= 25  # per-term trunc slack
+    # between terms sum to a KL divergence ≥ 0 (up to slack)
+    assert int(dec.between_term_micro.sum()) >= -25
