@@ -8372,6 +8372,73 @@ def q_theil_decomposition(sf_dir: str):
     })
 
 
+CHAR_CLASSES = (
+    ("letters", r"[A-Za-z]"),
+    ("digits", r"[0-9]"),
+    ("spaces", r"[\t\n\x0b\x0c\r ]"),
+)
+
+
+def q_char_class_profile(sf_dir: str):
+    """Per-language character-class composition over raw corpus content:
+    ASCII letters / digits / whitespace / other, exact milli shares —
+    the one-glance text-vs-table-vs-binary profile. Three vectorized RE2
+    counts per batch (patterns shared verbatim with the mirror), one
+    |langs|-row groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.corpus import read_corpus
+    from corpusaid_ray.util import grouped
+
+    names = [n for n, _ in CHAR_CLASSES]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "lang": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+                **{n: pa.array([], pa.int64()) for n in names}})
+        col = batch["content"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_pandas(),
+            "n_chars": pc.utf8_length(col).to_numpy(
+                zero_copy_only=False).astype("int64"),
+        })
+        for n, pat in CHAR_CLASSES:
+            df[n] = pc.count_substring_regex(col, pat).to_numpy(
+                zero_copy_only=False).astype("int64")
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    sums = grouped(
+        read_corpus(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        "lang",
+    ).aggregate(Sum("n_chars", alias_name="n_chars"),
+                *(Sum(n, alias_name=n) for n in names))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        tot = np.maximum(df.n_chars.to_numpy("int64"), 1)
+        out = df.copy()
+        other = df.n_chars.to_numpy("int64").copy()
+        for n in names:
+            out[f"{n}_millis"] = (
+                df[n].to_numpy("int64") * 1000 // tot).astype("int64")
+            other -= df[n].to_numpy("int64")
+        out["other"] = other.astype("int64")
+        out["other_millis"] = (other * 1000 // tot).astype("int64")
+        return out
+
+    return sums.map_batches(final, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8683,6 +8750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_xcorr": q_type_xcorr,
         "theil_index": q_theil_index,
         "theil_decomposition": q_theil_decomposition,
+        "char_class_profile": q_char_class_profile,
     }
 
 

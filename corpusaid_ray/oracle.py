@@ -6869,3 +6869,32 @@ SELECT g.lang, g.ng::BIGINT AS n_docs, g.sg::BIGINT AS sum_chars,
                  - floor(1000000 * ln(g.ng))::HUGEINT))
         // t.s)::BIGINT AS between_term_micro
 FROM g JOIN w USING (lang), t"""
+
+
+def _char_class_sql() -> str:
+    """Mirror of q_char_class_profile — the same RE2 classes counted via
+    character-removal length deltas (patterns pinned = CHAR_CLASSES)."""
+    classes = (("letters", "[A-Za-z]"), ("digits", "[0-9]"),
+               ("spaces", r"[\t\n\x0b\x0c\r ]"))
+    cnt = {
+        n: (f"sum((length(content) - length(regexp_replace(content, "
+            f"{sql_quote(p)}, '', 'g')))::BIGINT)::BIGINT")
+        for n, p in classes
+    }
+    names = list(cnt)
+    tot = "greatest(n_chars, 1)"
+    cols = ", ".join(f"{expr} AS {n}" for n, expr in cnt.items())
+    millis = ", ".join(
+        f"({n} * 1000 // {tot})::BIGINT AS {n}_millis" for n in names)
+    other = "(n_chars - letters - digits - spaces)"
+    return with_corpus(f"""
+, s AS MATERIALIZED (
+  SELECT lang, sum(length(content))::BIGINT AS n_chars, {cols}
+  FROM corpus GROUP BY lang)
+SELECT lang, n_chars, {', '.join(names)}, {millis},
+       {other}::BIGINT AS other,
+       ({other} * 1000 // {tot})::BIGINT AS other_millis
+FROM s""")
+
+
+ORACLE_SQL["char_class_profile"] = _char_class_sql()

@@ -1752,3 +1752,27 @@ def test_theil_decomposition_sums_to_total(ray_session):
     assert abs(recomposed - total) <= 25  # per-term trunc slack
     # between terms sum to a KL divergence ≥ 0 (up to slack)
     assert int(dec.between_term_micro.sum()) >= -25
+
+
+def test_char_class_profile_accounting(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_char_class_profile(SF_SMALL).to_pandas()
+    # classes partition content: letters+digits+spaces+other == n_chars
+    assert ((out.letters + out.digits + out.spaces + out.other)
+            == out.n_chars).all()
+    assert (out.other >= 0).all()
+    # serial recomputation on one language slice
+    from corpusaid_ray.corpus import derive_corpus_batch
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    corpus = derive_corpus_batch(docs)
+    import re
+
+    row = out.set_index("lang").loc["en"]
+    blob = "".join(corpus.loc[corpus.lang == "en", "content"])
+    assert int(row.letters) == len(re.findall(r"[A-Za-z]", blob))
+    assert int(row.digits) == len(re.findall(r"[0-9]", blob))
+    assert int(row.n_chars) == len(blob)
