@@ -8439,6 +8439,84 @@ def q_char_class_profile(sf_dir: str):
     return sums.map_batches(final, batch_format="pandas")
 
 
+def q_token_length_histogram(sf_dir: str):
+    """Per-language token-LENGTH histogram (not token counts — the
+    morphology fingerprint: agglutinative langs shift right, CJK-without-
+    segmentation collapses left): whitespace tokens explode once
+    (vocab._flat_tokens), lengths bucket exactly, one bounded groupby."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def partial(batch) -> pd.DataFrame:
+        from corpusaid_ray.stages.vocab import _flat_tokens
+
+        empty = pd.DataFrame({
+            "lang": pd.Series(dtype=object),
+            "token_len": pd.Series(dtype="int64"),
+            "n_tokens": pd.Series(dtype="int64"),
+        })
+        if len(batch) == 0:
+            return empty
+        uniq, inv, row_ids = _flat_tokens(batch["text"])
+        if len(inv) == 0:
+            return empty
+        lens = np.array([len(t) for t in uniq], dtype=np.int64)[inv]
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        out = pd.DataFrame({
+            "lang": langs[row_ids],
+            "token_len": lens,
+            "n_tokens": np.ones(len(lens), np.int64),
+        })
+        return out.groupby(["lang", "token_len"], sort=False,
+                           as_index=False).sum()
+
+    return grouped(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "token_len"],
+    ).aggregate(Sum("n_tokens", alias_name="n_tokens"))
+
+
+def q_user_type_entropy(sf_dir: str):
+    """Per-user behavioral entropy over event types (the bot screen from
+    the information side: a scripted account hammers one type → entropy
+    ~0; organic users mix): exact fixed point ``(Σ_t c·(L(n)−L(c)))//n``
+    per user, computed inside one keyed groupby — the contingency stays
+    user-local."""
+    import pandas as pd
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import _log_fp
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g.event_type.value_counts()
+        n = int(vc.sum())
+        ln = _log_fp(n)
+        h = trunc_div(
+            sum(int(c) * (ln - _log_fp(int(c))) for c in vc), n)
+        return pd.DataFrame({
+            "user_id": [int(g.user_id.iloc[0])],
+            "n_events": pd.array([n], dtype="int64"),
+            "entropy_micro": pd.array([h], dtype="int64"),
+        })
+
+    return grouped(ds, "user_id").map_groups(
+        per_user, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8751,6 +8829,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_index": q_theil_index,
         "theil_decomposition": q_theil_decomposition,
         "char_class_profile": q_char_class_profile,
+        "token_length_histogram": q_token_length_histogram,
+        "user_type_entropy": q_user_type_entropy,
     }
 
 

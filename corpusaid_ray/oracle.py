@@ -6898,3 +6898,32 @@ FROM s""")
 
 
 ORACLE_SQL["char_class_profile"] = _char_class_sql()
+
+# token_length_histogram: whitespace-token length counts per language
+# (codepoint length — Python len == DuckDB length on this corpus).
+ORACLE_SQL["token_length_histogram"] = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(
+           text, '[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f ]+'),
+         t -> t != '')) AS w
+  FROM documents)
+SELECT lang, length(w)::BIGINT AS token_len,
+       count(*)::BIGINT AS n_tokens
+FROM tok GROUP BY 1, 2"""
+
+# user_type_entropy: exact per-user Shannon entropy over event types,
+# shared log fixed point.
+ORACLE_SQL["user_type_entropy"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::HUGEINT AS c
+  FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, sum(c)::HUGEINT AS n FROM c GROUP BY 1)
+SELECT u.user_id,
+       u.n::BIGINT AS n_events,
+       ((SELECT sum(c.c * (floor(1000000 * ln(u2.n))::HUGEINT
+                           - floor(1000000 * ln(c.c))::HUGEINT))
+         FROM c, u u2
+         WHERE c.user_id = u.user_id AND u2.user_id = u.user_id)
+        // u.n)::BIGINT AS entropy_micro
+FROM u"""

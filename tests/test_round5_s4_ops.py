@@ -1776,3 +1776,39 @@ def test_char_class_profile_accounting(ray_session):
     assert int(row.letters) == len(re.findall(r"[A-Za-z]", blob))
     assert int(row.digits) == len(re.findall(r"[0-9]", blob))
     assert int(row.n_chars) == len(blob)
+
+
+def test_token_length_histogram_accounting(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = e.q_token_length_histogram(SF_SMALL).to_pandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet",
+                           columns=["lang", "text"])
+    total = sum(len(t.split()) for t in docs.text)
+    assert int(got.n_tokens.sum()) == total
+    # spot-check one (lang, len) cell
+    en = docs[docs.lang == "en"]
+    n3 = sum(1 for t in en.text for w in t.split() if len(w) == 3)
+    cell = got[(got.lang == "en") & (got.token_len == 3)]
+    assert int(cell.n_tokens.iloc[0]) == n3
+
+
+def test_user_type_entropy_extremes(ray_session, tmp_path):
+    import math
+
+    import __ray_entry__ as e
+
+    d = tmp_path / "ute"
+    d.mkdir()
+    ev = pd.DataFrame({
+        "user_id": np.array([1] * 8 + [2] * 8, np.int64),
+        "event_type": ["A"] * 8 + ["A", "B", "C", "D"] * 2,
+    })
+    ev.to_parquet(d / "events.parquet")
+    out = (e.q_user_type_entropy(str(d)).to_pandas()
+           .set_index("user_id"))
+    assert int(out.loc[1, "entropy_micro"]) == 0       # single type
+    # uniform over 4 types → ln 4
+    assert abs(int(out.loc[2, "entropy_micro"])
+               - math.floor(1_000_000 * math.log(4))) <= 3
