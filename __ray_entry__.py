@@ -8517,6 +8517,97 @@ def q_user_type_entropy(sf_dir: str):
         per_user, batch_format="pandas")
 
 
+def q_order_day_streak(sf_dir: str):
+    """Gaps-and-islands: the longest run of consecutive days with ≥1
+    order (pipeline-liveness streak). Distinct order days reduce to a
+    bounded set (≤ calendar span); the island scan runs on the driver —
+    the SQL mirror uses the classic day − row_number island key."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate"]
+    )
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.o_orderdate.to_numpy().astype("datetime64[us]").astype(
+            "int64")
+        return pd.DataFrame({
+            "day": np.unique(us // 86_400_000_000).astype("int64")})
+
+    distinct = grouped(
+        ds.map_batches(days, batch_format="pandas"), "day"
+    ).count().take_all()
+    ds_days = sorted(int(r["day"]) for r in distinct)
+    if not ds_days:
+        return pa.table({
+            "n_active_days": pa.array([0], pa.int64()),
+            "longest_streak": pa.array([0], pa.int64()),
+            "n_islands": pa.array([0], pa.int64()),
+        })
+    best = cur = 1
+    islands = 1
+    for a, b in zip(ds_days, ds_days[1:]):
+        if b == a + 1:
+            cur += 1
+            best = max(best, cur)
+        else:
+            islands += 1
+            cur = 1
+    return pa.table({
+        "n_active_days": pa.array([len(ds_days)], pa.int64()),
+        "longest_streak": pa.array([best], pa.int64()),
+        "n_islands": pa.array([islands], pa.int64()),
+    })
+
+
+def q_gate_drift_by_half(sf_dir: str):
+    """Gate-stability audit: the flagship keep rate on the doc_id-parity
+    halves of the corpus plus the signed micro delta — a gate whose rate
+    moves between interleaved halves is keying on ids, not content. One
+    labeled pass (materialized skinny), two-integer folds per half."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from corpusaid_ray.pipelines.quality_filter import run
+
+    labeled = run(sf_dir).select_columns(["path", "keep"]).materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # doc_id rides in the path: src/m{k}/f{doc_id}.txt
+        ids = df.path.str.extract(r"f(\d+)\.txt")[0].astype("int64")
+        half = (ids % 2).to_numpy(np.int64)
+        k = df.keep.to_numpy(bool).astype(np.int64)
+        out = pd.DataFrame({"half": half,
+                            "n_docs": np.ones(len(df), np.int64),
+                            "n_keep": k})
+        return out.groupby("half", sort=False, as_index=False).sum()
+
+    agg = {0: [0, 0], 1: [0, 0]}
+    for t in labeled.map_batches(partial, batch_format="pandas")\
+            .iter_batches(batch_format="pyarrow"):
+        for row in range(len(t)):
+            h = int(t["half"][row].as_py())
+            agg[h][0] += int(t["n_docs"][row].as_py())
+            agg[h][1] += int(t["n_keep"][row].as_py())
+    rates = {h: (agg[h][1] * 1_000_000) // agg[h][0] if agg[h][0] else 0
+             for h in (0, 1)}
+    return pa.table({
+        "half": pa.array([0, 1], pa.int64()),
+        "n_docs": pa.array([agg[0][0], agg[1][0]], pa.int64()),
+        "n_keep": pa.array([agg[0][1], agg[1][1]], pa.int64()),
+        "keep_micros": pa.array([rates[0], rates[1]], pa.int64()),
+        "delta_vs_other_micros": pa.array(
+            [rates[0] - rates[1], rates[1] - rates[0]], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8831,6 +8922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_class_profile": q_char_class_profile,
         "token_length_histogram": q_token_length_histogram,
         "user_type_entropy": q_user_type_entropy,
+        "order_day_streak": q_order_day_streak,
+        "gate_drift_by_half": q_gate_drift_by_half,
     }
 
 

@@ -6927,3 +6927,37 @@ SELECT u.user_id,
          WHERE c.user_id = u.user_id AND u2.user_id = u.user_id)
         // u.n)::BIGINT AS entropy_micro
 FROM u"""
+
+# order_day_streak: classic gaps-and-islands (day − row_number island key).
+ORACLE_SQL["order_day_streak"] = """
+WITH d AS MATERIALIZED (
+  SELECT DISTINCT (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day
+  FROM orders),
+isl AS (
+  SELECT day, day - row_number() OVER (ORDER BY day) AS island
+  FROM d),
+runs AS (SELECT island, count(*)::BIGINT AS len FROM isl GROUP BY 1)
+SELECT (SELECT count(*) FROM d)::BIGINT AS n_active_days,
+       coalesce(max(len), 0)::BIGINT AS longest_streak,
+       count(*)::BIGINT AS n_islands
+FROM runs"""
+
+# gate_drift_by_half: flagship keep rate on doc_id-parity halves (keep is
+# heuristic-determined on this corpus — the keep_drop contract).
+ORACLE_SQL["gate_drift_by_half"] = with_corpus(f"""
+, m AS MATERIALIZED (
+  SELECT doc_id, {_HEUR_COLS}
+  FROM corpus),
+lab AS MATERIALIZED (
+  SELECT (doc_id % 2)::BIGINT AS half,
+         ({_DROP_REASON_SQL}) = '' AS keep
+  FROM m),
+s AS MATERIALIZED (
+  SELECT half, count(*)::BIGINT AS n_docs,
+         coalesce(count(*) FILTER (keep), 0)::BIGINT AS n_keep,
+         ((count(*) FILTER (keep))::HUGEINT * 1000000
+           // count(*))::BIGINT AS keep_micros
+  FROM lab GROUP BY half)
+SELECT a.half, a.n_docs, a.n_keep, a.keep_micros,
+       (a.keep_micros - b.keep_micros)::BIGINT AS delta_vs_other_micros
+FROM s a JOIN s b ON a.half != b.half""")

@@ -1812,3 +1812,36 @@ def test_user_type_entropy_extremes(ray_session, tmp_path):
     # uniform over 4 types → ln 4
     assert abs(int(out.loc[2, "entropy_micro"])
                - math.floor(1_000_000 * math.log(4))) <= 3
+
+
+def test_order_day_streak_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "streak"
+    d.mkdir()
+    days = pd.to_datetime([
+        "2000-01-01", "2000-01-02", "2000-01-03",   # streak 3
+        "2000-01-05",                                # island of 1
+        "2000-02-01", "2000-02-02",                  # streak 2
+        "2000-01-02",                                # duplicate day
+    ])
+    pd.DataFrame({"o_orderdate": days}).to_parquet(
+        d / "orders.parquet")
+    out = e.q_order_day_streak(str(d)).to_pandas()
+    assert int(out.n_active_days.iloc[0]) == 6
+    assert int(out.longest_streak.iloc[0]) == 3
+    assert int(out.n_islands.iloc[0]) == 3
+
+
+def test_gate_drift_by_half_consistency(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = (e.q_gate_drift_by_half(SF_SMALL).to_pandas()
+           .set_index("half"))
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert int(out.n_docs.sum()) == len(docs)
+    # deltas are antisymmetric and the halves are interleaved-similar
+    assert int(out.loc[0, "delta_vs_other_micros"]) == \
+        -int(out.loc[1, "delta_vs_other_micros"])
+    assert abs(int(out.loc[0, "delta_vs_other_micros"])) < 200_000
