@@ -8608,6 +8608,72 @@ def q_gate_drift_by_half(sf_dir: str):
     })
 
 
+def q_doc_skyline(sf_dir: str):
+    """2-D Pareto skyline (maximize chars AND words): the docs no other
+    doc dominates on both axes — the skyline operator, distributed the
+    canonical way: skylines are MERGEABLE (skyline(A∪B) =
+    skyline(skyline(A)∪skyline(B))), so each batch emits its local
+    skyline and the driver merges the survivors. Strict domination
+    (≥ on both, > on one); coincident points both survive — pinned,
+    mirrored by the SQL NOT EXISTS."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from corpusaid_ray.stages.regression import _word_count_col
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "n_chars"],
+    )
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        """Keep the non-dominated points: sort by x desc, then a point
+        survives iff its y exceeds the best y among STRICTLY greater x
+        (equal-x groups compare against the outside best only, so
+        coincident points both survive)."""
+        df = df.sort_values(["n_chars", "n_words"],
+                            ascending=False, kind="mergesort")
+        x = df.n_chars.to_numpy()
+        y = df.n_words.to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        best_y = -1
+        i = 0
+        while i < len(df):
+            j = i
+            while j < len(df) and x[j] == x[i]:
+                j += 1
+            keep[i:j] = y[i:j] > best_y
+            best_y = max(best_y, int(y[i:j].max()))
+            i = j
+        return df.loc[keep]
+
+    def local_skyline(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "n_chars": pd.Series(dtype="int64"),
+                "n_words": pd.Series(dtype="int64"),
+            })
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "n_chars": t["n_chars"].to_numpy(
+                zero_copy_only=False).astype("int64"),
+            "n_words": _word_count_col(t, "text").astype("int64"),
+        })
+        return sweep(df)
+
+    pool = ds.map_batches(
+        local_skyline, batch_format="pyarrow").to_pandas()
+    out = sweep(pool)  # merge of local skylines = the global skyline
+    return pa.table({
+        "doc_id": pa.array(out.doc_id.to_numpy("int64")),
+        "n_chars": pa.array(out.n_chars.to_numpy("int64")),
+        "n_words": pa.array(out.n_words.to_numpy("int64")),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8924,6 +8990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_entropy": q_user_type_entropy,
         "order_day_streak": q_order_day_streak,
         "gate_drift_by_half": q_gate_drift_by_half,
+        "doc_skyline": q_doc_skyline,
     }
 
 

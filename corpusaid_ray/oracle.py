@@ -6961,3 +6961,17 @@ s AS MATERIALIZED (
 SELECT a.half, a.n_docs, a.n_keep, a.keep_micros,
        (a.keep_micros - b.keep_micros)::BIGINT AS delta_vs_other_micros
 FROM s a JOIN s b ON a.half != b.half""")
+
+# doc_skyline: 2-D Pareto frontier via NOT EXISTS strict domination
+# (≥ both, > at least one; coincident points both survive).
+ORACLE_SQL["doc_skyline"] = f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id, n_chars::BIGINT AS n_chars,
+         ({_word_count_sql('text')})::BIGINT AS n_words
+  FROM documents)
+SELECT doc_id, n_chars, n_words
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.n_chars >= a.n_chars AND b.n_words >= a.n_words
+    AND (b.n_chars > a.n_chars OR b.n_words > a.n_words))"""

@@ -1845,3 +1845,29 @@ def test_gate_drift_by_half_consistency(ray_session):
     assert int(out.loc[0, "delta_vs_other_micros"]) == \
         -int(out.loc[1, "delta_vs_other_micros"])
     assert abs(int(out.loc[0, "delta_vs_other_micros"])) < 200_000
+
+
+def test_doc_skyline_planted_frontier(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "sky"
+    d.mkdir()
+    # frontier: (100,1) (50,5) (10,9); dominated: (49,4) (10,1);
+    # coincident frontier points both survive: (50,5) twice
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["w", "w w w w w", "w w w w w w w w w",
+                 "w w w w", "w", "w w w w w"],
+        "n_chars": np.array([100, 50, 10, 49, 10, 50], np.int64),
+    })
+    docs.to_parquet(d / "documents.parquet")
+    out = (e.q_doc_skyline(str(d)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert set(out.doc_id) == {0, 1, 2, 5}
+    # serial NOT EXISTS check
+    pts = [(100, 1), (50, 5), (10, 9), (49, 4), (10, 1), (50, 5)]
+    for i, (x, y) in enumerate(pts):
+        dominated = any(
+            (bx >= x and by >= y and (bx > x or by > y))
+            for j, (bx, by) in enumerate(pts) if j != i)
+        assert (i in set(out.doc_id)) == (not dominated), i
