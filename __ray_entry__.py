@@ -8674,6 +8674,84 @@ def q_doc_skyline(sf_dir: str):
     })
 
 
+def q_repo_module_entropy(sf_dir: str):
+    """Per-repo module-spread entropy (is a repo one monolith directory
+    or evenly factored?): exact fixed-point entropy of each repo's
+    file-count distribution over path modules — (repo, module) counts
+    first, the user_type_entropy contract per repo group."""
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.corpus import read_corpus
+    from corpusaid_ray.stages.lexstats import _log_fp
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    import numpy as np
+
+    def partial(batch) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "repo": batch["repo"].to_pandas(),
+            "module": batch["path"].to_pandas().str.extract(
+                r"^src/(m\d+)/")[0],
+        })
+        df["c"] = np.ones(len(df), np.int64)
+        return df.groupby(["repo", "module"], sort=False,
+                          as_index=False).sum()
+
+    counts = grouped(
+        read_corpus(sf_dir).select_columns(["repo", "path"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["repo", "module"],
+    ).aggregate(Sum("c", alias_name="c"))
+
+    def per_repo(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["c"].sum())
+        ln = _log_fp(n)
+        h = trunc_div(
+            sum(int(c) * (ln - _log_fp(int(c))) for c in g["c"]), n)
+        return pd.DataFrame({
+            "repo": [g.repo.iloc[0]],
+            "n_files": pd.array([n], dtype="int64"),
+            "n_modules": pd.array([len(g)], dtype="int64"),
+            "entropy_micro": pd.array([h], dtype="int64"),
+        })
+
+    return grouped(counts, "repo").map_groups(
+        per_repo, batch_format="pandas")
+
+
+def q_price_moments_by_priority(sf_dir: str):
+    """The exact central-moment stage applied to money (stage reuse:
+    lexstats.length_moments is value-agnostic): order totals in
+    HUNDREDS of dollars per priority — heavy-tail m4 by lane. The
+    hundreds quantization keeps x⁴ inside the stage's int64 partial
+    bound (cents⁴ would overflow a single row)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from corpusaid_ray.stages.lexstats import length_moments
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def hundreds(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": df.o_orderpriority,
+            "price_hundreds": np.floor(
+                df.o_totalprice.to_numpy(np.float64) / 100.0
+            ).astype("int64"),
+        })
+
+    return length_moments(
+        ds.map_batches(hundreds, batch_format="pandas"),
+        group_col="o_orderpriority", value_col="price_hundreds")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -8991,6 +9069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_day_streak": q_order_day_streak,
         "gate_drift_by_half": q_gate_drift_by_half,
         "doc_skyline": q_doc_skyline,
+        "repo_module_entropy": q_repo_module_entropy,
+        "price_moments_by_priority": q_price_moments_by_priority,
     }
 
 

@@ -6975,3 +6975,44 @@ WHERE NOT EXISTS (
   SELECT 1 FROM p b
   WHERE b.n_chars >= a.n_chars AND b.n_words >= a.n_words
     AND (b.n_chars > a.n_chars OR b.n_words > a.n_words))"""
+
+# repo_module_entropy: per-repo exact entropy of file counts over path
+# modules (src/mK/...), shared log fixed point.
+ORACLE_SQL["repo_module_entropy"] = with_corpus("""
+, c AS MATERIALIZED (
+  SELECT repo, regexp_extract(path, '^src/(m\\d+)/', 1) AS module,
+         count(*)::HUGEINT AS c
+  FROM corpus GROUP BY 1, 2),
+u AS MATERIALIZED (
+  SELECT repo, sum(c)::HUGEINT AS n, count(*)::BIGINT AS n_modules
+  FROM c GROUP BY 1)
+SELECT u.repo, u.n::BIGINT AS n_files, u.n_modules,
+       ((SELECT sum(c.c * (floor(1000000 * ln(u2.n))::HUGEINT
+                           - floor(1000000 * ln(c.c))::HUGEINT))
+         FROM c, u u2
+         WHERE c.repo = u.repo AND u2.repo = u.repo)
+        // u.n)::BIGINT AS entropy_micro
+FROM u""")
+
+# price_moments_by_priority: the length_moments HUGEINT mirror over
+# floor(o_totalprice/100) per priority.
+ORACLE_SQL["price_moments_by_priority"] = """
+WITH v AS (
+  SELECT o_orderpriority,
+         floor(o_totalprice / 100.0)::HUGEINT AS x
+  FROM orders),
+s AS (
+  SELECT o_orderpriority, count(*)::HUGEINT AS n, sum(x) AS s1,
+         sum(x * x) AS s2, sum(x * x * x) AS s3,
+         sum(x * x * x * x) AS s4
+  FROM v GROUP BY 1)
+SELECT o_orderpriority, n::BIGINT AS n_docs,
+       ((s1 * 1000000) // n)::BIGINT AS mean_micros,
+       (((n * s2 - s1 * s1) * 1000000) // (n * n))::BIGINT
+         AS var_micros,
+       (((n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1) * 1000)
+        // (n * n * n))::BIGINT AS m3_milli,
+       ((n * n * n * s4 - 4 * n * n * s1 * s3
+         + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+        // (n * n * n * n))::BIGINT AS m4
+FROM s"""

@@ -1871,3 +1871,44 @@ def test_doc_skyline_planted_frontier(ray_session, tmp_path):
             (bx >= x and by >= y and (bx > x or by > y))
             for j, (bx, by) in enumerate(pts) if j != i)
         assert (i in set(out.doc_id)) == (not dominated), i
+
+
+def test_repo_module_entropy_bounds(ray_session):
+    import math
+
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_repo_module_entropy(SF_SMALL).to_pandas()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert int(out.n_files.sum()) == len(docs)
+    # entropy ∈ [0, ln(n_modules)] per repo (fixed-point slack)
+    for r in out.itertuples(index=False):
+        assert -3 <= int(r.entropy_micro) <= math.floor(
+            1_000_000 * math.log(max(int(r.n_modules), 2))) + 3
+    # bigcorp spreads over all 16 modules → near-max entropy
+    big = out.set_index("repo").loc["bigcorp/monorepo"]
+    assert int(big.n_modules) == 16
+    assert int(big.entropy_micro) > 2_600_000  # > 0.94·ln 16
+
+
+def test_price_moments_by_priority_serial(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = (e.q_price_moments_by_priority(SF_SMALL).to_pandas()
+           .set_index("o_orderpriority"))
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    x_all = np.floor(orders.o_totalprice.to_numpy(np.float64)
+                     / 100.0).astype("int64")
+    for prio in out.index:
+        x = [int(v) for v in
+             x_all[(orders.o_orderpriority == prio).to_numpy()]]
+        n = len(x)
+        s1, s2 = sum(x), sum(v * v for v in x)
+        t2 = n * s2 - s1 * s1
+        assert int(out.loc[prio, "n_docs"]) == n
+        assert int(out.loc[prio, "mean_micros"]) == _trunc_div(
+            s1 * 1_000_000, n)
+        assert int(out.loc[prio, "var_micros"]) == _trunc_div(
+            t2 * 1_000_000, n * n)
