@@ -8752,6 +8752,84 @@ def q_price_moments_by_priority(sf_dir: str):
         group_col="o_orderpriority", value_col="price_hundreds")
 
 
+def q_gate_run_stats(sf_dir: str):
+    """Sequential clustering of gate decisions: number and mean length
+    of CONSECUTIVE-drop runs in doc_id order (drops arriving in bursts =
+    a correlated upstream failure, not random noise). Exact two-phase
+    range scan: per doc-id range, (first/last flag, runs inside, drops);
+    the driver merges boundary-straddling runs — the interval_coverage
+    carry pattern on booleans."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from corpusaid_ray.pipelines.quality_filter import run
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+    from corpusaid_ray.util import grouped
+
+    labeled = run(sf_dir).select_columns(["path", "keep"]).materialize()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.path.str.extract(r"f(\d+)\.txt")[0].astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids.to_numpy(np.int64),
+            "dropped": ~df.keep.to_numpy(bool),
+        })
+
+    flags = labeled.map_batches(prep, batch_format="pandas")
+    pct = group_percentiles_distributed(
+        flags.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df["doc_id"].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v",
+        percentiles=tuple(k / 8 for k in range(1, 8)))
+    cuts = np.sort(np.array(
+        [int(pct[c].iloc[0]) // 1_000_000
+         for c in pct.columns if c.endswith("_micros")],
+        dtype=np.int64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "part_id": np.searchsorted(cuts, k, side="left").astype(
+                "int64"),
+            "doc_id": k, "dropped": df["dropped"].to_numpy(bool),
+        })
+
+    def part_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        d = g["dropped"].to_numpy(bool)
+        starts = d & ~np.concatenate([[False], d[:-1]])
+        return pd.DataFrame({
+            "part_id": [int(g["part_id"].iloc[0])],
+            "n": [len(d)], "n_drops": [int(d.sum())],
+            "runs": [int(starts.sum())],
+            "first_d": [bool(d[0])], "last_d": [bool(d[-1])],
+        })
+
+    parts = grouped(
+        flags.map_batches(assign, batch_format="pandas"), "part_id"
+    ).map_groups(part_stats, batch_format="pandas").take_all()
+    parts.sort(key=lambda r: int(r["part_id"]))
+    n = sum(int(r["n"]) for r in parts)
+    drops = sum(int(r["n_drops"]) for r in parts)
+    runs = sum(int(r["runs"]) for r in parts)
+    for prev, cur in zip(parts, parts[1:]):
+        if bool(prev["last_d"]) and bool(cur["first_d"]):
+            runs -= 1  # one run straddles the boundary
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "n_drops": pa.array([drops], pa.int64()),
+        "n_drop_runs": pa.array([runs], pa.int64()),
+        "mean_run_milli": pa.array(
+            [drops * 1000 // runs if runs else 0], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9071,6 +9149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_skyline": q_doc_skyline,
         "repo_module_entropy": q_repo_module_entropy,
         "price_moments_by_priority": q_price_moments_by_priority,
+        "gate_run_stats": q_gate_run_stats,
     }
 
 

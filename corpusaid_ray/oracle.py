@@ -7016,3 +7016,27 @@ SELECT o_orderpriority, n::BIGINT AS n_docs,
          + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
         // (n * n * n * n))::BIGINT AS m4
 FROM s"""
+
+# gate_run_stats: consecutive-drop runs in doc_id order (lag window; a
+# run starts where dropped and the predecessor wasn't).
+ORACLE_SQL["gate_run_stats"] = with_corpus(f"""
+, m AS MATERIALIZED (
+  SELECT doc_id, {_HEUR_COLS}
+  FROM corpus),
+lab AS MATERIALIZED (
+  SELECT doc_id, ({_DROP_REASON_SQL}) != '' AS dropped FROM m),
+s AS (
+  SELECT dropped,
+         lag(dropped) OVER (ORDER BY doc_id) AS pd
+  FROM lab),
+agg AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         coalesce(count(*) FILTER (dropped), 0)::BIGINT AS n_drops,
+         coalesce(count(*) FILTER (dropped AND (pd IS NULL OR NOT pd)),
+                  0)::BIGINT AS n_drop_runs
+  FROM s)
+SELECT n_docs, n_drops, n_drop_runs,
+       (CASE WHEN n_drop_runs > 0
+             THEN (n_drops::HUGEINT * 1000) // n_drop_runs
+             ELSE 0 END)::BIGINT AS mean_run_milli
+FROM agg""")

@@ -1912,3 +1912,24 @@ def test_price_moments_by_priority_serial(ray_session):
             s1 * 1_000_000, n)
         assert int(out.loc[prio, "var_micros"]) == _trunc_div(
             t2 * 1_000_000, n * n)
+
+
+def test_gate_run_stats_consistency(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_gate_run_stats(SF_SMALL).to_pandas()
+    n_docs = int(out.n_docs.iloc[0])
+    n_drops = int(out.n_drops.iloc[0])
+    runs = int(out.n_drop_runs.iloc[0])
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert n_docs == len(docs)
+    assert 0 < runs <= n_drops <= n_docs
+    # serial recomputation over the keep labels in id order
+    kd = e.q_keep_drop(SF_SMALL).to_pandas()
+    ids = kd.path.str.extract(r"f(\d+)\.txt")[0].astype(int)
+    d = (~kd.keep.to_numpy(bool))[np.argsort(ids.to_numpy())]
+    starts = d & ~np.concatenate([[False], d[:-1]])
+    assert n_drops == int(d.sum())
+    assert runs == int(starts.sum())
+    assert int(out.mean_run_milli.iloc[0]) == n_drops * 1000 // runs
