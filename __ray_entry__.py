@@ -8830,6 +8830,60 @@ def q_gate_run_stats(sf_dir: str):
     })
 
 
+def q_gate_agreement_by_lang(sf_dir: str):
+    """Honesty meter for the keep_drop contract: per language, agreement
+    between the FULL flagship gate (model stages included) and the
+    heuristic-only gate recomputed from the same metric columns. The
+    oracle mirrors only the heuristic side, so a model gate EVER firing
+    breaks the value match — this query turns the documented "model
+    gates never fire (measured margins)" claim into a standing gated
+    check."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.config import QualityThresholds
+    from corpusaid_ray.pipelines.quality_filter import run
+    from corpusaid_ray.util import grouped
+
+    th = QualityThresholds()
+    labeled = run(sf_dir).select_columns(
+        ["lang", "keep", "n_chars", "max_line_len", "alnum_ratio",
+         "dup_line_frac"]).materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        heur_keep = ~(
+            (df.n_chars.to_numpy(np.int64) < th.min_chars)
+            | (df.max_line_len.to_numpy(np.int64) > th.max_line_len)
+            | (df.alnum_ratio.to_numpy(np.float64) < th.min_alnum_ratio)
+            | (df.dup_line_frac.to_numpy(np.float64)
+               > th.max_dup_line_frac))
+        model_keep = df.keep.to_numpy(bool)
+        out = pd.DataFrame({
+            "lang": df.lang,
+            "n_docs": np.ones(len(df), np.int64),
+            "n_keep_model": model_keep.astype(np.int64),
+            "n_keep_heur": heur_keep.astype(np.int64),
+            "n_agree": (model_keep == heur_keep).astype(np.int64),
+        })
+        return out.groupby("lang", sort=False, as_index=False).sum()
+
+    sums = grouped(
+        labeled.map_batches(partial, batch_format="pandas"), "lang"
+    ).aggregate(Sum("n_docs", alias_name="n_docs"),
+                Sum("n_keep_model", alias_name="n_keep_model"),
+                Sum("n_keep_heur", alias_name="n_keep_heur"),
+                Sum("n_agree", alias_name="n_agree"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        agree = [(int(a) * 1_000_000) // int(n)
+                 for a, n in zip(df.n_agree, df.n_docs)]
+        return df.assign(agree_micros=pd.array(agree, dtype="int64"))
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9150,6 +9204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_module_entropy": q_repo_module_entropy,
         "price_moments_by_priority": q_price_moments_by_priority,
         "gate_run_stats": q_gate_run_stats,
+        "gate_agreement_by_lang": q_gate_agreement_by_lang,
     }
 
 

@@ -7040,3 +7040,18 @@ SELECT n_docs, n_drops, n_drop_runs,
              THEN (n_drops::HUGEINT * 1000) // n_drop_runs
              ELSE 0 END)::BIGINT AS mean_run_milli
 FROM agg""")
+
+# gate_agreement_by_lang: heuristic-only mirror — the engine side carries
+# the FULL model gate, so any model-gate firing breaks this match (the
+# standing check on the keep_drop margin claim).
+ORACLE_SQL["gate_agreement_by_lang"] = with_corpus(f"""
+, m AS MATERIALIZED (
+  SELECT lang, {_HEUR_COLS}
+  FROM corpus),
+lab AS (SELECT lang, ({_DROP_REASON_SQL}) = '' AS keep FROM m)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       coalesce(count(*) FILTER (keep), 0)::BIGINT AS n_keep_model,
+       coalesce(count(*) FILTER (keep), 0)::BIGINT AS n_keep_heur,
+       count(*)::BIGINT AS n_agree,
+       1000000::BIGINT AS agree_micros
+FROM lab GROUP BY lang""")

@@ -1933,3 +1933,18 @@ def test_gate_run_stats_consistency(ray_session):
     assert n_drops == int(d.sum())
     assert runs == int(starts.sum())
     assert int(out.mean_run_milli.iloc[0]) == n_drops * 1000 // runs
+
+
+def test_gate_agreement_is_total_on_this_corpus(ray_session):
+    """The north-rule F1 invariant in query form: full-gate vs
+    heuristic-only agreement is exactly 100% at test scale (the model
+    gates' measured margins hold)."""
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_gate_agreement_by_lang(SF_SMALL).to_pandas()
+    assert (out.n_agree == out.n_docs).all()
+    assert (out.agree_micros == 1_000_000).all()
+    assert (out.n_keep_model == out.n_keep_heur).all()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    assert int(out.n_docs.sum()) == len(docs)
