@@ -8884,6 +8884,46 @@ def q_gate_agreement_by_lang(sf_dir: str):
     return sums.map_batches(finish, batch_format="pandas")
 
 
+def q_scrub_rule_hits(sf_dir: str):
+    """Per-rule scrub observability: hit counts and affected-doc counts
+    for every PII/toxicity rule, evaluated IN CHAIN ORDER (each rule
+    counts on the text its predecessors already scrubbed — the exact
+    text the production chain sees). Vectorized RE2 count+replace per
+    rule per batch; one 6-row groupby."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.config import DEFAULT_SCRUB_RULES
+    from corpusaid_ray.corpus import read_corpus
+    from corpusaid_ray.util import grouped
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        col = batch["content"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rows = []
+        s = col
+        for r in DEFAULT_SCRUB_RULES:
+            hits = pc.count_substring_regex(s, r.pattern).to_numpy(
+                zero_copy_only=False).astype("int64")
+            rows.append((r.name, int(hits.sum()),
+                         int((hits > 0).sum())))
+            s = pc.replace_substring_regex(s, r.pattern, r.replacement)
+        return pd.DataFrame(rows, columns=["rule", "n_hits",
+                                           "n_docs_hit"])
+
+    return grouped(
+        read_corpus(sf_dir).select_columns(["content"])
+        .map_batches(partial, batch_format="pyarrow"),
+        "rule",
+    ).aggregate(Sum("n_hits", alias_name="n_hits"),
+                Sum("n_docs_hit", alias_name="n_docs_hit"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9205,6 +9245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_moments_by_priority": q_price_moments_by_priority,
         "gate_run_stats": q_gate_run_stats,
         "gate_agreement_by_lang": q_gate_agreement_by_lang,
+        "scrub_rule_hits": q_scrub_rule_hits,
     }
 
 

@@ -7055,3 +7055,27 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        count(*)::BIGINT AS n_agree,
        1000000::BIGINT AS agree_micros
 FROM lab GROUP BY lang""")
+
+
+def _scrub_rule_hits_sql() -> str:
+    """Chain-ordered per-rule hit counts: rule i counts on the text
+    rules 1..i−1 already scrubbed (the scrub_sql prefixes)."""
+    from corpusaid_ray.config import DEFAULT_SCRUB_RULES
+
+    parts = []
+    s = "content"
+    for r in DEFAULT_SCRUB_RULES:
+        p = sql_quote(r.pattern)
+        parts.append(f"""
+SELECT '{r.name}' AS rule,
+       sum(length(regexp_extract_all({s}, {p})))::BIGINT AS n_hits,
+       coalesce(count(*) FILTER (
+         length(regexp_extract_all({s}, {p})) > 0), 0)::BIGINT
+         AS n_docs_hit
+FROM corpus""")
+        repl = r.replacement.replace("'", "''")
+        s = f"regexp_replace({s}, {p}, '{repl}', 'g')"
+    return with_corpus("\nUNION ALL".join(parts))
+
+
+ORACLE_SQL["scrub_rule_hits"] = _scrub_rule_hits_sql()

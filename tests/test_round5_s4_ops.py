@@ -1948,3 +1948,19 @@ def test_gate_agreement_is_total_on_this_corpus(ray_session):
     assert (out.n_keep_model == out.n_keep_heur).all()
     docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
     assert int(out.n_docs.sum()) == len(docs)
+
+
+def test_scrub_rule_hits_chain_order(ray_session, tmp_path):
+    """Chain order matters: the email rule consumes the address, so the
+    ipv4-like tail inside it never double-counts."""
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = (e.q_scrub_rule_hits(SF_SMALL).to_pandas()
+           .set_index("rule"))
+    assert set(out.index) == {"email", "ipv4", "aws_key", "hex_secret",
+                              "phone", "toxic"}
+    # corpus motifs plant emails, IPs, an AKIA key, a phone, and 'frak'
+    for rule in ("email", "ipv4", "aws_key", "phone", "toxic"):
+        assert int(out.loc[rule, "n_hits"]) > 0, rule
+    assert (out.n_docs_hit <= out.n_hits).all()
