@@ -8924,6 +8924,144 @@ def q_scrub_rule_hits(sf_dir: str):
                 Sum("n_docs_hit", alias_name="n_docs_hit"))
 
 
+def q_part_size_price_corr(sf_dir: str):
+    """Does size predict price? Exact OLS + signed corr² of retail-price
+    cents on p_size (the discount_elasticity sufficient-statistic
+    contract on the part dimension)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from corpusaid_ray.stages.regression import trunc_div
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_size", "p_retailprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df.p_size.to_numpy(np.int64)
+        y = np.floor(
+            df.p_retailprice.to_numpy(np.float64) * 100.0
+        ).astype("int64")
+        return pd.DataFrame({
+            "n": [len(x)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxx": [int((x * x).sum())], "syy": [int((y * y).sum())],
+            "sxy": [int((x * y).sum())],
+        })
+
+    n = sx = sy = sxx = syy = sxy = 0
+    for t in ds.map_batches(partial, batch_format="pandas")\
+            .iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(t["n"]).as_py() or 0)
+        sx += int(pc.sum(t["sx"]).as_py() or 0)
+        sy += int(pc.sum(t["sy"]).as_py() or 0)
+        sxx += int(pc.sum(t["sxx"]).as_py() or 0)
+        syy += int(pc.sum(t["syy"]).as_py() or 0)
+        sxy += int(pc.sum(t["sxy"]).as_py() or 0)
+    den = n * sxx - sx * sx
+    if den == 0:
+        raise ValueError("part_size_price_corr: constant size")
+    cov = trunc_div(n * sxy - sx * sy, n * n)
+    vx = trunc_div(n * sxx - sx * sx, n * n)
+    vy = trunc_div(n * syy - sy * sy, n * n)
+    sq = trunc_div(cov * cov * 1_000_000, vx * vy) if vx and vy else 0
+    return pa.table({
+        "n_parts": pa.array([n], pa.int64()),
+        "slope_micro": pa.array(
+            [trunc_div((n * sxy - sx * sy) * 1_000_000, den)],
+            pa.int64()),
+        "corr_sq_signed_micros": pa.array(
+            [sq if cov >= 0 else -sq], pa.int64()),
+    })
+
+
+def q_adjacent_disorder(sf_dir: str):
+    """Stream-health sortedness: the share of ADJACENT arrival pairs
+    (event_id order) whose event times go backwards — the cheap
+    out-of-orderness rate that pairs with watermark_drops (which prices
+    the damage). Two-phase range scan with a one-value boundary carry
+    (each range also compares its first element against the previous
+    range's last)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from corpusaid_ray.stages.aggregates import (
+        group_percentiles_distributed,
+    )
+    from corpusaid_ray.util import grouped
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts"]
+    )
+    if ds.count() == 0:
+        return pa.table({
+            "n_pairs": pa.array([0], pa.int64()),
+            "n_backward": pa.array([0], pa.int64()),
+            "disorder_micros": pa.array([0], pa.int64()),
+        })
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": df.event_id.to_numpy(np.int64),
+            "t": df.ts.to_numpy().astype("datetime64[us]").astype(
+                "int64"),
+        })
+
+    pts = ds.map_batches(prep, batch_format="pandas")
+    pct = group_percentiles_distributed(
+        pts.map_batches(
+            lambda df: pd.DataFrame({
+                "g": np.repeat("all", len(df)),
+                "v": df["k"].astype("int64"),
+            }), batch_format="pandas"),
+        key="g", value_col="v",
+        percentiles=tuple(k / 8 for k in range(1, 8)))
+    cuts = np.sort(np.array(
+        [int(pct[c].iloc[0]) // 1_000_000
+         for c in pct.columns if c.endswith("_micros")],
+        dtype=np.int64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "part_id": np.searchsorted(cuts, k, side="left").astype(
+                "int64"),
+            "k": k, "t": df["t"].to_numpy(np.int64),
+        })
+
+    def part_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("k", kind="mergesort")
+        t = g["t"].to_numpy(np.int64)
+        back = int((np.diff(t) < 0).sum()) if len(t) > 1 else 0
+        return pd.DataFrame({
+            "part_id": [int(g["part_id"].iloc[0])],
+            "n": [len(t)], "back": [back],
+            "first_t": [int(t[0])], "last_t": [int(t[-1])],
+        })
+
+    parts = grouped(
+        pts.map_batches(assign, batch_format="pandas"), "part_id"
+    ).map_groups(part_stats, batch_format="pandas").take_all()
+    parts.sort(key=lambda r: int(r["part_id"]))
+    n = sum(int(r["n"]) for r in parts)
+    back = sum(int(r["back"]) for r in parts)
+    for prev, cur in zip(parts, parts[1:]):
+        if int(cur["first_t"]) < int(prev["last_t"]):
+            back += 1  # the boundary-straddling adjacent pair
+    pairs = max(n - 1, 0)
+    return pa.table({
+        "n_pairs": pa.array([pairs], pa.int64()),
+        "n_backward": pa.array([back], pa.int64()),
+        "disorder_micros": pa.array(
+            [(back * 1_000_000) // pairs if pairs else 0], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9246,6 +9384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gate_run_stats": q_gate_run_stats,
         "gate_agreement_by_lang": q_gate_agreement_by_lang,
         "scrub_rule_hits": q_scrub_rule_hits,
+        "part_size_price_corr": q_part_size_price_corr,
+        "adjacent_disorder": q_adjacent_disorder,
     }
 
 

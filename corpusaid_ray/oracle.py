@@ -7079,3 +7079,46 @@ FROM corpus""")
 
 
 ORACLE_SQL["scrub_rule_hits"] = _scrub_rule_hits_sql()
+
+# part_size_price_corr: OLS + signed corr² of price cents on p_size.
+ORACLE_SQL["part_size_price_corr"] = """
+WITH s AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(p_size::HUGEINT) AS sx,
+         sum(floor(p_retailprice * 100.0)::HUGEINT) AS sy,
+         sum(p_size::HUGEINT * p_size::HUGEINT) AS sxx,
+         sum(floor(p_retailprice * 100.0)::HUGEINT
+             * floor(p_retailprice * 100.0)::HUGEINT) AS syy,
+         sum(p_size::HUGEINT
+             * floor(p_retailprice * 100.0)::HUGEINT) AS sxy
+  FROM part),
+c AS (
+  SELECT n, sx, sy, sxx, syy, sxy,
+         ((n * sxy - sx * sy) // (n * n)) AS cov,
+         ((n * sxx - sx * sx) // (n * n)) AS vx,
+         ((n * syy - sy * sy) // (n * n)) AS vy
+  FROM s)
+SELECT n::BIGINT AS n_parts,
+       ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx))::BIGINT
+         AS slope_micro,
+       (CASE WHEN vx = 0 OR vy = 0 THEN 0
+             WHEN cov < 0 THEN -((cov * cov * 1000000) // (vx * vy))
+             ELSE (cov * cov * 1000000) // (vx * vy)
+        END)::BIGINT AS corr_sq_signed_micros
+FROM c"""
+
+# adjacent_disorder: share of adjacent arrival pairs (event_id order)
+# with strictly decreasing event time.
+ORACLE_SQL["adjacent_disorder"] = """
+WITH s AS (
+  SELECT epoch_us(ts)::BIGINT AS t,
+         lag(epoch_us(ts)) OVER (ORDER BY event_id)::BIGINT AS pt
+  FROM events)
+SELECT (count(*) - 1)::BIGINT AS n_pairs,
+       coalesce(count(*) FILTER (pt IS NOT NULL AND t < pt),
+                0)::BIGINT AS n_backward,
+       (CASE WHEN count(*) > 1
+             THEN (coalesce(count(*) FILTER (pt IS NOT NULL AND t < pt),
+                            0)::HUGEINT * 1000000) // (count(*) - 1)
+             ELSE 0 END)::BIGINT AS disorder_micros
+FROM s"""

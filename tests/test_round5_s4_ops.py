@@ -1964,3 +1964,30 @@ def test_scrub_rule_hits_chain_order(ray_session, tmp_path):
     for rule in ("email", "ipv4", "aws_key", "phone", "toxic"):
         assert int(out.loc[rule, "n_hits"]) > 0, rule
     assert (out.n_docs_hit <= out.n_hits).all()
+
+
+def test_adjacent_disorder_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "dis"
+    d.mkdir()
+    # ids 0..5, times mostly ascending with 2 backward steps
+    ts = pd.to_datetime([
+        "2000-01-01 00:00", "2000-01-01 00:10", "2000-01-01 00:05",
+        "2000-01-01 00:20", "2000-01-01 00:15", "2000-01-01 00:30"])
+    pd.DataFrame({"event_id": np.arange(6, dtype=np.int64),
+                  "ts": ts}).to_parquet(d / "events.parquet")
+    out = e.q_adjacent_disorder(str(d)).to_pandas()
+    assert int(out.n_pairs.iloc[0]) == 5
+    assert int(out.n_backward.iloc[0]) == 2
+    assert int(out.disorder_micros.iloc[0]) == 2 * 1_000_000 // 5
+
+
+def test_part_size_price_corr_bounds(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_part_size_price_corr(SF_SMALL).to_pandas()
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
+    assert int(out.n_parts.iloc[0]) == len(part)
+    assert abs(int(out.corr_sq_signed_micros.iloc[0])) <= 1_000_100
