@@ -9062,6 +9062,45 @@ def q_adjacent_disorder(sf_dir: str):
     })
 
 
+def q_corpus_digest(sf_dir: str):
+    """Order-invariant corpus checksum: Σ over docs of the first 60 bits
+    of sha256(content), mod the Mersenne prime 2⁶¹−1 — equal digests
+    across two runs/copies certify identical content MULTISETS without
+    moving or sorting anything (layout-independent by commutativity).
+    The per-doc hash is the north-rule sha pass; the reduce is one int
+    per block."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from corpusaid_ray.corpus import read_corpus
+
+    M = (1 << 61) - 1
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        acc = 0
+        for c in df.content:
+            acc = (acc + int(
+                hashlib.sha256(c.encode()).hexdigest()[:15], 16)) % M
+        return pd.DataFrame({"n": [len(df)], "d": [acc]})
+
+    n = acc = 0
+    for t in read_corpus(sf_dir).select_columns(["content"])\
+            .map_batches(partial, batch_format="pandas")\
+            .iter_batches(batch_format="pyarrow"):
+        n += int(pc.sum(t["n"]).as_py() or 0)
+        # fold residues row-wise in Python ints — pc.sum over several
+        # ~2⁶¹ residues would wrap int64
+        for row in range(len(t)):
+            acc = (acc + int(t["d"][row].as_py())) % M
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "digest": pa.array([acc], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9386,6 +9425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_rule_hits": q_scrub_rule_hits,
         "part_size_price_corr": q_part_size_price_corr,
         "adjacent_disorder": q_adjacent_disorder,
+        "corpus_digest": q_corpus_digest,
     }
 
 

@@ -7122,3 +7122,12 @@ SELECT (count(*) - 1)::BIGINT AS n_pairs,
                             0)::HUGEINT * 1000000) // (count(*) - 1)
              ELSE 0 END)::BIGINT AS disorder_micros
 FROM s"""
+
+# corpus_digest: order-invariant multiset checksum — 60-bit sha prefixes
+# summed mod 2^61−1 (sum of residues ≡ residue of sum).
+ORACLE_SQL["corpus_digest"] = with_corpus("""
+SELECT count(*)::BIGINT AS n_docs,
+       (sum((('0x' || substr(sha256(content), 1, 15))::UBIGINT
+             % 2305843009213693951)::HUGEINT)
+        % 2305843009213693951)::BIGINT AS digest
+FROM corpus""")

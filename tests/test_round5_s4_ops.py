@@ -1991,3 +1991,35 @@ def test_part_size_price_corr_bounds(ray_session):
     part = pd.read_parquet(f"{SF_SMALL}/part.parquet")
     assert int(out.n_parts.iloc[0]) == len(part)
     assert abs(int(out.corr_sq_signed_micros.iloc[0])) <= 1_000_100
+
+
+def test_corpus_digest_layout_invariance(ray_session, tmp_path):
+    """The digest is a multiset invariant: permuting the corpus rows
+    leaves it unchanged; flipping one character changes it."""
+    import __ray_entry__ as e
+
+    d1 = tmp_path / "dg1"
+    d2 = tmp_path / "dg2"
+    d3 = tmp_path / "dg3"
+    for d in (d1, d2, d3):
+        d.mkdir()
+    rng = np.random.default_rng(5)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": ["doc %d body %d" % (i, rng.integers(1e6))
+                 for i in range(40)],
+        "lang": ["en"] * 40,
+    })
+    docs.to_parquet(d1 / "documents.parquet")
+    docs.iloc[::-1].reset_index(drop=True).to_parquet(
+        d2 / "documents.parquet")
+    mut = docs.copy()
+    # doc 1 keeps its text in the derived content (doc 7 would not —
+    # doc_id % 10 == 7 rows take a fixed dup payload)
+    mut.loc[1, "text"] = mut.loc[1, "text"] + "!"
+    mut.to_parquet(d3 / "documents.parquet")
+    a = int(e.q_corpus_digest(str(d1)).to_pandas().digest.iloc[0])
+    b = int(e.q_corpus_digest(str(d2)).to_pandas().digest.iloc[0])
+    c = int(e.q_corpus_digest(str(d3)).to_pandas().digest.iloc[0])
+    assert a == b
+    assert a != c
