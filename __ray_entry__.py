@@ -9101,6 +9101,102 @@ def q_corpus_digest(sf_dir: str):
     })
 
 
+def q_tax_summary(sf_dir: str):
+    """Effective tax incidence per returnflag: exact micro tax revenue
+    and the weighted effective rate Σ(price·tax)·10⁶ // Σprice — the
+    floored-micro money contract on the one previously-unaudited
+    lineitem column."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_tax"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price = np.floor(
+            df.l_extendedprice.to_numpy(np.float64) * 1_000_000
+        ).astype("int64")
+        tax = np.floor(
+            df.l_extendedprice.to_numpy(np.float64)
+            * df.l_tax.to_numpy(np.float64) * 1_000_000
+        ).astype("int64")
+        out = pd.DataFrame({
+            "l_returnflag": df.l_returnflag,
+            "n_items": np.ones(len(df), np.int64),
+            "price_micros": price,
+            "tax_micros": tax,
+        })
+        return out.groupby("l_returnflag", sort=False,
+                           as_index=False).sum()
+
+    sums = grouped(
+        line.map_batches(partial, batch_format="pandas"), "l_returnflag"
+    ).aggregate(Sum("n_items", alias_name="n_items"),
+                Sum("price_micros", alias_name="price_micros"),
+                Sum("tax_micros", alias_name="tax_micros"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rate = [(int(t) * 1_000_000) // int(p)
+                for t, p in zip(df.tax_micros, df.price_micros)]
+        return df.assign(
+            effective_rate_micros=pd.array(rate, dtype="int64"))
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+def q_segment_spend_share(sf_dir: str):
+    """Market-segment revenue mix: per c_mktsegment, customers, orders,
+    micro spend and the exact spend share — the customer dimension
+    broadcasts onto orders, shares finish against the grand total."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import broadcast_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).rename_columns({"o_custkey": "c_custkey"})
+    joined = broadcast_join(orders, cust, on="c_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "c_mktsegment": df.c_mktsegment,
+            "n_orders": np.ones(len(df), np.int64),
+            "spend_micros": np.floor(
+                df.o_totalprice.to_numpy(np.float64) * 1_000_000
+            ).astype("int64"),
+        })
+        return out.groupby("c_mktsegment", sort=False,
+                           as_index=False).sum()
+
+    sums = drop_empty_blocks(grouped(
+        joined.map_batches(partial, batch_format="pandas"),
+        "c_mktsegment",
+    ).aggregate(Sum("n_orders", alias_name="n_orders"),
+                Sum("spend_micros", alias_name="spend_micros")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df.spend_micros.sum())
+        share = [(int(s) * 1_000_000) // total if total else 0
+                 for s in df.spend_micros]
+        return df.assign(share_micros=pd.array(share, dtype="int64"))
+
+    return sums.repartition(1).map_batches(finish, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9426,6 +9522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_size_price_corr": q_part_size_price_corr,
         "adjacent_disorder": q_adjacent_disorder,
         "corpus_digest": q_corpus_digest,
+        "tax_summary": q_tax_summary,
+        "segment_spend_share": q_segment_spend_share,
     }
 
 

@@ -7131,3 +7131,35 @@ SELECT count(*)::BIGINT AS n_docs,
              % 2305843009213693951)::HUGEINT)
         % 2305843009213693951)::BIGINT AS digest
 FROM corpus""")
+
+# tax_summary: floored-micro tax revenue + weighted effective rate per
+# returnflag.
+ORACLE_SQL["tax_summary"] = """
+WITH s AS (
+  SELECT l_returnflag, count(*)::BIGINT AS n_items,
+         sum(floor(l_extendedprice * 1000000)::BIGINT)::HUGEINT
+           AS price_micros,
+         sum(floor(l_extendedprice * l_tax * 1000000)::BIGINT)::HUGEINT
+           AS tax_micros
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, n_items, price_micros::BIGINT AS price_micros,
+       tax_micros::BIGINT AS tax_micros,
+       ((tax_micros * 1000000) // price_micros)::BIGINT
+         AS effective_rate_micros
+FROM s"""
+
+# segment_spend_share: per-mktsegment order counts, micro spend, exact
+# share of the grand total.
+ORACLE_SQL["segment_spend_share"] = """
+WITH s AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+         sum(floor(o_totalprice * 1000000)::BIGINT)::HUGEINT
+           AS spend_micros
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1),
+t AS (SELECT sum(spend_micros) AS total FROM s)
+SELECT c_mktsegment, n_orders, spend_micros::BIGINT AS spend_micros,
+       (CASE WHEN t.total > 0
+             THEN (spend_micros * 1000000) // t.total
+             ELSE 0 END)::BIGINT AS share_micros
+FROM s, t"""

@@ -2023,3 +2023,21 @@ def test_corpus_digest_layout_invariance(ray_session, tmp_path):
     c = int(e.q_corpus_digest(str(d3)).to_pandas().digest.iloc[0])
     assert a == b
     assert a != c
+
+
+def test_tax_and_segment_accounting(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    tax = e.q_tax_summary(SF_SMALL).to_pandas()
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    assert int(tax.n_items.sum()) == len(line)
+    # effective rates sit inside the TPC-H tax band (0–8%)
+    assert (tax.effective_rate_micros >= 0).all()
+    assert (tax.effective_rate_micros <= 90_000).all()
+
+    seg = e.q_segment_spend_share(SF_SMALL).to_pandas()
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    assert int(seg.n_orders.sum()) == len(orders)
+    # shares sum to ~1e6 (truncation remainder < |segments|)
+    assert 1_000_000 - int(seg.share_micros.sum()) < len(seg)
