@@ -9197,6 +9197,138 @@ def q_segment_spend_share(sf_dir: str):
     return sums.repartition(1).map_batches(finish, batch_format="pandas")
 
 
+def q_modal_length(sf_dir: str):
+    """The mode — most frequent doc length per language (ties → smallest
+    length, pinned): the missing location primitive beside mean/median;
+    a spiked mode = templated docs. (lang, length) counts → per-lang
+    argmax in map_groups over the bounded support."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "lang": df.lang,
+            "v": df.n_chars.to_numpy(np.int64),
+            "c": np.ones(len(df), np.int64),
+        })
+        return out.groupby(["lang", "v"], sort=False,
+                           as_index=False).sum()
+
+    counts = grouped(
+        ds.map_batches(partial, batch_format="pandas"), ["lang", "v"]
+    ).aggregate(Sum("c", alias_name="c"))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "v"], ascending=[False, True],
+                          kind="mergesort")
+        return pd.DataFrame({
+            "lang": [g.lang.iloc[0]],
+            "modal_length": pd.array([int(g.v.iloc[0])], dtype="int64"),
+            "modal_count": pd.array([int(g.c.iloc[0])], dtype="int64"),
+        })
+
+    return grouped(counts, "lang").map_groups(
+        argmax, batch_format="pandas")
+
+
+def q_vocab_half_overlap(sf_dir: str):
+    """Vocabulary churn between interleaved corpus halves (doc_id
+    parity): tokens only in half 0, only in half 1, shared, and the
+    Jaccard — with interleaved halves this is the SAMPLING-variance
+    floor of vocabulary (snapshot diffs must beat it to mean anything).
+    The distinct (half, token) reduce folds to a 2-bit mask; Sum is the
+    OR (the established bitmask fold)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def toks(batch) -> pd.DataFrame:
+        from corpusaid_ray.stages.vocab import _flat_tokens
+
+        empty = pd.DataFrame({
+            "token": pd.Series(dtype=object),
+            "bit": pd.Series(dtype="int64"),
+        })
+        if len(batch) == 0:
+            return empty
+        uniq, inv, row_ids = _flat_tokens(batch["text"])
+        if len(inv) == 0:
+            return empty
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        half = (ids[row_ids] % 2).astype(np.int64)
+        lut = np.asarray(uniq, dtype=object)
+        out = pd.DataFrame({
+            "token": lut[inv],
+            "bit": (1 << half).astype(np.int64),
+        }).drop_duplicates()
+        return out.groupby("token", sort=False, as_index=False).sum()
+
+    # the per-batch groupby may still double-set a bit across batches;
+    # clamp via a bitwise-OR-equivalent: min(sum, 3) is WRONG for (1+1),
+    # so reduce to distinct (token, bit) first
+    def rebit(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["bit"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "token": np.concatenate([df.token.to_numpy()[b & 1 > 0],
+                                     df.token.to_numpy()[b & 2 > 0]]),
+            "bit": np.concatenate([
+                np.ones(int((b & 1 > 0).sum()), np.int64),
+                np.full(int((b & 2 > 0).sum()), 2, np.int64)]),
+        })
+        return out.drop_duplicates()
+
+    distinct = grouped(
+        ds.map_batches(toks, batch_format="pyarrow")
+          .map_batches(rebit, batch_format="pandas"),
+        ["token", "bit"],
+    ).count()
+
+    def mask_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "token": df.token,
+            "mask": df["bit"].to_numpy(np.int64),
+        })
+        return out.groupby("token", sort=False, as_index=False).sum()
+
+    masks = grouped(
+        distinct.map_batches(
+            lambda df: df[["token", "bit"]], batch_format="pandas")
+        .map_batches(mask_partial, batch_format="pandas"),
+        "token",
+    ).aggregate(Sum("mask", alias_name="mask"))
+
+    c = {1: 0, 2: 0, 3: 0}
+    for t in masks.iter_batches(batch_format="pyarrow"):
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        c[1] += int((m == 1).sum())
+        c[2] += int((m == 2).sum())
+        c[3] += int((m == 3).sum())
+    union = c[1] + c[2] + c[3]
+    return pa.table({
+        "only_half0": pa.array([c[1]], pa.int64()),
+        "only_half1": pa.array([c[2]], pa.int64()),
+        "shared": pa.array([c[3]], pa.int64()),
+        "jaccard_micros": pa.array(
+            [c[3] * 1_000_000 // union if union else 0], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9524,6 +9656,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_digest": q_corpus_digest,
         "tax_summary": q_tax_summary,
         "segment_spend_share": q_segment_spend_share,
+        "modal_length": q_modal_length,
+        "vocab_half_overlap": q_vocab_half_overlap,
     }
 
 

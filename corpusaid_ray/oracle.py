@@ -7163,3 +7163,33 @@ SELECT c_mktsegment, n_orders, spend_micros::BIGINT AS spend_micros,
              THEN (spend_micros * 1000000) // t.total
              ELSE 0 END)::BIGINT AS share_micros
 FROM s, t"""
+
+# vocab_half_overlap: 2-bit mask fold over distinct (parity-half, token).
+ORACLE_SQL["vocab_half_overlap"] = """
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT (doc_id % 2)::BIGINT AS half,
+         unnest(list_filter(regexp_split_to_array(
+           text, '[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f ]+'),
+         t -> t != '')) AS w
+  FROM documents),
+m AS (SELECT w, sum(CASE WHEN half = 0 THEN 1 ELSE 2 END)::BIGINT AS mask
+      FROM tok GROUP BY w)
+SELECT coalesce(count(*) FILTER (mask = 1), 0)::BIGINT AS only_half0,
+       coalesce(count(*) FILTER (mask = 2), 0)::BIGINT AS only_half1,
+       coalesce(count(*) FILTER (mask = 3), 0)::BIGINT AS shared,
+       (CASE WHEN count(*) > 0
+             THEN ((count(*) FILTER (mask = 3))::HUGEINT * 1000000)
+                  // count(*)
+             ELSE 0 END)::BIGINT AS jaccard_micros
+FROM m"""
+
+# modal_length: most frequent length per language (ties → smallest).
+ORACLE_SQL["modal_length"] = """
+WITH c AS (
+  SELECT lang, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, v, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, v) AS rk
+      FROM c)
+SELECT lang, v AS modal_length, c AS modal_count FROM r WHERE rk = 1"""

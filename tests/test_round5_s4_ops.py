@@ -2041,3 +2041,36 @@ def test_tax_and_segment_accounting(ray_session):
     assert int(seg.n_orders.sum()) == len(orders)
     # shares sum to ~1e6 (truncation remainder < |segments|)
     assert 1_000_000 - int(seg.share_micros.sum()) < len(seg)
+
+
+def test_modal_length_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = (e.q_modal_length(SF_SMALL).to_pandas()
+           .set_index("lang"))
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    for lang, g in docs.groupby("lang"):
+        vc = g.n_chars.value_counts()
+        best = vc.max()
+        mode = min(int(v) for v, c in vc.items() if c == best)
+        assert int(got.loc[lang, "modal_length"]) == mode
+        assert int(got.loc[lang, "modal_count"]) == int(best)
+
+
+def test_vocab_half_overlap_planted(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "vho"
+    d.mkdir()
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 3], np.int64),  # halves 0,1,0,1
+        "text": ["a b shared", "b c shared", "a shared", "c d"],
+    })
+    docs.to_parquet(d / "documents.parquet")
+    out = e.q_vocab_half_overlap(str(d)).to_pandas()
+    # half0 = {a, b, shared}; half1 = {b, c, shared, d}
+    assert int(out.only_half0.iloc[0]) == 1    # a
+    assert int(out.only_half1.iloc[0]) == 2    # c, d
+    assert int(out.shared.iloc[0]) == 2        # b, shared
+    assert int(out.jaccard_micros.iloc[0]) == 2 * 1_000_000 // 5
