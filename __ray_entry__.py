@@ -9329,6 +9329,71 @@ def q_vocab_half_overlap(sf_dir: str):
     })
 
 
+def q_order_total_consistency(sf_dir: str):
+    """Fact-vs-rollup reconciliation: does o_totalprice equal its
+    lineitems' Σ price·(1−disc)·(1+tax)? Per order the micro discrepancy
+    buckets into exact / within-1% / far / no-lineitems — the standard
+    double-entry audit between a header table and its detail rollup.
+    One per-order lineitem groupby, one hash join, 4-row output."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import hash_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped, \
+        join_partitions
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = np.floor(
+            df.l_extendedprice.to_numpy()
+            * (1.0 - df.l_discount.to_numpy())
+            * (1.0 + df.l_tax.to_numpy()) * 1_000_000
+        ).astype("int64")
+        out = pd.DataFrame({"o_orderkey": df.l_orderkey,
+                            "detail_micros": rev})
+        return out.groupby("o_orderkey", sort=False, as_index=False).sum()
+
+    detail = drop_empty_blocks(grouped(
+        line.map_batches(partial, batch_format="pandas"), "o_orderkey"
+    ).aggregate(Sum("detail_micros", alias_name="detail_micros")))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    joined = orders.join(
+        detail, join_type="left_outer",
+        num_partitions=join_partitions(), on=("o_orderkey",))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        head = np.floor(
+            df.o_totalprice.to_numpy(np.float64) * 1_000_000
+        ).astype("int64")
+        det = df.detail_micros.to_numpy()
+        missing = pd.isna(det)
+        det = np.where(missing, 0, det).astype("int64")
+        diff = np.abs(head - det)
+        bucket = np.where(
+            missing, "no_lineitems",
+            np.where(diff == 0, "exact",
+                     np.where(diff * 100 <= head, "within_1pct",
+                              "far")))
+        out = pd.DataFrame({"bucket": bucket,
+                            "n_orders": np.ones(len(df), np.int64)})
+        return out.groupby("bucket", sort=False, as_index=False).sum()
+
+    return grouped(
+        joined.map_batches(classify, batch_format="pandas"), "bucket"
+    ).aggregate(Sum("n_orders", alias_name="n_orders"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9658,6 +9723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_spend_share": q_segment_spend_share,
         "modal_length": q_modal_length,
         "vocab_half_overlap": q_vocab_half_overlap,
+        "order_total_consistency": q_order_total_consistency,
     }
 
 

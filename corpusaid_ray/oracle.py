@@ -7193,3 +7193,25 @@ r AS (SELECT lang, v, c,
                                 ORDER BY c DESC, v) AS rk
       FROM c)
 SELECT lang, v AS modal_length, c AS modal_count FROM r WHERE rk = 1"""
+
+# order_total_consistency: header-vs-detail reconciliation buckets.
+ORACLE_SQL["order_total_consistency"] = """
+WITH det AS MATERIALIZED (
+  SELECT l_orderkey AS o_orderkey,
+         sum(floor(l_extendedprice * (1.0 - l_discount)
+                   * (1.0 + l_tax) * 1000000)::BIGINT)::BIGINT
+           AS detail_micros
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT floor(o_totalprice * 1000000)::BIGINT AS head,
+         det.detail_micros
+  FROM orders LEFT JOIN det USING (o_orderkey)),
+b AS (
+  SELECT CASE
+           WHEN detail_micros IS NULL THEN 'no_lineitems'
+           WHEN abs(head - detail_micros) = 0 THEN 'exact'
+           WHEN abs(head - detail_micros)::HUGEINT * 100 <= head
+             THEN 'within_1pct'
+           ELSE 'far' END AS bucket
+  FROM j)
+SELECT bucket, count(*)::BIGINT AS n_orders FROM b GROUP BY bucket"""

@@ -2074,3 +2074,33 @@ def test_vocab_half_overlap_planted(ray_session, tmp_path):
     assert int(out.only_half1.iloc[0]) == 2    # c, d
     assert int(out.shared.iloc[0]) == 2        # b, shared
     assert int(out.jaccard_micros.iloc[0]) == 2 * 1_000_000 // 5
+
+
+def test_order_total_consistency_accounting(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = (e.q_order_total_consistency(SF_SMALL).to_pandas()
+           .set_index("bucket"))
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    assert int(out.n_orders.sum()) == len(orders)
+    # serial recomputation of one bucket
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    rev = np.floor(line.l_extendedprice.to_numpy()
+                   * (1.0 - line.l_discount.to_numpy())
+                   * (1.0 + line.l_tax.to_numpy())
+                   * 1_000_000).astype("int64")
+    det = pd.DataFrame({"k": line.l_orderkey, "d": rev}) \
+        .groupby("k")["d"].sum()
+    head = pd.Series(
+        np.floor(orders.o_totalprice.to_numpy(np.float64)
+                 * 1_000_000).astype("int64"),
+        index=orders.o_orderkey.to_numpy())
+    j = head.to_frame("h").join(det.rename("d"), how="left")
+    missing = int(j.d.isna().sum())
+    got_missing = int(out.n_orders.get("no_lineitems", 0)) \
+        if "no_lineitems" in out.index else 0
+    assert got_missing == missing
+    diff = (j.h - j.d.fillna(0)).abs()
+    exact = int(((diff == 0) & j.d.notna()).sum())
+    assert int(out.n_orders.get("exact", 0)) == exact
