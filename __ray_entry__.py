@@ -9394,6 +9394,82 @@ def q_order_total_consistency(sf_dir: str):
     ).aggregate(Sum("n_orders", alias_name="n_orders"))
 
 
+def q_label_norm_eta2(sf_dir: str):
+    """Does the label explain embedding-energy variance? ANOVA η² of the
+    quantized squared norm across labels (the weekday_seasonality
+    integer contract: per-term-trunc between/total sum-of-squares) — a
+    high η² means labels separate by magnitude alone, a red flag for
+    norm-sensitive distance metrics."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        from corpusaid_ray.stages.embstats import _quant
+
+        if len(batch) == 0:
+            return pd.DataFrame({
+                "label": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+                "ss": pd.Series(dtype=object),
+            })
+        q = _quant(batch, "embedding")
+        # norm in MILLI² units (micro² sums of squares would overflow
+        # int64 when squared again for the ANOVA); TRUNCATING division
+        # toward zero — numpy // floors, DuckDB // truncates
+        qm = np.sign(q) * (np.abs(q) // 1000)
+        norm = (qm * qm).sum(axis=1)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(
+            "int64")
+        out = pd.DataFrame({
+            "label": lab, "n": np.ones(len(lab), np.int64), "s": norm,
+            "ss": [int(v) * int(v) for v in norm],  # Python ints
+        })
+        agg = out.groupby("label", sort=False, as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"),
+            ss=("ss", lambda x: sum(int(v) for v in x)))
+        return agg
+
+    rows = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), "label"
+    ).map_groups(
+        lambda g: pd.DataFrame({
+            "label": [int(g.label.iloc[0])],
+            "n": [int(g.n.sum())],
+            "s": [sum(int(v) for v in g.s)],
+            "ss": [sum(int(v) for v in g.ss)],
+        }), batch_format="pandas").take_all()
+
+    n = sum(int(r["n"]) for r in rows)
+    sc = sum(int(r["s"]) for r in rows)
+    sc2 = sum(int(r["ss"]) for r in rows)
+    sst = n * sc2 - sc * sc
+    if sst == 0:
+        return pa.table({
+            "n_vecs": pa.array([n], pa.int64()),
+            "n_labels": pa.array([len(rows)], pa.int64()),
+            "eta2_micro": pa.array([0], pa.int64()),
+        })
+    t_num = sum((int(r["s"]) ** 2 * n * 1000) // int(r["n"])
+                for r in rows) - sc * sc * 1000
+    return pa.table({
+        "n_vecs": pa.array([n], pa.int64()),
+        "n_labels": pa.array([len(rows)], pa.int64()),
+        "eta2_micro": pa.array([trunc_div(t_num * 1000, sst)],
+                               pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9724,6 +9800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modal_length": q_modal_length,
         "vocab_half_overlap": q_vocab_half_overlap,
         "order_total_consistency": q_order_total_consistency,
+        "label_norm_eta2": q_label_norm_eta2,
     }
 
 

@@ -7215,3 +7215,30 @@ b AS (
            ELSE 'far' END AS bucket
   FROM j)
 SELECT bucket, count(*)::BIGINT AS n_orders FROM b GROUP BY bucket"""
+
+# label_norm_eta2: ANOVA eta² of the milli² embedding norm across labels
+# (DuckDB // truncates = the engine's pinned sign-trunc).
+ORACLE_SQL["label_norm_eta2"] = """
+WITH v AS MATERIALIZED (
+  SELECT label::HUGEINT AS label,
+         list_aggregate(list_transform(embedding::DOUBLE[],
+           e -> (floor(1000000 * e)::BIGINT // 1000)
+                * (floor(1000000 * e)::BIGINT // 1000)),
+           'sum')::HUGEINT AS norm
+  FROM embeddings),
+g AS MATERIALIZED (
+  SELECT label, count(*)::HUGEINT AS n, sum(norm) AS s,
+         sum(norm * norm) AS ss
+  FROM v GROUP BY 1),
+t AS MATERIALIZED (
+  SELECT sum(n)::HUGEINT AS n, sum(s) AS sc, sum(ss) AS sc2,
+         count(*)::BIGINT AS n_labels
+  FROM g),
+tb AS MATERIALIZED (
+  SELECT sum((g.s * g.s * t.n * 1000) // g.n) AS acc FROM g, t)
+SELECT t.n::BIGINT AS n_vecs, t.n_labels,
+       (CASE WHEN t.n * t.sc2 - t.sc * t.sc != 0
+             THEN ((tb.acc - t.sc * t.sc * 1000) * 1000)
+                  // (t.n * t.sc2 - t.sc * t.sc)
+             ELSE 0 END)::BIGINT AS eta2_micro
+FROM t, tb"""

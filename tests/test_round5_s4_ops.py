@@ -2104,3 +2104,33 @@ def test_order_total_consistency_accounting(ray_session):
     diff = (j.h - j.d.fillna(0)).abs()
     exact = int(((diff == 0) & j.d.notna()).sum())
     assert int(out.n_orders.get("exact", 0)) == exact
+
+
+def test_label_norm_eta2_separated_vs_mixed(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    d = tmp_path / "eta"
+    d.mkdir()
+    rng = np.random.default_rng(2)
+    # label 0 tiny norms, label 1 huge norms → eta² near 1e6
+    v0 = [rng.normal(0, 0.01, 4).astype(np.float32) for _ in range(40)]
+    v1 = [rng.normal(0, 3.0, 4).astype(np.float32) for _ in range(40)]
+    pd.DataFrame({
+        "vec_id": np.arange(80, dtype=np.int64),
+        "embedding": v0 + v1,
+        "label": np.array([0] * 40 + [1] * 40, np.int32),
+    }).to_parquet(d / "embeddings.parquet")
+    out = e.q_label_norm_eta2(str(d)).to_pandas()
+    assert int(out.n_vecs.iloc[0]) == 80
+    # label-1 norms are chi²-spread, capping the between share — still
+    # clearly separated vs the mixed case's near-zero
+    assert int(out.eta2_micro.iloc[0]) > 500_000
+    # random labels on the same cloud → near-zero eta²
+    pd.DataFrame({
+        "vec_id": np.arange(80, dtype=np.int64),
+        "embedding": [rng.normal(0, 1, 4).astype(np.float32)
+                      for _ in range(80)],
+        "label": rng.integers(0, 2, 80).astype(np.int32),
+    }).to_parquet(d / "embeddings.parquet")
+    out = e.q_label_norm_eta2(str(d)).to_pandas()
+    assert abs(int(out.eta2_micro.iloc[0])) < 150_000
