@@ -7437,7 +7437,19 @@ def q_ship_latency_percentiles(sf_dir: str):
     # 2-skinny-column latency table once instead of re-running the join
     # per pass (measured 22.9 s → 18.1 s at sf0.01; the remainder is the
     # reduction's own exchanges at the checker's 8 CPUs)
-    skinny = joined.map_batches(lat, batch_format="pandas").materialize()
+    from corpusaid_ray.util import drop_empty_blocks
+
+    skinny = drop_empty_blocks(
+        joined.map_batches(lat, batch_format="pandas")).materialize()
+    # sparse-input contract: disjoint key slices make the join empty
+    if skinny.count() == 0:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series(dtype=object),
+            "n": pd.Series(dtype="int64"),
+            "p50_micros": pd.Series(dtype="int64"),
+            "p90_micros": pd.Series(dtype="int64"),
+            "p99_micros": pd.Series(dtype="int64"),
+        })
     return group_percentiles_distributed(
         skinny, key="o_orderpriority", value_col="lat_days")
 

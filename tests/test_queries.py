@@ -431,7 +431,13 @@ def test_sparse_input_robustness(ray_session, tmp_path):
                  "spearman_len_words", "keep_rate_by_length_decile",
                  "small_qty_revenue", "dup_quality_bias",
                  "nation_revenue_trend", "rank_fusion",
-                 "systematic_sample"):
+                 "systematic_sample",
+                 # later session-4 join/scan additions
+                 "market_share", "idle_rich_customers",
+                 "order_total_consistency", "top_supplier_revenue",
+                 "ship_latency_percentiles", "segment_spend_share",
+                 "watermark_drops", "adjacent_disorder",
+                 "interval_coverage", "session_type_lift"):
         res = qs[name](str(d))
         n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
         assert n >= 0
