@@ -9482,6 +9482,45 @@ def q_label_norm_eta2(sf_dir: str):
     })
 
 
+def q_supplier_part_fanout(sf_dir: str):
+    """Catalog breadth histogram: distinct parts carried per supplier,
+    then count-of-counts (the dual of supplier_variety): one batch-
+    distinct combiner on (supp, part), one per-supplier distinct count,
+    one tiny histogram groupby."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "fanout": pd.array([int(g.l_partkey.nunique())],
+                               dtype="int64"),
+            "n_keys": pd.array([1], dtype="int64"),
+        })
+
+    per_supp = grouped(
+        line.map_batches(distinct_pairs, batch_format="pandas"),
+        "l_suppkey",
+    ).map_groups(nunique, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fanout", sort=False, as_index=False).sum()
+
+    return grouped(
+        per_supp.map_batches(hist, batch_format="pandas"), "fanout"
+    ).aggregate(Sum("n_keys", alias_name="n_suppliers"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9813,6 +9852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_half_overlap": q_vocab_half_overlap,
         "order_total_consistency": q_order_total_consistency,
         "label_norm_eta2": q_label_norm_eta2,
+        "supplier_part_fanout": q_supplier_part_fanout,
     }
 
 

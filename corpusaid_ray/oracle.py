@@ -7242,3 +7242,10 @@ SELECT t.n::BIGINT AS n_vecs, t.n_labels,
                   // (t.n * t.sc2 - t.sc * t.sc)
              ELSE 0 END)::BIGINT AS eta2_micro
 FROM t, tb"""
+
+# supplier_part_fanout: distinct parts per supplier → count-of-counts.
+ORACLE_SQL["supplier_part_fanout"] = """
+WITH pk AS (
+  SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS fanout
+  FROM lineitem GROUP BY 1)
+SELECT fanout, count(*)::BIGINT AS n_suppliers FROM pk GROUP BY 1"""

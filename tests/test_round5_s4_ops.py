@@ -2134,3 +2134,16 @@ def test_label_norm_eta2_separated_vs_mixed(ray_session, tmp_path):
     }).to_parquet(d / "embeddings.parquet")
     out = e.q_label_norm_eta2(str(d)).to_pandas()
     assert abs(int(out.eta2_micro.iloc[0])) < 150_000
+
+
+def test_supplier_part_fanout_accounting(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_supplier_part_fanout(SF_SMALL).to_pandas()
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    per = line.groupby("l_suppkey")["l_partkey"].nunique()
+    assert int(out.n_suppliers.sum()) == per.index.nunique()
+    exp = per.value_counts().sort_index()
+    got = out.set_index("fanout").n_suppliers.sort_index()
+    assert (got == exp).all()
