@@ -9521,6 +9521,62 @@ def q_supplier_part_fanout(sf_dir: str):
     ).aggregate(Sum("n_keys", alias_name="n_suppliers"))
 
 
+def q_interp_quantiles(sf_dir: str):
+    """Type-7 LINEAR-INTERPOLATED length quartiles (the numpy/pandas
+    default, vs the ceil-rank discrete convention everywhere else in
+    this repo) — in exact micro fixed point: with pos = (n−1)·num/den,
+    h = ⌊pos⌋, the quantile is v[h]·10⁶ + (v[h+1]−v[h])·10⁶·rem // den
+    (rem = (n−1)·num mod den) — no float interpolation. Order statistics
+    v[h], v[h+1] come from the rank machinery over the bounded-support
+    histogram (driver holds the value histogram, not rows)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.n_chars.to_numpy(np.int64)
+        out = pd.DataFrame({"v": v, "c": np.ones(len(v), np.int64)})
+        return out.groupby("v", sort=False, as_index=False).sum()
+
+    hist = grouped(
+        ds.map_batches(partial, batch_format="pandas"), "v"
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+    hist.sort(key=lambda r: int(r["v"]))
+    vals = [int(r["v"]) for r in hist]
+    cnts = [int(r["c"]) for r in hist]
+    n = sum(cnts)
+    if n == 0:
+        return pa.table({
+            "q": pa.array([], pa.string()),
+            "quantile_micros": pa.array([], pa.int64()),
+        })
+    cum = np.cumsum(cnts)
+
+    def order_stat(k: int) -> int:  # 0-based k-th order statistic
+        return vals[int(np.searchsorted(cum, k + 1, side="left"))]
+
+    names, out = [], []
+    for name, num, den in (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)):
+        pos_num = (n - 1) * num
+        h, rem = pos_num // den, pos_num % den
+        lo = order_stat(h)
+        hi = order_stat(min(h + 1, n - 1)) if rem else lo
+        names.append(name)
+        out.append(lo * 1_000_000 + (hi - lo) * 1_000_000 * rem // den)
+    return pa.table({
+        "q": pa.array(names, pa.string()),
+        "quantile_micros": pa.array(out, pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9853,6 +9909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_total_consistency": q_order_total_consistency,
         "label_norm_eta2": q_label_norm_eta2,
         "supplier_part_fanout": q_supplier_part_fanout,
+        "interp_quantiles": q_interp_quantiles,
     }
 
 

@@ -7249,3 +7249,22 @@ WITH pk AS (
   SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS fanout
   FROM lineitem GROUP BY 1)
 SELECT fanout, count(*)::BIGINT AS n_suppliers FROM pk GROUP BY 1"""
+
+# interp_quantiles: type-7 interpolated quartiles in exact micro fixed
+# point over the sorted value list.
+ORACLE_SQL["interp_quantiles"] = """
+WITH v AS MATERIALIZED (
+  SELECT list_sort(list(n_chars::BIGINT)) AS a,
+         count(*)::BIGINT AS n
+  FROM documents),
+q AS (SELECT 'p25' AS q, 1::BIGINT AS num, 4::BIGINT AS den
+      UNION ALL SELECT 'p50', 1, 2
+      UNION ALL SELECT 'p75', 3, 4),
+p AS (SELECT q.q, q.num, q.den, v.a, v.n FROM q, v)
+SELECT q,
+       (a[(((n - 1) * num) // den) + 1] * 1000000
+        + (a[least((((n - 1) * num) // den) + 2, n)]
+           - a[(((n - 1) * num) // den) + 1])
+          * 1000000 * (((n - 1) * num) % den) // den)::BIGINT
+         AS quantile_micros
+FROM p"""

@@ -2147,3 +2147,19 @@ def test_supplier_part_fanout_accounting(ray_session):
     exp = per.value_counts().sort_index()
     got = out.set_index("fanout").n_suppliers.sort_index()
     assert (got == exp).all()
+
+
+def test_interp_quantiles_matches_numpy(ray_session):
+    """Type-7 is numpy's default — the fixed-point result must equal
+    np.quantile to micro precision."""
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = (e.q_interp_quantiles(SF_SMALL).to_pandas()
+           .set_index("q"))
+    x = pd.read_parquet(f"{SF_SMALL}/documents.parquet")\
+        .n_chars.to_numpy(np.float64)
+    for name, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        ref = float(np.quantile(x, p))  # numpy type-7 default
+        got = int(out.loc[name, "quantile_micros"]) / 1e6
+        assert abs(got - ref) < 1e-5, (name, got, ref)
