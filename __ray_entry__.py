@@ -9577,6 +9577,67 @@ def q_interp_quantiles(sf_dir: str):
     })
 
 
+def q_trimmed_mean_length(sf_dir: str):
+    """10%-trimmed mean doc length (the winsorize sibling — DROP the
+    tails instead of clamping them): k = n//10 shaved off each end,
+    exact micro mean of the middle — extreme-tail sums come off the
+    bounded value histogram with partial-bucket arithmetic (no row ever
+    reaches the driver)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.n_chars.to_numpy(np.int64)
+        out = pd.DataFrame({"v": v, "c": np.ones(len(v), np.int64)})
+        return out.groupby("v", sort=False, as_index=False).sum()
+
+    hist = grouped(
+        ds.map_batches(partial, batch_format="pandas"), "v"
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+    hist.sort(key=lambda r: int(r["v"]))
+    vals = [int(r["v"]) for r in hist]
+    cnts = [int(r["c"]) for r in hist]
+    n = sum(cnts)
+    if n == 0:
+        return pa.table({
+            "n_docs": pa.array([0], pa.int64()),
+            "n_trimmed_each": pa.array([0], pa.int64()),
+            "trimmed_mean_micros": pa.array([0], pa.int64()),
+        })
+    k = n // 10
+    total = sum(v * c for v, c in zip(vals, cnts))
+
+    def tail_sum(order):  # sum of the k smallest along `order`
+        need, s = k, 0
+        for v, c in order:
+            take = min(need, c)
+            s += v * take
+            need -= take
+            if need == 0:
+                break
+        return s
+
+    low = tail_sum(zip(vals, cnts))
+    high = tail_sum(zip(reversed(vals), reversed(cnts)))
+    mid_n = n - 2 * k
+    return pa.table({
+        "n_docs": pa.array([n], pa.int64()),
+        "n_trimmed_each": pa.array([k], pa.int64()),
+        "trimmed_mean_micros": pa.array(
+            [(total - low - high) * 1_000_000 // mid_n if mid_n else 0],
+            pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9910,6 +9971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_norm_eta2": q_label_norm_eta2,
         "supplier_part_fanout": q_supplier_part_fanout,
         "interp_quantiles": q_interp_quantiles,
+        "trimmed_mean_length": q_trimmed_mean_length,
     }
 
 

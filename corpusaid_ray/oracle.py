@@ -7268,3 +7268,18 @@ SELECT q,
           * 1000000 * (((n - 1) * num) % den) // den)::BIGINT
          AS quantile_micros
 FROM p"""
+
+# trimmed_mean_length: 10%-trimmed exact micro mean via list slicing of
+# the sorted values.
+ORACLE_SQL["trimmed_mean_length"] = """
+WITH v AS MATERIALIZED (
+  SELECT list_sort(list(n_chars::BIGINT)) AS a,
+         count(*)::BIGINT AS n
+  FROM documents)
+SELECT n AS n_docs, (n // 10)::BIGINT AS n_trimmed_each,
+       (CASE WHEN n - 2 * (n // 10) > 0
+             THEN (list_aggregate(a[(n // 10) + 1 : n - (n // 10)],
+                                  'sum')::HUGEINT * 1000000)
+                  // (n - 2 * (n // 10))
+             ELSE 0 END)::BIGINT AS trimmed_mean_micros
+FROM v"""

@@ -2163,3 +2163,20 @@ def test_interp_quantiles_matches_numpy(ray_session):
         ref = float(np.quantile(x, p))  # numpy type-7 default
         got = int(out.loc[name, "quantile_micros"]) / 1e6
         assert abs(got - ref) < 1e-5, (name, got, ref)
+
+
+def test_trimmed_mean_matches_scipy_convention(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_trimmed_mean_length(SF_SMALL).to_pandas()
+    x = np.sort(pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+                .n_chars.to_numpy(np.int64))
+    n = len(x)
+    k = n // 10
+    ref = x[k:n - k].mean()
+    got = int(out.trimmed_mean_micros.iloc[0]) / 1e6
+    assert abs(got - ref) < 1e-5
+    assert int(out.n_trimmed_each.iloc[0]) == k
+    # trimmed mean sits between median-ish robust center and raw mean
+    assert x.min() <= got <= x.max()
