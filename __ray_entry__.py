@@ -9638,6 +9638,66 @@ def q_trimmed_mean_length(sf_dir: str):
     })
 
 
+def q_log_gmean_by_lang(sf_dir: str):
+    """Per-language log-geometric-mean of doc length plus the Jensen gap
+    ln(arith mean) − mean(ln) ≥ 0 — the multiplicative-spread signal (a
+    gap near 0 = tight lengths; large gap = orders-of-magnitude mix that
+    argues for log-bucketed packing). Exact: the shared L fixed point
+    per distinct length over the (lang, length) histogram; the arith
+    mean enters as its TRUNCATED integer (pinned). Zero lengths
+    excluded."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.lexstats import _log_fp
+    from corpusaid_ray.stages.regression import trunc_div
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.n_chars.to_numpy(np.int64)
+        keep = v > 0
+        out = pd.DataFrame({
+            "lang": df.lang.to_numpy()[keep], "v": v[keep],
+            "c": np.ones(int(keep.sum()), np.int64),
+        })
+        return out.groupby(["lang", "v"], sort=False,
+                           as_index=False).sum()
+
+    hist = grouped(
+        ds.map_batches(partial, batch_format="pandas"), ["lang", "v"]
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+    groups: dict = {}
+    for r in hist:
+        groups.setdefault(r["lang"], []).append(
+            (int(r["v"]), int(r["c"])))
+    langs, nd, lg, la, gap = [], [], [], [], []
+    for lang in sorted(groups):
+        g = groups[lang]
+        n = sum(c for _, c in g)
+        s = sum(v * c for v, c in g)
+        log_g = trunc_div(sum(c * _log_fp(v) for v, c in g), n)
+        log_a = _log_fp(s // n) if s // n > 0 else 0
+        langs.append(lang)
+        nd.append(n)
+        lg.append(log_g)
+        la.append(log_a)
+        gap.append(log_a - log_g)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array(nd, pa.int64()),
+        "log_gmean_micro": pa.array(lg, pa.int64()),
+        "log_amean_micro": pa.array(la, pa.int64()),
+        "jensen_gap_micro": pa.array(gap, pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -9972,6 +10032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_fanout": q_supplier_part_fanout,
         "interp_quantiles": q_interp_quantiles,
         "trimmed_mean_length": q_trimmed_mean_length,
+        "log_gmean_by_lang": q_log_gmean_by_lang,
     }
 
 

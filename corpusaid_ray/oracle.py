@@ -7283,3 +7283,23 @@ SELECT n AS n_docs, (n // 10)::BIGINT AS n_trimmed_each,
                   // (n - 2 * (n // 10))
              ELSE 0 END)::BIGINT AS trimmed_mean_micros
 FROM v"""
+
+# log_gmean_by_lang: mean(L(v)) and L(trunc arith mean) per lang, Jensen
+# gap — shared log fixed point, zero lengths excluded.
+ORACLE_SQL["log_gmean_by_lang"] = """
+WITH h AS MATERIALIZED (
+  SELECT lang, n_chars::HUGEINT AS v, count(*)::HUGEINT AS c
+  FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+g AS (
+  SELECT lang, sum(c)::HUGEINT AS n, sum(v * c)::HUGEINT AS s,
+         sum(c * floor(1000000 * ln(v))::HUGEINT) AS sl
+  FROM h GROUP BY 1)
+SELECT lang, n::BIGINT AS n_docs,
+       (sl // n)::BIGINT AS log_gmean_micro,
+       (CASE WHEN s // n > 0
+             THEN floor(1000000 * ln((s // n)::DOUBLE))
+             ELSE 0 END)::BIGINT AS log_amean_micro,
+       ((CASE WHEN s // n > 0
+              THEN floor(1000000 * ln((s // n)::DOUBLE))
+              ELSE 0 END) - sl // n)::BIGINT AS jensen_gap_micro
+FROM g"""

@@ -2180,3 +2180,23 @@ def test_trimmed_mean_matches_scipy_convention(ray_session):
     assert int(out.n_trimmed_each.iloc[0]) == k
     # trimmed mean sits between median-ish robust center and raw mean
     assert x.min() <= got <= x.max()
+
+
+def test_log_gmean_jensen_nonneg(ray_session):
+    import math
+
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_log_gmean_by_lang(SF_SMALL).to_pandas()
+    # Jensen: ln(mean) ≥ mean(ln) up to the trunc-mean slack
+    assert (out.jensen_gap_micro >= -5).all()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    for r in out.itertuples(index=False):
+        x = docs.loc[(docs.lang == r.lang)
+                     & (docs.n_chars > 0), "n_chars"].to_numpy(
+            np.float64)
+        ref = float(np.log(x).mean())
+        assert abs(int(r.log_gmean_micro) / 1e6 - ref) < 1e-4
+        assert abs(int(r.log_amean_micro) / 1e6
+                   - math.log(int(x.sum()) // len(x))) < 1e-4
