@@ -9698,6 +9698,76 @@ def q_log_gmean_by_lang(sf_dir: str):
     })
 
 
+def q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): orders whose lineitems
+    total more than 200 quantity units, joined back to the order header
+    and customer name — the group-HAVING-then-rejoin pattern. Per-order
+    quantity groupby (integer exact) → HAVING filter → hash join to
+    orders → customer-name broadcast; ordered by (qty desc, orderkey)
+    with a 100-row cap, ties pinned."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.stages.join import broadcast_join, hash_join
+    from corpusaid_ray.util import drop_empty_blocks, grouped
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_orderkey": df.l_orderkey,
+            "total_qty": df.l_quantity.to_numpy(np.int64),
+        })
+        return out.groupby("o_orderkey", sort=False, as_index=False).sum()
+
+    per_order = drop_empty_blocks(grouped(
+        line.map_batches(partial, batch_format="pandas"), "o_orderkey"
+    ).aggregate(Sum("total_qty", alias_name="total_qty")))
+
+    def having(t: pa.Table) -> pa.Table:
+        q = t["total_qty"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(q > 200))
+
+    big = drop_empty_blocks(
+        per_order.map_batches(having, batch_format="pyarrow"))
+    empty = pa.table({
+        "c_name": pa.array([], pa.string()),
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_totalprice_micros": pa.array([], pa.int64()),
+        "total_qty": pa.array([], pa.int64()),
+    })
+    if big.count() == 0:
+        return empty
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    joined = hash_join(big, orders, on="o_orderkey")
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).rename(columns={"c_custkey": "o_custkey"})
+    named = broadcast_join(joined, cust, on="o_custkey")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_name": df.c_name,
+            "o_orderkey": df.o_orderkey.to_numpy(np.int64),
+            "o_totalprice_micros": np.floor(
+                df.o_totalprice.to_numpy(np.float64) * 1_000_000
+            ).astype("int64"),
+            "total_qty": df.total_qty.to_numpy(np.int64),
+        })
+
+    return (named.map_batches(project, batch_format="pandas")
+            .sort(["total_qty", "o_orderkey"], descending=[True, False])
+            .limit(100))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -10033,6 +10103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interp_quantiles": q_interp_quantiles,
         "trimmed_mean_length": q_trimmed_mean_length,
         "log_gmean_by_lang": q_log_gmean_by_lang,
+        "large_volume_customers": q_large_volume_customers,
     }
 
 

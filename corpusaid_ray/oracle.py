@@ -7303,3 +7303,19 @@ SELECT lang, n::BIGINT AS n_docs,
               THEN floor(1000000 * ln((s // n)::DOUBLE))
               ELSE 0 END) - sl // n)::BIGINT AS jensen_gap_micro
 FROM g"""
+
+# large_volume_customers: TPC-H Q18 shape — HAVING sum(qty) > 200, join
+# back to orders + customer, top-100 by (qty desc, orderkey).
+ORACLE_SQL["large_volume_customers"] = """
+WITH q AS MATERIALIZED (
+  SELECT l_orderkey AS o_orderkey,
+         sum(l_quantity::BIGINT)::BIGINT AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity::BIGINT) > 200)
+SELECT c_name, o_orderkey,
+       floor(o_totalprice * 1000000)::BIGINT AS o_totalprice_micros,
+       total_qty
+FROM q
+JOIN orders USING (o_orderkey)
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100"""

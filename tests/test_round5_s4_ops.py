@@ -2200,3 +2200,26 @@ def test_log_gmean_jensen_nonneg(ray_session):
         assert abs(int(r.log_gmean_micro) / 1e6 - ref) < 1e-4
         assert abs(int(r.log_amean_micro) / 1e6
                    - math.log(int(x.sum()) // len(x))) < 1e-4
+
+
+def test_large_volume_customers_matches_pandas(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    got = e.q_large_volume_customers(SF_SMALL).to_pandas()
+    line = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    q = (line.assign(q=line.l_quantity.astype("int64"))
+         .groupby("l_orderkey")["q"].sum())
+    big = q[q > 200].rename("total_qty").reset_index()
+    j = (big.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+    j["o_totalprice_micros"] = np.floor(
+        j.o_totalprice.to_numpy(np.float64) * 1_000_000).astype("int64")
+    exp = (j.sort_values(["total_qty", "o_orderkey"],
+                         ascending=[False, True]).head(100)
+           [["c_name", "o_orderkey", "o_totalprice_micros",
+             "total_qty"]].reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False)
