@@ -7319,3 +7319,22 @@ JOIN orders USING (o_orderkey)
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey
 LIMIT 100"""
+
+# nation_trade_volume: TPC-H Q7 shape — directed NATION_1/NATION_2 trade
+# revenue by ship year, 1996–1997.
+ORACLE_SQL["nation_trade_volume"] = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       sum(floor(l_extendedprice * (1.0 - l_discount)
+                 * 1000000)::BIGINT)::BIGINT AS revenue_micros
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3"""

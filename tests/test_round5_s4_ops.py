@@ -2223,3 +2223,15 @@ def test_large_volume_customers_matches_pandas(ray_session):
              "total_qty"]].reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp, check_dtype=False)
+
+
+def test_nation_trade_volume_directions(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = e.q_nation_trade_volume(SF_SMALL).to_pandas()
+    # directed pairs only, never same-nation
+    assert set(zip(out.supp_nation, out.cust_nation)) <= {
+        ("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert out.l_year.between(1996, 1997).all()
+    assert (out.revenue_micros > 0).all()
