@@ -9854,10 +9854,15 @@ def q_nation_trade_volume(sf_dir: str):
         return out.groupby(["supp_nation", "cust_nation", "l_year"],
                            sort=False, as_index=False).sum()
 
-    return drop_empty_blocks(grouped(
+    agg = drop_empty_blocks(grouped(
         joined.map_batches(partial, batch_format="pandas"),
         ["supp_nation", "cust_nation", "l_year"],
     ).aggregate(Sum("revenue_micros", alias_name="revenue_micros")))
+    agg = agg.materialize()
+    # typed-empty short-circuit: no cross-pair trade at tiny scales
+    if agg.count() == 0:
+        return empty
+    return agg
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -2230,8 +2230,16 @@ def test_nation_trade_volume_directions(ray_session):
     from tests.conftest import SF_SMALL
 
     out = e.q_nation_trade_volume(SF_SMALL).to_pandas()
+    # sf0.001 may legitimately have no cross-pair trade — schema stays
+    assert list(out.columns) == ["supp_nation", "cust_nation",
+                                 "l_year", "revenue_micros"]
     # directed pairs only, never same-nation
     assert set(zip(out.supp_nation, out.cust_nation)) <= {
         ("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
-    assert out.l_year.between(1996, 1997).all()
-    assert (out.revenue_micros > 0).all()
+    if len(out):
+        assert out.l_year.between(1996, 1997).all()
+        assert (out.revenue_micros > 0).all()
+    # sf0.01 has trade in both directions
+    out01 = e.q_nation_trade_volume(
+        "/root/testdata/sf0.01").to_pandas()
+    assert len(out01) >= 2
