@@ -9865,6 +9865,61 @@ def q_nation_trade_volume(sf_dir: str):
     return agg
 
 
+def q_stopword_share_by_lang(sf_dir: str):
+    """Stopword mass per language over raw whitespace tokens (the
+    version-pinned set, lowercased match): natural prose carries
+    30–60% stopword mass in English; near-zero on an 'en' slice flags
+    code/tables mislabeled as prose. One token explode + membership
+    test, |langs|-row exchange."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from corpusaid_ray.functions.tokenize import STOP_WORDS
+    from corpusaid_ray.util import grouped
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    stops = frozenset(STOP_WORDS)
+
+    def partial(batch) -> pd.DataFrame:
+        from corpusaid_ray.stages.vocab import _flat_tokens
+
+        empty = pd.DataFrame({
+            "lang": pd.Series(dtype=object),
+            "n_tokens": pd.Series(dtype="int64"),
+            "n_stop": pd.Series(dtype="int64"),
+        })
+        if len(batch) == 0:
+            return empty
+        uniq, inv, row_ids = _flat_tokens(batch["text"])
+        if len(inv) == 0:
+            return empty
+        is_stop = np.array([t.lower() in stops for t in uniq],
+                           dtype=bool)[inv]
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        out = pd.DataFrame({
+            "lang": langs[row_ids],
+            "n_tokens": np.ones(len(inv), np.int64),
+            "n_stop": is_stop.astype(np.int64),
+        })
+        return out.groupby("lang", sort=False, as_index=False).sum()
+
+    sums = grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), "lang"
+    ).aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                Sum("n_stop", alias_name="n_stop"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        share = [(int(s) * 1_000_000) // int(n) if int(n) else 0
+                 for s, n in zip(df.n_stop, df.n_tokens)]
+        return df.assign(stop_micros=pd.array(share, dtype="int64"))
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness gate samples the FIRST 50
     # dict entries per round. Cumulative driver coverage after r4 is
@@ -10202,6 +10257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_gmean_by_lang": q_log_gmean_by_lang,
         "large_volume_customers": q_large_volume_customers,
         "nation_trade_volume": q_nation_trade_volume,
+        "stopword_share_by_lang": q_stopword_share_by_lang,
     }
 
 

@@ -7338,3 +7338,27 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
 GROUP BY 1, 2, 3"""
+
+
+def _stopword_share_sql() -> str:
+    from corpusaid_ray.functions.tokenize import STOP_WORDS
+
+    stop_list = ", ".join(sql_quote(w) for w in sorted(STOP_WORDS))
+    return f"""
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(
+           text, '[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f ]+'),
+         t -> t != '')) AS w
+  FROM documents),
+s AS (
+  SELECT lang, count(*)::BIGINT AS n_tokens,
+         coalesce(count(*) FILTER (lower(w) IN ({stop_list})),
+                  0)::BIGINT AS n_stop
+  FROM tok GROUP BY 1)
+SELECT lang, n_tokens, n_stop,
+       ((n_stop::HUGEINT * 1000000) // n_tokens)::BIGINT AS stop_micros
+FROM s"""
+
+
+ORACLE_SQL["stopword_share_by_lang"] = _stopword_share_sql()

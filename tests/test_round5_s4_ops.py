@@ -2243,3 +2243,18 @@ def test_nation_trade_volume_directions(ray_session):
     out01 = e.q_nation_trade_volume(
         "/root/testdata/sf0.01").to_pandas()
     assert len(out01) >= 2
+
+
+def test_stopword_share_by_lang_sanity(ray_session):
+    import __ray_entry__ as e
+    from tests.conftest import SF_SMALL
+
+    out = (e.q_stopword_share_by_lang(SF_SMALL).to_pandas()
+           .set_index("lang"))
+    # English prose carries real stopword mass; shares are valid ratios
+    assert int(out.loc["en", "stop_micros"]) > 100_000
+    assert (out.n_stop <= out.n_tokens).all()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet",
+                           columns=["lang", "text"])
+    total = sum(len(t.split()) for t in docs.text)
+    assert int(out.n_tokens.sum()) == total
